@@ -1,0 +1,5 @@
+from . import codec, smallfloat
+from .build import build_index
+from .manifest import Manifest
+
+__all__ = ["codec", "smallfloat", "build_index", "Manifest"]

@@ -1,0 +1,138 @@
+"""Brute-force single-process reference implementation (FIXTURES.md F3).
+
+Mirrors Lucene semantics exactly, with no Ray and no index structures: every
+document is scored directly.  Used only in tests as the oracle in the
+distributed-vs-control duel (the `TestDuelingCodecs` /
+`BaseDistributedSearchTestCase` pattern, SURVEY.md §5):
+
+- analysis: the canonical `analysis.tokenize` chain;
+- dl = indexed-token count; normByte = SmallFloat.intToByte4(dl); scoring
+  uses the DECODED dl' = byte4ToInt(normByte)
+  (lucene/core/.../index/NormValuesWriter.java, util/SmallFloat.java);
+- idf = ln(1 + (N - df + 0.5)/(df + 0.5)); avgdl = sumTotalTermFreq/docCount;
+  score = Σ_t idf_t · tf/(tf + k1·(1 − b + b·dl'/avgdl)), k1=1.2, b=0.75 —
+  Lucene 8 BM25 without the (k1+1) constant factor
+  (lucene/core/.../search/similarities/BM25Similarity.java :: scorer/score);
+- top-k tie-break: (score desc, docID asc)
+  (lucene/core/.../search/TopScoreDocCollector.java, HitQueue.java).
+
+Scores are cast to float32 at the end, matching the engine.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+
+from .analysis import tokenize
+from .index.smallfloat import byte4_to_int, int_to_byte4
+from .search.query import QueryNode, parse_query
+
+K1 = 1.2
+B = 0.75
+
+
+class BruteForceIndex:
+    """In-memory per-document term/position data + collection stats."""
+
+    def __init__(self, texts: list[str]):
+        self.docs: list[dict[str, list[int]]] = []
+        self.dl: list[int] = []
+        for text in texts:
+            toks = tokenize(text)
+            by_term: dict[str, list[int]] = {}
+            for term, pos in toks:
+                by_term.setdefault(term, []).append(pos)
+            self.docs.append(by_term)
+            self.dl.append(len(toks))
+        self.N = len(texts)
+        self.sum_ttf = sum(self.dl)
+        self.avgdl = self.sum_ttf / self.N if self.N else 0.0
+        self.df: Counter[str] = Counter()
+        for d in self.docs:
+            self.df.update(d.keys())
+        self.dl_decoded = [byte4_to_int(int_to_byte4(l)) for l in self.dl]
+
+    def idf(self, term: str) -> float:
+        df = self.df.get(term, 0)
+        return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
+
+    def _norm_k(self, doc: int) -> float:
+        return K1 * (1.0 - B + B * self.dl_decoded[doc] / self.avgdl)
+
+    def term_score(self, term: str, doc: int) -> float:
+        tf = len(self.docs[doc].get(term, ()))
+        if tf == 0:
+            return 0.0
+        return self.idf(term) * tf / (tf + self._norm_k(doc))
+
+    def phrase_freq(self, terms: list[str], doc: int) -> int:
+        """Exact phrase occurrences (consecutive positions)."""
+        if not terms:
+            return 0
+        plists = [self.docs[doc].get(t) for t in terms]
+        if any(p is None for p in plists):
+            return 0
+        first = set(plists[0])
+        for off, pl in enumerate(plists[1:], start=1):
+            first &= {p - off for p in pl}
+        return len(first)
+
+    def phrase_score(self, terms: list[str], doc: int) -> float:
+        """PhraseQuery scoring: BM25 over phrase freq with summed idf
+        (lucene/core/.../search/PhraseWeight.java: similarity scorer over
+        combined term statistics)."""
+        pf = self.phrase_freq(terms, doc)
+        if pf == 0:
+            return 0.0
+        idf_sum = sum(self.idf(t) for t in terms)
+        return idf_sum * pf / (pf + self._norm_k(doc))
+
+    def score_query(self, node: QueryNode, doc: int) -> tuple[bool, float]:
+        """Returns (matches, score) for a parsed boolean query."""
+        if node.kind == "term":
+            s = self.term_score(node.terms[0], doc)
+            return (node.terms[0] in self.docs[doc], s)
+        if node.kind == "phrase":
+            pf = self.phrase_freq(node.terms, doc)
+            return (pf > 0, self.phrase_score(node.terms, doc))
+        # boolean
+        score = 0.0
+        must_ok = True
+        should_any = False
+        has_should = False
+        for clause, child in node.clauses:
+            m, s = self.score_query(child, doc)
+            if clause == "MUST":
+                if not m:
+                    must_ok = False
+                score += s
+            elif clause == "SHOULD":
+                has_should = True
+                if m:
+                    should_any = True
+                    score += s
+            elif clause == "MUST_NOT":
+                if m:
+                    must_ok = False
+        has_must = any(c == "MUST" for c, _ in node.clauses)
+        if not (has_must or has_should):
+            # only MUST_NOT clauses: matches nothing (BooleanQuery semantics)
+            return (False, 0.0)
+        matches = must_ok and (has_must or should_any)
+        return (matches, score if matches else 0.0)
+
+    def search(self, query: str, k: int) -> list[tuple[int, float]]:
+        """Top-k (docID, float32 score), tie-break (score desc, docID asc)."""
+        node = parse_query(query)
+        if node is None:
+            return []
+        hits = []
+        for doc in range(self.N):
+            m, s = self.score_query(node, doc)
+            if m:
+                hits.append((doc, np.float32(s)))
+        hits.sort(key=lambda h: (-h[1], h[0]))
+        return hits[:k]

@@ -1,0 +1,257 @@
+"""IndexShard — the stateful query-serving unit (one per term-shard).
+
+The Ray analog of a SolrCloud shard replica + Lucene IndexSearcher leaf
+(SURVEY.md §2.4 "Query-serving searcher"): a plain class (wrapped with
+`ray.remote` by the Searcher) that loads its shard's encoded postings into
+memory ONCE in `__init__` and answers `top_k(query_node, k, idfs, ...)`
+calls.  All per-query work is vectorized numpy over decoded posting arrays:
+
+- TermQuery    → decode (docs, freqs, norms), score via bm25.score_postings
+  (lucene/core/.../search/TermQuery.java + TermScorer.java)
+- BooleanQuery → sorted-array intersect/union/difference with score
+  accumulation (BooleanWeight / ConjunctionDISI / DisjunctionSumScorer)
+- PhraseQuery  → composite-key (doc, pos−offset) intersection over decoded
+  position lists (ExactPhraseMatcher)
+- top-k        → argpartition + (score desc, docID asc) tie-break
+  (TopScoreDocCollector / HitQueue)
+- block-max pruning for scored disjunctions via per-block upper bounds
+  (WANDScorer / MaxScoreCache; Ding & Suel 2011) — vectorized variant:
+  exact-score the top candidate blocks to get a floor θ, then drop all docs
+  whose summed block upper bound < θ before exact scoring.
+
+Salted posting runs (skew handling) are concatenated in salt order at first
+touch — runs cover disjoint, increasing docID ranges by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..index import codec
+from .bm25 import block_upper_bound, score_postings
+from .query import QueryNode
+
+_POS_LIMIT = 1 << 22  # composite phrase key = doc * _POS_LIMIT + pos
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+_EMPTY_F64 = np.empty(0, dtype=np.float64)
+
+
+class IndexShard:
+    def __init__(self, shard_dir: str, norm_cache: np.ndarray | None = None):
+        files = sorted(__import__("glob").glob(f"{shard_dir}/*.parquet"))
+        tables = [pq.read_table(f) for f in files]
+        import pyarrow as pa
+
+        self.table = pa.concat_tables(tables) if tables else None
+        self.norm_cache = norm_cache
+        self._rows: dict[str, list[int]] = {}
+        if self.table is not None:
+            terms = self.table.column("term").to_pylist()
+            salts = self.table.column("salt").to_pylist()
+            order: dict[str, list[tuple[int, int]]] = {}
+            for i, (t, s) in enumerate(zip(terms, salts)):
+                order.setdefault(t, []).append((s, i))
+            self._rows = {t: [i for _, i in sorted(v)] for t, v in order.items()}
+            self._col = {name: self.table.column(name) for name in self.table.schema.names}
+        self._cache: dict[str, tuple] = {}
+
+    def ping(self) -> bool:
+        return True
+
+    # -- postings access ---------------------------------------------------
+    def _postings(self, term: str, with_positions: bool = False):
+        """→ (docs, freqs, norm_bytes[, positions, pos_starts]) or None."""
+        cached = self._cache.get(term)
+        if cached is not None and (not with_positions or len(cached) == 5):
+            return cached
+        rows = self._rows.get(term)
+        if not rows:
+            return None
+        docs_l, freqs_l, norms_l, pos_l = [], [], [], []
+        for r in rows:
+            df = self._col["df"][r].as_py()
+            docs_l.append(codec.decode_docs(self._col["docs"][r].as_py(), df))
+            fr = codec.decode_freqs(self._col["freqs"][r].as_py(), df)
+            freqs_l.append(fr)
+            norms_l.append(np.frombuffer(self._col["norms"][r].as_py(), dtype=np.uint8))
+            if with_positions:
+                flat, _ = codec.decode_positions(self._col["positions"][r].as_py(), fr)
+                pos_l.append(flat)
+        docs = np.concatenate(docs_l)
+        freqs = np.concatenate(freqs_l)
+        norms = np.concatenate(norms_l)
+        if with_positions:
+            positions = np.concatenate(pos_l) if pos_l else _EMPTY_I64
+            starts = np.zeros(freqs.size, dtype=np.int64)
+            np.cumsum(freqs[:-1], out=starts[1:])
+            out = (docs, freqs, norms, positions, starts)
+        else:
+            out = (docs, freqs, norms)
+        self._cache[term] = out
+        return out
+
+    def _block_meta(self, term: str):
+        """Concatenated (last_doc, max_freq, min_norm) block arrays."""
+        rows = self._rows.get(term)
+        if not rows:
+            return None
+        last = np.concatenate([np.asarray(self._col["blk_last_doc"][r].as_py(), dtype=np.int64) for r in rows])
+        maxf = np.concatenate([np.asarray(self._col["blk_max_freq"][r].as_py(), dtype=np.int64) for r in rows])
+        minn = np.concatenate([np.asarray(self._col["blk_min_norm"][r].as_py(), dtype=np.int64) for r in rows])
+        return last, maxf, minn
+
+    # -- scoring -----------------------------------------------------------
+    def _score_term(self, term: str, idfs: dict[str, float]):
+        p = self._postings(term)
+        if p is None:
+            return _EMPTY_I64, _EMPTY_F64
+        docs, freqs, norms = p[0], p[1], p[2]
+        return docs, score_postings(freqs, norms, idfs.get(term, 0.0), self.norm_cache)
+
+    def _score_phrase(self, terms: list[str], idfs: dict[str, float]):
+        """Exact phrase: (docs, scores) for docs with phrase_freq > 0."""
+        plists = []
+        for t in terms:
+            p = self._postings(t, with_positions=True)
+            if p is None:
+                return _EMPTY_I64, _EMPTY_F64
+            plists.append(p)
+        # composite keys (doc * POS_LIMIT + pos - offset), intersected
+        keys = None
+        for off, (docs, freqs, norms, positions, starts) in enumerate(plists):
+            doc_of_pos = np.repeat(docs, freqs)
+            pos_adj = positions - off
+            valid = pos_adj >= 0
+            k = doc_of_pos[valid] * _POS_LIMIT + pos_adj[valid]
+            keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+            if keys.size == 0:
+                return _EMPTY_I64, _EMPTY_F64
+        match_docs, pf = np.unique(keys // _POS_LIMIT, return_counts=True)
+        # norms of matching docs from the first term's posting list
+        docs0, _, norms0 = plists[0][0], plists[0][1], plists[0][2]
+        idx = np.searchsorted(docs0, match_docs)
+        norm_b = norms0[idx]
+        idf_sum = sum(idfs.get(t, 0.0) for t in terms)
+        scores = score_postings(pf, norm_b, idf_sum, self.norm_cache)
+        return match_docs, scores
+
+    def _eval(self, node: QueryNode, idfs: dict[str, float]):
+        """→ (sorted matching docs, float64 scores)."""
+        if node.kind == "term":
+            return self._score_term(node.terms[0], idfs)
+        if node.kind == "phrase":
+            return self._score_phrase(node.terms, idfs)
+        musts, shoulds, nots = [], [], []
+        for occ, child in node.clauses:
+            r = self._eval(child, idfs)
+            (musts if occ == "MUST" else shoulds if occ == "SHOULD" else nots).append(r)
+        if not musts and not shoulds:
+            return _EMPTY_I64, _EMPTY_F64
+        if musts:
+            docs, scores = musts[0]
+            for d2, s2 in musts[1:]:
+                docs, i1, i2 = np.intersect1d(docs, d2, assume_unique=True, return_indices=True)
+                scores = scores[i1] + s2[i2]
+            # SHOULD clauses add scores where present (optional clauses)
+            for d2, s2 in shoulds:
+                if d2.size == 0 or docs.size == 0:
+                    continue
+                idx_c = np.clip(np.searchsorted(d2, docs), 0, d2.size - 1)
+                hit = d2[idx_c] == docs
+                add = np.zeros(docs.size, dtype=np.float64)
+                add[hit] = s2[idx_c[hit]]
+                scores = scores + add
+        else:
+            all_docs = np.concatenate([d for d, _ in shoulds])
+            all_scores = np.concatenate([s for _, s in shoulds])
+            docs, inv = np.unique(all_docs, return_inverse=True)
+            scores = np.zeros(docs.size, dtype=np.float64)
+            np.add.at(scores, inv, all_scores)
+        for d2, _ in nots:
+            if d2.size and docs.size:
+                keep = ~np.isin(docs, d2, assume_unique=True)
+                docs, scores = docs[keep], scores[keep]
+        return docs, scores
+
+    # -- public API --------------------------------------------------------
+    def top_k(self, node: QueryNode, k: int, idfs: dict[str, float], prune: bool = True):
+        """→ (doc_ids int64, scores float32), shard-local top-k."""
+        if (
+            prune
+            and node.kind == "bool"
+            and all(occ == "SHOULD" and c.kind == "term" for occ, c in node.clauses)
+            and len(node.clauses) > 1
+        ):
+            docs, scores = self._eval_disjunction_pruned(
+                [c.terms[0] for _, c in node.clauses], k, idfs
+            )
+        else:
+            docs, scores = self._eval(node, idfs)
+        scores32 = scores.astype(np.float32)
+        if docs.size > k:
+            # kth-highest score is the tie boundary; keep every candidate at
+            # or above it, then order exactly (score desc, docID asc)
+            thresh = scores32[np.argpartition(-scores32, k - 1)[k - 1]]
+            cand = np.flatnonzero(scores32 >= thresh)
+            order = np.lexsort((docs[cand], -scores32[cand]))[:k]
+            sel = cand[order]
+            return docs[sel], scores32[sel]
+        order = np.lexsort((docs, -scores32))
+        return docs[order], scores32[order]
+
+    def _eval_disjunction_pruned(self, terms: list[str], k: int, idfs: dict[str, float]):
+        """Vectorized block-max pruning for pure term disjunctions.
+
+        1. Per-doc upper bound = Σ_t block_upper_bound of the block holding
+           the doc (0 if absent).  2. Exact-score the k docs with the highest
+        bounds → floor θ (kth exact score).  3. Docs with bound < θ cannot
+        enter the top-k → drop; exact-score the survivors only.
+        Result-identical to exhaustive evaluation (upper bounds are sound).
+        """
+        metas, posts = [], []
+        live_terms = []
+        for t in terms:
+            m = self._block_meta(t)
+            p = self._postings(t)
+            if m is None or p is None:
+                continue
+            metas.append(m)
+            posts.append((p[0], p[1], p[2]))  # cache may hold the 5-tuple w/ positions
+            live_terms.append(t)
+        if not posts:
+            return _EMPTY_I64, _EMPTY_F64
+        # candidate docs = union
+        all_docs = np.concatenate([p[0] for p in posts])
+        docs = np.unique(all_docs)
+        bounds = np.zeros(docs.size, dtype=np.float64)
+        for t, (last, maxf, minn), (pdocs, _, _) in zip(live_terms, metas, posts):
+            ub = block_upper_bound(maxf, minn, idfs.get(t, 0.0), self.norm_cache)
+            blk = np.searchsorted(last, docs)  # block whose range covers doc
+            mic = np.clip(np.searchsorted(pdocs, docs), 0, pdocs.size - 1)
+            sel = (pdocs[mic] == docs) & (blk < last.size)
+            add = np.zeros(docs.size, dtype=np.float64)
+            add[sel] = ub[blk[sel]]
+            bounds += add
+        if docs.size <= k:
+            return self._exact_scores(docs, live_terms, posts, idfs)
+        # floor θ from the k best-bounded docs
+        top_idx = np.argpartition(-bounds, k - 1)[:k]
+        seed_docs = np.sort(docs[top_idx])
+        _, seed_scores = self._exact_scores(seed_docs, live_terms, posts, idfs)
+        theta = np.partition(seed_scores, seed_scores.size - k)[seed_scores.size - k] if seed_scores.size >= k else 0.0
+        keep = bounds >= theta
+        survivors = docs[keep]
+        self.last_prune_ratio = 1.0 - survivors.size / docs.size
+        return self._exact_scores(survivors, live_terms, posts, idfs)
+
+    def _exact_scores(self, docs: np.ndarray, terms: list[str], posts, idfs: dict[str, float]):
+        scores = np.zeros(docs.size, dtype=np.float64)
+        for t, (pdocs, pfreqs, pnorms) in zip(terms, posts):
+            idx = np.searchsorted(pdocs, docs)
+            mic = np.clip(idx, 0, max(pdocs.size - 1, 0))
+            hit = pdocs[mic] == docs if pdocs.size else np.zeros(docs.size, bool)
+            s = score_postings(pfreqs[mic[hit]], pnorms[mic[hit]], idfs.get(t, 0.0), self.norm_cache)
+            scores[hit] += s
+        return docs, scores

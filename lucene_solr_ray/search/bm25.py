@@ -1,0 +1,79 @@
+"""BM25 similarity — exact Lucene 8 semantics, vectorized.
+
+Reference: lucene/core/src/java/org/apache/lucene/search/similarities/
+BM25Similarity.java :: idfExplain / BM25Scorer.score.  Lucene 8 dropped the
+(k1+1) numerator constant (LUCENE-8563), precomputes a 256-entry
+norm→length cache `cache[b] = k1·(1−b_param+b_param·LENGTH_TABLE[b]/avgdl)`
+and scores `idf · freq/(freq + cache[normByte])`.  We replicate the same
+arithmetic with float64 intermediates cast to float32 at the end; the
+brute-force oracle does the identical computation.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..index.smallfloat import LENGTH_TABLE
+
+K1 = 1.2
+B = 0.75
+
+
+class BM25Stats:
+    """Global collection statistics (the ExactStatsCache analog).
+
+    Loaded once from `global_stats.parquet`; df lookups per query term via
+    binary search over the sorted term column.
+    """
+
+    def __init__(self, terms: np.ndarray, dfs: np.ndarray, n_docs: int, avgdl: float):
+        self.terms = terms  # sorted object array
+        self.dfs = dfs
+        self.N = int(n_docs)
+        self.avgdl = float(avgdl)
+        # the 256-entry norm cache (BM25Scorer constructor)
+        self.norm_cache = (K1 * (1.0 - B + B * LENGTH_TABLE.astype(np.float64) / self.avgdl)
+                           if self.avgdl > 0 else np.full(256, K1, dtype=np.float64))
+
+    @classmethod
+    def load(cls, stats_path: str, n_docs: int, avgdl: float) -> "BM25Stats":
+        t = pq.read_table(stats_path, columns=["term", "df"])
+        return cls(
+            t.column("term").to_numpy(zero_copy_only=False),
+            t.column("df").to_numpy(zero_copy_only=False).astype(np.int64),
+            n_docs,
+            avgdl,
+        )
+
+    def df(self, term: str) -> int:
+        i = np.searchsorted(self.terms, term)
+        if i < len(self.terms) and self.terms[i] == term:
+            return int(self.dfs[i])
+        return 0
+
+    def idf(self, term: str) -> float:
+        df = self.df(term)
+        return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
+
+    def idfs(self, terms: list[str]) -> dict[str, float]:
+        return {t: self.idf(t) for t in set(terms)}
+
+
+def score_postings(
+    freqs: np.ndarray, norm_bytes: np.ndarray, idf: float, norm_cache: np.ndarray
+) -> np.ndarray:
+    """Vectorized BM25 over a posting list → float64 scores (callers cast)."""
+    f = freqs.astype(np.float64)
+    return idf * f / (f + norm_cache[norm_bytes])
+
+
+def block_upper_bound(
+    max_freq: np.ndarray, min_norm: np.ndarray, idf: float, norm_cache: np.ndarray
+) -> np.ndarray:
+    """Per-block score upper bound from (max_freq, min_norm_byte) — the
+    block-max impact bound (Lucene84ScoreSkipReader / MaxScoreCache)."""
+    f = max_freq.astype(np.float64)
+    return idf * f / (f + norm_cache[min_norm])

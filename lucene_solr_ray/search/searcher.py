@@ -1,0 +1,94 @@
+"""Driver-side distributed searcher: scatter to shard actors, merge top-k.
+
+The two-phase SolrCloud scatter-gather (SURVEY.md §3.2,
+solr/core/src/java/org/apache/solr/handler/component/QueryComponent.java ::
+createMainQuery/mergeIds):
+
+- Phase EXECUTE_QUERY: the parsed query + per-term idf (from the build-time
+  global stats — the ExactStatsCache analog) goes to every shard actor; each
+  returns only (docID, score) for its local top-k.
+- Merge: (score desc, docID asc) over k·P rows on the driver — the
+  TopDocs.merge pattern (never a distributed sort).
+- Phase GET_FIELDS: `fetch` materializes stored fields (conv_id, turn_idx)
+  for the winners only, by reading just the norms/docmap segments whose
+  docID range covers them.
+
+Actors are created lazily from the committed manifest; global stats are
+loaded once on the driver.  `Searcher` owns no Ray session — the caller
+must have Ray initialized.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .actor import IndexShard
+from .bm25 import BM25Stats
+from .query import parse_query
+
+
+class Searcher:
+    def __init__(self, index_dir: str | Path, num_actors: int | None = None, use_ray: bool = True):
+        self.index_dir = Path(index_dir)
+        manifest = json.loads((self.index_dir / "manifest.json").read_text())
+        if manifest.get("status") != "committed":
+            raise RuntimeError(f"index at {index_dir} is not committed")
+        self.manifest = manifest
+        st = manifest["stats"]
+        self.stats = BM25Stats.load(
+            str(self.index_dir / "global_stats.parquet"), st["N"], st["avgdl"]
+        )
+        shard_ids = sorted(int(k) for k in manifest["shards"])
+        self.shard_dirs = [str(self.index_dir / "shards" / f"shard={sid:05d}") for sid in shard_ids]
+        self.use_ray = use_ray
+        if use_ray:
+            import ray
+
+            actor_cls = ray.remote(num_cpus=1)(IndexShard)
+            self.actors = [
+                actor_cls.remote(d, self.stats.norm_cache) for d in self.shard_dirs
+            ]
+            ray.get([a.ping.remote() for a in self.actors])  # warm load
+        else:
+            self.actors = [IndexShard(d, self.stats.norm_cache) for d in self.shard_dirs]
+
+    def search(self, query: str, k: int = 10, prune: bool = True) -> list[tuple[int, float]]:
+        """→ [(doc_id, float32 score)], rank order (score desc, docID asc)."""
+        node = parse_query(query)
+        if node is None:
+            return []
+        idfs = self.stats.idfs(node.all_terms())
+        if self.use_ray:
+            import ray
+
+            parts = ray.get([a.top_k.remote(node, k, idfs, prune) for a in self.actors])
+        else:
+            parts = [a.top_k(node, k, idfs, prune) for a in self.actors]
+        docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float32)
+        if docs.size == 0:
+            return []
+        order = np.lexsort((docs, -scores))[:k]
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
+    def fetch(self, doc_ids: list[int]) -> pa.Table:
+        """GET_FIELDS phase: (doc_id, conv_id, turn_idx) for the winners.
+
+        Reads only the per-pid docmap segments whose docID range covers the
+        requested ids (contiguous bases from the manifest lineage)."""
+        inputs = self.manifest["config"]["inputs"]  # [path, rows, base]
+        bases = np.asarray([b for _, _, b in inputs], dtype=np.int64)
+        want = np.asarray(sorted(set(doc_ids)), dtype=np.int64)
+        pids = np.searchsorted(bases, want, side="right") - 1
+        out = []
+        for pid in np.unique(pids):
+            seg = self.index_dir / "segments" / f"pid={int(pid):05d}" / "norms.parquet"
+            t = pq.read_table(seg, columns=["doc_id", "conv_id", "turn_idx"])
+            mask = np.isin(t.column("doc_id").to_numpy(), want)
+            out.append(t.filter(pa.array(mask)))
+        return pa.concat_tables(out) if out else None

@@ -1,0 +1,174 @@
+"""End-to-end index build + distributed-vs-oracle duel + resume.
+
+Patterns adopted from the reference test strategy (SURVEY.md §5):
+- distributed-vs-control oracle duel (BaseDistributedSearchTestCase /
+  TestDuelingCodecs): rank-identical docIDs AND float32-identical scores;
+- CheckIndex-style invariants: sorted terms, strictly-increasing docIDs,
+  df == len(postings), manifest counts match a full recount;
+- kill-and-rerun resume (FIXTURES.md F6).
+"""
+
+import glob
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.fixtures import reference_queries, write_transcripts
+from lucene_solr_ray.index import codec
+from lucene_solr_ray.index.build import build_index
+from lucene_solr_ray.oracle import BruteForceIndex
+from lucene_solr_ray.search import Searcher
+
+CORPUS_DIR = "/tmp/lsr_test_corpus"
+INDEX_DIR = "/tmp/lsr_test_index"
+N_CONV, N_FILES, FILES_PER_SHARD = 200, 6, 3
+
+
+@pytest.fixture(scope="session")
+def corpus(ray_session):
+    paths = write_transcripts(CORPUS_DIR, N_CONV, N_FILES)
+    tables = [pq.read_table(p, columns=["conv_id", "turn_idx", "text"]) for p in sorted(paths)]
+    full = pa.concat_tables(tables)
+    full = full.take(
+        pc.sort_indices(full, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])
+    )
+    return paths, full
+
+
+@pytest.fixture(scope="session")
+def index(ray_session, corpus):
+    paths, _ = corpus
+    m = build_index(paths, INDEX_DIR, files_per_shard=FILES_PER_SHARD, resume=False)
+    return m
+
+
+@pytest.fixture(scope="session")
+def oracle(corpus):
+    _, full = corpus
+    return BruteForceIndex(full.column("text").to_pylist())
+
+
+@pytest.fixture(scope="session")
+def searcher(ray_session, index):
+    return Searcher(INDEX_DIR)
+
+
+def test_manifest_committed(index):
+    assert index.committed
+    st = index.data["stats"]
+    assert st["N"] > 0 and st["n_terms"] > 0 and st["avgdl"] > 0
+
+
+def test_docid_invariant_text_equality(corpus, index):
+    """BASELINE per-row invariant: docID == rank under (conv_id, turn_idx);
+    per-turn text must round-trip byte-identical through the docmap."""
+    _, full = corpus
+    segs = sorted(glob.glob(f"{INDEX_DIR}/segments/pid=*/norms.parquet"))
+    dm = pa.concat_tables(pq.read_table(s, columns=["doc_id", "conv_id", "turn_idx"]) for s in segs)
+    dm = dm.sort_by("doc_id")
+    assert (dm.column("doc_id").to_numpy() == np.arange(full.num_rows)).all()
+    assert dm.column("conv_id").to_pylist() == full.column("conv_id").to_pylist()
+    assert dm.column("turn_idx").to_pylist() == full.column("turn_idx").to_pylist()
+
+
+def test_check_index_invariants(index, oracle):
+    """CheckIndex analog: postings monotone, df consistent, stats match."""
+    files = sorted(glob.glob(f"{INDEX_DIR}/shards/shard=*/*.parquet"))
+    t = pa.concat_tables(pq.read_table(f) for f in files)
+    n_postings = 0
+    df_by_term: dict[str, int] = {}
+    for i in range(t.num_rows):
+        df = t.column("df")[i].as_py()
+        docs = codec.decode_docs(t.column("docs")[i].as_py(), df)
+        freqs = codec.decode_freqs(t.column("freqs")[i].as_py(), df)
+        assert (np.diff(docs) > 0).all()
+        assert (freqs >= 1).all()
+        assert t.column("cf")[i].as_py() == freqs.sum()
+        term = t.column("term")[i].as_py()
+        df_by_term[term] = df_by_term.get(term, 0) + df
+        n_postings += df
+    # manifest recount
+    m = json.loads(open(f"{INDEX_DIR}/manifest.json").read())
+    assert sum(s["n_postings"] for s in m["shards"].values()) == n_postings
+    # global df equals the brute-force oracle's df for every term
+    for term, df in df_by_term.items():
+        assert oracle.df[term] == df, term
+    assert set(df_by_term) == set(oracle.df)
+
+
+def test_global_stats_match_oracle(index, oracle):
+    st = index.data["stats"]
+    assert st["N"] == oracle.N
+    assert st["sum_ttf"] == oracle.sum_ttf
+    assert st["avgdl"] == pytest.approx(oracle.avgdl, abs=0)
+
+
+def test_duel_rank_and_score_identical(searcher, oracle):
+    """The headline correctness gate: all 100 reference queries."""
+    for q in reference_queries():
+        got = searcher.search(q["query"], q["k"])
+        exp = [(d, float(s)) for d, s in oracle.search(q["query"], q["k"])]
+        assert got == exp, f"qid={q['qid']} query={q['query']!r}\n got {got[:5]}\n exp {exp[:5]}"
+
+
+def test_pruned_equals_exhaustive(searcher):
+    for query in ["assistant error ok", "w00001 w00002 w00003 bash", "ok error"]:
+        assert searcher.search(query, 10, prune=True) == searcher.search(query, 10, prune=False)
+
+
+def test_fetch_two_phase(searcher, corpus):
+    _, full = corpus
+    hits = searcher.search("assistant", 5)
+    t = searcher.fetch([d for d, _ in hits])
+    assert t.num_rows == 5
+    got = {r["doc_id"]: (r["conv_id"], r["turn_idx"]) for r in t.to_pylist()}
+    for d, _ in hits:
+        assert got[d] == (
+            full.column("conv_id")[d].as_py(),
+            full.column("turn_idx")[d].as_py(),
+        )
+
+
+def test_salting_applied(index):
+    """Hot terms must be split into multiple salted runs within a shard."""
+    hot = index.data["config"]["hot_terms"]
+    assert "assistant" in hot and "user" in hot
+    files = sorted(glob.glob(f"{INDEX_DIR}/shards/shard=00000/*.parquet"))
+    t = pa.concat_tables(pq.read_table(f, columns=["term", "salt"]) for f in files)
+    mask = pc.equal(t.column("term"), "assistant")
+    salts = sorted(t.filter(mask).column("salt").to_pylist())
+    assert len(salts) > 1  # split into multiple runs
+    cold = t.filter(pc.equal(t.column("term"), "w09999"))
+    assert cold.num_rows <= 1
+
+
+def test_resume_kill_and_rerun(ray_session, corpus):
+    """FIXTURES.md F6: crash after 1 shard → rerun skips it, final index
+    logically identical to an uninterrupted build."""
+    paths, _ = corpus
+    idx2 = "/tmp/lsr_test_index_resume"
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(paths, idx2, files_per_shard=FILES_PER_SHARD, resume=False, fail_after_shards=1)
+    m1 = json.loads(open(f"{idx2}/manifest.json").read())
+    assert m1["status"] == "building"
+    done = [s for s in m1["shards"].values() if s.get("status") == "done"]
+    assert len(done) == 1
+    # resume — must complete and match the reference index
+    m2 = build_index(paths, idx2, files_per_shard=FILES_PER_SHARD, resume=True)
+    assert m2.committed
+    ref = json.loads(open(f"{INDEX_DIR}/manifest.json").read())
+    assert m2.data["stats"] == ref["stats"]
+
+    def load_postings(d):
+        fs = sorted(glob.glob(f"{d}/shards/shard=*/*.parquet"))
+        t = pa.concat_tables(pq.read_table(f) for f in fs)
+        return t.sort_by([("term", "ascending"), ("salt", "ascending")])
+
+    a, b = load_postings(INDEX_DIR), load_postings(idx2)
+    assert a.num_rows == b.num_rows
+    for col in ["term", "salt", "df", "cf", "docs", "freqs", "norms", "positions"]:
+        assert a.column(col).equals(b.column(col)), col
