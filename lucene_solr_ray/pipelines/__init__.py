@@ -1,0 +1,16 @@
+"""Operator-pipeline registry: every SURVEY.md §2 operator family exposed
+through the driver contract (`__ray_entry__.queries` / `oracle_sql`)."""
+
+from __future__ import annotations
+
+from .common import Pipeline
+from . import ann, dedup, fulltext, multimodal, relational, streaming, text
+
+REGISTRY: dict[str, Pipeline] = {}
+for _mod in (relational, text, dedup, ann, streaming, multimodal, fulltext):
+    for _name, _p in _mod.PIPELINES.items():
+        if _name in REGISTRY:
+            raise ValueError(f"duplicate pipeline name {_name}")
+        REGISTRY[_name] = _p
+
+__all__ = ["REGISTRY", "Pipeline"]

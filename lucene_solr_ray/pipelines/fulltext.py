@@ -1,0 +1,198 @@
+"""Full-text pipelines over the `documents` table — the flagship engine
+driven through the driver's correctness gate.
+
+`bm25_topk` builds the real inverted index (transcript-shaped input, full
+build pipeline: invert → salted groupby(term) shuffle → merge/encode) over
+`documents`, serves top-k BM25 through the shard actor pool, and is checked
+against an INDEPENDENT DuckDB reimplementation of the exact scoring
+semantics: same tokenizer regex, same 33 stopwords, SmallFloat-quantized dl
+(the `(c >> s) << s` top-4-bits form, verified exhaustively equal to
+byte4ToInt(intToByte4(c))), idf = ln(1+(N-df+0.5)/(df+0.5)), k1=1.2 b=0.75,
+float32 final scores, (score desc, docID asc) ranking.  Queries are limited
+to ≤ 2 terms so float addition order cannot differ between engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..analysis import ENGLISH_STOP_WORDS, tokenize
+from .common import Pipeline
+
+# ≤2 terms each (float-sum order safety); "the" analyzes away entirely.
+BM25_QUERIES = ["spark", "merge", "window", "scan slow", "spark join", "the"]
+TOP_K = 10
+
+
+def _doc_corpus_dir(sf_dir: str) -> Path:
+    h = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    return Path(f"/tmp/lsr_docs_corpus_{h}")
+
+
+def _doc_index_dir(sf_dir: str) -> Path:
+    h = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    return Path(f"/tmp/lsr_docs_index_{h}")
+
+
+def _prepare_corpus(sf_dir: str) -> list[str]:
+    """documents → transcript-shaped, conv-range-partitioned parquet files."""
+    out = _doc_corpus_dir(sf_dir)
+    marker = out / "_DONE"
+    if marker.exists():
+        return sorted(str(p) for p in out.glob("part-*.parquet"))
+    out.mkdir(parents=True, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).sort_by("doc_id")
+    n = t.num_rows
+    doc_ids = t.column("doc_id").to_numpy()
+    table = pa.table(
+        {
+            "conv_id": pa.array([f"doc-{d:010d}" for d in doc_ids], type=pa.string()),
+            "turn_idx": pa.array(np.zeros(n, dtype=np.int32)),
+            "role": pa.array(["doc"] * n, type=pa.string()),
+            "text": t.column("text"),
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array(np.zeros(n, dtype="datetime64[us]")),
+        }
+    )
+    n_files = 4
+    per = (n + n_files - 1) // n_files
+    for k in range(n_files):
+        sl = table.slice(k * per, per)
+        if sl.num_rows:
+            pq.write_table(sl, out / f"part-{k:05d}.parquet")
+    marker.write_text("ok")
+    return sorted(str(p) for p in out.glob("part-*.parquet"))
+
+
+def _ensure_index(sf_dir: str):
+    from ..index.build import build_index
+    from ..search import Searcher
+
+    paths = _prepare_corpus(sf_dir)
+    idx = _doc_index_dir(sf_dir)
+    build_index(paths, idx, files_per_shard=2, resume=True)
+    return Searcher(str(idx))
+
+
+def bm25_topk(sf_dir: str):
+    searcher = _ensure_index(sf_dir)
+    # docID → original doc_id via the docmap (conv_id encodes it)
+    rows = []
+    for query in BM25_QUERIES:
+        hits = searcher.search(query, TOP_K)
+        if not hits:
+            continue
+        fetched = searcher.fetch([d for d, _ in hits])
+        conv_by_doc = {r["doc_id"]: r["conv_id"] for r in fetched.to_pylist()}
+        for rank, (docid, score) in enumerate(hits, start=1):
+            rows.append(
+                {
+                    "query": query,
+                    "rank": np.int64(rank),
+                    "doc_id": np.int64(int(conv_by_doc[docid].split("-")[1])),
+                    "score": np.float32(score),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
+    df["rank"] = df["rank"].astype("int64")
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["score"] = df["score"].astype("float32")
+    return df.sort_values(["query", "rank"]).reset_index(drop=True)
+
+
+def _bm25_oracle_sql() -> str:
+    stop_sql = "'" + "','".join(sorted(ENGLISH_STOP_WORDS)) + "'"
+    qt_rows = []
+    for q in BM25_QUERIES:
+        for t, _ in tokenize(q):
+            qt_rows.append(f"('{q}', '{t}')")
+    qt_values = ",\n       ".join(qt_rows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+    FROM documents
+  ) WHERE t NOT IN ({stop_sql})
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, c,
+         CASE WHEN c < 16 THEN c
+              ELSE (c >> GREATEST(CAST(floor(log2(c)) AS INTEGER) - 3, 0))
+                   << GREATEST(CAST(floor(log2(c)) AS INTEGER) - 3, 0)
+         END AS qdl
+  FROM dl
+),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM dl) AS sum_dl
+),
+qt(query, term) AS (VALUES {qt_values}),
+df AS (SELECT t AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY t),
+tf AS (SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, t),
+scored AS (
+  SELECT qt.query, tf.doc_id,
+         SUM( (ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf)
+              / (tf.tf + 1.2 * (0.25 + (0.75 * dlq.qdl) / (sum_dl * 1.0 / n_docs))) ) AS s
+  FROM qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY qt.query, tf.doc_id
+)
+SELECT query,
+       CAST(row_number() OVER (PARTITION BY query ORDER BY CAST(s AS FLOAT) DESC, doc_id) AS BIGINT) AS rank,
+       doc_id,
+       CAST(s AS FLOAT) AS score
+FROM scored
+QUALIFY rank <= {TOP_K}
+ORDER BY query, rank
+"""
+
+
+BM25_SQL = _bm25_oracle_sql()
+
+# --------------------------------------------------------------------------
+# Phrase + boolean search entries (rows-only: positions/boolean semantics
+# are oracled against the brute-force implementation in pytest instead).
+
+
+def phrase_search(sf_dir: str):
+    searcher = _ensure_index(sf_dir)
+    rows = []
+    for query in ['"slow scan"', '"fast merge"', "+spark -join", "+window +sort"]:
+        for rank, (docid, score) in enumerate(searcher.search(query, TOP_K), start=1):
+            rows.append({"query": query, "rank": np.int64(rank), "docid": np.int64(docid), "score": float(score)})
+    return pd.DataFrame(rows, columns=["query", "rank", "docid", "score"])
+
+
+def index_stats(sf_dir: str):
+    """Index-build introspection: manifest stats + per-shard counts."""
+    import json
+
+    searcher = _ensure_index(sf_dir)
+    m = searcher.manifest
+    rows = [
+        {
+            "shard": np.int64(int(sid)),
+            "n_terms": np.int64(s["n_terms"]),
+            "n_postings": np.int64(s["n_postings"]),
+        }
+        for sid, s in sorted(m["shards"].items())
+    ]
+    return pd.DataFrame(rows, columns=["shard", "n_terms", "n_postings"])
+
+
+PIPELINES: dict[str, Pipeline] = {
+    "bm25_topk": Pipeline(bm25_topk, BM25_SQL, "full index build + top-k BM25, vs independent SQL BM25 oracle"),
+    "phrase_search": Pipeline(phrase_search, None, "phrase + boolean search (positions); oracled vs brute force in pytest"),
+    "index_stats": Pipeline(index_stats, None, "index manifest/lineage introspection"),
+}

@@ -1,0 +1,568 @@
+"""Relational / aggregate operator pipelines over the TPC-H-ish test tables.
+
+Each entry re-expresses a reference operator Ray-Data-first and carries a
+DuckDB oracle for the driver's correctness gate.  Reference anchors are in
+the per-pipeline docstrings (SURVEY.md §2.5–§2.8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .common import Pipeline, cents, read, ts_us
+
+# --------------------------------------------------------------------------
+# §2.6 field facet (SimpleFacets / FacetComponent): group-by-term counts,
+# ordered by count desc then value — the classic facet response.
+
+
+def facet_field(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    out = read(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(Count(alias_name="cnt"))
+    df = out.to_pandas()
+    df["cnt"] = df["cnt"].astype("int64")
+    return df.sort_values(["cnt", "lang"], ascending=[False, True]).reset_index(drop=True)
+
+
+FACET_FIELD_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM documents GROUP BY lang ORDER BY cnt DESC, lang
+"""
+
+# --------------------------------------------------------------------------
+# §2.6 range facet / TimeSeriesStream: fixed-window time rollup.
+
+
+def time_series_rollup(sf_dir: str):
+    def to_day(batch: pd.DataFrame) -> pd.DataFrame:
+        us = ts_us(batch["ts"])
+        return pd.DataFrame(
+            {
+                "event_type": batch["event_type"],
+                "day": us // 86_400_000_000,
+                "value_cents": cents(batch["value"].to_numpy()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        to_day, batch_format="pandas"
+    )
+    out = (
+        ds.groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+TIME_SERIES_SQL = """
+SELECT event_type,
+       epoch_us(ts) // 86400000000 AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type, day ORDER BY event_type, day
+"""
+
+# --------------------------------------------------------------------------
+# §2.6 StatsComponent: global numeric stats (exact-integer derived mean).
+
+
+def stats_numeric(sf_dir: str):
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_extendedprice").to_numpy()
+        c = cents(x)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], type=pa.int64()),
+                "sum_cents": pa.array([int(c.sum())], type=pa.int64()),
+                "min_price": pa.array([float(x.min())], type=pa.float64()),
+                "max_price": pa.array([float(x.max())], type=pa.float64()),
+            }
+        )
+
+    # combiner pattern: per-batch partials, tiny final reduce on the driver
+    parts = (
+        read(sf_dir, "lineitem", ["l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    s = int(parts["sum_cents"].sum())
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "sum_cents": [s],
+            "min_price": [parts["min_price"].min()],
+            "max_price": [parts["max_price"].max()],
+            "mean_price": [s / (100.0 * n)],
+        }
+    )
+
+
+STATS_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) / (100.0 * COUNT(*)) AS mean_price
+FROM lineitem
+"""
+
+# --------------------------------------------------------------------------
+# §2.6 streaming rollup (RollupStream) — the TPC-H Q1 shape: multi-metric
+# grouped aggregate with a range predicate, pre-aggregated per batch.
+
+
+def rollup_pricing(sf_dir: str):
+    cutoff = np.datetime64("1998-09-01", "us").astype("int64")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = ts_us(batch["l_shipdate"]) <= cutoff
+        b = batch[keep]
+        disc_price = b["l_extendedprice"].to_numpy() * (1.0 - b["l_discount"].to_numpy())
+        g = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": b["l_quantity"].to_numpy().astype(np.int64),
+                "base_cents": cents(b["l_extendedprice"].to_numpy()),
+                "disc_cents": cents(disc_price),
+                "n": 1,
+            }
+        )
+        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    ds = read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(partial, batch_format="pandas")
+    out = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_cents", alias_name="sum_disc_cents"),
+            Sum("n", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ["sum_qty", "sum_base_cents", "sum_disc_cents", "count_order"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# --------------------------------------------------------------------------
+# §2.5 broadcast hash join (HashJoinStream / FetchStream): orders enriched
+# with the small customer dim via ray.put broadcast — no shuffle.
+
+
+def join_facet(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class Enrich:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch["c_mktsegment"] = batch["o_custkey"].map(self.lookup)
+            batch["price_cents"] = cents(batch["o_totalprice"].to_numpy())
+            return batch[["c_mktsegment", "price_cents"]]
+
+    out = (
+        read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(Enrich, fn_constructor_args=(lookup_ref,), batch_format="pandas", concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("price_cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+JOIN_FACET_SQL = """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+# --------------------------------------------------------------------------
+# §2.5 multi-way dim join (region ⋈ nation ⋈ customer).
+
+
+def join_multi_region(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nk_to_region = dict(
+        zip(
+            nation["n_nationkey"],
+            nation["n_regionkey"].map(dict(zip(region["r_regionkey"], region["r_name"]))),
+        )
+    )
+    ref = ray.put(nk_to_region)
+
+    class Enrich:
+        def __init__(self, r):
+            self.m = ray.get(r)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "r_name": batch["c_nationkey"].map(self.m),
+                    "acctbal_cents": cents(batch["c_acctbal"].to_numpy()),
+                }
+            )
+
+    out = (
+        read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+        .map_batches(Enrich, fn_constructor_args=(ref,), batch_format="pandas", concurrency=2)
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"), Sum("acctbal_cents", alias_name="acctbal_cents"))
+        .to_pandas()
+    )
+    out["n_customers"] = out["n_customers"].astype("int64")
+    out["acctbal_cents"] = out["acctbal_cents"].astype("int64")
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+JOIN_MULTI_SQL = """
+SELECT r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+# --------------------------------------------------------------------------
+# §2.5 semi-join (JoinUtil / {!join}): broadcast key-set membership filter.
+
+
+def semi_join(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count
+
+    keys = (
+        read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .to_pandas()
+        .query("c_mktsegment == 'BUILDING'")["c_custkey"]
+        .to_numpy()
+    )
+    ref = ray.put(np.sort(keys))
+
+    class SemiFilter:
+        def __init__(self, r):
+            self.keys = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch.column("o_custkey").to_numpy()
+            idx = np.searchsorted(self.keys, ck)
+            idx_c = np.clip(idx, 0, self.keys.size - 1)
+            mask = self.keys[idx_c] == ck
+            return batch.filter(pa.array(mask))
+
+    out = (
+        read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(SemiFilter, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2)
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SEMI_JOIN_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+# --------------------------------------------------------------------------
+# §2.5 anti-join (MUST_NOT / ComplementStream): customers with no orders.
+
+
+def anti_join(sf_dir: str):
+    order_keys = read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    keys = np.sort(np.asarray(order_keys, dtype=np.int64))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy()
+        idx = np.clip(np.searchsorted(keys, ck), 0, max(keys.size - 1, 0))
+        mask = keys[idx] != ck if keys.size else np.ones(len(ck), bool)
+        return batch.filter(pa.array(mask))
+
+    out = (
+        read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(anti, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if "c_custkey" not in out.columns:  # empty result loses the schema
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+# --------------------------------------------------------------------------
+# §2.7 grouping (FirstPassGroupingCollector/TopGroupsCollector): top-2 rows
+# per group by (value desc, key asc).
+
+
+def group_topk(sf_dir: str):
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True]).head(2)
+
+    out = (
+        read(sf_dir, "customer", ["c_mktsegment", "c_custkey", "c_acctbal"])
+        .groupby("c_mktsegment")
+        .map_groups(top2, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["c_mktsegment", "c_custkey"]).reset_index(drop=True)
+
+
+GROUP_TOPK_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+QUALIFY row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) <= 2
+ORDER BY c_mktsegment, c_custkey
+"""
+
+# --------------------------------------------------------------------------
+# §2.6 collapse (CollapsingQParserPlugin): keep the best doc per group key.
+
+
+def collapse_best(sf_dir: str):
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(1)
+
+    out = (
+        read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .map_groups(best, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+COLLAPSE_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+ORDER BY o_custkey
+"""
+
+# --------------------------------------------------------------------------
+# §2.7 top-k by fields (TopFieldCollector): distributed top-10, merged on
+# the driver — never a full sort.
+
+
+def sort_topk(sf_dir: str):
+    K = 10
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(K)
+
+    parts = (
+        read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(local_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        parts.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .head(K)
+        .reset_index(drop=True)
+    )
+
+
+SORT_TOPK_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+# --------------------------------------------------------------------------
+# §2.3 numeric/date range predicate (PointRangeQuery) with read-time pruning.
+
+
+def range_filter(sf_dir: str):
+    lo = np.datetime64("1996-01-01", "us").astype("int64")
+    hi = np.datetime64("1997-01-01", "us").astype("int64")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        us = ts_us(batch["l_shipdate"])
+        q = batch["l_quantity"].to_numpy()
+        keep = (us >= lo) & (us < hi) & (q >= 10) & (q <= 20)
+        return pd.DataFrame({"n": [int(keep.sum())], "sum_qty": [int(q[keep].sum())]})
+
+    parts = (
+        read(sf_dir, "lineitem", ["l_shipdate", "l_quantity"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame({"n": [int(parts["n"].sum())], "sum_qty": [int(parts["sum_qty"].sum())]})
+
+
+RANGE_FILTER_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity BETWEEN 10 AND 20
+"""
+
+# --------------------------------------------------------------------------
+# §2.8 MergeStream/union: sorted union of two sources.
+
+
+def merge_union(sf_dir: str):
+    a = read(sf_dir, "customer", ["c_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    b = read(sf_dir, "supplier", ["s_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    out = a.union(b).to_pandas()
+    return out.sort_values("name").reset_index(drop=True)
+
+
+MERGE_UNION_SQL = """
+SELECT name FROM (
+  SELECT c_name AS name FROM customer
+  UNION ALL
+  SELECT s_name AS name FROM supplier
+) ORDER BY name
+"""
+
+# --------------------------------------------------------------------------
+# §2.8 UniqueStream / unique agg: distinct values.
+
+
+def unique_values(sf_dir: str):
+    vals = read(sf_dir, "events", ["event_type"]).unique("event_type")
+    return pd.DataFrame({"event_type": sorted(vals)})
+
+
+UNIQUE_SQL = "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+
+# --------------------------------------------------------------------------
+# §2.7 cursor paging (CursorMark): keyset pagination — page 3 of the
+# (o_totalprice desc, o_orderkey) ordering WITHOUT a deep offset scan.
+
+
+def cursor_paging(sf_dir: str):
+    PAGE = 10
+
+    def local_topk(k):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(k)
+
+        return f
+
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    # pages 1-2 establish the cursor (in one pass: top 20)
+    first2 = (
+        ds.map_batches(local_topk(2 * PAGE), batch_format="pandas")
+        .to_pandas()
+        .sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .head(2 * PAGE)
+    )
+    last = first2.iloc[-1]
+    cur_price, cur_key = float(last["o_totalprice"]), int(last["o_orderkey"])
+
+    def after_cursor(batch: pd.DataFrame) -> pd.DataFrame:
+        p = batch["o_totalprice"].to_numpy()
+        k = batch["o_orderkey"].to_numpy()
+        keep = (p < cur_price) | ((p == cur_price) & (k > cur_key))
+        return local_topk(PAGE)(batch[keep])
+
+    page3 = (
+        ds.map_batches(after_cursor, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .head(PAGE)
+    )
+    return page3.reset_index(drop=True)
+
+
+CURSOR_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20
+"""
+
+# --------------------------------------------------------------------------
+# §2.7 export-style exact percentile (quantile_disc): value at the smallest
+# index with cumulative fraction ≥ q — a raw value, so bit-exact.
+
+
+def percentile_disc(sf_dir: str):
+    col = read(sf_dir, "lineitem", ["l_extendedprice"]).to_pandas()["l_extendedprice"].to_numpy()
+    s = np.sort(col)
+    out = {}
+    for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+        idx = int(np.ceil(q * s.size)) - 1
+        out[name] = [float(s[max(idx, 0)])]
+    return pd.DataFrame(out)
+
+
+PERCENTILE_SQL = """
+SELECT quantile_disc(l_extendedprice, 0.5) AS p50,
+       quantile_disc(l_extendedprice, 0.9) AS p90,
+       quantile_disc(l_extendedprice, 0.99) AS p99
+FROM lineitem
+"""
+
+
+PIPELINES: dict[str, Pipeline] = {
+    "facet_field": Pipeline(facet_field, FACET_FIELD_SQL, "field facet counts (SimpleFacets)"),
+    "time_series_rollup": Pipeline(time_series_rollup, TIME_SERIES_SQL, "calendar-window rollup (TimeSeriesStream)"),
+    "stats_numeric": Pipeline(stats_numeric, STATS_SQL, "global field stats (StatsComponent)"),
+    "rollup_pricing": Pipeline(rollup_pricing, ROLLUP_SQL, "multi-metric grouped rollup (RollupStream / TPC-H Q1 shape)"),
+    "join_facet": Pipeline(join_facet, JOIN_FACET_SQL, "broadcast hash join + facet (HashJoinStream)"),
+    "join_multi_region": Pipeline(join_multi_region, JOIN_MULTI_SQL, "multi-way dim join"),
+    "semi_join": Pipeline(semi_join, SEMI_JOIN_SQL, "broadcast semi-join (JoinUtil)"),
+    "anti_join": Pipeline(anti_join, ANTI_JOIN_SQL, "anti-join (MUST_NOT / ComplementStream)"),
+    "group_topk": Pipeline(group_topk, GROUP_TOPK_SQL, "top-k docs per group (grouping collectors)"),
+    "collapse_best": Pipeline(collapse_best, COLLAPSE_SQL, "field collapse (CollapsingQParserPlugin)"),
+    "sort_topk": Pipeline(sort_topk, SORT_TOPK_SQL, "distributed top-k by fields (TopFieldCollector)"),
+    "range_filter": Pipeline(range_filter, RANGE_FILTER_SQL, "numeric/date range predicate (PointRangeQuery)"),
+    "merge_union": Pipeline(merge_union, MERGE_UNION_SQL, "sorted union (MergeStream)"),
+    "unique_values": Pipeline(unique_values, UNIQUE_SQL, "distinct values (UniqueStream)"),
+    "cursor_paging": Pipeline(cursor_paging, CURSOR_SQL, "keyset pagination (CursorMark)"),
+    "percentile_disc": Pipeline(percentile_disc, PERCENTILE_SQL, "exact discrete percentiles (StatsComponent percentiles)"),
+}

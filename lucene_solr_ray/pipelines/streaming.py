@@ -1,0 +1,109 @@
+"""Stream-shaped operators over the `events` log (SURVEY.md §2.10).
+
+Ray Data has no event-time windows; the reference has none either — its
+streaming is sorted-tuple pull.  Session windows are implemented as
+`groupby(key).map_groups` over ts-sorted groups (ordering assumption: a
+group fits and is sorted in-worker; the oracle SQL uses lag/window fns).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .common import Pipeline, read, ts_us
+
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def sessionize(sf_dir: str):
+    """Per-user session count + max session length (30-min inactivity gap)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = ts_us(g["ts"])
+        new_sess = np.ones(len(g), dtype=bool)
+        new_sess[1:] = np.diff(us) > SESSION_GAP_US
+        sess_id = np.cumsum(new_sess)
+        sizes = np.bincount(sess_id)[1:]
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [np.int64(sess_id[-1])],
+                "max_session_events": [np.int64(sizes.max())],
+            }
+        )
+
+    out = (
+        read(sf_dir, "events", ["user_id", "event_id", "ts"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out["max_session_events"] = out["max_session_events"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+SESSIONIZE_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM gaps
+),
+sizes AS (
+  SELECT user_id, sess_id, COUNT(*) AS n FROM sess GROUP BY user_id, sess_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n) AS BIGINT) AS max_session_events
+FROM sizes GROUP BY user_id ORDER BY user_id
+"""
+
+# --------------------------------------------------------------------------
+# §2.10 TopicStream-style incremental consumption: running per-type count
+# restricted to events after a checkpoint ts (the "only new docs" contract).
+
+
+def incremental_after_checkpoint(sf_dir: str):
+    checkpoint = np.datetime64("2024-01-20", "us").astype("int64")
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = ts_us(batch["ts"]) > checkpoint
+        b = batch[keep]
+        return b.groupby("event_type", as_index=False).agg(n=("event_id", "size"))
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        read(sf_dir, "events", ["event_type", "event_id", "ts"])
+        .map_batches(f, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+INCREMENTAL_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE ts > TIMESTAMP '2024-01-20'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+PIPELINES: dict[str, Pipeline] = {
+    "sessionize": Pipeline(sessionize, SESSIONIZE_SQL, "session windows over the event log"),
+    "incremental_after_checkpoint": Pipeline(
+        incremental_after_checkpoint, INCREMENTAL_SQL, "checkpointed incremental consumption (TopicStream)"
+    ),
+}

@@ -1,0 +1,281 @@
+"""Text-analysis pipelines over `documents` — the analyzer-adjacent operator
+family plus large-scale training-data ops (token counting, quality scoring,
+language id, fingerprinting, term enumeration, significant terms).
+
+For SQL parity these use the SIMPLE token definition `[a-z0-9_]+` over
+lowercased text (expressible identically in DuckDB via regexp_extract_all);
+the full StandardAnalyzer chain (stopword gaps, 255-char cap) lives in
+`analysis/` and is exercised by the BM25 path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .common import Pipeline, read
+
+TOKEN_RE = "[a-z0-9_]+"
+# a small fixed stopword list shared literally with the SQL oracle
+STOP = ["the", "a", "of", "to", "and", "in", "is", "it"]
+STOP_SQL = "'" + "','".join(STOP) + "'"
+
+
+def _tokens(texts: pd.Series) -> pd.Series:
+    return texts.str.lower().str.findall(TOKEN_RE)
+
+
+# --------------------------------------------------------------------------
+# §2.2 FieldLengthUpdateProcessor / token counting.
+
+
+def token_count(sf_dir: str):
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "n_tokens": toks.map(len).astype("int64")}
+        )
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(counts, batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# Training-data quality scoring: token/stopword/char counts per doc
+# (the reference's analysis chain exposes the same signals; quality filters
+# are the large-scale pipeline use).
+
+
+def quality_signals(sf_dir: str):
+    stop = frozenset(STOP)
+
+    def sig(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": toks.map(len).astype("int64"),
+                "n_stop": toks.map(lambda ws: sum(w in stop for w in ws)).astype("int64"),
+                "n_chars": batch["text"].str.len().astype("int64"),
+                "n_uniq": toks.map(lambda ws: len(set(ws))).astype("int64"),
+            }
+        )
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(sig, batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+QUALITY_SQL = f"""
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(toks, x -> x IN ({STOP_SQL}))) AS BIGINT) AS n_stop,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
+FROM (SELECT doc_id, text, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents)
+ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# §2.4 language-id URP (LangDetectLanguageIdentifierUpdateProcessor):
+# n-gram/stopword heuristic as an actor-pool stage (profile loaded once).
+
+
+def lang_id(sf_dir: str):
+    class LangId:
+        def __init__(self):
+            import re
+
+            self.token = re.compile(TOKEN_RE)
+            self.en_stop = frozenset(STOP)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch["text"].str.lower().str.findall(self.token)
+            n_stop = toks.map(lambda ws: sum(w in self.en_stop for w in ws))
+            pred = np.where(n_stop.to_numpy() > 0, "en", "other")
+            return pd.DataFrame({"doc_id": batch["doc_id"], "pred_lang": pred})
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pandas", concurrency=2
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+LANG_ID_SQL = f"""
+SELECT doc_id,
+       CASE WHEN len(list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                                 x -> x IN ({STOP_SQL}))) > 0
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM documents ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# §2.2 FingerprintFilter: sort+dedup all tokens, concat → one fingerprint.
+
+
+def fingerprint(sf_dir: str):
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        fps = toks.map(lambda ws: hashlib.md5(" ".join(sorted(set(ws))).encode()).hexdigest())
+        return pd.DataFrame({"doc_id": batch["doc_id"], "fp": fps})
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(fp, batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}'))), ' ')) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# §2.6 TermsComponent: global term/df enumeration, top 20 by (df desc, term).
+
+
+def terms_component(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"]).map(lambda ws: sorted(set(ws)))
+        # partial df per batch: one row per (term) with local count
+        flat = pd.DataFrame(
+            {"token": np.concatenate(toks.to_numpy()) if len(toks) else np.array([], dtype=object)}
+        )
+        g = flat.groupby("token", as_index=False).size().rename(columns={"size": "df"})
+        return g
+
+    parts = read(sf_dir, "documents", ["text"]).map_batches(explode, batch_format="pandas")
+    out = parts.groupby("token").aggregate(Sum("df", alias_name="df")).to_pandas()
+    out["df"] = out["df"].astype("int64")
+    return (
+        out.sort_values(["df", "token"], ascending=[False, True]).head(20).reset_index(drop=True)
+    )
+
+
+TERMS_SQL = f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS token
+      FROM documents)
+GROUP BY token ORDER BY df DESC, token LIMIT 20
+"""
+
+# --------------------------------------------------------------------------
+# §2.6 SignificantTermsStream: foreground (lang='en') vs background df,
+# scored by exact integer pair (fg_df, bg_df) → deterministic ratio ordering
+# done on exact ints.
+
+
+def significant_terms(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"]).map(lambda ws: sorted(set(ws)))
+        n = toks.map(len).to_numpy()
+        flat = pd.DataFrame(
+            {
+                "token": np.concatenate(toks.to_numpy()) if len(toks) else np.array([], dtype=object),
+                "fg": np.repeat((batch["lang"] == "en").to_numpy().astype(np.int64), n),
+            }
+        )
+        g = flat.groupby("token", as_index=False).agg(fg_df=("fg", "sum"), bg_df=("fg", "size"))
+        return g
+
+    parts = read(sf_dir, "documents", ["text", "lang"]).map_batches(explode, batch_format="pandas")
+    out = (
+        parts.groupby("token")
+        .aggregate(Sum("fg_df", alias_name="fg_df"), Sum("bg_df", alias_name="bg_df"))
+        .to_pandas()
+    )
+    out["fg_df"] = out["fg_df"].astype("int64")
+    out["bg_df"] = out["bg_df"].astype("int64")
+    out = out[out["bg_df"] >= 10]
+    # order by fg_df/bg_df desc without float division: cross-multiplied sort
+    out = out.sort_values(
+        ["token"]
+    )  # stable base
+    ratio_key = out["fg_df"].to_numpy() / out["bg_df"].to_numpy()
+    out = out.iloc[np.lexsort((out["token"].to_numpy(), -ratio_key))]
+    return out.head(15).reset_index(drop=True)
+
+
+SIGNIFICANT_SQL = f"""
+SELECT token, fg_df, bg_df FROM (
+  SELECT token,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fg_df,
+         CAST(COUNT(*) AS BIGINT) AS bg_df
+  FROM (SELECT lang, unnest(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS token
+        FROM documents)
+  GROUP BY token
+) WHERE bg_df >= 10
+ORDER BY fg_df * 1.0 / bg_df DESC, token LIMIT 15
+"""
+
+# --------------------------------------------------------------------------
+# §2.3 TermQuery as a filter (regex word-boundary membership).
+
+
+def term_filter(sf_dir: str):
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        hit = batch["text"].str.lower().str.contains(r"\bspark\b", regex=True)
+        return batch.loc[hit, ["doc_id"]]
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+TERM_FILTER_SQL = r"""
+SELECT doc_id FROM documents
+WHERE regexp_matches(lower(text), '\bspark\b')
+ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# §2.9 scalar function library: regex JSON field extraction + grouped sum
+# (ValueSource-style per-row computation).
+
+
+def json_extract_sum(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def ext(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["props"].str.extract(r'"k": (\d+)')[0].astype("int64")
+        return pd.DataFrame({"event_type": batch["event_type"], "k": k})
+
+    out = (
+        read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(ext, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="k_sum"))
+        .to_pandas()
+    )
+    out["k_sum"] = out["k_sum"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+JSON_EXTRACT_SQL = r"""
+SELECT event_type,
+       CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+PIPELINES: dict[str, Pipeline] = {
+    "token_count": Pipeline(token_count, TOKEN_COUNT_SQL, "per-doc token counting (FieldLength URP)"),
+    "quality_signals": Pipeline(quality_signals, QUALITY_SQL, "quality scoring signals for training-data filtering"),
+    "lang_id": Pipeline(lang_id, LANG_ID_SQL, "stopword-heuristic language id (langid URP), actor pool"),
+    "fingerprint": Pipeline(fingerprint, FINGERPRINT_SQL, "document fingerprint (FingerprintFilter)"),
+    "terms_component": Pipeline(terms_component, TERMS_SQL, "term/df enumeration (TermsComponent)"),
+    "significant_terms": Pipeline(significant_terms, SIGNIFICANT_SQL, "fg-vs-bg term significance (SignificantTermsStream)"),
+    "term_filter": Pipeline(term_filter, TERM_FILTER_SQL, "term membership filter (TermQuery as filter)"),
+    "json_extract_sum": Pipeline(json_extract_sum, JSON_EXTRACT_SQL, "scalar function extraction (ValueSources)"),
+}

@@ -1,0 +1,133 @@
+"""Operator-pipeline tests at sf0.001.
+
+SQL-gated entries are compared against their DuckDB oracle (the same check
+the driver runs); rows-only entries get dedicated oracles here: MinHash-LSH
+vs brute-force Jaccard, LSH-ANN recall vs exact cosine, simhash Hamming
+locality, stubbed media decode vs direct computation.
+"""
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _gated_names():
+    from lucene_solr_ray.pipelines import REGISTRY
+
+    return sorted(n for n, p in REGISTRY.items() if p.sql is not None)
+
+
+@pytest.mark.parametrize("name", _gated_names())
+def test_gated_pipeline_matches_oracle(ray_session, duck, name):
+    from check_correctness import compare, to_pandas
+    from lucene_solr_ray.pipelines import REGISTRY
+
+    p = REGISTRY[name]
+    ray_df = to_pandas(p.fn(SF))
+    sql_df = duck.execute(p.sql).fetchdf()
+    problems = compare(name, ray_df, sql_df)
+    assert not problems, problems
+
+
+def test_minhash_vs_bruteforce_jaccard(ray_session):
+    """Every brute-force pair with Jaccard ≥ 0.8 must be found by LSH (high
+    recall at high similarity); reported pairs carry exact Jaccard ≥ 0.5."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.dedup import _shingle_hashes, dedup_minhash
+    from lucene_solr_ray.pipelines.text import TOKEN_RE
+
+    found = dedup_minhash(SF)
+    assert (found["jaccard"] >= 0.5).all()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    sh = {
+        int(r.doc_id): _shingle_hashes(pd.Series([r.text]).str.lower().str.findall(TOKEN_RE)[0])
+        for r in docs.itertuples()
+    }
+    ids = sorted(sh)
+    high_pairs = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = np.intersect1d(sh[a], sh[b], assume_unique=True).size
+            union = sh[a].size + sh[b].size - inter
+            j = inter / union if union else 0.0
+            if j >= 0.8:
+                high_pairs.append((a, b))
+    got = set(zip(found["doc_a"].astype(int), found["doc_b"].astype(int)))
+    missed = [p for p in high_pairs if p not in got]
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_ann_lsh_recall(ray_session):
+    from lucene_solr_ray.pipelines.ann import ann_cosine_topk, ann_lsh_topk
+
+    exact = ann_cosine_topk(SF)["vec_id"].tolist()
+    approx = ann_lsh_topk(SF)["vec_id"].tolist()
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall} ({approx} vs {exact})"
+    assert approx[0] == exact[0] == 0  # the query vector itself is its own 1-NN
+
+
+def test_simhash_locality(ray_session):
+    """Identical docs → identical simhash; simhash is deterministic."""
+    from lucene_solr_ray.pipelines.dedup import simhash
+
+    a = simhash(SF)
+    b = simhash(SF)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["simhash"].nunique() > 400  # distinct docs spread out
+
+
+def test_media_features_stub(ray_session, duck):
+    import zlib
+
+    from lucene_solr_ray.pipelines.multimodal import decode_image, media_features
+
+    out = media_features(SF)
+    docs = duck.execute("SELECT doc_id, text FROM documents ORDER BY doc_id").fetchdf()
+    merged = out.merge(docs, on="doc_id")
+    assert (merged["n_bytes"] == merged["text"].str.len()).all()  # ascii corpus
+    sample = merged.iloc[0]
+    assert sample["crc32"] == zlib.crc32(sample["text"].encode())
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_phrase_search_vs_bruteforce(ray_session, duck):
+    from lucene_solr_ray.oracle import BruteForceIndex
+    from lucene_solr_ray.pipelines.fulltext import _ensure_index
+
+    searcher = _ensure_index(SF)
+    texts = duck.execute("SELECT text FROM documents ORDER BY doc_id").fetchdf()["text"].tolist()
+    oracle = BruteForceIndex(texts)
+    for q in ['"slow scan"', '"fast merge"', "+spark -join", "window sort"]:
+        got = searcher.search(q, 10)
+        exp = [(d, float(s)) for d, s in oracle.search(q, 10)]
+        assert got == exp, q
+
+
+def test_entry_contract(ray_session):
+    import __ray_entry__ as e
+
+    res = e.entry()
+    assert len(res) >= 0 and "score" in res.columns
+    qs, sqls = e.queries(), e.oracle_sql()
+    assert set(sqls) <= set(qs)
+    assert len(qs) >= 35 and len(sqls) >= 30
