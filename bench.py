@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Benchmark driver.
+
+Headline pipeline: full inverted-index build over a ~1M-turn synthetic
+transcript corpus (the BASELINE workload) + the 100-query reference set
+against warm shard actors, plus per-pipeline timings of the operator suite
+over $GRAFT_SF_DIR tables.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "build": {...}, "query_latency_ms": {...}}
+
+--scaling: runs the same job in fresh processes at num_cpus=8 and 32 on the
+same corpus and reports throughput at both + scaling efficiency
+(BASELINE north_rule: ≥ 0.8 between N and 4N).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# corpus sizing: bench tier ≥ ~1M turns (FIXTURES.md); ~8.05 turns/conv
+N_CONV = int(os.environ.get("LSR_BENCH_CONV", "125000"))
+N_FILES = int(os.environ.get("LSR_BENCH_FILES", "32"))
+CORPUS_DIR = Path(f"/tmp/lsr_bench_corpus_{N_CONV}_{N_FILES}")
+INDEX_DIR = Path(f"/tmp/lsr_bench_index_{NUM_CPUS}")
+
+# pipelines that represent each operator family in the timed suite
+SUITE = [
+    "facet_field", "time_series_rollup", "rollup_pricing", "join_facet",
+    "semi_join", "collapse_best", "sort_topk", "cursor_paging",
+    "terms_component", "significant_terms", "dedup_exact", "dedup_minhash",
+    "ann_cosine_topk", "knn_label_vote", "sessionize", "quality_signals",
+]
+
+
+def ensure_corpus(ray) -> list[str]:
+    """Parallel, cached corpus generation (untimed)."""
+    from lucene_solr_ray.fixtures import gen_conv_range
+
+    meta = CORPUS_DIR / "_MANIFEST.json"
+    want = {"n_conv": N_CONV, "n_files": N_FILES, "seed": 42, "version": 1}
+    if meta.exists() and json.loads(meta.read_text()) == want:
+        return sorted(str(p) for p in CORPUS_DIR.glob("part-*.parquet"))
+    CORPUS_DIR.mkdir(parents=True, exist_ok=True)
+
+    @ray.remote
+    def gen_file(k: int, lo: int, cnt: int) -> str:
+        import pyarrow.parquet as pq
+
+        t = gen_conv_range(lo, cnt, seed=42)
+        p = CORPUS_DIR / f"part-{k:05d}.parquet"
+        tmp = CORPUS_DIR / f".part-{k:05d}.tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, p)
+        return str(p)
+
+    per = (N_CONV + N_FILES - 1) // N_FILES
+    futs = [
+        gen_file.remote(k, k * per, min(per, N_CONV - k * per))
+        for k in range(N_FILES)
+        if min(per, N_CONV - k * per) > 0
+    ]
+    paths = sorted(ray.get(futs))
+    meta.write_text(json.dumps(want))
+    return paths
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from lucene_solr_ray.fixtures import reference_queries
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.pipelines import REGISTRY
+    from lucene_solr_ray.search import Searcher
+
+    paths = ensure_corpus(ray)
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pq
+
+    n_turns = sum(pq.read_metadata(p).num_rows for p in paths)
+
+    # ---- headline: index build ------------------------------------------
+    if INDEX_DIR.exists():
+        shutil.rmtree(INDEX_DIR)
+    t0 = time.monotonic()
+    manifest = build_index(
+        paths, INDEX_DIR, files_per_shard=max(1, N_FILES // 8), n_salts=4,
+        max_concurrent_shards=8, resume=False,
+    )
+    build_s = time.monotonic() - t0
+    turns_per_s = n_turns / build_s
+
+    # ---- headline: query latency over warm actors -----------------------
+    searcher = Searcher(str(INDEX_DIR))
+    queries = reference_queries()
+    for q in queries[:10]:
+        searcher.search(q["query"], q["k"])  # warm actor caches
+    lat = []
+    t0 = time.monotonic()
+    for q in queries:
+        s = time.monotonic()
+        searcher.search(q["query"], q["k"])
+        lat.append((time.monotonic() - s) * 1000)
+    query_s = time.monotonic() - t0
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p99 = lat[min(int(len(lat) * 0.99), len(lat) - 1)]
+
+    # ---- operator suite over the sf tables ------------------------------
+    suite_times: dict[str, float] = {}
+    for name in SUITE:
+        fn = REGISTRY[name].fn
+        s = time.monotonic()
+        fn(SF_DIR)
+        suite_times[name] = round(time.monotonic() - s, 3)
+
+    headline = build_s + query_s
+    out = {
+        "metric": "index_build_1M_turns_plus_100_queries_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": suite_times,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "num_cpus": NUM_CPUS,
+        "build": {
+            "n_turns": n_turns,
+            "build_sec": round(build_s, 3),
+            "turns_per_sec": round(turns_per_s, 1),
+            "n_terms": manifest.data["stats"]["n_terms"],
+            "n_docs": manifest.data["stats"]["N"],
+        },
+        "query_latency_ms": {"p50": round(p50, 2), "p99": round(p99, 2)},
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    """Same job, fresh processes, num_cpus=8 then 32; efficiency report."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
+        )
+        results[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    tp8 = results[8]["build"]["turns_per_sec"]
+    tp32 = results[32]["build"]["turns_per_sec"]
+    eff = (tp32 / tp8) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32_cpus",
+                "turns_per_sec_8": tp8,
+                "turns_per_sec_32": tp32,
+                "speedup": round(tp32 / tp8, 3),
+                "scaling_efficiency": round(eff, 3),
+                "headline_sec_8": results[8]["value"],
+                "headline_sec_32": results[32]["value"],
+                "query_p50_ms_32": results[32]["query_latency_ms"]["p50"],
+                "query_p99_ms_32": results[32]["query_latency_ms"]["p99"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -55,10 +55,12 @@ from .manifest import Manifest
 from .smallfloat import int_to_byte4_np
 
 SALT_SEP = "\x01"
+N_BUCKETS = 32  # reduce-side hash-shuffle width per shard
 
 PARTIAL_SCHEMA = pa.schema(
     [
         ("term_key", pa.string()),
+        ("bucket", pa.int32()),
         ("term", pa.string()),
         ("salt", pa.int32()),
         ("pid", pa.int32()),
@@ -121,24 +123,43 @@ def sample_hot_terms(paths: list[str], hot_df_frac: float = 0.02, sample_docs: i
     take = max(1, sample_docs // 4)
     idxs = sorted({0, len(paths) // 3, (2 * len(paths)) // 3, len(paths) - 1})
     df_counts: dict[str, int] = {}
+    hot_kw: set[str] = set()
     n = 0
     for i in idxs:
         f = pq.ParquetFile(paths[i])
-        t = f.read_row_group(0, columns=["text"])
+        names = f.schema_arrow.names
+        cols = ["text"] + [k for k in KEYWORD_FIELDS if k in names]
+        t = f.read_row_group(0, columns=cols)
         texts = t.column("text").to_pylist()[:take]
         for txt in texts:
             n += 1
             for term in {t for t, _ in tokenize(txt or "")}:
                 df_counts[term] = df_counts.get(term, 0) + 1
+        # keyword-field terms are intrinsically hot (df ~ corpus fraction)
+        for k in KEYWORD_FIELDS:
+            if k in names:
+                for v in pc.unique(t.column(k)).to_pylist():
+                    if v is not None:
+                        hot_kw.add(f"{k}:{v}")
     if n == 0:
         return []
-    return sorted(t for t, c in df_counts.items() if c / n >= hot_df_frac)
+    return sorted({t for t, c in df_counts.items() if c / n >= hot_df_frac} | hot_kw)
+
+
+KEYWORD_FIELDS = ("role", "tool")
 
 
 def invert_partition(
-    table: pa.Table, base: int, hot_terms: list[str], salt: int
+    table: pa.Table, base: int, hot_terms: list[str], salt: int, n_buckets: int = 32
 ) -> tuple[pa.Table, pa.Table]:
     """Analyze + SPIMI-invert one doc-partition (vectorized, no row loops).
+
+    The `text` column goes through the full analysis chain; `role`/`tool`
+    columns (when present) are indexed as untokenized keyword terms
+    `field:value` in the same term space — the StringField/StrField pattern
+    (lucene/core/src/java/org/apache/lucene/document/StringField.java).
+    Keyword terms carry freq=1/pos=0 and do NOT contribute to dl/norms
+    (Lucene norms are per text field; keyword fields serve FILTER clauses).
 
     Returns (partial_postings, norms) where norms has one row per doc:
     (doc_id, conv_id, turn_idx, dl, norm_byte).
@@ -149,6 +170,25 @@ def invert_partition(
     doc_ids = base + np.arange(n, dtype=np.int64)
 
     tok = analyze_batch(table.column("text"))
+    # keyword-field terms appended to the token stream (pos 0, no dl effect)
+    kw_rows, kw_terms = [], []
+    for field in KEYWORD_FIELDS:
+        if field not in table.schema.names:
+            continue
+        col = table.column(field)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        vals = col.to_numpy(zero_copy_only=False)
+        rows = np.flatnonzero(valid)
+        if rows.size:
+            kw_rows.append(rows.astype(np.int64))
+            kw_terms.append(np.array([f"{field}:{vals[r]}" for r in rows], dtype=object))
+    if kw_rows:
+        tok = {
+            "row": np.concatenate([tok["row"], *kw_rows]),
+            "term": np.concatenate([tok["term"], *kw_terms]),
+            "pos": np.concatenate([tok["pos"], np.zeros(sum(r.size for r in kw_rows), dtype=np.int64)]),
+            "dl": tok["dl"],
+        }
     dl = tok["dl"]
     norm_bytes = int_to_byte4_np(dl).astype(np.int64)
 
@@ -204,10 +244,17 @@ def invert_partition(
     term_keys = terms_arr.copy()
     for i in np.flatnonzero(salts != 0):  # hot terms only — a handful per partition
         term_keys[i] = f"{terms_arr[i]}{SALT_SEP}{salts[i]}"
+    # stable shuffle bucket (crc32, NOT python hash()) per (term, salt)
+    import zlib
+
+    buckets = np.fromiter(
+        (zlib.crc32(k.encode()) % n_buckets for k in term_keys), dtype=np.int32, count=n_terms
+    )
 
     partial = pa.table(
         {
             "term_key": pa.array(term_keys, type=pa.string()),
+            "bucket": pa.array(buckets),
             "term": pa.array(terms_arr, type=pa.string()),
             "salt": pa.array(salts),
             "pid": pa.array(np.full(n_terms, -1, dtype=np.int32)),  # filled by caller
@@ -219,6 +266,130 @@ def invert_partition(
         schema=PARTIAL_SCHEMA,
     )
     return partial, norms
+
+
+def merge_bucket(group: pa.Table) -> pa.Table:
+    """Merge ALL (term, salt) groups inside one shuffle bucket — vectorized.
+
+    The per-term `map_groups` dispatch cost dominates at vocabulary scale
+    (ms per group × |vocab| groups), so the shuffle key is
+    `bucket = hash(term_key) % B` and this function merges a whole bucket in
+    segmented numpy: one global sort by (term_key, pid), one flatten, one
+    segmented delta + varbyte encode for every term at once, then per-term
+    byte-buffer slicing (a cheap memoryview loop).  Equivalent to
+    `merge_group` per term (property-tested); the analog of Lucene's
+    SegmentMerger + Lucene84PostingsWriter running per term dictionary
+    range."""
+    order = pc.sort_indices(group, sort_keys=[("term_key", "ascending"), ("pid", "ascending")])
+    group = group.take(order)
+    n_rows = group.num_rows
+    if n_rows == 0:
+        return POSTINGS_SCHEMA.empty_table()
+
+    term_keys = group.column("term_key").to_numpy(zero_copy_only=False)
+    docs_col = group.column("docs").combine_chunks()
+    row_counts = np.diff(docs_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+    docs = docs_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    freqs = group.column("freqs").combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    norms = group.column("norms").combine_chunks().flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    pos_col = group.column("positions").combine_chunks()
+    positions = pos_col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # term run boundaries over rows
+    row_new = np.empty(n_rows, dtype=bool)
+    row_new[0] = True
+    row_new[1:] = term_keys[1:] != term_keys[:-1]
+    term_row_start = np.flatnonzero(row_new)
+    T = term_row_start.size
+    row_of_term_end = np.append(term_row_start[1:], n_rows)
+    # entries (postings) per term
+    row_entry_off = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(row_counts, out=row_entry_off[1:])
+    term_entry_off = row_entry_off[np.append(term_row_start, n_rows)]  # T+1
+    n_t = np.diff(term_entry_off)
+
+    # entry-level term-start mask
+    E = docs.size
+    entry_term_start = np.zeros(E, dtype=bool)
+    entry_term_start[term_entry_off[:-1][n_t > 0]] = True
+    if not (np.diff(docs)[~entry_term_start[1:]] > 0).all():
+        raise AssertionError("postings not strictly increasing within a term")
+
+    # encode docs (delta resets at term starts) + freqs, with per-value
+    # lengths so per-term buffers are slices of one global encode
+    d_deltas = codec.delta_encode_resets(docs, entry_term_start)
+    docs_buf = memoryview(codec.varbyte_encode(d_deltas))
+    d_len_off = np.zeros(E + 1, dtype=np.int64)
+    np.cumsum(codec.varbyte_lengths(d_deltas), out=d_len_off[1:])
+    freqs_buf = memoryview(codec.varbyte_encode(freqs))
+    f_len_off = np.zeros(E + 1, dtype=np.int64)
+    np.cumsum(codec.varbyte_lengths(freqs), out=f_len_off[1:])
+    norms_buf = memoryview(norms.astype(np.uint8).tobytes())
+
+    # positions: delta resets at every (term,doc) entry start — encode once
+    pos_buf = memoryview(codec.encode_positions(positions, freqs))
+    p_vals_off = np.zeros(E + 1, dtype=np.int64)
+    np.cumsum(freqs, out=p_vals_off[1:])
+    if positions.size:
+        pos_reset = np.zeros(positions.size, dtype=bool)
+        pos_reset[p_vals_off[:-1][freqs > 0]] = True
+        p_deltas = codec.delta_encode_resets(positions, pos_reset)
+        p_len = codec.varbyte_lengths(p_deltas)
+    else:
+        p_len = np.zeros(0, dtype=np.int64)
+    p_len_off = np.zeros(positions.size + 1, dtype=np.int64)
+    np.cumsum(p_len, out=p_len_off[1:])
+    term_pos_off = p_vals_off[term_entry_off]  # position-value offset per term boundary
+
+    # per-term stats
+    cf = np.add.reduceat(freqs, term_entry_off[:-1]) if E else np.zeros(T, dtype=np.int64)
+    first_doc = docs[term_entry_off[:-1]]
+    last_doc = docs[term_entry_off[1:] - 1]
+
+    # block-max metadata: blocks tile entries contiguously per term
+    nb = (n_t + codec.BLOCK_SIZE - 1) // codec.BLOCK_SIZE
+    total_blocks = int(nb.sum())
+    term_of_block = np.repeat(np.arange(T), nb)
+    nb_off = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(nb, out=nb_off[1:])
+    blk_within = np.arange(total_blocks, dtype=np.int64) - nb_off[term_of_block]
+    blk_start = term_entry_off[:-1][term_of_block] + blk_within * codec.BLOCK_SIZE
+    blk_end = np.minimum(blk_start + codec.BLOCK_SIZE, term_entry_off[1:][term_of_block])
+    blk_last = docs[blk_end - 1]
+    blk_maxf = np.maximum.reduceat(freqs, blk_start) if total_blocks else np.zeros(0, np.int64)
+    blk_minn = np.minimum.reduceat(norms, blk_start) if total_blocks else np.zeros(0, np.int64)
+
+    # per-term buffer slices (memoryview slicing: cheap)
+    d_off_t = d_len_off[term_entry_off]
+    f_off_t = f_len_off[term_entry_off]
+    p_off_t = p_len_off[term_pos_off]
+    docs_b = [bytes(docs_buf[d_off_t[i] : d_off_t[i + 1]]) for i in range(T)]
+    freqs_b = [bytes(freqs_buf[f_off_t[i] : f_off_t[i + 1]]) for i in range(T)]
+    norms_b = [bytes(norms_buf[term_entry_off[i] : term_entry_off[i + 1]]) for i in range(T)]
+    pos_b = [bytes(pos_buf[p_off_t[i] : p_off_t[i + 1]]) for i in range(T)]
+
+    first_rows = term_row_start
+    terms_out = group.column("term").take(pa.array(first_rows))
+    salts_out = group.column("salt").take(pa.array(first_rows))
+    blk_off32 = nb_off.astype(np.int32)
+    return pa.table(
+        {
+            "term": terms_out,
+            "salt": salts_out,
+            "df": pa.array(n_t, type=pa.int64()),
+            "cf": pa.array(cf.astype(np.int64)),
+            "first_doc": pa.array(first_doc),
+            "last_doc": pa.array(last_doc),
+            "docs": pa.array(docs_b, type=pa.binary()),
+            "freqs": pa.array(freqs_b, type=pa.binary()),
+            "norms": pa.array(norms_b, type=pa.binary()),
+            "positions": pa.array(pos_b, type=pa.binary()),
+            "blk_last_doc": pa.ListArray.from_arrays(blk_off32, pa.array(blk_last, type=pa.int64())),
+            "blk_max_freq": pa.ListArray.from_arrays(blk_off32, pa.array(blk_maxf.astype(np.int32))),
+            "blk_min_norm": pa.ListArray.from_arrays(blk_off32, pa.array(blk_minn.astype(np.int32))),
+        },
+        schema=POSTINGS_SCHEMA,
+    )
 
 
 def merge_group(group: pa.Table) -> pa.Table:
@@ -286,8 +457,6 @@ def build_index(
     `fail_after_shards` injects a crash after N completed shards — used by
     the kill-and-rerun resume test (FIXTURES.md F6).
     """
-    import ray.data as rd
-
     index_dir = Path(index_dir)
     specs = plan_files(input_paths)
     fp = _config_fingerprint(specs, files_per_shard, n_salts)
@@ -322,6 +491,52 @@ def build_index(
         runs = min(n_salts, shard_len)
         return (local_idx * runs) // shard_len
 
+    import ray
+
+    n_buckets = N_BUCKETS
+
+    @ray.remote(num_returns=n_buckets + 1)
+    def invert_task(path: str, pid: int, base: int, salt: int, seg_root: str, hot: list[str]):
+        """Map side: read one doc-partition, invert, PARTITION BY BUCKET.
+
+        Returns n_buckets partial tables (one ObjectRef per bucket, so each
+        reducer fetches exactly its slice — an explicit map-side hash
+        shuffle, the ParallelStream `{!hash workers=N}` pattern) plus a
+        (n_docs, sum_dl) lineage tuple.  The per-pid norms/docmap segment is
+        side-written atomically (idempotent under retry)."""
+        schema_names = pq.read_schema(path).names
+        cols = ["conv_id", "turn_idx", "text"] + [f for f in KEYWORD_FIELDS if f in schema_names]
+        table = pq.read_table(path, columns=cols)
+        partial, norms = invert_partition(table, base, hot, salt, n_buckets=n_buckets)
+        partial = partial.set_column(
+            partial.schema.get_field_index("pid"),
+            "pid",
+            pa.array(np.full(partial.num_rows, pid, dtype=np.int32)),
+        )
+        seg_dir = Path(seg_root) / f"pid={pid:05d}"
+        seg_dir.mkdir(parents=True, exist_ok=True)
+        tmp = seg_dir / ".norms.parquet.tmp"
+        pq.write_table(norms, tmp)
+        os.replace(tmp, seg_dir / "norms.parquet")
+        bcol = partial.column("bucket").to_numpy(zero_copy_only=False)
+        order = np.argsort(bcol, kind="stable")
+        partial = partial.take(pa.array(order))
+        bounds = np.searchsorted(bcol[order], np.arange(n_buckets + 1))
+        outs = [partial.slice(bounds[b], bounds[b + 1] - bounds[b]) for b in range(n_buckets)]
+        lineage = (int(norms.num_rows), int(pc.sum(norms.column("dl")).as_py() or 0))
+        return (*outs, lineage)
+
+    @ray.remote
+    def merge_task(out_dir: str, bucket: int, *parts: pa.Table):
+        """Reduce side: merge one bucket's partials from every partition,
+        encode, and write a deterministic per-bucket parquet file."""
+        live = [p for p in parts if p.num_rows]
+        if not live:
+            return (0, 0)
+        merged = merge_bucket(pa.concat_tables(live))
+        pq.write_table(merged, Path(out_dir) / f"postings-{bucket:05d}.parquet")
+        return (int(merged.num_rows), int(pc.sum(merged.column("df")).as_py() or 0))
+
     def build_shard(shard_id: int) -> None:
         shard = shards[shard_id]
         t0 = time.monotonic()
@@ -329,62 +544,35 @@ def build_index(
         tmp_dir = index_dir / "shards" / f".shard={shard_id:05d}.tmp"
         if tmp_dir.exists():
             shutil.rmtree(tmp_dir)
+        tmp_dir.mkdir(parents=True)
+        seg_root = str(index_dir / "segments")
 
-        items = [
-            {
-                "path": s.path,
-                "pid": s.pid,
-                "base": s.base,
-                "salt": salt_of(j, len(shard)),
-            }
+        inv = [
+            invert_task.remote(s.path, s.pid, s.base, salt_of(j, len(shard)), seg_root, hot_terms)
             for j, s in enumerate(shard)
         ]
-
-        seg_root = index_dir / "segments"
-
-        def invert_item(batch: pa.Table) -> pa.Table:
-            outs = []
-            for i in range(batch.num_rows):
-                path = batch.column("path")[i].as_py()
-                pid = batch.column("pid")[i].as_py()
-                base = batch.column("base")[i].as_py()
-                salt = batch.column("salt")[i].as_py()
-                table = pq.read_table(path, columns=["conv_id", "turn_idx", "text"])
-                partial, norms = invert_partition(table, base, hot_terms, salt)
-                partial = partial.set_column(
-                    partial.schema.get_field_index("pid"),
-                    "pid",
-                    pa.array(np.full(partial.num_rows, pid, dtype=np.int32)),
-                )
-                # side-write the per-pid norms/docmap segment (atomic, idempotent)
-                seg_dir = seg_root / f"pid={pid:05d}"
-                seg_dir.mkdir(parents=True, exist_ok=True)
-                tmp = seg_dir / ".norms.parquet.tmp"
-                pq.write_table(norms, tmp)
-                os.replace(tmp, seg_dir / "norms.parquet")
-                outs.append(partial)
-            return pa.concat_tables(outs) if outs else PARTIAL_SCHEMA.empty_table()
-
-        ds = rd.from_items(items)
-        partials = ds.map_batches(invert_item, batch_size=1, batch_format="pyarrow")
-        merged = partials.groupby("term_key").map_groups(
-            lambda g: merge_group(g.drop_columns(["term_key"])), batch_format="pyarrow"
-        )
-        merged.write_parquet(str(tmp_dir))
+        merges = [
+            merge_task.remote(str(tmp_dir), b, *[refs[b] for refs in inv])
+            for b in range(n_buckets)
+        ]
+        lineages = ray.get([refs[n_buckets] for refs in inv])
+        counts = ray.get(merges)
         if shard_dir.exists():
             shutil.rmtree(shard_dir)
         os.replace(tmp_dir, shard_dir)
 
-        # lineage + counts for the manifest (CheckIndex-style recountable)
-        n_terms = 0
-        n_postings = 0
-        for f in shard_dir.glob("*.parquet"):
-            t = pq.read_table(f, columns=["df"])
-            n_terms += t.num_rows
-            n_postings += int(pc.sum(t.column("df")).as_py() or 0)
+        n_terms = sum(c[0] for c in counts)
+        n_postings = sum(c[1] for c in counts)
         for j, s in enumerate(shard):
             manifest.mark_segment(
-                pid=s.pid, path=s.path, rows=s.rows, base=s.base, shard=shard_id, status="done"
+                pid=s.pid,
+                path=s.path,
+                rows=s.rows,
+                base=s.base,
+                shard=shard_id,
+                n_docs=lineages[j][0],
+                sum_dl=lineages[j][1],
+                status="done",
             )
         manifest.mark_shard(
             shard_id,
@@ -420,29 +608,36 @@ def _finalize(index_dir: Path, manifest: Manifest) -> None:
     The reference resolves these once per query via termStatistics /
     collectionStatistics (lucene/core/.../search/IndexSearcher.java); we
     precompute them at build time so distributed scoring is globally
-    consistent (the ExactStatsCache requirement, SURVEY.md §3.2)."""
-    import ray.data as rd
-    from ray.data.aggregate import Sum
+    consistent (the ExactStatsCache requirement, SURVEY.md §3.2).
 
-    posting_files = sorted(str(p) for p in (index_dir / "shards").glob("shard=*/*.parquet"))
-    stats = (
-        rd.read_parquet(posting_files, columns=["term", "df", "cf"])
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
-    )
-    stats_table = stats.to_arrow_refs()
+    Per-shard (term, df, cf) columns are read in parallel Ray tasks and
+    reduced with one vectorized Arrow group_by on the driver — the stats
+    table is vocab-sized (tiny next to postings).  For vocabularies beyond
+    driver memory this would become a `ray.data` groupby; at transcript
+    vocabulary scale the driver reduce is orders faster."""
     import ray
 
-    tables = [t for t in ray.get(stats_table)]
-    stats_pa = pa.concat_tables(tables).sort_by("term")
+    posting_files = sorted(str(p) for p in (index_dir / "shards").glob("shard=*/*.parquet"))
+
+    @ray.remote
+    def read_stats(path: str) -> pa.Table:
+        return pq.read_table(path, columns=["term", "df", "cf"])
+
+    tables = ray.get([read_stats.remote(p) for p in posting_files])
+    stats_pa = (
+        pa.concat_tables(tables)
+        .group_by("term")
+        .aggregate([("df", "sum"), ("cf", "sum")])
+        .rename_columns(["term", "df", "cf"])
+        .sort_by("term")
+    )
     tmp = index_dir / ".global_stats.parquet.tmp"
     pq.write_table(stats_pa, tmp)
     os.replace(tmp, index_dir / "global_stats.parquet")
 
-    norm_files = sorted(str(p) for p in (index_dir / "segments").glob("pid=*/norms.parquet"))
-    nd = rd.read_parquet(norm_files, columns=["dl"])
-    n_docs = nd.count()
-    sum_ttf = nd.sum("dl")
+    segs = manifest.data["segments"].values()
+    n_docs = sum(s["n_docs"] for s in segs)
+    sum_ttf = sum(s["sum_dl"] for s in segs)
     manifest.commit(
         {
             "N": int(n_docs),

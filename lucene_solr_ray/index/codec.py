@@ -34,6 +34,18 @@ __all__ = [
 ]
 
 
+def varbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value: ceil(bit_length/7), min 1 — vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while np.any(tmp):
+        nz = tmp > 0
+        nbytes[nz] += 1
+        tmp = tmp >> np.uint64(7)
+    return nbytes
+
+
 def varbyte_encode(values: np.ndarray) -> bytes:
     """Vectorized varbyte encode of a non-negative int array.
 
@@ -98,6 +110,20 @@ def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
     if v.size:
         out[0] = v[0] + 1
         np.subtract(v[1:], v[:-1], out=out[1:])
+    return out
+
+
+def delta_encode_resets(sorted_vals: np.ndarray, reset_mask: np.ndarray) -> np.ndarray:
+    """Deltas with an implicit previous of -1 restarting wherever
+    reset_mask is True (segment starts) — the segmented form of
+    delta_encode used by the bucketed merge."""
+    v = np.asarray(sorted_vals, dtype=np.int64)
+    out = np.empty_like(v)
+    if v.size:
+        out[0] = v[0] + 1
+        np.subtract(v[1:], v[:-1], out=out[1:])
+        starts = np.flatnonzero(reset_mask)
+        out[starts] = v[starts] + 1
     return out
 
 

@@ -28,25 +28,34 @@ import numpy as np
 
 from .analysis import tokenize
 from .index.smallfloat import byte4_to_int, int_to_byte4
-from .search.query import QueryNode, parse_query
+from .search.query import QueryNode, parse_query, rewrite
 
 K1 = 1.2
 B = 0.75
 
 
 class BruteForceIndex:
-    """In-memory per-document term/position data + collection stats."""
+    """In-memory per-document term/position data + collection stats.
 
-    def __init__(self, texts: list[str]):
+    `fields` optionally maps a keyword field name → per-doc values (None =
+    absent); each value becomes an untokenized `field:value` term with
+    freq 1, pos 0, excluded from dl — mirroring the engine's keyword-field
+    indexing."""
+
+    def __init__(self, texts: list[str], fields: dict[str, list] | None = None):
         self.docs: list[dict[str, list[int]]] = []
         self.dl: list[int] = []
-        for text in texts:
+        for i, text in enumerate(texts):
             toks = tokenize(text)
             by_term: dict[str, list[int]] = {}
             for term, pos in toks:
                 by_term.setdefault(term, []).append(pos)
             self.docs.append(by_term)
             self.dl.append(len(toks))
+            if fields:
+                for fname, vals in fields.items():
+                    if vals[i] is not None:
+                        by_term.setdefault(f"{fname}:{vals[i]}", []).append(0)
         self.N = len(texts)
         self.sum_ttf = sum(self.dl)
         self.avgdl = self.sum_ttf / self.N if self.N else 0.0
@@ -103,9 +112,12 @@ class BruteForceIndex:
         must_ok = True
         should_any = False
         has_should = False
+        has_must = False
+        has_filter = False
         for clause, child in node.clauses:
             m, s = self.score_query(child, doc)
             if clause == "MUST":
+                has_must = True
                 if not m:
                     must_ok = False
                 score += s
@@ -114,20 +126,29 @@ class BruteForceIndex:
                 if m:
                     should_any = True
                     score += s
+            elif clause == "FILTER":
+                has_filter = True
+                if not m:
+                    must_ok = False  # FILTER: required, unscored
             elif clause == "MUST_NOT":
                 if m:
                     must_ok = False
-        has_must = any(c == "MUST" for c, _ in node.clauses)
-        if not (has_must or has_should):
+        if not (has_must or has_should or has_filter):
             # only MUST_NOT clauses: matches nothing (BooleanQuery semantics)
             return (False, 0.0)
-        matches = must_ok and (has_must or should_any)
+        # no MUST → at least one SHOULD must match (if any SHOULD present)
+        matches = must_ok and (has_must or should_any or (has_filter and not has_should))
         return (matches, score if matches else 0.0)
 
     def search(self, query: str, k: int) -> list[tuple[int, float]]:
         """Top-k (docID, float32 score), tie-break (score desc, docID asc)."""
         node = parse_query(query)
         if node is None:
+            return []
+        if not hasattr(self, "_vocab"):
+            self._vocab = np.array(sorted(self.df), dtype=object)
+        node = rewrite(node, self._vocab)
+        if node is None or (node.kind == "bool" and not node.clauses):
             return []
         hits = []
         for doc in range(self.N):

@@ -48,16 +48,20 @@ def _prepare_corpus(sf_dir: str) -> list[str]:
     if marker.exists():
         return sorted(str(p) for p in out.glob("part-*.parquet"))
     out.mkdir(parents=True, exist_ok=True)
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).sort_by("doc_id")
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    ).sort_by("doc_id")
     n = t.num_rows
     doc_ids = t.column("doc_id").to_numpy()
+    # lang/source ride along as the keyword fields (role:=lang, tool:=source)
+    # so FILTER clauses like `#role:en` are exercised against a SQL WHERE
     table = pa.table(
         {
             "conv_id": pa.array([f"doc-{d:010d}" for d in doc_ids], type=pa.string()),
             "turn_idx": pa.array(np.zeros(n, dtype=np.int32)),
-            "role": pa.array(["doc"] * n, type=pa.string()),
+            "role": t.column("lang"),
             "text": t.column("text"),
-            "tool": pa.array([None] * n, type=pa.string()),
+            "tool": t.column("source"),
             "ts": pa.array(np.zeros(n, dtype="datetime64[us]")),
         }
     )
@@ -161,6 +165,91 @@ ORDER BY query, rank
 BM25_SQL = _bm25_oracle_sql()
 
 # --------------------------------------------------------------------------
+# Filtered BM25: scored term + keyword-field FILTER clause (`#role:<lang>`,
+# i.e. BooleanClause.Occur.FILTER over a StringField) ↔ SQL WHERE lang=...
+# Single-term scored clause per query → no float-sum-order concerns.
+
+BM25_FILTERED = [("merge", "en"), ("scan", "zh"), ("window", "es"), ("join", "en")]
+
+
+def bm25_filtered(sf_dir: str):
+    searcher = _ensure_index(sf_dir)
+    rows = []
+    for term, lang in BM25_FILTERED:
+        query = f"{term} #role:{lang}"
+        hits = searcher.search(query, TOP_K)
+        if not hits:
+            continue
+        fetched = searcher.fetch([d for d, _ in hits])
+        conv_by_doc = {r["doc_id"]: r["conv_id"] for r in fetched.to_pylist()}
+        for rank, (docid, score) in enumerate(hits, start=1):
+            rows.append(
+                {
+                    "query": query,
+                    "rank": np.int64(rank),
+                    "doc_id": np.int64(int(conv_by_doc[docid].split("-")[1])),
+                    "score": np.float32(score),
+                }
+            )
+    df = pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
+    df["rank"] = df["rank"].astype("int64")
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["score"] = df["score"].astype("float32")
+    return df.sort_values(["query", "rank"]).reset_index(drop=True)
+
+
+def _bm25_filtered_sql() -> str:
+    stop_sql = "'" + "','".join(sorted(ENGLISH_STOP_WORDS)) + "'"
+    qt_values = ",\n       ".join(
+        f"('{t} #role:{l}', '{t}', '{l}')" for t, l in BM25_FILTERED
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+    FROM documents
+  ) WHERE t NOT IN ({stop_sql})
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, c,
+         CASE WHEN c < 16 THEN c
+              ELSE (c >> GREATEST(CAST(floor(log2(c)) AS INTEGER) - 3, 0))
+                   << GREATEST(CAST(floor(log2(c)) AS INTEGER) - 3, 0)
+         END AS qdl
+  FROM dl
+),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM dl) AS sum_dl
+),
+qt(query, term, flang) AS (VALUES {qt_values}),
+df AS (SELECT t AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY t),
+tf AS (SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, t),
+scored AS (
+  SELECT qt.query, tf.doc_id,
+         (ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf)
+         / (tf.tf + 1.2 * (0.25 + (0.75 * dlq.qdl) / (sum_dl * 1.0 / n_docs))) AS s
+  FROM qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  JOIN documents d ON d.doc_id = tf.doc_id AND d.lang = qt.flang
+  CROSS JOIN stats
+)
+SELECT query,
+       CAST(row_number() OVER (PARTITION BY query ORDER BY CAST(s AS FLOAT) DESC, doc_id) AS BIGINT) AS rank,
+       doc_id,
+       CAST(s AS FLOAT) AS score
+FROM scored
+QUALIFY rank <= {TOP_K}
+ORDER BY query, rank
+"""
+
+
+BM25_FILTERED_SQL = _bm25_filtered_sql()
+
+# --------------------------------------------------------------------------
 # Phrase + boolean search entries (rows-only: positions/boolean semantics
 # are oracled against the brute-force implementation in pytest instead).
 
@@ -193,6 +282,7 @@ def index_stats(sf_dir: str):
 
 PIPELINES: dict[str, Pipeline] = {
     "bm25_topk": Pipeline(bm25_topk, BM25_SQL, "full index build + top-k BM25, vs independent SQL BM25 oracle"),
+    "bm25_filtered": Pipeline(bm25_filtered, BM25_FILTERED_SQL, "BM25 + keyword-field FILTER clause vs SQL WHERE"),
     "phrase_search": Pipeline(phrase_search, None, "phrase + boolean search (positions); oracled vs brute force in pytest"),
     "index_stats": Pipeline(index_stats, None, "index manifest/lineage introspection"),
 }

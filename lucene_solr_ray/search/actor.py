@@ -143,18 +143,19 @@ class IndexShard:
             return self._score_term(node.terms[0], idfs)
         if node.kind == "phrase":
             return self._score_phrase(node.terms, idfs)
-        musts, shoulds, nots = [], [], []
+        musts, shoulds, nots, filters = [], [], [], []
         for occ, child in node.clauses:
             r = self._eval(child, idfs)
-            (musts if occ == "MUST" else shoulds if occ == "SHOULD" else nots).append(r)
-        if not musts and not shoulds:
+            bucket = {"MUST": musts, "SHOULD": shoulds, "MUST_NOT": nots, "FILTER": filters}[occ]
+            bucket.append(r)
+        if not musts and not shoulds and not filters:
             return _EMPTY_I64, _EMPTY_F64
         if musts:
+            # base = ∩ MUSTs (scored); SHOULDs are optional score adders
             docs, scores = musts[0]
             for d2, s2 in musts[1:]:
                 docs, i1, i2 = np.intersect1d(docs, d2, assume_unique=True, return_indices=True)
                 scores = scores[i1] + s2[i2]
-            # SHOULD clauses add scores where present (optional clauses)
             for d2, s2 in shoulds:
                 if d2.size == 0 or docs.size == 0:
                     continue
@@ -163,12 +164,22 @@ class IndexShard:
                 add = np.zeros(docs.size, dtype=np.float64)
                 add[hit] = s2[idx_c[hit]]
                 scores = scores + add
-        else:
+        elif shoulds:
+            # no MUST: at least one SHOULD must match (BooleanWeight rule)
             all_docs = np.concatenate([d for d, _ in shoulds])
             all_scores = np.concatenate([s for _, s in shoulds])
             docs, inv = np.unique(all_docs, return_inverse=True)
             scores = np.zeros(docs.size, dtype=np.float64)
             np.add.at(scores, inv, all_scores)
+        else:
+            # pure FILTER query: constant score 0
+            docs = filters[0][0]
+            scores = np.zeros(docs.size, dtype=np.float64)
+            filters = filters[1:]
+        # FILTER = MUST without scoring (BooleanClause.Occur.FILTER)
+        for d2, _ in filters:
+            docs, i1, _ = np.intersect1d(docs, d2, assume_unique=True, return_indices=True)
+            scores = scores[i1]
         for d2, _ in nots:
             if d2.size and docs.size:
                 keep = ~np.isin(docs, d2, assume_unique=True)

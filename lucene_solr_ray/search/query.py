@@ -1,19 +1,25 @@
-"""Query model + minimal parser.
+"""Query model + parser.
 
-A tiny query-AST in the spirit of the reference's query algebra
-(lucene/core/src/java/org/apache/lucene/search/Query.java,
-BooleanQuery.java :: MUST/SHOULD/MUST_NOT clauses,
-PhraseQuery.java) with Solr's `lucene` QParser default-OR behavior
-(solr/core/src/java/org/apache/solr/search/LuceneQParserPlugin.java):
+A query-AST in the spirit of the reference's query algebra
+(lucene/core/src/java/org/apache/lucene/search/Query.java) with Solr's
+`lucene` QParser default-OR behavior:
 
-  term            → SHOULD TermQuery
-  "a b c"         → SHOULD PhraseQuery
-  +term / +"..."  → MUST
-  -term / -"..."  → MUST_NOT
+  term             → SHOULD TermQuery
+  "a b c"          → SHOULD PhraseQuery (PhraseQuery.java)
+  +x / -x / #x     → MUST / MUST_NOT / FILTER clause
+                     (BooleanClause.Occur incl. the unscored FILTER)
+  field:value      → keyword term in the unified term space (StringField
+                     pattern; role/tool fields) — value is lowercased, not
+                     analyzed
+  pre* / wi?d      → prefix / wildcard multi-term query (PrefixQuery.java,
+                     WildcardQuery.java) — expanded against the sorted term
+                     dictionary by `rewrite` (SCORING_BOOLEAN_REWRITE,
+                     MultiTermQuery.java), capped at MAX_EXPANSIONS clauses
+  term~ / term~1   → fuzzy query, Levenshtein ≤ n (default 2, FuzzyQuery.java)
 
-Query text is run through the SAME analysis chain as documents; terms that
-analyze away (stopwords) drop their clause, mirroring query-time analysis.
-A query with no surviving positive clause matches nothing.
+Analyzed query text runs through the SAME chain as documents; terms that
+analyze away (stopwords) drop their clause.  A query with no surviving
+positive clause matches nothing.
 """
 
 from __future__ import annotations
@@ -23,14 +29,22 @@ from dataclasses import dataclass, field
 
 from ..analysis import tokenize
 
-_CLAUSE_RE = re.compile(r'([+-]?)(?:"([^"]*)"|(\S+))')
+_CLAUSE_RE = re.compile(r'([+\-#]?)(?:"([^"]*)"|(\S+))')
+_KEYWORD_RE = re.compile(r"^(\w+):(.+)$")
+_FUZZY_RE = re.compile(r"^(.+?)~(\d?)$")
+
+MAX_EXPANSIONS = 1024  # BooleanQuery.maxClauseCount spirit
+
+_OCCUR = {"+": "MUST", "-": "MUST_NOT", "#": "FILTER", "": "SHOULD"}
 
 
 @dataclass
 class QueryNode:
-    kind: str  # "term" | "phrase" | "bool"
+    kind: str  # "term" | "phrase" | "bool" | "prefix" | "wildcard" | "fuzzy"
     terms: list[str] = field(default_factory=list)
     clauses: list[tuple[str, "QueryNode"]] = field(default_factory=list)  # (occur, child)
+    pattern: str = ""
+    max_edits: int = 2
 
     def all_terms(self) -> list[str]:
         if self.kind in ("term", "phrase"):
@@ -41,28 +55,111 @@ class QueryNode:
         return out
 
 
+def _leaf(raw: str, is_phrase: bool) -> QueryNode | None:
+    if not is_phrase:
+        m = _KEYWORD_RE.match(raw)
+        if m and "*" not in raw and "?" not in raw and not raw.endswith("~"):
+            return QueryNode("term", terms=[raw.lower()])
+        m = _FUZZY_RE.match(raw)
+        if m:
+            toks = [t for t, _ in tokenize(m.group(1))]
+            if len(toks) == 1:
+                edits = int(m.group(2)) if m.group(2) else 2
+                return QueryNode("fuzzy", pattern=toks[0], max_edits=min(edits, 2))
+        if "*" in raw or "?" in raw:
+            pat = raw.lower()
+            if re.fullmatch(r"[a-z0-9_]+\*", pat):
+                return QueryNode("prefix", pattern=pat[:-1])
+            return QueryNode("wildcard", pattern=pat)
+    toks = [t for t, _ in tokenize(raw)]
+    if not toks:
+        return None
+    if is_phrase and len(toks) > 1:
+        return QueryNode("phrase", terms=toks)
+    if len(toks) == 1:
+        return QueryNode("term", terms=[toks[0]])
+    return QueryNode("bool", clauses=[("SHOULD", QueryNode("term", terms=[t])) for t in toks])
+
+
 def parse_query(query: str) -> QueryNode | None:
     """Parse the query string; returns None if nothing survives analysis."""
     clauses: list[tuple[str, QueryNode]] = []
     for m in _CLAUSE_RE.finditer(query):
         sign, phrase, word = m.group(1), m.group(2), m.group(3)
-        occur = {"+": "MUST", "-": "MUST_NOT", "": "SHOULD"}[sign]
         raw = phrase if phrase is not None else word
-        toks = [t for t, _ in tokenize(raw)]
-        if not toks:
-            continue  # analyzed away (stopword / punctuation)
-        if phrase is not None and len(toks) > 1:
-            clauses.append((occur, QueryNode("phrase", terms=toks)))
-        elif len(toks) == 1:
-            clauses.append((occur, QueryNode("term", terms=[toks[0]])))
-        else:
-            # unquoted token that splits into several terms: nested OR
-            sub = QueryNode("bool", clauses=[("SHOULD", QueryNode("term", terms=[t])) for t in toks])
-            clauses.append((occur, sub))
+        node = _leaf(raw, phrase is not None)
+        if node is None:
+            continue
+        clauses.append((_OCCUR[sign], node))
     if not clauses:
         return None
     if not any(occ in ("MUST", "SHOULD") for occ, _ in clauses):
-        return None  # only negations: matches nothing
+        # FILTER/MUST_NOT only: no scoring clause → matches nothing in the
+        # `lucene` parser sense (we require at least one positive clause)
+        if not any(occ == "FILTER" for occ, _ in clauses):
+            return None
+        # pure-filter query: legal (ConstantScoreQuery-ish, score 0)
     if len(clauses) == 1 and clauses[0][0] == "SHOULD":
         return clauses[0][1]
     return QueryNode("bool", clauses=clauses)
+
+
+def _wildcard_to_re(pattern: str) -> re.Pattern:
+    return re.compile("".join(".*" if c == "*" else "." if c == "?" else re.escape(c) for c in pattern) + "$")
+
+
+def _levenshtein_leq(a: str, b: str, k: int) -> bool:
+    """Banded edit distance ≤ k (the LevenshteinAutomata contract without
+    the automaton machinery)."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        best = cur[0]
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            best = min(best, cur[j])
+        if best > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
+def expand_multi_term(node: QueryNode, sorted_terms) -> list[str]:
+    """Expand a prefix/wildcard/fuzzy node against a SORTED term dictionary
+    (numpy object array or list).  Prefix uses binary search; wildcard and
+    fuzzy scan (automaton intersection is the upgrade path; leading
+    wildcards always scan, as in the reference)."""
+    import numpy as np
+
+    terms = sorted_terms
+    if node.kind == "prefix":
+        lo = int(np.searchsorted(terms, node.pattern))
+        hi = int(np.searchsorted(terms, node.pattern + "￿"))
+        out = [str(t) for t in terms[lo:hi]]
+    elif node.kind == "wildcard":
+        rx = _wildcard_to_re(node.pattern)
+        out = [str(t) for t in terms if rx.match(str(t))]
+    elif node.kind == "fuzzy":
+        out = [str(t) for t in terms if _levenshtein_leq(node.pattern, str(t), node.max_edits)]
+    else:
+        raise ValueError(node.kind)
+    return out[:MAX_EXPANSIONS]
+
+
+def rewrite(node: QueryNode, sorted_terms) -> QueryNode | None:
+    """Rewrite multi-term queries to scoring boolean ORs
+    (MultiTermQuery.SCORING_BOOLEAN_REWRITE).  Returns None if the node
+    expands to nothing and nothing else scores."""
+    if node.kind in ("prefix", "wildcard", "fuzzy"):
+        expanded = expand_multi_term(node, sorted_terms)
+        if not expanded:
+            return QueryNode("bool", clauses=[])  # matches nothing
+        if len(expanded) == 1:
+            return QueryNode("term", terms=[expanded[0]])
+        return QueryNode("bool", clauses=[("SHOULD", QueryNode("term", terms=[t])) for t in expanded])
+    if node.kind == "bool":
+        new = [(occ, rewrite(c, sorted_terms)) for occ, c in node.clauses]
+        return QueryNode("bool", clauses=[(o, c) for o, c in new if c is not None])
+    return node

@@ -29,7 +29,7 @@ import pyarrow.parquet as pq
 
 from .actor import IndexShard
 from .bm25 import BM25Stats
-from .query import parse_query
+from .query import parse_query, rewrite
 
 
 class Searcher:
@@ -60,6 +60,11 @@ class Searcher:
     def search(self, query: str, k: int = 10, prune: bool = True) -> list[tuple[int, float]]:
         """→ [(doc_id, float32 score)], rank order (score desc, docID asc)."""
         node = parse_query(query)
+        if node is None:
+            return []
+        # multi-term (prefix/wildcard/fuzzy) expansion against the sorted
+        # global term dictionary (Query.rewrite step, SURVEY.md §3.2)
+        node = rewrite(node, self.stats.terms)
         if node is None:
             return []
         idfs = self.stats.idfs(node.all_terms())

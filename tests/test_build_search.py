@@ -31,7 +31,10 @@ N_CONV, N_FILES, FILES_PER_SHARD = 200, 6, 3
 @pytest.fixture(scope="session")
 def corpus(ray_session):
     paths = write_transcripts(CORPUS_DIR, N_CONV, N_FILES)
-    tables = [pq.read_table(p, columns=["conv_id", "turn_idx", "text"]) for p in sorted(paths)]
+    tables = [
+        pq.read_table(p, columns=["conv_id", "turn_idx", "text", "role", "tool"])
+        for p in sorted(paths)
+    ]
     full = pa.concat_tables(tables)
     full = full.take(
         pc.sort_indices(full, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])
@@ -49,7 +52,13 @@ def index(ray_session, corpus):
 @pytest.fixture(scope="session")
 def oracle(corpus):
     _, full = corpus
-    return BruteForceIndex(full.column("text").to_pylist())
+    return BruteForceIndex(
+        full.column("text").to_pylist(),
+        fields={
+            "role": full.column("role").to_pylist(),
+            "tool": full.column("tool").to_pylist(),
+        },
+    )
 
 
 @pytest.fixture(scope="session")
@@ -118,6 +127,27 @@ def test_duel_rank_and_score_identical(searcher, oracle):
 def test_pruned_equals_exhaustive(searcher):
     for query in ["assistant error ok", "w00001 w00002 w00003 bash", "ok error"]:
         assert searcher.search(query, 10, prune=True) == searcher.search(query, 10, prune=False)
+
+
+FILTER_AND_MULTI_QUERIES = [
+    "error #role:assistant",          # scored term + keyword FILTER
+    "#role:tool",                     # pure filter (score 0, docID order)
+    "+bash #tool:bash",               # MUST + FILTER
+    "w0000* error",                   # prefix expansion + term
+    "w001?3",                         # wildcard
+    "assistnt~",                      # fuzzy (edit distance ≤ 2)
+    "bash~1",                         # fuzzy matching itself + neighbors
+    "#role:assistant #tool:bash",     # two filters (empty: roles disjoint)
+    "zzz* -error",                    # empty expansion
+]
+
+
+def test_duel_filters_and_multiterm(searcher, oracle):
+    """Keyword-field FILTER clauses + prefix/wildcard/fuzzy expansion duel."""
+    for q in FILTER_AND_MULTI_QUERIES:
+        got = searcher.search(q, 10)
+        exp = [(d, float(s)) for d, s in oracle.search(q, 10)]
+        assert got == exp, f"query={q!r}\n got {got[:5]}\n exp {exp[:5]}"
 
 
 def test_fetch_two_phase(searcher, corpus):
