@@ -1,0 +1,267 @@
+"""Composable analysis components beyond the standard chain (SURVEY.md §2.2).
+
+Each filter is a pure function `list[Token] -> list[Token]` over
+`(term, position)` tuples, composable after `tokenize` — the TokenFilter
+registry pattern (lucene/core/src/java/org/apache/lucene/analysis/
+TokenizerFactory.java SPI; factories registered by name).
+
+Implemented (reference anchors in lucene/analysis/common/src/java/org/
+apache/lucene/analysis/ unless noted):
+- ngram / edge-ngram     ngram/NGramTokenFilter.java, EdgeNGramTokenFilter.java
+- shingle (word n-grams) shingle/ShingleFilter.java (fill char '_')
+- length filter          miscellaneous/LengthFilter.java
+- trim / lowercase       miscellaneous/TrimFilter.java, core/LowerCaseFilter.java
+- ascii folding (latin-1 subset)  miscellaneous/ASCIIFoldingFilter.java
+- porter stemmer         en/PorterStemFilter.java (Porter 1980 algorithm,
+                         reimplemented from the published description)
+- stopword filter w/ gaps  core/StopFilter.java
+- keyword marker         miscellaneous/KeywordMarkerFilter.java protects
+                         terms from stemming
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from collections.abc import Callable
+
+Token = tuple[str, int]
+TokenFilter = Callable[[list[Token]], list[Token]]
+
+
+# -- generation filters (1 → N tokens) -------------------------------------
+
+
+def ngram_filter(min_gram: int = 2, max_gram: int = 3) -> TokenFilter:
+    def f(tokens: list[Token]) -> list[Token]:
+        out = []
+        for term, pos in tokens:
+            for n in range(min_gram, max_gram + 1):
+                for i in range(0, len(term) - n + 1):
+                    out.append((term[i : i + n], pos))
+        return out
+
+    return f
+
+
+def edge_ngram_filter(min_gram: int = 1, max_gram: int = 5) -> TokenFilter:
+    def f(tokens: list[Token]) -> list[Token]:
+        out = []
+        for term, pos in tokens:
+            for n in range(min_gram, min(max_gram, len(term)) + 1):
+                out.append((term[:n], pos))
+        return out
+
+    return f
+
+
+def shingle_filter(size: int = 2, sep: str = " ", fill: str = "_") -> TokenFilter:
+    """Word n-grams over positions; position gaps (removed stopwords) are
+    filled with `fill`, mirroring ShingleFilter's filler tokens."""
+
+    def f(tokens: list[Token]) -> list[Token]:
+        if not tokens:
+            return []
+        max_pos = tokens[-1][1]
+        by_pos = {p: t for t, p in tokens}
+        first = tokens[0][1]
+        seq = [by_pos.get(p, fill) for p in range(first, max_pos + 1)]
+        out = []
+        for i in range(0, len(seq) - size + 1):
+            gram = seq[i : i + size]
+            if gram[0] == fill or gram[-1] == fill:
+                continue  # shingles never start/end with a filler
+            out.append((sep.join(gram), first + i))
+        return out
+
+    return f
+
+
+# -- per-token filters ------------------------------------------------------
+
+
+def length_filter(min_len: int = 1, max_len: int = 255) -> TokenFilter:
+    def f(tokens: list[Token]) -> list[Token]:
+        return [(t, p) for t, p in tokens if min_len <= len(t) <= max_len]
+
+    return f
+
+
+def trim_filter() -> TokenFilter:
+    return lambda tokens: [(t.strip(), p) for t, p in tokens if t.strip()]
+
+
+def lowercase_filter() -> TokenFilter:
+    return lambda tokens: [(t.lower(), p) for t, p in tokens]
+
+
+def ascii_folding_filter() -> TokenFilter:
+    """Strip combining marks after NFKD — covers the Latin accent range of
+    ASCIIFoldingFilter (the full table is ~2000 mappings; this is the
+    standard-normalization subset)."""
+
+    def fold(t: str) -> str:
+        return "".join(c for c in unicodedata.normalize("NFKD", t) if not unicodedata.combining(c))
+
+    return lambda tokens: [(fold(t), p) for t, p in tokens]
+
+
+def stop_filter(stopwords: frozenset[str]) -> TokenFilter:
+    """Removes stopwords, keeping position gaps (FilteringTokenFilter)."""
+    return lambda tokens: [(t, p) for t, p in tokens if t not in stopwords]
+
+
+def keyword_marker(protected: frozenset[str], inner: TokenFilter) -> TokenFilter:
+    def f(tokens: list[Token]) -> list[Token]:
+        out = []
+        for tok in tokens:
+            if tok[0] in protected:
+                out.append(tok)
+            else:
+                out.extend(inner([tok]))
+        return out
+
+    return f
+
+
+# -- Porter stemmer ---------------------------------------------------------
+
+_VOWELS = set("aeiou")
+
+
+def _is_cons(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Porter's m: number of VC sequences."""
+    m = 0
+    prev_v = False
+    for i in range(len(stem)):
+        v = not _is_cons(stem, i)
+        if prev_v and not v:
+            m += 1
+        prev_v = v
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1)
+
+
+def _cvc(w: str) -> bool:
+    return (
+        len(w) >= 3
+        and _is_cons(w, len(w) - 3)
+        and not _is_cons(w, len(w) - 2)
+        and _is_cons(w, len(w) - 1)
+        and w[-1] not in "wxy"
+    )
+
+
+def porter_stem(w: str) -> str:
+    """Porter 1980, steps 1–5 (An algorithm for suffix stripping)."""
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    else:
+        flag = False
+        if w.endswith("ed") and _has_vowel(w[:-2]):
+            w, flag = w[:-2], True
+        elif w.endswith("ing") and _has_vowel(w[:-3]):
+            w, flag = w[:-3], True
+        if flag:
+            if w.endswith(("at", "bl", "iz")):
+                w += "e"
+            elif _ends_double_cons(w) and w[-1] not in "lsz":
+                w = w[:-1]
+            elif _measure(w) == 1 and _cvc(w):
+                w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in [("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+                     ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+                     ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+                     ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+                     ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble")]:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in [("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+                     ("ical", "ic"), ("ful", ""), ("ness", "")]:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4
+    for suf in ["al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement", "ment",
+                "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize"]:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 1:
+                w = stem
+            break
+    else:
+        if w.endswith("ion") and len(w) > 3 and w[-4] in "st" and _measure(w[:-3]) > 1:
+            w = w[:-3]
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+def porter_stem_filter() -> TokenFilter:
+    return lambda tokens: [(porter_stem(t), p) for t, p in tokens]
+
+
+def chain(*filters: TokenFilter) -> TokenFilter:
+    """Compose filters left-to-right (the TokenStream decorator chain)."""
+
+    def f(tokens: list[Token]) -> list[Token]:
+        for flt in filters:
+            tokens = flt(tokens)
+        return tokens
+
+    return f
+
+
+REGISTRY: dict[str, Callable[..., TokenFilter]] = {
+    "ngram": ngram_filter,
+    "edge_ngram": edge_ngram_filter,
+    "shingle": shingle_filter,
+    "length": length_filter,
+    "trim": trim_filter,
+    "lowercase": lowercase_filter,
+    "ascii_folding": ascii_folding_filter,
+    "porter_stem": porter_stem_filter,
+}

@@ -75,6 +75,9 @@ def _prepare_corpus(sf_dir: str) -> list[str]:
     return sorted(str(p) for p in out.glob("part-*.parquet"))
 
 
+import contextlib
+
+
 def _ensure_index(sf_dir: str):
     from ..index.build import build_index
     from ..search import Searcher
@@ -85,11 +88,26 @@ def _ensure_index(sf_dir: str):
     return Searcher(str(idx))
 
 
+@contextlib.contextmanager
+def _searcher(sf_dir: str):
+    """Open → use → RELEASE the actor pool: a leaked pool pins CPU slots
+    and starves any Ray Data job that runs afterwards on a small cluster."""
+    s = _ensure_index(sf_dir)
+    try:
+        yield s
+    finally:
+        s.close()
+
+
 def bm25_topk(sf_dir: str):
-    searcher = _ensure_index(sf_dir)
+    with _searcher(sf_dir) as searcher:
+        return _run_bm25(searcher, [(q, None) for q in BM25_QUERIES])
+
+
+def _run_bm25(searcher, query_specs):
     # docID → original doc_id via the docmap (conv_id encodes it)
     rows = []
-    for query in BM25_QUERIES:
+    for query, _ in query_specs:
         hits = searcher.search(query, TOP_K)
         if not hits:
             continue
@@ -173,29 +191,8 @@ BM25_FILTERED = [("merge", "en"), ("scan", "zh"), ("window", "es"), ("join", "en
 
 
 def bm25_filtered(sf_dir: str):
-    searcher = _ensure_index(sf_dir)
-    rows = []
-    for term, lang in BM25_FILTERED:
-        query = f"{term} #role:{lang}"
-        hits = searcher.search(query, TOP_K)
-        if not hits:
-            continue
-        fetched = searcher.fetch([d for d, _ in hits])
-        conv_by_doc = {r["doc_id"]: r["conv_id"] for r in fetched.to_pylist()}
-        for rank, (docid, score) in enumerate(hits, start=1):
-            rows.append(
-                {
-                    "query": query,
-                    "rank": np.int64(rank),
-                    "doc_id": np.int64(int(conv_by_doc[docid].split("-")[1])),
-                    "score": np.float32(score),
-                }
-            )
-    df = pd.DataFrame(rows, columns=["query", "rank", "doc_id", "score"])
-    df["rank"] = df["rank"].astype("int64")
-    df["doc_id"] = df["doc_id"].astype("int64")
-    df["score"] = df["score"].astype("float32")
-    return df.sort_values(["query", "rank"]).reset_index(drop=True)
+    with _searcher(sf_dir) as searcher:
+        return _run_bm25(searcher, [(f"{t} #role:{l}", None) for t, l in BM25_FILTERED])
 
 
 def _bm25_filtered_sql() -> str:
@@ -255,11 +252,11 @@ BM25_FILTERED_SQL = _bm25_filtered_sql()
 
 
 def phrase_search(sf_dir: str):
-    searcher = _ensure_index(sf_dir)
     rows = []
-    for query in ['"slow scan"', '"fast merge"', "+spark -join", "+window +sort"]:
-        for rank, (docid, score) in enumerate(searcher.search(query, TOP_K), start=1):
-            rows.append({"query": query, "rank": np.int64(rank), "docid": np.int64(docid), "score": float(score)})
+    with _searcher(sf_dir) as searcher:
+        for query in ['"slow scan"', '"fast merge"', "+spark -join", "+window +sort"]:
+            for rank, (docid, score) in enumerate(searcher.search(query, TOP_K), start=1):
+                rows.append({"query": query, "rank": np.int64(rank), "docid": np.int64(docid), "score": float(score)})
     return pd.DataFrame(rows, columns=["query", "rank", "docid", "score"])
 
 
@@ -267,8 +264,8 @@ def index_stats(sf_dir: str):
     """Index-build introspection: manifest stats + per-shard counts."""
     import json
 
-    searcher = _ensure_index(sf_dir)
-    m = searcher.manifest
+    with _searcher(sf_dir) as searcher:
+        m = searcher.manifest
     rows = [
         {
             "shard": np.int64(int(sid)),

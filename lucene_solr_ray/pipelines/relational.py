@@ -548,8 +548,49 @@ FROM lineitem
 """
 
 
+# --------------------------------------------------------------------------
+# §2.9 FunctionScoreQuery: rank by a ValueSource expression evaluated with
+# the functions/ library per batch — freshness-decayed price score.
+
+FUNC_EXPR = "mul(recip(days, 1, 1000, 1000), sqrt(price))"
+
+
+def function_query(sf_dir: str):
+    from ..functions import evaluate, parse_expr
+
+    ast = parse_expr(FUNC_EXPR)
+    epoch0 = np.datetime64("1990-01-01", "us").astype("int64")
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        days = (ts_us(batch["o_orderdate"]) - epoch0) // 86_400_000_000
+        s = evaluate(ast, {"days": days.astype(np.float64), "price": batch["o_totalprice"].to_numpy()})
+        out = pd.DataFrame({"o_orderkey": batch["o_orderkey"], "score": s})
+        return out.sort_values(["score", "o_orderkey"], ascending=[False, True]).head(10)
+
+    parts = (
+        read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+        .map_batches(score, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        parts.sort_values(["score", "o_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+FUNCTION_QUERY_SQL = """
+SELECT o_orderkey,
+       (1000 / (1 * CAST(datediff('day', DATE '1990-01-01', o_orderdate) AS DOUBLE) + 1000))
+       * sqrt(o_totalprice) AS score
+FROM orders
+ORDER BY score DESC, o_orderkey LIMIT 10
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "facet_field": Pipeline(facet_field, FACET_FIELD_SQL, "field facet counts (SimpleFacets)"),
+    "function_query": Pipeline(function_query, FUNCTION_QUERY_SQL, "ValueSource expression scoring (FunctionScoreQuery)"),
     "time_series_rollup": Pipeline(time_series_rollup, TIME_SERIES_SQL, "calendar-window rollup (TimeSeriesStream)"),
     "stats_numeric": Pipeline(stats_numeric, STATS_SQL, "global field stats (StatsComponent)"),
     "rollup_pricing": Pipeline(rollup_pricing, ROLLUP_SQL, "multi-metric grouped rollup (RollupStream / TPC-H Q1 shape)"),

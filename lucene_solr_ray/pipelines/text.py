@@ -269,8 +269,46 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# §2.2 ShingleFilter: word bigrams (contiguous positions under the simple
+# tokenizer) → global top-15 by document frequency.
+
+
+def shingle_bigrams(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from ..analysis.extras import shingle_filter
+
+    sh = shingle_filter(2)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        grams = toks.map(lambda ws: sorted({t for t, _ in sh(list(zip(ws, range(len(ws)))))}))
+        flat = pd.DataFrame(
+            {"bigram": np.concatenate(grams.to_numpy()) if len(grams) else np.array([], dtype=object)}
+        )
+        return flat.groupby("bigram", as_index=False).size().rename(columns={"size": "df"})
+
+    parts = read(sf_dir, "documents", ["text"]).map_batches(explode, batch_format="pandas")
+    out = parts.groupby("bigram").aggregate(Sum("df", alias_name="df")).to_pandas()
+    out["df"] = out["df"].astype("int64")
+    return out.sort_values(["df", "bigram"], ascending=[False, True]).head(15).reset_index(drop=True)
+
+
+SHINGLE_SQL = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM t, unnest(range(1, len(toks))) AS r(i)
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS df
+FROM grams GROUP BY bigram ORDER BY df DESC, bigram LIMIT 15
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "token_count": Pipeline(token_count, TOKEN_COUNT_SQL, "per-doc token counting (FieldLength URP)"),
+    "shingle_bigrams": Pipeline(shingle_bigrams, SHINGLE_SQL, "word-bigram shingles + df (ShingleFilter)"),
     "quality_signals": Pipeline(quality_signals, QUALITY_SQL, "quality scoring signals for training-data filtering"),
     "lang_id": Pipeline(lang_id, LANG_ID_SQL, "stopword-heuristic language id (langid URP), actor pool"),
     "fingerprint": Pipeline(fingerprint, FINGERPRINT_SQL, "document fingerprint (FingerprintFilter)"),

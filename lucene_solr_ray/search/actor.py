@@ -39,21 +39,36 @@ _EMPTY_F64 = np.empty(0, dtype=np.float64)
 
 
 class IndexShard:
-    def __init__(self, shard_dir: str, norm_cache: np.ndarray | None = None):
-        files = sorted(__import__("glob").glob(f"{shard_dir}/*.parquet"))
-        tables = [pq.read_table(f) for f in files]
+    def __init__(self, shard_dirs: str | list[str], norm_cache: np.ndarray | None = None):
+        """`shard_dirs` may be one dir or several — an actor owns one or
+        more term-shards (the pool is sized to the cluster, so on small
+        clusters each actor serves multiple shards)."""
+        if isinstance(shard_dirs, str):
+            shard_dirs = [shard_dirs]
+        import glob
+
         import pyarrow as pa
 
+        tables = []
+        row_shard: list[int] = []  # shard ordinal per row, for run ordering
+        for si, d in enumerate(sorted(shard_dirs)):
+            for f in sorted(glob.glob(f"{d}/*.parquet")):
+                t = pq.read_table(f)
+                tables.append(t)
+                row_shard.extend([si] * t.num_rows)
         self.table = pa.concat_tables(tables) if tables else None
         self.norm_cache = norm_cache
         self._rows: dict[str, list[int]] = {}
         if self.table is not None:
             terms = self.table.column("term").to_pylist()
             salts = self.table.column("salt").to_pylist()
-            order: dict[str, list[tuple[int, int]]] = {}
+            order: dict[str, list[tuple[int, int, int]]] = {}
+            # salted runs concatenate in (shard, salt) order → global docID
+            # order (shards are contiguous doc ranges; salts are contiguous
+            # pid runs within a shard)
             for i, (t, s) in enumerate(zip(terms, salts)):
-                order.setdefault(t, []).append((s, i))
-            self._rows = {t: [i for _, i in sorted(v)] for t, v in order.items()}
+                order.setdefault(t, []).append((row_shard[i], s, i))
+            self._rows = {t: [i for _, _, i in sorted(v)] for t, v in order.items()}
             self._col = {name: self.table.column(name) for name in self.table.schema.names}
         self._cache: dict[str, tuple] = {}
 

@@ -49,13 +49,32 @@ class Searcher:
         if use_ray:
             import ray
 
+            # pool sized to the cluster: never request more 1-CPU actors
+            # than the cluster can schedule; each actor then owns a
+            # contiguous slice of shards (doc ranges stay ordered)
+            if num_actors is None:
+                cpus = int(ray.cluster_resources().get("CPU", 1))
+                num_actors = max(1, min(len(self.shard_dirs), cpus))
+            assign: list[list[str]] = [[] for _ in range(num_actors)]
+            for i, d in enumerate(self.shard_dirs):
+                assign[i * num_actors // len(self.shard_dirs)].append(d)
+            assign = [a for a in assign if a]
             actor_cls = ray.remote(num_cpus=1)(IndexShard)
-            self.actors = [
-                actor_cls.remote(d, self.stats.norm_cache) for d in self.shard_dirs
-            ]
+            self.actors = [actor_cls.remote(dirs, self.stats.norm_cache) for dirs in assign]
             ray.get([a.ping.remote() for a in self.actors])  # warm load
         else:
-            self.actors = [IndexShard(d, self.stats.norm_cache) for d in self.shard_dirs]
+            self.actors = [IndexShard(self.shard_dirs, self.stats.norm_cache)]
+
+    def close(self) -> None:
+        """Release the actor pool (each actor holds a CPU slot while the
+        searcher is open — close before running other Ray work on a small
+        cluster)."""
+        if self.use_ray and self.actors:
+            import ray
+
+            for a in self.actors:
+                ray.kill(a)
+            self.actors = []
 
     def search(self, query: str, k: int = 10, prune: bool = True) -> list[tuple[int, float]]:
         """→ [(doc_id, float32 score)], rank order (score desc, docID asc)."""

@@ -61,9 +61,11 @@ def oracle(corpus):
     )
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture(scope="module")
 def searcher(ray_session, index):
-    return Searcher(INDEX_DIR)
+    s = Searcher(INDEX_DIR)
+    yield s
+    s.close()  # release actor CPU slots for later Ray Data tests
 
 
 def test_manifest_committed(index):

@@ -1,0 +1,80 @@
+"""URP chain, loaders, and LRU cache tests."""
+
+import json
+
+import pandas as pd
+import pytest
+
+from lucene_solr_ray.sources.loaders import URP_REGISTRY, build_chain, read_csv_docs, read_json_docs
+from lucene_solr_ray.state import LRUCache
+
+
+def test_urp_chain_composition():
+    chain = build_chain(
+        [
+            ("trim", {"field": "title"}),
+            ("remove_blank", {"field": "title"}),
+            ("default_value", {"field": "title", "value": "untitled"}),
+            ("field_length", {"field": "title", "out": "title_len"}),
+            ("parse_int", {"field": "n"}),
+            ("signature", {"fields": ["title"], "out": "sig"}),
+        ]
+    )
+    b = pd.DataFrame({"title": ["  Hello ", "", " x"], "n": ["3", "bad", "7"]})
+    out = chain(b)
+    assert out["title"].tolist() == ["Hello", "untitled", "x"]
+    assert out["title_len"].tolist() == [5, 8, 1]
+    assert out["n"].tolist()[0] == 3 and pd.isna(out["n"].tolist()[1])
+    assert out["sig"].nunique() == 3
+
+
+def test_multivalue_reducers_and_split():
+    b = pd.DataFrame({"tags": ["a,b,a", "c", None]})
+    b = URP_REGISTRY["split_multivalue"](field="tags", sep=",")(b)
+    assert b["tags"].tolist()[0] == ["a", "b", "a"]
+    u = URP_REGISTRY["uniq_values"](field="tags")(b.copy())
+    assert u["tags"].tolist()[0] == ["a", "b"]
+    c = URP_REGISTRY["count_values"](field="tags", out="n")(b.copy())
+    assert c["n"].tolist() == [3, 1, 0]
+    f = URP_REGISTRY["first_value"](field="tags")(b.copy())
+    assert f["tags"].tolist()[:2] == ["a", "c"]
+
+
+def test_html_strip_and_regex():
+    b = pd.DataFrame({"t": ["<b>bold</b> text", "a<br/>b"]})
+    out = URP_REGISTRY["html_strip"](field="t")(b)
+    assert out["t"].tolist() == [" bold  text", "a b"]
+    out = URP_REGISTRY["regex_replace"](field="t", pattern=r"\s+", replacement=" ")(out)
+    assert out["t"].tolist() == [" bold text", "a b"]
+
+
+def test_loaders_roundtrip(ray_session, tmp_path):
+    jpath = tmp_path / "docs.json"
+    with open(jpath, "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"id": i, "body": f" text{i} ", "tags": "a,b"}) + "\n")
+    ds = read_json_docs(
+        [str(jpath)],
+        field_map={"body": "text"},
+        urps=[("trim", {"field": "text"})],
+    )
+    df = ds.to_pandas().sort_values("id")  # block order is not deterministic
+    assert df["text"].tolist()[0] == "text0"
+
+    cpath = tmp_path / "docs.csv"
+    pd.DataFrame({"id": [1, 2], "tags": ["x,y", "z"]}).to_csv(cpath, index=False)
+    ds = read_csv_docs([str(cpath)], multivalue={"tags": ","})
+    df = ds.to_pandas().sort_values("id")
+    assert df["tags"].tolist()[0] == ["x", "y"]
+
+
+def test_lru_cache_eviction_and_stats():
+    c = LRUCache(max_items=2)
+    c.put("a", 1)
+    c.put("b", 2)
+    assert c.get("a") == 1  # refresh a
+    c.put("c", 3)  # evicts b
+    assert "b" not in c and "a" in c and "c" in c
+    assert c.get("b") is None
+    s = c.stats()
+    assert s["items"] == 2 and s["hits"] == 1 and s["misses"] == 1
