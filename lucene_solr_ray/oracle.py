@@ -100,17 +100,30 @@ class BruteForceIndex:
         return idf_sum * pf / (pf + self._norm_k(doc))
 
     def score_query(self, node: QueryNode, doc: int) -> tuple[bool, float]:
-        """Returns (matches, score) for a parsed boolean query."""
+        """Returns (matches, score·boost) for a parsed query node."""
+        m, s = self._score_unboosted(node, doc)
+        return (m, s * node.boost if m else 0.0)
+
+    def _score_unboosted(self, node: QueryNode, doc: int) -> tuple[bool, float]:
         if node.kind == "term":
             s = self.term_score(node.terms[0], doc)
             return (node.terms[0] in self.docs[doc], s)
         if node.kind == "phrase":
             pf = self.phrase_freq(node.terms, doc)
             return (pf > 0, self.phrase_score(node.terms, doc))
+        if node.kind == "term_set":
+            return (any(t in self.docs[doc] for t in node.terms), 1.0)
+        if node.kind == "dismax":
+            child = [self.score_query(c, doc) for _, c in node.clauses]
+            hits = [s for m, s in child if m]
+            if not hits:
+                return (False, 0.0)
+            mx = max(hits)
+            return (True, mx + node.tiebreak * (sum(hits) - mx))
         # boolean
         score = 0.0
         must_ok = True
-        should_any = False
+        n_should = 0
         has_should = False
         has_must = False
         has_filter = False
@@ -124,7 +137,7 @@ class BruteForceIndex:
             elif clause == "SHOULD":
                 has_should = True
                 if m:
-                    should_any = True
+                    n_should += 1
                     score += s
             elif clause == "FILTER":
                 has_filter = True
@@ -136,8 +149,10 @@ class BruteForceIndex:
         if not (has_must or has_should or has_filter):
             # only MUST_NOT clauses: matches nothing (BooleanQuery semantics)
             return (False, 0.0)
-        # no MUST → at least one SHOULD must match (if any SHOULD present)
-        matches = must_ok and (has_must or should_any or (has_filter and not has_should))
+        # no MUST → at least one SHOULD must match (if any SHOULD present);
+        # min_should_match raises the required SHOULD count in both cases
+        need = max(node.min_should_match, 0 if has_must else (1 if has_should else 0))
+        matches = must_ok and (n_should >= need)
         return (matches, score if matches else 0.0)
 
     def search(self, query: str, k: int) -> list[tuple[int, float]]:
@@ -145,10 +160,13 @@ class BruteForceIndex:
         node = parse_query(query)
         if node is None:
             return []
+        return self.search_node(node, k)
+
+    def search_node(self, node: QueryNode, k: int) -> list[tuple[int, float]]:
         if not hasattr(self, "_vocab"):
             self._vocab = np.array(sorted(self.df), dtype=object)
         node = rewrite(node, self._vocab)
-        if node is None or (node.kind == "bool" and not node.clauses):
+        if node is None or (node.kind in ("bool", "dismax") and not node.clauses):
             return []
         hits = []
         for doc in range(self.N):

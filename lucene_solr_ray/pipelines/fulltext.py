@@ -277,8 +277,88 @@ def index_stats(sf_dir: str):
     return pd.DataFrame(rows, columns=["shard", "n_terms", "n_postings"])
 
 
+# --------------------------------------------------------------------------
+# §2.7 re-rank (ReRankQParserPlugin / LTR second stage): first-pass BM25
+# top-40, re-scored by a brevity-decay function over a stored field, final
+# top-10.  Both stages deterministic; the SQL twin applies the identical
+# two-stage cut.
+
+RERANK_TERM = "merge"
+RERANK_WINDOW = 40
+
+
+def rerank_brevity(sf_dir: str):
+    with _searcher(sf_dir) as searcher:
+        hits = searcher.search(RERANK_TERM, RERANK_WINDOW)
+        fetched = searcher.fetch([d for d, _ in hits])
+        conv_by_doc = {r["doc_id"]: r["conv_id"] for r in fetched.to_pylist()}
+    nchars = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+        .to_pandas()
+        .set_index("doc_id")["n_chars"]
+    )
+    rows = []
+    for docid, score in hits:
+        real = int(conv_by_doc[docid].split("-")[1])
+        s32 = float(np.float32(score))
+        rer = s32 * (1000.0 / (float(nchars[real]) + 1000.0))
+        rows.append({"doc_id": np.int64(real), "rerank_score": np.float32(rer)})
+    df = pd.DataFrame(rows).sort_values(
+        ["rerank_score", "doc_id"], ascending=[False, True]
+    ).head(10).reset_index(drop=True)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df[["rank", "doc_id", "rerank_score"]]
+
+
+def _rerank_sql() -> str:
+    stop_sql = "'" + "','".join(sorted(ENGLISH_STOP_WORDS)) + "'"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+    FROM documents
+  ) WHERE t NOT IN ({stop_sql})
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, c,
+         CASE WHEN c < 16 THEN c
+              ELSE (c >> GREATEST(CAST(floor(log2(c)) AS INTEGER) - 3, 0))
+                   << GREATEST(CAST(floor(log2(c)) AS INTEGER) - 3, 0)
+         END AS qdl
+  FROM dl
+),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM dl) AS sum_dl
+),
+df AS (SELECT t AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks WHERE t = '{RERANK_TERM}' GROUP BY t),
+tf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM toks WHERE t = '{RERANK_TERM}' GROUP BY doc_id),
+firstpass AS (
+  SELECT tf.doc_id,
+         CAST((ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf)
+              / (tf.tf + 1.2 * (0.25 + (0.75 * dlq.qdl) / (sum_dl * 1.0 / n_docs))) AS FLOAT) AS s
+  FROM tf CROSS JOIN df JOIN dlq ON dlq.doc_id = tf.doc_id CROSS JOIN stats
+  ORDER BY s DESC, tf.doc_id LIMIT {RERANK_WINDOW}
+)
+SELECT CAST(row_number() OVER (ORDER BY rerank_score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, rerank_score
+FROM (
+  SELECT f.doc_id,
+         CAST(CAST(f.s AS DOUBLE) * (1000.0 / (CAST(d.n_chars AS DOUBLE) + 1000.0)) AS FLOAT) AS rerank_score
+  FROM firstpass f JOIN documents d USING (doc_id)
+)
+QUALIFY rank <= 10
+ORDER BY rank
+"""
+
+
+RERANK_SQL = _rerank_sql()
+
+
 PIPELINES: dict[str, Pipeline] = {
     "bm25_topk": Pipeline(bm25_topk, BM25_SQL, "full index build + top-k BM25, vs independent SQL BM25 oracle"),
+    "rerank_brevity": Pipeline(rerank_brevity, RERANK_SQL, "two-stage re-rank (ReRankQParser) vs SQL twin"),
     "bm25_filtered": Pipeline(bm25_filtered, BM25_FILTERED_SQL, "BM25 + keyword-field FILTER clause vs SQL WHERE"),
     "phrase_search": Pipeline(phrase_search, None, "phrase + boolean search (positions); oracled vs brute force in pytest"),
     "index_stats": Pipeline(index_stats, None, "index manifest/lineage introspection"),

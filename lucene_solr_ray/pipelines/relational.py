@@ -179,26 +179,31 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def join_facet(sf_dir: str):
+    """Broadcast the small dim once with ray.put; enrich + PARTIAL-aggregate
+    inside each batch so the groupby shuffles ~5 rows per batch, not 150k."""
+    import pyarrow.parquet as pq
     import ray
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    lookup_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())))
 
-    class Enrich:
-        def __init__(self, ref):
-            self.lookup = ray.get(ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch["c_mktsegment"] = batch["o_custkey"].map(self.lookup)
-            batch["price_cents"] = cents(batch["o_totalprice"].to_numpy())
-            return batch[["c_mktsegment", "price_cents"]]
+    def enrich_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        g = pd.DataFrame(
+            {
+                "c_mktsegment": batch["o_custkey"].map(lookup),
+                "revenue_cents": cents(batch["o_totalprice"].to_numpy()),
+                "n_orders": 1,
+            }
+        )
+        return g.groupby("c_mktsegment", as_index=False).sum()
 
     out = (
         read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(Enrich, fn_constructor_args=(lookup_ref,), batch_format="pandas", concurrency=2)
+        .map_batches(enrich_partial, batch_format="pandas")
         .groupby("c_mktsegment")
-        .aggregate(Sum("price_cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"), Sum("n_orders", alias_name="n_orders"))
         .to_pandas()
     )
     out["revenue_cents"] = out["revenue_cents"].astype("int64")
@@ -219,11 +224,12 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 
 def join_multi_region(sf_dir: str):
+    import pyarrow.parquet as pq
     import ray
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    nation = read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
-    region = read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
     nk_to_region = dict(
         zip(
             nation["n_nationkey"],
@@ -232,23 +238,22 @@ def join_multi_region(sf_dir: str):
     )
     ref = ray.put(nk_to_region)
 
-    class Enrich:
-        def __init__(self, r):
-            self.m = ray.get(r)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "r_name": batch["c_nationkey"].map(self.m),
-                    "acctbal_cents": cents(batch["c_acctbal"].to_numpy()),
-                }
-            )
+    def enrich_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        g = pd.DataFrame(
+            {
+                "r_name": batch["c_nationkey"].map(m),
+                "acctbal_cents": cents(batch["c_acctbal"].to_numpy()),
+                "n_customers": 1,
+            }
+        )
+        return g.groupby("r_name", as_index=False).sum()
 
     out = (
         read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
-        .map_batches(Enrich, fn_constructor_args=(ref,), batch_format="pandas", concurrency=2)
+        .map_batches(enrich_partial, batch_format="pandas")
         .groupby("r_name")
-        .aggregate(Count(alias_name="n_customers"), Sum("acctbal_cents", alias_name="acctbal_cents"))
+        .aggregate(Sum("n_customers", alias_name="n_customers"), Sum("acctbal_cents", alias_name="acctbal_cents"))
         .to_pandas()
     )
     out["n_customers"] = out["n_customers"].astype("int64")
@@ -271,33 +276,28 @@ GROUP BY r_name ORDER BY r_name
 
 
 def semi_join(sf_dir: str):
+    import pyarrow.parquet as pq
     import ray
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
-    keys = (
-        read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .to_pandas()
-        .query("c_mktsegment == 'BUILDING'")["c_custkey"]
-        .to_numpy()
-    )
-    ref = ray.put(np.sort(keys))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = np.sort(cust.query("c_mktsegment == 'BUILDING'")["c_custkey"].to_numpy())
+    ref = ray.put(keys)
 
-    class SemiFilter:
-        def __init__(self, r):
-            self.keys = ray.get(r)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ck = batch.column("o_custkey").to_numpy()
-            idx = np.searchsorted(self.keys, ck)
-            idx_c = np.clip(idx, 0, self.keys.size - 1)
-            mask = self.keys[idx_c] == ck
-            return batch.filter(pa.array(mask))
+    def semi_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(ref)
+        ck = batch["o_custkey"].to_numpy()
+        idx_c = np.clip(np.searchsorted(ks, ck), 0, max(ks.size - 1, 0))
+        mask = ks[idx_c] == ck if ks.size else np.zeros(ck.size, bool)
+        g = batch.loc[mask, ["o_orderpriority"]].copy()
+        g["n"] = 1
+        return g.groupby("o_orderpriority", as_index=False).sum()
 
     out = (
         read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-        .map_batches(SemiFilter, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2)
+        .map_batches(semi_partial, batch_format="pandas")
         .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
     out["n"] = out["n"].astype("int64")
@@ -316,8 +316,12 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 
 def anti_join(sf_dir: str):
-    order_keys = read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
-    keys = np.sort(np.asarray(order_keys, dtype=np.int64))
+    import pyarrow.parquet as pq
+
+    # key-set built driver-side (scale path: ds.unique / bloom filter when
+    # the excluded side no longer fits the driver)
+    order_keys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    keys = np.unique(order_keys.column("o_custkey").to_numpy())
 
     def anti(batch: pa.Table) -> pa.Table:
         ck = batch.column("c_custkey").to_numpy()

@@ -306,8 +306,44 @@ FROM grams GROUP BY bigram ORDER BY df DESC, bigram LIMIT 15
 """
 
 
+# --------------------------------------------------------------------------
+# §2.4 suggester: prefix completion ranked by collection term frequency
+# (AnalyzingSuggester semantics without the FST: top completions of a
+# prefix weighted by cf).
+
+SUGGEST_PREFIX = "s"
+
+
+def suggest_prefix(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        flat = pd.DataFrame(
+            {"token": np.concatenate(toks.to_numpy()) if len(toks) else np.array([], dtype=object)}
+        )
+        flat = flat[flat["token"].str.startswith(SUGGEST_PREFIX)]
+        return flat.groupby("token", as_index=False).size().rename(columns={"size": "cf"})
+
+    parts = read(sf_dir, "documents", ["text"]).map_batches(explode, batch_format="pandas")
+    out = parts.groupby("token").aggregate(Sum("cf", alias_name="cf")).to_pandas()
+    if "token" not in out.columns:
+        return pd.DataFrame({"token": pd.Series([], dtype=object), "cf": pd.Series([], dtype="int64")})
+    out["cf"] = out["cf"].astype("int64")
+    return out.sort_values(["cf", "token"], ascending=[False, True]).head(8).reset_index(drop=True)
+
+
+SUGGEST_SQL = f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cf
+FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token FROM documents)
+WHERE token LIKE '{SUGGEST_PREFIX}%'
+GROUP BY token ORDER BY cf DESC, token LIMIT 8
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "token_count": Pipeline(token_count, TOKEN_COUNT_SQL, "per-doc token counting (FieldLength URP)"),
+    "suggest_prefix": Pipeline(suggest_prefix, SUGGEST_SQL, "prefix completion by cf (AnalyzingSuggester semantics)"),
     "shingle_bigrams": Pipeline(shingle_bigrams, SHINGLE_SQL, "word-bigram shingles + df (ShingleFilter)"),
     "quality_signals": Pipeline(quality_signals, QUALITY_SQL, "quality scoring signals for training-data filtering"),
     "lang_id": Pipeline(lang_id, LANG_ID_SQL, "stopword-heuristic language id (langid URP), actor pool"),

@@ -70,7 +70,12 @@ class IndexShard:
                 order.setdefault(t, []).append((row_shard[i], s, i))
             self._rows = {t: [i for _, _, i in sorted(v)] for t, v in order.items()}
             self._col = {name: self.table.column(name) for name in self.table.schema.names}
-        self._cache: dict[str, tuple] = {}
+        # bounded decoded-postings cache (the filter/documentCache analog,
+        # solr FastLRUCache): unbounded decode caches leak in a long-lived
+        # serving actor
+        from ..state import LRUCache
+
+        self._cache = LRUCache(max_items=50_000)
 
     def ping(self) -> bool:
         return True
@@ -104,7 +109,7 @@ class IndexShard:
             out = (docs, freqs, norms, positions, starts)
         else:
             out = (docs, freqs, norms)
-        self._cache[term] = out
+        self._cache.put(term, out)
         return out
 
     def _block_meta(self, term: str):
@@ -153,11 +158,42 @@ class IndexShard:
         return match_docs, scores
 
     def _eval(self, node: QueryNode, idfs: dict[str, float]):
-        """→ (sorted matching docs, float64 scores)."""
+        """→ (sorted matching docs, float64 scores).  node.boost multiplies
+        the result (BoostQuery semantics)."""
+        docs, scores = self._eval_unboosted(node, idfs)
+        if node.boost != 1.0 and scores.size:
+            scores = scores * node.boost
+        return docs, scores
+
+    def _eval_unboosted(self, node: QueryNode, idfs: dict[str, float]):
         if node.kind == "term":
             return self._score_term(node.terms[0], idfs)
         if node.kind == "phrase":
             return self._score_phrase(node.terms, idfs)
+        if node.kind == "term_set":
+            # TermInSetQuery: constant-score union of member postings
+            parts = [p[0] for t in node.terms if (p := self._postings(t)) is not None]
+            if not parts:
+                return _EMPTY_I64, _EMPTY_F64
+            docs = np.unique(np.concatenate(parts))
+            return docs, np.ones(docs.size, dtype=np.float64)
+        if node.kind == "dismax":
+            # DisjunctionMaxQuery: max(child) + tiebreak·Σ(non-max children)
+            results = [self._eval(c, idfs) for _, c in node.clauses]
+            results = [r for r in results if r[0].size]
+            if not results:
+                return _EMPTY_I64, _EMPTY_F64
+            all_docs = np.concatenate([d for d, _ in results])
+            docs, inv_all = np.unique(all_docs, return_inverse=True)
+            mx = np.zeros(docs.size, dtype=np.float64)
+            sm = np.zeros(docs.size, dtype=np.float64)
+            off = 0
+            for d, s in results:
+                idx = inv_all[off : off + d.size]
+                np.maximum.at(mx, idx, s)
+                np.add.at(sm, idx, s)
+                off += d.size
+            return docs, mx + node.tiebreak * (sm - mx)
         musts, shoulds, nots, filters = [], [], [], []
         for occ, child in node.clauses:
             r = self._eval(child, idfs)
@@ -171,6 +207,7 @@ class IndexShard:
             for d2, s2 in musts[1:]:
                 docs, i1, i2 = np.intersect1d(docs, d2, assume_unique=True, return_indices=True)
                 scores = scores[i1] + s2[i2]
+            should_cnt = np.zeros(docs.size, dtype=np.int64)
             for d2, s2 in shoulds:
                 if d2.size == 0 or docs.size == 0:
                     continue
@@ -179,13 +216,22 @@ class IndexShard:
                 add = np.zeros(docs.size, dtype=np.float64)
                 add[hit] = s2[idx_c[hit]]
                 scores = scores + add
+                should_cnt += hit
+            if node.min_should_match > 0 and shoulds:
+                keep = should_cnt >= node.min_should_match
+                docs, scores = docs[keep], scores[keep]
         elif shoulds:
-            # no MUST: at least one SHOULD must match (BooleanWeight rule)
+            # no MUST: at least one SHOULD must match (BooleanWeight rule);
+            # min_should_match raises that threshold
             all_docs = np.concatenate([d for d, _ in shoulds])
             all_scores = np.concatenate([s for _, s in shoulds])
             docs, inv = np.unique(all_docs, return_inverse=True)
             scores = np.zeros(docs.size, dtype=np.float64)
             np.add.at(scores, inv, all_scores)
+            if node.min_should_match > 1:
+                counts = np.bincount(inv, minlength=docs.size)
+                keep = counts >= node.min_should_match
+                docs, scores = docs[keep], scores[keep]
         else:
             # pure FILTER query: constant score 0
             docs = filters[0][0]
@@ -207,7 +253,12 @@ class IndexShard:
         if (
             prune
             and node.kind == "bool"
-            and all(occ == "SHOULD" and c.kind == "term" for occ, c in node.clauses)
+            and node.boost == 1.0
+            and node.min_should_match <= 1
+            and all(
+                occ == "SHOULD" and c.kind == "term" and c.boost == 1.0
+                for occ, c in node.clauses
+            )
             and len(node.clauses) > 1
         ):
             docs, scores = self._eval_disjunction_pruned(

@@ -29,9 +29,10 @@ from dataclasses import dataclass, field
 
 from ..analysis import tokenize
 
-_CLAUSE_RE = re.compile(r'([+\-#]?)(?:"([^"]*)"|(\S+))')
+_CLAUSE_RE = re.compile(r'([+\-#]?)(?:"([^"]*)"(?:\^(\d+\.?\d*))?|(\S+))')
 _KEYWORD_RE = re.compile(r"^(\w+):(.+)$")
 _FUZZY_RE = re.compile(r"^(.+?)~(\d?)$")
+_BOOST_RE = re.compile(r"^(.*?)\^(\d+\.?\d*)$")
 
 MAX_EXPANSIONS = 1024  # BooleanQuery.maxClauseCount spirit
 
@@ -41,18 +42,34 @@ _OCCUR = {"+": "MUST", "-": "MUST_NOT", "#": "FILTER", "": "SHOULD"}
 @dataclass
 class QueryNode:
     kind: str  # "term" | "phrase" | "bool" | "prefix" | "wildcard" | "fuzzy"
+    #           | "dismax" | "term_set"
     terms: list[str] = field(default_factory=list)
     clauses: list[tuple[str, "QueryNode"]] = field(default_factory=list)  # (occur, child)
     pattern: str = ""
     max_edits: int = 2
+    boost: float = 1.0  # BoostQuery: multiplies the node's score
+    min_should_match: int = 0  # BooleanQuery.setMinimumNumberShouldMatch
+    tiebreak: float = 0.0  # DisjunctionMaxQuery tieBreakerMultiplier
 
     def all_terms(self) -> list[str]:
-        if self.kind in ("term", "phrase"):
+        if self.kind in ("term", "phrase", "term_set"):
             return list(self.terms)
         out: list[str] = []
         for _, c in self.clauses:
             out.extend(c.all_terms())
         return out
+
+
+def dismax(children: list[QueryNode], tiebreak: float = 0.0, boost: float = 1.0) -> QueryNode:
+    """DisjunctionMaxQuery: score = max(child) + tiebreak·Σ(other children)
+    (lucene/core/src/java/org/apache/lucene/search/DisjunctionMaxQuery.java)."""
+    return QueryNode("dismax", clauses=[("SHOULD", c) for c in children], tiebreak=tiebreak, boost=boost)
+
+
+def term_set(terms: list[str], boost: float = 1.0) -> QueryNode:
+    """TermInSetQuery: constant-score membership in a large term OR
+    (lucene/core/src/java/org/apache/lucene/search/TermInSetQuery.java)."""
+    return QueryNode("term_set", terms=sorted(set(terms)), boost=boost)
 
 
 def _leaf(raw: str, is_phrase: bool) -> QueryNode | None:
@@ -85,11 +102,21 @@ def parse_query(query: str) -> QueryNode | None:
     """Parse the query string; returns None if nothing survives analysis."""
     clauses: list[tuple[str, QueryNode]] = []
     for m in _CLAUSE_RE.finditer(query):
-        sign, phrase, word = m.group(1), m.group(2), m.group(3)
-        raw = phrase if phrase is not None else word
+        sign, phrase, phrase_boost, word = m.group(1), m.group(2), m.group(3), m.group(4)
+        boost = 1.0
+        if phrase is not None:
+            raw = phrase
+            if phrase_boost:
+                boost = float(phrase_boost)
+        else:
+            raw = word
+            bm = _BOOST_RE.match(word)
+            if bm and bm.group(1):
+                raw, boost = bm.group(1), float(bm.group(2))
         node = _leaf(raw, phrase is not None)
         if node is None:
             continue
+        node.boost = node.boost * boost
         clauses.append((_OCCUR[sign], node))
     if not clauses:
         return None
@@ -150,16 +177,26 @@ def expand_multi_term(node: QueryNode, sorted_terms) -> list[str]:
 
 def rewrite(node: QueryNode, sorted_terms) -> QueryNode | None:
     """Rewrite multi-term queries to scoring boolean ORs
-    (MultiTermQuery.SCORING_BOOLEAN_REWRITE).  Returns None if the node
-    expands to nothing and nothing else scores."""
+    (MultiTermQuery.SCORING_BOOLEAN_REWRITE), preserving boosts.  Returns
+    None if the node expands to nothing and nothing else scores."""
     if node.kind in ("prefix", "wildcard", "fuzzy"):
         expanded = expand_multi_term(node, sorted_terms)
         if not expanded:
-            return QueryNode("bool", clauses=[])  # matches nothing
+            return QueryNode("bool", clauses=[], boost=node.boost)  # matches nothing
         if len(expanded) == 1:
-            return QueryNode("term", terms=[expanded[0]])
-        return QueryNode("bool", clauses=[("SHOULD", QueryNode("term", terms=[t])) for t in expanded])
-    if node.kind == "bool":
+            return QueryNode("term", terms=[expanded[0]], boost=node.boost)
+        return QueryNode(
+            "bool",
+            clauses=[("SHOULD", QueryNode("term", terms=[t])) for t in expanded],
+            boost=node.boost,
+        )
+    if node.kind in ("bool", "dismax"):
         new = [(occ, rewrite(c, sorted_terms)) for occ, c in node.clauses]
-        return QueryNode("bool", clauses=[(o, c) for o, c in new if c is not None])
+        return QueryNode(
+            node.kind,
+            clauses=[(o, c) for o, c in new if c is not None],
+            boost=node.boost,
+            min_should_match=node.min_should_match,
+            tiebreak=node.tiebreak,
+        )
     return node

@@ -81,6 +81,12 @@ class Searcher:
         node = parse_query(query)
         if node is None:
             return []
+        return self.search_node(node, k, prune=prune)
+
+    def search_node(self, node, k: int = 10, prune: bool = True) -> list[tuple[int, float]]:
+        """Programmatic query execution (dismax/term_set/minShouldMatch
+        nodes have no string syntax, matching the reference's API-level
+        queries)."""
         # multi-term (prefix/wildcard/fuzzy) expansion against the sorted
         # global term dictionary (Query.rewrite step, SURVEY.md §3.2)
         node = rewrite(node, self.stats.terms)

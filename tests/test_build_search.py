@@ -152,6 +152,41 @@ def test_duel_filters_and_multiterm(searcher, oracle):
         assert got == exp, f"query={q!r}\n got {got[:5]}\n exp {exp[:5]}"
 
 
+def test_duel_boost_syntax(searcher, oracle):
+    for q in ["error^2 ok", 'bash^0.5 "tool output"^3', "+assistant^2 -error"]:
+        got = searcher.search(q, 10)
+        exp = [(d, float(s)) for d, s in oracle.search(q, 10)]
+        assert got == exp, q
+
+
+def test_duel_dismax_termset_msm(searcher, oracle):
+    """API-level queries: DisjunctionMax, TermInSet, minimumShouldMatch."""
+    from lucene_solr_ray.search.query import QueryNode, dismax, term_set
+
+    t = lambda w, b=1.0: QueryNode("term", terms=[w], boost=b)
+    nodes = [
+        dismax([t("error"), t("ok"), t("bash")], tiebreak=0.0),
+        dismax([t("error"), t("ok", 2.0)], tiebreak=0.3),
+        term_set(["bash", "python", "editor", "zzz"]),
+        QueryNode(
+            "bool",
+            clauses=[("SHOULD", t("error")), ("SHOULD", t("ok")), ("SHOULD", t("bash"))],
+            min_should_match=2,
+        ),
+        QueryNode(
+            "bool",
+            clauses=[("MUST", t("assistant")), ("SHOULD", t("error")), ("SHOULD", t("ok"))],
+            min_should_match=1,
+        ),
+        QueryNode("bool", clauses=[("SHOULD", dismax([t("error"), t("w00001")], tiebreak=0.1)),
+                                   ("FILTER", t("role:assistant"))]),
+    ]
+    for i, node in enumerate(nodes):
+        got = searcher.search_node(node, 10)
+        exp = [(d, float(s)) for d, s in oracle.search_node(node, 10)]
+        assert got == exp, f"node#{i}\n got {got[:5]}\n exp {exp[:5]}"
+
+
 def test_fetch_two_phase(searcher, corpus):
     _, full = corpus
     hits = searcher.search("assistant", 5)
