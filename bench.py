@@ -139,6 +139,11 @@ def main() -> None:
     lat.sort()
     p50 = lat[len(lat) // 2]
     p99 = lat[min(int(len(lat) * 0.99), len(lat) - 1)]
+    # block-max pruning effectiveness across the actor pool
+    prune = ray.get([a.prune_stats.remote() for a in searcher.actors])
+    cand = sum(p["candidates"] for p in prune)
+    scored = sum(p["scored"] for p in prune)
+    pruned_frac = round(1.0 - scored / cand, 4) if cand else 0.0
 
     # ---- operator suite over the sf tables ------------------------------
     searcher.close()  # actors hold CPU slots; free them for the suite jobs
@@ -168,6 +173,7 @@ def main() -> None:
             "n_docs": manifest.data["stats"]["N"],
         },
         "query_latency_ms": {"p50": round(p50, 2), "p99": round(p99, 2)},
+        "blockmax_pruned_frac": pruned_frac,
     }
     ray.shutdown()
     print(json.dumps(out))

@@ -463,7 +463,32 @@ def build_index(
 
     manifest = Manifest.load(index_dir) if resume else None
     if manifest is not None and manifest.data.get("config", {}).get("fingerprint") != fp:
-        manifest = None  # input or layout changed → rebuild
+        # incremental ingest (the TopicStream checkpointed-consumption
+        # analog, SURVEY.md §2.10): if the previous inputs are a strict
+        # prefix of the new ones (append-only growth in path order) with
+        # identical layout params, keep completed shards and build only the
+        # shards touched by new files; otherwise full rebuild.
+        cfg = manifest.data.get("config", {})
+        old_inputs = cfg.get("inputs", [])
+        new_inputs = [[s.path, s.rows, s.base] for s in specs]
+        if (
+            cfg.get("files_per_shard") == files_per_shard
+            and cfg.get("n_salts") == n_salts
+            and len(old_inputs) < len(new_inputs)
+            and new_inputs[: len(old_inputs)] == old_inputs
+        ):
+            first_dirty_shard = len(old_inputs) // files_per_shard
+            with manifest._lock:
+                for sid in list(manifest.data["shards"]):
+                    if int(sid) >= first_dirty_shard:
+                        del manifest.data["shards"][sid]
+                manifest.data["config"].update(
+                    {"fingerprint": fp, "inputs": new_inputs, "n_files": len(specs)}
+                )
+                manifest.data["status"] = "building"
+            manifest.save()
+        else:
+            manifest = None  # input or layout changed → rebuild
     if manifest is None:
         if index_dir.exists():
             shutil.rmtree(index_dir)

@@ -592,8 +592,36 @@ ORDER BY score DESC, o_orderkey LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# §2.1 /export: full sorted dump via distributed sort → partitioned parquet
+# sink, then read back (resumable layout: one directory per run).
+
+
+def export_sorted(sf_dir: str):
+    import hashlib as _h
+
+    import pyarrow.parquet as _pq
+
+    out_dir = f"/tmp/lsr_export_{_h.sha1(sf_dir.encode()).hexdigest()[:8]}"
+    import shutil as _sh
+
+    _sh.rmtree(out_dir, ignore_errors=True)
+    ds = read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal"])
+    ds.sort(["s_acctbal", "s_suppkey"], descending=[True, False]).write_parquet(out_dir)
+    files = sorted(__import__("glob").glob(f"{out_dir}/*.parquet"))
+    t = pa.concat_tables(_pq.read_table(f) for f in files).to_pandas()
+    return t.sort_values(["s_acctbal", "s_suppkey"], ascending=[False, True]).reset_index(drop=True)
+
+
+EXPORT_SQL = """
+SELECT s_suppkey, s_name, s_acctbal FROM supplier
+ORDER BY s_acctbal DESC, s_suppkey
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "facet_field": Pipeline(facet_field, FACET_FIELD_SQL, "field facet counts (SimpleFacets)"),
+    "export_sorted": Pipeline(export_sorted, EXPORT_SQL, "full sorted export via ds.sort → parquet sink (/export)"),
     "function_query": Pipeline(function_query, FUNCTION_QUERY_SQL, "ValueSource expression scoring (FunctionScoreQuery)"),
     "time_series_rollup": Pipeline(time_series_rollup, TIME_SERIES_SQL, "calendar-window rollup (TimeSeriesStream)"),
     "stats_numeric": Pipeline(stats_numeric, STATS_SQL, "global field stats (StatsComponent)"),

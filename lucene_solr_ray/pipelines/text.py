@@ -341,8 +341,106 @@ GROUP BY token ORDER BY cf DESC, token LIMIT 8
 """
 
 
+# --------------------------------------------------------------------------
+# Highlighting (solr/core/.../handler/component/HighlightComponent): snippet
+# = ±3-token window around the first match, identical extraction both sides.
+
+_HL_TERM = "spark"
+_HL_RE = rf"(?:[a-z0-9_]+ ){{0,3}}{_HL_TERM}(?: [a-z0-9_]+){{0,3}}"
+
+
+def highlight(sf_dir: str):
+    def hl(batch: pd.DataFrame) -> pd.DataFrame:
+        snip = batch["text"].str.lower().str.extract(f"({_HL_RE})", expand=False)
+        out = pd.DataFrame({"doc_id": batch["doc_id"], "snippet": snip})
+        return out[out["snippet"].notna()]
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(hl, batch_format="pandas")
+    df = out.to_pandas()
+    if "doc_id" not in df.columns:
+        df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "snippet": pd.Series([], dtype=object)})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+HIGHLIGHT_SQL = f"""
+SELECT doc_id, regexp_extract(lower(text), '{_HL_RE}') AS snippet
+FROM documents
+WHERE regexp_matches(lower(text), '{_HL_RE}')
+ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# MoreLikeThis term selection (lucene/queries/src/java/org/apache/lucene/
+# queries/mlt/MoreLikeThis.java): a doc's most interesting terms by
+# tf·idf over the collection.
+
+
+MLT_DOC = 0
+MLT_TOP = 5
+
+
+def mlt_terms(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        uniq = toks.map(lambda ws: sorted(set(ws)))
+        n = uniq.map(len).to_numpy()
+        return pd.DataFrame(
+            {
+                "token": np.concatenate(uniq.to_numpy()) if len(uniq) else np.array([], dtype=object),
+                "df": 1,
+                "tf_doc": np.concatenate(
+                    [
+                        [ws.count(t) if d == MLT_DOC else 0 for t in sorted(set(ws))]
+                        for d, ws in zip(batch["doc_id"], toks)
+                    ]
+                )
+                if len(toks)
+                else np.array([], dtype=np.int64),
+            }
+        )
+
+    parts = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(explode, batch_format="pandas")
+    agg = (
+        parts.groupby("token")
+        .aggregate(Sum("df", alias_name="df"), Sum("tf_doc", alias_name="tf"))
+        .to_pandas()
+    )
+    agg = agg[agg["tf"] > 0].copy()
+    n_docs = int(pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).shape[0])
+    import math
+
+    # math.log (libm), not np.log (SIMD): DuckDB's ln is libm and the two
+    # can differ in the last ulp, which breaks exact value parity
+    agg["score"] = [
+        tf * math.log(n_docs / df)
+        for tf, df in zip(agg["tf"].to_numpy().tolist(), agg["df"].to_numpy().tolist())
+    ]
+    agg["df"] = agg["df"].astype("int64")
+    agg["tf"] = agg["tf"].astype("int64")
+    out = agg.iloc[np.lexsort((agg["token"].to_numpy(), -agg["score"].to_numpy()))].head(MLT_TOP)
+    return out[["token", "tf", "df", "score"]].reset_index(drop=True)
+
+
+MLT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS t FROM documents
+),
+dfs AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY t),
+tfs AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks WHERE doc_id = {MLT_DOC} GROUP BY t),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT tfs.t AS token, tfs.tf, dfs.df,
+       CAST(tfs.tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(dfs.df AS DOUBLE)) AS score
+FROM tfs JOIN dfs ON dfs.t = tfs.t CROSS JOIN n
+ORDER BY score DESC, token LIMIT {MLT_TOP}
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "token_count": Pipeline(token_count, TOKEN_COUNT_SQL, "per-doc token counting (FieldLength URP)"),
+    "highlight": Pipeline(highlight, HIGHLIGHT_SQL, "snippet extraction around matches (HighlightComponent)"),
+    "mlt_terms": Pipeline(mlt_terms, MLT_SQL, "MoreLikeThis interesting-term selection (tf·idf)"),
     "suggest_prefix": Pipeline(suggest_prefix, SUGGEST_SQL, "prefix completion by cf (AnalyzingSuggester semantics)"),
     "shingle_bigrams": Pipeline(shingle_bigrams, SHINGLE_SQL, "word-bigram shingles + df (ShingleFilter)"),
     "quality_signals": Pipeline(quality_signals, QUALITY_SQL, "quality scoring signals for training-data filtering"),

@@ -76,9 +76,22 @@ class IndexShard:
         from ..state import LRUCache
 
         self._cache = LRUCache(max_items=50_000)
+        self._prune_candidates = 0
+        self._prune_survivors = 0
 
     def ping(self) -> bool:
         return True
+
+    def prune_stats(self) -> dict:
+        """Cumulative block-max pruning effectiveness (Ding & Suel-style
+        'fraction of candidates never exactly scored')."""
+        c, s = self._prune_candidates, self._prune_survivors
+        return {
+            "candidates": c,
+            "scored": s,
+            "pruned_frac": (1.0 - s / c) if c else 0.0,
+            "cache": self._cache.stats(),
+        }
 
     # -- postings access ---------------------------------------------------
     def _postings(self, term: str, with_positions: bool = False):
@@ -320,7 +333,8 @@ class IndexShard:
         theta = np.partition(seed_scores, seed_scores.size - k)[seed_scores.size - k] if seed_scores.size >= k else 0.0
         keep = bounds >= theta
         survivors = docs[keep]
-        self.last_prune_ratio = 1.0 - survivors.size / docs.size
+        self._prune_candidates += int(docs.size)
+        self._prune_survivors += int(survivors.size) + int(seed_docs.size)
         return self._exact_scores(survivors, live_terms, posts, idfs)
 
     def _exact_scores(self, docs: np.ndarray, terms: list[str], posts, idfs: dict[str, float]):
