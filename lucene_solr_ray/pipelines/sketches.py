@@ -1,0 +1,148 @@
+"""Sketch aggregates + native hash join (SURVEY.md §2.6 / §2.5).
+
+- `hll_distinct`: HyperLogLog approximate distinct counts per group — the
+  reference's `hll` JSON-facet aggregate (solr/core/src/java/org/apache/
+  solr/search/facet/HLLAgg.java over the vendored org.apache.solr.util.hll).
+  Implemented as the canonical mergeable-sketch pattern: one serialized
+  sketch per (group, batch) from `map_batches`, merged in a tiny reduce —
+  at 100 TB only sketches ever shuffle, never raw values.  Deterministic
+  (md5 hashing), accuracy-tested against exact counts in pytest; rows-only
+  for the driver gate (approximate by design).
+- `hash_join_native`: Ray's built-in hash-partitioned `Dataset.join` —
+  the both-sides-large join path (StreamingJoin / XCJFQuery analog).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from .common import Pipeline, cents, read
+
+HLL_P = 12  # 4096 registers → ~1.6% standard error
+
+
+class HLL:
+    __slots__ = ("regs",)
+
+    def __init__(self, regs: np.ndarray | None = None):
+        self.regs = regs if regs is not None else np.zeros(1 << HLL_P, dtype=np.uint8)
+
+    @staticmethod
+    def of(values) -> "HLL":
+        h = HLL()
+        if len(values) == 0:
+            return h
+        # deterministic 64-bit hashes
+        hashes = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "little") for v in values),
+            dtype=np.uint64,
+            count=len(values),
+        )
+        idx = (hashes >> np.uint64(64 - HLL_P)).astype(np.int64)
+        rest = hashes << np.uint64(HLL_P)
+        # rank = leading zeros of remaining bits + 1 (capped)
+        lz = np.zeros(len(values), dtype=np.uint8)
+        v = rest.copy()
+        zero = v == 0
+        lz[zero] = 64 - HLL_P + 1
+        nz = ~zero
+        if nz.any():
+            # count leading zeros via float64 exponent trick is lossy; loop
+            # over bits instead (≤64 iterations, fully vectorized)
+            r = np.ones(int(nz.sum()), dtype=np.uint8)
+            vv = v[nz]
+            top = np.uint64(1) << np.uint64(63)
+            mask = (vv & top) == 0
+            while mask.any():
+                r[mask] += 1
+                vv[mask] = vv[mask] << np.uint64(1)
+                mask = mask & ((vv & top) == 0)
+            lz[nz] = r
+        np.maximum.at(h.regs, idx, lz)
+        return h
+
+    def merge(self, other: "HLL") -> "HLL":
+        return HLL(np.maximum(self.regs, other.regs))
+
+    def estimate(self) -> float:
+        m = float(self.regs.size)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        s = np.sum(2.0 ** (-self.regs.astype(np.float64)))
+        e = alpha * m * m / s
+        if e <= 2.5 * m:
+            zeros = int((self.regs == 0).sum())
+            if zeros:
+                e = m * np.log(m / zeros)  # linear counting for small card
+        return float(e)
+
+
+def hll_distinct(sf_dir: str):
+    """Approximate distinct user_id per event_type (mergeable sketches)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in batch.groupby("event_type"):
+            rows.append({"event_type": et, "sketch": HLL.of(g["user_id"].to_numpy()).regs.tobytes()})
+        return pd.DataFrame(rows)
+
+    parts = (
+        read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    out = []
+    for et, g in parts.groupby("event_type"):
+        h = HLL()
+        for blob in g["sketch"]:
+            h = h.merge(HLL(np.frombuffer(blob, dtype=np.uint8).copy()))
+        out.append({"event_type": et, "approx_distinct": np.int64(round(h.estimate()))})
+    return pd.DataFrame(out).sort_values("event_type").reset_index(drop=True)
+
+
+def hash_join_native(sf_dir: str):
+    """Both-sides-as-Datasets hash join via Ray's native Dataset.join."""
+    from ray.data.aggregate import Sum
+
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "revenue_cents": cents(batch["o_totalprice"].to_numpy()),
+                "n_orders": 1,
+            }
+        )
+        return g.groupby("c_mktsegment", as_index=False).sum()
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"), Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+HASH_JOIN_SQL = """
+SELECT c_mktsegment,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+PIPELINES: dict[str, Pipeline] = {
+    "hll_distinct": Pipeline(hll_distinct, None, "HyperLogLog approx distinct (HLLAgg); accuracy-tested in pytest"),
+    "hash_join_native": Pipeline(hash_join_native, HASH_JOIN_SQL, "both-sides-large hash join (Dataset.join)"),
+}

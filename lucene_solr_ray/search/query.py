@@ -72,6 +72,30 @@ def term_set(terms: list[str], boost: float = 1.0) -> QueryNode:
     return QueryNode("term_set", terms=sorted(set(terms)), boost=boost)
 
 
+def edismax(
+    user_query: str,
+    field_boosts: dict[str | None, float],
+    tiebreak: float = 0.0,
+    min_should_match: int = 0,
+) -> QueryNode | None:
+    """ExtendedDisMax-style rewriter (solr/core/src/java/org/apache/solr/
+    search/ExtendedDismaxQParser.java): each analyzed user term becomes a
+    DisjunctionMax across the queried fields (None = the analyzed text
+    field; other keys are keyword fields, matched as `field:term`), the
+    per-term dismaxes combine as SHOULD clauses with minShouldMatch."""
+    toks = [t for t, _ in tokenize(user_query)]
+    if not toks:
+        return None
+    clauses = []
+    for t in toks:
+        alts = []
+        for fld, boost in field_boosts.items():
+            term = t if fld is None else f"{fld}:{t}"
+            alts.append(QueryNode("term", terms=[term], boost=boost))
+        clauses.append(("SHOULD", dismax(alts, tiebreak=tiebreak)))
+    return QueryNode("bool", clauses=clauses, min_should_match=min_should_match)
+
+
 def _leaf(raw: str, is_phrase: bool) -> QueryNode | None:
     if not is_phrase:
         m = _KEYWORD_RE.match(raw)

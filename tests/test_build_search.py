@@ -187,6 +187,21 @@ def test_duel_dismax_termset_msm(searcher, oracle):
         assert got == exp, f"node#{i}\n got {got[:5]}\n exp {exp[:5]}"
 
 
+def test_duel_edismax(searcher, oracle):
+    from lucene_solr_ray.search.query import edismax
+
+    for uq, fields in [
+        ("bash error", {None: 1.0, "tool": 2.0}),
+        ("assistant ok", {None: 1.0, "role": 1.5}),
+        ("the bash", {None: 1.0, "tool": 0.5}),  # stopword dropped
+    ]:
+        node = edismax(uq, fields, tiebreak=0.1)
+        got = searcher.search_node(node, 10)
+        exp = [(d, float(s)) for d, s in oracle.search_node(node, 10)]
+        assert got == exp, uq
+    assert edismax("the of", {None: 1.0}) is None
+
+
 def test_fetch_two_phase(searcher, corpus):
     _, full = corpus
     hits = searcher.search("assistant", 5)
