@@ -77,23 +77,28 @@ class BruteForceIndex:
             return 0.0
         return self.idf(term) * tf / (tf + self._norm_k(doc))
 
-    def phrase_freq(self, terms: list[str], doc: int) -> int:
-        """Exact phrase occurrences (consecutive positions)."""
+    def phrase_freq(self, terms: list[str], doc: int, slop: int = 0) -> int:
+        """Phrase occurrences: exact (consecutive) or sloppy (shared
+        proximity matcher)."""
         if not terms:
             return 0
         plists = [self.docs[doc].get(t) for t in terms]
         if any(p is None for p in plists):
             return 0
+        if slop > 0:
+            from .search.proximity import sloppy_phrase_freq
+
+            return sloppy_phrase_freq([sorted(p) for p in plists], slop)
         first = set(plists[0])
         for off, pl in enumerate(plists[1:], start=1):
             first &= {p - off for p in pl}
         return len(first)
 
-    def phrase_score(self, terms: list[str], doc: int) -> float:
+    def phrase_score(self, terms: list[str], doc: int, slop: int = 0) -> float:
         """PhraseQuery scoring: BM25 over phrase freq with summed idf
         (lucene/core/.../search/PhraseWeight.java: similarity scorer over
         combined term statistics)."""
-        pf = self.phrase_freq(terms, doc)
+        pf = self.phrase_freq(terms, doc, slop=slop)
         if pf == 0:
             return 0.0
         idf_sum = sum(self.idf(t) for t in terms)
@@ -109,8 +114,8 @@ class BruteForceIndex:
             s = self.term_score(node.terms[0], doc)
             return (node.terms[0] in self.docs[doc], s)
         if node.kind == "phrase":
-            pf = self.phrase_freq(node.terms, doc)
-            return (pf > 0, self.phrase_score(node.terms, doc))
+            pf = self.phrase_freq(node.terms, doc, slop=node.slop)
+            return (pf > 0, self.phrase_score(node.terms, doc, slop=node.slop))
         if node.kind == "term_set":
             return (any(t in self.docs[doc] for t in node.terms), 1.0)
         if node.kind == "dismax":

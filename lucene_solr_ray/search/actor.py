@@ -143,14 +143,18 @@ class IndexShard:
         docs, freqs, norms = p[0], p[1], p[2]
         return docs, score_postings(freqs, norms, idfs.get(term, 0.0), self.norm_cache)
 
-    def _score_phrase(self, terms: list[str], idfs: dict[str, float]):
-        """Exact phrase: (docs, scores) for docs with phrase_freq > 0."""
+    def _score_phrase(self, terms: list[str], idfs: dict[str, float], slop: int = 0):
+        """Phrase matching: (docs, scores) for docs with phrase_freq > 0.
+        slop=0 uses the vectorized composite-key exact matcher; slop>0
+        walks candidate docs with the shared sloppy matcher."""
         plists = []
         for t in terms:
             p = self._postings(t, with_positions=True)
             if p is None:
                 return _EMPTY_I64, _EMPTY_F64
             plists.append(p)
+        if slop > 0:
+            return self._score_sloppy(terms, plists, idfs, slop)
         # composite keys (doc * POS_LIMIT + pos - offset), intersected
         keys = None
         for off, (docs, freqs, norms, positions, starts) in enumerate(plists):
@@ -170,6 +174,36 @@ class IndexShard:
         scores = score_postings(pf, norm_b, idf_sum, self.norm_cache)
         return match_docs, scores
 
+    def _score_sloppy(self, terms, plists, idfs, slop: int):
+        from .proximity import sloppy_phrase_freq
+
+        # candidate docs: conjunction of all term doc-lists
+        cand = plists[0][0]
+        for p in plists[1:]:
+            cand = np.intersect1d(cand, p[0], assume_unique=True)
+            if cand.size == 0:
+                return _EMPTY_I64, _EMPTY_F64
+        match_docs, pfs, norm_b = [], [], []
+        for d in cand:
+            pos_lists = []
+            for docs, freqs, norms, positions, starts in plists:
+                i = int(np.searchsorted(docs, d))
+                s0 = int(starts[i])
+                pos_lists.append(positions[s0 : s0 + int(freqs[i])].tolist())
+            pf = sloppy_phrase_freq(pos_lists, slop)
+            if pf:
+                i0 = int(np.searchsorted(plists[0][0], d))
+                match_docs.append(int(d))
+                pfs.append(pf)
+                norm_b.append(int(plists[0][2][i0]))
+        if not match_docs:
+            return _EMPTY_I64, _EMPTY_F64
+        idf_sum = sum(idfs.get(t, 0.0) for t in terms)
+        scores = score_postings(
+            np.asarray(pfs, dtype=np.int64), np.asarray(norm_b, dtype=np.int64), idf_sum, self.norm_cache
+        )
+        return np.asarray(match_docs, dtype=np.int64), scores
+
     def _eval(self, node: QueryNode, idfs: dict[str, float]):
         """→ (sorted matching docs, float64 scores).  node.boost multiplies
         the result (BoostQuery semantics)."""
@@ -182,7 +216,7 @@ class IndexShard:
         if node.kind == "term":
             return self._score_term(node.terms[0], idfs)
         if node.kind == "phrase":
-            return self._score_phrase(node.terms, idfs)
+            return self._score_phrase(node.terms, idfs, slop=node.slop)
         if node.kind == "term_set":
             # TermInSetQuery: constant-score union of member postings
             parts = [p[0] for t in node.terms if (p := self._postings(t)) is not None]

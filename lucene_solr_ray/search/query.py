@@ -29,7 +29,7 @@ from dataclasses import dataclass, field
 
 from ..analysis import tokenize
 
-_CLAUSE_RE = re.compile(r'([+\-#]?)(?:"([^"]*)"(?:\^(\d+\.?\d*))?|(\S+))')
+_CLAUSE_RE = re.compile(r'([+\-#]?)(?:"([^"]*)"(?:~(\d+))?(?:\^(\d+\.?\d*))?|(\S+))')
 _KEYWORD_RE = re.compile(r"^(\w+):(.+)$")
 _FUZZY_RE = re.compile(r"^(.+?)~(\d?)$")
 _BOOST_RE = re.compile(r"^(.*?)\^(\d+\.?\d*)$")
@@ -50,6 +50,7 @@ class QueryNode:
     boost: float = 1.0  # BoostQuery: multiplies the node's score
     min_should_match: int = 0  # BooleanQuery.setMinimumNumberShouldMatch
     tiebreak: float = 0.0  # DisjunctionMaxQuery tieBreakerMultiplier
+    slop: int = 0  # PhraseQuery slop: "a b"~N proximity window
 
     def all_terms(self) -> list[str]:
         if self.kind in ("term", "phrase", "term_set"):
@@ -126,8 +127,11 @@ def parse_query(query: str) -> QueryNode | None:
     """Parse the query string; returns None if nothing survives analysis."""
     clauses: list[tuple[str, QueryNode]] = []
     for m in _CLAUSE_RE.finditer(query):
-        sign, phrase, phrase_boost, word = m.group(1), m.group(2), m.group(3), m.group(4)
+        sign, phrase, slop_s, phrase_boost, word = (
+            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+        )
         boost = 1.0
+        slop = int(slop_s) if slop_s else 0
         if phrase is not None:
             raw = phrase
             if phrase_boost:
@@ -141,6 +145,8 @@ def parse_query(query: str) -> QueryNode | None:
         if node is None:
             continue
         node.boost = node.boost * boost
+        if node.kind == "phrase" and slop:
+            node.slop = slop
         clauses.append((_OCCUR[sign], node))
     if not clauses:
         return None

@@ -187,6 +187,20 @@ def test_duel_dismax_termset_msm(searcher, oracle):
         assert got == exp, f"node#{i}\n got {got[:5]}\n exp {exp[:5]}"
 
 
+def test_duel_sloppy_phrase(searcher, oracle):
+    """Proximity phrases ("a b"~N): slop widens the match set."""
+    queries = ['"tool bash"~1', '"tool output bash"~2', '"user error"~5',
+               '"assistant ok"~3', '"output bash"~0']
+    for q in queries:
+        got = searcher.search(q, 10)
+        exp = [(d, float(s)) for d, s in oracle.search(q, 10)]
+        assert got == exp, f"query={q!r}\n got {got[:5]}\n exp {exp[:5]}"
+    # slop strictly widens: exact ⊆ sloppy match sets
+    exact = {d for d, _ in searcher.search('"tool output"', 1000)}
+    sloppy = {d for d, _ in searcher.search('"tool output"~3', 1000)}
+    assert exact <= sloppy and len(sloppy) >= len(exact)
+
+
 def test_duel_edismax(searcher, oracle):
     from lucene_solr_ray.search.query import edismax
 

@@ -116,3 +116,36 @@ def test_non_append_change_triggers_full_rebuild(ray_session, corpus_dirs):
     m2 = build_index(first[:3], idx, files_per_shard=2)
     assert m2.committed
     assert json.loads(open(f"{idx}/manifest.json").read())["config"]["n_files"] == 3
+
+
+def test_daemon_loop(ray_session, corpus_dirs):
+    """DaemonStream analog: rounds ingest only new files; idle rounds no-op."""
+    import os
+
+    from lucene_solr_ray.index.daemon import current_commit, run_incremental_daemon
+
+    idx = "/tmp/lsr_daemon_index"
+    shutil.rmtree(idx, ignore_errors=True)
+    src = "/tmp/lsr_daemon_src"
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    for k in range(2):
+        t = gen_conv_range(k * 40, 40, seed=3)
+        pq.write_table(t, f"{src}/part-{k:05d}.parquet")
+
+    log1 = run_incremental_daemon(
+        f"{src}/part-*.parquet", idx, interval_s=0, max_rounds=2, files_per_shard=2
+    )
+    assert log1[0]["built"] and not log1[1]["built"]
+    c1 = current_commit(idx)
+    assert c1 and c1["N"] > 0
+
+    # new file arrives → next round ingests it incrementally
+    t = gen_conv_range(80, 40, seed=3)
+    pq.write_table(t, f"{src}/part-{2:05d}.parquet")
+    log2 = run_incremental_daemon(
+        f"{src}/part-*.parquet", idx, interval_s=0, max_rounds=1, files_per_shard=2
+    )
+    assert log2[0]["built"]
+    c2 = current_commit(idx)
+    assert c2["N"] > c1["N"]
