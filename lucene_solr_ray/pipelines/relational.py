@@ -619,8 +619,81 @@ ORDER BY s_acctbal DESC, s_suppkey
 """
 
 
+# --------------------------------------------------------------------------
+# §2.7 random sampling (RandomSortField): pseudo-random but DETERMINISTIC
+# order via a seeded content hash — reproducible across engines and runs.
+
+_SAMPLE_SEED = "7"
+
+
+def random_sample_hash(sf_dir: str):
+    import hashlib as _h
+
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        hk = batch["o_orderkey"].map(
+            lambda v: _h.md5(f"{v}_{_SAMPLE_SEED}".encode()).hexdigest()
+        )
+        out = pd.DataFrame({"o_orderkey": batch["o_orderkey"], "hk": hk})
+        return out.sort_values("hk").head(20)
+
+    parts = (
+        read(sf_dir, "orders", ["o_orderkey"])
+        .map_batches(key, batch_format="pandas")
+        .to_pandas()
+    )
+    top = parts.sort_values("hk").head(20).reset_index(drop=True)
+    return top[["o_orderkey"]]
+
+
+RANDOM_SAMPLE_SQL = f"""
+SELECT o_orderkey FROM orders
+ORDER BY md5(CAST(o_orderkey AS VARCHAR) || '_{_SAMPLE_SEED}') LIMIT 20
+"""
+
+# --------------------------------------------------------------------------
+# §2.6 stddev/variance via exact integer moments (StddevAgg/VarianceAgg):
+# (n, Σcents, Σcents²) are exact ints; variance derived with one identical
+# double formula on both sides.
+
+
+def variance_moments(sf_dir: str):
+    def partial(batch: pa.Table) -> pa.Table:
+        c = cents(batch.column("l_discount").to_numpy() * 100.0)  # basis points
+        return pa.table(
+            {
+                "n": pa.array([len(c)], type=pa.int64()),
+                "s1": pa.array([int(c.sum())], type=pa.int64()),
+                "s2": pa.array([int((c * c).sum())], type=pa.int64()),
+            }
+        )
+
+    parts = (
+        read(sf_dir, "lineitem", ["l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n = int(parts["n"].sum())
+    s1 = int(parts["s1"].sum())
+    s2 = int(parts["s2"].sum())
+    var_pop = (s2 - (s1 * s1) / n) / n
+    return pd.DataFrame({"n": [n], "s1": [s1], "s2": [s2], "var_pop_bp": [var_pop]})
+
+
+VARIANCE_SQL = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c*c) AS BIGINT) AS s2
+  FROM (SELECT CAST(ROUND(l_discount*100*100) AS BIGINT) AS c FROM lineitem)
+)
+SELECT n, s1, s2, (s2 - (s1 * s1) / n) / n AS var_pop_bp FROM m
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "facet_field": Pipeline(facet_field, FACET_FIELD_SQL, "field facet counts (SimpleFacets)"),
+    "random_sample_hash": Pipeline(random_sample_hash, RANDOM_SAMPLE_SQL, "seeded pseudo-random sampling (RandomSortField)"),
+    "variance_moments": Pipeline(variance_moments, VARIANCE_SQL, "stddev/variance from exact integer moments (VarianceAgg)"),
     "export_sorted": Pipeline(export_sorted, EXPORT_SQL, "full sorted export via ds.sort → parquet sink (/export)"),
     "function_query": Pipeline(function_query, FUNCTION_QUERY_SQL, "ValueSource expression scoring (FunctionScoreQuery)"),
     "time_series_rollup": Pipeline(time_series_rollup, TIME_SERIES_SQL, "calendar-window rollup (TimeSeriesStream)"),

@@ -65,6 +65,38 @@ class Searcher:
         else:
             self.actors = [IndexShard(self.shard_dirs, self.stats.norm_cache)]
 
+    # -- deletes (live-docs) ----------------------------------------------
+    def _tombstone_path(self) -> Path:
+        return self.index_dir / "tombstones.parquet"
+
+    def _load_tombstones(self) -> np.ndarray:
+        p = self._tombstone_path()
+        if not p.exists():
+            return np.empty(0, dtype=np.int64)
+        return np.sort(pq.read_table(p).column("doc_id").to_numpy().astype(np.int64))
+
+    def delete_by_query(self, query: str) -> int:
+        """Mark matching docs deleted (live-docs bitset analog: deletes are
+        a tombstone set applied at read time; term stats stay unchanged
+        until a rebuild — exactly Lucene's deleted-docs semantics,
+        lucene/core/.../codecs/lucene50/Lucene50LiveDocsFormat.java).
+        Returns the number of newly deleted docs."""
+        import os
+
+        hits = self.search(query, k=1 << 30)
+        new = np.asarray([d for d, _ in hits], dtype=np.int64)
+        old = self._load_tombstones()
+        merged = np.union1d(old, new)
+        tmp = self._tombstone_path().with_suffix(".tmp")
+        pq.write_table(pa.table({"doc_id": pa.array(merged)}), tmp)
+        os.replace(tmp, self._tombstone_path())
+        self._tombstones = merged
+        return int(merged.size - old.size)
+
+    def clear_deletes(self) -> None:
+        self._tombstone_path().unlink(missing_ok=True)
+        self._tombstones = np.empty(0, dtype=np.int64)
+
     def close(self) -> None:
         """Release the actor pool (each actor holds a CPU slot while the
         searcher is open — close before running other Ray work on a small
@@ -93,14 +125,22 @@ class Searcher:
         if node is None:
             return []
         idfs = self.stats.idfs(node.all_terms())
+        if not hasattr(self, "_tombstones"):
+            self._tombstones = self._load_tombstones()
+        dead = self._tombstones
+        # over-fetch per shard when deletes exist so the merge still fills k
+        k_shard = k + dead.size if dead.size else k
         if self.use_ray:
             import ray
 
-            parts = ray.get([a.top_k.remote(node, k, idfs, prune) for a in self.actors])
+            parts = ray.get([a.top_k.remote(node, k_shard, idfs, prune) for a in self.actors])
         else:
-            parts = [a.top_k(node, k, idfs, prune) for a in self.actors]
+            parts = [a.top_k(node, k_shard, idfs, prune) for a in self.actors]
         docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float32)
+        if dead.size and docs.size:
+            live = ~np.isin(docs, dead)
+            docs, scores = docs[live], scores[live]
         if docs.size == 0:
             return []
         order = np.lexsort((docs, -scores))[:k]
