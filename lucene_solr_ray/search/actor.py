@@ -295,6 +295,11 @@ class IndexShard:
         return docs, scores
 
     # -- public API --------------------------------------------------------
+    def match_all(self, node: QueryNode, idfs: dict[str, float]):
+        """ALL matching (docs, float64 scores) — feeds parent-block joins
+        and delete-by-query, where every child hit matters."""
+        return self._eval(node, idfs)
+
     def top_k(self, node: QueryNode, k: int, idfs: dict[str, float], prune: bool = True):
         """→ (doc_ids int64, scores float32), shard-local top-k."""
         if (

@@ -65,6 +65,87 @@ class Searcher:
         else:
             self.actors = [IndexShard(self.shard_dirs, self.stats.norm_cache)]
 
+    # -- block join (parent/child) ----------------------------------------
+    def search_parents(
+        self, query: str, k: int = 10, score_mode: str = "max"
+    ) -> list[tuple[str, float]]:
+        """ToParentBlockJoinQuery analog (lucene/join/src/java/org/apache/
+        lucene/search/join/ToParentBlockJoinQuery.java): children are turns,
+        parents are conversations (contiguous docID blocks under the
+        (conv_id, turn_idx) sort).  Parent score = max|sum|avg of matching
+        child scores; parents rank by (score desc, conv_id asc).
+
+        Exact: every matching child is aggregated (child hits stream from
+        shards with k=∞; fine for selective queries, the common block-join
+        case)."""
+        node = parse_query(query)
+        if node is None:
+            return []
+        node = rewrite(node, self.stats.terms)
+        idfs = self.stats.idfs(node.all_terms())
+        if self.use_ray:
+            import ray
+
+            parts = ray.get([a.match_all.remote(node, idfs) for a in self.actors])
+        else:
+            parts = [a.match_all(node, idfs) for a in self.actors]
+        docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
+        if docs.size == 0:
+            return []
+        convs = self.fetch(docs.tolist())
+        conv_by_doc = {r["doc_id"]: r["conv_id"] for r in convs.to_pylist()}
+        # children carry float32 scores (what a per-hit response shows);
+        # parents aggregate those, then round to float32 again
+        scores = scores.astype(np.float32)
+        agg: dict[str, list[float]] = {}
+        for d, s in zip(docs, scores):
+            agg.setdefault(conv_by_doc[int(d)], []).append(float(s))
+        combine = {
+            "max": max,
+            "total": sum,
+            "avg": lambda xs: sum(xs) / len(xs),
+        }[score_mode]
+        parents = [(c, np.float32(combine(xs))) for c, xs in agg.items()]
+        parents.sort(key=lambda p: (-p[1], p[0]))
+        return [(c, float(s)) for c, s in parents[:k]]
+
+    def search_diversified(
+        self, query: str, k: int = 10, max_per_parent: int = 1
+    ) -> list[tuple[int, float]]:
+        """DiversifiedTopDocsCollector analog (lucene/misc/src/java/org/
+        apache/lucene/search/DiversifiedTopDocsCollector.java): top-k with
+        at most `max_per_parent` hits per conversation."""
+        node = parse_query(query)
+        if node is None:
+            return []
+        node = rewrite(node, self.stats.terms)
+        idfs = self.stats.idfs(node.all_terms())
+        if self.use_ray:
+            import ray
+
+            parts = ray.get([a.match_all.remote(node, idfs) for a in self.actors])
+        else:
+            parts = [a.match_all(node, idfs) for a in self.actors]
+        docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        scores = np.concatenate([p[1] for p in parts]).astype(np.float32) if parts else np.empty(0, np.float32)
+        if docs.size == 0:
+            return []
+        convs = self.fetch(docs.tolist())
+        conv_by_doc = {r["doc_id"]: r["conv_id"] for r in convs.to_pylist()}
+        order = np.lexsort((docs, -scores))
+        out: list[tuple[int, float]] = []
+        used: dict[str, int] = {}
+        for i in order:
+            c = conv_by_doc[int(docs[i])]
+            if used.get(c, 0) >= max_per_parent:
+                continue
+            used[c] = used.get(c, 0) + 1
+            out.append((int(docs[i]), float(scores[i])))
+            if len(out) == k:
+                break
+        return out
+
     # -- deletes (live-docs) ----------------------------------------------
     def _tombstone_path(self) -> Path:
         return self.index_dir / "tombstones.parquet"

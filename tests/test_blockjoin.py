@@ -1,0 +1,78 @@
+"""Parent-block join + diversified top-k, dueled against a brute-force
+reimplementation over the same corpus."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ctx(ray_session):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.fixtures import write_transcripts
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.oracle import BruteForceIndex
+    from lucene_solr_ray.search import Searcher
+
+    paths = write_transcripts("/tmp/lsr_bj_corpus", 120, 4)
+    import shutil
+
+    shutil.rmtree("/tmp/lsr_bj_index", ignore_errors=True)
+    build_index(paths, "/tmp/lsr_bj_index", files_per_shard=2)
+    full = pa.concat_tables(
+        pq.read_table(p, columns=["conv_id", "turn_idx", "text", "role", "tool"]) for p in sorted(paths)
+    )
+    full = full.take(pc.sort_indices(full, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]))
+    oracle = BruteForceIndex(
+        full.column("text").to_pylist(),
+        fields={"role": full.column("role").to_pylist(), "tool": full.column("tool").to_pylist()},
+    )
+    convs = full.column("conv_id").to_pylist()
+    s = Searcher("/tmp/lsr_bj_index")
+    yield s, oracle, convs
+    s.close()
+
+
+def _oracle_parents(oracle, convs, query, k, mode):
+    hits = oracle.search(query, oracle.N)  # all matches, float32 scores
+    agg = {}
+    for d, s in hits:
+        agg.setdefault(convs[d], []).append(float(s))
+    comb = {"max": max, "total": sum, "avg": lambda xs: sum(xs) / len(xs)}[mode]
+    ps = [(c, float(np.float32(comb(xs)))) for c, xs in agg.items()]
+    ps.sort(key=lambda p: (-p[1], p[0]))
+    return ps[:k]
+
+
+@pytest.mark.parametrize("mode", ["max", "total", "avg"])
+def test_parent_block_join(ctx, mode):
+    s, oracle, convs = ctx
+    for q in ["error", "bash ok", '"tool output"']:
+        got = s.search_parents(q, 5, score_mode=mode)
+        exp = _oracle_parents(oracle, convs, q, 5, mode)
+        assert got == exp, (q, mode, got[:3], exp[:3])
+
+
+def test_diversified_topk(ctx):
+    s, oracle, convs = ctx
+    for q, cap in [("error", 1), ("assistant", 2)]:
+        got = s.search_diversified(q, 8, max_per_parent=cap)
+        # brute force: rank all, greedy cap per conv
+        hits = oracle.search(q, oracle.N)
+        used, exp = {}, []
+        for d, sc in hits:
+            c = convs[d]
+            if used.get(c, 0) >= cap:
+                continue
+            used[c] = used.get(c, 0) + 1
+            exp.append((d, float(sc)))
+            if len(exp) == 8:
+                break
+        assert got == exp, q
+        # cap respected
+        per = {}
+        for d, _ in got:
+            per[convs[d]] = per.get(convs[d], 0) + 1
+        assert max(per.values()) <= cap
