@@ -244,6 +244,24 @@ def porter_stem_filter() -> TokenFilter:
     return lambda tokens: [(porter_stem(t), p) for t, p in tokens]
 
 
+def synonym_filter(synonyms: dict[str, list[str]], keep_original: bool = True) -> TokenFilter:
+    """Single-token synonym expansion at the SAME position (the non-graph
+    subset of synonym/SynonymGraphFilter.java: multi-word synonyms emit a
+    token graph via posLength and are round-2 scope; single-token synonyms
+    are position-stacked tokens, exactly as emitted here)."""
+
+    def f(tokens: list[Token]) -> list[Token]:
+        out = []
+        for t, p in tokens:
+            if keep_original or t not in synonyms:
+                out.append((t, p))
+            for syn in synonyms.get(t, ()):
+                out.append((syn, p))
+        return out
+
+    return f
+
+
 def chain(*filters: TokenFilter) -> TokenFilter:
     """Compose filters left-to-right (the TokenStream decorator chain)."""
 
@@ -264,4 +282,5 @@ REGISTRY: dict[str, Callable[..., TokenFilter]] = {
     "lowercase": lowercase_filter,
     "ascii_folding": ascii_folding_filter,
     "porter_stem": porter_stem_filter,
+    "synonym": synonym_filter,
 }

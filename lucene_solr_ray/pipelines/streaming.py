@@ -101,8 +101,52 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# §2.10 TTL expiry (DocExpirationUpdateProcessorFactory): periodic
+# delete-of-expired compaction — filter to live docs, write the compacted
+# partition set, report survivors.
+
+TTL_CUTOFF = "2024-01-10"  # docs with ts < cutoff are expired
+
+
+def ttl_compact(sf_dir: str):
+    import hashlib as _h
+    import shutil as _sh
+
+    import pyarrow.parquet as _pq
+
+    cutoff = np.datetime64(TTL_CUTOFF, "us").astype("int64")
+    out_dir = f"/tmp/lsr_ttl_{_h.sha1(sf_dir.encode()).hexdigest()[:8]}"
+    _sh.rmtree(out_dir, ignore_errors=True)
+
+    def live(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[ts_us(batch["ts"]) >= cutoff]
+
+    ds = read(sf_dir, "events", ["event_id", "event_type", "ts"]).map_batches(
+        live, batch_format="pandas"
+    )
+    ds.write_parquet(out_dir)  # the compacted partition set
+    import glob as _g
+
+    t = pd.concat(
+        [_pq.read_table(f).to_pandas() for f in sorted(_g.glob(f"{out_dir}/*.parquet"))],
+        ignore_index=True,
+    )
+    out = t.groupby("event_type", as_index=False).agg(n_live=("event_id", "size"))
+    out["n_live"] = out["n_live"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+TTL_SQL = f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_live
+FROM events WHERE ts >= TIMESTAMP '{TTL_CUTOFF}'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "sessionize": Pipeline(sessionize, SESSIONIZE_SQL, "session windows over the event log"),
+    "ttl_compact": Pipeline(ttl_compact, TTL_SQL, "TTL expiry compaction (DocExpiration URP)"),
     "incremental_after_checkpoint": Pipeline(
         incremental_after_checkpoint, INCREMENTAL_SQL, "checkpointed incremental consumption (TopicStream)"
     ),

@@ -87,3 +87,15 @@ def test_keyword_marker_protects():
 def test_chain_composition():
     f = chain(stop_filter(frozenset({"x"})), edge_ngram_filter(1, 2))
     assert f([("x", 0), ("ab", 1)]) == [("a", 1), ("ab", 1)]
+
+
+def test_synonym_filter():
+    from lucene_solr_ray.analysis.extras import synonym_filter
+
+    f = synonym_filter({"quick": ["fast", "rapid"]})
+    toks = tokenize("the quick fox")
+    assert f(toks) == [("quick", 1), ("fast", 1), ("rapid", 1), ("fox", 2)]
+    g = synonym_filter({"quick": ["fast"]}, keep_original=False)
+    assert g(toks) == [("fast", 1), ("fox", 2)]
+    # stacked positions: a phrase over either variant matches
+    assert [p for _, p in f(toks)][:3] == [1, 1, 1]
