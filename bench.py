@@ -37,9 +37,10 @@ INDEX_DIR = Path(f"/tmp/lsr_bench_index_{NUM_CPUS}")
 # pipelines that represent each operator family in the timed suite
 SUITE = [
     "facet_field", "time_series_rollup", "rollup_pricing", "join_facet",
-    "semi_join", "collapse_best", "sort_topk", "cursor_paging",
-    "terms_component", "significant_terms", "dedup_exact", "dedup_minhash",
-    "ann_cosine_topk", "knn_label_vote", "sessionize", "quality_signals",
+    "hash_join_native", "semi_join", "collapse_best", "sort_topk",
+    "cursor_paging", "terms_component", "significant_terms", "dedup_exact",
+    "dedup_minhash", "ann_cosine_topk", "knn_label_vote", "sessionize",
+    "quality_signals", "graph_traversal", "hll_distinct", "ttl_compact",
 ]
 
 
