@@ -65,6 +65,29 @@ class Searcher:
         else:
             self.actors = [IndexShard(self.shard_dirs, self.stats.norm_cache)]
 
+    # -- spellcheck --------------------------------------------------------
+    def spellcheck(self, word: str, max_suggestions: int = 5, max_edits: int = 2):
+        """Did-you-mean suggestions (solr/core/.../handler/component/
+        SpellCheckComponent.java over DirectSpellChecker semantics):
+        dictionary terms within `max_edits`, ranked by (edit distance asc,
+        df desc, term asc).  An exact dictionary hit returns []."""
+        from .query import _levenshtein_leq
+
+        w = word.lower()
+        if self.stats.df(w) > 0:
+            return []
+        out = []
+        for t, df in zip(self.stats.terms, self.stats.dfs):
+            ts = str(t)
+            if ":" in ts:  # keyword-field terms are not spelling candidates
+                continue
+            for d in range(1, max_edits + 1):
+                if _levenshtein_leq(w, ts, d):
+                    out.append((d, -int(df), ts))
+                    break
+        out.sort()
+        return [(t, -negdf, d) for d, negdf, t in out[:max_suggestions]]
+
     # -- block join (parent/child) ----------------------------------------
     def search_parents(
         self, query: str, k: int = 10, score_mode: str = "max"

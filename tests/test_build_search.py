@@ -268,3 +268,17 @@ def test_resume_kill_and_rerun(ray_session, corpus):
     assert a.num_rows == b.num_rows
     for col in ["term", "salt", "df", "cf", "docs", "freqs", "norms", "positions"]:
         assert a.column(col).equals(b.column(col)), col
+
+
+def test_spellcheck(searcher, oracle):
+    """Did-you-mean: dictionary terms ranked (distance, df desc, term)."""
+    sugg = searcher.spellcheck("assistnt")
+    assert sugg and sugg[0][0] == "assistant"
+    assert all(d in (1, 2) for _, _, d in sugg)
+    # df values must equal the oracle's document frequencies
+    for term, df, _ in sugg:
+        assert oracle.df[term] == df
+    # exact dictionary word → no suggestions
+    assert searcher.spellcheck("assistant") == []
+    # garbage far from everything at max_edits=1 → empty
+    assert searcher.spellcheck("qqqqqqqqqq", max_edits=1) == []
