@@ -66,6 +66,8 @@ class BruteForceIndex:
 
     def idf(self, term: str) -> float:
         df = self.df.get(term, 0)
+        if getattr(self, "similarity", "bm25") == "classic":
+            return 1.0 + math.log(self.N / (df + 1.0))
         return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
 
     def _norm_k(self, doc: int) -> float:
@@ -75,6 +77,9 @@ class BruteForceIndex:
         tf = len(self.docs[doc].get(term, ()))
         if tf == 0:
             return 0.0
+        if getattr(self, "similarity", "bm25") == "classic":
+            idf = self.idf(term)
+            return math.sqrt(tf) * idf * idf / math.sqrt(max(self.dl_decoded[doc], 1))
         return self.idf(term) * tf / (tf + self._norm_k(doc))
 
     def phrase_freq(self, terms: list[str], doc: int, slop: int = 0) -> int:
@@ -102,6 +107,8 @@ class BruteForceIndex:
         if pf == 0:
             return 0.0
         idf_sum = sum(self.idf(t) for t in terms)
+        if getattr(self, "similarity", "bm25") == "classic":
+            return math.sqrt(pf) * idf_sum * idf_sum / math.sqrt(max(self.dl_decoded[doc], 1))
         return idf_sum * pf / (pf + self._norm_k(doc))
 
     def score_query(self, node: QueryNode, doc: int) -> tuple[bool, float]:
@@ -160,12 +167,16 @@ class BruteForceIndex:
         matches = must_ok and (n_should >= need)
         return (matches, score if matches else 0.0)
 
-    def search(self, query: str, k: int) -> list[tuple[int, float]]:
+    def search(self, query: str, k: int, similarity: str = "bm25") -> list[tuple[int, float]]:
         """Top-k (docID, float32 score), tie-break (score desc, docID asc)."""
         node = parse_query(query)
         if node is None:
             return []
-        return self.search_node(node, k)
+        self.similarity = similarity
+        try:
+            return self.search_node(node, k)
+        finally:
+            self.similarity = "bm25"
 
     def search_node(self, node: QueryNode, k: int) -> list[tuple[int, float]]:
         if not hasattr(self, "_vocab"):

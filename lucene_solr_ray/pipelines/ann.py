@@ -174,8 +174,73 @@ def ann_lsh_topk(sf_dir: str, k: int = 10):
     )
 
 
+# --------------------------------------------------------------------------
+# IVF ANN (the inverted-file scale path): seeded k-means coarse quantizer →
+# vectors assigned to cells → the query probes its NPROBE nearest cells and
+# exactly reranks only those vectors.  At scale each cell is a partition and
+# the assignment is a map_batches against broadcast centroids; here the
+# centroids train driver-side on a sample (standard IVF practice).
+# Rows-only (approximation parameter-dependent); recall-tested in pytest.
+
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 99) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ann_ivf_topk(sf_dir: str, k: int = 10):
+    import ray
+
+    q = _query_vec(sf_dir)
+    qn = q / np.linalg.norm(q)
+    # train the coarse quantizer on a driver-side sample (normalized)
+    sample_df = read(sf_dir, "embeddings", ["embedding"]).limit(2000).to_pandas()
+    sample = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cent = _kmeans(sample, IVF_CELLS)
+    cent_ref = ray.put(cent)
+    probe_cells = np.argsort(((cent - qn[None, :]) ** 2).sum(axis=1))[:IVF_NPROBE]
+    probe_set = set(int(c) for c in probe_cells)
+
+    def cell_rerank(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        m = _embed_matrix(batch)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        d = ((mn[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        cells = d.argmin(axis=1)
+        mask = np.isin(cells, list(probe_set))
+        if not mask.any():
+            return pd.DataFrame({"vec_id": [], "sim": []})
+        sims = mn[mask] @ qn
+        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy()[mask], "sim": sims})
+
+    parts = (
+        read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(cell_rerank, batch_format="pandas")
+        .to_pandas()
+    )
+    if "vec_id" not in parts.columns or not len(parts):
+        return pd.DataFrame({"rank": pd.Series([], dtype="int64"), "vec_id": pd.Series([], dtype="int64")})
+    top = parts.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
+    return pd.DataFrame(
+        {"rank": np.arange(1, len(top) + 1, dtype=np.int64), "vec_id": top["vec_id"].astype("int64")}
+    )
+
+
 PIPELINES: dict[str, Pipeline] = {
     "ann_cosine_topk": Pipeline(ann_cosine_topk, ANN_COSINE_SQL, "brute-force cosine top-k (similarity baseline)"),
+    "ann_ivf_topk": Pipeline(ann_ivf_topk, None, "IVF coarse-quantizer ANN (scale path); recall-tested in pytest"),
     "knn_label_vote": Pipeline(knn_label_vote, KNN_VOTE_SQL, "kNN majority-label classification (KNearestNeighborClassifier)"),
     "ann_lsh_topk": Pipeline(ann_lsh_topk, None, "LSH-bucketed ANN (scale path); recall-tested in pytest"),
 }

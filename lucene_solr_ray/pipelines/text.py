@@ -307,6 +307,31 @@ FROM grams GROUP BY bigram ORDER BY df DESC, bigram LIMIT 15
 
 
 # --------------------------------------------------------------------------
+# BPE-ish token counting for training-data budgeting: a GPT-style
+# pre-tokenizer pattern (word runs / digit runs / punctuation runs —
+# lookahead-free so Python re and DuckDB RE2 agree byte-for-byte).
+
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def token_count_bpe(sf_dir: str):
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.findall(BPE_RE)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "n_bpe_tokens": toks.map(len).astype("int64")}
+        )
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(counts, batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+TOKEN_BPE_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
 # §2.4 suggester: prefix completion ranked by collection term frequency
 # (AnalyzingSuggester semantics without the FST: top completions of a
 # prefix weighted by cf).
@@ -439,6 +464,7 @@ ORDER BY score DESC, token LIMIT {MLT_TOP}
 
 PIPELINES: dict[str, Pipeline] = {
     "token_count": Pipeline(token_count, TOKEN_COUNT_SQL, "per-doc token counting (FieldLength URP)"),
+    "token_count_bpe": Pipeline(token_count_bpe, TOKEN_BPE_SQL, "BPE-ish pre-tokenizer counting (training-data budgeting)"),
     "highlight": Pipeline(highlight, HIGHLIGHT_SQL, "snippet extraction around matches (HighlightComponent)"),
     "mlt_terms": Pipeline(mlt_terms, MLT_SQL, "MoreLikeThis interesting-term selection (tf·idf)"),
     "suggest_prefix": Pipeline(suggest_prefix, SUGGEST_SQL, "prefix completion by cf (AnalyzingSuggester semantics)"),

@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from ..index import codec
-from .bm25 import block_upper_bound, score_postings
+from .bm25 import block_upper_bound, score_postings, score_postings_classic
 from .query import QueryNode
 
 _POS_LIMIT = 1 << 22  # composite phrase key = doc * _POS_LIMIT + pos
@@ -136,14 +136,16 @@ class IndexShard:
         return last, maxf, minn
 
     # -- scoring -----------------------------------------------------------
-    def _score_term(self, term: str, idfs: dict[str, float]):
+    def _score_term(self, term: str, idfs: dict[str, float], sim: str = "bm25"):
         p = self._postings(term)
         if p is None:
             return _EMPTY_I64, _EMPTY_F64
         docs, freqs, norms = p[0], p[1], p[2]
+        if sim == "classic":
+            return docs, score_postings_classic(freqs, norms, idfs.get(term, 0.0))
         return docs, score_postings(freqs, norms, idfs.get(term, 0.0), self.norm_cache)
 
-    def _score_phrase(self, terms: list[str], idfs: dict[str, float], slop: int = 0):
+    def _score_phrase(self, terms: list[str], idfs: dict[str, float], slop: int = 0, sim: str = "bm25"):
         """Phrase matching: (docs, scores) for docs with phrase_freq > 0.
         slop=0 uses the vectorized composite-key exact matcher; slop>0
         walks candidate docs with the shared sloppy matcher."""
@@ -154,7 +156,7 @@ class IndexShard:
                 return _EMPTY_I64, _EMPTY_F64
             plists.append(p)
         if slop > 0:
-            return self._score_sloppy(terms, plists, idfs, slop)
+            return self._score_sloppy(terms, plists, idfs, slop, sim)
         # composite keys (doc * POS_LIMIT + pos - offset), intersected
         keys = None
         for off, (docs, freqs, norms, positions, starts) in enumerate(plists):
@@ -171,10 +173,13 @@ class IndexShard:
         idx = np.searchsorted(docs0, match_docs)
         norm_b = norms0[idx]
         idf_sum = sum(idfs.get(t, 0.0) for t in terms)
-        scores = score_postings(pf, norm_b, idf_sum, self.norm_cache)
+        if sim == "classic":
+            scores = score_postings_classic(pf, norm_b, idf_sum)
+        else:
+            scores = score_postings(pf, norm_b, idf_sum, self.norm_cache)
         return match_docs, scores
 
-    def _score_sloppy(self, terms, plists, idfs, slop: int):
+    def _score_sloppy(self, terms, plists, idfs, slop: int, sim: str = "bm25"):
         from .proximity import sloppy_phrase_freq
 
         # candidate docs: conjunction of all term doc-lists
@@ -199,24 +204,27 @@ class IndexShard:
         if not match_docs:
             return _EMPTY_I64, _EMPTY_F64
         idf_sum = sum(idfs.get(t, 0.0) for t in terms)
-        scores = score_postings(
-            np.asarray(pfs, dtype=np.int64), np.asarray(norm_b, dtype=np.int64), idf_sum, self.norm_cache
-        )
+        pf_arr = np.asarray(pfs, dtype=np.int64)
+        nb_arr = np.asarray(norm_b, dtype=np.int64)
+        if sim == "classic":
+            scores = score_postings_classic(pf_arr, nb_arr, idf_sum)
+        else:
+            scores = score_postings(pf_arr, nb_arr, idf_sum, self.norm_cache)
         return np.asarray(match_docs, dtype=np.int64), scores
 
-    def _eval(self, node: QueryNode, idfs: dict[str, float]):
+    def _eval(self, node: QueryNode, idfs: dict[str, float], sim: str = "bm25"):
         """→ (sorted matching docs, float64 scores).  node.boost multiplies
         the result (BoostQuery semantics)."""
-        docs, scores = self._eval_unboosted(node, idfs)
+        docs, scores = self._eval_unboosted(node, idfs, sim)
         if node.boost != 1.0 and scores.size:
             scores = scores * node.boost
         return docs, scores
 
-    def _eval_unboosted(self, node: QueryNode, idfs: dict[str, float]):
+    def _eval_unboosted(self, node: QueryNode, idfs: dict[str, float], sim: str = "bm25"):
         if node.kind == "term":
-            return self._score_term(node.terms[0], idfs)
+            return self._score_term(node.terms[0], idfs, sim)
         if node.kind == "phrase":
-            return self._score_phrase(node.terms, idfs, slop=node.slop)
+            return self._score_phrase(node.terms, idfs, slop=node.slop, sim=sim)
         if node.kind == "term_set":
             # TermInSetQuery: constant-score union of member postings
             parts = [p[0] for t in node.terms if (p := self._postings(t)) is not None]
@@ -226,7 +234,7 @@ class IndexShard:
             return docs, np.ones(docs.size, dtype=np.float64)
         if node.kind == "dismax":
             # DisjunctionMaxQuery: max(child) + tiebreak·Σ(non-max children)
-            results = [self._eval(c, idfs) for _, c in node.clauses]
+            results = [self._eval(c, idfs, sim) for _, c in node.clauses]
             results = [r for r in results if r[0].size]
             if not results:
                 return _EMPTY_I64, _EMPTY_F64
@@ -243,7 +251,7 @@ class IndexShard:
             return docs, mx + node.tiebreak * (sm - mx)
         musts, shoulds, nots, filters = [], [], [], []
         for occ, child in node.clauses:
-            r = self._eval(child, idfs)
+            r = self._eval(child, idfs, sim)
             bucket = {"MUST": musts, "SHOULD": shoulds, "MUST_NOT": nots, "FILTER": filters}[occ]
             bucket.append(r)
         if not musts and not shoulds and not filters:
@@ -295,15 +303,16 @@ class IndexShard:
         return docs, scores
 
     # -- public API --------------------------------------------------------
-    def match_all(self, node: QueryNode, idfs: dict[str, float]):
+    def match_all(self, node: QueryNode, idfs: dict[str, float], sim: str = "bm25"):
         """ALL matching (docs, float64 scores) — feeds parent-block joins
         and delete-by-query, where every child hit matters."""
-        return self._eval(node, idfs)
+        return self._eval(node, idfs, sim)
 
-    def top_k(self, node: QueryNode, k: int, idfs: dict[str, float], prune: bool = True):
+    def top_k(self, node: QueryNode, k: int, idfs: dict[str, float], prune: bool = True, sim: str = "bm25"):
         """→ (doc_ids int64, scores float32), shard-local top-k."""
         if (
             prune
+            and sim == "bm25"  # block-max bounds are BM25-specific
             and node.kind == "bool"
             and node.boost == 1.0
             and node.min_should_match <= 1
@@ -317,7 +326,7 @@ class IndexShard:
                 [c.terms[0] for _, c in node.clauses], k, idfs
             )
         else:
-            docs, scores = self._eval(node, idfs)
+            docs, scores = self._eval(node, idfs, sim)
         scores32 = scores.astype(np.float32)
         if docs.size > k:
             # kth-highest score is the tie boundary; keep every candidate at

@@ -70,6 +70,26 @@ def score_postings(
     return idf * f / (f + norm_cache[norm_bytes])
 
 
+# Classic TF-IDF similarity (pluggable Similarity, SURVEY.md §2.11;
+# lucene/core/src/java/org/apache/lucene/search/similarities/
+# ClassicSimilarity.java semantics without query-time coord/queryNorm):
+# contribution = sqrt(tf) · idf² · 1/sqrt(dl'), idf = 1 + ln(N/(df+1)).
+_INV_SQRT_LEN: np.ndarray = 1.0 / np.sqrt(np.maximum(LENGTH_TABLE.astype(np.float64), 1.0))
+
+
+def classic_idf(df: int, n_docs: int) -> float:
+    import math
+
+    return 1.0 + math.log(n_docs / (df + 1.0))
+
+
+def score_postings_classic(
+    freqs: np.ndarray, norm_bytes: np.ndarray, idf: float
+) -> np.ndarray:
+    f = freqs.astype(np.float64)
+    return np.sqrt(f) * (idf * idf) * _INV_SQRT_LEN[norm_bytes]
+
+
 def block_upper_bound(
     max_freq: np.ndarray, min_norm: np.ndarray, idf: float, norm_cache: np.ndarray
 ) -> np.ndarray:

@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .actor import IndexShard
-from .bm25 import BM25Stats
+from .bm25 import BM25Stats, classic_idf
 from .query import parse_query, rewrite
 
 
@@ -212,14 +212,25 @@ class Searcher:
                 ray.kill(a)
             self.actors = []
 
-    def search(self, query: str, k: int = 10, prune: bool = True) -> list[tuple[int, float]]:
-        """→ [(doc_id, float32 score)], rank order (score desc, docID asc)."""
+    def search(
+        self, query: str, k: int = 10, prune: bool = True, similarity: str = "bm25"
+    ) -> list[tuple[int, float]]:
+        """→ [(doc_id, float32 score)], rank order (score desc, docID asc).
+        `similarity` selects the pluggable scoring model ("bm25" | "classic"
+        TF-IDF — the Similarity SPI, SURVEY.md §2.11)."""
         node = parse_query(query)
         if node is None:
             return []
-        return self.search_node(node, k, prune=prune)
+        return self.search_node(node, k, prune=prune, similarity=similarity)
 
-    def search_node(self, node, k: int = 10, prune: bool = True) -> list[tuple[int, float]]:
+    def _term_weights(self, terms, similarity: str) -> dict:
+        if similarity == "classic":
+            return {t: classic_idf(self.stats.df(t), self.stats.N) for t in set(terms)}
+        return self.stats.idfs(terms)
+
+    def search_node(
+        self, node, k: int = 10, prune: bool = True, similarity: str = "bm25"
+    ) -> list[tuple[int, float]]:
         """Programmatic query execution (dismax/term_set/minShouldMatch
         nodes have no string syntax, matching the reference's API-level
         queries)."""
@@ -228,7 +239,7 @@ class Searcher:
         node = rewrite(node, self.stats.terms)
         if node is None:
             return []
-        idfs = self.stats.idfs(node.all_terms())
+        idfs = self._term_weights(node.all_terms(), similarity)
         if not hasattr(self, "_tombstones"):
             self._tombstones = self._load_tombstones()
         dead = self._tombstones
@@ -237,9 +248,11 @@ class Searcher:
         if self.use_ray:
             import ray
 
-            parts = ray.get([a.top_k.remote(node, k_shard, idfs, prune) for a in self.actors])
+            parts = ray.get(
+                [a.top_k.remote(node, k_shard, idfs, prune, similarity) for a in self.actors]
+            )
         else:
-            parts = [a.top_k(node, k_shard, idfs, prune) for a in self.actors]
+            parts = [a.top_k(node, k_shard, idfs, prune, similarity) for a in self.actors]
         docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float32)
         if dead.size and docs.size:

@@ -282,3 +282,15 @@ def test_spellcheck(searcher, oracle):
     assert searcher.spellcheck("assistant") == []
     # garbage far from everything at max_edits=1 → empty
     assert searcher.spellcheck("qqqqqqqqqq", max_edits=1) == []
+
+
+def test_duel_classic_similarity(searcher, oracle):
+    """Pluggable Similarity: classic TF-IDF ranks differently from BM25 but
+    identically between engine and oracle."""
+    for q in ["error ok", "assistant", '"tool output"', "+bash w00001"]:
+        got = searcher.search(q, 10, similarity="classic")
+        exp = [(d, float(s)) for d, s in oracle.search(q, 10, similarity="classic")]
+        assert got == exp, q
+    bm = searcher.search("error ok w00002", 10)
+    cl = searcher.search("error ok w00002", 10, similarity="classic")
+    assert bm != cl  # genuinely different model

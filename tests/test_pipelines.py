@@ -112,15 +112,15 @@ def test_media_features_stub(ray_session, duck):
 
 def test_phrase_search_vs_bruteforce(ray_session, duck):
     from lucene_solr_ray.oracle import BruteForceIndex
-    from lucene_solr_ray.pipelines.fulltext import _ensure_index
+    from lucene_solr_ray.pipelines.fulltext import _searcher
 
-    searcher = _ensure_index(SF)
     texts = duck.execute("SELECT text FROM documents ORDER BY doc_id").fetchdf()["text"].tolist()
     oracle = BruteForceIndex(texts)
-    for q in ['"slow scan"', '"fast merge"', "+spark -join", "window sort"]:
-        got = searcher.search(q, 10)
-        exp = [(d, float(s)) for d, s in oracle.search(q, 10)]
-        assert got == exp, q
+    with _searcher(SF) as searcher:
+        for q in ['"slow scan"', '"fast merge"', "+spark -join", "window sort"]:
+            got = searcher.search(q, 10)
+            exp = [(d, float(s)) for d, s in oracle.search(q, 10)]
+            assert got == exp, q
 
 
 def test_entry_contract(ray_session):
@@ -131,3 +131,21 @@ def test_entry_contract(ray_session):
     qs, sqls = e.queries(), e.oracle_sql()
     assert set(sqls) <= set(qs)
     assert len(qs) >= 35 and len(sqls) >= 30
+
+
+def test_ann_ivf_recall(ray_session):
+    from lucene_solr_ray.pipelines.ann import ann_cosine_topk, ann_ivf_topk
+
+    exact = ann_cosine_topk(SF)["vec_id"].tolist()
+    approx = ann_ivf_topk(SF)["vec_id"].tolist()
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+    assert approx and approx[0] == 0  # query vec is its own 1-NN (its cell is probed)
+
+
+def test_token_count_bpe_matches_duck(ray_session, duck):
+    from lucene_solr_ray.pipelines.text import token_count_bpe, TOKEN_BPE_SQL
+
+    ray_df = token_count_bpe(SF)
+    sql_df = duck.execute(TOKEN_BPE_SQL).fetchdf()
+    assert ray_df["n_bpe_tokens"].tolist() == sql_df["n_bpe_tokens"].tolist()
