@@ -73,13 +73,33 @@ class BruteForceIndex:
     def _norm_k(self, doc: int) -> float:
         return K1 * (1.0 - B + B * self.dl_decoded[doc] / self.avgdl)
 
+    def cf(self, term: str) -> int:
+        if not hasattr(self, "_cf"):
+            self._cf = Counter()
+            for d in self.docs:
+                for t, ps in d.items():
+                    self._cf[t] += len(ps)
+        return self._cf.get(term, 0)
+
+    def _lm_score(self, tf: int, p_coll: float, doc: int) -> float:
+        from .search.bm25 import LM_MU
+
+        if p_coll <= 0 or tf == 0:
+            return 0.0
+        dl = np.float64(self.dl_decoded[doc])
+        s = np.log1p(np.float64(tf) / (LM_MU * p_coll)) + np.log(LM_MU / (dl + LM_MU))
+        return float(max(s, 0.0))
+
     def term_score(self, term: str, doc: int) -> float:
         tf = len(self.docs[doc].get(term, ()))
         if tf == 0:
             return 0.0
-        if getattr(self, "similarity", "bm25") == "classic":
+        sim = getattr(self, "similarity", "bm25")
+        if sim == "classic":
             idf = self.idf(term)
             return math.sqrt(tf) * idf * idf / math.sqrt(max(self.dl_decoded[doc], 1))
+        if sim == "lm":
+            return self._lm_score(tf, self.cf(term) / self.sum_ttf, doc)
         return self.idf(term) * tf / (tf + self._norm_k(doc))
 
     def phrase_freq(self, terms: list[str], doc: int, slop: int = 0) -> int:
@@ -106,8 +126,12 @@ class BruteForceIndex:
         pf = self.phrase_freq(terms, doc, slop=slop)
         if pf == 0:
             return 0.0
+        sim = getattr(self, "similarity", "bm25")
+        if sim == "lm":
+            p_sum = sum(self.cf(t) / self.sum_ttf for t in terms)
+            return self._lm_score(pf, p_sum, doc)
         idf_sum = sum(self.idf(t) for t in terms)
-        if getattr(self, "similarity", "bm25") == "classic":
+        if sim == "classic":
             return math.sqrt(pf) * idf_sum * idf_sum / math.sqrt(max(self.dl_decoded[doc], 1))
         return idf_sum * pf / (pf + self._norm_k(doc))
 

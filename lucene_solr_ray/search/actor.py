@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from ..index import codec
-from .bm25 import block_upper_bound, score_postings, score_postings_classic
+from .bm25 import block_upper_bound, score_postings, score_postings_classic, score_postings_lm
 from .query import QueryNode
 
 _POS_LIMIT = 1 << 22  # composite phrase key = doc * _POS_LIMIT + pos
@@ -143,6 +143,8 @@ class IndexShard:
         docs, freqs, norms = p[0], p[1], p[2]
         if sim == "classic":
             return docs, score_postings_classic(freqs, norms, idfs.get(term, 0.0))
+        if sim == "lm":
+            return docs, score_postings_lm(freqs, norms, idfs.get(term, 0.0))
         return docs, score_postings(freqs, norms, idfs.get(term, 0.0), self.norm_cache)
 
     def _score_phrase(self, terms: list[str], idfs: dict[str, float], slop: int = 0, sim: str = "bm25"):
@@ -175,6 +177,8 @@ class IndexShard:
         idf_sum = sum(idfs.get(t, 0.0) for t in terms)
         if sim == "classic":
             scores = score_postings_classic(pf, norm_b, idf_sum)
+        elif sim == "lm":
+            scores = score_postings_lm(pf, norm_b, idf_sum)
         else:
             scores = score_postings(pf, norm_b, idf_sum, self.norm_cache)
         return match_docs, scores
@@ -208,6 +212,8 @@ class IndexShard:
         nb_arr = np.asarray(norm_b, dtype=np.int64)
         if sim == "classic":
             scores = score_postings_classic(pf_arr, nb_arr, idf_sum)
+        elif sim == "lm":
+            scores = score_postings_lm(pf_arr, nb_arr, idf_sum)
         else:
             scores = score_postings(pf_arr, nb_arr, idf_sum, self.norm_cache)
         return np.asarray(match_docs, dtype=np.int64), scores

@@ -40,18 +40,26 @@ class BM25Stats:
 
     @classmethod
     def load(cls, stats_path: str, n_docs: int, avgdl: float) -> "BM25Stats":
-        t = pq.read_table(stats_path, columns=["term", "df"])
-        return cls(
+        t = pq.read_table(stats_path, columns=["term", "df", "cf"])
+        out = cls(
             t.column("term").to_numpy(zero_copy_only=False),
             t.column("df").to_numpy(zero_copy_only=False).astype(np.int64),
             n_docs,
             avgdl,
         )
+        out.cfs = t.column("cf").to_numpy(zero_copy_only=False).astype(np.int64)
+        return out
 
     def df(self, term: str) -> int:
         i = np.searchsorted(self.terms, term)
         if i < len(self.terms) and self.terms[i] == term:
             return int(self.dfs[i])
+        return 0
+
+    def cf(self, term: str) -> int:
+        i = np.searchsorted(self.terms, term)
+        if i < len(self.terms) and self.terms[i] == term:
+            return int(getattr(self, "cfs", self.dfs)[i])
         return 0
 
     def idf(self, term: str) -> float:
@@ -88,6 +96,23 @@ def score_postings_classic(
 ) -> np.ndarray:
     f = freqs.astype(np.float64)
     return np.sqrt(f) * (idf * idf) * _INV_SQRT_LEN[norm_bytes]
+
+
+# LMDirichlet language-model similarity (lucene/core/src/java/org/apache/
+# lucene/search/similarities/LMDirichletSimilarity.java semantics over our
+# byte-decoded doc length; scores floored at 0 as in the reference):
+# score = max(0, ln(1 + tf/(μ·p(t|C))) + ln(μ/(dl'+μ))), μ = 2000,
+# p(t|C) = cf / sumTotalTermFreq.
+LM_MU = 2000.0
+
+
+def score_postings_lm(freqs: np.ndarray, norm_bytes: np.ndarray, p_coll: float) -> np.ndarray:
+    if p_coll <= 0:
+        return np.zeros(freqs.size, dtype=np.float64)
+    f = freqs.astype(np.float64)
+    dl = LENGTH_TABLE[norm_bytes].astype(np.float64)
+    s = np.log1p(f / (LM_MU * p_coll)) + np.log(LM_MU / (dl + LM_MU))
+    return np.maximum(s, 0.0)
 
 
 def block_upper_bound(

@@ -226,6 +226,9 @@ class Searcher:
     def _term_weights(self, terms, similarity: str) -> dict:
         if similarity == "classic":
             return {t: classic_idf(self.stats.df(t), self.stats.N) for t in set(terms)}
+        if similarity == "lm":
+            st = self.manifest["stats"]
+            return {t: self.stats.cf(t) / st["sum_ttf"] for t in set(terms)}
         return self.stats.idfs(terms)
 
     def search_node(

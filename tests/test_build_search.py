@@ -294,3 +294,12 @@ def test_duel_classic_similarity(searcher, oracle):
     bm = searcher.search("error ok w00002", 10)
     cl = searcher.search("error ok w00002", 10, similarity="classic")
     assert bm != cl  # genuinely different model
+
+
+def test_duel_lm_dirichlet(searcher, oracle):
+    """LMDirichlet language-model similarity, duel-identical."""
+    for q in ["error ok", "assistant", "+bash w00002", '"tool output"']:
+        got = searcher.search(q, 10, similarity="lm")
+        exp = [(d, float(s)) for d, s in oracle.search(q, 10, similarity="lm")]
+        assert got == exp, q
+    assert searcher.search("error w00005", 10, similarity="lm") != searcher.search("error w00005", 10)
