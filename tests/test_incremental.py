@@ -149,3 +149,26 @@ def test_daemon_loop(ray_session, corpus_dirs):
     assert log2[0]["built"]
     c2 = current_commit(idx)
     assert c2["N"] > c1["N"]
+
+
+def test_scratch_builds_deterministic(ray_session, corpus_dirs):
+    """Two independent from-scratch builds over the same input produce
+    identical postings (retry/lineage safety: no wall-clock, no unordered
+    iteration in any encoded output)."""
+    a_dir, b_dir = "/tmp/lsr_det_a", "/tmp/lsr_det_b"
+    first = corpus_dirs
+    for d in (a_dir, b_dir):
+        shutil.rmtree(d, ignore_errors=True)
+        build_index(first, d, files_per_shard=2, resume=False)
+
+    def postings(d):
+        t = pa.concat_tables(
+            pq.read_table(f) for f in sorted(glob.glob(f"{d}/shards/shard=*/*.parquet"))
+        )
+        return t.sort_by([("term", "ascending"), ("salt", "ascending")])
+
+    a, b = postings(a_dir), postings(b_dir)
+    assert a.num_rows == b.num_rows
+    for col in ["term", "salt", "df", "cf", "docs", "freqs", "norms", "positions",
+                "blk_last_doc", "blk_max_freq", "blk_min_norm"]:
+        assert a.column(col).equals(b.column(col)), col
