@@ -262,6 +262,38 @@ def synonym_filter(synonyms: dict[str, list[str]], keep_original: bool = True) -
     return f
 
 
+def word_delimiter_filter(
+    generate_parts: bool = True,
+    catenate_all: bool = False,
+    preserve_original: bool = False,
+) -> TokenFilter:
+    """Non-graph subset of miscellaneous/WordDelimiterGraphFilter.java:
+    splits tokens on letter↔digit transitions, case changes, and intra-word
+    delimiters ("wi-fi2" → wi, fi, 2); optionally catenates all parts
+    ("wifi2") and/or keeps the original.  Parts stack at the original
+    token's position (the graph posLength refinement is round-2 scope)."""
+    import re
+
+    part_re = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z]+|[a-z]+|[0-9]+")
+
+    def f(tokens: list[Token]) -> list[Token]:
+        out = []
+        for term, pos in tokens:
+            parts = part_re.findall(term)
+            if len(parts) <= 1 and not preserve_original:
+                out.append((term, pos) if not parts else (parts[0], pos))
+                continue
+            if preserve_original:
+                out.append((term, pos))
+            if generate_parts:
+                out.extend((p, pos) for p in parts)
+            if catenate_all and len(parts) > 1:
+                out.append(("".join(parts), pos))
+        return out
+
+    return f
+
+
 def chain(*filters: TokenFilter) -> TokenFilter:
     """Compose filters left-to-right (the TokenStream decorator chain)."""
 
@@ -283,4 +315,5 @@ REGISTRY: dict[str, Callable[..., TokenFilter]] = {
     "ascii_folding": ascii_folding_filter,
     "porter_stem": porter_stem_filter,
     "synonym": synonym_filter,
+    "word_delimiter": word_delimiter_filter,
 }

@@ -76,11 +76,17 @@ class IndexShard:
         from ..state import LRUCache
 
         self._cache = LRUCache(max_items=50_000)
+        # queryResultCache (solr/core/.../search/SolrIndexSearcher.java ::
+        # getDocListC): repeated (query, k, sim) calls short-circuit
+        self._result_cache = LRUCache(max_items=1024)
         self._prune_candidates = 0
         self._prune_survivors = 0
 
     def ping(self) -> bool:
         return True
+
+    def result_cache_stats(self) -> dict:
+        return self._result_cache.stats()
 
     def prune_stats(self) -> dict:
         """Cumulative block-max pruning effectiveness (Ding & Suel-style
@@ -316,6 +322,15 @@ class IndexShard:
 
     def top_k(self, node: QueryNode, k: int, idfs: dict[str, float], prune: bool = True, sim: str = "bm25"):
         """→ (doc_ids int64, scores float32), shard-local top-k."""
+        cache_key = (repr(node), k, prune, sim)
+        hit = self._result_cache.get(cache_key)
+        if hit is not None:
+            return hit
+        result = self._top_k_uncached(node, k, idfs, prune, sim)
+        self._result_cache.put(cache_key, result)
+        return result
+
+    def _top_k_uncached(self, node: QueryNode, k: int, idfs: dict[str, float], prune: bool, sim: str):
         if (
             prune
             and sim == "bm25"  # block-max bounds are BM25-specific

@@ -99,3 +99,16 @@ def test_synonym_filter():
     assert g(toks) == [("fast", 1), ("fox", 2)]
     # stacked positions: a phrase over either variant matches
     assert [p for _, p in f(toks)][:3] == [1, 1, 1]
+
+
+def test_word_delimiter():
+    from lucene_solr_ray.analysis.extras import word_delimiter_filter
+
+    f = word_delimiter_filter()
+    assert f([("wi-fi2", 3)]) == [("wi", 3), ("fi", 3), ("2", 3)]
+    assert f([("WiFi", 0)]) == [("Wi", 0), ("Fi", 0)]
+    assert f([("plain", 1)]) == [("plain", 1)]
+    g = word_delimiter_filter(catenate_all=True, preserve_original=True)
+    assert g([("wi-fi", 0)]) == [("wi-fi", 0), ("wi", 0), ("fi", 0), ("wifi", 0)]
+    h = word_delimiter_filter(generate_parts=False, catenate_all=True)
+    assert h([("w00042", 0)]) == [("w00042", 0)]  # caten only when multi-part... parts=('w','00042')
