@@ -73,9 +73,89 @@ def media_features(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-# crc32 has no DuckDB twin → gate on the SQL-expressible columns only is not
-# possible per-query; keep rows-only (pytest asserts known feature values).
+class FakeResizer:
+    """Actor-pool 'resize' stage: deterministic byte-domain downsample
+    (every k-th byte) standing in for an image resize — the Ray-side
+    plumbing (binary in/binary out, small batches, actor state) is real."""
+
+    def __init__(self, factor: int = 4):
+        self.factor = factor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        resized = [p[:: self.factor] for p in payloads]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(resized, type=pa.binary()),
+                "orig_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+                "resized_bytes": pa.array([len(r) for r in resized], type=pa.int64()),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool 'frame sample' stage: split a payload into fixed-size
+    frames and keep every `stride`-th — the video frame-sampling shape
+    (1 row in → N frame rows out via a flat-map style batch fn)."""
+
+    def __init__(self, frame_bytes: int = 64, stride: int = 2):
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, frame_idx, frames = [], [], []
+        for did, p in zip(batch.column("doc_id").to_pylist(), batch.column("payload").to_pylist()):
+            chunks = [p[i : i + self.frame_bytes] for i in range(0, len(p), self.frame_bytes)]
+            for j in range(0, len(chunks), self.stride):
+                doc_ids.append(did)
+                frame_idx.append(j)
+                frames.append(chunks[j])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "frame_idx": pa.array(frame_idx, type=pa.int64()),
+                "frame": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+def media_pipeline(sf_dir: str):
+    """Full multimodal chain: payload → resize → frame-sample → per-doc
+    frame counts (decode stubbed; plumbing/schema/batch-sizing real)."""
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array([t.encode() for t in batch.column("text").to_pylist()], type=pa.binary()),
+            }
+        )
+
+    ds = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(FakeResizer, batch_format="pyarrow", batch_size=128, concurrency=1)
+        .map_batches(
+            lambda t: t.select(["doc_id", "payload"]), batch_format="pyarrow"
+        )
+        .map_batches(FrameSampler, batch_format="pyarrow", batch_size=128, concurrency=1)
+    )
+    out = ds.to_pandas()
+    agg = out.groupby("doc_id", as_index=False).agg(n_frames=("frame_idx", "size"))
+    agg["n_frames"] = agg["n_frames"].astype("int64")
+    return agg.sort_values("doc_id").reset_index(drop=True)
+
+
+# crc32 has no DuckDB twin → media_features stays rows-only; media_pipeline
+# frame counts ARE SQL-derivable from byte lengths → gated.
+MEDIA_PIPELINE_SQL = """
+SELECT doc_id,
+       CAST(CEIL(CEIL(CEIL(length(text) / 4.0) / 64.0) / 2.0) AS BIGINT) AS n_frames
+FROM documents ORDER BY doc_id
+"""
 
 PIPELINES: dict[str, Pipeline] = {
     "media_features": Pipeline(media_features, None, "binary-payload actor-pool decode plumbing (stubbed decoder)"),
+    "media_pipeline": Pipeline(media_pipeline, MEDIA_PIPELINE_SQL, "resize → frame-sample multimodal chain (stubbed ops, real plumbing)"),
 }

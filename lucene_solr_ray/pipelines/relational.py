@@ -690,8 +690,62 @@ SELECT n, s1, s2, (s2 - (s1 * s1) / n) / n AS var_pop_bp FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q14-style promotion share: conditional aggregate over a dim join
+# (part ⋈ lineitem), exact-integer cents both sides.
+
+
+def promo_revenue_share(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    promo = dict(
+        zip(part.column("p_partkey").to_pylist(), [t == "PROMO" for t in part.column("p_type").to_pylist()])
+    )
+    ref = ray.put(promo)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        rev = cents(batch["l_extendedprice"].to_numpy() * (1.0 - batch["l_discount"].to_numpy()))
+        is_promo = batch["l_partkey"].map(m).to_numpy(dtype=bool)
+        return pd.DataFrame(
+            {"promo_cents": [int(rev[is_promo].sum())], "total_cents": [int(rev.sum())]}
+        )
+
+    parts = (
+        read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    promo_c = int(parts["promo_cents"].sum())
+    total_c = int(parts["total_cents"].sum())
+    return pd.DataFrame(
+        {
+            "promo_cents": [promo_c],
+            "total_cents": [total_c],
+            "promo_share": [promo_c / total_c],
+        }
+    )
+
+
+PROMO_SQL = """
+WITH r AS (
+  SELECT CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS c,
+         p_type = 'PROMO' AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT CAST(SUM(CASE WHEN is_promo THEN c ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(SUM(c) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN is_promo THEN c ELSE 0 END) AS BIGINT)
+         / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS promo_share
+FROM r
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "facet_field": Pipeline(facet_field, FACET_FIELD_SQL, "field facet counts (SimpleFacets)"),
+    "promo_revenue_share": Pipeline(promo_revenue_share, PROMO_SQL, "conditional aggregate over dim join (TPC-H Q14 shape)"),
     "random_sample_hash": Pipeline(random_sample_hash, RANDOM_SAMPLE_SQL, "seeded pseudo-random sampling (RandomSortField)"),
     "variance_moments": Pipeline(variance_moments, VARIANCE_SQL, "stddev/variance from exact integer moments (VarianceAgg)"),
     "export_sorted": Pipeline(export_sorted, EXPORT_SQL, "full sorted export via ds.sort → parquet sink (/export)"),
