@@ -149,6 +149,28 @@ class BruteForceIndex:
             return (pf > 0, self.phrase_score(node.terms, doc, slop=node.slop))
         if node.kind == "term_set":
             return (any(t in self.docs[doc] for t in node.terms), 1.0)
+        if node.kind == "interval":
+            from .search.proximity import sloppy_phrase_freq, unordered_interval_freq
+
+            plists = [self.docs[doc].get(t) for t in node.terms]
+            if any(p is None for p in plists):
+                return (False, 0.0)
+            pls = [sorted(p) for p in plists]
+            if node.min_should_match:  # ordered
+                pf = sloppy_phrase_freq(pls, max(node.max_edits - len(node.terms), 0))
+            else:
+                pf = unordered_interval_freq(pls, node.max_edits)
+            if pf == 0:
+                return (False, 0.0)
+            # scored like a phrase with freq = window count
+            idf_sum = sum(self.idf(t) for t in node.terms)
+            sim = getattr(self, "similarity", "bm25")
+            if sim == "lm":
+                p_sum = sum(self.cf(t) / self.sum_ttf for t in node.terms)
+                return (True, self._lm_score(pf, p_sum, doc))
+            if sim == "classic":
+                return (True, math.sqrt(pf) * idf_sum * idf_sum / math.sqrt(max(self.dl_decoded[doc], 1)))
+            return (True, idf_sum * pf / (pf + self._norm_k(doc)))
         if node.kind == "dismax":
             child = [self.score_query(c, doc) for _, c in node.clauses]
             hits = [s for m, s in child if m]

@@ -189,6 +189,52 @@ class IndexShard:
             scores = score_postings(pf, norm_b, idf_sum, self.norm_cache)
         return match_docs, scores
 
+    def _score_interval(self, node: QueryNode, idfs: dict[str, float], sim: str):
+        from .proximity import sloppy_phrase_freq, unordered_interval_freq
+
+        terms = node.terms
+        width = node.max_edits
+        ordered = bool(node.min_should_match)
+        plists = []
+        for t in terms:
+            p = self._postings(t, with_positions=True)
+            if p is None:
+                return _EMPTY_I64, _EMPTY_F64
+            plists.append(p)
+        cand = plists[0][0]
+        for p in plists[1:]:
+            cand = np.intersect1d(cand, p[0], assume_unique=True)
+            if cand.size == 0:
+                return _EMPTY_I64, _EMPTY_F64
+        match_docs, pfs, norm_b = [], [], []
+        for d in cand:
+            pos_lists = []
+            for docs, freqs, norms, positions, starts in plists:
+                i = int(np.searchsorted(docs, d))
+                s0 = int(starts[i])
+                pos_lists.append(positions[s0 : s0 + int(freqs[i])].tolist())
+            if ordered:
+                pf = sloppy_phrase_freq(pos_lists, max(width - len(terms), 0))
+            else:
+                pf = unordered_interval_freq(pos_lists, width)
+            if pf:
+                i0 = int(np.searchsorted(plists[0][0], d))
+                match_docs.append(int(d))
+                pfs.append(pf)
+                norm_b.append(int(plists[0][2][i0]))
+        if not match_docs:
+            return _EMPTY_I64, _EMPTY_F64
+        idf_sum = sum(idfs.get(t, 0.0) for t in terms)
+        pf_arr = np.asarray(pfs, dtype=np.int64)
+        nb_arr = np.asarray(norm_b, dtype=np.int64)
+        if sim == "classic":
+            scores = score_postings_classic(pf_arr, nb_arr, idf_sum)
+        elif sim == "lm":
+            scores = score_postings_lm(pf_arr, nb_arr, idf_sum)
+        else:
+            scores = score_postings(pf_arr, nb_arr, idf_sum, self.norm_cache)
+        return np.asarray(match_docs, dtype=np.int64), scores
+
     def _score_sloppy(self, terms, plists, idfs, slop: int, sim: str = "bm25"):
         from .proximity import sloppy_phrase_freq
 
@@ -237,6 +283,8 @@ class IndexShard:
             return self._score_term(node.terms[0], idfs, sim)
         if node.kind == "phrase":
             return self._score_phrase(node.terms, idfs, slop=node.slop, sim=sim)
+        if node.kind == "interval":
+            return self._score_interval(node, idfs, sim)
         if node.kind == "term_set":
             # TermInSetQuery: constant-score union of member postings
             parts = [p[0] for t in node.terms if (p := self._postings(t)) is not None]

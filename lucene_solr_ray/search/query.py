@@ -53,7 +53,7 @@ class QueryNode:
     slop: int = 0  # PhraseQuery slop: "a b"~N proximity window
 
     def all_terms(self) -> list[str]:
-        if self.kind in ("term", "phrase", "term_set"):
+        if self.kind in ("term", "phrase", "term_set", "interval"):
             return list(self.terms)
         out: list[str] = []
         for _, c in self.clauses:
@@ -65,6 +65,18 @@ def dismax(children: list[QueryNode], tiebreak: float = 0.0, boost: float = 1.0)
     """DisjunctionMaxQuery: score = max(child) + tiebreak·Σ(other children)
     (lucene/core/src/java/org/apache/lucene/search/DisjunctionMaxQuery.java)."""
     return QueryNode("dismax", clauses=[("SHOULD", c) for c in children], tiebreak=tiebreak, boost=boost)
+
+
+def interval(terms: list[str], max_width: int, ordered: bool = True, boost: float = 1.0) -> QueryNode:
+    """Intervals-lite (lucene/queries/.../intervals/Intervals.java subset):
+    docs where all terms occur within a `max_width`-position window —
+    ordered (phrase-with-slop equivalence: slop = max_width − n) or
+    unordered minimal-window containment.  Scored like a phrase with
+    freq = number of matching windows."""
+    return QueryNode(
+        "interval", terms=list(terms), max_edits=max_width,  # max_edits reused as width
+        min_should_match=1 if ordered else 0, boost=boost,
+    )
 
 
 def term_set(terms: list[str], boost: float = 1.0) -> QueryNode:

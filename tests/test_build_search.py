@@ -321,3 +321,24 @@ def test_query_result_cache(ray_session, index):
         assert hits["hits"] >= 1
     finally:
         s2.close()
+
+
+def test_duel_intervals(searcher, oracle):
+    """Intervals-lite: ordered and unordered window containment."""
+    from lucene_solr_ray.search.query import interval
+
+    nodes = [
+        interval(["tool", "bash"], max_width=4, ordered=True),
+        interval(["tool", "bash"], max_width=4, ordered=False),
+        interval(["error", "ok"], max_width=10, ordered=False),
+        interval(["user", "question", "error"], max_width=8, ordered=True),
+        interval(["assistant", "ok"], max_width=3, ordered=False),
+    ]
+    for i, node in enumerate(nodes):
+        got = searcher.search_node(node, 10)
+        exp = [(d, float(s)) for d, s in oracle.search_node(node, 10)]
+        assert got == exp, f"interval#{i}\n got {got[:5]}\n exp {exp[:5]}"
+    # unordered is a superset of ordered at equal width
+    o = {d for d, _ in searcher.search_node(interval(["tool", "bash"], 4, True), 1000)}
+    u = {d for d, _ in searcher.search_node(interval(["tool", "bash"], 4, False), 1000)}
+    assert o <= u
