@@ -280,8 +280,16 @@ def word_delimiter_filter(
         out = []
         for term, pos in tokens:
             parts = part_re.findall(term)
-            if len(parts) <= 1 and not preserve_original:
-                out.append((term, pos) if not parts else (parts[0], pos))
+            if len(parts) <= 1:
+                # single-part token: emit once (WordDelimiterGraphFilter never
+                # duplicates a token whose sole part equals the original)
+                if not parts or parts[0] == term:
+                    out.append((term, pos))
+                else:  # leading/trailing delimiters, e.g. "foo-"
+                    if preserve_original:
+                        out.append((term, pos))
+                    if generate_parts or not preserve_original:
+                        out.append((parts[0], pos))
                 continue
             if preserve_original:
                 out.append((term, pos))

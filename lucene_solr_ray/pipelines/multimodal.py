@@ -148,11 +148,13 @@ def media_pipeline(sf_dir: str):
 
 
 # crc32 has no DuckDB twin → media_features stays rows-only; media_pipeline
-# frame counts ARE SQL-derivable from byte lengths → gated.
+# frame counts ARE SQL-derivable from byte lengths → gated.  strlen() is
+# DuckDB's BYTE length (length() is characters) — the engine frames over
+# UTF-8 bytes, and a zero-byte payload yields no frame row on either side.
 MEDIA_PIPELINE_SQL = """
 SELECT doc_id,
-       CAST(CEIL(CEIL(CEIL(length(text) / 4.0) / 64.0) / 2.0) AS BIGINT) AS n_frames
-FROM documents ORDER BY doc_id
+       CAST(CEIL(CEIL(CEIL(strlen(text) / 4.0) / 64.0) / 2.0) AS BIGINT) AS n_frames
+FROM documents WHERE strlen(text) > 0 ORDER BY doc_id
 """
 
 PIPELINES: dict[str, Pipeline] = {

@@ -708,9 +708,11 @@ def promo_revenue_share(sf_dir: str):
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(ref)
         rev = cents(batch["l_extendedprice"].to_numpy() * (1.0 - batch["l_discount"].to_numpy()))
-        is_promo = batch["l_partkey"].map(m).to_numpy(dtype=bool)
+        mm = batch["l_partkey"].map(m)
+        matched = mm.notna().to_numpy()  # mirror the SQL inner join: unmatched keys drop
+        is_promo = mm.fillna(False).to_numpy(dtype=bool)
         return pd.DataFrame(
-            {"promo_cents": [int(rev[is_promo].sum())], "total_cents": [int(rev.sum())]}
+            {"promo_cents": [int(rev[is_promo].sum())], "total_cents": [int(rev[matched].sum())]}
         )
 
     parts = (

@@ -447,7 +447,16 @@ class IndexShard:
         top_idx = np.argpartition(-bounds, k - 1)[:k]
         seed_docs = np.sort(docs[top_idx])
         _, seed_scores = self._exact_scores(seed_docs, live_terms, posts, idfs)
-        theta = np.partition(seed_scores, seed_scores.size - k)[seed_scores.size - k] if seed_scores.size >= k else 0.0
+        if seed_scores.size >= k:
+            # final ranking ties are decided at float32: θ must not prune a
+            # doc whose exact score rounds to the same float32 as the kth
+            # seed (it could win the docID tie-break) — use the float32
+            # predecessor of the kth float32 seed score as the floor
+            s32 = seed_scores.astype(np.float32)
+            kth32 = np.partition(s32, s32.size - k)[s32.size - k]
+            theta = float(np.nextafter(kth32, np.float32(-np.inf)))
+        else:
+            theta = 0.0
         keep = bounds >= theta
         survivors = docs[keep]
         self._prune_candidates += int(docs.size)

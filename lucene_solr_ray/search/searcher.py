@@ -114,6 +114,7 @@ class Searcher:
             parts = [a.match_all(node, idfs) for a in self.actors]
         docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
+        docs, scores = self._mask_deleted(docs, scores)
         if docs.size == 0:
             return []
         convs = self.fetch(docs.tolist())
@@ -152,6 +153,7 @@ class Searcher:
             parts = [a.match_all(node, idfs) for a in self.actors]
         docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]).astype(np.float32) if parts else np.empty(0, np.float32)
+        docs, scores = self._mask_deleted(docs, scores)
         if docs.size == 0:
             return []
         convs = self.fetch(docs.tolist())
@@ -170,6 +172,18 @@ class Searcher:
         return out
 
     # -- deletes (live-docs) ----------------------------------------------
+    def _mask_deleted(self, docs: np.ndarray, scores: np.ndarray):
+        """Apply the tombstone set to a (docs, scores) match list — every
+        read path (search, block join, diversified top-k) must mask deletes
+        the same way the live-docs bitset does."""
+        if not hasattr(self, "_tombstones"):
+            self._tombstones = self._load_tombstones()
+        dead = self._tombstones
+        if dead.size and docs.size:
+            live = ~np.isin(docs, dead)
+            return docs[live], scores[live]
+        return docs, scores
+
     def _tombstone_path(self) -> Path:
         return self.index_dir / "tombstones.parquet"
 
