@@ -177,11 +177,13 @@ def invert_partition(
             continue
         col = table.column(field)
         valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
-        vals = col.to_numpy(zero_copy_only=False)
         rows = np.flatnonzero(valid)
         if rows.size:
             kw_rows.append(rows.astype(np.int64))
-            kw_terms.append(np.array([f"{field}:{vals[r]}" for r in rows], dtype=object))
+            joined = pc.binary_join_element_wise(
+                pa.scalar(field), pc.take(col, pa.array(rows)), pa.scalar(":")
+            )
+            kw_terms.append(joined.to_numpy(zero_copy_only=False).astype(object))
     if kw_rows:
         tok = {
             "row": np.concatenate([tok["row"], *kw_rows]),

@@ -1,20 +1,43 @@
 """Similarity search over the embeddings table.
 
 Brute-force cosine top-k is the exactness baseline (per-batch float64
-matmul against a broadcast query matrix); the LSH-bucketed variant is the
-scale path (candidate generation via random hyperplane signs → exact rerank
-within buckets).  kNN label vote mirrors the reference's
-KNearestNeighborClassifier (lucene/classification/src/java/org/apache/
-lucene/classification/KNearestNeighborClassifier.java).
+matmul against a broadcast query vector); the scale paths are PERSISTED
+indexes built once and probed per query:
+
+- IVF (`build_ivf_index`): seeded k-means coarse quantizer trained on a
+  sample, every vector assigned to its cell in one `map_batches` pass and
+  written as cell-partitioned parquet (`cell=N/` directories).  A query
+  reads ONLY its NPROBE nearest cells' partitions and exactly reranks
+  those vectors — nothing else is read or recomputed.
+- LSH (`build_lsh_index`): 64 random-hyperplane sign bits packed into one
+  int64 per vector, persisted as a signature table (16 bytes/row).  A
+  query scans signatures only (never the vectors), Hamming-prefilters to
+  a CONSTANT global candidate budget, then fetches just the candidate
+  rows for exact cosine rerank — at 10^12 vectors the heavy float data is
+  touched for O(budget) rows.
+
+kNN label vote mirrors the reference's KNearestNeighborClassifier
+(lucene/classification/src/java/org/apache/lucene/classification/
+KNearestNeighborClassifier.java): the SMALL side (query vectors) is
+broadcast once via `ray.put`; the corpus streams through `map_batches`
+exactly once, each batch emitting its local top-(k+1)-with-ties per
+query; the driver merges the bounded candidate rows.
 """
 
 from __future__ import annotations
+
+import hashlib
+import json
+import os
+from pathlib import Path
 
 import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
 from .common import Pipeline, read
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint8)
 
 
 def _embed_matrix(batch: pd.DataFrame) -> np.ndarray:
@@ -65,49 +88,72 @@ ORDER BY sim DESC, vec_id LIMIT 10
 
 # --------------------------------------------------------------------------
 # kNN label vote (KNearestNeighborClassifier): majority label of the 5
-# nearest neighbours (excluding self) for the first 50 vectors.
+# nearest neighbours (excluding self) for the first 50 vectors — exact,
+# computed in ONE streaming pass over the corpus (never materialized).
 
 
 def knn_label_vote(sf_dir: str, k: int = 5, n_queries: int = 50):
     import ray
 
-    all_df = read(sf_dir, "embeddings", ["vec_id", "embedding", "label"]).to_pandas()
-    all_df = all_df.sort_values("vec_id").reset_index(drop=True)
-    M = np.stack(all_df["embedding"].to_numpy()).astype(np.float64)
-    M = M / np.linalg.norm(M, axis=1, keepdims=True)
-    ref = ray.put((M, all_df["vec_id"].to_numpy(), all_df["label"].to_numpy()))
+    # small side: the query vectors (bounded by n_queries), broadcast once
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    ).to_pandas().sort_values("vec_id")
+    Q = np.stack(qt["embedding"].to_numpy()).astype(np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qt["vec_id"].to_numpy()
+    ref = ray.put((Q, qids))
 
-    class Knn:
+    class LocalTopK:
+        """Per-batch candidates: for each query, every batch row whose sim
+        ties-or-beats the batch's (k+1)-th best — the global exact top-k
+        after self-exclusion is provably a subset of the union."""
+
         def __init__(self, r):
-            self.M, self.ids, self.labels = ray.get(r)
+            self.Q, self.qids = ray.get(r)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             m = _embed_matrix(batch)
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            sims = m @ self.M.T  # (b, N)
-            out_ids, out_pred = [], []
-            for i, vid in enumerate(batch["vec_id"]):
-                s = sims[i].copy()
-                s[self.ids == vid] = -np.inf  # exclude self
-                # k nearest with (sim desc, vec_id asc) tie-break
-                order = np.lexsort((self.ids, -s))[:k]
-                labs = self.labels[order]
-                vals, counts = np.unique(labs, return_counts=True)
-                best = vals[np.lexsort((vals, -counts))[0]]
-                out_ids.append(vid)
-                out_pred.append(best)
-            return pd.DataFrame({"vec_id": out_ids, "pred_label": np.asarray(out_pred, dtype=np.int64)})
+            sims = m @ self.Q.T  # (b, nq) -> transpose for per-query rows
+            sims = sims.T  # (nq, b)
+            nq, b = sims.shape
+            kk = min(k + 1, b)
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            thr = sims[np.arange(nq)[:, None], part].min(axis=1)
+            qi, bi = np.nonzero(sims >= thr[:, None])
+            ids = batch["vec_id"].to_numpy()
+            labels = batch["label"].to_numpy()
+            return pd.DataFrame(
+                {
+                    "qid": self.qids[qi],
+                    "nid": ids[bi],
+                    "nlabel": labels[bi].astype(np.int64),
+                    "sim": sims[qi, bi],
+                }
+            )
 
-    out = (
-        read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(
-            lambda t: t.filter(__import__("pyarrow").compute.less(t.column("vec_id"), n_queries)),
-            batch_format="pyarrow",
-        )
-        .map_batches(Knn, fn_constructor_args=(ref,), batch_format="pandas", concurrency=2)
+    parts = (
+        read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+        .map_batches(LocalTopK, fn_constructor_args=(ref,), batch_format="pandas", concurrency=2)
         .to_pandas()
     )
-    out["vec_id"] = out["vec_id"].astype("int64")
+    parts = parts[parts["qid"] != parts["nid"]]  # exclude self
+    knn = (
+        parts.sort_values(["qid", "sim", "nid"], ascending=[True, False, True])
+        .groupby("qid", sort=True)
+        .head(k)
+    )
+    votes = knn.groupby(["qid", "nlabel"], as_index=False).size()
+    best = (
+        votes.sort_values(["qid", "size", "nlabel"], ascending=[True, False, True])
+        .drop_duplicates("qid")
+    )
+    out = pd.DataFrame(
+        {"vec_id": best["qid"].astype("int64"), "pred_label": best["nlabel"].astype("int64")}
+    )
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
@@ -134,38 +180,103 @@ ORDER BY vec_id
 """
 
 # --------------------------------------------------------------------------
-# LSH-signature ANN (scale path): 64 random-hyperplane bits → per-batch
-# Hamming prefilter to a candidate budget → exact cosine rerank of
-# candidates only.  At scale the signature is 8 bytes/vector and the exact
-# pass touches only CANDIDATE_FRAC of rows; clustered real-world embeddings
-# concentrate much harder than this synthetic near-uniform worst case.
-# Rows-only (approximation is parameter-dependent); pytest checks recall
-# against brute force.
+# Persisted LSH signature index (scale path).
 
 N_PLANES = 64
-CANDIDATE_FRAC = 0.4
+LSH_BUDGET_BATCH = 64  # per-batch Hamming prefilter keep (× max(1, 4k))
+LSH_BUDGET_TOTAL = 1000  # global exact-rerank candidate budget (× max(1, 100k))
+
+
+def _index_dir(kind: str, sf_dir: str) -> Path:
+    return Path(f"/tmp/lsr_{kind}_{hashlib.sha1(sf_dir.encode()).hexdigest()[:10]}")
+
+
+def _lsh_planes(dim: int) -> np.ndarray:
+    return np.random.default_rng(777).standard_normal((N_PLANES, dim))
+
+
+def _pack_bits(bits: np.ndarray) -> np.ndarray:
+    """(n, 64) bool → (n,) int64 signature."""
+    return np.packbits(bits.astype(np.uint8), axis=1, bitorder="little").view(np.uint64)[:, 0].view(np.int64)
+
+
+def _hamming(sigs: np.ndarray, q_sig: int) -> np.ndarray:
+    x = (sigs.view(np.uint64) ^ np.uint64(q_sig)).view(np.uint64)
+    return _POP8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+
+
+def build_lsh_index(sf_dir: str, force: bool = False) -> Path:
+    """Sign every vector once (random-hyperplane bits packed to int64) and
+    persist the (vec_id, sig) table — the 16-byte/row structure queries
+    scan instead of the float vectors.  Idempotent per sf_dir."""
+    import ray.data as rd
+
+    d = _index_dir("lsh", sf_dir)
+    if (d / "manifest.json").exists() and not force:
+        return d
+    dim = _query_vec(sf_dir).size
+    planes = _lsh_planes(dim)
+
+    def sign(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _embed_matrix(batch)
+        return pd.DataFrame({"vec_id": batch["vec_id"], "sig": _pack_bits(m @ planes.T > 0)})
+
+    import shutil
+
+    tmp = d.with_suffix(".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(d, ignore_errors=True)
+    read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        sign, batch_format="pandas"
+    ).write_parquet(str(tmp / "sigs"))
+    np.save(tmp / "planes.npy", planes)
+    (tmp / "manifest.json").write_text(json.dumps({"n_planes": N_PLANES, "dim": dim}))
+    os.replace(tmp, d)
+    return d
 
 
 def ann_lsh_topk(sf_dir: str, k: int = 10):
-    rng = np.random.default_rng(777)
-    q = _query_vec(sf_dir)
-    planes = rng.standard_normal((N_PLANES, q.size))
-    q_bits = (planes @ q > 0)
+    import ray
+    import ray.data as rd
 
-    def bucket_score(batch: pd.DataFrame) -> pd.DataFrame:
-        m = _embed_matrix(batch)
-        bits = m @ planes.T > 0
-        ham = (bits != q_bits[None, :]).sum(axis=1)
-        budget = max(k, int(len(batch) * CANDIDATE_FRAC))
-        cand = np.argsort(ham, kind="stable")[:budget]
-        mc = m[cand]
-        qn = q / np.linalg.norm(q)
-        sims = (mc @ qn) / np.linalg.norm(mc, axis=1)
-        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy()[cand], "sim": sims})
+    d = build_lsh_index(sf_dir)
+    q = _query_vec(sf_dir)
+    planes = np.load(d / "planes.npy")
+    q_sig = int(_pack_bits((planes @ q > 0)[None, :])[0])
+    budget_batch = max(4 * k, LSH_BUDGET_BATCH)
+
+    def ham_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        ham = _hamming(batch["sig"].to_numpy(), q_sig)
+        out = pd.DataFrame({"vec_id": batch["vec_id"], "ham": ham})
+        return out.sort_values(["ham", "vec_id"]).head(budget_batch)
+
+    cands = (
+        rd.read_parquet(str(d / "sigs"))
+        .map_batches(ham_topk, batch_format="pandas")
+        .to_pandas()  # bounded: budget_batch rows per batch
+    )
+    budget_total = max(100 * k, LSH_BUDGET_TOTAL)
+    keep = np.sort(
+        cands.sort_values(["ham", "vec_id"]).head(budget_total)["vec_id"].to_numpy()
+    )
+    keep_ref = ray.put(keep)
+    qn = q / np.linalg.norm(q)
+
+    def rerank(batch: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(keep_ref)
+        ids = batch["vec_id"].to_numpy()
+        pos = np.clip(np.searchsorted(want, ids), 0, max(want.size - 1, 0))
+        mask = want[pos] == ids if want.size else np.zeros(ids.size, bool)
+        if not mask.any():
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"), "sim": pd.Series([], dtype="float64")})
+        m = _embed_matrix(batch.loc[mask])
+        sims = (m @ qn) / np.linalg.norm(m, axis=1)
+        out = pd.DataFrame({"vec_id": ids[mask], "sim": sims})
+        return out.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
 
     parts = (
         read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(bucket_score, batch_format="pandas")
+        .map_batches(rerank, batch_format="pandas")
         .to_pandas()
     )
     top = parts.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
@@ -175,12 +286,11 @@ def ann_lsh_topk(sf_dir: str, k: int = 10):
 
 
 # --------------------------------------------------------------------------
-# IVF ANN (the inverted-file scale path): seeded k-means coarse quantizer →
-# vectors assigned to cells → the query probes its NPROBE nearest cells and
-# exactly reranks only those vectors.  At scale each cell is a partition and
-# the assignment is a map_batches against broadcast centroids; here the
-# centroids train driver-side on a sample (standard IVF practice).
-# Rows-only (approximation parameter-dependent); recall-tested in pytest.
+# Persisted IVF index (the inverted-file scale path): seeded k-means coarse
+# quantizer → every vector assigned to its cell ONCE at build time and
+# written as cell-partitioned parquet; a query probes its NPROBE nearest
+# cells' partitions only.  Rows-only (approximation parameter-dependent);
+# recall-tested in pytest.
 
 IVF_CELLS = 16
 IVF_NPROBE = 4
@@ -199,37 +309,69 @@ def _kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 99) -> np.n
     return cent
 
 
-def ann_ivf_topk(sf_dir: str, k: int = 10):
+def build_ivf_index(sf_dir: str, cells: int = IVF_CELLS, force: bool = False) -> Path:
+    """Train the coarse quantizer on a driver-side sample (standard IVF
+    practice), then one `map_batches` pass assigns every vector its cell
+    and writes `cell=N/` parquet partitions.  Idempotent per sf_dir."""
     import ray
+    import shutil
 
-    q = _query_vec(sf_dir)
-    qn = q / np.linalg.norm(q)
-    # train the coarse quantizer on a driver-side sample (normalized)
+    d = _index_dir("ivf", sf_dir)
+    if (d / "manifest.json").exists() and not force:
+        return d
     sample_df = read(sf_dir, "embeddings", ["embedding"]).limit(2000).to_pandas()
     sample = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
     sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
-    cent = _kmeans(sample, IVF_CELLS)
+    cent = _kmeans(sample, cells)
     cent_ref = ray.put(cent)
-    probe_cells = np.argsort(((cent - qn[None, :]) ** 2).sum(axis=1))[:IVF_NPROBE]
-    probe_set = set(int(c) for c in probe_cells)
 
-    def cell_rerank(batch: pd.DataFrame) -> pd.DataFrame:
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(cent_ref)
         m = _embed_matrix(batch)
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        d = ((mn[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        cells = d.argmin(axis=1)
-        mask = np.isin(cells, list(probe_set))
-        if not mask.any():
-            return pd.DataFrame({"vec_id": [], "sim": []})
-        sims = mn[mask] @ qn
-        return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy()[mask], "sim": sims})
+        # argmin ||x-c||² = argmax (x·c − ||c||²/2): matmul form, no (b,C,d)
+        score = mn @ c.T - 0.5 * (c * c).sum(axis=1)[None, :]
+        out = batch[["vec_id", "embedding"]].copy()
+        out["cell"] = score.argmax(axis=1).astype(np.int64)
+        return out
 
-    parts = (
-        read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(cell_rerank, batch_format="pandas")
-        .to_pandas()
-    )
+    tmp = d.with_suffix(".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(d, ignore_errors=True)
+    read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pandas"
+    ).write_parquet(str(tmp / "data"), partition_cols=["cell"])
+    np.save(tmp / "centroids.npy", cent)
+    (tmp / "manifest.json").write_text(json.dumps({"cells": cells}))
+    os.replace(tmp, d)
+    return d
+
+
+def ann_ivf_topk(sf_dir: str, k: int = 10):
+    import ray.data as rd
+
+    d = build_ivf_index(sf_dir)
+    cent = np.load(d / "centroids.npy")
+    q = _query_vec(sf_dir)
+    qn = q / np.linalg.norm(q)
+    probe_cells = np.argsort(((cent - qn[None, :]) ** 2).sum(axis=1))[:IVF_NPROBE]
+    import glob
+
+    paths = [
+        f
+        for c in probe_cells
+        for f in sorted(glob.glob(str(d / "data" / f"cell={int(c)}" / "*.parquet")))
+    ]
+    if not paths:
+        return pd.DataFrame({"rank": pd.Series([], dtype="int64"), "vec_id": pd.Series([], dtype="int64")})
+
+    def rerank(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _embed_matrix(batch)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        out = pd.DataFrame({"vec_id": batch["vec_id"], "sim": mn @ qn})
+        return out.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+
+    parts = rd.read_parquet(paths).map_batches(rerank, batch_format="pandas").to_pandas()
     if "vec_id" not in parts.columns or not len(parts):
         return pd.DataFrame({"rank": pd.Series([], dtype="int64"), "vec_id": pd.Series([], dtype="int64")})
     top = parts.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
@@ -240,7 +382,7 @@ def ann_ivf_topk(sf_dir: str, k: int = 10):
 
 PIPELINES: dict[str, Pipeline] = {
     "ann_cosine_topk": Pipeline(ann_cosine_topk, ANN_COSINE_SQL, "brute-force cosine top-k (similarity baseline)"),
-    "ann_ivf_topk": Pipeline(ann_ivf_topk, None, "IVF coarse-quantizer ANN (scale path); recall-tested in pytest"),
+    "ann_ivf_topk": Pipeline(ann_ivf_topk, None, "persisted cell-partitioned IVF ANN (probe-only queries); recall-tested in pytest"),
     "knn_label_vote": Pipeline(knn_label_vote, KNN_VOTE_SQL, "kNN majority-label classification (KNearestNeighborClassifier)"),
-    "ann_lsh_topk": Pipeline(ann_lsh_topk, None, "LSH-bucketed ANN (scale path); recall-tested in pytest"),
+    "ann_lsh_topk": Pipeline(ann_lsh_topk, None, "persisted LSH signature index (signature-only scan + bounded exact rerank); recall-tested in pytest"),
 }

@@ -6,6 +6,17 @@ SignatureUpdateProcessorFactory + MD5Signature; near-dup = MinHashFilter
 shingles, banded for Jaccard candidate generation) and TextProfileSignature.
 All hashing is seeded/deterministic so results are stable across runs and
 retries.
+
+Scale design (100 TB): every per-token/per-shingle hash is vectorized —
+md5 runs only once per UNIQUE token in a batch (vocab-bounded), shingles
+mix consecutive token hashes with odd-constant multiplies in one numpy
+pass, and minhash signatures come from a single `np.minimum.reduceat`
+over a CSR layout of the whole batch.  LSH band buckets are size-capped
+(degenerate mass-duplicate buckets emit a linear chain instead of O(n²)
+pairs), and the verify stage never materializes the documents table: the
+candidate doc-id set (output-bounded, small by LSH design) is broadcast
+back through a `map_batches` semi-join that re-shingles ONLY candidate
+docs.
 """
 
 from __future__ import annotations
@@ -74,77 +85,221 @@ ORDER BY user_id, event_type
 """
 
 # --------------------------------------------------------------------------
-# MinHash + LSH near-dup (MinHashFilter): shingle → 64 minhashes → 16 bands
-# of 4 → candidate pairs per band bucket → verified Jaccard ≥ 0.5.
-# Non-SQL-expressible → rows-only check; determinism comes from fixed hash
-# parameters.  pytest verifies against a brute-force Jaccard oracle.
+# Vectorized shingle hashing shared by MinHash-LSH and its verify stage.
+#
+# Token hashing runs md5 once per UNIQUE token (vocabulary-bounded — the
+# token *stream* is never hashed in Python), and a k-shingle hash is an
+# odd-constant polynomial mix of k consecutive token hashes computed with
+# array slices (uint64 wraparound), masked to [0, 2^31) so the minhash
+# (a*x+b) mod p arithmetic stays int64-exact.
 
 N_HASH = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_HASH // N_BANDS
+SHINGLE_K = 3
+MAX_BUCKET = 256  # all-pairs cap per LSH band bucket (see _bucket_pairs)
 _MERSENNE31 = (1 << 31) - 1  # products of two <2^31 values fit in int64
 _rng = np.random.default_rng(1234)
 _A = _rng.integers(1, _MERSENNE31, size=N_HASH, dtype=np.int64)
 _B = _rng.integers(0, _MERSENNE31, size=N_HASH, dtype=np.int64)
+# odd mixing constants for shingle / band hashing (splitmix64-style)
+_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0xD6E8FEB86659FD93],
+    dtype=np.uint64,
+)
 
 
-def _shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
-    if len(tokens) < k:
-        shingles = [" ".join(tokens)] if tokens else []
+def _hash_token_vocab(uniques) -> np.ndarray:
+    """md5 → uint64 per unique token (the only Python-level hash loop;
+    vocabulary-bounded, never proportional to the token stream)."""
+    out = np.empty(len(uniques), dtype=np.uint64)
+    for i, t in enumerate(uniques):
+        out[i] = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+    return out
+
+
+def _mix_windows(th: np.ndarray, k: int) -> np.ndarray:
+    """Shingle hashes of every length-k window of a token-hash array."""
+    n = th.size
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n < k:
+        acc = np.uint64(0)
+        for j in range(n):
+            acc ^= th[j] * _MIX[j % _MIX.size]
+        return np.array([int(acc) & _MERSENNE31], dtype=np.int64)
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc ^= th[j : n - k + 1 + j] * _MIX[j % _MIX.size]
+    return (acc & np.uint64(_MERSENNE31)).astype(np.int64)
+
+
+def _shingle_hashes(tokens: list[str], k: int = SHINGLE_K) -> np.ndarray:
+    """Sorted unique k-shingle hashes of one token list (the per-doc oracle
+    form; the pipeline uses the batched CSR path below)."""
+    if not tokens:
+        return np.empty(0, dtype=np.int64)
+    uniq, codes = np.unique(np.asarray(tokens, dtype=object), return_inverse=True)
+    th = _hash_token_vocab(uniq)[codes]
+    return np.unique(_mix_windows(th, k))
+
+
+def _batch_shingles(texts: pd.Series, k: int = SHINGLE_K):
+    """→ (doc_lengths, values): CSR of sorted-unique shingle hashes per doc,
+    computed in one vectorized pass over the whole batch (md5 only on the
+    batch vocabulary; windows that cross doc boundaries are masked out)."""
+    tok_lists = texts.str.lower().str.findall(TOKEN_RE)
+    n_docs = len(tok_lists)
+    counts = tok_lists.map(len).to_numpy(dtype=np.int64)
+    all_toks = [t for ts in tok_lists for t in ts]
+    if not all_toks:
+        return np.zeros(n_docs, dtype=np.int64), np.empty(0, dtype=np.int64)
+    codes, uniq = pd.factorize(np.asarray(all_toks, dtype=object))
+    th = _hash_token_vocab(uniq)[codes]
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    # windowed mix over the concatenated stream; windows crossing a doc
+    # boundary are invalid (doc of first token != doc of last token)
+    n = th.size
+    if n >= k:
+        acc = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc ^= th[j : n - k + 1 + j] * _MIX[j % _MIX.size]
+        sh = (acc & np.uint64(_MERSENNE31)).astype(np.int64)
+        valid = doc_idx[: n - k + 1] == doc_idx[k - 1 :]
+        sh, sdoc = sh[valid], doc_idx[: n - k + 1][valid]
     else:
-        shingles = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.int64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "little") & _MERSENNE31
-    return np.unique(out)
+        sh = np.empty(0, dtype=np.int64)
+        sdoc = np.empty(0, dtype=np.int64)
+    # short docs (0 < len < k) contribute their single all-token shingle
+    short = np.flatnonzero((counts > 0) & (counts < k))
+    if short.size:
+        offs = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        extra = [int(_mix_windows(th[offs[d] : offs[d + 1]], k)[0]) for d in short]
+        sh = np.concatenate([sh, np.asarray(extra, dtype=np.int64)])
+        sdoc = np.concatenate([sdoc, short.astype(np.int64)])
+    # unique per doc: sort by (doc, shingle) via a composite key
+    key = sdoc * (np.int64(_MERSENNE31) + 1) + sh
+    ukey = np.unique(key)
+    udoc = ukey // (np.int64(_MERSENNE31) + 1)
+    uval = ukey % (np.int64(_MERSENNE31) + 1)
+    lengths = np.bincount(udoc, minlength=n_docs).astype(np.int64)
+    return lengths, uval
+
+
+def _minhash_csr(lengths: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """→ (n_docs, N_HASH) minhash signatures from CSR shingles — one
+    (a*x+b) mod p broadcast plus a `minimum.reduceat`, no per-doc loop."""
+    n_docs = lengths.size
+    sig = np.full((n_docs, N_HASH), _MERSENNE31, dtype=np.int64)
+    nz = np.flatnonzero(lengths)
+    if nz.size == 0 or values.size == 0:
+        return sig
+    offs = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offs[1:])
+    starts = offs[nz]
+    for h0 in range(0, N_HASH, 16):  # chunk hash fns to bound the (S, H) peak
+        h1 = min(h0 + 16, N_HASH)
+        prod = (values[:, None] * _A[None, h0:h1] + _B[None, h0:h1]) % _MERSENNE31
+        sig[nz, h0:h1] = np.minimum.reduceat(prod, starts, axis=0)
+    return sig
 
 
 def _minhash(sh: np.ndarray) -> np.ndarray:
+    """Single-doc signature (oracle/test form)."""
     if sh.size == 0:
         return np.full(N_HASH, _MERSENNE31, dtype=np.int64)
-    # (a*x + b) mod p per hash fn — int64-safe since a, x < 2^31
     prod = (sh[None, :] * _A[:, None] + _B[:, None]) % _MERSENNE31
     return prod.min(axis=1).astype(np.int64)
 
 
+def _band_hashes(sig: np.ndarray) -> np.ndarray:
+    """→ (n_docs, N_BANDS) int64 bucket keys: odd-constant mix of each
+    band's ROWS_PER_BAND signature values (vectorized, no md5)."""
+    s = sig.astype(np.uint64).reshape(sig.shape[0], N_BANDS, ROWS_PER_BAND)
+    acc = np.zeros((sig.shape[0], N_BANDS), dtype=np.uint64)
+    for j in range(ROWS_PER_BAND):
+        acc ^= (s[:, :, j] + np.uint64(j + 1)) * _MIX[j % _MIX.size]
+    return (acc >> np.uint64(1)).astype(np.int64)  # keep keys non-negative
+
+
 def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5):
-    """→ (doc_a, doc_b, jaccard) near-duplicate pairs, doc_a < doc_b."""
+    """→ (doc_a, doc_b, jaccard) near-duplicate pairs, doc_a < doc_b.
+
+    Stages: (1) vectorized shingle→minhash→band rows per batch;
+    (2) groupby (band, bucket) candidate pairs, bucket-capped;
+    (3) verify with exact shingle Jaccard — candidate ids (output-bounded)
+    broadcast back through a map_batches semi-join that re-shingles only
+    those docs; the documents table itself is never materialized."""
 
     def bands(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            toks = [t for t in pd.Series([text]).str.lower().str.findall(TOKEN_RE)[0]]
-            mh = _minhash(_shingle_hashes(toks))
-            for b in range(N_BANDS):
-                h = hashlib.md5(mh[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND].tobytes()).hexdigest()
-                rows.append((b, h, doc_id))
-        return pd.DataFrame(rows, columns=["band", "bh", "doc_id"])
+        lengths, values = _batch_shingles(batch["text"])
+        sig = _minhash_csr(lengths, values)
+        bh = _band_hashes(sig)
+        n = len(batch)
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(N_BANDS, dtype=np.int64), n),
+                "bh": bh.reshape(-1),
+                "doc_id": np.repeat(batch["doc_id"].to_numpy(), N_BANDS),
+            }
+        )
 
     def candidates(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
+        ids = np.sort(np.unique(g["doc_id"].to_numpy()))
         if ids.size < 2:
             return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = np.meshgrid(ids, ids, indexing="ij")
+        head = ids[:MAX_BUCKET]
+        a, b = np.meshgrid(head, head, indexing="ij")
         m = a < b
-        return pd.DataFrame({"doc_a": a[m], "doc_b": b[m]})
+        pa_, pb_ = a[m], b[m]
+        if ids.size > MAX_BUCKET:
+            # degenerate bucket (mass-duplicated content): the tail emits a
+            # linear chain so duplicate clusters stay connected without the
+            # O(n²) pair explosion
+            tail_a, tail_b = ids[MAX_BUCKET - 1 : -1], ids[MAX_BUCKET:]
+            pa_ = np.concatenate([pa_, tail_a])
+            pb_ = np.concatenate([pb_, tail_b])
+        return pd.DataFrame({"doc_a": pa_, "doc_b": pb_})
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     cand = (
         ds.map_batches(bands, batch_format="pandas")
         .groupby(["band", "bh"])
         .map_groups(candidates, batch_format="pandas")
-        .to_pandas()
+        .to_pandas()  # candidate pairs only — output-bounded by LSH design
         .drop_duplicates()
     )
     if len(cand) == 0:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    # verify candidates with exact shingle Jaccard (broadcast shingle sets of
-    # candidate docs only — candidate set is small by LSH design)
-    need = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]]))
-    texts = ds.to_pandas().set_index("doc_id")["text"]
-    sh = {int(d): _shingle_hashes(pd.Series([texts[d]]).str.lower().str.findall(TOKEN_RE)[0]) for d in need}
+    need = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]])).astype(np.int64)
+
+    import ray
+
+    need_ref = ray.put(np.sort(need))
+
+    def cand_shingles(batch: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(need_ref)
+        ids = batch["doc_id"].to_numpy()
+        pos = np.clip(np.searchsorted(want, ids), 0, max(want.size - 1, 0))
+        mask = want[pos] == ids if want.size else np.zeros(ids.size, bool)
+        if not mask.any():
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "sh": pd.Series([], dtype=object)})
+        sub = batch.loc[mask]
+        lengths, values = _batch_shingles(sub["text"])
+        offs = np.zeros(lengths.size + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offs[1:])
+        return pd.DataFrame(
+            {
+                "doc_id": sub["doc_id"].to_numpy(),
+                "sh": [values[offs[i] : offs[i + 1]].tobytes() for i in range(lengths.size)],
+            }
+        )
+
+    got = ds.map_batches(cand_shingles, batch_format="pandas").to_pandas()
+    sh = {int(d): np.frombuffer(b, dtype=np.int64) for d, b in zip(got["doc_id"], got["sh"])}
     jac = []
-    for da, db in zip(cand["doc_a"], cand["doc_b"]):
+    for da, db in zip(cand["doc_a"], cand["doc_b"]):  # loop over OUTPUT pairs only
         A, B = sh[int(da)], sh[int(db)]
         inter = np.intersect1d(A, B, assume_unique=True).size
         union = A.size + B.size - inter
@@ -156,24 +311,27 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5):
 
 # --------------------------------------------------------------------------
 # SimHash fingerprint (TextProfileSignature-style fuzzy signature): 64-bit
-# weighted token hash; near-dups share low Hamming distance.
+# weighted token hash; near-dups share low Hamming distance.  Vectorized:
+# md5 per unique batch token, then one (n_tokens, 64) sign accumulation.
 
 
 def simhash(sf_dir: str):
+    shifts = np.arange(64, dtype=np.uint64)
+
     def sh(batch: pd.DataFrame) -> pd.DataFrame:
-        fps = np.empty(len(batch), dtype=np.uint64)
-        for i, text in enumerate(batch["text"]):
-            toks = pd.Series([text]).str.lower().str.findall(TOKEN_RE)[0]
-            if not len(toks):
-                fps[i] = 0
-                continue
-            tf = pd.Series(toks).value_counts()
-            acc = np.zeros(64, dtype=np.int64)
-            for tok, w in tf.items():
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), w, -w)
-            fps[i] = np.packbits((acc > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+        tok_lists = batch["text"].str.lower().str.findall(TOKEN_RE)
+        n_docs = len(tok_lists)
+        counts = tok_lists.map(len).to_numpy(dtype=np.int64)
+        all_toks = [t for ts in tok_lists for t in ts]
+        acc = np.zeros((n_docs, 64), dtype=np.int64)
+        if all_toks:
+            codes, uniq = pd.factorize(np.asarray(all_toks, dtype=object))
+            h = _hash_token_vocab(uniq)[codes]  # (n_tokens,) uint64
+            sign = (((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2) - 1
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+            np.add.at(acc, doc_idx, sign)
+        fps = np.packbits((acc > 0).astype(np.uint8), axis=1, bitorder="little").view(np.uint64)[:, 0]
+        fps[counts == 0] = 0
         return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": fps.astype("int64")})
 
     out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(sh, batch_format="pandas")

@@ -316,27 +316,16 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 
 def anti_join(sf_dir: str):
-    import pyarrow.parquet as pq
-
-    # key-set built driver-side (scale path: ds.unique / bloom filter when
-    # the excluded side no longer fits the driver)
-    order_keys = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    keys = np.unique(order_keys.column("o_custkey").to_numpy())
-
-    def anti(batch: pa.Table) -> pa.Table:
-        ck = batch.column("c_custkey").to_numpy()
-        idx = np.clip(np.searchsorted(keys, ck), 0, max(keys.size - 1, 0))
-        mask = keys[idx] != ck if keys.size else np.ones(len(ck), bool)
-        return batch.filter(pa.array(mask))
-
-    out = (
-        read(sf_dir, "customer", ["c_custkey"])
-        .map_batches(anti, batch_format="pyarrow")
-        .to_pandas()
-    )
+    # both-sides-distributed anti join: Ray's native hash-partitioned
+    # left_anti — neither side is ever built on the driver
+    cust = read(sf_dir, "customer", ["c_custkey"])
+    orders = read(sf_dir, "orders", ["o_custkey"])
+    out = cust.join(
+        orders, join_type="left_anti", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
+    ).to_pandas()
     if "c_custkey" not in out.columns:  # empty result loses the schema
         out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
-    return out.sort_values("c_custkey").reset_index(drop=True)
+    return out[["c_custkey"]].sort_values("c_custkey").reset_index(drop=True)
 
 
 ANTI_JOIN_SQL = """
@@ -461,8 +450,10 @@ def merge_union(sf_dir: str):
     b = read(sf_dir, "supplier", ["s_name"]).map_batches(
         lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
     )
-    out = a.union(b).to_pandas()
-    return out.sort_values("name").reset_index(drop=True)
+    # the sort is DISTRIBUTED (range-partitioned ds.sort); to_pandas here
+    # only materializes the gate result at small sf — at scale the consumer
+    # is a partitioned write_parquet of the already-sorted blocks
+    return a.union(b).sort("name").to_pandas()
 
 
 MERGE_UNION_SQL = """
@@ -608,9 +599,13 @@ def export_sorted(sf_dir: str):
     _sh.rmtree(out_dir, ignore_errors=True)
     ds = read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal"])
     ds.sort(["s_acctbal", "s_suppkey"], descending=[True, False]).write_parquet(out_dir)
+    # read back in file order and ASSERT the global ordering (a driver-side
+    # re-sort here would silently mask any cross-file ordering bug in ds.sort)
     files = sorted(__import__("glob").glob(f"{out_dir}/*.parquet"))
     t = pa.concat_tables(_pq.read_table(f) for f in files).to_pandas()
-    return t.sort_values(["s_acctbal", "s_suppkey"], ascending=[False, True]).reset_index(drop=True)
+    key = list(zip(-t["s_acctbal"].to_numpy(), t["s_suppkey"].to_numpy()))
+    assert all(key[i] <= key[i + 1] for i in range(len(key) - 1)), "export files out of order"
+    return t.reset_index(drop=True)
 
 
 EXPORT_SQL = """
@@ -621,33 +616,47 @@ ORDER BY s_acctbal DESC, s_suppkey
 
 # --------------------------------------------------------------------------
 # §2.7 random sampling (RandomSortField): pseudo-random but DETERMINISTIC
-# order via a seeded content hash — reproducible across engines and runs.
+# order via a seeded multiplicative hash — fully vectorized (uint64 numpy;
+# the DuckDB twin computes the identical rounds in HUGEINT) and
+# reproducible across engines and runs.
 
-_SAMPLE_SEED = "7"
+_SAMPLE_SEED = 7
+_SAMPLE_C1 = 2654435761  # Knuth multiplicative
+_SAMPLE_C2 = 2246822519  # xxhash PRIME32_2
+_M32 = 1 << 32
+
+
+def _sample_hash(k: np.ndarray) -> np.ndarray:
+    h = ((k.astype(np.uint64) % _M32 + np.uint64(_SAMPLE_SEED)) * np.uint64(_SAMPLE_C1)) % np.uint64(_M32)
+    h = ((h ^ (h >> np.uint64(15))) * np.uint64(_SAMPLE_C2)) % np.uint64(_M32)
+    return (h ^ (h >> np.uint64(13))).astype(np.int64)
 
 
 def random_sample_hash(sf_dir: str):
-    import hashlib as _h
-
     def key(batch: pd.DataFrame) -> pd.DataFrame:
-        hk = batch["o_orderkey"].map(
-            lambda v: _h.md5(f"{v}_{_SAMPLE_SEED}".encode()).hexdigest()
+        out = pd.DataFrame(
+            {"o_orderkey": batch["o_orderkey"], "hk": _sample_hash(batch["o_orderkey"].to_numpy())}
         )
-        out = pd.DataFrame({"o_orderkey": batch["o_orderkey"], "hk": hk})
-        return out.sort_values("hk").head(20)
+        return out.sort_values(["hk", "o_orderkey"]).head(20)
 
     parts = (
         read(sf_dir, "orders", ["o_orderkey"])
         .map_batches(key, batch_format="pandas")
         .to_pandas()
     )
-    top = parts.sort_values("hk").head(20).reset_index(drop=True)
+    top = parts.sort_values(["hk", "o_orderkey"]).head(20).reset_index(drop=True)
     return top[["o_orderkey"]]
 
 
 RANDOM_SAMPLE_SQL = f"""
-SELECT o_orderkey FROM orders
-ORDER BY md5(CAST(o_orderkey AS VARCHAR) || '_{_SAMPLE_SEED}') LIMIT 20
+WITH h1 AS (
+  SELECT o_orderkey,
+         (CAST(o_orderkey % {_M32} + {_SAMPLE_SEED} AS HUGEINT) * {_SAMPLE_C1}) % {_M32} AS a
+  FROM orders
+), h2 AS (
+  SELECT o_orderkey, (CAST(xor(a, a >> 15) AS HUGEINT) * {_SAMPLE_C2}) % {_M32} AS b FROM h1
+)
+SELECT o_orderkey FROM h2 ORDER BY xor(b, b >> 13), o_orderkey LIMIT 20
 """
 
 # --------------------------------------------------------------------------

@@ -31,20 +31,37 @@ class HLL:
         self.regs = regs if regs is not None else np.zeros(1 << HLL_P, dtype=np.uint8)
 
     @staticmethod
+    def _hash64(values) -> np.ndarray:
+        """Deterministic 64-bit hashes — vectorized splitmix64 finalizer for
+        integer inputs (the common id-column case, zero Python-level hashing);
+        md5 over UNIQUE values otherwise (registers are duplicate-invariant,
+        so hashing uniques only is exact)."""
+        v = np.asarray(values)
+        if np.issubdtype(v.dtype, np.integer):
+            x = v.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+            return x
+        u = np.unique(v)
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(str(s).encode()).digest()[:8], "little") for s in u),
+            dtype=np.uint64,
+            count=len(u),
+        )
+
+    @staticmethod
     def of(values) -> "HLL":
         h = HLL()
         if len(values) == 0:
             return h
-        # deterministic 64-bit hashes
-        hashes = np.fromiter(
-            (int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "little") for v in values),
-            dtype=np.uint64,
-            count=len(values),
-        )
+        hashes = HLL._hash64(values)
         idx = (hashes >> np.uint64(64 - HLL_P)).astype(np.int64)
         rest = hashes << np.uint64(HLL_P)
         # rank = leading zeros of remaining bits + 1 (capped)
-        lz = np.zeros(len(values), dtype=np.uint8)
+        lz = np.zeros(hashes.size, dtype=np.uint8)
         v = rest.copy()
         zero = v == 0
         lz[zero] = 64 - HLL_P + 1

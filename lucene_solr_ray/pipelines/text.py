@@ -29,6 +29,25 @@ def _tokens(texts: pd.Series) -> pd.Series:
     return texts.str.lower().str.findall(TOKEN_RE)
 
 
+def _explode_tokens(texts: pd.Series):
+    """→ (doc_idx, codes, uniq, counts): the batch token stream factorized
+    once — downstream per-doc reducers become bincount/np.unique passes over
+    integer codes instead of Python set/sum loops per row."""
+    toks = _tokens(texts)
+    counts = toks.map(len).to_numpy(dtype=np.int64)
+    flat = [t for ws in toks for t in ws]
+    if not flat:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=object),
+            counts,
+        )
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    doc_idx = np.repeat(np.arange(len(toks), dtype=np.int64), counts)
+    return doc_idx, codes.astype(np.int64), np.asarray(uniq, dtype=object), counts
+
+
 # --------------------------------------------------------------------------
 # §2.2 FieldLengthUpdateProcessor / token counting.
 
@@ -60,14 +79,23 @@ def quality_signals(sf_dir: str):
     stop = frozenset(STOP)
 
     def sig(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens(batch["text"])
+        n = len(batch)
+        doc_idx, codes, uniq, counts = _explode_tokens(batch["text"])
+        stop_vocab = np.isin(uniq, list(stop))
+        n_stop = np.bincount(doc_idx[stop_vocab[codes]], minlength=n) if codes.size else np.zeros(n, np.int64)
+        # distinct tokens per doc: unique (doc, code) composite keys
+        if codes.size:
+            ud = np.unique(doc_idx * np.int64(uniq.size) + codes) // np.int64(uniq.size)
+            n_uniq = np.bincount(ud, minlength=n)
+        else:
+            n_uniq = np.zeros(n, np.int64)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
-                "n_tokens": toks.map(len).astype("int64"),
-                "n_stop": toks.map(lambda ws: sum(w in stop for w in ws)).astype("int64"),
+                "n_tokens": counts.astype("int64"),
+                "n_stop": n_stop.astype("int64"),
                 "n_chars": batch["text"].str.len().astype("int64"),
-                "n_uniq": toks.map(lambda ws: len(set(ws))).astype("int64"),
+                "n_uniq": n_uniq.astype("int64"),
             }
         )
 
@@ -99,9 +127,15 @@ def lang_id(sf_dir: str):
             self.en_stop = frozenset(STOP)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            toks = batch["text"].str.lower().str.findall(self.token)
-            n_stop = toks.map(lambda ws: sum(w in self.en_stop for w in ws))
-            pred = np.where(n_stop.to_numpy() > 0, "en", "other")
+            n = len(batch)
+            doc_idx, codes, uniq, _ = _explode_tokens(batch["text"])
+            stop_vocab = np.isin(uniq, list(self.en_stop))
+            n_stop = (
+                np.bincount(doc_idx[stop_vocab[codes]], minlength=n)
+                if codes.size
+                else np.zeros(n, np.int64)
+            )
+            pred = np.where(n_stop > 0, "en", "other")
             return pd.DataFrame({"doc_id": batch["doc_id"], "pred_lang": pred})
 
     out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -146,13 +180,13 @@ def terms_component(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens(batch["text"]).map(lambda ws: sorted(set(ws)))
-        # partial df per batch: one row per (term) with local count
-        flat = pd.DataFrame(
-            {"token": np.concatenate(toks.to_numpy()) if len(toks) else np.array([], dtype=object)}
-        )
-        g = flat.groupby("token", as_index=False).size().rename(columns={"size": "df"})
-        return g
+        # partial df per batch: distinct (doc, token) → bincount per token
+        doc_idx, codes, uniq, _ = _explode_tokens(batch["text"])
+        if not codes.size:
+            return pd.DataFrame({"token": pd.Series([], dtype=object), "df": pd.Series([], dtype="int64")})
+        ucode = np.unique(doc_idx * np.int64(uniq.size) + codes) % np.int64(uniq.size)
+        df_part = np.bincount(ucode, minlength=uniq.size)
+        return pd.DataFrame({"token": uniq, "df": df_part.astype("int64")})
 
     parts = read(sf_dir, "documents", ["text"]).map_batches(explode, batch_format="pandas")
     out = parts.groupby("token").aggregate(Sum("df", alias_name="df")).to_pandas()
@@ -408,21 +442,25 @@ def mlt_terms(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens(batch["text"])
-        uniq = toks.map(lambda ws: sorted(set(ws)))
-        n = uniq.map(len).to_numpy()
+        doc_idx, codes, uniq, _ = _explode_tokens(batch["text"])
+        if not codes.size:
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype=object),
+                    "df": pd.Series([], dtype="int64"),
+                    "tf_doc": pd.Series([], dtype="int64"),
+                }
+            )
+        ucode = np.unique(doc_idx * np.int64(uniq.size) + codes) % np.int64(uniq.size)
+        df_part = np.bincount(ucode, minlength=uniq.size)
+        is_mlt = batch["doc_id"].to_numpy()[doc_idx] == MLT_DOC
+        tf_part = np.bincount(codes[is_mlt], minlength=uniq.size)
+        present = df_part > 0
         return pd.DataFrame(
             {
-                "token": np.concatenate(uniq.to_numpy()) if len(uniq) else np.array([], dtype=object),
-                "df": 1,
-                "tf_doc": np.concatenate(
-                    [
-                        [ws.count(t) if d == MLT_DOC else 0 for t in sorted(set(ws))]
-                        for d, ws in zip(batch["doc_id"], toks)
-                    ]
-                )
-                if len(toks)
-                else np.array([], dtype=np.int64),
+                "token": uniq[present],
+                "df": df_part[present].astype("int64"),
+                "tf_doc": tf_part[present].astype("int64"),
             }
         )
 
