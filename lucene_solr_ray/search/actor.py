@@ -379,21 +379,9 @@ class IndexShard:
         return result
 
     def _top_k_uncached(self, node: QueryNode, k: int, idfs: dict[str, float], prune: bool, sim: str):
-        if (
-            prune
-            and sim == "bm25"  # block-max bounds are BM25-specific
-            and node.kind == "bool"
-            and node.boost == 1.0
-            and node.min_should_match <= 1
-            and all(
-                occ == "SHOULD" and c.kind == "term" and c.boost == 1.0
-                for occ, c in node.clauses
-            )
-            and len(node.clauses) > 1
-        ):
-            docs, scores = self._eval_disjunction_pruned(
-                [c.terms[0] for _, c in node.clauses], k, idfs
-            )
+        plan = self._prunable_plan(node) if (prune and sim == "bm25") else None
+        if plan is not None:
+            docs, scores = self._eval_bool_pruned(*plan, k, idfs)
         else:
             docs, scores = self._eval(node, idfs, sim)
         scores32 = scores.astype(np.float32)
@@ -408,30 +396,82 @@ class IndexShard:
         order = np.lexsort((docs, -scores32))
         return docs[order], scores32[order]
 
-    def _eval_disjunction_pruned(self, terms: list[str], k: int, idfs: dict[str, float]):
-        """Vectorized block-max pruning for pure term disjunctions.
+    def _prunable_plan(self, node: QueryNode):
+        """WAND/block-max pruning applies when every SCORED clause is an
+        unboosted term (WANDScorer.java preconditions, SURVEY.md §3.2);
+        FILTER / MUST_NOT clauses may be arbitrary sub-queries — they only
+        shape the candidate set and never contribute score bounds.
+        → (must_terms, should_terms, filter_nodes, not_nodes) or None."""
+        if node.kind != "bool" or node.boost != 1.0:
+            return None
+        musts: list[str] = []
+        shoulds: list[str] = []
+        filters: list[QueryNode] = []
+        nots: list[QueryNode] = []
+        for occ, c in node.clauses:
+            if occ in ("MUST", "SHOULD"):
+                if c.kind != "term" or c.boost != 1.0:
+                    return None
+                (musts if occ == "MUST" else shoulds).append(c.terms[0])
+            elif occ == "FILTER":
+                filters.append(c)
+            else:
+                nots.append(c)
+        if not musts and not shoulds:
+            return None  # pure-filter query: nothing to bound
+        # should-COUNT constraints need per-doc tallies → exhaustive path
+        # (union candidates already guarantee ≥1 should when no must)
+        if node.min_should_match > (0 if musts else 1):
+            return None
+        return musts, shoulds, filters, nots
 
-        1. Per-doc upper bound = Σ_t block_upper_bound of the block holding
-           the doc (0 if absent).  2. Exact-score the k docs with the highest
-        bounds → floor θ (kth exact score).  3. Docs with bound < θ cannot
-        enter the top-k → drop; exact-score the survivors only.
-        Result-identical to exhaustive evaluation (upper bounds are sound).
+    def _eval_bool_pruned(self, musts, shoulds, filters, nots, k: int, idfs: dict[str, float]):
+        """Vectorized block-max pruning for term-scored boolean queries.
+
+        1. Candidates: ∩ MUST doc lists (∪ SHOULD lists when no MUST),
+           then ∩ FILTER matches and ∖ MUST_NOT matches.  2. Per-doc upper
+        bound = Σ over scored terms of the block_upper_bound of the block
+        holding the doc (0 if absent).  3. Exact-score the k best-bounded
+        docs → floor θ.  4. Docs with bound < θ cannot enter the top-k →
+        drop; exact-score the survivors only.  Result-identical to
+        exhaustive evaluation (upper bounds are sound, θ is float32-safe).
         """
-        metas, posts = [], []
-        live_terms = []
-        for t in terms:
+        metas, posts, live_terms = [], [], []
+        must_docs: list[np.ndarray] = []
+        for t in musts:
+            p = self._postings(t)
+            if p is None:
+                return _EMPTY_I64, _EMPTY_F64  # missing MUST term → no match
+            must_docs.append(p[0])
+        for t in musts + shoulds:
             m = self._block_meta(t)
             p = self._postings(t)
             if m is None or p is None:
-                continue
+                continue  # only reachable for missing SHOULD terms
             metas.append(m)
             posts.append((p[0], p[1], p[2]))  # cache may hold the 5-tuple w/ positions
             live_terms.append(t)
         if not posts:
             return _EMPTY_I64, _EMPTY_F64
-        # candidate docs = union
-        all_docs = np.concatenate([p[0] for p in posts])
-        docs = np.unique(all_docs)
+        if must_docs:
+            docs = must_docs[0]
+            for d2 in must_docs[1:]:
+                docs = np.intersect1d(docs, d2, assume_unique=True)
+                if docs.size == 0:
+                    return _EMPTY_I64, _EMPTY_F64
+        else:
+            docs = np.unique(np.concatenate([p[0] for p in posts]))
+        for f in filters:
+            fd, _ = self._eval(f, idfs, "bm25")
+            docs = np.intersect1d(docs, fd, assume_unique=True)
+            if docs.size == 0:
+                return _EMPTY_I64, _EMPTY_F64
+        for nnode in nots:
+            nd, _ = self._eval(nnode, idfs, "bm25")
+            if nd.size and docs.size:
+                docs = docs[~np.isin(docs, nd, assume_unique=True)]
+        if docs.size == 0:
+            return _EMPTY_I64, _EMPTY_F64
         bounds = np.zeros(docs.size, dtype=np.float64)
         for t, (last, maxf, minn), (pdocs, _, _) in zip(live_terms, metas, posts):
             ub = block_upper_bound(maxf, minn, idfs.get(t, 0.0), self.norm_cache)

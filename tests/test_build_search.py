@@ -126,9 +126,44 @@ def test_duel_rank_and_score_identical(searcher, oracle):
         assert got == exp, f"qid={q['qid']} query={q['query']!r}\n got {got[:5]}\n exp {exp[:5]}"
 
 
+PRUNE_QUERIES = [
+    "assistant error ok",             # pure disjunction
+    "w00001 w00002 w00003 bash",
+    "ok error",
+    "+assistant +error",              # pure conjunction (WAND MUST path)
+    "+error ok bash",                 # MUST + SHOULDs
+    "+assistant +bash w00002",        # two MUSTs + SHOULD
+    "+error -bash ok",                # MUST + NOT + SHOULD
+    "error ok #role:assistant",       # SHOULDs + FILTER
+    "+error #role:assistant",         # MUST + FILTER
+]
+
+
 def test_pruned_equals_exhaustive(searcher):
-    for query in ["assistant error ok", "w00001 w00002 w00003 bash", "ok error"]:
-        assert searcher.search(query, 10, prune=True) == searcher.search(query, 10, prune=False)
+    for query in PRUNE_QUERIES:
+        assert searcher.search(query, 10, prune=True) == searcher.search(
+            query, 10, prune=False
+        ), query
+
+
+def test_prune_fires_for_conjunctions(ray_session, index):
+    """Block-max pruning must actually skip candidates on MUST/mixed paths
+    (WANDScorer coverage, not just pure disjunctions)."""
+    import ray
+
+    s2 = Searcher(INDEX_DIR)
+    try:
+        base = sum(ray.get(a.prune_stats.remote())["candidates"] for a in s2.actors)
+        # a common MUST term + varied SHOULDs: candidate bounds differ by
+        # which optional terms each doc matches, so θ can prune
+        s2.search("+assistant error ok w00002", 5)
+        after = ray.get([a.prune_stats.remote() for a in s2.actors])
+        cand = sum(s["candidates"] for s in after)
+        scored = sum(s["scored"] for s in after)
+        assert cand > base  # the pruned path ran for a conjunctive query
+        assert scored < cand  # and it skipped candidates
+    finally:
+        s2.close()
 
 
 FILTER_AND_MULTI_QUERIES = [
