@@ -135,6 +135,26 @@ class BruteForceIndex:
             return math.sqrt(pf) * idf_sum * idf_sum / math.sqrt(max(self.dl_decoded[doc], 1))
         return idf_sum * pf / (pf + self._norm_k(doc))
 
+    def _score_intervals_tree(self, tree, doc: int) -> tuple[bool, float]:
+        """Intervals algebra scoring (shared minimal-interval semantics via
+        search/intervals.eval_doc): freq = interval count, scored like a
+        phrase over the tree's leaf terms."""
+        from .search.intervals import eval_doc
+
+        terms = tree.leaf_terms()
+        pos = {t: sorted(self.docs[doc].get(t, [])) for t in set(terms)}
+        pf = len(eval_doc(tree, pos))
+        if pf == 0:
+            return (False, 0.0)
+        idf_sum = sum(self.idf(t) for t in terms)
+        sim = getattr(self, "similarity", "bm25")
+        if sim == "lm":
+            p_sum = sum(self.cf(t) / self.sum_ttf for t in terms)
+            return (True, self._lm_score(pf, p_sum, doc))
+        if sim == "classic":
+            return (True, math.sqrt(pf) * idf_sum * idf_sum / math.sqrt(max(self.dl_decoded[doc], 1)))
+        return (True, idf_sum * pf / (pf + self._norm_k(doc)))
+
     def score_query(self, node: QueryNode, doc: int) -> tuple[bool, float]:
         """Returns (matches, score·boost) for a parsed query node."""
         m, s = self._score_unboosted(node, doc)
@@ -150,27 +170,17 @@ class BruteForceIndex:
         if node.kind == "term_set":
             return (any(t in self.docs[doc] for t in node.terms), 1.0)
         if node.kind == "interval":
-            from .search.proximity import sloppy_phrase_freq, unordered_interval_freq
+            from .search import intervals as IV
 
-            plists = [self.docs[doc].get(t) for t in node.terms]
-            if any(p is None for p in plists):
-                return (False, 0.0)
-            pls = [sorted(p) for p in plists]
-            if node.min_should_match:  # ordered
-                pf = sloppy_phrase_freq(pls, max(node.max_edits - len(node.terms), 0))
-            else:
-                pf = unordered_interval_freq(pls, node.max_edits)
-            if pf == 0:
-                return (False, 0.0)
-            # scored like a phrase with freq = window count
-            idf_sum = sum(self.idf(t) for t in node.terms)
-            sim = getattr(self, "similarity", "bm25")
-            if sim == "lm":
-                p_sum = sum(self.cf(t) / self.sum_ttf for t in node.terms)
-                return (True, self._lm_score(pf, p_sum, doc))
-            if sim == "classic":
-                return (True, math.sqrt(pf) * idf_sum * idf_sum / math.sqrt(max(self.dl_decoded[doc], 1)))
-            return (True, idf_sum * pf / (pf + self._norm_k(doc)))
+            tree = IV.maxwidth(
+                node.max_edits,
+                (IV.ordered if node.min_should_match else IV.unordered)(
+                    *[IV.iterm(t) for t in node.terms]
+                ),
+            )
+            return self._score_intervals_tree(tree, doc)
+        if node.kind == "intervals":
+            return self._score_intervals_tree(node.tree, doc)
         if node.kind == "dismax":
             child = [self.score_query(c, doc) for _, c in node.clauses]
             hits = [s for m, s in child if m]

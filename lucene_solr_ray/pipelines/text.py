@@ -500,7 +500,89 @@ ORDER BY score DESC, token LIMIT {MLT_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+# Intervals over raw text (lucene/queries/.../intervals/): ordered two-term
+# greedy windows (for each occurrence of A, the first following B) with a
+# max-width filter — the positions machinery gated against a SQL twin.
+
+IV_A, IV_B = "fast", "merge"
+IV_WIDTH = 6
+
+
+def intervals_ordered_pairs(sf_dir: str):
+    """Per doc: count of ordered (A … B) windows with width ≤ IV_WIDTH and
+    the minimum qualifying width — vectorized greedy chain (search/
+    intervals.chain_spans semantics for two terms), no per-doc loops."""
+    from ..search.intervals import chain_spans
+
+    def find(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_windows": pd.Series([], dtype="int64"),
+                "min_width": pd.Series([], dtype="int64"),
+            }
+        )
+        doc_idx, codes, uniq, counts = _explode_tokens(batch["text"])
+        if not codes.size:
+            return empty
+        offs = np.zeros(len(batch), dtype=np.int64)
+        np.cumsum(counts[:-1], out=offs[1:])
+        pos = np.arange(codes.size, dtype=np.int64) - np.repeat(offs, counts)
+        children = []
+        for t in (IV_A, IV_B):
+            w = np.flatnonzero(uniq == t)
+            if not w.size:
+                return empty
+            m = codes == w[0]
+            children.append((doc_idx[m], pos[m], pos[m]))
+        idoc, s, e = chain_spans(children, minimal=False)
+        if not idoc.size:
+            return empty
+        width = e - s + 1
+        ok = width <= IV_WIDTH
+        if not ok.any():
+            return empty
+        n = np.bincount(idoc[ok], minlength=len(batch))
+        mw = np.full(len(batch), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mw, idoc[ok], width[ok])
+        hit = np.flatnonzero(n > 0)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy()[hit],
+                "n_windows": n[hit].astype("int64"),
+                "min_width": mw[hit].astype("int64"),
+            }
+        )
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(find, batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+INTERVALS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS arr FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS t, unnest(range(len(arr))) AS pos FROM d),
+pairs AS (
+  SELECT a.doc_id, a.pos AS pa, MIN(b.pos) AS pb
+  FROM (SELECT doc_id, pos FROM toks WHERE t = '{IV_A}') a
+  JOIN (SELECT doc_id, pos FROM toks WHERE t = '{IV_B}') b
+    ON b.doc_id = a.doc_id AND b.pos > a.pos
+  GROUP BY a.doc_id, a.pos
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(MIN(pb - pa + 1) AS BIGINT) AS min_width
+FROM pairs WHERE pb - pa + 1 <= {IV_WIDTH}
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "intervals_ordered_pairs": Pipeline(
+        intervals_ordered_pairs, INTERVALS_SQL, "ordered interval windows over positions (Intervals.ordered+maxwidth)"
+    ),
     "token_count": Pipeline(token_count, TOKEN_COUNT_SQL, "per-doc token counting (FieldLength URP)"),
     "token_count_bpe": Pipeline(token_count_bpe, TOKEN_BPE_SQL, "BPE-ish pre-tokenizer counting (training-data budgeting)"),
     "highlight": Pipeline(highlight, HIGHLIGHT_SQL, "snippet extraction around matches (HighlightComponent)"),

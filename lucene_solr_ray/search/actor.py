@@ -189,86 +189,107 @@ class IndexShard:
             scores = score_postings(pf, norm_b, idf_sum, self.norm_cache)
         return match_docs, scores
 
+    _IV_CHUNK = 1 << 18  # candidate chunk: keeps doc·L² composite keys in int64
+
+    def _score_freq_docs(self, cand: np.ndarray, counts: np.ndarray, terms, idfs, sim):
+        """Score docs with per-doc match frequencies like a phrase (summed
+        idf over `terms`, norms from the first term that holds the doc)."""
+        hit = counts > 0
+        match_docs = cand[hit]
+        pf_arr = counts[hit]
+        if match_docs.size == 0:
+            return _EMPTY_I64, _EMPTY_F64
+        norm_b = np.full(match_docs.size, -1, dtype=np.int64)
+        for t in terms:
+            missing = norm_b < 0
+            if not missing.any():
+                break
+            p = self._postings(t)
+            if p is None:
+                continue
+            docs, norms = p[0], p[2]
+            idx = np.clip(np.searchsorted(docs, match_docs), 0, max(docs.size - 1, 0))
+            present = (docs[idx] == match_docs) if docs.size else np.zeros(match_docs.size, bool)
+            fill = missing & present
+            norm_b[fill] = norms[idx[fill]]
+        idf_sum = sum(idfs.get(t, 0.0) for t in terms)
+        nb_arr = np.maximum(norm_b, 0)
+        if sim == "classic":
+            scores = score_postings_classic(pf_arr, nb_arr, idf_sum)
+        elif sim == "lm":
+            scores = score_postings_lm(pf_arr, nb_arr, idf_sum)
+        else:
+            scores = score_postings(pf_arr, nb_arr, idf_sum, self.norm_cache)
+        return match_docs, scores
+
     def _score_interval(self, node: QueryNode, idfs: dict[str, float], sim: str):
-        from .proximity import sloppy_phrase_freq, unordered_interval_freq
+        """Intervals-lite: ordered/unordered minimal windows ≤ max_width —
+        evaluated with the vectorized algebra over ALL candidate docs at
+        once (no per-doc Python loop; chunked so composite keys stay int64)."""
+        from . import intervals as IV
 
         terms = node.terms
-        width = node.max_edits
         ordered = bool(node.min_should_match)
-        plists = []
-        for t in terms:
+        tree = IV.maxwidth(
+            node.max_edits,
+            (IV.ordered if ordered else IV.unordered)(*[IV.iterm(t) for t in terms]),
+        )
+        return self._score_intervals_tree(tree, idfs, sim)
+
+    def _score_intervals_tree(self, tree, idfs: dict[str, float], sim: str):
+        """Full intervals algebra (search/intervals.py): candidates are the
+        conjunction of the tree's scored-term doc lists; freq = intervals
+        per doc; scored like a phrase over the tree's leaf terms."""
+        from . import intervals as IV
+
+        req = tree.scored_terms()
+        cand = None
+        for t in dict.fromkeys(req):
             p = self._postings(t, with_positions=True)
             if p is None:
                 return _EMPTY_I64, _EMPTY_F64
-            plists.append(p)
-        cand = plists[0][0]
-        for p in plists[1:]:
-            cand = np.intersect1d(cand, p[0], assume_unique=True)
+            cand = p[0] if cand is None else np.intersect1d(cand, p[0], assume_unique=True)
             if cand.size == 0:
                 return _EMPTY_I64, _EMPTY_F64
-        match_docs, pfs, norm_b = [], [], []
-        for d in cand:
-            pos_lists = []
-            for docs, freqs, norms, positions, starts in plists:
-                i = int(np.searchsorted(docs, d))
-                s0 = int(starts[i])
-                pos_lists.append(positions[s0 : s0 + int(freqs[i])].tolist())
-            if ordered:
-                pf = sloppy_phrase_freq(pos_lists, max(width - len(terms), 0))
-            else:
-                pf = unordered_interval_freq(pos_lists, width)
-            if pf:
-                i0 = int(np.searchsorted(plists[0][0], d))
-                match_docs.append(int(d))
-                pfs.append(pf)
-                norm_b.append(int(plists[0][2][i0]))
-        if not match_docs:
+        if cand is None:
             return _EMPTY_I64, _EMPTY_F64
-        idf_sum = sum(idfs.get(t, 0.0) for t in terms)
-        pf_arr = np.asarray(pfs, dtype=np.int64)
-        nb_arr = np.asarray(norm_b, dtype=np.int64)
-        if sim == "classic":
-            scores = score_postings_classic(pf_arr, nb_arr, idf_sum)
-        elif sim == "lm":
-            scores = score_postings_lm(pf_arr, nb_arr, idf_sum)
-        else:
-            scores = score_postings(pf_arr, nb_arr, idf_sum, self.norm_cache)
-        return np.asarray(match_docs, dtype=np.int64), scores
+        provider = lambda t: self._postings(t, with_positions=True)  # noqa: E731
+        all_docs, all_counts = [], []
+        for c0 in range(0, cand.size, self._IV_CHUNK):
+            chunk = cand[c0 : c0 + self._IV_CHUNK]
+            idoc, _, _ = IV.eval_batch(tree, provider, chunk)
+            counts = np.bincount(idoc, minlength=chunk.size) if idoc.size else np.zeros(chunk.size, np.int64)
+            all_docs.append(chunk)
+            all_counts.append(counts)
+        cand = np.concatenate(all_docs)
+        counts = np.concatenate(all_counts)
+        return self._score_freq_docs(cand, counts, tree.leaf_terms(), idfs, sim)
 
     def _score_sloppy(self, terms, plists, idfs, slop: int, sim: str = "bm25"):
-        from .proximity import sloppy_phrase_freq
+        """Sloppy phrase: greedy chain count (proximity.sloppy_phrase_freq
+        semantics) — vectorized over all candidate docs via chain_spans
+        (loop over TERMS, never over docs)."""
+        from .intervals import chain_spans, term_intervals
 
-        # candidate docs: conjunction of all term doc-lists
         cand = plists[0][0]
         for p in plists[1:]:
             cand = np.intersect1d(cand, p[0], assume_unique=True)
             if cand.size == 0:
                 return _EMPTY_I64, _EMPTY_F64
-        match_docs, pfs, norm_b = [], [], []
-        for d in cand:
-            pos_lists = []
-            for docs, freqs, norms, positions, starts in plists:
-                i = int(np.searchsorted(docs, d))
-                s0 = int(starts[i])
-                pos_lists.append(positions[s0 : s0 + int(freqs[i])].tolist())
-            pf = sloppy_phrase_freq(pos_lists, slop)
-            if pf:
-                i0 = int(np.searchsorted(plists[0][0], d))
-                match_docs.append(int(d))
-                pfs.append(pf)
-                norm_b.append(int(plists[0][2][i0]))
-        if not match_docs:
-            return _EMPTY_I64, _EMPTY_F64
-        idf_sum = sum(idfs.get(t, 0.0) for t in terms)
-        pf_arr = np.asarray(pfs, dtype=np.int64)
-        nb_arr = np.asarray(norm_b, dtype=np.int64)
-        if sim == "classic":
-            scores = score_postings_classic(pf_arr, nb_arr, idf_sum)
-        elif sim == "lm":
-            scores = score_postings_lm(pf_arr, nb_arr, idf_sum)
-        else:
-            scores = score_postings(pf_arr, nb_arr, idf_sum, self.norm_cache)
-        return np.asarray(match_docs, dtype=np.int64), scores
+        provider = lambda t: self._postings(t, with_positions=True)  # noqa: E731
+        all_counts = []
+        for c0 in range(0, cand.size, self._IV_CHUNK):
+            chunk = cand[c0 : c0 + self._IV_CHUNK]
+            children = [term_intervals(provider, t, chunk) for t in terms]
+            idoc, s, e = chain_spans(children, minimal=False)
+            if idoc.size:
+                ok = (e - s) - (len(terms) - 1) <= slop
+                counts = np.bincount(idoc[ok], minlength=chunk.size)
+            else:
+                counts = np.zeros(chunk.size, np.int64)
+            all_counts.append(counts)
+        counts = np.concatenate(all_counts)
+        return self._score_freq_docs(cand, counts, terms, idfs, sim)
 
     def _eval(self, node: QueryNode, idfs: dict[str, float], sim: str = "bm25"):
         """→ (sorted matching docs, float64 scores).  node.boost multiplies
@@ -285,6 +306,8 @@ class IndexShard:
             return self._score_phrase(node.terms, idfs, slop=node.slop, sim=sim)
         if node.kind == "interval":
             return self._score_interval(node, idfs, sim)
+        if node.kind == "intervals":
+            return self._score_intervals_tree(node.tree, idfs, sim)
         if node.kind == "term_set":
             # TermInSetQuery: constant-score union of member postings
             parts = [p[0] for t in node.terms if (p := self._postings(t)) is not None]

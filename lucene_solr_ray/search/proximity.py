@@ -16,43 +16,6 @@ from __future__ import annotations
 import bisect
 
 
-def unordered_interval_freq(pos_lists: list[list[int]], max_width: int) -> int:
-    """Minimal unordered windows containing one occurrence of every term,
-    window width (max−min+1) ≤ max_width — the intervals-API `unordered`
-    containment (lucene/queries/src/java/org/apache/lucene/queries/
-    intervals/Intervals.java :: unordered / maxwidth).  Counts MINIMAL
-    windows (no smaller covering window nested inside)."""
-    if not pos_lists or any(not p for p in pos_lists):
-        return 0
-    n = len(pos_lists)
-    events = sorted((p, i) for i, ps in enumerate(pos_lists) for p in ps)
-    count = 0
-    need: dict[int, int] = {}
-    covered = 0
-    left = 0
-    last_min = -1
-    for right in range(len(events)):
-        t = events[right][1]
-        need[t] = need.get(t, 0) + 1
-        if need[t] == 1:
-            covered += 1
-        if covered < n:
-            continue
-        # shrink to the minimal covering window ending at `right`
-        while True:
-            lt = events[left][1]
-            if need[lt] > 1:
-                need[lt] -= 1
-                left += 1
-            else:
-                break
-        width = events[right][0] - events[left][0] + 1
-        if width <= max_width and events[left][0] > last_min:
-            count += 1
-            last_min = events[left][0]
-    return count
-
-
 def sloppy_phrase_freq(pos_lists: list[list[int]], slop: int) -> int:
     """pos_lists[i] = sorted positions of phrase term i in one document."""
     if not pos_lists or any(not p for p in pos_lists):

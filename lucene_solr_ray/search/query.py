@@ -51,10 +51,13 @@ class QueryNode:
     min_should_match: int = 0  # BooleanQuery.setMinimumNumberShouldMatch
     tiebreak: float = 0.0  # DisjunctionMaxQuery tieBreakerMultiplier
     slop: int = 0  # PhraseQuery slop: "a b"~N proximity window
+    tree: object = None  # IntervalsNode for kind == "intervals"
 
     def all_terms(self) -> list[str]:
         if self.kind in ("term", "phrase", "term_set", "interval"):
             return list(self.terms)
+        if self.kind == "intervals":
+            return self.tree.leaf_terms()
         out: list[str] = []
         for _, c in self.clauses:
             out.extend(c.all_terms())
@@ -77,6 +80,14 @@ def interval(terms: list[str], max_width: int, ordered: bool = True, boost: floa
         "interval", terms=list(terms), max_edits=max_width,  # max_edits reused as width
         min_should_match=1 if ordered else 0, boost=boost,
     )
+
+
+def intervals_query(tree, boost: float = 1.0) -> QueryNode:
+    """Full intervals-algebra query (lucene/queries/.../intervals/
+    IntervalQuery.java): matches docs where `tree` (an
+    `search.intervals.IntervalsNode`) yields ≥1 interval; freq = interval
+    count, scored like a phrase over the tree's leaf terms."""
+    return QueryNode("intervals", tree=tree, boost=boost)
 
 
 def term_set(terms: list[str], boost: float = 1.0) -> QueryNode:

@@ -377,3 +377,28 @@ def test_duel_intervals(searcher, oracle):
     o = {d for d, _ in searcher.search_node(interval(["tool", "bash"], 4, True), 1000)}
     u = {d for d, _ in searcher.search_node(interval(["tool", "bash"], 4, False), 1000)}
     assert o <= u
+
+
+def test_duel_intervals_algebra(searcher, oracle):
+    """Full intervals algebra (ordered/unordered/or/containing/
+    contained_by/not_*/overlapping), engine vs brute-force oracle."""
+    from lucene_solr_ray.search import intervals as IV
+    from lucene_solr_ray.search.query import intervals_query
+
+    a, b, c = IV.iterm("tool"), IV.iterm("bash"), IV.iterm("output")
+    trees = [
+        IV.maxwidth(6, IV.ordered(a, b)),
+        IV.maxwidth(6, IV.unordered(IV.iterm("error"), IV.iterm("ok"))),
+        IV.ior(IV.maxwidth(3, IV.ordered(a, b)), IV.maxwidth(3, IV.ordered(a, c))),
+        IV.containing(IV.maxwidth(8, IV.ordered(IV.iterm("user"), IV.iterm("error"))), IV.iterm("question")),
+        IV.not_containing(IV.maxwidth(8, IV.ordered(IV.iterm("user"), IV.iterm("error"))), IV.iterm("question")),
+        IV.contained_by(c, IV.maxwidth(5, IV.unordered(a, b))),
+        IV.not_contained_by(c, IV.maxwidth(5, IV.unordered(a, b))),
+        IV.overlapping(IV.maxwidth(4, IV.ordered(a, c)), IV.maxwidth(4, IV.ordered(c, b))),
+        IV.maxwidth(9, IV.ordered(a, IV.maxwidth(4, IV.unordered(b, c)))),
+    ]
+    for i, tree in enumerate(trees):
+        node = intervals_query(tree)
+        got = searcher.search_node(node, 10)
+        exp = [(d, float(s)) for d, s in oracle.search_node(node, 10)]
+        assert got == exp, f"algebra#{i}\n got {got[:5]}\n exp {exp[:5]}"
