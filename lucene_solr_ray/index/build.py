@@ -149,8 +149,40 @@ def sample_hot_terms(paths: list[str], hot_df_frac: float = 0.02, sample_docs: i
 KEYWORD_FIELDS = ("role", "tool")
 
 
+def _apply_token_filter(tok: dict, flt, n_rows: int) -> dict:
+    """Run a custom token filter (list[(term, pos)] → list[(term, pos)])
+    over the analyzed stream — the configurable-analysis slow path (only
+    taken when an analyzer chain beyond the standard one is configured;
+    the default build stays fully vectorized)."""
+    rows, terms, poss = tok["row"], tok["term"], tok["pos"]
+    counts = np.bincount(rows, minlength=n_rows).astype(np.int64)
+    offs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    out_rows, out_terms, out_pos = [], [], []
+    dl = np.zeros(n_rows, dtype=np.int64)
+    for r in range(n_rows):
+        toks = list(zip(terms[offs[r] : offs[r + 1]], poss[offs[r] : offs[r + 1]]))
+        new = flt(toks)
+        dl[r] = len(new)
+        for t, p in new:
+            out_rows.append(r)
+            out_terms.append(t)
+            out_pos.append(int(p))
+    return {
+        "row": np.asarray(out_rows, dtype=np.int64),
+        "term": np.asarray(out_terms, dtype=object),
+        "pos": np.asarray(out_pos, dtype=np.int64),
+        "dl": dl,
+    }
+
+
 def invert_partition(
-    table: pa.Table, base: int, hot_terms: list[str], salt: int, n_buckets: int = 32
+    table: pa.Table,
+    base: int,
+    hot_terms: list[str],
+    salt: int,
+    n_buckets: int = 32,
+    token_filter=None,
 ) -> tuple[pa.Table, pa.Table]:
     """Analyze + SPIMI-invert one doc-partition (vectorized, no row loops).
 
@@ -170,6 +202,8 @@ def invert_partition(
     doc_ids = base + np.arange(n, dtype=np.int64)
 
     tok = analyze_batch(table.column("text"))
+    if token_filter is not None:
+        tok = _apply_token_filter(tok, token_filter, n)
     # keyword-field terms appended to the token stream (pos 0, no dl effect)
     kw_rows, kw_terms = [], []
     for field in KEYWORD_FIELDS:
@@ -453,15 +487,22 @@ def build_index(
     resume: bool = True,
     max_concurrent_shards: int = 4,
     fail_after_shards: int | None = None,
+    token_filter=None,
+    analyzer_id: str = "standard",
 ) -> Manifest:
     """Build (or resume) the full index.  Returns the committed manifest.
 
     `fail_after_shards` injects a crash after N completed shards — used by
     the kill-and-rerun resume test (FIXTURES.md F6).
-    """
+
+    `token_filter` appends a custom analysis stage (list[(term, pos)] →
+    list[(term, pos)], e.g. `analysis.graph.as_token_filter(...)`) after
+    the standard chain; set `analyzer_id` to a distinct name so resume
+    never mixes indexes built with different analyzers (it participates in
+    the config fingerprint)."""
     index_dir = Path(index_dir)
     specs = plan_files(input_paths)
-    fp = _config_fingerprint(specs, files_per_shard, n_salts)
+    fp = _config_fingerprint(specs, files_per_shard, n_salts) + f":{analyzer_id}"
 
     manifest = Manifest.load(index_dir) if resume else None
     if manifest is not None and manifest.data.get("config", {}).get("fingerprint") != fp:
@@ -534,7 +575,9 @@ def build_index(
         schema_names = pq.read_schema(path).names
         cols = ["conv_id", "turn_idx", "text"] + [f for f in KEYWORD_FIELDS if f in schema_names]
         table = pq.read_table(path, columns=cols)
-        partial, norms = invert_partition(table, base, hot, salt, n_buckets=n_buckets)
+        partial, norms = invert_partition(
+            table, base, hot, salt, n_buckets=n_buckets, token_filter=token_filter
+        )
         partial = partial.set_column(
             partial.schema.get_field_index("pid"),
             "pid",

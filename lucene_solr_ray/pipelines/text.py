@@ -579,7 +579,63 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Multi-word synonym injection (SynonymGraphFilter) as an actor-pool stage:
+# per doc the injected-token count equals the matched-phrase occurrences —
+# gated against a SQL adjacency twin.  The graph filter itself is the real
+# per-doc matcher (rules compiled once per actor); for the single two-word
+# rule used here the greedy longest-match count equals adjacent-pair count,
+# which is what the SQL twin computes.
+
+SYN_IN = ("fast", "merge")
+SYN_OUT = "fastmerge"
+
+
+def synonym_phrase_match(sf_dir: str):
+    class Syn:
+        def __init__(self):
+            import re
+
+            from ..analysis.graph import synonym_graph_filter
+
+            self.f = synonym_graph_filter({SYN_IN: [(SYN_OUT,)]})
+            self.token = re.compile(TOKEN_RE)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, ns = [], []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                toks = [(t, i, 1) for i, t in enumerate(self.token.findall(text.lower()))]
+                n = sum(1 for t, _, _ in self.f(toks) if t == SYN_OUT)
+                if n:
+                    ids.append(doc_id)
+                    ns.append(n)
+            return pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"), "n_syn": pd.Series(ns, dtype="int64")}
+            )
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        Syn, batch_format="pandas", concurrency=2
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SYNONYM_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS arr FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS t, unnest(range(len(arr))) AS pos FROM d)
+SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_syn
+FROM (SELECT doc_id, pos FROM toks WHERE t = '{SYN_IN[0]}') a
+JOIN (SELECT doc_id, pos FROM toks WHERE t = '{SYN_IN[1]}') b
+  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+GROUP BY a.doc_id ORDER BY a.doc_id
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "synonym_phrase_match": Pipeline(
+        synonym_phrase_match, SYNONYM_SQL, "multi-word synonym injection (SynonymGraphFilter), actor pool"
+    ),
     "intervals_ordered_pairs": Pipeline(
         intervals_ordered_pairs, INTERVALS_SQL, "ordered interval windows over positions (Intervals.ordered+maxwidth)"
     ),

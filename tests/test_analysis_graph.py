@@ -1,0 +1,133 @@
+"""SynonymGraphFilter / WordDelimiterGraphFilter / FlattenGraph semantics,
+BaseTokenStreamTestCase-style invariants, and the index-time integration
+(phrase query matching across a multi-word synonym)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_ray.analysis.graph import (
+    as_token_filter,
+    check_graph_invariants,
+    flatten_graph,
+    graph_chain,
+    synonym_graph_filter,
+    to_graph,
+    word_delimiter_graph_filter,
+)
+
+
+def g(text):  # simple position-per-token graph input
+    return [(t, i, 1) for i, t in enumerate(text.split())]
+
+
+def test_synonym_multiword_input_single_output():
+    f = synonym_graph_filter({("wi", "fi"): [("wifi",)]})
+    out = f(g("enable wi fi now"))
+    check_graph_invariants(out)
+    assert ("wifi", 1, 2) in out  # spans the two matched positions
+    assert ("wi", 1, 1) in out and ("fi", 2, 1) in out  # originals kept
+    flat = flatten_graph(out)
+    assert ("wifi", 1) in flat
+
+
+def test_synonym_single_input_multiword_output():
+    f = synonym_graph_filter({("wifi",): [("wi", "fi")]})
+    out = f(g("enable wifi now"))
+    check_graph_invariants(out)
+    # the synonym path occupies consecutive positions from the match start
+    assert ("wi", 1, 1) in out and ("fi", 2, 1) in out
+    assert ("wifi", 1, 1) in out  # original kept
+
+
+def test_synonym_greedy_longest_match():
+    f = synonym_graph_filter(
+        {("fast", "merge"): [("fastmerge",)], ("fast", "merge", "sort"): [("fms",)]}
+    )
+    out = f(g("run fast merge sort now"))
+    terms = [t for t, _, _ in out]
+    assert "fms" in terms and "fastmerge" not in terms  # longest wins
+
+
+def test_synonym_replace_mode():
+    f = synonym_graph_filter({("wi", "fi"): [("wifi",)]}, keep_original=False)
+    out = f(g("enable wi fi now"))
+    terms = [t for t, _, _ in out]
+    assert "wifi" in terms and "wi" not in terms and "fi" not in terms
+    assert "enable" in terms and "now" in terms
+
+
+def test_word_delimiter_graph():
+    f = word_delimiter_graph_filter(generate_parts=True, catenate_all=True, preserve_original=True)
+    out = f([("x86player", 0, 1), ("now", 1, 1)])
+    check_graph_invariants(out)
+    assert ("x", 0, 1) in out and ("86", 1, 1) in out and ("player", 2, 1) in out
+    assert ("x86player", 0, 3) in out  # original + catenation span all parts
+    assert out.count(("x86player", 0, 3)) == 2  # original AND catenate-all
+
+
+def test_graph_chain_composes():
+    f = graph_chain(
+        word_delimiter_graph_filter(catenate_all=True),
+        synonym_graph_filter({("wi", "fi"): [("wifi",)]}),
+    )
+    out = f([("wi", 0, 1), ("fi2", 1, 1)])
+    check_graph_invariants(out)
+    terms = [t for t, _, _ in out]
+    assert "fi" in terms and "2" in terms  # delimiter split
+    assert "wifi" in terms  # synonym over the split parts
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    words=st.lists(st.sampled_from(["wi", "fi", "fast", "merge", "x9y", "plain"]), max_size=8)
+)
+def test_invariants_hold_on_random_streams(words):
+    f = graph_chain(
+        word_delimiter_graph_filter(catenate_all=True, preserve_original=True),
+        synonym_graph_filter({("wi", "fi"): [("wifi",)], ("fast",): [("quick", "sort")]}),
+    )
+    out = f([(w, i, 1) for i, w in enumerate(words)])
+    check_graph_invariants(out)
+    flat = flatten_graph(out)
+    assert all(p >= 0 for _, p in flat)
+
+
+def test_index_time_synonym_phrase_match(ray_session, tmp_path):
+    """Build with an index-time synonym graph: a phrase query over the
+    multi-word expansion matches docs that contain only the single token."""
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import Searcher
+
+    texts = ["enable wifi now", "enable ethernet now", "wi fi setup guide"]
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c{i:03d}" for i in range(len(texts))]),
+            "turn_idx": pa.array(np.zeros(len(texts), dtype=np.int32)),
+            "role": pa.array(["user"] * len(texts)),
+            "text": pa.array(texts),
+            "tool": pa.array([None] * len(texts), type=pa.string()),
+        }
+    )
+    corpus = tmp_path / "corpus.parquet"
+    pq.write_table(t, corpus)
+    flt = as_token_filter(synonym_graph_filter({("wifi",): [("wi", "fi")]}))
+    build_index(
+        [str(corpus)],
+        tmp_path / "idx",
+        files_per_shard=1,
+        token_filter=flt,
+        analyzer_id="syn-wifi",
+        resume=False,
+    )
+    s = Searcher(tmp_path / "idx")
+    try:
+        phrase = {d for d, _ in s.search('"wi fi"', 10)}
+        assert phrase == {0, 2}  # doc 0 matches VIA the synonym path
+        assert {d for d, _ in s.search("wifi", 10)} == {0}
+        assert {d for d, _ in s.search("ethernet", 10)} == {1}
+    finally:
+        s.close()
