@@ -183,6 +183,8 @@ def invert_partition(
     salt: int,
     n_buckets: int = 32,
     token_filter=None,
+    analyzed_fields: tuple[str, ...] = (),
+    keyword_fields: tuple[str, ...] = KEYWORD_FIELDS,
 ) -> tuple[pa.Table, pa.Table]:
     """Analyze + SPIMI-invert one doc-partition (vectorized, no row loops).
 
@@ -204,39 +206,63 @@ def invert_partition(
     tok = analyze_batch(table.column("text"))
     if token_filter is not None:
         tok = _apply_token_filter(tok, token_filter, n)
-    # keyword-field terms appended to the token stream (pos 0, no dl effect)
-    kw_rows, kw_terms = [], []
-    for field in KEYWORD_FIELDS:
-        if field not in table.schema.names:
+    dl = tok["dl"]
+    norm_bytes = int_to_byte4_np(dl).astype(np.int64)
+    # token streams: (row, term, pos, per-ROW norm-byte source) — postings
+    # carry the norm byte of the FIELD the term belongs to (Lucene's
+    # per-field norms, lucene/core/.../index/NormValuesWriter.java)
+    streams = [(tok["row"], tok["term"], tok["pos"], norm_bytes)]
+    norms_cols = {
+        "doc_id": pa.array(doc_ids),
+        "conv_id": table.column("conv_id"),
+        "turn_idx": table.column("turn_idx"),
+        "dl": pa.array(dl),
+        "norm_byte": pa.array(norm_bytes.astype(np.int32)),
+    }
+    # extra ANALYZED fields: full analysis chain, terms namespaced
+    # `field:token` with real positions, field-specific dl/norms
+    for f in analyzed_fields:
+        if f not in table.schema.names:
+            continue
+        ftok = analyze_batch(table.column(f))
+        fdl = ftok["dl"]
+        fnb = int_to_byte4_np(fdl).astype(np.int64)
+        norms_cols[f"dl_{f}"] = pa.array(fdl)
+        norms_cols[f"norm_byte_{f}"] = pa.array(fnb.astype(np.int32))
+        if len(ftok["term"]):
+            named = pc.binary_join_element_wise(
+                pa.scalar(f), pa.array(ftok["term"], type=pa.string()), pa.scalar(":")
+            ).to_numpy(zero_copy_only=False).astype(object)
+            streams.append((ftok["row"], named, ftok["pos"], fnb))
+    # keyword-field terms appended to the token stream (pos 0, no dl effect,
+    # text-field norms — they serve FILTER clauses)
+    for field in keyword_fields:
+        if field not in table.schema.names or field in analyzed_fields:
             continue
         col = table.column(field)
         valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
         rows = np.flatnonzero(valid)
         if rows.size:
-            kw_rows.append(rows.astype(np.int64))
             joined = pc.binary_join_element_wise(
                 pa.scalar(field), pc.take(col, pa.array(rows)), pa.scalar(":")
             )
-            kw_terms.append(joined.to_numpy(zero_copy_only=False).astype(object))
-    if kw_rows:
-        tok = {
-            "row": np.concatenate([tok["row"], *kw_rows]),
-            "term": np.concatenate([tok["term"], *kw_terms]),
-            "pos": np.concatenate([tok["pos"], np.zeros(sum(r.size for r in kw_rows), dtype=np.int64)]),
-            "dl": tok["dl"],
-        }
-    dl = tok["dl"]
-    norm_bytes = int_to_byte4_np(dl).astype(np.int64)
+            streams.append(
+                (
+                    rows.astype(np.int64),
+                    joined.to_numpy(zero_copy_only=False).astype(object),
+                    np.zeros(rows.size, dtype=np.int64),
+                    norm_bytes,
+                )
+            )
+    tok = {
+        "row": np.concatenate([s[0] for s in streams]),
+        "term": np.concatenate([s[1] for s in streams]),
+        "pos": np.concatenate([s[2] for s in streams]),
+        "dl": dl,
+    }
+    tok_nb = np.concatenate([s[3][s[0]] for s in streams])
 
-    norms = pa.table(
-        {
-            "doc_id": pa.array(doc_ids),
-            "conv_id": table.column("conv_id"),
-            "turn_idx": table.column("turn_idx"),
-            "dl": pa.array(dl),
-            "norm_byte": pa.array(norm_bytes.astype(np.int32)),
-        }
-    )
+    norms = pa.table(norms_cols)
 
     if len(tok["row"]) == 0:
         return PARTIAL_SCHEMA.empty_table(), norms
@@ -255,7 +281,7 @@ def invert_partition(
     e_term = tc[entry_idx]
     e_doc = td[entry_idx]
     e_freq = np.diff(np.append(entry_idx, tc.size)).astype(np.int32)
-    e_norm = norm_bytes[e_doc - base].astype(np.int32)
+    e_norm = tok_nb[order][entry_idx].astype(np.int32)  # field-specific norms
 
     # term run boundaries over entries → list offsets
     t_new = np.empty(e_term.size, dtype=bool)
@@ -489,6 +515,8 @@ def build_index(
     fail_after_shards: int | None = None,
     token_filter=None,
     analyzer_id: str = "standard",
+    analyzed_fields: tuple[str, ...] = (),
+    keyword_fields: tuple[str, ...] = KEYWORD_FIELDS,
 ) -> Manifest:
     """Build (or resume) the full index.  Returns the committed manifest.
 
@@ -499,10 +527,22 @@ def build_index(
     list[(term, pos)], e.g. `analysis.graph.as_token_filter(...)`) after
     the standard chain; set `analyzer_id` to a distinct name so resume
     never mixes indexes built with different analyzers (it participates in
-    the config fingerprint)."""
+    the config fingerprint).
+
+    `analyzed_fields` names extra string columns to run through the FULL
+    analysis chain (the IndexSchema multi-field pattern,
+    solr/core/src/java/org/apache/solr/schema/IndexSchema.java): their
+    terms are namespaced `field:token` with positions and score with the
+    FIELD's own norms/avgdl; `keyword_fields` stay untokenized
+    `field:value` filter terms."""
     index_dir = Path(index_dir)
     specs = plan_files(input_paths)
-    fp = _config_fingerprint(specs, files_per_shard, n_salts) + f":{analyzer_id}"
+    analyzed_fields = tuple(analyzed_fields)
+    keyword_fields = tuple(keyword_fields)
+    fp = (
+        _config_fingerprint(specs, files_per_shard, n_salts)
+        + f":{analyzer_id}:{','.join(analyzed_fields)}:{','.join(keyword_fields)}"
+    )
 
     manifest = Manifest.load(index_dir) if resume else None
     if manifest is not None and manifest.data.get("config", {}).get("fingerprint") != fp:
@@ -573,10 +613,19 @@ def build_index(
         (n_docs, sum_dl) lineage tuple.  The per-pid norms/docmap segment is
         side-written atomically (idempotent under retry)."""
         schema_names = pq.read_schema(path).names
-        cols = ["conv_id", "turn_idx", "text"] + [f for f in KEYWORD_FIELDS if f in schema_names]
+        cols = ["conv_id", "turn_idx", "text"] + [
+            f for f in dict.fromkeys(keyword_fields + analyzed_fields) if f in schema_names
+        ]
         table = pq.read_table(path, columns=cols)
         partial, norms = invert_partition(
-            table, base, hot, salt, n_buckets=n_buckets, token_filter=token_filter
+            table,
+            base,
+            hot,
+            salt,
+            n_buckets=n_buckets,
+            token_filter=token_filter,
+            analyzed_fields=analyzed_fields,
+            keyword_fields=keyword_fields,
         )
         partial = partial.set_column(
             partial.schema.get_field_index("pid"),
@@ -593,7 +642,12 @@ def build_index(
         partial = partial.take(pa.array(order))
         bounds = np.searchsorted(bcol[order], np.arange(n_buckets + 1))
         outs = [partial.slice(bounds[b], bounds[b + 1] - bounds[b]) for b in range(n_buckets)]
-        lineage = (int(norms.num_rows), int(pc.sum(norms.column("dl")).as_py() or 0))
+        field_sums = {
+            f: int(pc.sum(norms.column(f"dl_{f}")).as_py() or 0)
+            for f in analyzed_fields
+            if f"dl_{f}" in norms.schema.names
+        }
+        lineage = (int(norms.num_rows), int(pc.sum(norms.column("dl")).as_py() or 0), field_sums)
         return (*outs, lineage)
 
     @ray.remote
@@ -642,6 +696,7 @@ def build_index(
                 shard=shard_id,
                 n_docs=lineages[j][0],
                 sum_dl=lineages[j][1],
+                field_sum_dl=lineages[j][2],
                 status="done",
             )
         manifest.mark_shard(
@@ -705,14 +760,23 @@ def _finalize(index_dir: Path, manifest: Manifest) -> None:
     pq.write_table(stats_pa, tmp)
     os.replace(tmp, index_dir / "global_stats.parquet")
 
-    segs = manifest.data["segments"].values()
+    segs = list(manifest.data["segments"].values())
     n_docs = sum(s["n_docs"] for s in segs)
     sum_ttf = sum(s["sum_dl"] for s in segs)
+    # per-analyzed-field collection stats (per-field avgdl drives the
+    # field's own BM25 norm cache)
+    field_stats: dict[str, dict] = {}
+    for s in segs:
+        for f, v in (s.get("field_sum_dl") or {}).items():
+            field_stats.setdefault(f, {"sum_ttf": 0})["sum_ttf"] += int(v)
+    for f, st in field_stats.items():
+        st["avgdl"] = (st["sum_ttf"] / n_docs) if n_docs else 0.0
     manifest.commit(
         {
             "N": int(n_docs),
             "sum_ttf": int(sum_ttf),
             "avgdl": (sum_ttf / n_docs) if n_docs else 0.0,
             "n_terms": int(stats_pa.num_rows),
+            "fields": field_stats,
         }
     )

@@ -42,9 +42,19 @@ class BruteForceIndex:
     freq 1, pos 0, excluded from dl — mirroring the engine's keyword-field
     indexing."""
 
-    def __init__(self, texts: list[str], fields: dict[str, list] | None = None):
+    def __init__(
+        self,
+        texts: list[str],
+        fields: dict[str, list] | None = None,
+        analyzed_fields: dict[str, list] | None = None,
+    ):
+        """`analyzed_fields` maps a field name → per-doc strings (None =
+        absent); each runs the FULL analysis chain, terms namespaced
+        `field:token` with positions, and the field keeps its OWN
+        dl/avgdl for scoring — mirroring the engine's per-field norms."""
         self.docs: list[dict[str, list[int]]] = []
         self.dl: list[int] = []
+        fdl: dict[str, list[int]] = {f: [] for f in (analyzed_fields or {})}
         for i, text in enumerate(texts):
             toks = tokenize(text)
             by_term: dict[str, list[int]] = {}
@@ -56,6 +66,12 @@ class BruteForceIndex:
                 for fname, vals in fields.items():
                     if vals[i] is not None:
                         by_term.setdefault(f"{fname}:{vals[i]}", []).append(0)
+            if analyzed_fields:
+                for fname, vals in analyzed_fields.items():
+                    ftoks = tokenize(vals[i]) if vals[i] is not None else []
+                    for term, pos in ftoks:
+                        by_term.setdefault(f"{fname}:{term}", []).append(pos)
+                    fdl[fname].append(len(ftoks))
         self.N = len(texts)
         self.sum_ttf = sum(self.dl)
         self.avgdl = self.sum_ttf / self.N if self.N else 0.0
@@ -63,6 +79,11 @@ class BruteForceIndex:
         for d in self.docs:
             self.df.update(d.keys())
         self.dl_decoded = [byte4_to_int(int_to_byte4(l)) for l in self.dl]
+        self.analyzed_fields = set(analyzed_fields or ())
+        self.field_dl_decoded = {
+            f: [byte4_to_int(int_to_byte4(l)) for l in ls] for f, ls in fdl.items()
+        }
+        self.field_avgdl = {f: sum(ls) / self.N if self.N else 0.0 for f, ls in fdl.items()}
 
     def idf(self, term: str) -> float:
         df = self.df.get(term, 0)
@@ -70,7 +91,21 @@ class BruteForceIndex:
             return 1.0 + math.log(self.N / (df + 1.0))
         return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
 
-    def _norm_k(self, doc: int) -> float:
+    def _field_of(self, term: str) -> str:
+        if ":" in term:
+            f = term.split(":", 1)[0]
+            if f in self.analyzed_fields:
+                return f
+        return ""
+
+    def _dl(self, doc: int, field: str = "") -> int:
+        if field:
+            return self.field_dl_decoded[field][doc]
+        return self.dl_decoded[doc]
+
+    def _norm_k(self, doc: int, field: str = "") -> float:
+        if field:
+            return K1 * (1.0 - B + B * self.field_dl_decoded[field][doc] / self.field_avgdl[field])
         return K1 * (1.0 - B + B * self.dl_decoded[doc] / self.avgdl)
 
     def cf(self, term: str) -> int:
@@ -95,12 +130,13 @@ class BruteForceIndex:
         if tf == 0:
             return 0.0
         sim = getattr(self, "similarity", "bm25")
+        field = self._field_of(term)
         if sim == "classic":
             idf = self.idf(term)
-            return math.sqrt(tf) * idf * idf / math.sqrt(max(self.dl_decoded[doc], 1))
+            return math.sqrt(tf) * idf * idf / math.sqrt(max(self._dl(doc, field), 1))
         if sim == "lm":
             return self._lm_score(tf, self.cf(term) / self.sum_ttf, doc)
-        return self.idf(term) * tf / (tf + self._norm_k(doc))
+        return self.idf(term) * tf / (tf + self._norm_k(doc, field))
 
     def phrase_freq(self, terms: list[str], doc: int, slop: int = 0) -> int:
         """Phrase occurrences: exact (consecutive) or sloppy (shared
@@ -127,13 +163,14 @@ class BruteForceIndex:
         if pf == 0:
             return 0.0
         sim = getattr(self, "similarity", "bm25")
+        field = self._field_of(terms[0])
         if sim == "lm":
             p_sum = sum(self.cf(t) / self.sum_ttf for t in terms)
             return self._lm_score(pf, p_sum, doc)
         idf_sum = sum(self.idf(t) for t in terms)
         if sim == "classic":
-            return math.sqrt(pf) * idf_sum * idf_sum / math.sqrt(max(self.dl_decoded[doc], 1))
-        return idf_sum * pf / (pf + self._norm_k(doc))
+            return math.sqrt(pf) * idf_sum * idf_sum / math.sqrt(max(self._dl(doc, field), 1))
+        return idf_sum * pf / (pf + self._norm_k(doc, field))
 
     def _score_intervals_tree(self, tree, doc: int) -> tuple[bool, float]:
         """Intervals algebra scoring (shared minimal-interval semantics via
@@ -148,12 +185,13 @@ class BruteForceIndex:
             return (False, 0.0)
         idf_sum = sum(self.idf(t) for t in terms)
         sim = getattr(self, "similarity", "bm25")
+        field = self._field_of(terms[0])
         if sim == "lm":
             p_sum = sum(self.cf(t) / self.sum_ttf for t in terms)
             return (True, self._lm_score(pf, p_sum, doc))
         if sim == "classic":
-            return (True, math.sqrt(pf) * idf_sum * idf_sum / math.sqrt(max(self.dl_decoded[doc], 1)))
-        return (True, idf_sum * pf / (pf + self._norm_k(doc)))
+            return (True, math.sqrt(pf) * idf_sum * idf_sum / math.sqrt(max(self._dl(doc, field), 1)))
+        return (True, idf_sum * pf / (pf + self._norm_k(doc, field)))
 
     def score_query(self, node: QueryNode, doc: int) -> tuple[bool, float]:
         """Returns (matches, score·boost) for a parsed query node."""

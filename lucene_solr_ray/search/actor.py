@@ -39,10 +39,20 @@ _EMPTY_F64 = np.empty(0, dtype=np.float64)
 
 
 class IndexShard:
-    def __init__(self, shard_dirs: str | list[str], norm_cache: np.ndarray | None = None):
+    def __init__(self, shard_dirs: str | list[str], norm_cache=None):
         """`shard_dirs` may be one dir or several — an actor owns one or
         more term-shards (the pool is sized to the cluster, so on small
-        clusters each actor serves multiple shards)."""
+        clusters each actor serves multiple shards).
+
+        `norm_cache` is the text-field 256-entry BM25 cache, or a dict
+        {"": text_cache, field: field_cache} when extra analyzed fields
+        exist (per-field norms — `field:token` terms score with their
+        field's cache)."""
+        if isinstance(norm_cache, dict):
+            self.norm_caches = norm_cache
+            norm_cache = norm_cache.get("")
+        else:
+            self.norm_caches = {"": norm_cache}
         if isinstance(shard_dirs, str):
             shard_dirs = [shard_dirs]
         import glob
@@ -142,6 +152,16 @@ class IndexShard:
         return last, maxf, minn
 
     # -- scoring -----------------------------------------------------------
+    def _cache_for(self, term: str) -> np.ndarray:
+        """Per-field norm cache: `field:token` terms of an analyzed extra
+        field score with that field's avgdl; keyword-filter terms and plain
+        text terms use the text cache."""
+        if ":" in term and len(self.norm_caches) > 1:
+            c = self.norm_caches.get(term.split(":", 1)[0])
+            if c is not None:
+                return c
+        return self.norm_cache
+
     def _score_term(self, term: str, idfs: dict[str, float], sim: str = "bm25"):
         p = self._postings(term)
         if p is None:
@@ -151,7 +171,7 @@ class IndexShard:
             return docs, score_postings_classic(freqs, norms, idfs.get(term, 0.0))
         if sim == "lm":
             return docs, score_postings_lm(freqs, norms, idfs.get(term, 0.0))
-        return docs, score_postings(freqs, norms, idfs.get(term, 0.0), self.norm_cache)
+        return docs, score_postings(freqs, norms, idfs.get(term, 0.0), self._cache_for(term))
 
     def _score_phrase(self, terms: list[str], idfs: dict[str, float], slop: int = 0, sim: str = "bm25"):
         """Phrase matching: (docs, scores) for docs with phrase_freq > 0.
@@ -186,7 +206,7 @@ class IndexShard:
         elif sim == "lm":
             scores = score_postings_lm(pf, norm_b, idf_sum)
         else:
-            scores = score_postings(pf, norm_b, idf_sum, self.norm_cache)
+            scores = score_postings(pf, norm_b, idf_sum, self._cache_for(terms[0]))
         return match_docs, scores
 
     _IV_CHUNK = 1 << 18  # candidate chunk: keeps doc·L² composite keys in int64
@@ -219,7 +239,7 @@ class IndexShard:
         elif sim == "lm":
             scores = score_postings_lm(pf_arr, nb_arr, idf_sum)
         else:
-            scores = score_postings(pf_arr, nb_arr, idf_sum, self.norm_cache)
+            scores = score_postings(pf_arr, nb_arr, idf_sum, self._cache_for(terms[0]))
         return match_docs, scores
 
     def _score_interval(self, node: QueryNode, idfs: dict[str, float], sim: str):
@@ -497,7 +517,7 @@ class IndexShard:
             return _EMPTY_I64, _EMPTY_F64
         bounds = np.zeros(docs.size, dtype=np.float64)
         for t, (last, maxf, minn), (pdocs, _, _) in zip(live_terms, metas, posts):
-            ub = block_upper_bound(maxf, minn, idfs.get(t, 0.0), self.norm_cache)
+            ub = block_upper_bound(maxf, minn, idfs.get(t, 0.0), self._cache_for(t))
             blk = np.searchsorted(last, docs)  # block whose range covers doc
             mic = np.clip(np.searchsorted(pdocs, docs), 0, pdocs.size - 1)
             sel = (pdocs[mic] == docs) & (blk < last.size)
@@ -532,6 +552,6 @@ class IndexShard:
             idx = np.searchsorted(pdocs, docs)
             mic = np.clip(idx, 0, max(pdocs.size - 1, 0))
             hit = pdocs[mic] == docs if pdocs.size else np.zeros(docs.size, bool)
-            s = score_postings(pfreqs[mic[hit]], pnorms[mic[hit]], idfs.get(t, 0.0), self.norm_cache)
+            s = score_postings(pfreqs[mic[hit]], pnorms[mic[hit]], idfs.get(t, 0.0), self._cache_for(t))
             scores[hit] += s
         return docs, scores

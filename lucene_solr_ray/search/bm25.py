@@ -22,6 +22,14 @@ K1 = 1.2
 B = 0.75
 
 
+def make_norm_cache(avgdl: float) -> np.ndarray:
+    """The 256-entry norm→k cache (BM25Scorer constructor) for one field's
+    avgdl — per-field norms use per-field caches."""
+    if avgdl > 0:
+        return K1 * (1.0 - B + B * LENGTH_TABLE.astype(np.float64) / avgdl)
+    return np.full(256, K1, dtype=np.float64)
+
+
 class BM25Stats:
     """Global collection statistics (the ExactStatsCache analog).
 
@@ -35,8 +43,7 @@ class BM25Stats:
         self.N = int(n_docs)
         self.avgdl = float(avgdl)
         # the 256-entry norm cache (BM25Scorer constructor)
-        self.norm_cache = (K1 * (1.0 - B + B * LENGTH_TABLE.astype(np.float64) / self.avgdl)
-                           if self.avgdl > 0 else np.full(256, K1, dtype=np.float64))
+        self.norm_cache = make_norm_cache(self.avgdl)
 
     @classmethod
     def load(cls, stats_path: str, n_docs: int, avgdl: float) -> "BM25Stats":

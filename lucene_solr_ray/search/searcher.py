@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .actor import IndexShard
-from .bm25 import BM25Stats, classic_idf
+from .bm25 import BM25Stats, classic_idf, make_norm_cache
 from .query import parse_query, rewrite
 
 
@@ -43,6 +43,10 @@ class Searcher:
         self.stats = BM25Stats.load(
             str(self.index_dir / "global_stats.parquet"), st["N"], st["avgdl"]
         )
+        # per-field norm caches for extra analyzed fields (per-field avgdl)
+        self.norm_caches = {"": self.stats.norm_cache}
+        for f, fs in (st.get("fields") or {}).items():
+            self.norm_caches[f] = make_norm_cache(fs["avgdl"])
         shard_ids = sorted(int(k) for k in manifest["shards"])
         self.shard_dirs = [str(self.index_dir / "shards" / f"shard={sid:05d}") for sid in shard_ids]
         self.use_ray = use_ray
@@ -60,10 +64,10 @@ class Searcher:
                 assign[i * num_actors // len(self.shard_dirs)].append(d)
             assign = [a for a in assign if a]
             actor_cls = ray.remote(num_cpus=1)(IndexShard)
-            self.actors = [actor_cls.remote(dirs, self.stats.norm_cache) for dirs in assign]
+            self.actors = [actor_cls.remote(dirs, self.norm_caches) for dirs in assign]
             ray.get([a.ping.remote() for a in self.actors])  # warm load
         else:
-            self.actors = [IndexShard(self.shard_dirs, self.stats.norm_cache)]
+            self.actors = [IndexShard(self.shard_dirs, self.norm_caches)]
 
     # -- spellcheck --------------------------------------------------------
     def spellcheck(self, word: str, max_suggestions: int = 5, max_edits: int = 2):
