@@ -1,0 +1,306 @@
+"""JSON Facet API — nested bucket tree with sub-aggregates (SURVEY.md §2.6).
+
+Reference: solr/core/src/java/org/apache/solr/search/facet/FacetModule.java,
+FacetRequest.java / FacetField.java / FacetRange.java — the JSON Facet API's
+recursive `facet` blocks: terms/range/query buckets, per-bucket metrics
+(count/sum/avg/min/max), per-level sort and limit.
+
+Ray-Data-first execution (single sweep, the FacetModule two-phase shape):
+1. `map_batches` computes every level's bucket column and PRE-AGGREGATES
+   each batch by the full bucket path (the combiner — only (path, partial
+   metrics) rows ever shuffle, never raw rows);
+2. one `groupby(path).aggregate(...)` merges partials;
+3. the driver assembles the tree from the merged lattice (bounded by the
+   product of bucket cardinalities — the facet result domain, NOT the data
+   size; Solr shards do the same merge-and-refine on a coordinator),
+   applying each level's sort ("count desc" | "<metric> desc/asc", bucket
+   value as deterministic tie-break) and limit, top-down.
+
+Money metrics go through integer cents (`common.cents`) and `avg` divides
+exact integer sums — float-parity with the DuckDB twins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .common import Pipeline, cents, read
+
+_BUCKET_TYPES = ("terms", "range", "query")
+
+
+def _levels(spec: dict) -> list[dict]:
+    """Flatten the nested spec into its bucket-level chain (one nested
+    bucket facet per level; the rest of each `facet` block are metrics)."""
+    out = []
+    s = spec
+    while s is not None:
+        out.append(s)
+        nxt = None
+        for sub in (s.get("facet") or {}).values():
+            if sub.get("type") in _BUCKET_TYPES:
+                nxt = sub
+        s = nxt
+    return out
+
+
+def _metrics(spec: dict) -> dict[str, dict]:
+    return {
+        name: m
+        for name, m in (spec.get("facet") or {}).items()
+        if m.get("type") not in _BUCKET_TYPES
+    }
+
+
+def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
+    """Evaluate a nested JSON facet over `table` → flat DataFrame with one
+    row per LEAF bucket (parent bucket keys + metrics repeated per row)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    levels = _levels(spec)
+    bucket_cols = [f"_b{i}" for i in range(len(levels))]
+    # columns to read: bucket fields + metric fields
+    need: list[str] = []
+    for lv in levels:
+        if lv["type"] in ("terms", "range"):
+            need.append(lv["field"])
+        elif lv["type"] == "query":
+            need.append(lv["q_field"])
+        for m in _metrics(lv).values():
+            need.append(m["field"])
+    need = list(dict.fromkeys(need))
+
+    # partial metric columns: one count per level + per-metric partials
+    def mcol(i: int, name: str) -> str:
+        return f"_m{i}_{name}"
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(index=batch.index)
+        keep = np.ones(len(batch), dtype=bool)
+        for i, lv in enumerate(levels):
+            if lv["type"] == "terms":
+                df[bucket_cols[i]] = batch[lv["field"]]
+            elif lv["type"] == "range":
+                v = batch[lv["field"]].to_numpy()
+                start, end, gap = lv["start"], lv["end"], lv["gap"]
+                b = start + gap * np.floor((v - start) / gap)
+                keep &= (v >= start) & (v < end)
+                df[bucket_cols[i]] = b
+            else:  # query facet: boolean bucket (assembled as its own level)
+                df[bucket_cols[i]] = lv["predicate"](batch)
+        df = df[keep]
+        sub = batch[keep]
+        agg_cols = {}
+        for i, lv in enumerate(levels):
+            for name, m in _metrics(lv).items():
+                v = sub[m["field"]].to_numpy()
+                c = mcol(i, name)
+                if m.get("money"):
+                    v = cents(v)
+                if m["type"] in ("sum", "avg"):
+                    agg_cols[c] = ("sum", v)
+                elif m["type"] == "min":
+                    agg_cols[c] = ("min", v)
+                elif m["type"] == "max":
+                    agg_cols[c] = ("max", v)
+        df["_n"] = 1
+        for c, (op, v) in agg_cols.items():
+            df[c] = v
+        g = df.groupby(bucket_cols, as_index=False, sort=False)
+        out = g.agg(
+            {
+                "_n": "sum",
+                **{c: op for c, (op, _) in agg_cols.items()},
+            }
+        )
+        return out
+
+    ds = read(sf_dir, table, need).map_batches(partial, batch_format="pandas")
+    aggs = [Sum("_n", alias_name="_n")]
+    for i, lv in enumerate(levels):
+        for name, m in _metrics(lv).items():
+            c = mcol(i, name)
+            if m["type"] in ("sum", "avg"):
+                aggs.append(Sum(c, alias_name=c))
+            elif m["type"] == "min":
+                aggs.append(Min(c, alias_name=c))
+            elif m["type"] == "max":
+                aggs.append(Max(c, alias_name=c))
+    lattice = ds.groupby(bucket_cols).aggregate(*aggs).to_pandas()
+
+    # -- driver-side tree assembly over the (small) lattice ----------------
+    def level_table(li: int) -> pd.DataFrame:
+        keys = bucket_cols[: li + 1]
+        mets = {"_n": "sum"}
+        for name, m in _metrics(levels[li]).items():
+            c = mcol(li, name)
+            mets[c] = {"sum": "sum", "avg": "sum", "min": "min", "max": "max"}[m["type"]]
+        t = lattice.groupby(keys, as_index=False).agg(mets)
+        return t.rename(columns={"_n": f"_n{li}"})
+
+    def order_limit(df: pd.DataFrame, li: int) -> pd.DataFrame:
+        lv = levels[li]
+        sort = lv.get("sort", "count desc")
+        key, direction = (sort.split() + ["desc"])[:2]
+        asc = direction == "asc"
+        if key == "count":
+            col = f"_n{li}"
+        elif key == "index":
+            col = bucket_cols[li]
+        else:
+            col = mcol(li, key)
+        df = df.sort_values([col, bucket_cols[li]], ascending=[asc, True], kind="mergesort")
+        lim = lv.get("limit")
+        return df.head(lim) if lim else df
+
+    frames: list[pd.DataFrame] = []
+    selected: pd.DataFrame | None = None  # surviving path prefixes
+    for li in range(len(levels)):
+        tbl = level_table(li)
+        if levels[li]["type"] == "query":  # query facet: the matching bucket only
+            tbl = tbl[tbl[bucket_cols[li]]]
+        if selected is not None:
+            tbl = tbl.merge(selected, on=bucket_cols[:li])
+            parts = [order_limit(g, li) for _, g in tbl.groupby(bucket_cols[:li], sort=False)]
+            tbl = pd.concat(parts) if parts else tbl.head(0)
+        else:
+            tbl = order_limit(tbl, li)
+        frames.append(tbl)
+        selected = tbl[bucket_cols[: li + 1]].drop_duplicates()
+
+    out = frames[0]
+    for li in range(1, len(levels)):
+        out = out.merge(frames[li], on=bucket_cols[:li], how="inner")
+
+    # avg metrics + user-facing names, applied once at the end
+    ren: dict[str, str] = {}
+    for li, lv in enumerate(levels):
+        ren[bucket_cols[li]] = lv.get("key", f"bucket{li}")
+        ren[f"_n{li}"] = lv.get("count_key", f"n{li}")
+        for name, m in _metrics(lv).items():
+            if m["type"] == "avg":
+                out[name] = out[mcol(li, name)] / out[f"_n{li}"].astype("float64")
+                out = out.drop(columns=[mcol(li, name)])
+            else:
+                ren[mcol(li, name)] = name
+    out = out.rename(columns=ren)
+    for li, lv in enumerate(levels):
+        out[lv.get("count_key", f"n{li}")] = out[lv.get("count_key", f"n{li}")].astype("int64")
+    return out.reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Gated pipelines: a terms×terms tree and a range×query tree.
+
+
+def json_facet_nested(sf_dir: str):
+    """Top-3 market segments by count, each with its top-2 nations by
+    account-balance sum — terms bucket × terms sub-bucket × sum metrics
+    with per-level sort and limit (the FacetModule nested-bucket shape)."""
+    spec = {
+        "type": "terms",
+        "field": "c_mktsegment",
+        "limit": 3,
+        "sort": "count desc",
+        "key": "c_mktsegment",
+        "count_key": "seg_n",
+        "facet": {
+            "seg_bal_cents": {"type": "sum", "field": "c_acctbal", "money": True},
+            "nations": {
+                "type": "terms",
+                "field": "c_nationkey",
+                "limit": 2,
+                "sort": "nat_bal_cents desc",
+                "key": "c_nationkey",
+                "count_key": "nat_n",
+                "facet": {"nat_bal_cents": {"type": "sum", "field": "c_acctbal", "money": True}},
+            },
+        },
+    }
+    out = compute_json_facet(sf_dir, "customer", spec)
+    for c in ("seg_bal_cents", "nat_bal_cents"):
+        out[c] = out[c].astype("int64")
+    cols = ["c_mktsegment", "seg_n", "seg_bal_cents", "c_nationkey", "nat_n", "nat_bal_cents"]
+    return out[cols].sort_values(["c_mktsegment", "c_nationkey"]).reset_index(drop=True)
+
+
+JSON_FACET_NESTED_SQL = """
+WITH base AS (
+  SELECT c_mktsegment, c_nationkey, CAST(ROUND(c_acctbal*100) AS BIGINT) AS cents FROM customer
+),
+seg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS seg_n, CAST(SUM(cents) AS BIGINT) AS seg_bal_cents
+  FROM base GROUP BY c_mktsegment
+),
+segk AS (SELECT * FROM seg QUALIFY row_number() OVER (ORDER BY seg_n DESC, c_mktsegment) <= 3),
+nat AS (
+  SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS nat_n, CAST(SUM(cents) AS BIGINT) AS nat_bal_cents
+  FROM base GROUP BY c_mktsegment, c_nationkey
+),
+natk AS (
+  SELECT nat.* FROM nat JOIN segk USING (c_mktsegment)
+  QUALIFY row_number() OVER (PARTITION BY c_mktsegment ORDER BY nat_bal_cents DESC, c_nationkey) <= 2
+)
+SELECT segk.c_mktsegment, seg_n, seg_bal_cents, c_nationkey, nat_n, nat_bal_cents
+FROM segk JOIN natk USING (c_mktsegment)
+ORDER BY c_mktsegment, c_nationkey
+"""
+
+
+def json_facet_range(sf_dir: str):
+    """Range buckets over o_totalprice × query sub-facet (urgent orders)
+    with an exact-cents avg metric — range + query facet types and the
+    avg sub-aggregate.  Buckets whose query sub-facet is empty are omitted
+    from the flattened view (inner tree join), matching the SQL twin."""
+    spec = {
+        "type": "range",
+        "field": "o_totalprice",
+        "start": 0.0,
+        "end": 600000.0,
+        "gap": 100000.0,
+        "sort": "index asc",
+        "key": "price_bucket",
+        "count_key": "n_bucket",
+        "facet": {
+            "avg_price_cents": {"type": "avg", "field": "o_totalprice", "money": True},
+            "urgent": {
+                "type": "query",
+                "q_field": "o_orderpriority",
+                "predicate": lambda b: (b["o_orderpriority"] == "1-URGENT").to_numpy(),
+                "key": "is_urgent",
+                "count_key": "n_urgent",
+            },
+        },
+    }
+    out = compute_json_facet(sf_dir, "orders", spec)
+    cols = ["price_bucket", "n_bucket", "avg_price_cents", "n_urgent"]
+    return out[cols].sort_values("price_bucket").reset_index(drop=True)
+
+
+JSON_FACET_RANGE_SQL = """
+WITH base AS (
+  SELECT 100000.0 * FLOOR(o_totalprice / 100000.0) AS price_bucket,
+         CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents,
+         o_orderpriority = '1-URGENT' AS urgent
+  FROM orders WHERE o_totalprice >= 0 AND o_totalprice < 600000
+),
+b AS (
+  SELECT price_bucket, CAST(COUNT(*) AS BIGINT) AS n_bucket,
+         SUM(cents) / CAST(COUNT(*) AS DOUBLE) AS avg_price_cents,
+         CAST(SUM(CASE WHEN urgent THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
+  FROM base GROUP BY price_bucket
+)
+SELECT price_bucket, n_bucket, avg_price_cents, n_urgent FROM b
+WHERE n_urgent > 0 ORDER BY price_bucket
+"""
+
+
+PIPELINES: dict[str, Pipeline] = {
+    "json_facet_nested": Pipeline(
+        json_facet_nested, JSON_FACET_NESTED_SQL, "nested JSON facet: terms×terms buckets, per-level sort/limit, sum metrics"
+    ),
+    "json_facet_range": Pipeline(
+        json_facet_range, JSON_FACET_RANGE_SQL, "JSON facet: range×query buckets with exact-cents avg metric"
+    ),
+}
