@@ -526,12 +526,39 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20
 
 
 def percentile_disc(sf_dir: str):
-    col = read(sf_dir, "lineitem", ["l_extendedprice"]).to_pandas()["l_extendedprice"].to_numpy()
-    s = np.sort(col)
+    """Exact discrete percentiles WITHOUT a full sort or driver
+    materialization: distributed value-counts keyed on the raw float64
+    values (bit-exact — quantile_disc returns an existing value), then the
+    driver walks the (distinct-value, count) histogram — driver memory is
+    bounded by the distinct-value count, never the row count."""
+    def vc(batch: pd.DataFrame) -> pd.DataFrame:
+        vals, counts = np.unique(batch["l_extendedprice"].to_numpy(), return_counts=True)
+        # SHUFFLE key is a fixed-width bucket of the value bits — never
+        # shuffle by the (distinct-value-sized) raw key; real values are
+        # merged in pandas inside each bucket group
+        bucket = (vals.view(np.int64) >> np.int64(20)) % np.int64(512)
+        return pd.DataFrame({"bucket": bucket, "v": vals, "n": counts})
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("v", as_index=False)["n"].sum()
+
+    hist = (
+        read(sf_dir, "lineitem", ["l_extendedprice"])
+        .map_batches(vc, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge_counts, batch_format="pandas")
+        .to_pandas()
+        .sort_values("v")
+    )
+    v = hist["v"].to_numpy()
+    n = hist["n"].to_numpy()
+    cum = np.cumsum(n)
+    total = int(cum[-1])
     out = {}
     for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
-        idx = int(np.ceil(q * s.size)) - 1
-        out[name] = [float(s[max(idx, 0)])]
+        rank = int(np.ceil(q * total))  # 1-based rank of quantile_disc
+        idx = int(np.searchsorted(cum, max(rank, 1)))
+        out[name] = [float(v[idx])]
     return pd.DataFrame(out)
 
 
@@ -541,6 +568,35 @@ SELECT quantile_disc(l_extendedprice, 0.5) AS p50,
        quantile_disc(l_extendedprice, 0.99) AS p99
 FROM lineitem
 """
+
+
+def percentile_tdigest(sf_dir: str):
+    """Approximate percentiles via the mergeable t-digest AggregateFn
+    (state/tdigest.py): one sketch per batch, merged on the driver — at
+    100 TB only ~1.6 KB sketches ever leave the workers.  Approximate by
+    design → rows-only gate; accuracy-tested against exact in pytest."""
+    from ..state.tdigest import TDigest
+
+    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest.of(batch["l_extendedprice"].to_numpy())
+        return pd.DataFrame({"sketch": [d.to_bytes()]})
+
+    parts = (
+        read(sf_dir, "lineitem", ["l_extendedprice"])
+        .map_batches(sketch, batch_format="pandas")
+        .to_pandas()
+    )
+    d = TDigest()
+    for blob in parts["sketch"]:
+        d = d.merge(TDigest.from_bytes(blob))
+    return pd.DataFrame(
+        {
+            "p50": [d.quantile(0.5)],
+            "p90": [d.quantile(0.9)],
+            "p99": [d.quantile(0.99)],
+            "n_centroids": [np.int64(d.means.size)],
+        }
+    )
 
 
 # --------------------------------------------------------------------------
@@ -775,5 +831,6 @@ PIPELINES: dict[str, Pipeline] = {
     "merge_union": Pipeline(merge_union, MERGE_UNION_SQL, "sorted union (MergeStream)"),
     "unique_values": Pipeline(unique_values, UNIQUE_SQL, "distinct values (UniqueStream)"),
     "cursor_paging": Pipeline(cursor_paging, CURSOR_SQL, "keyset pagination (CursorMark)"),
-    "percentile_disc": Pipeline(percentile_disc, PERCENTILE_SQL, "exact discrete percentiles (StatsComponent percentiles)"),
+    "percentile_disc": Pipeline(percentile_disc, PERCENTILE_SQL, "exact discrete percentiles via distributed value counts (StatsComponent percentiles)"),
+    "percentile_tdigest": Pipeline(percentile_tdigest, None, "mergeable t-digest percentile sketch (PercentileAgg); accuracy-tested in pytest"),
 }
