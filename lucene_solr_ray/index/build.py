@@ -330,7 +330,7 @@ def invert_partition(
     return partial, norms
 
 
-def merge_bucket(group: pa.Table) -> pa.Table:
+def merge_bucket(group: pa.Table, codec_name: str = "varbyte") -> pa.Table:
     """Merge ALL (term, salt) groups inside one shuffle bucket — vectorized.
 
     The per-term `map_groups` dispatch cost dominates at vocabulary scale
@@ -377,31 +377,31 @@ def merge_bucket(group: pa.Table) -> pa.Table:
     if not (np.diff(docs)[~entry_term_start[1:]] > 0).all():
         raise AssertionError("postings not strictly increasing within a term")
 
-    # encode docs (delta resets at term starts) + freqs, with per-value
-    # lengths so per-term buffers are slices of one global encode
+    # encode docs (delta resets at term starts) + freqs; the varbyte path
+    # encodes the whole bucket once with per-value lengths so per-term
+    # buffers are slices of one global encode
     d_deltas = codec.delta_encode_resets(docs, entry_term_start)
-    docs_buf = memoryview(codec.varbyte_encode(d_deltas))
-    d_len_off = np.zeros(E + 1, dtype=np.int64)
-    np.cumsum(codec.varbyte_lengths(d_deltas), out=d_len_off[1:])
-    freqs_buf = memoryview(codec.varbyte_encode(freqs))
-    f_len_off = np.zeros(E + 1, dtype=np.int64)
-    np.cumsum(codec.varbyte_lengths(freqs), out=f_len_off[1:])
     norms_buf = memoryview(norms.astype(np.uint8).tobytes())
-
-    # positions: delta resets at every (term,doc) entry start — encode once
-    pos_buf = memoryview(codec.encode_positions(positions, freqs))
     p_vals_off = np.zeros(E + 1, dtype=np.int64)
     np.cumsum(freqs, out=p_vals_off[1:])
     if positions.size:
         pos_reset = np.zeros(positions.size, dtype=bool)
         pos_reset[p_vals_off[:-1][freqs > 0]] = True
         p_deltas = codec.delta_encode_resets(positions, pos_reset)
-        p_len = codec.varbyte_lengths(p_deltas)
     else:
-        p_len = np.zeros(0, dtype=np.int64)
-    p_len_off = np.zeros(positions.size + 1, dtype=np.int64)
-    np.cumsum(p_len, out=p_len_off[1:])
+        p_deltas = np.zeros(0, dtype=np.int64)
     term_pos_off = p_vals_off[term_entry_off]  # position-value offset per term boundary
+    if codec_name != "for":
+        docs_buf = memoryview(codec.varbyte_encode(d_deltas))
+        d_len_off = np.zeros(E + 1, dtype=np.int64)
+        np.cumsum(codec.varbyte_lengths(d_deltas), out=d_len_off[1:])
+        freqs_buf = memoryview(codec.varbyte_encode(freqs))
+        f_len_off = np.zeros(E + 1, dtype=np.int64)
+        np.cumsum(codec.varbyte_lengths(freqs), out=f_len_off[1:])
+        pos_buf = memoryview(codec.varbyte_encode(p_deltas))
+        p_len = codec.varbyte_lengths(p_deltas) if p_deltas.size else np.zeros(0, dtype=np.int64)
+        p_len_off = np.zeros(positions.size + 1, dtype=np.int64)
+        np.cumsum(p_len, out=p_len_off[1:])
 
     # per-term stats
     cf = np.add.reduceat(freqs, term_entry_off[:-1]) if E else np.zeros(T, dtype=np.int64)
@@ -421,14 +421,24 @@ def merge_bucket(group: pa.Table) -> pa.Table:
     blk_maxf = np.maximum.reduceat(freqs, blk_start) if total_blocks else np.zeros(0, np.int64)
     blk_minn = np.minimum.reduceat(norms, blk_start) if total_blocks else np.zeros(0, np.int64)
 
-    # per-term buffer slices (memoryview slicing: cheap)
-    d_off_t = d_len_off[term_entry_off]
-    f_off_t = f_len_off[term_entry_off]
-    p_off_t = p_len_off[term_pos_off]
-    docs_b = [bytes(docs_buf[d_off_t[i] : d_off_t[i + 1]]) for i in range(T)]
-    freqs_b = [bytes(freqs_buf[f_off_t[i] : f_off_t[i + 1]]) for i in range(T)]
+    # per-term buffers: varbyte slices one global encode (memoryview
+    # slicing, cheap); the FOR/PFOR codec is block-framed per term, so it
+    # encodes each term's delta segment directly (loop over TERMS in the
+    # bucket — never over postings)
     norms_b = [bytes(norms_buf[term_entry_off[i] : term_entry_off[i + 1]]) for i in range(T)]
-    pos_b = [bytes(pos_buf[p_off_t[i] : p_off_t[i + 1]]) for i in range(T)]
+    if codec_name == "for":
+        from .for_codec import for_encode
+
+        docs_b = [for_encode(d_deltas[term_entry_off[i] : term_entry_off[i + 1]]) for i in range(T)]
+        freqs_b = [for_encode(freqs[term_entry_off[i] : term_entry_off[i + 1]]) for i in range(T)]
+        pos_b = [for_encode(p_deltas[term_pos_off[i] : term_pos_off[i + 1]]) for i in range(T)]
+    else:
+        d_off_t = d_len_off[term_entry_off]
+        f_off_t = f_len_off[term_entry_off]
+        p_off_t = p_len_off[term_pos_off]
+        docs_b = [bytes(docs_buf[d_off_t[i] : d_off_t[i + 1]]) for i in range(T)]
+        freqs_b = [bytes(freqs_buf[f_off_t[i] : f_off_t[i + 1]]) for i in range(T)]
+        pos_b = [bytes(pos_buf[p_off_t[i] : p_off_t[i + 1]]) for i in range(T)]
 
     first_rows = term_row_start
     terms_out = group.column("term").take(pa.array(first_rows))
@@ -517,6 +527,7 @@ def build_index(
     analyzer_id: str = "standard",
     analyzed_fields: tuple[str, ...] = (),
     keyword_fields: tuple[str, ...] = KEYWORD_FIELDS,
+    codec: str = "varbyte",
 ) -> Manifest:
     """Build (or resume) the full index.  Returns the committed manifest.
 
@@ -541,7 +552,7 @@ def build_index(
     keyword_fields = tuple(keyword_fields)
     fp = (
         _config_fingerprint(specs, files_per_shard, n_salts)
-        + f":{analyzer_id}:{','.join(analyzed_fields)}:{','.join(keyword_fields)}"
+        + f":{analyzer_id}:{','.join(analyzed_fields)}:{','.join(keyword_fields)}:{codec}"
     )
 
     manifest = Manifest.load(index_dir) if resume else None
@@ -557,6 +568,7 @@ def build_index(
         if (
             cfg.get("files_per_shard") == files_per_shard
             and cfg.get("n_salts") == n_salts
+            and cfg.get("codec", "varbyte") == codec
             and len(old_inputs) < len(new_inputs)
             and new_inputs[: len(old_inputs)] == old_inputs
         ):
@@ -582,6 +594,7 @@ def build_index(
             "n_salts": n_salts,
             "n_files": len(specs),
             "inputs": [[s.path, s.rows, s.base] for s in specs],
+            "codec": codec,
         }
     if manifest.committed:
         return manifest
@@ -657,7 +670,7 @@ def build_index(
         live = [p for p in parts if p.num_rows]
         if not live:
             return (0, 0)
-        merged = merge_bucket(pa.concat_tables(live))
+        merged = merge_bucket(pa.concat_tables(live), codec_name=codec)
         pq.write_table(merged, Path(out_dir) / f"postings-{bucket:05d}.parquet")
         return (int(merged.num_rows), int(pc.sum(merged.column("df")).as_py() or 0))
 

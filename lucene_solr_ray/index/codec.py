@@ -138,12 +138,22 @@ def encode_postings(docs: np.ndarray, freqs: np.ndarray) -> tuple[bytes, bytes]:
     return varbyte_encode(delta_encode(docs)), varbyte_encode(np.asarray(freqs, dtype=np.int64))
 
 
-def decode_docs(buf: bytes, count: int | None = None) -> np.ndarray:
-    return delta_decode(varbyte_decode(buf, count))
+def decode_ints(buf: bytes, count: int | None = None, codec: str = "varbyte") -> np.ndarray:
+    """Codec-SPI dispatch (SURVEY.md §2.11): the build records the codec
+    name in the manifest and readers decode through this switch."""
+    if codec == "for":
+        from .for_codec import for_decode
 
-
-def decode_freqs(buf: bytes, count: int | None = None) -> np.ndarray:
+        return for_decode(buf, count)
     return varbyte_decode(buf, count)
+
+
+def decode_docs(buf: bytes, count: int | None = None, codec: str = "varbyte") -> np.ndarray:
+    return delta_decode(decode_ints(buf, count, codec))
+
+
+def decode_freqs(buf: bytes, count: int | None = None, codec: str = "varbyte") -> np.ndarray:
+    return decode_ints(buf, count, codec)
 
 
 def block_meta(docs: np.ndarray, freqs: np.ndarray, norm_bytes: np.ndarray):
@@ -201,10 +211,10 @@ def encode_positions(positions: np.ndarray, freqs: np.ndarray) -> bytes:
     return varbyte_encode(deltas)
 
 
-def decode_positions(buf: bytes, freqs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def decode_positions(buf: bytes, freqs: np.ndarray, codec: str = "varbyte") -> tuple[np.ndarray, np.ndarray]:
     """Decode → (flat positions, per-doc start offsets into the flat array)."""
     f = np.asarray(freqs, dtype=np.int64)
-    deltas = varbyte_decode(buf)
+    deltas = decode_ints(buf, None, codec)
     starts = np.zeros(f.size, dtype=np.int64)
     np.cumsum(f[:-1], out=starts[1:])
     if deltas.size == 0:

@@ -39,7 +39,7 @@ _EMPTY_F64 = np.empty(0, dtype=np.float64)
 
 
 class IndexShard:
-    def __init__(self, shard_dirs: str | list[str], norm_cache=None):
+    def __init__(self, shard_dirs: str | list[str], norm_cache=None, codec_name: str = "varbyte"):
         """`shard_dirs` may be one dir or several — an actor owns one or
         more term-shards (the pool is sized to the cluster, so on small
         clusters each actor serves multiple shards).
@@ -68,6 +68,7 @@ class IndexShard:
                 row_shard.extend([si] * t.num_rows)
         self.table = pa.concat_tables(tables) if tables else None
         self.norm_cache = norm_cache
+        self._codec = codec_name
         self._rows: dict[str, list[int]] = {}
         if self.table is not None:
             terms = self.table.column("term").to_pylist()
@@ -121,12 +122,12 @@ class IndexShard:
         docs_l, freqs_l, norms_l, pos_l = [], [], [], []
         for r in rows:
             df = self._col["df"][r].as_py()
-            docs_l.append(codec.decode_docs(self._col["docs"][r].as_py(), df))
-            fr = codec.decode_freqs(self._col["freqs"][r].as_py(), df)
+            docs_l.append(codec.decode_docs(self._col["docs"][r].as_py(), df, self._codec))
+            fr = codec.decode_freqs(self._col["freqs"][r].as_py(), df, self._codec)
             freqs_l.append(fr)
             norms_l.append(np.frombuffer(self._col["norms"][r].as_py(), dtype=np.uint8))
             if with_positions:
-                flat, _ = codec.decode_positions(self._col["positions"][r].as_py(), fr)
+                flat, _ = codec.decode_positions(self._col["positions"][r].as_py(), fr, self._codec)
                 pos_l.append(flat)
         docs = np.concatenate(docs_l)
         freqs = np.concatenate(freqs_l)

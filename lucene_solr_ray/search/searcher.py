@@ -64,10 +64,17 @@ class Searcher:
                 assign[i * num_actors // len(self.shard_dirs)].append(d)
             assign = [a for a in assign if a]
             actor_cls = ray.remote(num_cpus=1)(IndexShard)
-            self.actors = [actor_cls.remote(dirs, self.norm_caches) for dirs in assign]
+            codec_name = manifest["config"].get("codec", "varbyte")
+            self.actors = [
+                actor_cls.remote(dirs, self.norm_caches, codec_name) for dirs in assign
+            ]
             ray.get([a.ping.remote() for a in self.actors])  # warm load
         else:
-            self.actors = [IndexShard(self.shard_dirs, self.norm_caches)]
+            self.actors = [
+                IndexShard(
+                    self.shard_dirs, self.norm_caches, manifest["config"].get("codec", "varbyte")
+                )
+            ]
 
     # -- spellcheck --------------------------------------------------------
     def spellcheck(self, word: str, max_suggestions: int = 5, max_edits: int = 2):

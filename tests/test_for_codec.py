@@ -47,3 +47,47 @@ def test_size_vs_varbyte_on_small_gaps():
     t0 = time.perf_counter()
     for_decode(fb)
     assert time.perf_counter() - t0 < 0.5
+
+
+def test_build_with_for_codec_duel(ray_session, tmp_path):
+    """build_index(codec='for') round-trips: search results are identical
+    to the varbyte build on the same corpus, and the manifest records the
+    codec; postings bytes are smaller or comparable."""
+    from lucene_solr_ray.fixtures import write_transcripts
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import Searcher
+
+    paths = write_transcripts(str(tmp_path / "corpus"), 300, 4)
+    build_index(paths, tmp_path / "vb", files_per_shard=2, resume=False)
+    build_index(paths, tmp_path / "for", files_per_shard=2, resume=False, codec="for")
+    import json
+
+    assert json.loads((tmp_path / "for" / "manifest.json").read_text())["config"]["codec"] == "for"
+    s1 = Searcher(tmp_path / "vb")
+    s2 = Searcher(tmp_path / "for")
+    try:
+        for q in ["assistant", "error ok", '"tool output"', "+bash w00002", "w0000*", '"tool output"~3']:
+            assert s1.search(q, 10) == s2.search(q, 10), q
+    finally:
+        s1.close()
+        s2.close()
+
+    def postings_bytes(d, min_df):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in glob.glob(f"{d}/shards/*/*.parquet"):
+            t = pq.read_table(f, columns=["df", "docs", "freqs", "positions"])
+            dfs = t.column("df").to_pylist()
+            for c in ("docs", "freqs", "positions"):
+                for df_, v in zip(dfs, t.column(c)):
+                    if df_ >= min_df:
+                        total += len(v.as_py())
+        return total
+
+    # block codecs win on LONG lists; short lists pay the per-block header
+    vb_long = postings_bytes(tmp_path / "vb", 128)
+    fo_long = postings_bytes(tmp_path / "for", 128)
+    assert fo_long < vb_long, (vb_long, fo_long)
