@@ -740,7 +740,14 @@ def build_index(
     return manifest
 
 
-def _finalize(index_dir: Path, manifest: Manifest) -> None:
+STATS_GROUPBY_THRESHOLD = 5_000_000  # (term, shard) rows above which the
+# stats reduce goes through a distributed ray.data groupby instead of the
+# driver-side Arrow group_by
+
+
+def _finalize(
+    index_dir: Path, manifest: Manifest, stats_groupby_threshold: int = STATS_GROUPBY_THRESHOLD
+) -> None:
     """Global stats: df/cf per term across shards + collection totals.
 
     The reference resolves these once per query via termStatistics /
@@ -748,29 +755,62 @@ def _finalize(index_dir: Path, manifest: Manifest) -> None:
     precompute them at build time so distributed scoring is globally
     consistent (the ExactStatsCache requirement, SURVEY.md §3.2).
 
-    Per-shard (term, df, cf) columns are read in parallel Ray tasks and
-    reduced with one vectorized Arrow group_by on the driver — the stats
-    table is vocab-sized (tiny next to postings).  For vocabularies beyond
-    driver memory this would become a `ray.data` groupby; at transcript
-    vocabulary scale the driver reduce is orders faster."""
+    Below `stats_groupby_threshold` total (term, shard) rows, per-shard
+    (term, df, cf) columns are read in parallel Ray tasks and reduced with
+    one vectorized Arrow group_by on the driver (orders faster at
+    transcript vocabulary scale).  Above it, the reduce is a distributed
+    `ray.data` groupby + sort whose output files are re-assembled into the
+    stats parquet ONE ROW GROUP AT A TIME — driver memory stays bounded by
+    a single output block, not the vocabulary."""
     import ray
 
     posting_files = sorted(str(p) for p in (index_dir / "shards").glob("shard=*/*.parquet"))
-
-    @ray.remote
-    def read_stats(path: str) -> pa.Table:
-        return pq.read_table(path, columns=["term", "df", "cf"])
-
-    tables = ray.get([read_stats.remote(p) for p in posting_files])
-    stats_pa = (
-        pa.concat_tables(tables)
-        .group_by("term")
-        .aggregate([("df", "sum"), ("cf", "sum")])
-        .rename_columns(["term", "df", "cf"])
-        .sort_by("term")
-    )
+    total_rows = sum(pq.read_metadata(p).num_rows for p in posting_files)
     tmp = index_dir / ".global_stats.parquet.tmp"
-    pq.write_table(stats_pa, tmp)
+    if total_rows > stats_groupby_threshold:
+        import shutil as _sh
+
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        out_dir = index_dir / ".global_stats.dir.tmp"
+        _sh.rmtree(out_dir, ignore_errors=True)
+        (
+            rd.read_parquet(posting_files, columns=["term", "df", "cf"])
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+            .sort("term")
+            .write_parquet(str(out_dir))
+        )
+        files = sorted(out_dir.glob("*.parquet"))
+        writer = None
+        n_terms = 0
+        for f in files:
+            t = pq.read_table(f, columns=["term", "df", "cf"])
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, t.schema)
+            if t.num_rows:
+                writer.write_table(t)
+                n_terms += t.num_rows
+        if writer is not None:
+            writer.close()
+        _sh.rmtree(out_dir, ignore_errors=True)
+        stats_rows = n_terms
+    else:
+        @ray.remote
+        def read_stats(path: str) -> pa.Table:
+            return pq.read_table(path, columns=["term", "df", "cf"])
+
+        tables = ray.get([read_stats.remote(p) for p in posting_files])
+        stats_pa = (
+            pa.concat_tables(tables)
+            .group_by("term")
+            .aggregate([("df", "sum"), ("cf", "sum")])
+            .rename_columns(["term", "df", "cf"])
+            .sort_by("term")
+        )
+        pq.write_table(stats_pa, tmp)
+        stats_rows = stats_pa.num_rows
     os.replace(tmp, index_dir / "global_stats.parquet")
 
     segs = list(manifest.data["segments"].values())
@@ -789,7 +829,7 @@ def _finalize(index_dir: Path, manifest: Manifest) -> None:
             "N": int(n_docs),
             "sum_ttf": int(sum_ttf),
             "avgdl": (sum_ttf / n_docs) if n_docs else 0.0,
-            "n_terms": int(stats_pa.num_rows),
+            "n_terms": int(stats_rows),
             "fields": field_stats,
         }
     )

@@ -247,17 +247,97 @@ ORDER BY query, rank
 BM25_FILTERED_SQL = _bm25_filtered_sql()
 
 # --------------------------------------------------------------------------
-# Phrase + boolean search entries (rows-only: positions/boolean semantics
-# are oracled against the brute-force implementation in pytest instead).
+# Phrase + boolean search: positions machinery (exact phrase adjacency) and
+# MUST/MUST_NOT combination, gated against a SQL twin that recomputes the
+# same BM25-over-phrase-freq scores with window/position tricks (zipped
+# unnest positions preserve stopword gaps exactly like the analyzer).
+
+PHRASE_QUERIES = ['"slow scan"', '"fast merge"', "+spark -join", "+window +sort"]
 
 
 def phrase_search(sf_dir: str):
-    rows = []
     with _searcher(sf_dir) as searcher:
-        for query in ['"slow scan"', '"fast merge"', "+spark -join", "+window +sort"]:
-            for rank, (docid, score) in enumerate(searcher.search(query, TOP_K), start=1):
-                rows.append({"query": query, "rank": np.int64(rank), "docid": np.int64(docid), "score": float(score)})
-    return pd.DataFrame(rows, columns=["query", "rank", "docid", "score"])
+        return _run_bm25(searcher, [(q, None) for q in PHRASE_QUERIES])
+
+
+def _phrase_sql() -> str:
+    stop_sql = "'" + "','".join(sorted(ENGLISH_STOP_WORDS)) + "'"
+    base = f"""
+WITH toks AS (
+  SELECT doc_id, t, pos FROM (
+    SELECT doc_id, unnest(arr) AS t, unnest(range(len(arr))) AS pos
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS arr FROM documents)
+  ) WHERE t NOT IN ({stop_sql})
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, c,
+         CASE WHEN c < 16 THEN c
+              ELSE (c >> GREATEST(CAST(floor(log2(c)) AS INTEGER) - 3, 0))
+                   << GREATEST(CAST(floor(log2(c)) AS INTEGER) - 3, 0)
+         END AS qdl
+  FROM dl
+),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM dl) AS sum_dl
+),
+df AS (SELECT t AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY t),
+idf AS (SELECT term, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS v FROM df CROSS JOIN stats),
+normk AS (
+  SELECT doc_id, 1.2 * (0.25 + (0.75 * qdl) / (sum_dl * 1.0 / n_docs)) AS k
+  FROM dlq CROSS JOIN stats
+),
+tf AS (SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, t),
+ts AS (
+  SELECT tf.doc_id, tf.term, (idf.v * tf.tf) / (tf.tf + normk.k) AS s
+  FROM tf JOIN idf USING (term) JOIN normk USING (doc_id)
+)"""
+
+    def phrase(qlabel, a, b):
+        return f"""
+SELECT '{qlabel}' AS query, p.doc_id,
+       ((ia.v + ib.v) * p.pf) / (p.pf + normk.k) AS s
+FROM (
+  SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS pf
+  FROM (SELECT doc_id, pos FROM toks WHERE t = '{a}') x
+  JOIN (SELECT doc_id, pos FROM toks WHERE t = '{b}') y
+    ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
+  GROUP BY x.doc_id
+) p
+JOIN normk ON normk.doc_id = p.doc_id
+CROSS JOIN (SELECT v FROM idf WHERE term = '{a}') ia
+CROSS JOIN (SELECT v FROM idf WHERE term = '{b}') ib"""
+
+    q3 = """
+SELECT '+spark -join' AS query, ts.doc_id, ts.s
+FROM ts WHERE ts.term = 'spark'
+  AND ts.doc_id NOT IN (SELECT doc_id FROM toks WHERE t = 'join')"""
+    q4 = """
+SELECT '+window +sort' AS query, w.doc_id, w.s + z.s AS s
+FROM (SELECT doc_id, s FROM ts WHERE term = 'window') w
+JOIN (SELECT doc_id, s FROM ts WHERE term = 'sort') z USING (doc_id)"""
+    return f"""{base},
+allq AS (
+{phrase('"slow scan"', "slow", "scan")}
+UNION ALL
+{phrase('"fast merge"', "fast", "merge")}
+UNION ALL
+{q3}
+UNION ALL
+{q4}
+)
+SELECT query,
+       CAST(row_number() OVER (PARTITION BY query ORDER BY CAST(s AS FLOAT) DESC, doc_id) AS BIGINT) AS rank,
+       doc_id,
+       CAST(s AS FLOAT) AS score
+FROM allq
+QUALIFY rank <= {TOP_K}
+ORDER BY query, rank
+"""
+
+
+PHRASE_SQL = _phrase_sql()
 
 
 def index_stats(sf_dir: str):
@@ -355,11 +435,121 @@ ORDER BY rank
 
 RERANK_SQL = _rerank_sql()
 
+# --------------------------------------------------------------------------
+# LTR linear-model re-rank (solr/contrib/ltr LinearModel.java): first-pass
+# BM25 top-40 re-scored by Σ wᵢ·featureᵢ in an actor-pool second stage
+# (model weights loaded once per actor in __init__).  Features: the
+# float32 first-pass score, a brevity function of n_chars, and
+# ln(1+n_chars) — all recomputable in the SQL twin with the identical
+# left-to-right accumulation.
+
+LTR_WEIGHTS = {"bm25": 0.6, "brevity": 0.3, "log_len": 0.1}
+
+
+class _LTRScorer:
+    """Actor-pool stage: model state built once per actor."""
+
+    def __init__(self, weights: dict[str, float]):
+        from ..search.ltr import LinearModel
+
+        self.model = LinearModel(weights)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        feats = {
+            "bm25": batch["bm25"].to_numpy(dtype=np.float64),
+            "brevity": 1000.0 / (batch["n_chars"].to_numpy(dtype=np.float64) + 1000.0),
+            # math.log (libm) per candidate — candidates are top-k-bounded
+            "log_len": np.asarray(
+                [math.log(1.0 + float(v)) for v in batch["n_chars"]], dtype=np.float64
+            ),
+        }
+        out = batch[["doc_id"]].copy()
+        out["ltr_score"] = self.model.score(feats).astype(np.float32)
+        return out
+
+
+def ltr_rerank(sf_dir: str):
+    import ray.data as rd
+
+    with _searcher(sf_dir) as searcher:
+        hits = searcher.search(RERANK_TERM, RERANK_WINDOW)
+        fetched = searcher.fetch([d for d, _ in hits])
+        conv_by_doc = {r["doc_id"]: r["conv_id"] for r in fetched.to_pylist()}
+    first = pd.DataFrame(
+        {
+            "doc_id": [int(conv_by_doc[d].split("-")[1]) for d, _ in hits],
+            "bm25": np.asarray([float(np.float32(s)) for _, s in hits], dtype=np.float64),
+        }
+    )
+    nchars = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]).to_pandas()
+    cand = first.merge(nchars, on="doc_id")
+    out = (
+        rd.from_pandas(cand)
+        .map_batches(_LTRScorer, fn_constructor_args=(LTR_WEIGHTS,), batch_format="pandas", concurrency=1)
+        .to_pandas()
+    )
+    out = out.sort_values(["ltr_score", "doc_id"], ascending=[False, True]).head(10).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["ltr_score"] = out["ltr_score"].astype("float32")
+    return out[["rank", "doc_id", "ltr_score"]]
+
+
+def _ltr_sql() -> str:
+    stop_sql = "'" + "','".join(sorted(ENGLISH_STOP_WORDS)) + "'"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+    FROM documents
+  ) WHERE t NOT IN ({stop_sql})
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, c,
+         CASE WHEN c < 16 THEN c
+              ELSE (c >> GREATEST(CAST(floor(log2(c)) AS INTEGER) - 3, 0))
+                   << GREATEST(CAST(floor(log2(c)) AS INTEGER) - 3, 0)
+         END AS qdl
+  FROM dl
+),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM dl) AS sum_dl
+),
+df AS (SELECT t AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks WHERE t = '{RERANK_TERM}' GROUP BY t),
+tf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM toks WHERE t = '{RERANK_TERM}' GROUP BY doc_id),
+firstpass AS (
+  SELECT tf.doc_id,
+         CAST((ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf)
+              / (tf.tf + 1.2 * (0.25 + (0.75 * dlq.qdl) / (sum_dl * 1.0 / n_docs))) AS FLOAT) AS s
+  FROM tf CROSS JOIN df JOIN dlq ON dlq.doc_id = tf.doc_id CROSS JOIN stats
+  ORDER BY s DESC, tf.doc_id LIMIT {RERANK_WINDOW}
+)
+SELECT CAST(row_number() OVER (ORDER BY ltr_score DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, ltr_score
+FROM (
+  SELECT f.doc_id,
+         CAST({LTR_WEIGHTS["bm25"]} * CAST(f.s AS DOUBLE)
+              + {LTR_WEIGHTS["brevity"]} * (1000.0 / (CAST(d.n_chars AS DOUBLE) + 1000.0))
+              + {LTR_WEIGHTS["log_len"]} * ln(1.0 + CAST(d.n_chars AS DOUBLE)) AS FLOAT) AS ltr_score
+  FROM firstpass f JOIN documents d USING (doc_id)
+)
+QUALIFY rank <= 10
+ORDER BY rank
+"""
+
+
+LTR_SQL = _ltr_sql()
+
 
 PIPELINES: dict[str, Pipeline] = {
     "bm25_topk": Pipeline(bm25_topk, BM25_SQL, "full index build + top-k BM25, vs independent SQL BM25 oracle"),
     "rerank_brevity": Pipeline(rerank_brevity, RERANK_SQL, "two-stage re-rank (ReRankQParser) vs SQL twin"),
     "bm25_filtered": Pipeline(bm25_filtered, BM25_FILTERED_SQL, "BM25 + keyword-field FILTER clause vs SQL WHERE"),
-    "phrase_search": Pipeline(phrase_search, None, "phrase + boolean search (positions); oracled vs brute force in pytest"),
+    "phrase_search": Pipeline(phrase_search, PHRASE_SQL, "phrase + boolean search (positions) vs SQL adjacency twin"),
     "index_stats": Pipeline(index_stats, None, "index manifest/lineage introspection"),
+    "ltr_rerank": Pipeline(ltr_rerank, LTR_SQL, "LTR LinearModel second-stage re-rank (actor-pool scorer) vs SQL twin"),
 }

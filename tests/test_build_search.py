@@ -402,3 +402,26 @@ def test_duel_intervals_algebra(searcher, oracle):
         got = searcher.search_node(node, 10)
         exp = [(d, float(s)) for d, s in oracle.search_node(node, 10)]
         assert got == exp, f"algebra#{i}\n got {got[:5]}\n exp {exp[:5]}"
+
+
+def test_distributed_stats_finalize_identical(ray_session, index):
+    """Forcing threshold 0 routes _finalize through the distributed
+    ray.data groupby path; the resulting global_stats.parquet must be
+    row-identical to the driver-side reduce."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.index.build import Manifest, _finalize
+
+    ref = pq.read_table(f"{INDEX_DIR}/global_stats.parquet")
+    tmp = "/tmp/lsr_statsdist_idx"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(INDEX_DIR, tmp)
+    m = Manifest.load(tmp)
+    _finalize(__import__("pathlib").Path(tmp), m, stats_groupby_threshold=0)
+    got = pq.read_table(f"{tmp}/global_stats.parquet")
+    assert got.column("term").to_pylist() == ref.column("term").to_pylist()
+    assert got.column("df").to_pylist() == ref.column("df").to_pylist()
+    assert got.column("cf").to_pylist() == ref.column("cf").to_pylist()
+    shutil.rmtree(tmp, ignore_errors=True)
