@@ -1,0 +1,246 @@
+"""Streaming-evaluator pipelines (SURVEY.md §2.9(b)) — the math/ML surface
+of the reference's streaming expressions (solr/solrj/.../io/eval/), each
+driven distributed: `map_batches` partials collect EXACT integer moments /
+bucketed sums, the evaluator functions (`functions/evaluators.py`) derive
+the floats with formulas a SQL twin replicates bit-for-bit.
+
+- regression_ols      RegressionEvaluator   (gated, HUGEINT moment twin)
+- correlation_moments CorrelationEvaluator  (gated)
+- moving_average      MovingAverageEvaluator(gated, window twin)
+- facet_sample        sampling pre-stage + facet (gated, same hash in SQL)
+- kmeans_clusters     KmeansEvaluator       (rows-only; determinism+pytest)
+- fft_magnitude       FFTEvaluator          (rows-only; pytest Parseval)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.evaluators import corr_from_moments, fft_magnitude, kmeans, moving_average, ols_from_moments
+from .common import Pipeline, cents, read, ts_us
+from .relational import _M32, _SAMPLE_C1, _SAMPLE_C2, _SAMPLE_SEED, _sample_hash
+
+_EPOCH0_DAYS = np.datetime64("1990-01-01", "us").astype("int64") // 86_400_000_000
+
+
+def _xy_moments(sf_dir: str):
+    """Exact integer moments of (x = days since 1990-01-01 of o_orderdate,
+    y = o_totalprice cents) collected as per-batch partial sums."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = ts_us(batch["o_orderdate"]) // 86_400_000_000 - _EPOCH0_DAYS
+        y = cents(batch["o_totalprice"].to_numpy())
+        return pd.DataFrame(
+            {
+                "n": [len(x)],
+                "sx": [int(x.sum())],
+                "sy": [int(y.sum())],
+                "sxy": [int((x * y).sum())],
+                "sxx": [int((x * x).sum())],
+                "syy": [int((y * y).sum())],
+            }
+        )
+
+    parts = (
+        read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    # Python-int totals: overflow-free regardless of scale
+    return {c: int(parts[c].astype(object).sum()) for c in parts.columns}
+
+
+MOMENTS_SQL_BASE = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM (
+    SELECT datediff('day', DATE '1990-01-01', o_orderdate) AS x,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS y
+    FROM orders
+  )
+)
+"""
+
+
+def regression_ols(sf_dir: str):
+    m = _xy_moments(sf_dir)
+    slope, intercept = ols_from_moments(m["n"], m["sx"], m["sy"], m["sxy"], m["sxx"])
+    return pd.DataFrame({"n": [np.int64(m["n"])], "slope": [slope], "intercept": [intercept]})
+
+
+REGRESSION_SQL = (
+    MOMENTS_SQL_BASE
+    + """
+SELECT n,
+       CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+           / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM m
+"""
+)
+
+
+def correlation_moments(sf_dir: str):
+    m = _xy_moments(sf_dir)
+    r = corr_from_moments(m["n"], m["sx"], m["sy"], m["sxy"], m["sxx"], m["syy"])
+    return pd.DataFrame({"n": [np.int64(m["n"])], "r": [r]})
+
+
+CORRELATION_SQL = (
+    MOMENTS_SQL_BASE
+    + """
+SELECT n,
+       CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))) AS r
+FROM m
+"""
+)
+
+# --------------------------------------------------------------------------
+# Moving average over the monthly revenue series: exact monthly cents sums
+# (distributed), 3-month trailing mean (full windows only).
+
+MA_WINDOW = 3
+
+
+def moving_average_monthly(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["o_orderdate"]
+        month = (d.dt.year * 100 + d.dt.month).astype("int64")
+        g = pd.DataFrame({"month": month, "cents": cents(batch["o_totalprice"].to_numpy())})
+        return g.groupby("month", as_index=False).sum()
+
+    monthly = (
+        read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("month")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .to_pandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    # the series is months-long (bounded) — the evaluator runs driver-side
+    ma = moving_average(monthly["cents"].to_numpy().astype(np.float64), MA_WINDOW)
+    out = monthly.iloc[MA_WINDOW - 1 :].copy().reset_index(drop=True)
+    out["cents"] = out["cents"].astype("int64")
+    out["ma3"] = ma
+    return out[["month", "cents", "ma3"]]
+
+
+MOVING_AVG_SQL = f"""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY month
+)
+SELECT month, cents,
+       SUM(CAST(cents AS DOUBLE)) OVER w / {MA_WINDOW}.0 AS ma3
+FROM monthly
+WINDOW w AS (ORDER BY month ROWS BETWEEN {MA_WINDOW - 1} PRECEDING AND CURRENT ROW)
+QUALIFY row_number() OVER (ORDER BY month) >= {MA_WINDOW}
+ORDER BY month
+"""
+
+# --------------------------------------------------------------------------
+# Facet over a deterministic hash sample (the facet-sampling pre-stage,
+# SURVEY.md §2.7): 20% sample via the shared multiplicative hash, exact
+# scale-up estimate; the SQL twin applies the identical filter.
+
+SAMPLE_MOD = 5
+
+
+def facet_sample(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = _sample_hash(batch["o_orderkey"].to_numpy()) % SAMPLE_MOD == 0
+        g = batch.loc[keep, ["o_orderpriority"]].copy()
+        g["n_sample"] = 1
+        return g.groupby("o_orderpriority", as_index=False).sum()
+
+    out = (
+        read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_sample", alias_name="n_sample"))
+        .to_pandas()
+    )
+    out["n_sample"] = out["n_sample"].astype("int64")
+    out["n_est"] = (out["n_sample"] * SAMPLE_MOD).astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+FACET_SAMPLE_SQL = f"""
+WITH h1 AS (
+  SELECT o_orderpriority,
+         (CAST(o_orderkey % {_M32} + {_SAMPLE_SEED} AS HUGEINT) * {_SAMPLE_C1}) % {_M32} AS a
+  FROM orders
+), h2 AS (
+  SELECT o_orderpriority, (CAST(xor(a, a >> 15) AS HUGEINT) * {_SAMPLE_C2}) % {_M32} AS b FROM h1
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_sample,
+       CAST(COUNT(*) * {SAMPLE_MOD} AS BIGINT) AS n_est
+FROM h2 WHERE xor(b, b >> 13) % {SAMPLE_MOD} = 0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+# --------------------------------------------------------------------------
+# KmeansEvaluator over embeddings (rows-only: float iteration is not
+# SQL-expressible; determinism + balance tested in pytest).
+
+
+def kmeans_clusters(sf_dir: str, k: int = 8):
+    df = read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    pts = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    _, assign = kmeans(pts, k)
+    out = pd.DataFrame({"cluster": np.arange(k, dtype=np.int64)})
+    counts = np.bincount(assign, minlength=k)
+    out["n"] = counts.astype("int64")
+    return out
+
+
+# --------------------------------------------------------------------------
+# FFTEvaluator over the daily event-count series (rows-only; Parseval and
+# determinism checked in pytest).
+
+
+def fft_daily_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    def to_day(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"day": ts_us(batch["ts"]) // 86_400_000_000})
+
+    daily = (
+        read(sf_dir, "events", ["ts"])
+        .map_batches(to_day, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    mag = fft_magnitude(daily["n"].to_numpy())
+    return pd.DataFrame({"bin": np.arange(mag.size, dtype=np.int64), "magnitude": mag})
+
+
+PIPELINES: dict[str, Pipeline] = {
+    "regression_ols": Pipeline(regression_ols, REGRESSION_SQL, "OLS regression from exact moments (RegressionEvaluator)"),
+    "correlation_moments": Pipeline(correlation_moments, CORRELATION_SQL, "Pearson correlation from exact moments (CorrelationEvaluator)"),
+    "moving_average": Pipeline(moving_average_monthly, MOVING_AVG_SQL, "trailing moving average over monthly rollup (MovingAverageEvaluator)"),
+    "facet_sample": Pipeline(facet_sample, FACET_SAMPLE_SQL, "facet over deterministic hash sample with scale-up estimate"),
+    "kmeans_clusters": Pipeline(kmeans_clusters, None, "seeded k-means clustering (KmeansEvaluator); pytest-checked"),
+    "fft_magnitude": Pipeline(fft_daily_counts, None, "FFT magnitude of daily counts (FFTEvaluator); pytest-checked"),
+}

@@ -209,11 +209,29 @@ class Searcher:
         a tombstone set applied at read time; term stats stay unchanged
         until a rebuild — exactly Lucene's deleted-docs semantics,
         lucene/core/.../codecs/lucene50/Lucene50LiveDocsFormat.java).
-        Returns the number of newly deleted docs."""
+        Returns the number of newly deleted docs.
+
+        Matching doc ids come straight from the shards' match_all (docID
+        arrays only — never the scored top-k path, no driver-side sort of
+        every hit)."""
         import os
 
-        hits = self.search(query, k=1 << 30)
-        new = np.asarray([d for d, _ in hits], dtype=np.int64)
+        node = parse_query(query)
+        if node is None:
+            return 0
+        node = rewrite(node, self.stats.terms)
+        idfs = self.stats.idfs(node.all_terms())
+        if self.use_ray:
+            import ray
+
+            parts = ray.get([a.match_all.remote(node, idfs) for a in self.actors])
+        else:
+            parts = [a.match_all(node, idfs) for a in self.actors]
+        new = (
+            np.unique(np.concatenate([p[0] for p in parts]))
+            if parts
+            else np.empty(0, dtype=np.int64)
+        )
         old = self._load_tombstones()
         merged = np.union1d(old, new)
         tmp = self._tombstone_path().with_suffix(".tmp")

@@ -1,0 +1,88 @@
+"""Streaming-evaluator surface: evaluator functions + rows-only pipelines."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.functions.evaluators import (
+    corr_from_moments,
+    fft_magnitude,
+    histogram,
+    kmeans,
+    moving_average,
+    ols_from_moments,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ols_matches_numpy():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 1000, 500).astype(np.int64)
+    y = (3 * x + 17 + rng.integers(-50, 50, 500)).astype(np.int64)
+    slope, intercept = ols_from_moments(
+        len(x), int(x.sum()), int(y.sum()), int((x * y).sum()), int((x * x).sum())
+    )
+    ref = np.polyfit(x.astype(float), y.astype(float), 1)
+    assert abs(slope - ref[0]) < 1e-9 and abs(intercept - ref[1]) < 1e-6
+
+
+def test_corr_matches_numpy():
+    rng = np.random.default_rng(4)
+    x = rng.integers(0, 1000, 400).astype(np.int64)
+    y = (x * 2 + rng.integers(0, 300, 400)).astype(np.int64)
+    r = corr_from_moments(
+        len(x), int(x.sum()), int(y.sum()), int((x * y).sum()), int((x * x).sum()), int((y * y).sum())
+    )
+    assert abs(r - np.corrcoef(x, y)[0, 1]) < 1e-12
+
+
+def test_moving_average():
+    out = moving_average(np.array([1.0, 2.0, 3.0, 4.0]), 3)
+    assert np.allclose(out, [2.0, 3.0])
+    assert moving_average(np.array([1.0]), 3).size == 0
+
+
+def test_histogram():
+    h = histogram(np.array([0.5, 1.5, 1.6, 9.9, 10.0, -1.0]), bins=10, lo=0.0, hi=10.0)
+    assert h.tolist() == [1, 2, 0, 0, 0, 0, 0, 0, 0, 1]  # 10.0 and -1.0 fall outside
+
+
+def test_kmeans_deterministic_and_partitions():
+    rng = np.random.default_rng(8)
+    pts = np.concatenate([rng.normal(0, 0.1, (100, 4)), rng.normal(5, 0.1, (100, 4))])
+    c1, a1 = kmeans(pts, 2)
+    c2, a2 = kmeans(pts, 2)
+    assert np.array_equal(a1, a2)
+    # the two blobs separate perfectly
+    assert len({a1[:100].tolist().count(0), a1[100:].tolist().count(0)} & {0, 100}) > 0
+    assert (a1[:100] == a1[0]).all() and (a1[100:] == a1[100]).all() and a1[0] != a1[100]
+
+
+def test_fft_parseval():
+    rng = np.random.default_rng(9)
+    v = rng.normal(size=64)
+    mag = fft_magnitude(v)
+    # Parseval for rfft of real input: sum v² == (mag0² + magN/2² + 2·Σ others²)/n
+    e = (mag[0] ** 2 + mag[-1] ** 2 + 2 * (mag[1:-1] ** 2).sum()) / v.size
+    assert abs(e - (v**2).sum()) < 1e-8
+
+
+def test_kmeans_pipeline(ray_session):
+    from lucene_solr_ray.pipelines.evaluators import kmeans_clusters
+
+    a = kmeans_clusters(SF)
+    b = kmeans_clusters(SF)
+    assert a.equals(b)
+    assert int(a["n"].sum()) == 500 and (a["n"] > 0).any()
+
+
+def test_fft_pipeline(ray_session):
+    from lucene_solr_ray.pipelines.evaluators import fft_daily_counts
+
+    out = fft_daily_counts(SF)
+    assert len(out) > 10 and (out["magnitude"] >= 0).all()
+    # bin 0 is the series sum (total event count)
+    import duckdb
+
+    n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{SF}/events.parquet')").fetchone()[0]
+    assert abs(out["magnitude"][0] - n) < 1e-6
