@@ -361,11 +361,22 @@ class IndexShard:
         if not musts and not shoulds and not filters:
             return _EMPTY_I64, _EMPTY_F64
         if musts:
-            # base = ∩ MUSTs (scored); SHOULDs are optional score adders
-            docs, scores = musts[0]
-            for d2, s2 in musts[1:]:
-                docs, i1, i2 = np.intersect1d(docs, d2, assume_unique=True, return_indices=True)
-                scores = scores[i1] + s2[i2]
+            # base = ∩ MUSTs: the INTERSECTION leads with the smallest doc
+            # list (ConjunctionDISI cost ordering / the IndexOrDocValuesQuery
+            # lead-cost model — cheapest clause drives); scores are then
+            # gathered in CLAUSE order so float summation matches the oracle
+            if len(musts) > 1:
+                docs = None
+                for d2, _ in sorted(musts, key=lambda m: m[0].size):
+                    docs = d2 if docs is None else np.intersect1d(docs, d2, assume_unique=True)
+                    if docs.size == 0:
+                        break
+                scores = np.zeros(docs.size, dtype=np.float64)
+                for d2, s2 in musts:  # clause order — float parity
+                    idx = np.searchsorted(d2, docs)
+                    scores += s2[idx]
+            else:
+                docs, scores = musts[0]
             should_cnt = np.zeros(docs.size, dtype=np.int64)
             for d2, s2 in shoulds:
                 if d2.size == 0 or docs.size == 0:
@@ -498,9 +509,9 @@ class IndexShard:
         if not posts:
             return _EMPTY_I64, _EMPTY_F64
         if must_docs:
-            docs = must_docs[0]
-            for d2 in must_docs[1:]:
-                docs = np.intersect1d(docs, d2, assume_unique=True)
+            docs = None  # cost-ordered: smallest list leads (ConjunctionDISI)
+            for d2 in sorted(must_docs, key=lambda d: d.size):
+                docs = d2 if docs is None else np.intersect1d(docs, d2, assume_unique=True)
                 if docs.size == 0:
                     return _EMPTY_I64, _EMPTY_F64
         else:
