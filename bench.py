@@ -41,6 +41,8 @@ SUITE = [
     "cursor_paging", "terms_component", "significant_terms", "dedup_exact",
     "dedup_minhash", "ann_cosine_topk", "knn_label_vote", "sessionize",
     "quality_signals", "graph_traversal", "hll_distinct", "ttl_compact",
+    "json_facet_nested", "intervals_ordered_pairs", "regression_ols",
+    "percentile_tdigest", "synonym_phrase_match",
 ]
 
 
