@@ -286,17 +286,13 @@ class IndexShard:
         counts = np.concatenate(all_counts)
         return self._score_freq_docs(cand, counts, tree.leaf_terms(), idfs, sim)
 
-    def _score_sloppy(self, terms, plists, idfs, slop: int, sim: str = "bm25"):
-        """Sloppy phrase: greedy chain count (proximity.sloppy_phrase_freq
-        semantics) — vectorized over all candidate docs via chain_spans
-        (loop over TERMS, never over docs)."""
+    def _phrase_counts(self, terms, cand: np.ndarray, slop: int) -> np.ndarray:
+        """Greedy-chain phrase frequencies for the candidate docs (the
+        position-verify stage, vectorized over docs via chain_spans; for
+        slop=0 the nearest-following chain is adjacent-or-nothing, so the
+        count equals exact phrase freq)."""
         from .intervals import chain_spans, term_intervals
 
-        cand = plists[0][0]
-        for p in plists[1:]:
-            cand = np.intersect1d(cand, p[0], assume_unique=True)
-            if cand.size == 0:
-                return _EMPTY_I64, _EMPTY_F64
         provider = lambda t: self._postings(t, with_positions=True)  # noqa: E731
         all_counts = []
         for c0 in range(0, cand.size, self._IV_CHUNK):
@@ -309,8 +305,77 @@ class IndexShard:
             else:
                 counts = np.zeros(chunk.size, np.int64)
             all_counts.append(counts)
-        counts = np.concatenate(all_counts)
+        return np.concatenate(all_counts) if all_counts else np.zeros(0, np.int64)
+
+    def _score_sloppy(self, terms, plists, idfs, slop: int, sim: str = "bm25"):
+        """Sloppy phrase: greedy chain count (proximity.sloppy_phrase_freq
+        semantics) — vectorized over all candidate docs via chain_spans
+        (loop over TERMS, never over docs)."""
+        cand = plists[0][0]
+        for p in plists[1:]:
+            cand = np.intersect1d(cand, p[0], assume_unique=True)
+            if cand.size == 0:
+                return _EMPTY_I64, _EMPTY_F64
+        counts = self._phrase_counts(terms, cand, slop)
         return self._score_freq_docs(cand, counts, terms, idfs, sim)
+
+    def _eval_phrase_pruned(self, node: QueryNode, k: int, idfs: dict[str, float]):
+        """Block-max-style pruning for the PHRASE path: the candidate set
+        is the term conjunction; each candidate's score upper bound comes
+        from the tightest available freq bound (min per-doc tf across terms
+        for exact phrases — phrase freq can never exceed it; the leading
+        term's tf for sloppy).  Position verification — the expensive part
+        — runs only for the k best-bounded seeds and the θ-surviving docs.
+        Result-identical to exhaustive evaluation."""
+        terms, slop = node.terms, node.slop
+        plists = []
+        for t in terms:
+            p = self._postings(t, with_positions=True)
+            if p is None:
+                return _EMPTY_I64, _EMPTY_F64
+            plists.append(p)
+        cand = None  # cost-ordered conjunction
+        for p in sorted(plists, key=lambda p: p[0].size):
+            cand = p[0] if cand is None else np.intersect1d(cand, p[0], assume_unique=True)
+            if cand.size == 0:
+                return _EMPTY_I64, _EMPTY_F64
+        idf_sum = sum(idfs.get(t, 0.0) for t in terms)
+        cache = self._cache_for(terms[0])
+        norm_b = plists[0][2][np.searchsorted(plists[0][0], cand)]
+        if slop == 0:
+            ubf = None
+            for docs_t, freqs_t, *_ in plists:
+                f = freqs_t[np.searchsorted(docs_t, cand)]
+                ubf = f if ubf is None else np.minimum(ubf, f)
+        else:
+            ubf = plists[0][1][np.searchsorted(plists[0][0], cand)]
+        bounds = score_postings(ubf, norm_b, idf_sum, cache)
+
+        def verify(sub_idx: np.ndarray):
+            sub = cand[sub_idx]
+            counts = self._phrase_counts(terms, sub, slop)
+            hit = counts > 0
+            scores = np.zeros(sub.size, dtype=np.float64)
+            if hit.any():
+                scores[hit] = score_postings(counts[hit], norm_b[sub_idx][hit], idf_sum, cache)
+            return sub, scores, hit
+
+        if cand.size <= k:
+            sub, scores, hit = verify(np.arange(cand.size))
+            return sub[hit], scores[hit]
+        top_idx = np.sort(np.argpartition(-bounds, k - 1)[:k])
+        _, seed_scores, _ = verify(top_idx)
+        if seed_scores.size >= k:
+            s32 = seed_scores.astype(np.float32)
+            kth32 = np.partition(s32, s32.size - k)[s32.size - k]
+            theta = float(np.nextafter(kth32, np.float32(-np.inf)))
+        else:
+            theta = 0.0
+        keep_idx = np.flatnonzero(bounds >= theta)
+        self._prune_candidates += int(cand.size)
+        self._prune_survivors += int(keep_idx.size) + int(top_idx.size)
+        sub, scores, hit = verify(keep_idx)
+        return sub[hit], scores[hit]
 
     def _eval(self, node: QueryNode, idfs: dict[str, float], sim: str = "bm25"):
         """→ (sorted matching docs, float64 scores).  node.boost multiplies
@@ -437,6 +502,8 @@ class IndexShard:
         plan = self._prunable_plan(node) if (prune and sim == "bm25") else None
         if plan is not None:
             docs, scores = self._eval_bool_pruned(*plan, k, idfs)
+        elif prune and sim == "bm25" and node.kind == "phrase" and node.boost == 1.0:
+            docs, scores = self._eval_phrase_pruned(node, k, idfs)
         else:
             docs, scores = self._eval(node, idfs, sim)
         scores32 = scores.astype(np.float32)

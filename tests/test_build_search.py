@@ -136,6 +136,10 @@ PRUNE_QUERIES = [
     "+error -bash ok",                # MUST + NOT + SHOULD
     "error ok #role:assistant",       # SHOULDs + FILTER
     "+error #role:assistant",         # MUST + FILTER
+    '"tool output"',                  # exact phrase (phrase-path pruning)
+    '"tool output bash"',
+    '"tool output"~3',                # sloppy phrase
+    '"user question"~5',
 ]
 
 
