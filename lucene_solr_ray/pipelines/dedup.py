@@ -66,13 +66,23 @@ FROM documents GROUP BY md5(text) ORDER BY doc_id
 
 
 def dedup_first_per_key(sf_dir: str):
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts", "event_id"]).head(1)[["user_id", "event_type", "event_id"]]
+    # two-stage: per-batch local first per key (combiner), then a fixed
+    # 512-bucket shuffle merging locals — never keyed by the raw key space
+    def local_first(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(["ts", "event_id"])
+        out = b.drop_duplicates(["user_id", "event_type"]).copy()
+        out["bucket"] = out["user_id"] % 512
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        b = g.sort_values(["ts", "event_id"])
+        return b.drop_duplicates(["user_id", "event_type"])[["user_id", "event_type", "event_id"]]
 
     out = (
         read(sf_dir, "events", ["user_id", "event_type", "event_id", "ts"])
-        .groupby(["user_id", "event_type"])
-        .map_groups(first, batch_format="pandas")
+        .map_batches(local_first, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)

@@ -38,24 +38,25 @@ FROM documents GROUP BY lang ORDER BY cnt DESC, lang
 
 
 def time_series_rollup(sf_dir: str):
-    def to_day(batch: pd.DataFrame) -> pd.DataFrame:
-        us = ts_us(batch["ts"])
-        return pd.DataFrame(
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # map-side combiner: only (group, partial n/sum) rows ever shuffle
+        g = pd.DataFrame(
             {
                 "event_type": batch["event_type"],
-                "day": us // 86_400_000_000,
+                "day": ts_us(batch["ts"]) // 86_400_000_000,
                 "value_cents": cents(batch["value"].to_numpy()),
+                "n": 1,
             }
         )
+        return g.groupby(["event_type", "day"], as_index=False).sum()
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    ds = read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
-        to_day, batch_format="pandas"
-    )
     out = (
-        ds.groupby(["event_type", "day"])
-        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+        read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
         .to_pandas()
     )
     out["n"] = out["n"].astype("int64")
@@ -363,13 +364,24 @@ ORDER BY c_mktsegment, c_custkey
 
 
 def collapse_best(sf_dir: str):
-    def best(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(1)
+    # two-stage: per-batch local best per key (combiner), then a FIXED
+    # 512-bucket shuffle whose groups merge the locals in pandas — never a
+    # shuffle keyed by the (unbounded) collapse field itself
+    def local_best(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        out = b.drop_duplicates("o_custkey").copy()
+        out["bucket"] = out["o_custkey"] % 512
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        b = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        return b.drop_duplicates("o_custkey").drop(columns=["bucket"])
 
     out = (
         read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-        .groupby("o_custkey")
-        .map_groups(best, batch_format="pandas")
+        .map_batches(local_best, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("o_custkey").reset_index(drop=True)
