@@ -380,8 +380,105 @@ def ann_ivf_topk(sf_dir: str, k: int = 10):
     )
 
 
+# --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs: sign-LSH banding over the persisted
+# signature index (8 bands × 8 bits — P[collide] ≈ 0.99 at cos ≥ 0.95),
+# candidate pairs per bucket (capped), exact cosine verify over a bounded
+# candidate fetch.  Approximate by design → rows-only; recall-tested in
+# pytest against brute force on a planted-duplicate corpus.
+
+EMB_DUP_THRESHOLD = 0.9
+EMB_BANDS = 8
+EMB_MAX_BUCKET = 256
+
+
+def dedup_embedding(sf_dir: str, threshold: float = EMB_DUP_THRESHOLD):
+    """→ (vec_a, vec_b, cos) pairs with cosine ≥ threshold, vec_a < vec_b."""
+    import ray
+    import ray.data as rd
+
+    d = build_lsh_index(sf_dir)
+
+    def bands(batch: pd.DataFrame) -> pd.DataFrame:
+        sig = batch["sig"].to_numpy().view(np.uint64)
+        bytes_ = sig.view(np.uint8).reshape(-1, 8)  # 8 bands of 8 bits
+        n = len(batch)
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(EMB_BANDS, dtype=np.int64), n),
+                "bh": bytes_.astype(np.int64).reshape(-1),
+                "vec_id": np.repeat(batch["vec_id"].to_numpy(), EMB_BANDS),
+            }
+        )
+
+    def candidates(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for _, grp in g.groupby("bh", sort=False):
+            ids = np.sort(np.unique(grp["vec_id"].to_numpy()))
+            if ids.size < 2:
+                continue
+            head = ids[:EMB_MAX_BUCKET]
+            a, b = np.meshgrid(head, head, indexing="ij")
+            m = a < b
+            pa_, pb_ = a[m], b[m]
+            if ids.size > EMB_MAX_BUCKET:  # degenerate bucket → linear chain
+                pa_ = np.concatenate([pa_, ids[EMB_MAX_BUCKET - 1 : -1]])
+                pb_ = np.concatenate([pb_, ids[EMB_MAX_BUCKET:]])
+            outs_a.append(pa_)
+            outs_b.append(pb_)
+        if not outs_a:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"), "vec_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"vec_a": np.concatenate(outs_a), "vec_b": np.concatenate(outs_b)})
+
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "cos": pd.Series([], dtype="float64"),
+        }
+    )
+    cand = (
+        rd.read_parquet(str(d / "sigs"))
+        .map_batches(bands, batch_format="pandas")
+        .groupby("band")  # ≤ 8×256 real buckets, grouped in pandas inside
+        .map_groups(candidates, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if not len(cand):
+        return empty
+    need = np.unique(np.concatenate([cand["vec_a"], cand["vec_b"]])).astype(np.int64)
+    need_ref = ray.put(np.sort(need))
+
+    def fetch_vecs(batch: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(need_ref)
+        ids = batch["vec_id"].to_numpy()
+        pos = np.clip(np.searchsorted(want, ids), 0, max(want.size - 1, 0))
+        mask = want[pos] == ids if want.size else np.zeros(ids.size, bool)
+        sub = batch.loc[mask]
+        if not len(sub):
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"), "v": pd.Series([], dtype=object)})
+        m = _embed_matrix(sub)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.DataFrame({"vec_id": sub["vec_id"].to_numpy(), "v": [r.tobytes() for r in m]})
+
+    got = (
+        read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(fetch_vecs, batch_format="pandas")
+        .to_pandas()  # bounded by the candidate id set
+    )
+    vecs = {int(i): np.frombuffer(b, dtype=np.float64) for i, b in zip(got["vec_id"], got["v"])}
+    a = np.stack([vecs[int(i)] for i in cand["vec_a"]])
+    b = np.stack([vecs[int(i)] for i in cand["vec_b"]])
+    cos = (a * b).sum(axis=1)
+    out = cand.assign(cos=cos)
+    out = out[out["cos"] >= threshold]
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
 PIPELINES: dict[str, Pipeline] = {
     "ann_cosine_topk": Pipeline(ann_cosine_topk, ANN_COSINE_SQL, "brute-force cosine top-k (similarity baseline)"),
+    "dedup_embedding": Pipeline(dedup_embedding, None, "embedding-cosine near-dup pairs via sign-LSH banding; recall-tested in pytest"),
     "ann_ivf_topk": Pipeline(ann_ivf_topk, None, "persisted cell-partitioned IVF ANN (probe-only queries); recall-tested in pytest"),
     "knn_label_vote": Pipeline(knn_label_vote, KNN_VOTE_SQL, "kNN majority-label classification (KNearestNeighborClassifier)"),
     "ann_lsh_topk": Pipeline(ann_lsh_topk, None, "persisted LSH signature index (signature-only scan + bounded exact rerank); recall-tested in pytest"),

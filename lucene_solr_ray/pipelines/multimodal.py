@@ -132,7 +132,16 @@ def media_pipeline(sf_dir: str):
             }
         )
 
-    ds = (
+    from ray.data.aggregate import Sum
+
+    def frame_counts(t: pa.Table) -> pa.Table:
+        # combiner: per-batch frame counts per doc — only (doc_id, n) rows
+        # leave the stage, never the frame payloads
+        ids = t.column("doc_id").to_numpy()
+        uniq, counts = np.unique(ids, return_counts=True)
+        return pa.table({"doc_id": pa.array(uniq), "n_frames": pa.array(counts.astype(np.int64))})
+
+    agg = (
         read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(to_payload, batch_format="pyarrow")
         .map_batches(FakeResizer, batch_format="pyarrow", batch_size=128, concurrency=1)
@@ -140,9 +149,11 @@ def media_pipeline(sf_dir: str):
             lambda t: t.select(["doc_id", "payload"]), batch_format="pyarrow"
         )
         .map_batches(FrameSampler, batch_format="pyarrow", batch_size=128, concurrency=1)
+        .map_batches(frame_counts, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n_frames", alias_name="n_frames"))
+        .to_pandas()
     )
-    out = ds.to_pandas()
-    agg = out.groupby("doc_id", as_index=False).agg(n_frames=("frame_idx", "size"))
     agg["n_frames"] = agg["n_frames"].astype("int64")
     return agg.sort_values("doc_id").reset_index(drop=True)
 

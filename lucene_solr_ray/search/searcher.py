@@ -24,6 +24,7 @@ import json
 from pathlib import Path
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -128,22 +129,35 @@ class Searcher:
         docs, scores = self._mask_deleted(docs, scores)
         if docs.size == 0:
             return []
-        convs = self.fetch(docs.tolist())
-        conv_by_doc = {r["doc_id"]: r["conv_id"] for r in convs.to_pylist()}
+        convs = self._conv_of(docs)
         # children carry float32 scores (what a per-hit response shows);
-        # parents aggregate those, then round to float32 again
-        scores = scores.astype(np.float32)
-        agg: dict[str, list[float]] = {}
-        for d, s in zip(docs, scores):
-            agg.setdefault(conv_by_doc[int(d)], []).append(float(s))
-        combine = {
-            "max": max,
-            "total": sum,
-            "avg": lambda xs: sum(xs) / len(xs),
-        }[score_mode]
-        parents = [(c, np.float32(combine(xs))) for c, xs in agg.items()]
-        parents.sort(key=lambda p: (-p[1], p[0]))
-        return [(c, float(s)) for c, s in parents[:k]]
+        # parents aggregate those in float64 doc order (matching a
+        # sequential sum), then round to float32 again — all segmented
+        # numpy over conv runs (conv blocks are contiguous in docID order)
+        order = np.argsort(docs, kind="stable")
+        convs, s64 = convs[order], scores[order].astype(np.float32).astype(np.float64)
+        new = np.empty(convs.size, dtype=bool)
+        new[0] = True
+        new[1:] = convs[1:] != convs[:-1]
+        starts = np.flatnonzero(new)
+        if score_mode == "max":
+            agg = np.maximum.reduceat(s64, starts)
+        elif score_mode == "total":
+            agg = np.add.reduceat(s64, starts)
+        else:  # avg
+            lens = np.diff(np.append(starts, convs.size))
+            agg = np.add.reduceat(s64, starts) / lens
+        pconvs = convs[starts]
+        pscores = agg.astype(np.float32)
+        top = np.lexsort((pconvs, -pscores))[:k]
+        return [(str(pconvs[i]), float(pscores[i])) for i in top]
+
+    def _conv_of(self, docs: np.ndarray) -> np.ndarray:
+        """Vectorized docID → conv_id via the fetched docmap rows."""
+        ft = self.fetch(docs.tolist()).sort_by("doc_id")
+        fd = ft.column("doc_id").to_numpy()
+        fc = ft.column("conv_id").to_numpy(zero_copy_only=False)
+        return fc[np.searchsorted(fd, docs)]
 
     def search_diversified(
         self, query: str, k: int = 10, max_per_parent: int = 1
@@ -167,20 +181,13 @@ class Searcher:
         docs, scores = self._mask_deleted(docs, scores)
         if docs.size == 0:
             return []
-        convs = self.fetch(docs.tolist())
-        conv_by_doc = {r["doc_id"]: r["conv_id"] for r in convs.to_pylist()}
+        convs = self._conv_of(docs)
         order = np.lexsort((docs, -scores))
-        out: list[tuple[int, float]] = []
-        used: dict[str, int] = {}
-        for i in order:
-            c = conv_by_doc[int(docs[i])]
-            if used.get(c, 0) >= max_per_parent:
-                continue
-            used[c] = used.get(c, 0) + 1
-            out.append((int(docs[i]), float(scores[i])))
-            if len(out) == k:
-                break
-        return out
+        codes = pd.factorize(convs[order])[0]
+        # occurrence rank of each hit within its conv, in rank order
+        occ = pd.Series(codes).groupby(codes).cumcount().to_numpy()
+        keep = order[occ < max_per_parent][:k]
+        return [(int(docs[i]), float(scores[i])) for i in keep]
 
     # -- deletes (live-docs) ----------------------------------------------
     def _mask_deleted(self, docs: np.ndarray, scores: np.ndarray):

@@ -149,3 +149,41 @@ def test_token_count_bpe_matches_duck(ray_session, duck):
     ray_df = token_count_bpe(SF)
     sql_df = duck.execute(TOKEN_BPE_SQL).fetchdf()
     assert ray_df["n_bpe_tokens"].tolist() == sql_df["n_bpe_tokens"].tolist()
+
+
+def test_dedup_embedding_recall(ray_session, tmp_path):
+    """Planted near-duplicate embedding pairs (cos ≥ 0.95) must all be
+    found by the sign-LSH banding path; reported pairs carry exact cosine
+    ≥ threshold.  Also: the natural fixture (max pairwise cos ≈ 0.48)
+    yields no pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.ann import dedup_embedding
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((200, 64))
+    # plant 20 near-duplicates: tiny perturbations of the first 20 vectors
+    dups = base[:20] + 0.02 * rng.standard_normal((20, 64))
+    M = np.concatenate([base, dups])
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(M), dtype=np.int64)),
+            "embedding": pa.array([r.astype(np.float32) for r in M], type=pa.list_(pa.float32())),
+            "label": pa.array(np.zeros(len(M), dtype=np.int32)),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    found = dedup_embedding(str(tmp_path), threshold=0.95)
+    got = set(zip(found["vec_a"].astype(int), found["vec_b"].astype(int)))
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    np.fill_diagonal(S, -1)
+    ia, ib = np.nonzero(np.triu(S >= 0.95))
+    expected = set(zip(ia.tolist(), ib.tolist()))
+    assert expected, "fixture must contain planted pairs"
+    missed = expected - got
+    assert not missed, f"missed near-dup pairs: {missed}"
+    assert (found["cos"] >= 0.95).all()
+    # the natural corpus has no near-dups
+    assert len(dedup_embedding(SF, threshold=0.9)) == 0
