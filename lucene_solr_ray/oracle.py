@@ -108,6 +108,14 @@ class BruteForceIndex:
             return K1 * (1.0 - B + B * self.field_dl_decoded[field][doc] / self.field_avgdl[field])
         return K1 * (1.0 - B + B * self.dl_decoded[doc] / self.avgdl)
 
+    def _avgdl_of(self, field: str = "") -> float:
+        return self.field_avgdl[field] if field else self.avgdl
+
+    def _dfr_score(self, tf: float, weight: float, doc: int, field: str = "") -> float:
+        # DFR I(n)L2 (DFRSimilarity In+L+H2, c=1) — see bm25.make_dfr_table
+        tfn = tf * math.log2(1.0 + self._avgdl_of(field) / max(self._dl(doc, field), 1))
+        return weight * tfn / (tfn + 1.0)
+
     def cf(self, term: str) -> int:
         if not hasattr(self, "_cf"):
             self._cf = Counter()
@@ -136,6 +144,10 @@ class BruteForceIndex:
             return math.sqrt(tf) * idf * idf / math.sqrt(max(self._dl(doc, field), 1))
         if sim == "lm":
             return self._lm_score(tf, self.cf(term) / self.sum_ttf, doc)
+        if sim == "dfr":
+            from .search.bm25 import dfr_weight
+
+            return self._dfr_score(tf, dfr_weight(self.df.get(term, 0), self.N), doc, field)
         return self.idf(term) * tf / (tf + self._norm_k(doc, field))
 
     def phrase_freq(self, terms: list[str], doc: int, slop: int = 0) -> int:
@@ -167,6 +179,11 @@ class BruteForceIndex:
         if sim == "lm":
             p_sum = sum(self.cf(t) / self.sum_ttf for t in terms)
             return self._lm_score(pf, p_sum, doc)
+        if sim == "dfr":
+            from .search.bm25 import dfr_weight
+
+            w_sum = sum(dfr_weight(self.df.get(t, 0), self.N) for t in terms)
+            return self._dfr_score(pf, w_sum, doc, field)
         idf_sum = sum(self.idf(t) for t in terms)
         if sim == "classic":
             return math.sqrt(pf) * idf_sum * idf_sum / math.sqrt(max(self._dl(doc, field), 1))
@@ -189,6 +206,11 @@ class BruteForceIndex:
         if sim == "lm":
             p_sum = sum(self.cf(t) / self.sum_ttf for t in terms)
             return (True, self._lm_score(pf, p_sum, doc))
+        if sim == "dfr":
+            from .search.bm25 import dfr_weight
+
+            w_sum = sum(dfr_weight(self.df.get(t, 0), self.N) for t in terms)
+            return (True, self._dfr_score(pf, w_sum, doc, field))
         if sim == "classic":
             return (True, math.sqrt(pf) * idf_sum * idf_sum / math.sqrt(max(self._dl(doc, field), 1)))
         return (True, idf_sum * pf / (pf + self._norm_k(doc, field)))

@@ -29,7 +29,13 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from ..index import codec
-from .bm25 import block_upper_bound, score_postings, score_postings_classic, score_postings_lm
+from .bm25 import (
+    block_upper_bound,
+    score_postings,
+    score_postings_classic,
+    score_postings_dfr,
+    score_postings_lm,
+)
 from .query import QueryNode
 
 _POS_LIMIT = 1 << 22  # composite phrase key = doc * _POS_LIMIT + pos
@@ -39,7 +45,13 @@ _EMPTY_F64 = np.empty(0, dtype=np.float64)
 
 
 class IndexShard:
-    def __init__(self, shard_dirs: str | list[str], norm_cache=None, codec_name: str = "varbyte"):
+    def __init__(
+        self,
+        shard_dirs: str | list[str],
+        norm_cache=None,
+        codec_name: str = "varbyte",
+        avgdls: dict[str, float] | None = None,
+    ):
         """`shard_dirs` may be one dir or several — an actor owns one or
         more term-shards (the pool is sized to the cluster, so on small
         clusters each actor serves multiple shards).
@@ -69,6 +81,8 @@ class IndexShard:
         self.table = pa.concat_tables(tables) if tables else None
         self.norm_cache = norm_cache
         self._codec = codec_name
+        self._avgdls = avgdls or {}
+        self._dfr_tables: dict[str, np.ndarray] = {}
         self._rows: dict[str, list[int]] = {}
         if self.table is not None:
             terms = self.table.column("term").to_pylist()
@@ -163,6 +177,19 @@ class IndexShard:
                 return c
         return self.norm_cache
 
+    def _dfr_table_for(self, term: str) -> np.ndarray:
+        """Per-field DFR tfn factor table, built once per actor per field."""
+        field = ""
+        if ":" in term:
+            f = term.split(":", 1)[0]
+            if f in self._avgdls:
+                field = f
+        if field not in self._dfr_tables:
+            from .bm25 import make_dfr_table
+
+            self._dfr_tables[field] = make_dfr_table(self._avgdls.get(field, 0.0))
+        return self._dfr_tables[field]
+
     def _score_term(self, term: str, idfs: dict[str, float], sim: str = "bm25"):
         p = self._postings(term)
         if p is None:
@@ -172,6 +199,10 @@ class IndexShard:
             return docs, score_postings_classic(freqs, norms, idfs.get(term, 0.0))
         if sim == "lm":
             return docs, score_postings_lm(freqs, norms, idfs.get(term, 0.0))
+        if sim == "dfr":
+            return docs, score_postings_dfr(
+                freqs, norms, idfs.get(term, 0.0), self._dfr_table_for(term)
+            )
         return docs, score_postings(freqs, norms, idfs.get(term, 0.0), self._cache_for(term))
 
     def _score_phrase(self, terms: list[str], idfs: dict[str, float], slop: int = 0, sim: str = "bm25"):
@@ -206,6 +237,8 @@ class IndexShard:
             scores = score_postings_classic(pf, norm_b, idf_sum)
         elif sim == "lm":
             scores = score_postings_lm(pf, norm_b, idf_sum)
+        elif sim == "dfr":
+            scores = score_postings_dfr(pf, norm_b, idf_sum, self._dfr_table_for(terms[0]))
         else:
             scores = score_postings(pf, norm_b, idf_sum, self._cache_for(terms[0]))
         return match_docs, scores
@@ -239,6 +272,8 @@ class IndexShard:
             scores = score_postings_classic(pf_arr, nb_arr, idf_sum)
         elif sim == "lm":
             scores = score_postings_lm(pf_arr, nb_arr, idf_sum)
+        elif sim == "dfr":
+            scores = score_postings_dfr(pf_arr, nb_arr, idf_sum, self._dfr_table_for(terms[0]))
         else:
             scores = score_postings(pf_arr, nb_arr, idf_sum, self._cache_for(terms[0]))
         return match_docs, scores

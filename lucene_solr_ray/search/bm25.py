@@ -122,6 +122,33 @@ def score_postings_lm(freqs: np.ndarray, norm_bytes: np.ndarray, p_coll: float) 
     return np.maximum(s, 0.0)
 
 
+# DFR I(n)L2 similarity (lucene/core/src/java/org/apache/lucene/search/
+# similarities/DFRSimilarity.java with BasicModelIn + AfterEffectL +
+# NormalizationH2, c=1): tfn = tf·log2(1 + avgdl/dl'),
+# weight = log2((N+1)/(df+0.5)), score = weight · tfn/(tfn+1).
+# The 256-entry tfn factor table is built with SCALAR math.log2 (libm) so
+# engine and oracle agree bit-for-bit (np.log2 can differ in the last ulp).
+
+
+def make_dfr_table(avgdl: float) -> np.ndarray:
+    out = np.empty(256, dtype=np.float64)
+    for b in range(256):
+        dl = max(float(LENGTH_TABLE[b]), 1.0)
+        out[b] = math.log2(1.0 + avgdl / dl)
+    return out
+
+
+def dfr_weight(df: int, n_docs: int) -> float:
+    return math.log2((n_docs + 1.0) / (df + 0.5))
+
+
+def score_postings_dfr(
+    freqs: np.ndarray, norm_bytes: np.ndarray, weight: float, tfn_table: np.ndarray
+) -> np.ndarray:
+    tfn = freqs.astype(np.float64) * tfn_table[norm_bytes]
+    return weight * tfn / (tfn + 1.0)
+
+
 def block_upper_bound(
     max_freq: np.ndarray, min_norm: np.ndarray, idf: float, norm_cache: np.ndarray
 ) -> np.ndarray:

@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .actor import IndexShard
-from .bm25 import BM25Stats, classic_idf, make_norm_cache
+from .bm25 import BM25Stats, classic_idf, dfr_weight, make_norm_cache
 from .query import parse_query, rewrite
 
 
@@ -46,8 +46,10 @@ class Searcher:
         )
         # per-field norm caches for extra analyzed fields (per-field avgdl)
         self.norm_caches = {"": self.stats.norm_cache}
+        self.avgdls = {"": float(st["avgdl"])}
         for f, fs in (st.get("fields") or {}).items():
             self.norm_caches[f] = make_norm_cache(fs["avgdl"])
+            self.avgdls[f] = float(fs["avgdl"])
         shard_ids = sorted(int(k) for k in manifest["shards"])
         self.shard_dirs = [str(self.index_dir / "shards" / f"shard={sid:05d}") for sid in shard_ids]
         self.use_ray = use_ray
@@ -67,13 +69,17 @@ class Searcher:
             actor_cls = ray.remote(num_cpus=1)(IndexShard)
             codec_name = manifest["config"].get("codec", "varbyte")
             self.actors = [
-                actor_cls.remote(dirs, self.norm_caches, codec_name) for dirs in assign
+                actor_cls.remote(dirs, self.norm_caches, codec_name, self.avgdls)
+                for dirs in assign
             ]
             ray.get([a.ping.remote() for a in self.actors])  # warm load
         else:
             self.actors = [
                 IndexShard(
-                    self.shard_dirs, self.norm_caches, manifest["config"].get("codec", "varbyte")
+                    self.shard_dirs,
+                    self.norm_caches,
+                    manifest["config"].get("codec", "varbyte"),
+                    self.avgdls,
                 )
             ]
 
@@ -279,6 +285,8 @@ class Searcher:
         if similarity == "lm":
             st = self.manifest["stats"]
             return {t: self.stats.cf(t) / st["sum_ttf"] for t in set(terms)}
+        if similarity == "dfr":
+            return {t: dfr_weight(self.stats.df(t), self.stats.N) for t in set(terms)}
         return self.stats.idfs(terms)
 
     def search_node(

@@ -429,3 +429,12 @@ def test_distributed_stats_finalize_identical(ray_session, index):
     assert got.column("df").to_pylist() == ref.column("df").to_pylist()
     assert got.column("cf").to_pylist() == ref.column("cf").to_pylist()
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_duel_dfr_similarity(searcher, oracle):
+    """DFR I(n)L2 similarity (DFRSimilarity In+L+H2), duel-identical."""
+    for q in ["error ok", "assistant", "+bash w00002", '"tool output"', "w0000* error"]:
+        got = searcher.search(q, 10, similarity="dfr")
+        exp = [(d, float(s)) for d, s in oracle.search(q, 10, similarity="dfr")]
+        assert got == exp, q
+    assert searcher.search("error ok", 10, similarity="dfr") != searcher.search("error ok", 10)
