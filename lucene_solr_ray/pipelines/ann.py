@@ -45,10 +45,12 @@ def _embed_matrix(batch: pd.DataFrame) -> np.ndarray:
 
 
 def _query_vec(sf_dir: str) -> np.ndarray:
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    df = t.to_pandas()
-    row = df[df["vec_id"] == 0].iloc[0]
-    return np.asarray(row["embedding"], dtype=np.float64)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", 0)],  # row-group pruned single-row read
+    )
+    return np.asarray(t.column("embedding")[0].as_py(), dtype=np.float64)
 
 
 # --------------------------------------------------------------------------

@@ -35,24 +35,33 @@ from .text import TOKEN_RE, _tokens
 
 
 def dedup_exact(sf_dir: str):
-    def sig(batch: pd.DataFrame) -> pd.DataFrame:
+    # two-stage: per-batch partial (sig → min doc_id, count), then a FIXED
+    # 512-bucket shuffle merging partials — never keyed by the
+    # signature space itself (one group per distinct doc otherwise)
+    def sig_partial(batch: pd.DataFrame) -> pd.DataFrame:
         s = batch["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
-        return pd.DataFrame({"sig": s, "doc_id": batch["doc_id"]})
+        g = (
+            pd.DataFrame({"sig": s, "doc_id": batch["doc_id"], "n_dups": 1})
+            .groupby("sig", as_index=False)
+            .agg(doc_id=("doc_id", "min"), n_dups=("n_dups", "sum"))
+        )
+        g["bucket"] = g["sig"].str.slice(0, 4).apply(int, base=16) % 512
+        return g
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        keep = g.sort_values("doc_id").head(1).copy()
-        keep["n_dups"] = np.int64(len(g))
-        return keep
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("sig", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("n_dups", "sum")
+        )
 
     out = (
         read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(sig, batch_format="pandas")
-        .groupby("sig")
-        .map_groups(first, batch_format="pandas")
+        .map_batches(sig_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
         .to_pandas()
     )
     out["n_dups"] = out["n_dups"].astype("int64")
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return out[["sig", "doc_id", "n_dups"]].sort_values("doc_id").reset_index(drop=True)
 
 
 DEDUP_EXACT_SQL = """

@@ -203,14 +203,39 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 
 def kmeans_clusters(sf_dir: str, k: int = 8):
-    df = read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
-    pts = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    """Centroids train on a driver-side SAMPLE (standard practice); cluster
+    assignment + counts run distributed against broadcast centroids — the
+    corpus is never materialized."""
+    import ray
+
+    sample = read(sf_dir, "embeddings", ["embedding"]).limit(10_000).to_pandas()
+    pts = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
-    _, assign = kmeans(pts, k)
-    out = pd.DataFrame({"cluster": np.arange(k, dtype=np.int64)})
-    counts = np.bincount(assign, minlength=k)
-    out["n"] = counts.astype("int64")
-    return out
+    cent, _ = kmeans(pts, k)
+    cent_ref = ray.put(cent)
+
+    def assign_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        a = (m @ c.T - 0.5 * (c * c).sum(axis=1)[None, :]).argmax(axis=1)
+        return pd.DataFrame(
+            {"cluster": np.arange(k, dtype=np.int64), "n": np.bincount(a, minlength=k).astype(np.int64)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        read(sf_dir, "embeddings", ["embedding"])
+        .map_batches(assign_counts, batch_format="pandas")
+        .groupby("cluster")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out[["cluster", "n"]]
 
 
 # --------------------------------------------------------------------------

@@ -372,8 +372,13 @@ def rerank_brevity(sf_dir: str):
         hits = searcher.search(RERANK_TERM, RERANK_WINDOW)
         fetched = searcher.fetch([d for d, _ in hits])
         conv_by_doc = {r["doc_id"]: r["conv_id"] for r in fetched.to_pylist()}
+    real_ids = sorted(int(c.split("-")[1]) for c in conv_by_doc.values())
     nchars = (
-        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+        pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "n_chars"],
+            filters=[("doc_id", "in", real_ids)],  # candidates only
+        )
         .to_pandas()
         .set_index("doc_id")["n_chars"]
     )
@@ -483,7 +488,11 @@ def ltr_rerank(sf_dir: str):
             "bm25": np.asarray([float(np.float32(s)) for _, s in hits], dtype=np.float64),
         }
     )
-    nchars = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]).to_pandas()
+    nchars = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "n_chars"],
+        filters=[("doc_id", "in", sorted(first["doc_id"].tolist()))],  # candidates only
+    ).to_pandas()
     cand = first.merge(nchars, on="doc_id")
     out = (
         rd.from_pandas(cand)
