@@ -82,6 +82,48 @@ def interval(terms: list[str], max_width: int, ordered: bool = True, boost: floa
     )
 
 
+def synonym_expand(
+    user_query: str,
+    rules: dict[tuple[str, ...], list[tuple[str, ...]]],
+    tiebreak: float = 0.0,
+) -> QueryNode | None:
+    """Query-time synonym-graph expansion (lucene/core/src/java/org/apache/
+    lucene/util/QueryBuilder.java :: analyzeGraphBoolean over a
+    SynonymGraphFilter): each greedy-longest rule match over the analyzed
+    query becomes a DisjunctionMax of the ORIGINAL path and every synonym
+    alternative — multi-token paths as phrases, single tokens as terms —
+    so "wi fi" finds docs indexed with either surface form."""
+    toks = [t for t, _ in tokenize(user_query)]
+    if not toks:
+        return None
+    max_len = max((len(k) for k in rules), default=0)
+
+    def path_node(terms: tuple[str, ...]) -> QueryNode:
+        if len(terms) == 1:
+            return QueryNode("term", terms=[terms[0]])
+        return QueryNode("phrase", terms=list(terms))
+
+    clauses: list[tuple[str, QueryNode]] = []
+    i = 0
+    while i < len(toks):
+        matched = None
+        for m in range(min(max_len, len(toks) - i), 0, -1):
+            phrase = tuple(toks[i : i + m])
+            if phrase in rules:
+                matched = phrase
+                break
+        if matched is None:
+            clauses.append(("SHOULD", QueryNode("term", terms=[toks[i]])))
+            i += 1
+            continue
+        alts = [path_node(matched)] + [path_node(out) for out in rules[matched]]
+        clauses.append(("SHOULD", dismax(alts, tiebreak=tiebreak)))
+        i += len(matched)
+    if len(clauses) == 1:
+        return clauses[0][1]
+    return QueryNode("bool", clauses=clauses)
+
+
 def intervals_query(tree, boost: float = 1.0) -> QueryNode:
     """Full intervals-algebra query (lucene/queries/.../intervals/
     IntervalQuery.java): matches docs where `tree` (an

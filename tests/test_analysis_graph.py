@@ -131,3 +131,39 @@ def test_index_time_synonym_phrase_match(ray_session, tmp_path):
         assert {d for d, _ in s.search("ethernet", 10)} == {1}
     finally:
         s.close()
+
+
+def test_query_time_synonym_expansion(ray_session, tmp_path):
+    """Query-time graph expansion: a query over either surface form matches
+    docs indexed with the other, duel-identical to the oracle on the same
+    expanded node (QueryBuilder.analyzeGraphBoolean pattern)."""
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.oracle import BruteForceIndex
+    from lucene_solr_ray.search import Searcher
+    from lucene_solr_ray.search.query import synonym_expand
+
+    texts = ["enable wifi now", "enable ethernet now", "wi fi setup guide", "turn on the wifi"]
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c{i:03d}" for i in range(len(texts))]),
+            "turn_idx": pa.array(np.zeros(len(texts), dtype=np.int32)),
+            "role": pa.array(["user"] * len(texts)),
+            "text": pa.array(texts),
+            "tool": pa.array([None] * len(texts), type=pa.string()),
+        }
+    )
+    corpus = tmp_path / "corpus.parquet"
+    pq.write_table(t, corpus)
+    build_index([str(corpus)], tmp_path / "idx", files_per_shard=1, resume=False)
+    rules = {("wi", "fi"): [("wifi",)], ("wifi",): [("wi", "fi")]}
+    s = Searcher(tmp_path / "idx")
+    oracle = BruteForceIndex(texts, fields={"role": ["user"] * len(texts)})
+    try:
+        for q, want in [("wi fi", {0, 2, 3}), ("wifi", {0, 2, 3}), ("enable wifi", {0, 1, 2, 3})]:
+            node = synonym_expand(q, rules)
+            got = s.search_node(node, 10)
+            exp = [(d, float(sc)) for d, sc in oracle.search_node(node, 10)]
+            assert got == exp, q
+            assert {d for d, _ in got} == want, (q, got)
+    finally:
+        s.close()
