@@ -523,6 +523,64 @@ class IndexShard:
         and delete-by-query, where every child hit matters."""
         return self._eval(node, idfs, sim)
 
+    def set_docmap_paths(self, paths: list[str]) -> None:
+        """Per-pid norms/docmap segments covering this actor's doc range —
+        enables shard-local parent aggregation (conv blocks never span
+        doc-range shards under conv-range partitioning)."""
+        self._docmap_paths = list(paths)
+        self._docmap = None
+
+    def _load_docmap(self):
+        if getattr(self, "_docmap", None) is None:
+            import pyarrow as pa
+
+            tables = [
+                pq.read_table(p, columns=["doc_id", "conv_id"]) for p in self._docmap_paths
+            ]
+            t = pa.concat_tables(tables).sort_by("doc_id")
+            self._docmap = (
+                t.column("doc_id").to_numpy(),
+                t.column("conv_id").to_numpy(zero_copy_only=False),
+            )
+        return self._docmap
+
+    def match_parents(
+        self,
+        node: QueryNode,
+        idfs: dict[str, float],
+        score_mode: str = "max",
+        sim: str = "bm25",
+        dead: np.ndarray | None = None,
+    ):
+        """ToParentBlockJoin aggregation SHARD-LOCAL: evaluate children,
+        mask tombstones, aggregate per conv (float64 accumulation in doc
+        order — identical to a sequential driver sum) and return only the
+        (conv_id, parent_score32) pairs.  The driver merges parent tuples,
+        never child hits."""
+        docs, scores = self._eval(node, idfs, sim)
+        if dead is not None and dead.size and docs.size:
+            live = ~np.isin(docs, dead)
+            docs, scores = docs[live], scores[live]
+        if docs.size == 0:
+            return np.empty(0, dtype=object), np.empty(0, dtype=np.float32)
+        fd, fc = self._load_docmap()
+        order = np.argsort(docs, kind="stable")
+        docs, scores = docs[order], scores[order]
+        convs = fc[np.searchsorted(fd, docs)]
+        s64 = scores.astype(np.float32).astype(np.float64)
+        new = np.empty(convs.size, dtype=bool)
+        new[0] = True
+        new[1:] = convs[1:] != convs[:-1]
+        starts = np.flatnonzero(new)
+        if score_mode == "max":
+            agg = np.maximum.reduceat(s64, starts)
+        elif score_mode == "total":
+            agg = np.add.reduceat(s64, starts)
+        else:
+            lens = np.diff(np.append(starts, convs.size))
+            agg = np.add.reduceat(s64, starts) / lens
+        return convs[starts], agg.astype(np.float32)
+
     def top_k(self, node: QueryNode, k: int, idfs: dict[str, float], prune: bool = True, sim: str = "bm25"):
         """→ (doc_ids int64, scores float32), shard-local top-k."""
         cache_key = (repr(node), k, prune, sim)

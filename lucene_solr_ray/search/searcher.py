@@ -52,6 +52,12 @@ class Searcher:
             self.avgdls[f] = float(fs["avgdl"])
         shard_ids = sorted(int(k) for k in manifest["shards"])
         self.shard_dirs = [str(self.index_dir / "shards" / f"shard={sid:05d}") for sid in shard_ids]
+        # docmap segments per shard (shard-local parent aggregation)
+        seg_by_shard: dict[int, list[str]] = {}
+        for pid, seg in manifest["segments"].items():
+            seg_by_shard.setdefault(int(seg["shard"]), []).append(
+                str(self.index_dir / "segments" / f"pid={int(pid):05d}" / "norms.parquet")
+            )
         self.use_ray = use_ray
         if use_ray:
             import ray
@@ -63,8 +69,12 @@ class Searcher:
                 cpus = int(ray.cluster_resources().get("CPU", 1))
                 num_actors = max(1, min(len(self.shard_dirs), cpus))
             assign: list[list[str]] = [[] for _ in range(num_actors)]
+            assign_ids: list[list[int]] = [[] for _ in range(num_actors)]
             for i, d in enumerate(self.shard_dirs):
-                assign[i * num_actors // len(self.shard_dirs)].append(d)
+                slot = i * num_actors // len(self.shard_dirs)
+                assign[slot].append(d)
+                assign_ids[slot].append(shard_ids[i])
+            assign_ids = [ids for a, ids in zip(assign, assign_ids) if a]
             assign = [a for a in assign if a]
             actor_cls = ray.remote(num_cpus=1)(IndexShard)
             codec_name = manifest["config"].get("codec", "varbyte")
@@ -72,6 +82,9 @@ class Searcher:
                 actor_cls.remote(dirs, self.norm_caches, codec_name, self.avgdls)
                 for dirs in assign
             ]
+            for a, ids in zip(self.actors, assign_ids):
+                paths = sorted(p for sid in ids for p in seg_by_shard.get(sid, []))
+                a.set_docmap_paths.remote(paths)
             ray.get([a.ping.remote() for a in self.actors])  # warm load
         else:
             self.actors = [
@@ -82,6 +95,9 @@ class Searcher:
                     self.avgdls,
                 )
             ]
+            self.actors[0].set_docmap_paths(
+                sorted(p for ps in seg_by_shard.values() for p in ps)
+            )
 
     # -- spellcheck --------------------------------------------------------
     def spellcheck(self, word: str, max_suggestions: int = 5, max_edits: int = 2):
@@ -116,45 +132,30 @@ class Searcher:
         (conv_id, turn_idx) sort).  Parent score = max|sum|avg of matching
         child scores; parents rank by (score desc, conv_id asc).
 
-        Exact: every matching child is aggregated (child hits stream from
-        shards with k=∞; fine for selective queries, the common block-join
-        case)."""
+        Exact: every matching child is aggregated — SHARD-LOCALLY (conv
+        blocks never span doc-range shards under conv-range partitioning),
+        so only (conv, parent_score) tuples reach the driver, never child
+        hits."""
         node = parse_query(query)
         if node is None:
             return []
         node = rewrite(node, self.stats.terms)
         idfs = self.stats.idfs(node.all_terms())
+        if not hasattr(self, "_tombstones"):
+            self._tombstones = self._load_tombstones()
+        dead = self._tombstones
         if self.use_ray:
             import ray
 
-            parts = ray.get([a.match_all.remote(node, idfs) for a in self.actors])
+            parts = ray.get(
+                [a.match_parents.remote(node, idfs, score_mode, "bm25", dead) for a in self.actors]
+            )
         else:
-            parts = [a.match_all(node, idfs) for a in self.actors]
-        docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
-        scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
-        docs, scores = self._mask_deleted(docs, scores)
-        if docs.size == 0:
+            parts = [a.match_parents(node, idfs, score_mode, "bm25", dead) for a in self.actors]
+        pconvs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, object)
+        pscores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float32)
+        if pconvs.size == 0:
             return []
-        convs = self._conv_of(docs)
-        # children carry float32 scores (what a per-hit response shows);
-        # parents aggregate those in float64 doc order (matching a
-        # sequential sum), then round to float32 again — all segmented
-        # numpy over conv runs (conv blocks are contiguous in docID order)
-        order = np.argsort(docs, kind="stable")
-        convs, s64 = convs[order], scores[order].astype(np.float32).astype(np.float64)
-        new = np.empty(convs.size, dtype=bool)
-        new[0] = True
-        new[1:] = convs[1:] != convs[:-1]
-        starts = np.flatnonzero(new)
-        if score_mode == "max":
-            agg = np.maximum.reduceat(s64, starts)
-        elif score_mode == "total":
-            agg = np.add.reduceat(s64, starts)
-        else:  # avg
-            lens = np.diff(np.append(starts, convs.size))
-            agg = np.add.reduceat(s64, starts) / lens
-        pconvs = convs[starts]
-        pscores = agg.astype(np.float32)
         top = np.lexsort((pconvs, -pscores))[:k]
         return [(str(pconvs[i]), float(pscores[i])) for i in top]
 
