@@ -161,6 +161,11 @@ def main() -> None:
     suite_times: dict[str, float] = {}
     if not os.environ.get("LSR_BENCH_SKIP_SUITE"):
         print("phase: suite", file=_sys.stderr, flush=True)
+        # warm the Ray Data executor once so the FIRST suite entry isn't
+        # charged the session's lazy-init cost (worker start, plan cache)
+        import ray.data as _rd
+
+        _rd.range(1000).map_batches(lambda b: b).count()
         for name in SUITE:
             fn = REGISTRY[name].fn
             s = time.monotonic()

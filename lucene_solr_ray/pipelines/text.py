@@ -401,6 +401,96 @@ GROUP BY token ORDER BY cf DESC, token LIMIT 8
 
 
 # --------------------------------------------------------------------------
+# Infix suggester (lucene/suggest/src/java/org/apache/lucene/search/suggest/
+# analyzing/AnalyzingInfixSuggester.java): substring completion over the
+# term dictionary ranked by cf.
+
+SUGGEST_INFIX = "oin"
+
+
+def suggest_infix(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, codes, uniq, _ = _explode_tokens(batch["text"])
+        if not codes.size:
+            return pd.DataFrame({"token": pd.Series([], dtype=object), "cf": pd.Series([], dtype="int64")})
+        hit_vocab = np.char.find(uniq.astype(str), SUGGEST_INFIX) >= 0
+        keep = hit_vocab[codes]
+        cf = np.bincount(codes[keep], minlength=uniq.size)
+        present = cf > 0
+        return pd.DataFrame({"token": uniq[present], "cf": cf[present].astype("int64")})
+
+    parts = read(sf_dir, "documents", ["text"]).map_batches(explode, batch_format="pandas")
+    out = parts.groupby("token").aggregate(Sum("cf", alias_name="cf")).to_pandas()
+    if "token" not in out.columns:
+        return pd.DataFrame({"token": pd.Series([], dtype=object), "cf": pd.Series([], dtype="int64")})
+    out["cf"] = out["cf"].astype("int64")
+    return out.sort_values(["cf", "token"], ascending=[False, True]).head(8).reset_index(drop=True)
+
+
+SUGGEST_INFIX_SQL = f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cf
+FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token FROM documents)
+WHERE token LIKE '%{SUGGEST_INFIX}%'
+GROUP BY token ORDER BY cf DESC, token LIMIT 8
+"""
+
+# --------------------------------------------------------------------------
+# Spellcheck (solr/core/.../handler/component/SpellCheckComponent.java over
+# DirectSpellChecker): dictionary terms within edit distance ≤ 2 of a
+# misspelled word, ranked (distance asc, df desc, term asc).  df is
+# collected distributed; the distance scan runs over the (vocab-sized)
+# dictionary on the driver — at larger vocabularies DirectSpellChecker
+# prefilters by length bands the same way.
+
+SPELL_WORD = "mrege"  # not in the corpus; 2 edits from "merge"
+
+
+def spellcheck_suggest(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from ..search.query import _levenshtein_leq
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, codes, uniq, _ = _explode_tokens(batch["text"])
+        if not codes.size:
+            return pd.DataFrame({"term": pd.Series([], dtype=object), "df": pd.Series([], dtype="int64")})
+        ucode = np.unique(doc_idx * np.int64(uniq.size) + codes) % np.int64(uniq.size)
+        df_part = np.bincount(ucode, minlength=uniq.size)
+        return pd.DataFrame({"term": uniq, "df": df_part.astype("int64")})
+
+    vocab = (
+        read(sf_dir, "documents", ["text"])
+        .map_batches(explode, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()  # vocabulary-sized
+    )
+    rows = []
+    for term, df in zip(vocab["term"], vocab["df"]):
+        for d in (1, 2):
+            if _levenshtein_leq(SPELL_WORD, str(term), d):
+                rows.append((str(term), np.int64(d), np.int64(df)))
+                break
+    out = pd.DataFrame(rows, columns=["term", "distance", "df"])
+    out = out.sort_values(["distance", "df", "term"], ascending=[True, False, True]).head(5)
+    for c in ("distance", "df"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SPELLCHECK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS t FROM documents
+),
+d AS (SELECT t AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY t)
+SELECT term, CAST(levenshtein(term, '{SPELL_WORD}') AS BIGINT) AS distance, df
+FROM d WHERE levenshtein(term, '{SPELL_WORD}') BETWEEN 1 AND 2
+ORDER BY distance, df DESC, term LIMIT 5
+"""
+
+# --------------------------------------------------------------------------
 # Highlighting (solr/core/.../handler/component/HighlightComponent): snippet
 # = ±3-token window around the first match, identical extraction both sides.
 
@@ -644,6 +734,8 @@ PIPELINES: dict[str, Pipeline] = {
     "highlight": Pipeline(highlight, HIGHLIGHT_SQL, "snippet extraction around matches (HighlightComponent)"),
     "mlt_terms": Pipeline(mlt_terms, MLT_SQL, "MoreLikeThis interesting-term selection (tf·idf)"),
     "suggest_prefix": Pipeline(suggest_prefix, SUGGEST_SQL, "prefix completion by cf (AnalyzingSuggester semantics)"),
+    "suggest_infix": Pipeline(suggest_infix, SUGGEST_INFIX_SQL, "infix/substring completion by cf (AnalyzingInfixSuggester)"),
+    "spellcheck_suggest": Pipeline(spellcheck_suggest, SPELLCHECK_SQL, "did-you-mean by edit distance + df (DirectSpellChecker)"),
     "shingle_bigrams": Pipeline(shingle_bigrams, SHINGLE_SQL, "word-bigram shingles + df (ShingleFilter)"),
     "quality_signals": Pipeline(quality_signals, QUALITY_SQL, "quality scoring signals for training-data filtering"),
     "lang_id": Pipeline(lang_id, LANG_ID_SQL, "stopword-heuristic language id (langid URP), actor pool"),
