@@ -168,7 +168,95 @@ SELECT doc_id,
 FROM documents WHERE strlen(text) > 0 ORDER BY doc_id
 """
 
+# --------------------------------------------------------------------------
+# Media embedding → similarity search: the decode→embed→ANN chain a
+# multimodal training pipeline runs.  The "encoder" is a deterministic
+# byte-bigram histogram (model weights would load in __init__ exactly the
+# same way); the similarity stage is the streaming brute-cosine scan.
+
+EMB_DIM = 64
+
+
+def _embed_bytes(payload: bytes, dim: int = EMB_DIM) -> np.ndarray:
+    b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    if b.size < 2:
+        v = np.ones(dim, dtype=np.float64)
+    else:
+        keys = (b[:-1] * 31 + b[1:]) % dim
+        v = np.bincount(keys, minlength=dim).astype(np.float64) + 1.0
+    return v / np.linalg.norm(v)
+
+
+class FakeEmbedder:
+    """Actor-pool 'embedding model' stage: encoder state loads once per
+    actor in __init__ (here: nothing heavy; for a real model: weights),
+    __call__ embeds one batch of binary payloads."""
+
+    def __init__(self, dim: int = EMB_DIM):
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = [_embed_bytes(p, self.dim) for p in batch.column("payload").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "embedding": pa.array([v.astype(np.float32) for v in vecs], type=pa.list_(pa.float32())),
+            }
+        )
+
+
+def media_embed_ann(sf_dir: str, k: int = 10):
+    """payload → actor-pool embed → streaming cosine top-k against doc 0's
+    embedding — one pass, per-batch local top-k, driver merges k×batches.
+    Rows-only (the fake encoder has no SQL twin); pytest checks self-match
+    and determinism."""
+    q = _embed_bytes(_first_doc_text(sf_dir).encode())
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "payload": pa.array(
+                    [t.encode() for t in batch.column("text").to_pylist()], type=pa.binary()
+                ),
+            }
+        )
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()])
+        sims = m @ q
+        order = np.lexsort((batch.column("doc_id").to_numpy(), -sims))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(batch.column("doc_id").to_numpy()[order]),
+                "sim": pa.array(sims[order]),
+            }
+        )
+
+    parts = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(FakeEmbedder, batch_format="pyarrow", batch_size=256, concurrency=2)
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = parts.sort_values(["sim", "doc_id"], ascending=[False, True]).head(k).reset_index(drop=True)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top["doc_id"] = top["doc_id"].astype("int64")
+    return top[["rank", "doc_id", "sim"]]
+
+
+def _first_doc_text(sf_dir: str) -> str:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], filters=[("doc_id", "==", 0)]
+    )
+    return t.column("text")[0].as_py()
+
+
 PIPELINES: dict[str, Pipeline] = {
     "media_features": Pipeline(media_features, None, "binary-payload actor-pool decode plumbing (stubbed decoder)"),
     "media_pipeline": Pipeline(media_pipeline, MEDIA_PIPELINE_SQL, "resize → frame-sample multimodal chain (stubbed ops, real plumbing)"),
+    "media_embed_ann": Pipeline(media_embed_ann, None, "payload → actor-pool embed → streaming cosine top-k (decode→embed→ANN chain)"),
 }

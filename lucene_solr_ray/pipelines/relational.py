@@ -822,7 +822,75 @@ FROM r
 """
 
 
+# --------------------------------------------------------------------------
+# Atomic updates (solr/core/src/java/org/apache/solr/update/processor/
+# AtomicUpdateDocumentMerger.java): per-document `set` / `inc` field ops
+# applied to a base table.  The event stream aggregates to one (set-latest,
+# inc-sum) row per key — a SMALL side broadcast into a single base scan.
+
+
+def atomic_update(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray
+
+    ev = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "event_id", "ts", "value"]
+    ).to_pandas()
+    # `inc` ops: click values accumulate; `set` ops: latest purchase value
+    # wins (ts, then event_id as the deterministic tie-break) — this
+    # aggregation is itself a bounded groupby (distinct keys), done here on
+    # the update SIDE which is small relative to the base table
+    inc = (
+        pd.DataFrame({"user_id": ev["user_id"], "c": cents(ev["value"].to_numpy())})[
+            ev["event_type"].eq("click").to_numpy()
+        ]
+        .groupby("user_id")["c"]
+        .sum()
+    )
+    pur = ev[ev["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+    setv = pd.Series(cents(pur["value"].to_numpy()), index=pur["user_id"]).groupby(level=0).last()
+    ref = ray.put((inc.to_dict(), setv.to_dict()))
+
+    def apply(batch: pd.DataFrame) -> pd.DataFrame:
+        incs, sets = ray.get(ref)
+        key = batch["c_custkey"]
+        base = cents(batch["c_acctbal"].to_numpy())
+        set_ = key.map(sets)
+        out_cents = np.where(set_.notna(), set_.fillna(0).to_numpy(), base).astype(np.int64)
+        out_cents = out_cents + key.map(incs).fillna(0).to_numpy().astype(np.int64)
+        return pd.DataFrame({"c_custkey": key, "balance_cents": out_cents})
+
+    out = (
+        read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+        .map_batches(apply, batch_format="pandas")
+        .to_pandas()
+    )
+    out["balance_cents"] = out["balance_cents"].astype("int64")
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+ATOMIC_UPDATE_SQL = """
+WITH inc AS (
+  SELECT user_id, CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS inc_c
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+setv AS (
+  SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS set_c FROM events
+  WHERE event_type = 'purchase'
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT c_custkey,
+       CAST(COALESCE(set_c, CAST(ROUND(c_acctbal*100) AS BIGINT)) + COALESCE(inc_c, 0) AS BIGINT)
+         AS balance_cents
+FROM customer
+LEFT JOIN setv ON setv.user_id = c_custkey
+LEFT JOIN inc ON inc.user_id = c_custkey
+ORDER BY c_custkey
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "atomic_update": Pipeline(atomic_update, ATOMIC_UPDATE_SQL, "set/inc atomic document updates (AtomicUpdateDocumentMerger)"),
     "facet_field": Pipeline(facet_field, FACET_FIELD_SQL, "field facet counts (SimpleFacets)"),
     "promo_revenue_share": Pipeline(promo_revenue_share, PROMO_SQL, "conditional aggregate over dim join (TPC-H Q14 shape)"),
     "random_sample_hash": Pipeline(random_sample_hash, RANDOM_SAMPLE_SQL, "seeded pseudo-random sampling (RandomSortField)"),

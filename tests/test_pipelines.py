@@ -187,3 +187,16 @@ def test_dedup_embedding_recall(ray_session, tmp_path):
     assert (found["cos"] >= 0.95).all()
     # the natural corpus has no near-dups
     assert len(dedup_embedding(SF, threshold=0.9)) == 0
+
+
+def test_media_embed_ann(ray_session):
+    """decode→embed→ANN chain: doc 0 is its own nearest neighbour, results
+    are deterministic, and similarities are valid cosines."""
+    from lucene_solr_ray.pipelines.multimodal import media_embed_ann
+
+    a = media_embed_ann(SF)
+    b = media_embed_ann(SF)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["doc_id"][0] == 0 and abs(a["sim"][0] - 1.0) < 1e-6  # float32 storage
+    assert ((a["sim"] <= 1.0 + 1e-12) & (a["sim"] >= -1.0)).all()
+    assert a["sim"].is_monotonic_decreasing
