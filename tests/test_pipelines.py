@@ -198,5 +198,5 @@ def test_media_embed_ann(ray_session):
     b = media_embed_ann(SF)
     pd.testing.assert_frame_equal(a, b)
     assert a["doc_id"][0] == 0 and abs(a["sim"][0] - 1.0) < 1e-6  # float32 storage
-    assert ((a["sim"] <= 1.0 + 1e-12) & (a["sim"] >= -1.0)).all()
+    assert ((a["sim"] <= 1.0 + 1e-6) & (a["sim"] >= -1.0)).all()  # float32 norms
     assert a["sim"].is_monotonic_decreasing
