@@ -144,10 +144,119 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Hopping (sliding) windows: every event contributes to the W daily windows
+# that contain it — the event EXPLODES into (window, partial) rows inside
+# map_batches with a combiner, so the shuffle carries only per-(window,
+# type) partials; full windows only.
+
+HOP_W = 7  # window length in days, hop = 1 day
+
+
+def hopping_window(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from .common import cents, read, ts_us
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        day = ts_us(batch["ts"]) // 86_400_000_000
+        c = cents(batch["value"].to_numpy())
+        n = len(batch)
+        # window_end ∈ [day, day+W): event at d belongs to windows ending
+        # d..d+W-1 (each window covers [end-W+1, end])
+        ends = (day[:, None] + np.arange(HOP_W, dtype=np.int64)[None, :]).reshape(-1)
+        g = pd.DataFrame(
+            {
+                "event_type": np.repeat(batch["event_type"].to_numpy(), HOP_W),
+                "window_end": ends,
+                "n": 1,
+                "value_cents": np.repeat(c, HOP_W),
+            }
+        )
+        return g.groupby(["event_type", "window_end"], as_index=False).sum()
+
+    out = (
+        read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(explode, batch_format="pandas")
+        .groupby(["event_type", "window_end"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+        .to_pandas()
+    )
+    # full windows only: drop the warm-up edge (first W−1 window ends per type)
+    lo = out.groupby("event_type")["window_end"].transform("min") + (HOP_W - 1)
+    out = out[out["window_end"] >= lo]
+    for c in ("n", "value_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "window_end"]).reset_index(drop=True)
+
+
+HOPPING_SQL = f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day
+),
+w AS (
+  SELECT d.event_type, d.day + ends.i AS window_end, d.n, d.c
+  FROM daily d CROSS JOIN (SELECT unnest(range({HOP_W})) AS i) ends
+),
+agg AS (
+  SELECT event_type, window_end, CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS value_cents
+  FROM w GROUP BY event_type, window_end
+)
+SELECT event_type, window_end, n, value_cents FROM agg
+QUALIFY window_end >= MIN(window_end) OVER (PARTITION BY event_type) + {HOP_W - 1}
+ORDER BY event_type, window_end
+"""
+
+
+def left_outer_enrich(sf_dir: str):
+    """LEFT OUTER join (Ray native hash join): every customer with its
+    order count/revenue, zero for customers without orders — the
+    OuterHashJoinStream analog."""
+    from ray.data.aggregate import Sum
+
+    from .common import cents, read
+
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {"o_custkey": batch["o_custkey"], "revenue_cents": cents(batch["o_totalprice"].to_numpy()), "n_orders": 1}
+        )
+        return g.groupby("o_custkey", as_index=False).sum()
+
+    per_cust = (
+        orders.map_batches(pre, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"), Sum("n_orders", alias_name="n_orders"))
+    )
+    cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = cust.join(
+        per_cust, join_type="left_outer", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
+    ).to_pandas()
+    joined["revenue_cents"] = joined["revenue_cents"].fillna(0).astype("int64")
+    joined["n_orders"] = joined["n_orders"].fillna(0).astype("int64")
+    cols = ["c_custkey", "c_mktsegment", "n_orders", "revenue_cents"]
+    return joined[cols].sort_values("c_custkey").reset_index(drop=True)
+
+
+LEFT_OUTER_SQL = """
+SELECT c_custkey, c_mktsegment,
+       CAST(COALESCE(COUNT(o_custkey), 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)), 0) AS BIGINT) AS revenue_cents
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "sessionize": Pipeline(sessionize, SESSIONIZE_SQL, "session windows over the event log"),
     "ttl_compact": Pipeline(ttl_compact, TTL_SQL, "TTL expiry compaction (DocExpiration URP)"),
     "incremental_after_checkpoint": Pipeline(
         incremental_after_checkpoint, INCREMENTAL_SQL, "checkpointed incremental consumption (TopicStream)"
     ),
+    "hopping_window": Pipeline(hopping_window, HOPPING_SQL, "7-day hopping windows via event explode + combiner"),
+    "left_outer_enrich": Pipeline(left_outer_enrich, LEFT_OUTER_SQL, "left-outer enrichment join (OuterHashJoinStream)"),
 }
