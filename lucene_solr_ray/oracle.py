@@ -221,6 +221,8 @@ class BruteForceIndex:
         return (m, s * node.boost if m else 0.0)
 
     def _score_unboosted(self, node: QueryNode, doc: int) -> tuple[bool, float]:
+        if node.kind == "match_all":
+            return (True, 1.0)
         if node.kind == "term":
             s = self.term_score(node.terms[0], doc)
             return (node.terms[0] in self.docs[doc], s)

@@ -421,6 +421,9 @@ class IndexShard:
         return docs, scores
 
     def _eval_unboosted(self, node: QueryNode, idfs: dict[str, float], sim: str = "bm25"):
+        if node.kind == "match_all":
+            fd, _ = self._load_docmap()  # every doc in this actor's range
+            return fd.astype(np.int64), np.ones(fd.size, dtype=np.float64)
         if node.kind == "term":
             return self._score_term(node.terms[0], idfs, sim)
         if node.kind == "phrase":

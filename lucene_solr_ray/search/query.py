@@ -164,6 +164,10 @@ def edismax(
 
 def _leaf(raw: str, is_phrase: bool) -> QueryNode | None:
     if not is_phrase:
+        if raw == "*:*":
+            # MatchAllDocsQuery (lucene/core/src/java/org/apache/lucene/
+            # search/MatchAllDocsQuery.java): every live doc, score 1
+            return QueryNode("match_all")
         m = _KEYWORD_RE.match(raw)
         if m and "*" not in raw and "?" not in raw and not raw.endswith("~"):
             return QueryNode("term", terms=[raw.lower()])

@@ -438,3 +438,15 @@ def test_duel_dfr_similarity(searcher, oracle):
         exp = [(d, float(s)) for d, s in oracle.search(q, 10, similarity="dfr")]
         assert got == exp, q
     assert searcher.search("error ok", 10, similarity="dfr") != searcher.search("error ok", 10)
+
+
+def test_duel_match_all(searcher, oracle):
+    """MatchAllDocsQuery (*:*): every doc at score 1, composable in
+    boolean clauses; FieldExists via wildcard expansion (role:*)."""
+    got = searcher.search("*:*", 2000)
+    exp = [(d, float(s)) for d, s in oracle.search("*:*", 2000)]
+    assert got == exp and len(got) == oracle.N
+    for q in ["*:* -error", "#*:*", "error #*:*", "role:*", "tool:* error"]:
+        got = searcher.search(q, 10)
+        exp = [(d, float(s)) for d, s in oracle.search(q, 10)]
+        assert got == exp, q
