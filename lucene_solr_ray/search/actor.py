@@ -322,10 +322,12 @@ class IndexShard:
         return self._score_freq_docs(cand, counts, tree.leaf_terms(), idfs, sim)
 
     def _phrase_counts(self, terms, cand: np.ndarray, slop: int) -> np.ndarray:
-        """Greedy-chain phrase frequencies for the candidate docs (the
-        position-verify stage, vectorized over docs via chain_spans; for
-        slop=0 the nearest-following chain is adjacent-or-nothing, so the
-        count equals exact phrase freq)."""
+        """Greedy-chain sloppy phrase frequencies for the candidate docs
+        (position-verify stage, vectorized over docs via chain_spans):
+        each match weighs 1/(1+matchLength) — Lucene's sloppyWeight — and
+        the per-doc sum accumulates in p1 order (bincount input order),
+        matching the oracle's sequential sum bit-for-bit.  slop=0 reduces
+        to integral exact-phrase counts (weight 1)."""
         from .intervals import chain_spans, term_intervals
 
         provider = lambda t: self._postings(t, with_positions=True)  # noqa: E731
@@ -335,12 +337,15 @@ class IndexShard:
             children = [term_intervals(provider, t, chunk) for t in terms]
             idoc, s, e = chain_spans(children, minimal=False)
             if idoc.size:
-                ok = (e - s) - (len(terms) - 1) <= slop
-                counts = np.bincount(idoc[ok], minlength=chunk.size)
+                ml = (e - s) - (len(terms) - 1)
+                ok = ml <= slop
+                counts = np.bincount(
+                    idoc[ok], weights=1.0 / (1.0 + ml[ok]), minlength=chunk.size
+                )
             else:
-                counts = np.zeros(chunk.size, np.int64)
+                counts = np.zeros(chunk.size, np.float64)
             all_counts.append(counts)
-        return np.concatenate(all_counts) if all_counts else np.zeros(0, np.int64)
+        return np.concatenate(all_counts) if all_counts else np.zeros(0, np.float64)
 
     def _score_sloppy(self, terms, plists, idfs, slop: int, sim: str = "bm25"):
         """Sloppy phrase: greedy chain count (proximity.sloppy_phrase_freq

@@ -85,17 +85,22 @@ def test_batch_matches_per_doc(docs, tree):
 @settings(max_examples=200, deadline=None)
 @given(docs=pos_lists, slop=st.integers(0, 10))
 def test_chain_matches_sloppy_phrase(docs, slop):
-    """chain_spans(minimal=False) + width filter == sloppy_phrase_freq."""
+    """chain_spans(minimal=False) + sloppyWeight sum == sloppy_phrase_freq
+    (bit-identical float accumulation in p1 order)."""
     provider = make_provider(docs)
     cand = np.arange(len(docs), dtype=np.int64)
     terms = ["a", "b"]
     children = [IV.term_intervals(provider, t, cand) for t in terms]
     idoc, s, e = IV.chain_spans(children, minimal=False)
-    ok = (e - s) - (len(terms) - 1) <= slop
-    counts = np.bincount(idoc[ok], minlength=len(docs)) if idoc.size else np.zeros(len(docs), int)
+    if idoc.size:
+        ml = (e - s) - (len(terms) - 1)
+        ok = ml <= slop
+        counts = np.bincount(idoc[ok], weights=1.0 / (1.0 + ml[ok]), minlength=len(docs))
+    else:
+        counts = np.zeros(len(docs), np.float64)
     for i, dp in enumerate(docs):
         pls = [sorted(dp.get(t, [])) for t in terms]
-        exp = sloppy_phrase_freq(pls, slop) if all(pls) else 0
+        exp = sloppy_phrase_freq(pls, slop) if all(pls) else 0.0
         assert counts[i] == exp, (i, dp)
 
 
