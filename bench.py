@@ -42,7 +42,8 @@ SUITE = [
     "dedup_minhash", "ann_cosine_topk", "knn_label_vote", "sessionize",
     "quality_signals", "graph_traversal", "hll_distinct", "ttl_compact",
     "json_facet_nested", "intervals_ordered_pairs", "regression_ols",
-    "percentile_tdigest", "synonym_phrase_match",
+    "percentile_tdigest", "synonym_phrase_match", "hopping_window",
+    "atomic_update", "rollup_cube",
 ]
 
 

@@ -823,6 +823,59 @@ FROM r
 
 
 # --------------------------------------------------------------------------
+# Hierarchical rollup (RollupStream over multiple levels / SQL GROUPING
+# SETS): one distributed pass computes the finest (flag, status) cells;
+# the subtotal levels aggregate the SMALL grouped result on the driver —
+# exactly how a rollup coordinator refines.
+
+_ALL = "__all__"
+
+
+def rollup_cube(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "n": 1,
+                "qty": batch["l_quantity"].to_numpy().astype(np.int64),
+            }
+        )
+        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    cells = (
+        read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("n", alias_name="n"), Sum("qty", alias_name="qty"))
+        .to_pandas()  # ≤ |flags|×|statuses| rows
+    )
+    lvl1 = cells.groupby("l_returnflag", as_index=False)[["n", "qty"]].sum()
+    lvl1["l_linestatus"] = _ALL
+    total = pd.DataFrame(
+        {"l_returnflag": [_ALL], "l_linestatus": [_ALL], "n": [cells["n"].sum()], "qty": [cells["qty"].sum()]}
+    )
+    out = pd.concat([cells, lvl1, total], ignore_index=True)
+    for c in ("n", "qty"):
+        out[c] = out[c].astype("int64")
+    cols = ["l_returnflag", "l_linestatus", "n", "qty"]
+    return out[cols].sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+ROLLUP_CUBE_SQL = f"""
+SELECT COALESCE(l_returnflag, '{_ALL}') AS l_returnflag,
+       COALESCE(l_linestatus, '{_ALL}') AS l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
 # Atomic updates (solr/core/src/java/org/apache/solr/update/processor/
 # AtomicUpdateDocumentMerger.java): per-document `set` / `inc` field ops
 # applied to a base table.  The event stream aggregates to one (set-latest,
@@ -891,6 +944,7 @@ ORDER BY c_custkey
 
 PIPELINES: dict[str, Pipeline] = {
     "atomic_update": Pipeline(atomic_update, ATOMIC_UPDATE_SQL, "set/inc atomic document updates (AtomicUpdateDocumentMerger)"),
+    "rollup_cube": Pipeline(rollup_cube, ROLLUP_CUBE_SQL, "hierarchical GROUPING-SETS rollup (multi-level RollupStream)"),
     "facet_field": Pipeline(facet_field, FACET_FIELD_SQL, "field facet counts (SimpleFacets)"),
     "promo_revenue_share": Pipeline(promo_revenue_share, PROMO_SQL, "conditional aggregate over dim join (TPC-H Q14 shape)"),
     "random_sample_hash": Pipeline(random_sample_hash, RANDOM_SAMPLE_SQL, "seeded pseudo-random sampling (RandomSortField)"),
