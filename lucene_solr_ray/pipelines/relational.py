@@ -823,6 +823,55 @@ FROM r
 
 
 # --------------------------------------------------------------------------
+# Percentiles INSIDE facet buckets (StatsComponent facet.stats /
+# PercentileAgg under a terms facet): distributed (group, value) counts
+# with a fixed-bucket shuffle; the driver walks each group's histogram —
+# driver rows = distinct values per group, never row counts.
+
+
+def group_percentile(sf_dir: str):
+    def vc(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.groupby(["c_mktsegment", "c_acctbal"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        g["bucket"] = (g["c_acctbal"].to_numpy().view(np.int64) >> np.int64(20)) % np.int64(512)
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["c_mktsegment", "c_acctbal"], as_index=False)["n"].sum()
+
+    hist = (
+        read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+        .map_batches(vc, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    rows = []
+    for seg, g in hist.groupby("c_mktsegment"):
+        g = g.sort_values("c_acctbal")
+        v = g["c_acctbal"].to_numpy()
+        cum = np.cumsum(g["n"].to_numpy())
+        total = int(cum[-1])
+        out = {"c_mktsegment": seg}
+        for q, name in [(0.5, "p50"), (0.9, "p90")]:
+            rank = max(int(np.ceil(q * total)), 1)
+            out[name] = float(v[int(np.searchsorted(cum, rank))])
+        rows.append(out)
+    return pd.DataFrame(rows).sort_values("c_mktsegment").reset_index(drop=True)
+
+
+GROUP_PERCENTILE_SQL = """
+SELECT c_mktsegment,
+       quantile_disc(c_acctbal, 0.5) AS p50,
+       quantile_disc(c_acctbal, 0.9) AS p90
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
 # Hierarchical rollup (RollupStream over multiple levels / SQL GROUPING
 # SETS): one distributed pass computes the finest (flag, status) cells;
 # the subtotal levels aggregate the SMALL grouped result on the driver —
@@ -945,6 +994,7 @@ ORDER BY c_custkey
 PIPELINES: dict[str, Pipeline] = {
     "atomic_update": Pipeline(atomic_update, ATOMIC_UPDATE_SQL, "set/inc atomic document updates (AtomicUpdateDocumentMerger)"),
     "rollup_cube": Pipeline(rollup_cube, ROLLUP_CUBE_SQL, "hierarchical GROUPING-SETS rollup (multi-level RollupStream)"),
+    "group_percentile": Pipeline(group_percentile, GROUP_PERCENTILE_SQL, "exact percentiles inside facet buckets (facet.stats / PercentileAgg)"),
     "facet_field": Pipeline(facet_field, FACET_FIELD_SQL, "field facet counts (SimpleFacets)"),
     "promo_revenue_share": Pipeline(promo_revenue_share, PROMO_SQL, "conditional aggregate over dim join (TPC-H Q14 shape)"),
     "random_sample_hash": Pipeline(random_sample_hash, RANDOM_SAMPLE_SQL, "seeded pseudo-random sampling (RandomSortField)"),
