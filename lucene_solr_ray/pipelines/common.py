@@ -34,6 +34,19 @@ def read(sf_dir: str, table: str, columns: list[str] | None = None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def merge_partials(ds, keys: list[str], ops: dict[str, str]):
+    """Coordinator merge for BOUNDED-DOMAIN aggregates: `ds` holds
+    combiner partials (one row per group per block), so the driver merge
+    handles domain × blocks rows — never the raw row count.  This is the
+    facet/stats coordinator pattern (per-shard responses merged centrally)
+    and skips the Ray all-to-all Aggregate's fixed cost (~2-4 s per op on
+    this box).  For UNBOUNDED key domains (ids, vocabularies) use a
+    bucketed `groupby` shuffle instead — see CLAUDE.md."""
+    import pandas as pd  # noqa: F401
+
+    return ds.to_pandas().groupby(keys, as_index=False).agg(ops)
+
+
 def cents(x: np.ndarray) -> np.ndarray:
     """round(x*100) half-away-from-zero → int64 (DuckDB ROUND semantics)."""
     v = np.asarray(x, dtype=np.float64) * 100.0

@@ -114,20 +114,22 @@ MA_WINDOW = 3
 
 
 def moving_average_monthly(sf_dir: str):
-    from ray.data.aggregate import Sum
-
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         d = batch["o_orderdate"]
         month = (d.dt.year * 100 + d.dt.month).astype("int64")
         g = pd.DataFrame({"month": month, "cents": cents(batch["o_totalprice"].to_numpy())})
         return g.groupby("month", as_index=False).sum()
 
+    from .common import merge_partials
+
     monthly = (
-        read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby("month")
-        .aggregate(Sum("cents", alias_name="cents"))
-        .to_pandas()
+        merge_partials(
+            read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
+                partial, batch_format="pandas"
+            ),
+            ["month"],
+            {"cents": "sum"},
+        )
         .sort_values("month")
         .reset_index(drop=True)
     )
@@ -162,20 +164,20 @@ SAMPLE_MOD = 5
 
 
 def facet_sample(sf_dir: str):
-    from ray.data.aggregate import Sum
-
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         keep = _sample_hash(batch["o_orderkey"].to_numpy()) % SAMPLE_MOD == 0
         g = batch.loc[keep, ["o_orderpriority"]].copy()
         g["n_sample"] = 1
         return g.groupby("o_orderpriority", as_index=False).sum()
 
-    out = (
-        read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby("o_orderpriority")
-        .aggregate(Sum("n_sample", alias_name="n_sample"))
-        .to_pandas()
+    from .common import merge_partials
+
+    out = merge_partials(
+        read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["o_orderpriority"],
+        {"n_sample": "sum"},
     )
     out["n_sample"] = out["n_sample"].astype("int64")
     out["n_est"] = (out["n_sample"] * SAMPLE_MOD).astype("int64")
@@ -223,14 +225,16 @@ def kmeans_clusters(sf_dir: str, k: int = 8):
             {"cluster": np.arange(k, dtype=np.int64), "n": np.bincount(a, minlength=k).astype(np.int64)}
         )
 
-    from ray.data.aggregate import Sum
+    from .common import merge_partials
 
     out = (
-        read(sf_dir, "embeddings", ["embedding"])
-        .map_batches(assign_counts, batch_format="pandas")
-        .groupby("cluster")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+        merge_partials(
+            read(sf_dir, "embeddings", ["embedding"]).map_batches(
+                assign_counts, batch_format="pandas"
+            ),
+            ["cluster"],
+            {"n": "sum"},
+        )
         .sort_values("cluster")
         .reset_index(drop=True)
     )
@@ -244,19 +248,17 @@ def kmeans_clusters(sf_dir: str, k: int = 8):
 
 
 def fft_daily_counts(sf_dir: str):
-    from ray.data.aggregate import Count
+    from .common import merge_partials
 
     def to_day(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"day": ts_us(batch["ts"]) // 86_400_000_000})
+        g = pd.DataFrame({"day": ts_us(batch["ts"]) // 86_400_000_000, "n": 1})
+        return g.groupby("day", as_index=False).sum()
 
-    daily = (
-        read(sf_dir, "events", ["ts"])
-        .map_batches(to_day, batch_format="pandas")
-        .groupby("day")
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-        .sort_values("day")
-    )
+    daily = merge_partials(
+        read(sf_dir, "events", ["ts"]).map_batches(to_day, batch_format="pandas"),
+        ["day"],
+        {"n": "sum"},
+    ).sort_values("day")
     mag = fft_magnitude(daily["n"].to_numpy())
     return pd.DataFrame({"bin": np.arange(mag.size, dtype=np.int64), "magnitude": mag})
 

@@ -12,7 +12,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .common import Pipeline, cents, read, ts_us
+from .common import Pipeline, cents, merge_partials, read, ts_us
 
 # --------------------------------------------------------------------------
 # §2.6 field facet (SimpleFacets / FacetComponent): group-by-term counts,
@@ -20,10 +20,12 @@ from .common import Pipeline, cents, read, ts_us
 
 
 def facet_field(sf_dir: str):
-    from ray.data.aggregate import Count
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["lang"].value_counts()
+        return pd.DataFrame({"lang": vc.index, "cnt": vc.to_numpy()})
 
-    out = read(sf_dir, "documents", ["lang"]).groupby("lang").aggregate(Count(alias_name="cnt"))
-    df = out.to_pandas()
+    ds = read(sf_dir, "documents", ["lang"]).map_batches(partial, batch_format="pandas")
+    df = merge_partials(ds, ["lang"], {"cnt": "sum"})
     df["cnt"] = df["cnt"].astype("int64")
     return df.sort_values(["cnt", "lang"], ascending=[False, True]).reset_index(drop=True)
 
@@ -50,15 +52,10 @@ def time_series_rollup(sf_dir: str):
         )
         return g.groupby(["event_type", "day"], as_index=False).sum()
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        read(sf_dir, "events", ["event_type", "ts", "value"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "day"])
-        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
-        .to_pandas()
+    ds = read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        partial, batch_format="pandas"
     )
+    out = merge_partials(ds, ["event_type", "day"], {"n": "sum", "value_cents": "sum"})
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
 
@@ -140,22 +137,22 @@ def rollup_pricing(sf_dir: str):
         )
         return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
 
-    from ray.data.aggregate import Sum
-
     ds = read(
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(partial, batch_format="pandas")
-    out = (
-        ds.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("base_cents", alias_name="sum_base_cents"),
-            Sum("disc_cents", alias_name="sum_disc_cents"),
-            Sum("n", alias_name="count_order"),
-        )
-        .to_pandas()
+    out = merge_partials(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {"qty": "sum", "base_cents": "sum", "disc_cents": "sum", "n": "sum"},
+    ).rename(
+        columns={
+            "qty": "sum_qty",
+            "base_cents": "sum_base_cents",
+            "disc_cents": "sum_disc_cents",
+            "n": "count_order",
+        }
     )
     for c in ["sum_qty", "sum_base_cents", "sum_disc_cents", "count_order"]:
         out[c] = out[c].astype("int64")
@@ -200,13 +197,10 @@ def join_facet(sf_dir: str):
         )
         return g.groupby("c_mktsegment", as_index=False).sum()
 
-    out = (
-        read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(enrich_partial, batch_format="pandas")
-        .groupby("c_mktsegment")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"), Sum("n_orders", alias_name="n_orders"))
-        .to_pandas()
+    ds = read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        enrich_partial, batch_format="pandas"
     )
+    out = merge_partials(ds, ["c_mktsegment"], {"revenue_cents": "sum", "n_orders": "sum"})
     out["revenue_cents"] = out["revenue_cents"].astype("int64")
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("c_mktsegment").reset_index(drop=True)
@@ -250,13 +244,10 @@ def join_multi_region(sf_dir: str):
         )
         return g.groupby("r_name", as_index=False).sum()
 
-    out = (
-        read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
-        .map_batches(enrich_partial, batch_format="pandas")
-        .groupby("r_name")
-        .aggregate(Sum("n_customers", alias_name="n_customers"), Sum("acctbal_cents", alias_name="acctbal_cents"))
-        .to_pandas()
+    ds = read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]).map_batches(
+        enrich_partial, batch_format="pandas"
     )
+    out = merge_partials(ds, ["r_name"], {"n_customers": "sum", "acctbal_cents": "sum"})
     out["n_customers"] = out["n_customers"].astype("int64")
     out["acctbal_cents"] = out["acctbal_cents"].astype("int64")
     return out.sort_values("r_name").reset_index(drop=True)
@@ -294,13 +285,10 @@ def semi_join(sf_dir: str):
         g["n"] = 1
         return g.groupby("o_orderpriority", as_index=False).sum()
 
-    out = (
-        read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-        .map_batches(semi_partial, batch_format="pandas")
-        .groupby("o_orderpriority")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+    ds = read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        semi_partial, batch_format="pandas"
     )
+    out = merge_partials(ds, ["o_orderpriority"], {"n": "sum"})
     out["n"] = out["n"].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
@@ -881,8 +869,6 @@ _ALL = "__all__"
 
 
 def rollup_cube(sf_dir: str):
-    from ray.data.aggregate import Sum
-
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         g = pd.DataFrame(
             {
@@ -894,12 +880,12 @@ def rollup_cube(sf_dir: str):
         )
         return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
 
-    cells = (
-        read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("n", alias_name="n"), Sum("qty", alias_name="qty"))
-        .to_pandas()  # ≤ |flags|×|statuses| rows
+    cells = merge_partials(
+        read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["l_returnflag", "l_linestatus"],
+        {"n": "sum", "qty": "sum"},
     )
     lvl1 = cells.groupby("l_returnflag", as_index=False)[["n", "qty"]].sum()
     lvl1["l_linestatus"] = _ALL

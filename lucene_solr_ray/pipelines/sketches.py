@@ -139,11 +139,12 @@ def hash_join_native(sf_dir: str):
         )
         return g.groupby("c_mktsegment", as_index=False).sum()
 
-    out = (
-        joined.map_batches(partial, batch_format="pandas")
-        .groupby("c_mktsegment")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"), Sum("n_orders", alias_name="n_orders"))
-        .to_pandas()
+    from .common import merge_partials
+
+    out = merge_partials(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["c_mktsegment"],
+        {"revenue_cents": "sum", "n_orders": "sum"},
     )
     out["revenue_cents"] = out["revenue_cents"].astype("int64")
     out["n_orders"] = out["n_orders"].astype("int64")

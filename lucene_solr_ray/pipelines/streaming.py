@@ -81,15 +81,12 @@ def incremental_after_checkpoint(sf_dir: str):
         b = batch[keep]
         return b.groupby("event_type", as_index=False).agg(n=("event_id", "size"))
 
-    from ray.data.aggregate import Sum
+    from .common import merge_partials
 
-    out = (
-        read(sf_dir, "events", ["event_type", "event_id", "ts"])
-        .map_batches(f, batch_format="pandas")
-        .groupby("event_type")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+    ds = read(sf_dir, "events", ["event_type", "event_id", "ts"]).map_batches(
+        f, batch_format="pandas"
     )
+    out = merge_partials(ds, ["event_type"], {"n": "sum"})
     out["n"] = out["n"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
 
@@ -154,8 +151,6 @@ HOP_W = 7  # window length in days, hop = 1 day
 
 
 def hopping_window(sf_dir: str):
-    from ray.data.aggregate import Sum
-
     from .common import cents, read, ts_us
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
@@ -175,12 +170,14 @@ def hopping_window(sf_dir: str):
         )
         return g.groupby(["event_type", "window_end"], as_index=False).sum()
 
-    out = (
-        read(sf_dir, "events", ["event_type", "ts", "value"])
-        .map_batches(explode, batch_format="pandas")
-        .groupby(["event_type", "window_end"])
-        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
-        .to_pandas()
+    from .common import merge_partials
+
+    out = merge_partials(
+        read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+            explode, batch_format="pandas"
+        ),
+        ["event_type", "window_end"],
+        {"n": "sum", "value_cents": "sum"},
     )
     # full windows only: drop the warm-up edge (first W−1 window ends per type)
     lo = out.groupby("event_type")["window_end"].transform("min") + (HOP_W - 1)

@@ -283,14 +283,15 @@ def json_extract_sum(sf_dir: str):
 
     def ext(batch: pd.DataFrame) -> pd.DataFrame:
         k = batch["props"].str.extract(r'"k": (\d+)')[0].astype("int64")
-        return pd.DataFrame({"event_type": batch["event_type"], "k": k})
+        g = pd.DataFrame({"event_type": batch["event_type"], "k_sum": k})
+        return g.groupby("event_type", as_index=False).sum()
 
-    out = (
-        read(sf_dir, "events", ["event_type", "props"])
-        .map_batches(ext, batch_format="pandas")
-        .groupby("event_type")
-        .aggregate(Sum("k", alias_name="k_sum"))
-        .to_pandas()
+    from .common import merge_partials
+
+    out = merge_partials(
+        read(sf_dir, "events", ["event_type", "props"]).map_batches(ext, batch_format="pandas"),
+        ["event_type"],
+        {"k_sum": "sum"},
     )
     out["k_sum"] = out["k_sum"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
