@@ -531,6 +531,22 @@ class IndexShard:
         and delete-by-query, where every child hit matters."""
         return self._eval(node, idfs, sim)
 
+    def explain(self, node: QueryNode, doc: int, idfs: dict[str, float], sim: str = "bm25"):
+        """Score explanation for one doc (Lucene's IndexSearcher.explain /
+        Solr debugQuery): per-leaf-term contribution + the node total, or
+        None if the doc doesn't match or lives outside this shard."""
+        docs, scores = self._eval(node, idfs, sim)
+        i = np.searchsorted(docs, doc)
+        if i >= docs.size or docs[i] != doc:
+            return None
+        detail: dict[str, float] = {}
+        for t in dict.fromkeys(node.all_terms()):
+            td, ts = self._score_term(t, idfs, sim)
+            j = np.searchsorted(td, doc)
+            if j < td.size and td[j] == doc:
+                detail[t] = float(ts[j])
+        return {"total": float(scores[i]), "terms": detail}
+
     def set_docmap_paths(self, paths: list[str]) -> None:
         """Per-pid norms/docmap segments covering this actor's doc range —
         enables shard-local parent aggregation (conv blocks never span

@@ -325,6 +325,30 @@ class Searcher:
         order = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]), float(scores[i])) for i in order]
 
+    def explain(self, query: str, doc_id: int, similarity: str = "bm25"):
+        """debugQuery-style explanation (solr/core/.../util/SolrPluginUtils
+        doDebug over IndexSearcher.explain): {'total': float32-rounded
+        score, 'terms': {term: contribution}} or None if doc doesn't
+        match."""
+        node = parse_query(query)
+        if node is None:
+            return None
+        node = rewrite(node, self.stats.terms)
+        idfs = self._term_weights(node.all_terms(), similarity)
+        if self.use_ray:
+            import ray
+
+            parts = ray.get(
+                [a.explain.remote(node, doc_id, idfs, similarity) for a in self.actors]
+            )
+        else:
+            parts = [a.explain(node, doc_id, idfs, similarity) for a in self.actors]
+        for p in parts:
+            if p is not None:
+                p["total"] = float(np.float32(p["total"]))
+                return p
+        return None
+
     def fetch(self, doc_ids: list[int]) -> pa.Table:
         """GET_FIELDS phase: (doc_id, conv_id, turn_idx) for the winners.
 

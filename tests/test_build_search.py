@@ -450,3 +450,18 @@ def test_duel_match_all(searcher, oracle):
         got = searcher.search(q, 10)
         exp = [(d, float(s)) for d, s in oracle.search(q, 10)]
         assert got == exp, q
+
+
+def test_explain_matches_search(searcher, oracle):
+    """debugQuery explanation: the explained total equals the hit's score,
+    and per-term contributions sum to the total for pure disjunctions."""
+    hits = searcher.search("error ok", 5)
+    for doc, score in hits:
+        ex = searcher.explain("error ok", doc)
+        assert ex is not None
+        assert ex["total"] == score
+        assert abs(sum(ex["terms"].values()) - score) < 1e-5
+    assert searcher.explain("error", 10**9) is None
+    ex = searcher.explain("+error -bash", hits[0][0])
+    if ex is not None:
+        assert "error" in ex["terms"]
