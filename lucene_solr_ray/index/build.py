@@ -569,6 +569,11 @@ def build_index(
             cfg.get("files_per_shard") == files_per_shard
             and cfg.get("n_salts") == n_salts
             and cfg.get("codec", "varbyte") == codec
+            # the ANALYSIS config must match too — appending with a different
+            # analyzer/schema would silently mix term spaces
+            and cfg.get("analyzer_id", "standard") == analyzer_id
+            and tuple(cfg.get("analyzed_fields", ())) == analyzed_fields
+            and tuple(cfg.get("keyword_fields", KEYWORD_FIELDS)) == keyword_fields
             and len(old_inputs) < len(new_inputs)
             and new_inputs[: len(old_inputs)] == old_inputs
         ):
@@ -595,6 +600,9 @@ def build_index(
             "n_files": len(specs),
             "inputs": [[s.path, s.rows, s.base] for s in specs],
             "codec": codec,
+            "analyzer_id": analyzer_id,
+            "analyzed_fields": list(analyzed_fields),
+            "keyword_fields": list(keyword_fields),
         }
     if manifest.committed:
         return manifest

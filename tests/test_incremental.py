@@ -172,3 +172,24 @@ def test_scratch_builds_deterministic(ray_session, corpus_dirs):
     for col in ["term", "salt", "df", "cf", "docs", "freqs", "norms", "positions",
                 "blk_last_doc", "blk_max_freq", "blk_min_norm"]:
         assert a.column(col).equals(b.column(col)), col
+
+
+def test_incremental_rejects_analyzer_change(ray_session, tmp_path):
+    """Appending with a DIFFERENT analyzer/schema must trigger a full
+    rebuild, never an incremental append mixing term spaces."""
+    import json
+
+    from lucene_solr_ray.fixtures import write_transcripts
+    from lucene_solr_ray.index import build_index
+
+    paths = write_transcripts(str(tmp_path / "c"), 60, 3)
+    idx = tmp_path / "idx"
+    build_index(paths[:2], idx, files_per_shard=1, resume=False)
+    # append one file but with an analyzed extra field → full rebuild
+    m = build_index(paths, idx, files_per_shard=1, resume=True, analyzed_fields=("tool",))
+    cfg = json.loads((idx / "manifest.json").read_text())["config"]
+    assert cfg["analyzed_fields"] == ["tool"]
+    assert cfg["n_files"] == 3 and m.committed
+    # same config appends incrementally (all three files already done)
+    m2 = build_index(paths, idx, files_per_shard=1, resume=True, analyzed_fields=("tool",))
+    assert m2.committed
