@@ -104,22 +104,46 @@ class Searcher:
         """Did-you-mean suggestions (solr/core/.../handler/component/
         SpellCheckComponent.java over DirectSpellChecker semantics):
         dictionary terms within `max_edits`, ranked by (edit distance asc,
-        df desc, term asc).  An exact dictionary hit returns []."""
-        from .query import _levenshtein_leq
+        df desc, term asc).  An exact dictionary hit returns [].
 
+        Vectorized: after DirectSpellChecker's length-band prefilter, ONE
+        matrix Levenshtein DP runs over all candidate terms at once
+        (columns loop over term/word chars — never over the vocabulary)."""
         w = word.lower()
         if self.stats.df(w) > 0:
             return []
-        out = []
-        for t, df in zip(self.stats.terms, self.stats.dfs):
-            ts = str(t)
-            if ":" in ts:  # keyword-field terms are not spelling candidates
-                continue
-            for d in range(1, max_edits + 1):
-                if _levenshtein_leq(w, ts, d):
-                    out.append((d, -int(df), ts))
-                    break
-        out.sort()
+        strs = self.stats.terms.astype(str)
+        lens = np.char.str_len(strs)
+        mask = (np.char.find(strs, ":") < 0) & (np.abs(lens - len(w)) <= max_edits)
+        cand, clens = strs[mask], lens[mask].astype(np.int64)
+        dfs = np.asarray(self.stats.dfs)[mask]
+        if cand.size == 0:
+            return []
+        n, lw = cand.size, len(w)
+        lmax = int(clens.max())
+        # char matrix via one utf-32 decode + segmented scatter
+        flat = np.frombuffer("".join(cand).encode("utf-32-le"), dtype=np.uint32)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(clens[:-1], out=offs[1:])
+        M = np.zeros((n, lmax), dtype=np.uint32)
+        rows = np.repeat(np.arange(n), clens)
+        cols = np.arange(flat.size) - np.repeat(offs, clens)
+        M[rows, cols] = flat
+        wc = np.frombuffer(w.encode("utf-32-le"), dtype=np.uint32)
+        prev = np.tile(np.arange(lw + 1, dtype=np.int32), (n, 1))
+        dist = np.full(n, np.iinfo(np.int32).max, dtype=np.int32)
+        for j in range(1, lmax + 1):
+            cur = np.empty_like(prev)
+            cur[:, 0] = j
+            cj = M[:, j - 1]
+            for k in range(1, lw + 1):
+                sub = prev[:, k - 1] + (cj != wc[k - 1])
+                cur[:, k] = np.minimum(np.minimum(prev[:, k] + 1, cur[:, k - 1] + 1), sub)
+            fin = clens == j
+            dist[fin] = cur[fin, lw]
+            prev = cur
+        keep = np.flatnonzero((dist >= 1) & (dist <= max_edits))
+        out = sorted((int(dist[i]), -int(dfs[i]), str(cand[i])) for i in keep)
         return [(t, -negdf, d) for d, negdf, t in out[:max_suggestions]]
 
     # -- block join (parent/child) ----------------------------------------
