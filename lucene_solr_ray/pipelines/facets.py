@@ -146,8 +146,16 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
         elif key == "index":
             col = bucket_cols[li]
         else:
-            col = mcol(li, key)
+            m = _metrics(lv).get(key)
+            if m is not None and m["type"] == "avg":
+                # avg metrics sort by the RATIO, not the sum partial
+                df = df.assign(_sortv=df[mcol(li, key)] / df[f"_n{li}"].astype("float64"))
+                col = "_sortv"
+            else:
+                col = mcol(li, key)
         df = df.sort_values([col, bucket_cols[li]], ascending=[asc, True], kind="mergesort")
+        if col == "_sortv":
+            df = df.drop(columns=["_sortv"])
         lim = lv.get("limit")
         return df.head(lim) if lim else df
 
