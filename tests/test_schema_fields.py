@@ -92,3 +92,40 @@ def test_keyword_field_still_works(schema_index, schema_oracle):
     got = schema_index.search("merge #role:user", 10)
     exp = [(d, float(s)) for d, s in schema_oracle.search("merge #role:user", 10)]
     assert got == exp
+
+
+def test_all_build_options_compose(ray_session, tmp_path):
+    """analyzed_fields + custom token_filter + FOR codec in ONE build:
+    the options must compose (field norms, synonym paths, PFOR decode)."""
+    from lucene_solr_ray.analysis.graph import as_token_filter, synonym_graph_filter
+
+    t = pa.table(
+        {
+            "conv_id": pa.array([f"c{i:03d}" for i in range(len(TEXTS))]),
+            "turn_idx": pa.array(np.zeros(len(TEXTS), dtype=np.int32)),
+            "role": pa.array(["user"] * len(TEXTS)),
+            "text": pa.array(TEXTS),
+            "tool": pa.array(TOOLS, type=pa.string()),
+        }
+    )
+    corpus = tmp_path / "c.parquet"
+    pq.write_table(t, corpus)
+    flt = as_token_filter(synonym_graph_filter({("merge", "sort"): [("mergesort",)]}))
+    build_index(
+        [str(corpus)],
+        tmp_path / "idx",
+        files_per_shard=1,
+        analyzed_fields=("tool",),
+        token_filter=flt,
+        analyzer_id="combo",
+        codec="for",
+        resume=False,
+    )
+    s = Searcher(tmp_path / "idx")
+    try:
+        assert {d for d, _ in s.search("mergesort", 10)} == {2}  # via synonym
+        assert {d for d, _ in s.search("tool:bash", 10)} == {0, 3}  # field norms
+        assert {d for d, _ in s.search('"merge sort"', 10)} == {2}  # positions thru PFOR
+        assert s.search("zzz", 10) == []
+    finally:
+        s.close()
