@@ -17,27 +17,47 @@ SESSION_GAP_US = 1_800_000_000  # 30 min
 
 
 def sessionize(sf_dir: str):
-    """Per-user session count + max session length (30-min inactivity gap)."""
+    """Per-user session count + max session length (30-min inactivity gap).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    The SHUFFLE keys a fixed 512-bucket hash of user_id (a user's history
+    must be co-located, but never key the exchange by the raw user space);
+    inside each bucket the gap/session logic is one vectorized pass over
+    the (user, ts)-sorted rows."""
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["bucket"] = out["user_id"] % 512
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
         us = ts_us(g["ts"])
-        new_sess = np.ones(len(g), dtype=bool)
-        new_sess[1:] = np.diff(us) > SESSION_GAP_US
-        sess_id = np.cumsum(new_sess)
-        sizes = np.bincount(sess_id)[1:]
+        uid = g["user_id"].to_numpy()
+        new_user = np.empty(len(g), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_sess = new_user.copy()
+        new_sess[1:] |= np.diff(us) > SESSION_GAP_US
+        sess_id = np.cumsum(new_sess) - 1
+        sizes = np.bincount(sess_id)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        n_sessions = np.bincount(inv[new_sess], minlength=uniq.size)
+        sess_user = inv[new_sess]  # owning user per session
+        max_size = np.zeros(uniq.size, dtype=np.int64)
+        np.maximum.at(max_size, sess_user, sizes)
         return pd.DataFrame(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [np.int64(sess_id[-1])],
-                "max_session_events": [np.int64(sizes.max())],
+                "user_id": uniq,
+                "n_sessions": n_sessions.astype(np.int64),
+                "max_session_events": max_size,
             }
         )
 
     out = (
         read(sf_dir, "events", ["user_id", "event_id", "ts"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()
     )
     out["n_sessions"] = out["n_sessions"].astype("int64")
