@@ -181,7 +181,6 @@ def join_facet(sf_dir: str):
     inside each batch so the groupby shuffles ~5 rows per batch, not 150k."""
     import pyarrow.parquet as pq
     import ray
-    from ray.data.aggregate import Sum
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     lookup_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())))
@@ -221,7 +220,6 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 def join_multi_region(sf_dir: str):
     import pyarrow.parquet as pq
     import ray
-    from ray.data.aggregate import Sum
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
@@ -270,7 +268,6 @@ GROUP BY r_name ORDER BY r_name
 def semi_join(sf_dir: str):
     import pyarrow.parquet as pq
     import ray
-    from ray.data.aggregate import Sum
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]).to_pandas()
     keys = np.sort(cust.query("c_mktsegment == 'BUILDING'")["c_custkey"].to_numpy())

@@ -121,8 +121,6 @@ def hll_distinct(sf_dir: str):
 
 def hash_join_native(sf_dir: str):
     """Both-sides-as-Datasets hash join via Ray's native Dataset.join."""
-    from ray.data.aggregate import Sum
-
     orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = orders.join(
