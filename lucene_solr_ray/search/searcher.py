@@ -146,6 +146,49 @@ class Searcher:
         out = sorted((int(dist[i]), -int(dfs[i]), str(cand[i])) for i in keep)
         return [(t, -negdf, d) for d, negdf, t in out[:max_suggestions]]
 
+    # -- terms / facets over the index ------------------------------------
+    def terms(self, prefix: str = "", limit: int = 10) -> list[tuple[str, int]]:
+        """/terms handler (solr/core/.../handler/component/TermsComponent.java):
+        dictionary terms with df, prefix-filtered via binary search over the
+        sorted global term dictionary, ranked (df desc, term asc)."""
+        lo = int(np.searchsorted(self.stats.terms, prefix))
+        hi = int(np.searchsorted(self.stats.terms, prefix + "￿")) if prefix else len(self.stats.terms)
+        sl_terms = self.stats.terms[lo:hi]
+        sl_dfs = self.stats.dfs[lo:hi]
+        order = np.lexsort((sl_terms, -sl_dfs))[:limit]
+        return [(str(sl_terms[i]), int(sl_dfs[i])) for i in order]
+
+    def facet_field(self, field: str, limit: int = 10) -> list[tuple[str, int]]:
+        """Keyword-field facet straight from the term dictionary (the
+        fieldValueCache facet path — `field:value` term dfs ARE the facet
+        counts, no document scan), ranked (count desc, value asc)."""
+        out = [
+            (t.split(":", 1)[1], df) for t, df in self.terms(prefix=f"{field}:", limit=1 << 30)
+        ]
+        out.sort(key=lambda p: (-p[1], p[0]))
+        return out[:limit]
+
+    # -- query elevation ---------------------------------------------------
+    def search_elevated(
+        self, query: str, k: int = 10, elevations: dict[str, list[int]] | None = None
+    ) -> list[tuple[int, float]]:
+        """QueryElevationComponent (solr/core/.../handler/component/
+        QueryElevationComponent.java): configured doc ids for a query are
+        pinned ahead of organic results in CONFIG ORDER; organic hits skip
+        the pinned ids."""
+        pinned = (elevations or {}).get(query, [])
+        organic = self.search(query, k + len(pinned))
+        seen = set(pinned)
+        out: list[tuple[int, float]] = [
+            (d, float(np.float32(np.inf))) for d in pinned
+        ]
+        for d, s in organic:
+            if d not in seen:
+                out.append((d, s))
+            if len(out) >= k:
+                break
+        return out[:k]
+
     # -- block join (parent/child) ----------------------------------------
     def search_parents(
         self, query: str, k: int = 10, score_mode: str = "max"

@@ -465,3 +465,27 @@ def test_explain_matches_search(searcher, oracle):
     ex = searcher.explain("+error -bash", hits[0][0])
     if ex is not None:
         assert "error" in ex["terms"]
+
+
+def test_terms_and_facet_api(searcher, oracle):
+    """/terms enumeration + keyword-field facet straight from term stats."""
+    top = searcher.terms(limit=5)
+    assert len(top) == 5 and all(df >= 1 for _, df in top)
+    assert top[0][1] == max(df for _, df in top)
+    # prefix enumeration matches the oracle's df
+    for t, df in searcher.terms(prefix="w000", limit=10):
+        assert oracle.df[t] == df and t.startswith("w000")
+    # keyword facet == df of role:* terms == docs per role
+    fac = dict(searcher.facet_field("role"))
+    for val, cnt in fac.items():
+        assert oracle.df[f"role:{val}"] == cnt
+
+
+def test_query_elevation(searcher):
+    organic = searcher.search("error ok", 5)
+    pin = [organic[3][0], 999999]  # one real doc promoted + one synthetic id
+    got = searcher.search_elevated("error ok", 5, {"error ok": pin})
+    assert [d for d, _ in got[:2]] == pin  # pinned first, config order
+    rest = [d for d, _ in got[2:]]
+    assert pin[0] not in rest  # no duplicate of the promoted doc
+    assert rest == [d for d, _ in organic if d not in pin][: len(rest)]
