@@ -150,9 +150,9 @@ class BruteForceIndex:
             return self._dfr_score(tf, dfr_weight(self.df.get(term, 0), self.N), doc, field)
         return self.idf(term) * tf / (tf + self._norm_k(doc, field))
 
-    def phrase_freq(self, terms: list[str], doc: int, slop: int = 0) -> int:
-        """Phrase occurrences: exact (consecutive) or sloppy (shared
-        proximity matcher)."""
+    def phrase_freq(self, terms: list[str], doc: int, slop: int = 0) -> float:
+        """Phrase frequency: exact (consecutive → integer count) or sloppy
+        (sloppyWeight-weighted: Σ 1/(1+matchLength), a float for slop>0)."""
         if not terms:
             return 0
         plists = [self.docs[doc].get(t) for t in terms]

@@ -137,9 +137,14 @@ def knn_label_vote(sf_dir: str, k: int = 5, n_queries: int = 50):
                 }
             )
 
+    # autoscaling actor pool sized by the cluster, not a hard-coded cap —
+    # the streaming corpus pass is the only heavy stage here
+    max_actors = max(2, int(ray.cluster_resources().get("CPU", 8)))
     parts = (
         read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-        .map_batches(LocalTopK, fn_constructor_args=(ref,), batch_format="pandas", concurrency=2)
+        .map_batches(
+            LocalTopK, fn_constructor_args=(ref,), batch_format="pandas", concurrency=(1, max_actors)
+        )
         .to_pandas()
     )
     parts = parts[parts["qid"] != parts["nid"]]  # exclude self
@@ -193,6 +198,41 @@ def _index_dir(kind: str, sf_dir: str) -> Path:
     return Path(f"/tmp/lsr_{kind}_{hashlib.sha1(sf_dir.encode()).hexdigest()[:10]}")
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the embeddings table (row count + per-file
+    size/mtime) — stored in the index manifest so an in-place change of the
+    source rebuilds the index instead of silently querying a stale one."""
+    p = Path(sf_dir) / "embeddings.parquet"
+    files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+    n_rows = sum(pq.read_metadata(f).num_rows for f in files)
+    parts = [f"{f.name}:{f.stat().st_size}:{f.stat().st_mtime_ns}" for f in files]
+    return hashlib.sha1(f"{n_rows}|{'|'.join(parts)}".encode()).hexdigest()
+
+
+def _index_is_fresh(d: Path, fp: str) -> bool:
+    m = d / "manifest.json"
+    if not m.exists():
+        return False
+    try:
+        return json.loads(m.read_text()).get("source_fp") == fp
+    except (ValueError, OSError):
+        return False
+
+
+def _fetch_candidates(sf_dir: str, ids: np.ndarray, columns: list[str]) -> pd.DataFrame:
+    """Bounded candidate fetch: row-group-pruned parquet read of exactly the
+    requested vec_ids (the `filters=` pushdown pattern of
+    `fulltext.rerank_brevity`) — the full embeddings table is never scanned."""
+    if ids.size == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=object) for c in columns})
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=columns,
+        filters=[("vec_id", "in", [int(i) for i in ids])],
+    )
+    return t.to_pandas()
+
+
 def _lsh_planes(dim: int) -> np.ndarray:
     return np.random.default_rng(777).standard_normal((N_PLANES, dim))
 
@@ -214,7 +254,8 @@ def build_lsh_index(sf_dir: str, force: bool = False) -> Path:
     import ray.data as rd
 
     d = _index_dir("lsh", sf_dir)
-    if (d / "manifest.json").exists() and not force:
+    fp = _source_fingerprint(sf_dir)
+    if _index_is_fresh(d, fp) and not force:
         return d
     dim = _query_vec(sf_dir).size
     planes = _lsh_planes(dim)
@@ -232,13 +273,12 @@ def build_lsh_index(sf_dir: str, force: bool = False) -> Path:
         sign, batch_format="pandas"
     ).write_parquet(str(tmp / "sigs"))
     np.save(tmp / "planes.npy", planes)
-    (tmp / "manifest.json").write_text(json.dumps({"n_planes": N_PLANES, "dim": dim}))
+    (tmp / "manifest.json").write_text(json.dumps({"n_planes": N_PLANES, "dim": dim, "source_fp": fp}))
     os.replace(tmp, d)
     return d
 
 
 def ann_lsh_topk(sf_dir: str, k: int = 10):
-    import ray
     import ray.data as rd
 
     d = build_lsh_index(sf_dir)
@@ -261,26 +301,17 @@ def ann_lsh_topk(sf_dir: str, k: int = 10):
     keep = np.sort(
         cands.sort_values(["ham", "vec_id"]).head(budget_total)["vec_id"].to_numpy()
     )
-    keep_ref = ray.put(keep)
     qn = q / np.linalg.norm(q)
 
-    def rerank(batch: pd.DataFrame) -> pd.DataFrame:
-        want = ray.get(keep_ref)
-        ids = batch["vec_id"].to_numpy()
-        pos = np.clip(np.searchsorted(want, ids), 0, max(want.size - 1, 0))
-        mask = want[pos] == ids if want.size else np.zeros(ids.size, bool)
-        if not mask.any():
-            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"), "sim": pd.Series([], dtype="float64")})
-        m = _embed_matrix(batch.loc[mask])
-        sims = (m @ qn) / np.linalg.norm(m, axis=1)
-        out = pd.DataFrame({"vec_id": ids[mask], "sim": sims})
-        return out.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-
-    parts = (
-        read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(rerank, batch_format="pandas")
-        .to_pandas()
-    )
+    # Exact rerank over the bounded candidate set only: a row-group-pruned
+    # parquet read of ≤ budget_total vec_ids — the float vectors are touched
+    # for O(budget) rows, never the whole table.
+    sub = _fetch_candidates(sf_dir, keep, ["vec_id", "embedding"])
+    if not len(sub):
+        return pd.DataFrame({"rank": pd.Series([], dtype="int64"), "vec_id": pd.Series([], dtype="int64")})
+    m = _embed_matrix(sub)
+    sims = (m @ qn) / np.linalg.norm(m, axis=1)
+    parts = pd.DataFrame({"vec_id": sub["vec_id"].to_numpy(), "sim": sims})
     top = parts.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
     return pd.DataFrame(
         {"rank": np.arange(1, len(top) + 1, dtype=np.int64), "vec_id": top["vec_id"].astype("int64")}
@@ -319,7 +350,8 @@ def build_ivf_index(sf_dir: str, cells: int = IVF_CELLS, force: bool = False) ->
     import shutil
 
     d = _index_dir("ivf", sf_dir)
-    if (d / "manifest.json").exists() and not force:
+    fp = _source_fingerprint(sf_dir)
+    if _index_is_fresh(d, fp) and not force:
         return d
     sample_df = read(sf_dir, "embeddings", ["embedding"]).limit(2000).to_pandas()
     sample = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
@@ -344,7 +376,7 @@ def build_ivf_index(sf_dir: str, cells: int = IVF_CELLS, force: bool = False) ->
         assign, batch_format="pandas"
     ).write_parquet(str(tmp / "data"), partition_cols=["cell"])
     np.save(tmp / "centroids.npy", cent)
-    (tmp / "manifest.json").write_text(json.dumps({"cells": cells}))
+    (tmp / "manifest.json").write_text(json.dumps({"cells": cells, "source_fp": fp}))
     os.replace(tmp, d)
     return d
 
@@ -396,7 +428,6 @@ EMB_MAX_BUCKET = 256
 
 def dedup_embedding(sf_dir: str, threshold: float = EMB_DUP_THRESHOLD):
     """→ (vec_a, vec_b, cos) pairs with cosine ≥ threshold, vec_a < vec_b."""
-    import ray
     import ray.data as rd
 
     d = build_lsh_index(sf_dir)
@@ -450,26 +481,13 @@ def dedup_embedding(sf_dir: str, threshold: float = EMB_DUP_THRESHOLD):
     if not len(cand):
         return empty
     need = np.unique(np.concatenate([cand["vec_a"], cand["vec_b"]])).astype(np.int64)
-    need_ref = ray.put(np.sort(need))
 
-    def fetch_vecs(batch: pd.DataFrame) -> pd.DataFrame:
-        want = ray.get(need_ref)
-        ids = batch["vec_id"].to_numpy()
-        pos = np.clip(np.searchsorted(want, ids), 0, max(want.size - 1, 0))
-        mask = want[pos] == ids if want.size else np.zeros(ids.size, bool)
-        sub = batch.loc[mask]
-        if not len(sub):
-            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"), "v": pd.Series([], dtype=object)})
-        m = _embed_matrix(sub)
-        m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        return pd.DataFrame({"vec_id": sub["vec_id"].to_numpy(), "v": [r.tobytes() for r in m]})
-
-    got = (
-        read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(fetch_vecs, batch_format="pandas")
-        .to_pandas()  # bounded by the candidate id set
-    )
-    vecs = {int(i): np.frombuffer(b, dtype=np.float64) for i, b in zip(got["vec_id"], got["v"])}
+    # Bounded verify fetch: pruned parquet read of the candidate ids only
+    # (LSH banding bounds the candidate set) — no full-table scan.
+    got = _fetch_candidates(sf_dir, need, ["vec_id", "embedding"])
+    gm = _embed_matrix(got)
+    gm = gm / np.linalg.norm(gm, axis=1, keepdims=True)
+    vecs = {int(i): gm[j] for j, i in enumerate(got["vec_id"].to_numpy())}
     a = np.stack([vecs[int(i)] for i in cand["vec_a"]])
     b = np.stack([vecs[int(i)] for i in cand["vec_b"]])
     cos = (a * b).sum(axis=1)

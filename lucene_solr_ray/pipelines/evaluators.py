@@ -24,23 +24,60 @@ from .relational import _M32, _SAMPLE_C1, _SAMPLE_C2, _SAMPLE_SEED, _sample_hash
 _EPOCH0_DAYS = np.datetime64("1990-01-01", "us").astype("int64") // 86_400_000_000
 
 
+def _exact_sum(v: np.ndarray) -> int:
+    """Overflow-free sum of an int64 array whose ELEMENTS fit int64 but whose
+    total may not (Ray passes whole blocks as batches, so a 150k-row block of
+    cents² partials overflows a naive int64 sum).  Chunk so each chunk-sum
+    stays below 2^62, accumulate chunks as Python ints."""
+    if v.size == 0:
+        return 0
+    m = int(np.abs(v).max())
+    if m == 0:
+        return 0
+    chunk = max(1, (1 << 62) // (m + 1))
+    if v.size <= chunk:
+        return int(v.sum())
+    return sum(int(v[i : i + chunk].sum()) for i in range(0, v.size, chunk))
+
+
+def _exact_prod_sum(a: np.ndarray, b: np.ndarray) -> int:
+    """Σ a[i]*b[i] with Python-int exactness; vectorized when per-element
+    products fit int64, object-array fallback otherwise."""
+    if a.size == 0:
+        return 0
+    ma, mb = int(np.abs(a).max()), int(np.abs(b).max())
+    if ma * mb < (1 << 62):
+        return _exact_sum(a * b)
+    return int((a.astype(object) * b.astype(object)).sum())
+
+
+_HILO_SHIFT = 60  # per-batch moments can exceed int64 (cents² × block rows);
+_HILO_MASK = (1 << _HILO_SHIFT) - 1  # ship them as (hi, lo) int64 column pairs
+_MOMENTS = ("sx", "sy", "sxy", "sxx", "syy")
+
+
 def _xy_moments(sf_dir: str):
     """Exact integer moments of (x = days since 1990-01-01 of o_orderdate,
-    y = o_totalprice cents) collected as per-batch partial sums."""
+    y = o_totalprice cents) collected as per-batch partial sums.  Each moment
+    travels as a (hi, lo) pair because the per-batch Python-int sum may not
+    fit an int64 Arrow column (a 150k-row block of y² partials is ~5e20)."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         x = ts_us(batch["o_orderdate"]) // 86_400_000_000 - _EPOCH0_DAYS
         y = cents(batch["o_totalprice"].to_numpy())
-        return pd.DataFrame(
-            {
-                "n": [len(x)],
-                "sx": [int(x.sum())],
-                "sy": [int(y.sum())],
-                "sxy": [int((x * y).sum())],
-                "sxx": [int((x * x).sum())],
-                "syy": [int((y * y).sum())],
-            }
-        )
+        vals = {
+            "sx": _exact_sum(x),
+            "sy": _exact_sum(y),
+            "sxy": _exact_prod_sum(x, y),
+            "sxx": _exact_prod_sum(x, x),
+            "syy": _exact_prod_sum(y, y),
+        }
+        row: dict[str, list[int]] = {"n": [len(x)]}
+        for c, v in vals.items():
+            sign = -1 if v < 0 else 1
+            row[f"{c}_hi"] = [sign * (abs(v) >> _HILO_SHIFT)]
+            row[f"{c}_lo"] = [sign * (abs(v) & _HILO_MASK)]
+        return pd.DataFrame(row)
 
     parts = (
         read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
@@ -48,7 +85,12 @@ def _xy_moments(sf_dir: str):
         .to_pandas()
     )
     # Python-int totals: overflow-free regardless of scale
-    return {c: int(parts[c].astype(object).sum()) for c in parts.columns}
+    out = {"n": int(parts["n"].astype(object).sum())}
+    for c in _MOMENTS:
+        hi = int(parts[f"{c}_hi"].astype(object).sum())
+        lo = int(parts[f"{c}_lo"].astype(object).sum())
+        out[c] = (hi << _HILO_SHIFT) + lo
+    return out
 
 
 MOMENTS_SQL_BASE = """

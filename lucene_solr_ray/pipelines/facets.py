@@ -156,8 +156,10 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
         df = df.sort_values([col, bucket_cols[li]], ascending=[asc, True], kind="mergesort")
         if col == "_sortv":
             df = df.drop(columns=["_sortv"])
+        # Solr JSON-facet limit semantics: absent → unlimited, -1 → unlimited,
+        # 0 → zero buckets (limit:0 must NOT mean "all").
         lim = lv.get("limit")
-        return df.head(lim) if lim else df
+        return df if lim is None or lim < 0 else df.head(lim)
 
     frames: list[pd.DataFrame] = []
     selected: pd.DataFrame | None = None  # surviving path prefixes

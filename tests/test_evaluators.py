@@ -86,3 +86,33 @@ def test_fft_pipeline(ray_session):
 
     n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{SF}/events.parquet')").fetchone()[0]
     assert abs(out["magnitude"][0] - n) < 1e-6
+
+
+def test_exact_sum_overflow_free():
+    """Regression: a whole-block int64 sum of cents² partials overflows int64
+    (r2 advice) — the chunked exact sum must match Python-int arithmetic."""
+    from lucene_solr_ray.pipelines.evaluators import _exact_prod_sum, _exact_sum
+
+    rng = np.random.default_rng(7)
+    y = rng.integers(10_000_000, 60_000_000, 200_000).astype(np.int64)
+    want = sum(int(v) * int(v) for v in y)
+    assert want > np.iinfo(np.int64).max  # the naive sum would overflow
+    assert _exact_prod_sum(y, y) == want
+    assert _exact_sum(y) == sum(int(v) for v in y)
+    assert _exact_sum(np.array([], dtype=np.int64)) == 0
+    assert _exact_prod_sum(-y, y) == -want
+    # object-array fallback when per-element products exceed int64
+    big = np.array([3_000_000_000_000] * 5, dtype=np.int64)
+    assert _exact_prod_sum(big, big) == 5 * 3_000_000_000_000**2
+
+
+def test_moment_partial_hilo_round_trip():
+    """The (hi, lo) split used to ship >int64 per-batch moments must
+    reconstruct exactly, including negative values."""
+    from lucene_solr_ray.pipelines.evaluators import _HILO_MASK, _HILO_SHIFT
+
+    for v in (0, 1, -1, 5 * 10**20, -5 * 10**20, (1 << 62) + 12345):
+        sign = -1 if v < 0 else 1
+        hi, lo = sign * (abs(v) >> _HILO_SHIFT), sign * (abs(v) & _HILO_MASK)
+        assert (hi << _HILO_SHIFT) + lo == v
+        assert abs(hi) < np.iinfo(np.int64).max and abs(lo) < np.iinfo(np.int64).max
