@@ -752,6 +752,11 @@ STATS_GROUPBY_THRESHOLD = 5_000_000  # (term, shard) rows above which the
 # stats reduce goes through a distributed ray.data groupby instead of the
 # driver-side Arrow group_by
 
+STATS_ROW_GROUP_SIZE = 16_384  # terms per row group in global_stats.parquet:
+# the file is term-sorted, so parquet min/max statistics on `term` let
+# LazyBM25Stats prune every row group a query's terms don't touch — the
+# vocabulary never needs to be materialized on the driver
+
 
 def _finalize(
     index_dir: Path, manifest: Manifest, stats_groupby_threshold: int = STATS_GROUPBY_THRESHOLD
@@ -798,7 +803,7 @@ def _finalize(
             if writer is None:
                 writer = pq.ParquetWriter(tmp, t.schema)
             if t.num_rows:
-                writer.write_table(t)
+                writer.write_table(t, row_group_size=STATS_ROW_GROUP_SIZE)
                 n_terms += t.num_rows
         if writer is not None:
             writer.close()
@@ -817,7 +822,7 @@ def _finalize(
             .rename_columns(["term", "df", "cf"])
             .sort_by("term")
         )
-        pq.write_table(stats_pa, tmp)
+        pq.write_table(stats_pa, tmp, row_group_size=STATS_ROW_GROUP_SIZE)
         stats_rows = stats_pa.num_rows
     os.replace(tmp, index_dir / "global_stats.parquet")
 

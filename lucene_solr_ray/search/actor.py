@@ -110,6 +110,58 @@ class IndexShard:
     def ping(self) -> bool:
         return True
 
+    # -- shard-local term dictionary (the per-shard term dict of the
+    # reference: prefix/fuzzy expansion, /terms and spellcheck run HERE and
+    # the driver merges partials — the vocabulary never lands on one node)
+    def _term_dict(self):
+        """Sorted local term array + summed local dfs (built lazily once;
+        a term's global df = Σ its per-shard dfs, since salted runs
+        partition the doc space)."""
+        if getattr(self, "_local_terms", None) is None:
+            if self.table is None:
+                self._local_terms = np.empty(0, dtype=object)
+                self._local_dfs = np.empty(0, dtype=np.int64)
+            else:
+                df_col = self.table.column("df").to_numpy()
+                terms = sorted(self._rows)
+                dfs = np.empty(len(terms), dtype=np.int64)
+                for i, t in enumerate(terms):
+                    dfs[i] = int(df_col[self._rows[t]].sum())
+                self._local_terms = np.array(terms, dtype=object)
+                self._local_dfs = dfs
+        return self._local_terms, self._local_dfs
+
+    def expand_nodes(self, specs: list[tuple[str, str, int]]) -> dict:
+        """Expand multi-term leaves against the LOCAL vocabulary.
+        `specs`: [(kind, pattern, max_edits)] → {spec: [matching terms]}.
+        The driver unions per-shard matches (sorted, capped) — the
+        distributed Query.rewrite step (SURVEY.md §3.2)."""
+        from .query import QueryNode, expand_multi_term
+
+        terms, _ = self._term_dict()
+        out = {}
+        for kind, pattern, max_edits in specs:
+            n = QueryNode(kind, pattern=pattern, max_edits=max_edits)
+            out[(kind, pattern, max_edits)] = expand_multi_term(n, terms)
+        return out
+
+    def terms_partial(self, prefix: str = ""):
+        """(terms, local_dfs) in the prefix range — the per-shard half of
+        the TermsComponent merge (solr/core/.../handler/component/
+        TermsComponent.java)."""
+        terms, dfs = self._term_dict()
+        lo = int(np.searchsorted(terms, prefix))
+        hi = int(np.searchsorted(terms, prefix + "￿")) if prefix else terms.size
+        return terms[lo:hi], dfs[lo:hi]
+
+    def spellcheck_partial(self, word: str, max_edits: int = 2):
+        """[(term, local_df, dist)] within `max_edits` of `word` — the
+        per-shard half of the SpellCheckComponent merge."""
+        from .spell import levenshtein_candidates
+
+        terms, dfs = self._term_dict()
+        return levenshtein_candidates(terms, dfs, word, max_edits)
+
     def result_cache_stats(self) -> dict:
         return self._result_cache.stats()
 

@@ -77,6 +77,63 @@ class BM25Stats:
         return {t: self.idf(t) for t in set(terms)}
 
 
+class LazyBM25Stats:
+    """Global stats WITHOUT the driver-held vocabulary (r2's #1 scale
+    ceiling): query terms are resolved on demand by a row-group-pruned
+    parquet read of `global_stats.parquet` (sorted by term, small row
+    groups → the `term` column statistics prune all but the touched
+    groups).  Resolved terms are cached, so warm queries never re-read.
+
+    Reference shape: per-query `IndexSearcher.termStatistics` /
+    `collectionStatistics` resolution (SURVEY.md §3.2) instead of a
+    materialized dictionary.  The vocabulary itself never lands on one
+    node — prefix/fuzzy expansion and spellcheck run shard-side
+    (`IndexShard.expand_node` / `terms_partial` / `spellcheck_partial`).
+    """
+
+    def __init__(self, stats_path: str, n_docs: int, avgdl: float):
+        self.stats_path = stats_path
+        self.N = int(n_docs)
+        self.avgdl = float(avgdl)
+        self.norm_cache = make_norm_cache(self.avgdl)
+        self._cache: dict[str, tuple[int, int]] = {}  # term -> (df, cf)
+        self.reads = 0  # pruned-read counter (tests/diagnostics)
+
+    def resolve(self, terms) -> None:
+        """One pruned read for all not-yet-cached terms of a query."""
+        missing = sorted({t for t in terms if t not in self._cache})
+        if not missing:
+            return
+        t = pq.read_table(
+            self.stats_path,
+            columns=["term", "df", "cf"],
+            filters=[("term", "in", missing)],
+        )
+        self.reads += 1
+        for term, df, cf in zip(
+            t.column("term").to_pylist(), t.column("df").to_pylist(), t.column("cf").to_pylist()
+        ):
+            self._cache[term] = (int(df), int(cf))
+        for m in missing:  # absent terms cache as (0, 0)
+            self._cache.setdefault(m, (0, 0))
+
+    def df(self, term: str) -> int:
+        self.resolve([term])
+        return self._cache[term][0]
+
+    def cf(self, term: str) -> int:
+        self.resolve([term])
+        return self._cache[term][1]
+
+    def idf(self, term: str) -> float:
+        df = self.df(term)
+        return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
+
+    def idfs(self, terms: list[str]) -> dict[str, float]:
+        self.resolve(terms)
+        return {t: self.idf(t) for t in set(terms)}
+
+
 def score_postings(
     freqs: np.ndarray, norm_bytes: np.ndarray, idf: float, norm_cache: np.ndarray
 ) -> np.ndarray:

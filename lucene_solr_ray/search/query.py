@@ -274,12 +274,32 @@ def expand_multi_term(node: QueryNode, sorted_terms) -> list[str]:
     return out[:MAX_EXPANSIONS]
 
 
-def rewrite(node: QueryNode, sorted_terms) -> QueryNode | None:
-    """Rewrite multi-term queries to scoring boolean ORs
-    (MultiTermQuery.SCORING_BOOLEAN_REWRITE), preserving boosts.  Returns
-    None if the node expands to nothing and nothing else scores."""
+def multi_term_nodes(node: QueryNode) -> list[QueryNode]:
+    """All prefix/wildcard/fuzzy leaves of a query tree (the set a
+    distributed rewrite must expand before scoring)."""
     if node.kind in ("prefix", "wildcard", "fuzzy"):
-        expanded = expand_multi_term(node, sorted_terms)
+        return [node]
+    if node.kind in ("bool", "dismax"):
+        out: list[QueryNode] = []
+        for _, c in node.clauses:
+            out.extend(multi_term_nodes(c))
+        return out
+    return []
+
+
+def node_key(node: QueryNode) -> tuple:
+    """Identity of a multi-term leaf for batching expansions."""
+    return (node.kind, node.pattern, node.max_edits)
+
+
+def rewrite_with(node: QueryNode, expander) -> QueryNode | None:
+    """Rewrite multi-term queries to scoring boolean ORs
+    (MultiTermQuery.SCORING_BOOLEAN_REWRITE), preserving boosts.
+    `expander(node) -> list[str]` supplies the dictionary matches — a
+    driver-side array scan, or a shard-fan-out merge (the distributed
+    TermsComponent shape)."""
+    if node.kind in ("prefix", "wildcard", "fuzzy"):
+        expanded = expander(node)
         if not expanded:
             return QueryNode("bool", clauses=[], boost=node.boost)  # matches nothing
         if len(expanded) == 1:
@@ -290,7 +310,7 @@ def rewrite(node: QueryNode, sorted_terms) -> QueryNode | None:
             boost=node.boost,
         )
     if node.kind in ("bool", "dismax"):
-        new = [(occ, rewrite(c, sorted_terms)) for occ, c in node.clauses]
+        new = [(occ, rewrite_with(c, expander)) for occ, c in node.clauses]
         return QueryNode(
             node.kind,
             clauses=[(o, c) for o, c in new if c is not None],
@@ -299,3 +319,9 @@ def rewrite(node: QueryNode, sorted_terms) -> QueryNode | None:
             tiebreak=node.tiebreak,
         )
     return node
+
+
+def rewrite(node: QueryNode, sorted_terms) -> QueryNode | None:
+    """`rewrite_with` against a driver-held sorted term array (the
+    single-node path and the brute-force oracle)."""
+    return rewrite_with(node, lambda n: expand_multi_term(n, sorted_terms))

@@ -13,9 +13,13 @@ createMainQuery/mergeIds):
   for the winners only, by reading just the norms/docmap segments whose
   docID range covers them.
 
-Actors are created lazily from the committed manifest; global stats are
-loaded once on the driver.  `Searcher` owns no Ray session — the caller
-must have Ray initialized.
+Actors are created lazily from the committed manifest.  Global stats are
+LAZY (`LazyBM25Stats`): df/cf resolve per query term via row-group-pruned
+reads of the term-sorted `global_stats.parquet`; prefix/wildcard/fuzzy
+expansion, /terms and spellcheck run shard-side and merge — the vocabulary
+never materializes on the driver (the per-shard term-dictionary shape of
+`IndexSearcher.termStatistics`, SURVEY.md §3.2).  `Searcher` owns no Ray
+session — the caller must have Ray initialized.
 """
 
 from __future__ import annotations
@@ -29,8 +33,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .actor import IndexShard
-from .bm25 import BM25Stats, classic_idf, dfr_weight, make_norm_cache
-from .query import parse_query, rewrite
+from .bm25 import LazyBM25Stats, classic_idf, dfr_weight, make_norm_cache
+from .query import MAX_EXPANSIONS, multi_term_nodes, node_key, parse_query, rewrite_with
 
 
 class Searcher:
@@ -41,7 +45,9 @@ class Searcher:
             raise RuntimeError(f"index at {index_dir} is not committed")
         self.manifest = manifest
         st = manifest["stats"]
-        self.stats = BM25Stats.load(
+        # Lazy stats: df/cf resolved per query term by row-group-pruned
+        # reads — the vocabulary is NEVER materialized on the driver
+        self.stats = LazyBM25Stats(
             str(self.index_dir / "global_stats.parquet"), st["N"], st["avgdl"]
         )
         # per-field norm caches for extra analyzed fields (per-field avgdl)
@@ -99,6 +105,35 @@ class Searcher:
                 sorted(p for ps in seg_by_shard.values() for p in ps)
             )
 
+    # -- distributed term-dictionary operations ---------------------------
+    def _scatter(self, method: str, *args):
+        """Call an IndexShard method on every actor, gather the results."""
+        if self.use_ray:
+            import ray
+
+            return ray.get([getattr(a, method).remote(*args) for a in self.actors])
+        return [getattr(a, method)(*args) for a in self.actors]
+
+    def _rewrite(self, node):
+        """Distributed Query.rewrite: multi-term leaves expand SHARD-SIDE
+        against each shard's local vocabulary; the driver unions matches
+        per leaf (sorted, capped at MAX_EXPANSIONS — identical to the old
+        global-dictionary scan, since shard vocabularies partition it)."""
+        if node is None:
+            return None
+        leaves = multi_term_nodes(node)
+        if not leaves:
+            return node
+        specs = sorted({node_key(n) for n in leaves})
+        parts = self._scatter("expand_nodes", specs)
+        merged: dict[tuple, list[str]] = {}
+        for spec in specs:
+            s: set[str] = set()
+            for p in parts:
+                s.update(p[spec])
+            merged[spec] = sorted(s)[:MAX_EXPANSIONS]
+        return rewrite_with(node, lambda n: merged[node_key(n)])
+
     # -- spellcheck --------------------------------------------------------
     def spellcheck(self, word: str, max_suggestions: int = 5, max_edits: int = 2):
         """Did-you-mean suggestions (solr/core/.../handler/component/
@@ -106,57 +141,39 @@ class Searcher:
         dictionary terms within `max_edits`, ranked by (edit distance asc,
         df desc, term asc).  An exact dictionary hit returns [].
 
-        Vectorized: after DirectSpellChecker's length-band prefilter, ONE
-        matrix Levenshtein DP runs over all candidate terms at once
-        (columns loop over term/word chars — never over the vocabulary)."""
+        Distributed: each shard runs the vectorized matrix-Levenshtein DP
+        over its LOCAL vocabulary (`search/spell.py`); the driver merges by
+        summing per-shard dfs (dist is a pure string function, identical
+        everywhere) — the vocabulary never materializes on the driver."""
         w = word.lower()
         if self.stats.df(w) > 0:
             return []
-        strs = self.stats.terms.astype(str)
-        lens = np.char.str_len(strs)
-        mask = (np.char.find(strs, ":") < 0) & (np.abs(lens - len(w)) <= max_edits)
-        cand, clens = strs[mask], lens[mask].astype(np.int64)
-        dfs = np.asarray(self.stats.dfs)[mask]
-        if cand.size == 0:
-            return []
-        n, lw = cand.size, len(w)
-        lmax = int(clens.max())
-        # char matrix via one utf-32 decode + segmented scatter
-        flat = np.frombuffer("".join(cand).encode("utf-32-le"), dtype=np.uint32)
-        offs = np.zeros(n, dtype=np.int64)
-        np.cumsum(clens[:-1], out=offs[1:])
-        M = np.zeros((n, lmax), dtype=np.uint32)
-        rows = np.repeat(np.arange(n), clens)
-        cols = np.arange(flat.size) - np.repeat(offs, clens)
-        M[rows, cols] = flat
-        wc = np.frombuffer(w.encode("utf-32-le"), dtype=np.uint32)
-        prev = np.tile(np.arange(lw + 1, dtype=np.int32), (n, 1))
-        dist = np.full(n, np.iinfo(np.int32).max, dtype=np.int32)
-        for j in range(1, lmax + 1):
-            cur = np.empty_like(prev)
-            cur[:, 0] = j
-            cj = M[:, j - 1]
-            for k in range(1, lw + 1):
-                sub = prev[:, k - 1] + (cj != wc[k - 1])
-                cur[:, k] = np.minimum(np.minimum(prev[:, k] + 1, cur[:, k - 1] + 1), sub)
-            fin = clens == j
-            dist[fin] = cur[fin, lw]
-            prev = cur
-        keep = np.flatnonzero((dist >= 1) & (dist <= max_edits))
-        out = sorted((int(dist[i]), -int(dfs[i]), str(cand[i])) for i in keep)
+        agg: dict[str, list[int]] = {}
+        for part in self._scatter("spellcheck_partial", w, max_edits):
+            for term, df, dist in part:
+                if term in agg:
+                    agg[term][0] += df
+                else:
+                    agg[term] = [df, dist]
+        out = sorted((d, -df, t) for t, (df, d) in agg.items())
         return [(t, -negdf, d) for d, negdf, t in out[:max_suggestions]]
 
     # -- terms / facets over the index ------------------------------------
     def terms(self, prefix: str = "", limit: int = 10) -> list[tuple[str, int]]:
         """/terms handler (solr/core/.../handler/component/TermsComponent.java):
-        dictionary terms with df, prefix-filtered via binary search over the
-        sorted global term dictionary, ranked (df desc, term asc)."""
-        lo = int(np.searchsorted(self.stats.terms, prefix))
-        hi = int(np.searchsorted(self.stats.terms, prefix + "￿")) if prefix else len(self.stats.terms)
-        sl_terms = self.stats.terms[lo:hi]
-        sl_dfs = self.stats.dfs[lo:hi]
-        order = np.lexsort((sl_terms, -sl_dfs))[:limit]
-        return [(str(sl_terms[i]), int(sl_dfs[i])) for i in order]
+        dictionary terms with df, ranked (df desc, term asc) — the
+        distributed TermsComponent merge: per-shard (term, df) partials in
+        the prefix range, dfs summed on the driver (exact: a term's global
+        df is the sum of its shard dfs)."""
+        parts = self._scatter("terms_partial", prefix)
+        frames = [
+            pd.DataFrame({"term": t.astype(str), "df": d}) for t, d in parts if t.size
+        ]
+        if not frames:
+            return []
+        g = pd.concat(frames).groupby("term", as_index=False)["df"].sum()
+        g = g.sort_values(["df", "term"], ascending=[False, True], kind="mergesort").head(limit)
+        return [(str(t), int(d)) for t, d in zip(g["term"], g["df"])]
 
     def facet_field(self, field: str, limit: int = 10) -> list[tuple[str, int]]:
         """Keyword-field facet straight from the term dictionary (the
@@ -206,7 +223,7 @@ class Searcher:
         node = parse_query(query)
         if node is None:
             return []
-        node = rewrite(node, self.stats.terms)
+        node = self._rewrite(node)
         idfs = self.stats.idfs(node.all_terms())
         if not hasattr(self, "_tombstones"):
             self._tombstones = self._load_tombstones()
@@ -242,7 +259,7 @@ class Searcher:
         node = parse_query(query)
         if node is None:
             return []
-        node = rewrite(node, self.stats.terms)
+        node = self._rewrite(node)
         idfs = self.stats.idfs(node.all_terms())
         if self.use_ray:
             import ray
@@ -300,7 +317,7 @@ class Searcher:
         node = parse_query(query)
         if node is None:
             return 0
-        node = rewrite(node, self.stats.terms)
+        node = self._rewrite(node)
         idfs = self.stats.idfs(node.all_terms())
         if self.use_ray:
             import ray
@@ -365,7 +382,7 @@ class Searcher:
         queries)."""
         # multi-term (prefix/wildcard/fuzzy) expansion against the sorted
         # global term dictionary (Query.rewrite step, SURVEY.md §3.2)
-        node = rewrite(node, self.stats.terms)
+        node = self._rewrite(node)
         if node is None:
             return []
         idfs = self._term_weights(node.all_terms(), similarity)
@@ -400,7 +417,7 @@ class Searcher:
         node = parse_query(query)
         if node is None:
             return None
-        node = rewrite(node, self.stats.terms)
+        node = self._rewrite(node)
         idfs = self._term_weights(node.all_terms(), similarity)
         if self.use_ray:
             import ray
