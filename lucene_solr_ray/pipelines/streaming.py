@@ -130,8 +130,6 @@ def ttl_compact(sf_dir: str):
     import hashlib as _h
     import shutil as _sh
 
-    import pyarrow.parquet as _pq
-
     cutoff = np.datetime64(TTL_CUTOFF, "us").astype("int64")
     out_dir = f"/tmp/lsr_ttl_{_h.sha1(sf_dir.encode()).hexdigest()[:8]}"
     _sh.rmtree(out_dir, ignore_errors=True)
@@ -143,13 +141,24 @@ def ttl_compact(sf_dir: str):
         live, batch_format="pandas"
     )
     ds.write_parquet(out_dir)  # the compacted partition set
-    import glob as _g
+    import ray.data as rd
 
-    t = pd.concat(
-        [_pq.read_table(f).to_pandas() for f in sorted(_g.glob(f"{out_dir}/*.parquet"))],
-        ignore_index=True,
+    from .common import merge_partials
+
+    # Survivor counts via per-batch partials over the written files — only
+    # (event_type, n) rows reach the driver, never the compacted data.
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch[["event_type"]].copy()
+        g["n_live"] = 1
+        return g.groupby("event_type", as_index=False).sum()
+
+    out = merge_partials(
+        rd.read_parquet(out_dir, columns=["event_type"]).map_batches(
+            count_partial, batch_format="pandas"
+        ),
+        ["event_type"],
+        {"n_live": "sum"},
     )
-    out = t.groupby("event_type", as_index=False).agg(n_live=("event_id", "size"))
     out["n_live"] = out["n_live"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
 

@@ -693,10 +693,23 @@ def synonym_phrase_match(sf_dir: str):
             self.token = re.compile(TOKEN_RE)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            # vectorized candidate prefilter: a doc lacking any rule input
+            # token can't match — the per-stream graph filter (inherently
+            # sequential) only ever sees candidate docs
+            texts = batch["text"].str.lower()
+            cand = texts.str.contains(SYN_IN[0], regex=False)
+            for w in SYN_IN[1:]:
+                cand &= texts.str.contains(w, regex=False)
+            if not cand.any():
+                return pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64"), "n_syn": pd.Series([], dtype="int64")}
+                )
+            sub_ids = batch["doc_id"].to_numpy()[cand.to_numpy()]
+            tok_lists = texts[cand].str.findall(self.token)  # vectorized tokenize
             ids, ns = [], []
-            for doc_id, text in zip(batch["doc_id"], batch["text"]):
-                toks = [(t, i, 1) for i, t in enumerate(self.token.findall(text.lower()))]
-                n = sum(1 for t, _, _ in self.f(toks) if t == SYN_OUT)
+            for doc_id, toks in zip(sub_ids, tok_lists):
+                stream = [(t, i, 1) for i, t in enumerate(toks)]
+                n = sum(1 for t, _, _ in self.f(stream) if t == SYN_OUT)
                 if n:
                     ids.append(doc_id)
                     ns.append(n)

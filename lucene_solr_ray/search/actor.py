@@ -106,9 +106,33 @@ class IndexShard:
         self._result_cache = LRUCache(max_items=1024)
         self._prune_candidates = 0
         self._prune_survivors = 0
+        # per-shard tombstones (live-docs bitset analog): masked ONCE at
+        # posting decode, so every read path sees only live docs and the
+        # driver never over-fetches k + |deletes|
+        self._dead = np.empty(0, dtype=np.int64)
 
     def ping(self) -> bool:
         return True
+
+    # -- tombstones (per-shard live docs) ---------------------------------
+    def set_tombstones(self, dead: np.ndarray) -> None:
+        """Install the deleted-doc set (sorted at install).  Decoded-posting
+        and result caches are invalidated: postings are masked at decode, so
+        the per-query cost of deletes is ZERO regardless of tombstone count
+        (the Lucene live-docs-bitset shape, lucene/core/.../codecs/lucene50/
+        Lucene50LiveDocsFormat.java)."""
+        self._dead = np.sort(np.asarray(dead, dtype=np.int64))
+        self._cache.clear()
+        self._result_cache.clear()
+
+    def _live_mask(self, docs: np.ndarray) -> np.ndarray | None:
+        """Boolean live mask via binary search on the sorted dead set, or
+        None when nothing is masked."""
+        if not self._dead.size or not docs.size:
+            return None
+        i = np.minimum(np.searchsorted(self._dead, docs), self._dead.size - 1)
+        live = self._dead[i] != docs
+        return None if live.all() else live
 
     # -- shard-local term dictionary (the per-shard term dict of the
     # reference: prefix/fuzzy expansion, /terms and spellcheck run HERE and
@@ -198,8 +222,15 @@ class IndexShard:
         docs = np.concatenate(docs_l)
         freqs = np.concatenate(freqs_l)
         norms = np.concatenate(norms_l)
+        positions = (np.concatenate(pos_l) if pos_l else _EMPTY_I64) if with_positions else None
+        # tombstone mask applied ONCE at decode — cached postings are
+        # already live-only, so deletes cost nothing per query
+        live = self._live_mask(docs)
+        if live is not None:
+            if positions is not None:
+                positions = positions[np.repeat(live, freqs)]
+            docs, freqs, norms = docs[live], freqs[live], norms[live]
         if with_positions:
-            positions = np.concatenate(pos_l) if pos_l else _EMPTY_I64
             starts = np.zeros(freqs.size, dtype=np.int64)
             np.cumsum(freqs[:-1], out=starts[1:])
             out = (docs, freqs, norms, positions, starts)
@@ -480,7 +511,11 @@ class IndexShard:
     def _eval_unboosted(self, node: QueryNode, idfs: dict[str, float], sim: str = "bm25"):
         if node.kind == "match_all":
             fd, _ = self._load_docmap()  # every doc in this actor's range
-            return fd.astype(np.int64), np.ones(fd.size, dtype=np.float64)
+            docs = fd.astype(np.int64)
+            live = self._live_mask(docs)
+            if live is not None:
+                docs = docs[live]
+            return docs, np.ones(docs.size, dtype=np.float64)
         if node.kind == "term":
             return self._score_term(node.terms[0], idfs, sim)
         if node.kind == "phrase":

@@ -104,6 +104,10 @@ class Searcher:
             self.actors[0].set_docmap_paths(
                 sorted(p for ps in seg_by_shard.values() for p in ps)
             )
+        # install persisted tombstones actor-side (masked once at decode)
+        self._tombstones = self._load_tombstones()
+        if self._tombstones.size:
+            self._push_tombstones()
 
     # -- distributed term-dictionary operations ---------------------------
     def _scatter(self, method: str, *args):
@@ -225,17 +229,9 @@ class Searcher:
             return []
         node = self._rewrite(node)
         idfs = self.stats.idfs(node.all_terms())
-        if not hasattr(self, "_tombstones"):
-            self._tombstones = self._load_tombstones()
-        dead = self._tombstones
-        if self.use_ray:
-            import ray
-
-            parts = ray.get(
-                [a.match_parents.remote(node, idfs, score_mode, "bm25", dead) for a in self.actors]
-            )
-        else:
-            parts = [a.match_parents(node, idfs, score_mode, "bm25", dead) for a in self.actors]
+        # tombstones are masked actor-side at posting decode — no dead set
+        # ships with the query
+        parts = self._scatter("match_parents", node, idfs, score_mode, "bm25")
         pconvs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, object)
         pscores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float32)
         if pconvs.size == 0:
@@ -261,15 +257,9 @@ class Searcher:
             return []
         node = self._rewrite(node)
         idfs = self.stats.idfs(node.all_terms())
-        if self.use_ray:
-            import ray
-
-            parts = ray.get([a.match_all.remote(node, idfs) for a in self.actors])
-        else:
-            parts = [a.match_all(node, idfs) for a in self.actors]
+        parts = self._scatter("match_all", node, idfs)
         docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]).astype(np.float32) if parts else np.empty(0, np.float32)
-        docs, scores = self._mask_deleted(docs, scores)
         if docs.size == 0:
             return []
         convs = self._conv_of(docs)
@@ -281,26 +271,66 @@ class Searcher:
         return [(int(docs[i]), float(scores[i])) for i in keep]
 
     # -- deletes (live-docs) ----------------------------------------------
-    def _mask_deleted(self, docs: np.ndarray, scores: np.ndarray):
-        """Apply the tombstone set to a (docs, scores) match list — every
-        read path (search, block join, diversified top-k) must mask deletes
-        the same way the live-docs bitset does."""
-        if not hasattr(self, "_tombstones"):
-            self._tombstones = self._load_tombstones()
-        dead = self._tombstones
-        if dead.size and docs.size:
-            live = ~np.isin(docs, dead)
-            return docs[live], scores[live]
-        return docs, scores
+    # Tombstones persist as PER-SHARD files (tombstones/shard=NNNNN.parquet,
+    # the per-segment live-docs layout) and are installed actor-side once:
+    # each actor masks its decoded postings, so queries never over-fetch and
+    # the dead set never rides along with a query.
 
-    def _tombstone_path(self) -> Path:
+    def _tombstone_dir(self) -> Path:
+        return self.index_dir / "tombstones"
+
+    def _legacy_tombstone_path(self) -> Path:
         return self.index_dir / "tombstones.parquet"
 
     def _load_tombstones(self) -> np.ndarray:
-        p = self._tombstone_path()
+        d = self._tombstone_dir()
+        if d.is_dir():
+            files = sorted(d.glob("shard=*.parquet"))
+            if not files:
+                return np.empty(0, dtype=np.int64)
+            parts = [pq.read_table(f).column("doc_id").to_numpy().astype(np.int64) for f in files]
+            return np.sort(np.concatenate(parts))
+        p = self._legacy_tombstone_path()
         if not p.exists():
             return np.empty(0, dtype=np.int64)
         return np.sort(pq.read_table(p).column("doc_id").to_numpy().astype(np.int64))
+
+    def _shard_ranges(self) -> list[tuple[int, int, int]]:
+        """[(shard_id, doc_lo, doc_hi)] from the manifest."""
+        out = []
+        for sid, sh in self.manifest["shards"].items():
+            out.append((int(sid), int(sh["doc_lo"]), int(sh["doc_hi"])))
+        return sorted(out)
+
+    def _write_tombstones(self, merged: np.ndarray) -> None:
+        """Atomic per-shard tombstone files, split by shard doc ranges."""
+        import os
+        import shutil
+
+        d = self._tombstone_dir()
+        tmp = d.with_suffix(".tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        tmp.mkdir(parents=True)
+        for sid, lo, hi in self._shard_ranges():
+            sub = merged[(merged >= lo) & (merged < hi)]
+            if sub.size:
+                pq.write_table(
+                    pa.table({"doc_id": pa.array(sub)}), tmp / f"shard={sid:05d}.parquet"
+                )
+        shutil.rmtree(d, ignore_errors=True)
+        os.replace(tmp, d)
+        self._legacy_tombstone_path().unlink(missing_ok=True)
+
+    def _push_tombstones(self) -> None:
+        """Install the dead set on every actor (each masks at decode)."""
+        dead = self._tombstones
+        if self.use_ray:
+            import ray
+
+            ray.get([a.set_tombstones.remote(dead) for a in self.actors])
+        else:
+            for a in self.actors:
+                a.set_tombstones(dead)
 
     def delete_by_query(self, query: str) -> int:
         """Mark matching docs deleted (live-docs bitset analog: deletes are
@@ -312,19 +342,12 @@ class Searcher:
         Matching doc ids come straight from the shards' match_all (docID
         arrays only — never the scored top-k path, no driver-side sort of
         every hit)."""
-        import os
-
         node = parse_query(query)
         if node is None:
             return 0
         node = self._rewrite(node)
         idfs = self.stats.idfs(node.all_terms())
-        if self.use_ray:
-            import ray
-
-            parts = ray.get([a.match_all.remote(node, idfs) for a in self.actors])
-        else:
-            parts = [a.match_all(node, idfs) for a in self.actors]
+        parts = self._scatter("match_all", node, idfs)
         new = (
             np.unique(np.concatenate([p[0] for p in parts]))
             if parts
@@ -332,15 +355,18 @@ class Searcher:
         )
         old = self._load_tombstones()
         merged = np.union1d(old, new)
-        tmp = self._tombstone_path().with_suffix(".tmp")
-        pq.write_table(pa.table({"doc_id": pa.array(merged)}), tmp)
-        os.replace(tmp, self._tombstone_path())
+        self._write_tombstones(merged)
         self._tombstones = merged
+        self._push_tombstones()
         return int(merged.size - old.size)
 
     def clear_deletes(self) -> None:
-        self._tombstone_path().unlink(missing_ok=True)
+        import shutil
+
+        shutil.rmtree(self._tombstone_dir(), ignore_errors=True)
+        self._legacy_tombstone_path().unlink(missing_ok=True)
         self._tombstones = np.empty(0, dtype=np.int64)
+        self._push_tombstones()
 
     def close(self) -> None:
         """Release the actor pool (each actor holds a CPU slot while the
@@ -386,24 +412,18 @@ class Searcher:
         if node is None:
             return []
         idfs = self._term_weights(node.all_terms(), similarity)
-        if not hasattr(self, "_tombstones"):
-            self._tombstones = self._load_tombstones()
-        dead = self._tombstones
-        # over-fetch per shard when deletes exist so the merge still fills k
-        k_shard = k + dead.size if dead.size else k
+        # tombstones masked at decode actor-side: no over-fetch needed —
+        # shard top-k is already live-only
         if self.use_ray:
             import ray
 
             parts = ray.get(
-                [a.top_k.remote(node, k_shard, idfs, prune, similarity) for a in self.actors]
+                [a.top_k.remote(node, k, idfs, prune, similarity) for a in self.actors]
             )
         else:
-            parts = [a.top_k(node, k_shard, idfs, prune, similarity) for a in self.actors]
+            parts = [a.top_k(node, k, idfs, prune, similarity) for a in self.actors]
         docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float32)
-        if dead.size and docs.size:
-            live = ~np.isin(docs, dead)
-            docs, scores = docs[live], scores[live]
         if docs.size == 0:
             return []
         order = np.lexsort((docs, -scores))[:k]

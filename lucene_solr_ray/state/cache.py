@@ -38,6 +38,9 @@ class LRUCache:
         while len(self._d) > self.max_items:
             self._d.popitem(last=False)
 
+    def clear(self) -> None:
+        self._d.clear()
+
     def __contains__(self, key: Hashable) -> bool:
         return key in self._d
 
