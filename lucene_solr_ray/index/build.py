@@ -577,13 +577,36 @@ def build_index(
             and len(old_inputs) < len(new_inputs)
             and new_inputs[: len(old_inputs)] == old_inputs
         ):
-            first_dirty_shard = len(old_inputs) // files_per_shard
+            # shard plan: keep the longest prefix of SEALED groups (file
+            # count a multiple of files_per_shard — plain full shards and
+            # compacted super-shards both qualify); regroup the unsealed
+            # tail together with the appended files
+            old_plan = cfg.get("shard_plan") or [
+                list(range(i, min(i + files_per_shard, len(old_inputs))))
+                for i in range(0, len(old_inputs), files_per_shard)
+            ]
+            kept: list[list[int]] = []
+            for g in old_plan:
+                if len(g) % files_per_shard != 0:
+                    break
+                kept.append(list(g))
+            pool_start = sum(len(g) for g in kept)
+            new_plan = kept + [
+                list(range(i, min(i + files_per_shard, len(specs))))
+                for i in range(pool_start, len(specs), files_per_shard)
+            ]
+            first_dirty_shard = len(kept)
             with manifest._lock:
                 for sid in list(manifest.data["shards"]):
                     if int(sid) >= first_dirty_shard:
                         del manifest.data["shards"][sid]
                 manifest.data["config"].update(
-                    {"fingerprint": fp, "inputs": new_inputs, "n_files": len(specs)}
+                    {
+                        "fingerprint": fp,
+                        "inputs": new_inputs,
+                        "n_files": len(specs),
+                        "shard_plan": new_plan,
+                    }
                 )
                 manifest.data["status"] = "building"
             manifest.save()
@@ -603,6 +626,10 @@ def build_index(
             "analyzer_id": analyzer_id,
             "analyzed_fields": list(analyzed_fields),
             "keyword_fields": list(keyword_fields),
+            "shard_plan": [
+                list(range(i, min(i + files_per_shard, len(specs))))
+                for i in range(0, len(specs), files_per_shard)
+            ],
         }
     if manifest.committed:
         return manifest
@@ -611,8 +638,12 @@ def build_index(
     manifest.data["config"]["hot_terms"] = hot_terms
     manifest.save()
 
-    shards = [specs[i : i + files_per_shard] for i in range(0, len(specs), files_per_shard)]
-    (index_dir / "shards").mkdir(parents=True, exist_ok=True)
+    # shard grouping follows the manifest's shard plan (kept stable across
+    # append rounds and rewritten by compaction)
+    plan = manifest.data["config"]["shard_plan"]
+    shards = [[specs[pid] for pid in group] for group in plan]
+    shards_root = index_dir / manifest.data["config"].get("shards_dir", "shards")
+    shards_root.mkdir(parents=True, exist_ok=True)
     (index_dir / "segments").mkdir(parents=True, exist_ok=True)
     done_count = 0
 
@@ -685,8 +716,8 @@ def build_index(
     def build_shard(shard_id: int) -> None:
         shard = shards[shard_id]
         t0 = time.monotonic()
-        shard_dir = index_dir / "shards" / f"shard={shard_id:05d}"
-        tmp_dir = index_dir / "shards" / f".shard={shard_id:05d}.tmp"
+        shard_dir = shards_root / f"shard={shard_id:05d}"
+        tmp_dir = shards_root / f".shard={shard_id:05d}.tmp"
         if tmp_dir.exists():
             shutil.rmtree(tmp_dir)
         tmp_dir.mkdir(parents=True)
@@ -777,7 +808,8 @@ def _finalize(
     a single output block, not the vocabulary."""
     import ray
 
-    posting_files = sorted(str(p) for p in (index_dir / "shards").glob("shard=*/*.parquet"))
+    shards_root = index_dir / manifest.data["config"].get("shards_dir", "shards")
+    posting_files = sorted(str(p) for p in shards_root.glob("shard=*/*.parquet"))
     total_rows = sum(pq.read_metadata(p).num_rows for p in posting_files)
     tmp = index_dir / ".global_stats.parquet.tmp"
     if total_rows > stats_groupby_threshold:

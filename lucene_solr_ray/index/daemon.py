@@ -26,9 +26,14 @@ def run_incremental_daemon(
     interval_s: float = 10.0,
     max_rounds: int | None = None,
     stop_when_idle_rounds: int | None = None,
+    compact_above_shards: int | None = None,
     **build_kwargs,
 ) -> list[dict]:
     """Poll `input_glob`; rebuild incrementally when new files appear.
+
+    `compact_above_shards` triggers the TieredMergePolicy-analog merge
+    (`compact.compact_index`) whenever the committed shard count exceeds it
+    — the daemon is the reference's merge-scheduler seat (SURVEY.md §3.1).
 
     Returns the per-round log: [{round, n_files, built, wall_s}].  Rounds
     with no new files are no-ops (the manifest fingerprint matches).
@@ -44,6 +49,13 @@ def run_incremental_daemon(
         if paths and len(paths) != seen:
             manifest = build_index(paths, index_dir, resume=True, **build_kwargs)
             assert manifest.committed
+            if (
+                compact_above_shards is not None
+                and len(manifest.data["shards"]) > compact_above_shards
+            ):
+                from .compact import compact_index
+
+                compact_index(index_dir, max_shards=compact_above_shards)
             seen = len(paths)
             built = True
             idle = 0

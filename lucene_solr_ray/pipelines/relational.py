@@ -298,6 +298,70 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 # --------------------------------------------------------------------------
+# §2.5 ToChildBlockJoinQuery / `{!child}` in relational form: evaluate a
+# PARENT-level predicate (orders), emit the CHILD rows (lineitems) of the
+# matching parents, each carrying its parent's value — the reference
+# propagates the parent score to every child (lucene/join/src/java/org/
+# apache/lucene/search/join/ToChildBlockJoinQuery.java).  The index-side
+# analog is `Searcher.search_children` (dueled in tests/test_blockjoin.py).
+
+CHILD_JOIN_CENTS = 35_000_000  # parent filter: urgent orders over $350k
+
+
+def child_join(sf_dir: str):
+    import ray
+
+    # parent pass: distributed filter, bounded (selective) parent set
+    def parent_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = cents(batch["o_totalprice"].to_numpy())
+        m = (batch["o_orderpriority"].to_numpy() == "1-URGENT") & (c > CHILD_JOIN_CENTS)
+        return pd.DataFrame(
+            {"o_orderkey": batch["o_orderkey"].to_numpy()[m], "parent_cents": c[m]}
+        )
+
+    parents = (
+        read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+        .map_batches(parent_partial, batch_format="pandas")
+        .to_pandas()  # bounded by predicate selectivity
+        .sort_values("o_orderkey")
+    )
+    keys = parents["o_orderkey"].to_numpy()
+    vals = parents["parent_cents"].to_numpy()
+    ref = ray.put((keys, vals))
+
+    # child pass: stream lineitem once, gather the parent value per child
+    def child_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ks, vs = ray.get(ref)
+        ok = batch["l_orderkey"].to_numpy()
+        pos = np.clip(np.searchsorted(ks, ok), 0, max(ks.size - 1, 0))
+        m = ks[pos] == ok if ks.size else np.zeros(ok.size, bool)
+        return pd.DataFrame(
+            {
+                "l_orderkey": ok[m],
+                "l_linenumber": batch["l_linenumber"].to_numpy()[m].astype(np.int64),
+                "parent_cents": vs[pos[m]],
+            }
+        )
+
+    out = (
+        read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+        .map_batches(child_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    out["parent_cents"] = out["parent_cents"].astype("int64")
+    return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+CHILD_JOIN_SQL = f"""
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(ROUND(o_totalprice*100) AS BIGINT) AS parent_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+  AND CAST(ROUND(o_totalprice*100) AS BIGINT) > {CHILD_JOIN_CENTS}
+ORDER BY l_orderkey, l_linenumber
+"""
+
+# --------------------------------------------------------------------------
 # §2.5 anti-join (MUST_NOT / ComplementStream): customers with no orders.
 
 
@@ -990,6 +1054,7 @@ PIPELINES: dict[str, Pipeline] = {
     "join_facet": Pipeline(join_facet, JOIN_FACET_SQL, "broadcast hash join + facet (HashJoinStream)"),
     "join_multi_region": Pipeline(join_multi_region, JOIN_MULTI_SQL, "multi-way dim join"),
     "semi_join": Pipeline(semi_join, SEMI_JOIN_SQL, "broadcast semi-join (JoinUtil)"),
+    "child_join": Pipeline(child_join, CHILD_JOIN_SQL, "children of matching parents w/ parent value (ToChildBlockJoinQuery / {!child})"),
     "anti_join": Pipeline(anti_join, ANTI_JOIN_SQL, "anti-join (MUST_NOT / ComplementStream)"),
     "group_topk": Pipeline(group_topk, GROUP_TOPK_SQL, "top-k docs per group (grouping collectors)"),
     "collapse_best": Pipeline(collapse_best, COLLAPSE_SQL, "field collapse (CollapsingQParserPlugin)"),

@@ -692,6 +692,36 @@ class IndexShard:
             agg = np.add.reduceat(s64, starts) / lens
         return convs[starts], agg.astype(np.float32)
 
+    def match_children(
+        self,
+        node: QueryNode,
+        idfs: dict[str, float],
+        score_mode: str = "max",
+        sim: str = "bm25",
+    ):
+        """ToChildBlockJoinQuery analog (lucene/join/src/java/org/apache/
+        lucene/search/join/ToChildBlockJoinQuery.java), SHARD-LOCAL: the
+        parent query evaluates to (conv, parent_score) exactly as
+        `match_parents`, then every LIVE child doc of a matching conv is
+        emitted carrying its parent's score (the reference propagates the
+        parent score to each child).  Conv blocks never span doc-range
+        shards, so the join is local; the driver merges (doc, score32)."""
+        pconvs, pscores = self.match_parents(node, idfs, score_mode, sim)
+        if pconvs.size == 0:
+            return _EMPTY_I64, np.empty(0, dtype=np.float32)
+        fd, fc = self._load_docmap()
+        docs = fd.astype(np.int64)
+        # vectorized conv → parent-score gather: sort parents, searchsorted
+        order = np.argsort(pconvs, kind="stable")
+        sp, ss = pconvs[order], pscores[order]
+        pos = np.minimum(np.searchsorted(sp, fc), sp.size - 1)
+        hit = sp[pos] == fc
+        docs, scores = docs[hit], ss[pos[hit]]
+        live = self._live_mask(docs)
+        if live is not None:
+            docs, scores = docs[live], scores[live]
+        return docs, scores.astype(np.float32)
+
     def top_k(self, node: QueryNode, k: int, idfs: dict[str, float], prune: bool = True, sim: str = "bm25"):
         """→ (doc_ids int64, scores float32), shard-local top-k."""
         cache_key = (repr(node), k, prune, sim)

@@ -57,7 +57,8 @@ class Searcher:
             self.norm_caches[f] = make_norm_cache(fs["avgdl"])
             self.avgdls[f] = float(fs["avgdl"])
         shard_ids = sorted(int(k) for k in manifest["shards"])
-        self.shard_dirs = [str(self.index_dir / "shards" / f"shard={sid:05d}") for sid in shard_ids]
+        shards_root = self.index_dir / manifest["config"].get("shards_dir", "shards")
+        self.shard_dirs = [str(shards_root / f"shard={sid:05d}") for sid in shard_ids]
         # docmap segments per shard (shard-local parent aggregation)
         seg_by_shard: dict[int, list[str]] = {}
         for pid, seg in manifest["segments"].items():
@@ -238,6 +239,27 @@ class Searcher:
             return []
         top = np.lexsort((pconvs, -pscores))[:k]
         return [(str(pconvs[i]), float(pscores[i])) for i in top]
+
+    def search_children(
+        self, query: str, k: int = 10, score_mode: str = "max"
+    ) -> list[tuple[int, float]]:
+        """ToChildBlockJoinQuery / `{!child}` (lucene/join/.../
+        ToChildBlockJoinQuery.java): evaluate the parent query (turns →
+        conv aggregation), return the CHILD docs of matching conversations,
+        each scored with its parent's score; rank (score desc, docID asc).
+        Shard-local join — only (doc, score) pairs reach the driver."""
+        node = parse_query(query)
+        if node is None:
+            return []
+        node = self._rewrite(node)
+        idfs = self.stats.idfs(node.all_terms())
+        parts = self._scatter("match_children", node, idfs, score_mode, "bm25")
+        docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float32)
+        if docs.size == 0:
+            return []
+        top = np.lexsort((docs, -scores))[:k]
+        return [(int(docs[i]), float(scores[i])) for i in top]
 
     def _conv_of(self, docs: np.ndarray) -> np.ndarray:
         """Vectorized docID → conv_id via the fetched docmap rows."""

@@ -76,3 +76,36 @@ def test_diversified_topk(ctx):
         for d, _ in got:
             per[convs[d]] = per.get(convs[d], 0) + 1
         assert max(per.values()) <= cap
+
+
+def _oracle_children(oracle, convs, query, k, mode):
+    """ToChild oracle: parent scores via the ToParent oracle, then every
+    child of a matching conv carries the parent score; (score desc, doc asc)."""
+    parents = dict(_oracle_parents(oracle, convs, query, 10**9, mode))
+    exp = [(d, parents[convs[d]]) for d in range(oracle.N) if convs[d] in parents]
+    exp.sort(key=lambda p: (-p[1], p[0]))
+    return exp[:k]
+
+
+@pytest.mark.parametrize("mode", ["max", "total", "avg"])
+def test_child_block_join(ctx, mode):
+    s, oracle, convs = ctx
+    for q in ["error", "bash ok", '"tool output"']:
+        got = s.search_children(q, 12, score_mode=mode)
+        exp = _oracle_children(oracle, convs, q, 12, mode)
+        assert got == exp, (q, mode, got[:3], exp[:3])
+
+
+def test_child_block_join_masks_deletes(ctx):
+    s, oracle, convs = ctx
+    s.clear_deletes()
+    before = s.search_children("error", 20)
+    assert before
+    # delete one specific child doc; it must vanish from the child list but
+    # its conv's parent score (computed from live children) may change
+    victim = before[0][0]
+    s.delete_by_query("error")  # deletes all matching children
+    after = s.search_children("error", 20)
+    assert after == []  # no live children match → no parents → no children
+    s.clear_deletes()
+    assert s.search_children("error", 20) == before
