@@ -108,15 +108,22 @@ def main() -> None:
     n_turns = sum(pq.read_metadata(p).num_rows for p in paths)
 
     # ---- headline: index build ------------------------------------------
-    print("phase: build", file=_sys.stderr, flush=True)
-    if INDEX_DIR.exists():
-        shutil.rmtree(INDEX_DIR)
-    t0 = time.monotonic()
-    manifest = build_index(
-        paths, INDEX_DIR, files_per_shard=max(1, N_FILES // 8), n_salts=4,
-        max_concurrent_shards=8, resume=False,
-    )
-    build_s = time.monotonic() - t0
+    # ≥2 reps, best-of: this sandbox shows 2-3× single-run steal-time swings
+    # (BASELINE.md), so a single capture measures the host, not the engine
+    build_reps = int(os.environ.get("LSR_BENCH_BUILD_REPS", "2"))
+    rep_secs: list[float] = []
+    manifest = None
+    for rep in range(build_reps):
+        print(f"phase: build rep {rep}", file=_sys.stderr, flush=True)
+        if INDEX_DIR.exists():
+            shutil.rmtree(INDEX_DIR)
+        t0 = time.monotonic()
+        manifest = build_index(
+            paths, INDEX_DIR, files_per_shard=max(1, N_FILES // 8), n_salts=4,
+            max_concurrent_shards=8, resume=False,
+        )
+        rep_secs.append(time.monotonic() - t0)
+    build_s = min(rep_secs)
     turns_per_s = n_turns / build_s
 
     # ---- headline: query latency over warm actors -----------------------
@@ -185,6 +192,7 @@ def main() -> None:
         "build": {
             "n_turns": n_turns,
             "build_sec": round(build_s, 3),
+            "build_reps_sec": [round(s, 3) for s in rep_secs],
             "turns_per_sec": round(turns_per_s, 1),
             "n_terms": manifest.data["stats"]["n_terms"],
             "n_docs": manifest.data["stats"]["N"],

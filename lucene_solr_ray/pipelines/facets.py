@@ -29,6 +29,13 @@ from .common import Pipeline, cents, read
 
 _BUCKET_TYPES = ("terms", "range", "query")
 
+# sentinel bucket values for the Solr JSON-facet specials: `allBuckets`
+# (one bucket aggregating every non-missing row, exempt from limit) and
+# `missing` (rows whose bucket value is NULL) — FacetField.java's
+# allBuckets/missing handling
+ALL_BUCKET = "__all__"
+MISSING_BUCKET = "__missing__"
+
 
 def _levels(spec: dict) -> list[dict]:
     """Flatten the nested spec into its bucket-level chain (one nested
@@ -78,7 +85,12 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
         keep = np.ones(len(batch), dtype=bool)
         for i, lv in enumerate(levels):
             if lv["type"] == "terms":
-                df[bucket_cols[i]] = batch[lv["field"]]
+                v = lv["derive"](batch) if "derive" in lv else batch[lv["field"]]
+                if lv.get("missing"):
+                    # NULL bucket values become the missing bucket; without
+                    # the flag pandas' groupby drops them (Solr default)
+                    v = v.fillna(MISSING_BUCKET)
+                df[bucket_cols[i]] = v
             elif lv["type"] == "range":
                 v = batch[lv["field"]].to_numpy()
                 start, end, gap = lv["start"], lv["end"], lv["gap"]
@@ -105,6 +117,14 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
         df["_n"] = 1
         for c, (op, v) in agg_cols.items():
             df[c] = v
+        # allBuckets: a synthetic bucket aggregating every NON-missing row,
+        # exempt from limit — duplicated into the combiner so sub-levels
+        # and metrics compute for it like any bucket (FacetField.java)
+        for i, lv in enumerate(levels):
+            if lv.get("all_buckets"):
+                dup = df[df[bucket_cols[i]] != MISSING_BUCKET].copy()
+                dup[bucket_cols[i]] = ALL_BUCKET
+                df = pd.concat([df, dup], ignore_index=True)
         g = df.groupby(bucket_cols, as_index=False, sort=False)
         out = g.agg(
             {
@@ -138,6 +158,15 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
 
     def order_limit(df: pd.DataFrame, li: int) -> pd.DataFrame:
         lv = levels[li]
+        # allBuckets/missing sentinels sit OUTSIDE sort+limit (Solr returns
+        # them as separate response sections); append them after the ranked
+        # buckets in a fixed order
+        sentinels = None
+        if lv.get("all_buckets") or lv.get("missing"):
+            is_sent = df[bucket_cols[li]].isin([ALL_BUCKET, MISSING_BUCKET])
+            if is_sent.any():
+                sentinels = df[is_sent].sort_values(bucket_cols[li])
+                df = df[~is_sent]
         sort = lv.get("sort", "count desc")
         key, direction = (sort.split() + ["desc"])[:2]
         asc = direction == "asc"
@@ -159,7 +188,10 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
         # Solr JSON-facet limit semantics: absent → unlimited, -1 → unlimited,
         # 0 → zero buckets (limit:0 must NOT mean "all").
         lim = lv.get("limit")
-        return df if lim is None or lim < 0 else df.head(lim)
+        df = df if lim is None or lim < 0 else df.head(lim)
+        if sentinels is not None:
+            df = pd.concat([df, sentinels])
+        return df
 
     frames: list[pd.DataFrame] = []
     selected: pd.DataFrame | None = None  # surviving path prefixes
@@ -303,11 +335,152 @@ WHERE n_urgent > 0 ORDER BY price_bucket
 """
 
 
+def json_facet_allbuckets(sf_dir: str):
+    """Terms facet with `allBuckets` + `missing` + a QUERY sub-facet nested
+    under it (FacetField.java's allBuckets/missing sections): order status
+    with 'P' nulled out (the missing bucket), limit 1 on the ranked
+    buckets, the __all__/__missing__ sentinels outside the limit, urgent
+    counts as the nested query facet, exact-cents sum metric."""
+    spec = {
+        "type": "terms",
+        "field": "o_orderstatus",
+        "derive": lambda b: b["o_orderstatus"].where(b["o_orderstatus"] != "P"),
+        "limit": 1,
+        "sort": "count desc",
+        "missing": True,
+        "all_buckets": True,
+        "key": "status",
+        "count_key": "n_status",
+        "facet": {
+            "cents": {"type": "sum", "field": "o_totalprice", "money": True},
+            "urgent": {
+                "type": "query",
+                "q_field": "o_orderpriority",
+                "predicate": lambda b: (b["o_orderpriority"] == "1-URGENT").to_numpy(),
+                "key": "is_urgent",
+                "count_key": "n_urgent",
+            },
+        },
+    }
+    out = compute_json_facet(sf_dir, "orders", spec)
+    out["cents"] = out["cents"].astype("int64")
+    cols = ["status", "n_status", "cents", "n_urgent"]
+    return out[cols].sort_values("status").reset_index(drop=True)
+
+
+JSON_FACET_ALLBUCKETS_SQL = """
+WITH base AS (
+  SELECT NULLIF(o_orderstatus, 'P') AS st,
+         CAST(ROUND(o_totalprice*100) AS BIGINT) AS c,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS urg
+  FROM orders
+),
+g AS (  -- ranked buckets + the GROUPING-SETS () row = allBuckets (non-missing)
+  SELECT CASE WHEN GROUPING(st) = 1 THEN '__all__' ELSE st END AS status,
+         CAST(COUNT(*) AS BIGINT) AS n_status,
+         CAST(SUM(c) AS BIGINT) AS cents,
+         CAST(SUM(urg) AS BIGINT) AS n_urgent
+  FROM base WHERE st IS NOT NULL
+  GROUP BY GROUPING SETS ((st), ())
+),
+keep AS (
+  SELECT * FROM g WHERE status = '__all__'
+  UNION ALL
+  SELECT * FROM (SELECT * FROM g WHERE status != '__all__')
+  QUALIFY row_number() OVER (ORDER BY n_status DESC, status) <= 1
+),
+miss AS (
+  SELECT '__missing__' AS status, CAST(COUNT(*) AS BIGINT) AS n_status,
+         CAST(SUM(c) AS BIGINT) AS cents, CAST(SUM(urg) AS BIGINT) AS n_urgent
+  FROM base WHERE st IS NULL HAVING COUNT(*) > 0
+)
+SELECT * FROM keep UNION ALL SELECT * FROM miss
+ORDER BY status
+"""
+
+
+# --------------------------------------------------------------------------
+# Two-phase distributed facet refinement (FacetComponent, SURVEY.md §2.6):
+# phase 1 collects TRUNCATED per-batch facet partials (top-(limit·K)
+# overrequest — what each Solr shard returns), merges them, and takes the
+# candidate union; phase 2 re-scans with the candidates broadcast and
+# refines EXACT counts for them (the coordinator's refinement round), then
+# cuts the final top-limit.  Exactness rests on the overrequest assumption:
+# every true top-limit bucket appears in SOME batch's truncated list
+# (tests/test_facets.py proves refinement changes the unrefined answer on a
+# skewed fixture).
+
+REFINE_LIMIT = 3
+REFINE_OVERREQUEST = 2  # per-batch lists carry limit × K buckets
+
+
+def _facet_refined_counts(ds_factory, field: str, limit: int, k: int):
+    import ray
+
+    trunc = limit * k
+
+    def phase1(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch[[field]].copy()
+        g["n"] = 1
+        g = g.groupby(field, as_index=False).sum()
+        return g.sort_values(["n", field], ascending=[False, True]).head(trunc)
+
+    parts = ds_factory().map_batches(phase1, batch_format="pandas").to_pandas()
+    merged = parts.groupby(field, as_index=False)["n"].sum()
+    unrefined = merged.sort_values(["n", field], ascending=[False, True]).head(limit)
+    cand = np.sort(parts[field].unique().astype(object))
+    cand_ref = ray.put(set(cand.tolist()))
+
+    def phase2(batch: pd.DataFrame) -> pd.DataFrame:
+        cs = ray.get(cand_ref)
+        sub = batch[batch[field].isin(cs)]
+        g = sub[[field]].copy()
+        g["n"] = 1
+        return g.groupby(field, as_index=False).sum()
+
+    refined = (
+        ds_factory()
+        .map_batches(phase2, batch_format="pandas")
+        .to_pandas()
+        .groupby(field, as_index=False)["n"]
+        .sum()
+    )
+    final = refined.sort_values(["n", field], ascending=[False, True]).head(limit)
+    return final.reset_index(drop=True), unrefined.reset_index(drop=True)
+
+
+def facet_refined(sf_dir: str):
+    from .common import read
+
+    final, _ = _facet_refined_counts(
+        lambda: read(sf_dir, "orders", ["o_orderpriority"]),
+        "o_orderpriority",
+        REFINE_LIMIT,
+        REFINE_OVERREQUEST,
+    )
+    final["n"] = final["n"].astype("int64")
+    return final
+
+
+FACET_REFINED_SQL = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderpriority
+QUALIFY row_number() OVER (ORDER BY n DESC, o_orderpriority) <= {REFINE_LIMIT}
+ORDER BY n DESC, o_orderpriority
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "json_facet_nested": Pipeline(
         json_facet_nested, JSON_FACET_NESTED_SQL, "nested JSON facet: terms×terms buckets, per-level sort/limit, sum metrics"
     ),
     "json_facet_range": Pipeline(
         json_facet_range, JSON_FACET_RANGE_SQL, "JSON facet: range×query buckets with exact-cents avg metric"
+    ),
+    "json_facet_allbuckets": Pipeline(
+        json_facet_allbuckets, JSON_FACET_ALLBUCKETS_SQL, "JSON facet allBuckets+missing sentinels with nested query facet"
+    ),
+    "facet_refined": Pipeline(
+        facet_refined, FACET_REFINED_SQL, "two-phase facet refinement: truncated per-shard partials + exact refinement round (FacetComponent)"
     ),
 }

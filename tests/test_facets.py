@@ -62,3 +62,73 @@ def test_metric_sort_and_avg(ray_session):
     got = dict(zip(out["lang"], out["avg_len"]))
     for lang, v in got.items():
         assert v == pytest.approx(docs[docs["lang"] == lang]["n_chars"].mean())
+
+
+def test_refinement_changes_unrefined_answer(ray_session):
+    """Skewed fixture where merged TRUNCATED partials rank the wrong bucket
+    first; the refinement round (exact counts over the candidate union)
+    corrects it — the FacetComponent two-phase necessity proof."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_solr_ray.pipelines.facets import _facet_refined_counts
+
+    def block(counts):
+        rows = [v for v, n in counts.items() for _ in range(n)]
+        return pd.DataFrame({"f": rows})
+
+    blocks = [
+        block({"A": 10, "X": 9}),
+        block({"B": 10, "X": 9}),
+        block({"X": 10, "C": 9}),
+    ]
+    factory = lambda: rd.from_pandas([b.copy() for b in blocks])
+    final, unrefined = _facet_refined_counts(factory, "f", limit=1, k=1)
+    # truncated phase-1 merge is WRONG (ties at 10, 'A' wins by term order)
+    assert unrefined.iloc[0]["f"] == "A" and unrefined.iloc[0]["n"] == 10
+    # the refinement round recovers the true winner with its exact count
+    assert final.iloc[0]["f"] == "X" and final.iloc[0]["n"] == 28
+
+
+def test_json_facet_allbuckets_and_missing(ray_session):
+    """allBuckets + missing sentinels: outside the limit, missing rows in
+    __missing__ only, __all__ excludes them; metrics/sub-facets computed
+    for both."""
+    import duckdb
+
+    from lucene_solr_ray.pipelines.facets import json_facet_allbuckets
+
+    out = json_facet_allbuckets(SF)
+    assert list(out["status"]).count("__all__") == 1
+    assert list(out["status"]).count("__missing__") == 1
+    con = duckdb.connect()
+    n_all, n_miss, n_top = con.execute(
+        f"""SELECT SUM(CASE WHEN o_orderstatus != 'P' THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END),
+                   (SELECT COUNT(*) FROM read_parquet('{SF}/orders.parquet')
+                    WHERE o_orderstatus != 'P'
+                    GROUP BY o_orderstatus ORDER BY COUNT(*) DESC LIMIT 1)
+            FROM read_parquet('{SF}/orders.parquet')"""
+    ).fetchone()
+    by = out.set_index("status")["n_status"]
+    assert int(by["__all__"]) == int(n_all)
+    assert int(by["__missing__"]) == int(n_miss)
+    ranked = [s for s in out["status"] if not s.startswith("__")]
+    assert len(ranked) == 1  # limit 1 applies to ranked buckets only
+    assert int(by[ranked[0]]) == int(n_top)
+
+
+def test_json_facet_limit_zero(ray_session):
+    """limit:0 yields zero ranked buckets (sentinels still appear)."""
+    from lucene_solr_ray.pipelines.facets import compute_json_facet
+
+    spec = {
+        "type": "terms",
+        "field": "o_orderstatus",
+        "limit": 0,
+        "key": "status",
+        "count_key": "n",
+        "facet": {},
+    }
+    out = compute_json_facet(SF, "orders", spec)
+    assert len(out) == 0
