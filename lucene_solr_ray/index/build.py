@@ -240,6 +240,11 @@ def invert_partition(
         if field not in table.schema.names or field in analyzed_fields:
             continue
         col = table.column(field)
+        # keyword doc-values column (SortedDocValues analog) — lets FILTER
+        # ranges choose a column scan over a postings union at query time
+        # (IndexOrDocValuesQuery, lucene/core/.../search/
+        # IndexOrDocValuesQuery.java)
+        norms_cols[f"dv_{field}"] = col
         valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
         rows = np.flatnonzero(valid)
         if rows.size:

@@ -105,6 +105,22 @@ def for_encode(values: np.ndarray) -> bytes:
     return b"".join(out)
 
 
+def _extract_packed(raw_pad: np.ndarray, bit_offsets: np.ndarray, width: int) -> np.ndarray:
+    """Vectorized bit-field extraction: for each value, gather the 8-byte
+    window containing its bits (MSB-first packbits layout), view as
+    big-endian u64, shift + mask.  One gather + one shift per value — the
+    wide-batch unpack that replaces the per-bit unpackbits matrix (≈3×
+    faster, the r2 'FOR decode 3.7× slower than varbyte' fix).  Requires
+    width ≤ 56 (so the field plus its ≤7 leading remainder bits fits one
+    64-bit window); callers fall back to unpackbits above that."""
+    byte_off = (bit_offsets >> 3).astype(np.int64)
+    rem = (bit_offsets & 7).astype(np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(raw_pad, 8)[byte_off]
+    w64 = np.ascontiguousarray(win).view(">u8")[:, 0].astype(np.uint64)
+    mask = np.uint64((1 << width) - 1)
+    return ((w64 >> (np.uint64(64 - width) - rem)) & mask).astype(np.int64)
+
+
 def for_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     """Decode: one cheap header walk collects (width, offsets, patches),
     then ALL full blocks of the same width unpack in a single vectorized
@@ -153,25 +169,41 @@ def for_decode(buf: bytes, count: int | None = None) -> np.ndarray:
         for i, (b, width, ne, ho, hl) in enumerate(exc_meta):
             exc = np.frombuffer(mv[ho - ne : ho], dtype=np.uint8).astype(np.int64)
             patches.append((b, exc, all_high[offs[i] : offs[i + 1]] << np.int64(width)))
+    raw_pad: np.ndarray | None = None  # zero-padded copy for 8-byte windows
+
+    def padded() -> np.ndarray:
+        nonlocal raw_pad
+        if raw_pad is None:
+            raw_pad = np.concatenate([raw, np.zeros(8, dtype=np.uint8)])
+        return raw_pad
+
     shifts_cache: dict[int, np.ndarray] = {}
     for width, blocks in by_width.items():
-        nbytes = (BLOCK_SIZE * width + 7) // 8
         starts = np.asarray([o for _, o in blocks], dtype=np.int64)
+        outs = np.asarray([b for b, _ in blocks], dtype=np.int64)
+        oidx = outs[:, None] + np.arange(BLOCK_SIZE, dtype=np.int64)[None, :]
+        if width <= 56:
+            bit0 = starts[:, None] * 8 + (np.arange(BLOCK_SIZE, dtype=np.int64) * width)[None, :]
+            out[oidx.ravel()] = _extract_packed(padded(), bit0.ravel(), width)
+            continue
+        nbytes = (BLOCK_SIZE * width + 7) // 8
         idx = starts[:, None] + np.arange(nbytes, dtype=np.int64)[None, :]
         bits = np.unpackbits(raw[idx.ravel()].reshape(-1, nbytes), axis=1, count=BLOCK_SIZE * width)
         bits = bits.reshape(len(blocks), BLOCK_SIZE, width).astype(np.uint64)
         shifts = shifts_cache.setdefault(width, np.arange(width - 1, -1, -1, dtype=np.uint64))
         vals = (bits << shifts[None, None, :]).sum(axis=2).astype(np.int64)
-        outs = np.asarray([b for b, _ in blocks], dtype=np.int64)
-        oidx = outs[:, None] + np.arange(BLOCK_SIZE, dtype=np.int64)[None, :]
         out[oidx.ravel()] = vals.ravel()
     if tail is not None:
         b, o, width = tail
         cnt = n - b
-        nbytes = (cnt * width + 7) // 8
-        bits = np.unpackbits(raw[o : o + nbytes], count=cnt * width).reshape(cnt, width).astype(np.uint64)
-        shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
-        out[b:] = (bits << shifts[None, :]).sum(axis=1).astype(np.int64)
+        if width <= 56:
+            bit0 = o * 8 + np.arange(cnt, dtype=np.int64) * width
+            out[b:] = _extract_packed(padded(), bit0, width)
+        else:
+            nbytes = (cnt * width + 7) // 8
+            bits = np.unpackbits(raw[o : o + nbytes], count=cnt * width).reshape(cnt, width).astype(np.uint64)
+            shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+            out[b:] = (bits << shifts[None, :]).sum(axis=1).astype(np.int64)
     for b, exc, high in patches:
         out[b + exc] |= high
     return out

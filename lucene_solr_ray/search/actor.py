@@ -524,6 +524,8 @@ class IndexShard:
             return self._score_interval(node, idfs, sim)
         if node.kind == "intervals":
             return self._score_intervals_tree(node.tree, idfs, sim)
+        if node.kind == "term_range":
+            return self._eval_term_range(node)
         if node.kind == "term_set":
             # TermInSetQuery: constant-score union of member postings
             parts = [p[0] for t in node.terms if (p := self._postings(t)) is not None]
@@ -640,6 +642,87 @@ class IndexShard:
         doc-range shards under conv-range partitioning)."""
         self._docmap_paths = list(paths)
         self._docmap = None
+
+    # -- TermRange via the IndexOrDocValues cost model ---------------------
+    # lucene/core/src/java/org/apache/lucene/search/IndexOrDocValuesQuery
+    # .java: the same predicate is answerable from the term index (union of
+    # matching postings, cost ≈ Σ df) or from the doc-values column (full
+    # column scan, cost ≈ maxDoc); pick by estimated cost.
+    RANGE_SCAN_FRACTION = 8  # index wins when Σ df ≤ maxDoc / 8
+
+    def _load_docvalues(self, field: str):
+        """(doc_id, value) doc-values column for a keyword field, loaded
+        once from the norms segments (the SortedDocValues analog)."""
+        cache = getattr(self, "_dv_cache", None)
+        if cache is None:
+            cache = self._dv_cache = {}
+        if field not in cache:
+            import pyarrow as pa
+
+            col = f"dv_{field}"
+            tables = []
+            for p in self._docmap_paths:
+                if col in pq.read_schema(p).names:
+                    tables.append(pq.read_table(p, columns=["doc_id", col]))
+            if not tables:
+                cache[field] = None
+            else:
+                t = pa.concat_tables(tables).sort_by("doc_id")
+                cache[field] = (
+                    t.column("doc_id").to_numpy(),
+                    t.column(col).to_numpy(zero_copy_only=False),
+                )
+        return cache[field]
+
+    def _range_matching_terms(self, field: str, lo: str, hi: str):
+        terms, dfs = self._term_dict()
+        i = int(np.searchsorted(terms, f"{field}:{lo}"))
+        j = int(np.searchsorted(terms, f"{field}:{hi}", side="right"))
+        return terms[i:j], dfs[i:j]
+
+    def _range_docs_index(self, field: str, lo: str, hi: str) -> np.ndarray:
+        m_terms, _ = self._range_matching_terms(field, lo, hi)
+        parts = [p[0] for t in m_terms if (p := self._postings(str(t))) is not None]
+        if not parts:
+            return _EMPTY_I64
+        return np.unique(np.concatenate(parts))
+
+    def _range_docs_scan(self, field: str, lo: str, hi: str) -> np.ndarray:
+        dv = self._load_docvalues(field)
+        if dv is None:
+            return _EMPTY_I64
+        doc_ids, vals = dv
+        import pandas as pd
+
+        valid = pd.notna(vals)  # docs without the field never match
+        sv = vals[valid].astype("U")
+        m = (sv >= lo) & (sv <= hi)
+        docs = doc_ids[valid][m].astype(np.int64)
+        live = self._live_mask(docs)
+        return docs if live is None else docs[live]
+
+    def _eval_term_range(self, node: QueryNode):
+        """Constant-score TermRangeQuery with the cost-based plan choice;
+        the chosen plan is recorded in `last_range_plan` for inspection."""
+        field, lo, hi = node.pattern, node.terms[0], node.terms[1]
+        _, m_dfs = self._range_matching_terms(field, lo, hi)
+        cost_index = int(m_dfs.sum())
+        fd, _ = self._load_docmap()
+        n_docs = int(fd.size)
+        dv_available = self._load_docvalues(field) is not None
+        use_index = (not dv_available) or cost_index * self.RANGE_SCAN_FRACTION <= n_docs
+        self.last_range_plan = {
+            "field": field,
+            "cost_index": cost_index,
+            "n_docs": n_docs,
+            "plan": "index" if use_index else "docvalues",
+        }
+        docs = (
+            self._range_docs_index(field, lo, hi)
+            if use_index
+            else self._range_docs_scan(field, lo, hi)
+        )
+        return docs, np.ones(docs.size, dtype=np.float64)
 
     def _load_docmap(self):
         if getattr(self, "_docmap", None) is None:

@@ -29,8 +29,9 @@ from dataclasses import dataclass, field
 
 from ..analysis import tokenize
 
-_CLAUSE_RE = re.compile(r'([+\-#]?)(?:"([^"]*)"(?:~(\d+))?(?:\^(\d+\.?\d*))?|(\S+))')
+_CLAUSE_RE = re.compile(r'([+\-#]?)(?:"([^"]*)"(?:~(\d+))?(?:\^(\d+\.?\d*))?|(\w+:\[[^\]]+\])|(\S+))')
 _KEYWORD_RE = re.compile(r"^(\w+):(.+)$")
+_RANGE_RE = re.compile(r"^(\w+):\[(\S+) TO (\S+)\]$")
 _FUZZY_RE = re.compile(r"^(.+?)~(\d?)$")
 _BOOST_RE = re.compile(r"^(.*?)\^(\d+\.?\d*)$")
 
@@ -168,6 +169,15 @@ def _leaf(raw: str, is_phrase: bool) -> QueryNode | None:
             # MatchAllDocsQuery (lucene/core/src/java/org/apache/lucene/
             # search/MatchAllDocsQuery.java): every live doc, score 1
             return QueryNode("match_all")
+        m = _RANGE_RE.match(raw)
+        if m:
+            # TermRangeQuery over a keyword field, inclusive bounds —
+            # executed via the IndexOrDocValues cost choice (actor-side)
+            return QueryNode(
+                "term_range",
+                pattern=m.group(1).lower(),
+                terms=[m.group(2).lower(), m.group(3).lower()],
+            )
         m = _KEYWORD_RE.match(raw)
         if m and "*" not in raw and "?" not in raw and not raw.endswith("~"):
             return QueryNode("term", terms=[raw.lower()])
@@ -196,8 +206,8 @@ def parse_query(query: str) -> QueryNode | None:
     """Parse the query string; returns None if nothing survives analysis."""
     clauses: list[tuple[str, QueryNode]] = []
     for m in _CLAUSE_RE.finditer(query):
-        sign, phrase, slop_s, phrase_boost, word = (
-            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+        sign, phrase, slop_s, phrase_boost, rng, word = (
+            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5), m.group(6),
         )
         boost = 1.0
         slop = int(slop_s) if slop_s else 0
@@ -205,6 +215,8 @@ def parse_query(query: str) -> QueryNode | None:
             raw = phrase
             if phrase_boost:
                 boost = float(phrase_boost)
+        elif rng is not None:
+            raw = rng  # bracket range (contains spaces — its own alternative)
         else:
             raw = word
             bm = _BOOST_RE.match(word)

@@ -99,7 +99,10 @@ def test_partial_tail_shard_rebuilt(ray_session, corpus_dirs):
     all4 = [f"{SRC}/part-{k:05d}.parquet" for k in range(4)]
     m2 = build_index(all4, idx, files_per_shard=2)
     assert m2.data["shards"]["0"]["wall_s"] == w0  # shard0 kept
-    assert m2.data["shards"]["1"]["wall_s"] != m1.data["shards"]["1"]["wall_s"]  # rebuilt
+    # shard1 was rebuilt to absorb the new file: its pid coverage grew
+    # (wall_s comparison is flaky when both builds are warm+fast)
+    assert m1.data["shards"]["1"]["pids"] == [2]
+    assert m2.data["shards"]["1"]["pids"] == [2, 3]
     # matches scratch build
     m3 = build_index(all4, "/tmp/lsr_incr_tail_full", files_per_shard=2, resume=False)
     assert m3.data["stats"] == m2.data["stats"]
