@@ -32,44 +32,39 @@ __all__ = ["for_encode", "for_decode"]
 MAX_EXCEPTIONS = 7  # PForUtil.MAX_EXCEPTIONS
 
 
-def _choose_width(vals: np.ndarray) -> tuple[int, np.ndarray]:
-    """PFOR width selection: the smallest width such that at most
-    MAX_EXCEPTIONS values overflow it AND patching saves bytes vs plain
-    FOR.  → (width, exception_positions)."""
-    mx = int(vals.max()) if vals.size else 0
-    full = mx.bit_length()
-    if full == 0:
-        return 0, np.empty(0, dtype=np.int64)
-    bl = np.zeros(vals.size, dtype=np.int64)
-    nz = vals > 0
-    if nz.any():
-        bl[nz] = np.floor(np.log2(vals[nz].astype(np.float64))).astype(np.int64) + 1
-    best_w, best_cost, best_exc = full, (vals.size * full + 7) // 8, np.empty(0, dtype=np.int64)
-    for w in range(full - 1, 0, -1):
-        exc = np.flatnonzero(bl > w)
-        if exc.size > MAX_EXCEPTIONS:
-            break
-        high = (vals[exc] >> np.uint64(w)).astype(np.int64)
-        cost = (vals.size * w + 7) // 8 + exc.size + int(varbyte_lengths(high).sum() if exc.size else 0)
-        if cost < best_cost:
-            best_w, best_cost, best_exc = w, cost, exc
-    return best_w, best_exc
+def _choose_widths(bl: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Vectorized PFOR width selection over ALL blocks at once.
 
+    For a block whose bit-lengths sorted descending are s[0] ≥ s[1] ≥ …,
+    the only widths worth considering are w = s[k] for k = 0..7: choosing
+    k exceptions, the cheapest feasible width is exactly the (k+1)-th
+    largest bit length (packing cost rises with w, so never pick a wider
+    w for the same exception set).  Cost per candidate =
+    packed bytes + k positions + varbyte bytes of the k high parts, and
+    the high-part length is ceil((s_i − w)/7) — computable from the
+    bit-lengths alone.  8 vectorized passes replace the per-block
+    per-width Python search (the r3 'FOR encode 2.2× slower' fix).
 
-def _pack_block(vals: np.ndarray) -> bytes:
-    """Pack one block (≤ BLOCK_SIZE values), PFOR-patching outliers."""
-    width, exc = _choose_width(vals)
-    if width == 0:
-        return bytes([0, 0, 0])
-    high = (vals[exc] >> np.uint64(width)).astype(np.int64)
-    low = vals.copy()
-    if exc.size:
-        low[exc] = vals[exc] & np.uint64((1 << width) - 1)
-    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
-    bits = ((low[:, None].astype(np.uint64) >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
-    high_b = varbyte_encode(high) if exc.size else b""
-    head = bytes([width, exc.size, len(high_b)]) + bytes(exc.astype(np.uint8).tobytes()) + high_b
-    return head + np.packbits(bits.ravel()).tobytes()
+    bl: (n_blocks, BLOCK_SIZE) bit lengths (padding rows are 0);
+    cnt: (n_blocks,) true value counts.  → chosen width per block."""
+    k8 = MAX_EXCEPTIONS + 1
+    top8 = np.partition(bl, bl.shape[1] - k8, axis=1)[:, -k8:]  # O(n) select
+    srt = np.sort(top8, axis=1)[:, ::-1]  # (n_blocks, 8) descending
+    best_w = srt[:, 0].copy()  # k=0 → full width (0 for all-zero blocks)
+    best_cost = (cnt * best_w + 7) // 8
+    t7 = srt[:, :MAX_EXCEPTIONS]
+    for k in range(1, k8):
+        w = np.maximum(srt[:, k], 1)
+        # feasible iff the 8th-largest fits → all exceptions are in the top 7
+        feas = srt[:, MAX_EXCEPTIONS] <= w
+        exc = t7 > w[:, None]
+        n_exc = exc.sum(axis=1)
+        hi_bytes = (np.where(exc, t7 - w[:, None] + 6, 0) // 7).sum(axis=1)
+        cost = (cnt * w + 7) // 8 + n_exc + hi_bytes
+        ok = feas & (cost < best_cost) & (srt[:, 0] > 0)
+        best_w = np.where(ok, w, best_w)
+        best_cost = np.where(ok, cost, best_cost)
+    return best_w.astype(np.int64)
 
 
 def _unpack_block(buf: memoryview, off: int, n: int) -> tuple[np.ndarray, int]:
@@ -95,13 +90,79 @@ def _unpack_block(buf: memoryview, off: int, n: int) -> tuple[np.ndarray, int]:
 
 
 def for_encode(values: np.ndarray) -> bytes:
-    """Encode a non-negative int array in PFOR-patched 128-value blocks."""
+    """Encode a non-negative int array in PFOR-patched 128-value blocks.
+
+    Fully vectorized: width choice for every block at once
+    (`_choose_widths`), low bits packed with ONE `np.packbits` per
+    distinct width (same-width full blocks share a row matrix), exception
+    high parts varbyte-encoded in ONE batched call; the only per-block
+    Python is the final byte-slice assembly."""
     v = np.asarray(values, dtype=np.int64)
     if (v < 0).any():
         raise ValueError("FOR codec requires non-negative values")
-    out = [varbyte_encode(np.asarray([v.size], dtype=np.int64))]
-    for b in range(0, v.size, BLOCK_SIZE):
-        out.append(_pack_block(v[b : b + BLOCK_SIZE].astype(np.uint64)))
+    hdr = varbyte_encode(np.asarray([v.size], dtype=np.int64))
+    if v.size == 0:
+        return hdr
+    n_blocks = (v.size + BLOCK_SIZE - 1) // BLOCK_SIZE
+    pad = n_blocks * BLOCK_SIZE - v.size
+    vp = np.concatenate([v, np.zeros(pad, dtype=np.int64)]).reshape(n_blocks, BLOCK_SIZE).astype(np.uint64)
+    cnt = np.full(n_blocks, BLOCK_SIZE, dtype=np.int64)
+    cnt[-1] = v.size - (n_blocks - 1) * BLOCK_SIZE
+    bl = np.zeros((n_blocks, BLOCK_SIZE), dtype=np.int64)
+    nz = vp > 0
+    if nz.any():
+        bl[nz] = np.floor(np.log2(vp[nz].astype(np.float64))).astype(np.int64) + 1
+    widths = _choose_widths(bl, cnt)
+
+    # exceptions, all blocks at once: positions + one batched varbyte of highs
+    exc_mask = bl > widths[:, None]
+    exc_bi, exc_pos = np.nonzero(exc_mask)
+    n_exc = exc_mask.sum(axis=1).astype(np.int64)
+    if exc_bi.size:
+        highs = (vp[exc_bi, exc_pos] >> widths[exc_bi].astype(np.uint64)).astype(np.int64)
+        hi_lens = varbyte_lengths(highs)
+        hi_all = varbyte_encode(highs)
+        hi_seg = np.zeros(exc_bi.size + 1, dtype=np.int64)  # per-VALUE byte offsets
+        np.cumsum(hi_lens, out=hi_seg[1:])
+        exc_off = np.zeros(n_blocks + 1, dtype=np.int64)  # per-BLOCK value offsets
+        np.cumsum(n_exc, out=exc_off[1:])
+        exc_pos_u8 = exc_pos.astype(np.uint8)
+    else:
+        hi_all, hi_seg, exc_off, exc_pos_u8 = b"", np.zeros(1, np.int64), np.zeros(n_blocks + 1, np.int64), None
+
+    # pack low bits: one packbits per distinct width; full AND tail blocks
+    # share the padded (m, BLOCK_SIZE) matrix — a tail's trailing pad values
+    # are 0, so truncating its row to ceil(cnt·w/8) bytes is exact
+    packed: dict[int, np.ndarray] = {}
+    rowof = np.zeros(n_blocks, dtype=np.int64)
+    for w in np.unique(widths):
+        w = int(w)
+        if w == 0:
+            continue
+        sel = np.flatnonzero(widths == w)
+        rowof[sel] = np.arange(sel.size)
+        low = (vp[sel] & np.uint64((1 << w) - 1)).astype(">u8")  # mask is a Python int: safe at w=64
+        # big-endian byte view + one unpackbits pass, then keep the low w
+        # bits per value — avoids the (m,128,w) uint64 shift intermediate
+        u8 = low.view(np.uint8).reshape(sel.size, -1)
+        bits = np.unpackbits(u8, axis=1).reshape(sel.size, BLOCK_SIZE, 64)[:, :, 64 - w :]
+        packed[w] = np.packbits(np.ascontiguousarray(bits).reshape(sel.size, -1), axis=1)
+
+    out = [hdr]
+    for b in range(n_blocks):
+        w = int(widths[b])
+        ne = int(n_exc[b])
+        if ne:
+            s, e = exc_off[b], exc_off[b + 1]
+            hi_b = hi_all[hi_seg[s] : hi_seg[e]]
+            head = bytes([w, ne, len(hi_b)]) + exc_pos_u8[s:e].tobytes() + hi_b
+        else:
+            head = bytes([w, 0, 0])
+        if w == 0:
+            out.append(head)
+            continue
+        row = packed[w][rowof[b]]
+        out.append(head + row[: (int(cnt[b]) * w + 7) // 8].tobytes())
     return b"".join(out)
 
 
