@@ -117,6 +117,7 @@ N_BANDS = 16
 ROWS_PER_BAND = N_HASH // N_BANDS
 SHINGLE_K = 3
 MAX_BUCKET = 256  # all-pairs cap per LSH band bucket (see _bucket_pairs)
+VERIFY_BUCKETS = 256  # fixed shuffle domain for the distributed verify stage
 _MERSENNE31 = (1 << 31) - 1  # products of two <2^31 values fit in int64
 _rng = np.random.default_rng(1234)
 _A = _rng.integers(1, _MERSENNE31, size=N_HASH, dtype=np.int64)
@@ -255,9 +256,12 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5):
 
     Stages: (1) vectorized shingle→minhash→band rows per batch;
     (2) groupby (band, bucket) candidate pairs, bucket-capped;
-    (3) verify with exact shingle Jaccard — candidate ids (output-bounded)
-    broadcast back through a map_batches semi-join that re-shingles only
-    those docs; the documents table itself is never materialized."""
+    (3) verify with exact shingle Jaccard, fully DISTRIBUTED: candidate
+    ids (output-bounded) broadcast back through a map_batches semi-join
+    that re-shingles only those docs and routes each doc's shingles to
+    the fixed-domain bucket(s) of its pairs; groupby(pb).map_groups runs
+    the per-pair Jaccard inside workers.  Only id-sized pair routing ever
+    touches the driver — neither documents nor shingle sets do."""
 
     def bands(batch: pd.DataFrame) -> pd.DataFrame:
         lengths, values = _batch_shingles(batch["text"])
@@ -307,44 +311,80 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.5):
         ds.map_batches(bands, batch_format="pandas")
         .groupby("gb")
         .map_groups(candidates, batch_format="pandas")
-        .to_pandas()  # candidate pairs only — output-bounded by LSH design
+        .to_pandas()  # candidate pair IDS only — output-bounded by LSH design
         .drop_duplicates()
     )
     if len(cand) == 0:
         return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    need = np.unique(np.concatenate([cand["doc_a"], cand["doc_b"]])).astype(np.int64)
+
+    # Distributed verify: pairs are bucketed (fixed VERIFY_BUCKETS domain),
+    # each candidate doc's shingles are emitted once per bucket that needs
+    # them, and the exact-Jaccard loop runs inside groupby(pb).map_groups —
+    # shingle bytes never touch the driver; only id-sized pair routing does.
+    pa = cand["doc_a"].to_numpy(np.int64)
+    pb_ = cand["doc_b"].to_numpy(np.int64)
+    pair_bucket = ((pa * np.int64(2654435761) + pb_) % np.int64(VERIFY_BUCKETS)).astype(np.int64)
+    # doc → sorted (doc, bucket) needs table for the replicating semi-join
+    nd = np.concatenate([pa, pb_])
+    nb = np.concatenate([pair_bucket, pair_bucket])
+    need_tbl = np.unique(np.stack([nd, nb], axis=1), axis=0)  # sorted by doc, bucket
 
     import ray
 
-    need_ref = ray.put(np.sort(need))
+    need_ref = ray.put((need_tbl[:, 0], need_tbl[:, 1]))
+    pairs_ref = ray.put((pa, pb_, pair_bucket))
 
     def cand_shingles(batch: pd.DataFrame) -> pd.DataFrame:
-        want = ray.get(need_ref)
+        want, buckets = ray.get(need_ref)
         ids = batch["doc_id"].to_numpy()
-        pos = np.clip(np.searchsorted(want, ids), 0, max(want.size - 1, 0))
-        mask = want[pos] == ids if want.size else np.zeros(ids.size, bool)
+        lo = np.searchsorted(want, ids, side="left")
+        hi = np.searchsorted(want, ids, side="right")
+        mask = hi > lo
+        empty = pd.DataFrame(
+            {
+                "pb": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "sh": pd.Series([], dtype=object),
+            }
+        )
         if not mask.any():
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "sh": pd.Series([], dtype=object)})
+            return empty
         sub = batch.loc[mask]
         lengths, values = _batch_shingles(sub["text"])
         offs = np.zeros(lengths.size + 1, dtype=np.int64)
         np.cumsum(lengths, out=offs[1:])
+        reps = (hi - lo)[mask]
+        rows = np.repeat(np.arange(lengths.size), reps)
+        tgt = np.concatenate([np.arange(a, b) for a, b in zip(lo[mask], hi[mask])])
+        shingle_bytes = [values[offs[i] : offs[i + 1]].tobytes() for i in range(lengths.size)]
         return pd.DataFrame(
             {
-                "doc_id": sub["doc_id"].to_numpy(),
-                "sh": [values[offs[i] : offs[i + 1]].tobytes() for i in range(lengths.size)],
+                "pb": buckets[tgt],
+                "doc_id": sub["doc_id"].to_numpy()[rows],
+                "sh": [shingle_bytes[r] for r in rows],
             }
         )
 
-    got = ds.map_batches(cand_shingles, batch_format="pandas").to_pandas()
-    sh = {int(d): np.frombuffer(b, dtype=np.int64) for d, b in zip(got["doc_id"], got["sh"])}
-    jac = []
-    for da, db in zip(cand["doc_a"], cand["doc_b"]):  # loop over OUTPUT pairs only
-        A, B = sh[int(da)], sh[int(db)]
-        inter = np.intersect1d(A, B, assume_unique=True).size
-        union = A.size + B.size - inter
-        jac.append(inter / union if union else 0.0)
-    cand = cand.assign(jaccard=jac)
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        a_all, b_all, pbk = ray.get(pairs_ref)
+        mine = pbk == int(g["pb"].iloc[0])
+        sh = {int(d): np.frombuffer(b, dtype=np.int64) for d, b in zip(g["doc_id"], g["sh"])}
+        out_a, out_b, jac = [], [], []
+        for da, db in zip(a_all[mine], b_all[mine]):  # OUTPUT-bounded pairs of this bucket
+            A, B = sh[int(da)], sh[int(db)]
+            inter = np.intersect1d(A, B, assume_unique=True).size
+            union = A.size + B.size - inter
+            out_a.append(da)
+            out_b.append(db)
+            jac.append(inter / union if union else 0.0)
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": jac})
+
+    cand = (
+        ds.map_batches(cand_shingles, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
     out = cand[cand["jaccard"] >= jaccard_threshold]
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
