@@ -1,0 +1,211 @@
+"""Persisted suggester artifact — the AnalyzingSuggester /
+AnalyzingInfixSuggester build()+lookup() analog
+(lucene/suggest/src/java/org/apache/lucene/search/suggest/analyzing/
+AnalyzingSuggester.java builds an FST once and serves many lookups;
+AnalyzingInfixSuggester.java indexes edge n-grams so infix lookups hit a
+bounded posting set).  Re-expressed Ray-Data-first: ONE distributed build
+pass writes a reusable on-disk structure, and every lookup is a
+row-group-pruned parquet read — the vocabulary is never scanned per query
+and never materialized on the driver.
+
+Layout under <dir>:
+  terms.parquet   (token, cf) sorted by token, fixed small row groups →
+                  parquet min/max statistics prune a prefix range read to
+                  the few groups overlapping [prefix, prefix+MAX_CHAR]
+                  (the FST-arc-walk analog)
+  grams.parquet   (gram, token, cf) sorted by char-3-gram: each token
+                  emits its DISTINCT 3-grams; an infix lookup reads only
+                  its first gram's row groups, then verifies the full
+                  substring on that bounded candidate set
+  manifest.json   source content fingerprint + row-group config (an
+                  in-place change of the source rebuilds instead of
+                  silently serving stale suggestions)
+
+Build is a map_batches token explode (partial per-batch counts) feeding a
+distributed groupby (unbounded key domain → the Ray all-to-all shuffle is
+the right tool, per CLAUDE.md) + sort; the sorted output is re-assembled
+into the artifact one row group at a time, so driver memory stays bounded
+by a single block (same shape as index/build.py:_finalize).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+__all__ = ["build_suggester", "Suggester"]
+
+ROW_GROUP_SIZE = 4096  # tokens / gram rows per row group (pruning granule)
+GRAM_N = 3
+MAX_CHAR = "\U0010ffff"  # exclusive-ish upper bound for prefix range reads
+
+
+def _source_fingerprint(src: str) -> str:
+    """Row count + per-file size/mtime of the source table (mirrors
+    pipelines/ann.py:_source_fingerprint)."""
+    p = Path(src)
+    files = sorted(p.rglob("*.parquet")) if p.is_dir() else [p]
+    n_rows = sum(pq.read_metadata(f).num_rows for f in files)
+    parts = [f"{f.name}:{f.stat().st_size}:{f.stat().st_mtime_ns}" for f in files]
+    return hashlib.sha1(f"{n_rows}|{'|'.join(parts)}".encode()).hexdigest()
+
+
+def _stream_sorted(ds, out_path: Path, columns: list[str]) -> int:
+    """Re-assemble a sorted Dataset into one stats-bearing parquet file,
+    one row group at a time (driver holds a single block, never the
+    vocabulary)."""
+    writer = None
+    n = 0
+    try:
+        for batch in ds.iter_batches(batch_size=ROW_GROUP_SIZE * 4, batch_format="pyarrow"):
+            t = batch.select(columns)
+            if writer is None:
+                writer = pq.ParquetWriter(out_path, t.schema)
+            if t.num_rows:
+                writer.write_table(t, row_group_size=ROW_GROUP_SIZE)
+                n += t.num_rows
+    finally:
+        if writer is not None:
+            writer.close()
+    return n
+
+
+def build_suggester(sf_dir: str, out_dir: str | Path | None = None, force: bool = False) -> Path:
+    """Build (or reuse) the suggester artifact for `documents.text`.
+
+    Idempotent per source content: the manifest records a fingerprint and
+    a fresh artifact is only rebuilt when the source changed or
+    `force=True`."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    src = f"{sf_dir}/documents.parquet"
+    d = (
+        Path(out_dir)
+        if out_dir is not None
+        else Path(f"/tmp/lsr_suggest_{hashlib.sha1(sf_dir.encode()).hexdigest()[:10]}")
+    )
+    fp = _source_fingerprint(src)
+    man = d / "manifest.json"
+    if not force and man.exists():
+        try:
+            if json.loads(man.read_text()).get("source_fp") == fp:
+                return d
+        except (ValueError, OSError):
+            pass
+
+    from ..pipelines.text import _tokens
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        flat = np.concatenate(toks.to_numpy()) if len(toks) else np.array([], dtype=object)
+        if not flat.size:
+            return pd.DataFrame({"token": pd.Series([], dtype=object), "cf": pd.Series([], dtype="int64")})
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pd.DataFrame({"token": uniq, "cf": counts.astype("int64")})
+
+    terms = (
+        rd.read_parquet(src, columns=["text"])
+        .map_batches(explode, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("cf", alias_name="cf"))
+        .sort("token")
+    )
+
+    tmp = d.with_suffix(".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    n_terms = _stream_sorted(terms, tmp / "terms.parquet", ["token", "cf"])
+
+    def to_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["token"].astype(str)
+        out_g, out_t, out_c = [], [], []
+        for t, c in zip(toks, batch["cf"].to_numpy()):
+            n = len(t)
+            if n < GRAM_N:
+                continue
+            for g in {t[i : i + GRAM_N] for i in range(n - GRAM_N + 1)}:
+                out_g.append(g)
+                out_t.append(t)
+                out_c.append(c)
+        return pd.DataFrame({"gram": out_g, "token": out_t, "cf": np.asarray(out_c, dtype="int64")})
+
+    grams = (
+        rd.read_parquet(str(tmp / "terms.parquet"))
+        .map_batches(to_grams, batch_format="pandas")
+        .sort("gram")
+    )
+    n_grams = _stream_sorted(grams, tmp / "grams.parquet", ["gram", "token", "cf"])
+
+    (tmp / "manifest.json").write_text(
+        json.dumps(
+            {
+                "source_fp": fp,
+                "n_terms": n_terms,
+                "n_grams": n_grams,
+                "gram_n": GRAM_N,
+                "row_group_size": ROW_GROUP_SIZE,
+            }
+        )
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.replace(tmp, d)
+    return d
+
+
+def matching_row_groups(path: str | Path, column: str, lo: str, hi: str) -> tuple[int, int]:
+    """(groups whose [min,max] stats intersect [lo,hi], total groups) —
+    the pruning diagnostic tests assert on."""
+    f = pq.ParquetFile(path)
+    hit = 0
+    for i in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(i).column(f.schema_arrow.get_field_index(column)).statistics
+        if st is None or (st.min <= hi and st.max >= lo):
+            hit += 1
+    return hit, f.metadata.num_row_groups
+
+
+class Suggester:
+    """Serve lookups from a built artifact; every read is row-group-pruned."""
+
+    def __init__(self, artifact_dir: str | Path):
+        self.dir = Path(artifact_dir)
+        self.manifest = json.loads((self.dir / "manifest.json").read_text())
+        self.reads = 0  # pruned-read counter (tests/diagnostics)
+
+    def lookup(self, prefix: str, k: int = 8) -> pd.DataFrame:
+        """Top-k completions of `prefix` by cf → (token, cf)."""
+        self.reads += 1
+        t = pq.read_table(
+            self.dir / "terms.parquet",
+            filters=[("token", ">=", prefix), ("token", "<=", prefix + MAX_CHAR)],
+        ).to_pandas()
+        return (
+            t.sort_values(["cf", "token"], ascending=[False, True]).head(k).reset_index(drop=True)
+        )
+
+    def lookup_infix(self, sub: str, k: int = 8) -> pd.DataFrame:
+        """Top-k tokens containing `sub` by cf → (token, cf).  Substrings
+        shorter than the gram size fall back to a terms scan (documented:
+        the reference's infix suggester has the same min-gram floor)."""
+        self.reads += 1
+        if len(sub) < self.manifest["gram_n"]:
+            t = pq.read_table(self.dir / "terms.parquet").to_pandas()
+        else:
+            g = sub[: self.manifest["gram_n"]]
+            t = pq.read_table(
+                self.dir / "grams.parquet",
+                columns=["token", "cf"],
+                filters=[("gram", "==", g)],
+            ).to_pandas()
+        t = t[t["token"].str.contains(sub, regex=False)]
+        return (
+            t.sort_values(["cf", "token"], ascending=[False, True]).head(k).reset_index(drop=True)
+        )

@@ -437,6 +437,26 @@ WHERE token LIKE '%{SUGGEST_INFIX}%'
 GROUP BY token ORDER BY cf DESC, token LIMIT 8
 """
 
+
+# --------------------------------------------------------------------------
+# Persisted suggester artifact (AnalyzingSuggester.build() analog): the two
+# gates below serve lookups from the reusable on-disk structure built by
+# `index/suggest.py` — row-group-pruned reads, no per-query vocabulary scan.
+# SQL twins are the same brute-force queries as the recompute-per-query
+# suggesters, so the gate proves artifact lookups == full recompute.
+
+
+def suggest_artifact_prefix(sf_dir: str):
+    from ..index.suggest import Suggester, build_suggester
+
+    return Suggester(build_suggester(sf_dir)).lookup(SUGGEST_PREFIX, 8)
+
+
+def suggest_artifact_infix(sf_dir: str):
+    from ..index.suggest import Suggester, build_suggester
+
+    return Suggester(build_suggester(sf_dir)).lookup_infix(SUGGEST_INFIX, 8)
+
 # --------------------------------------------------------------------------
 # Spellcheck (solr/core/.../handler/component/SpellCheckComponent.java over
 # DirectSpellChecker): dictionary terms within edit distance ≤ 2 of a
@@ -749,6 +769,12 @@ PIPELINES: dict[str, Pipeline] = {
     "mlt_terms": Pipeline(mlt_terms, MLT_SQL, "MoreLikeThis interesting-term selection (tf·idf)"),
     "suggest_prefix": Pipeline(suggest_prefix, SUGGEST_SQL, "prefix completion by cf (AnalyzingSuggester semantics)"),
     "suggest_infix": Pipeline(suggest_infix, SUGGEST_INFIX_SQL, "infix/substring completion by cf (AnalyzingInfixSuggester)"),
+    "suggest_artifact_prefix": Pipeline(
+        suggest_artifact_prefix, SUGGEST_SQL, "prefix lookup from the persisted suggester artifact (FST build analog)"
+    ),
+    "suggest_artifact_infix": Pipeline(
+        suggest_artifact_infix, SUGGEST_INFIX_SQL, "infix lookup from the persisted gram index of the suggester artifact"
+    ),
     "spellcheck_suggest": Pipeline(spellcheck_suggest, SPELLCHECK_SQL, "did-you-mean by edit distance + df (DirectSpellChecker)"),
     "shingle_bigrams": Pipeline(shingle_bigrams, SHINGLE_SQL, "word-bigram shingles + df (ShingleFilter)"),
     "quality_signals": Pipeline(quality_signals, QUALITY_SQL, "quality scoring signals for training-data filtering"),

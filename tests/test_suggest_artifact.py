@@ -1,0 +1,117 @@
+"""Persisted suggester artifact: build once, pruned lookups, staleness.
+
+Oracle: brute-force token cf over the same documents (pandas), compared
+for both prefix and infix lookups.  Pruning is asserted structurally —
+the artifact's row-group statistics must exclude most groups for a
+narrow prefix range — and freshness via the source fingerprint.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_ray.index.suggest import GRAM_N, Suggester, build_suggester, matching_row_groups
+
+TOKEN_RE = r"[a-z0-9_]+"
+
+
+@pytest.fixture(scope="module")
+def sf_dir(tmp_path_factory):
+    """Tiny documents table with a skewed, known vocabulary."""
+    rng = np.random.default_rng(11)
+    vocab = [f"sug{c}{i:03d}" for c in "abc" for i in range(40)] + ["coin", "joint", "pointer", "sugar"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 30)))
+        for _ in range(400)
+    ]
+    d = tmp_path_factory.mktemp("sugg")
+    pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts}).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def artifact(ray_session, sf_dir, tmp_path_factory):
+    return build_suggester(sf_dir, out_dir=tmp_path_factory.mktemp("art") / "sugg_idx")
+
+
+def brute_cf(sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    toks = docs["text"].str.lower().str.findall(TOKEN_RE).explode().dropna()
+    return toks.value_counts().rename_axis("token").reset_index(name="cf")
+
+
+def test_prefix_lookup_matches_brute_force(artifact, sf_dir):
+    s = Suggester(artifact)
+    cf = brute_cf(sf_dir)
+    for prefix in ["suga", "sugb", "sug", "co", "zzz"]:
+        want = (
+            cf[cf["token"].str.startswith(prefix)]
+            .sort_values(["cf", "token"], ascending=[False, True])
+            .head(8)
+            .reset_index(drop=True)
+        )
+        got = s.lookup(prefix, 8)
+        pd.testing.assert_frame_equal(
+            got.astype({"cf": "int64"}), want.astype({"cf": "int64"}), check_dtype=False
+        )
+
+
+def test_infix_lookup_matches_brute_force(artifact, sf_dir):
+    s = Suggester(artifact)
+    cf = brute_cf(sf_dir)
+    for sub in ["oin", "uga", "ga", "int"]:  # incl. one below the gram floor
+        want = (
+            cf[cf["token"].str.contains(sub, regex=False)]
+            .sort_values(["cf", "token"], ascending=[False, True])
+            .head(8)
+            .reset_index(drop=True)
+        )
+        got = s.lookup_infix(sub, 8)
+        pd.testing.assert_frame_equal(
+            got.astype({"cf": "int64"}), want.astype({"cf": "int64"}), check_dtype=False
+        )
+
+
+def test_row_group_pruning_is_real(ray_session, sf_dir, tmp_path, monkeypatch):
+    """With a forced tiny row-group size the token-sorted file must let
+    parquet statistics exclude most groups for a narrow prefix range."""
+    import lucene_solr_ray.index.suggest as sg
+
+    monkeypatch.setattr(sg, "ROW_GROUP_SIZE", 8)
+    d = build_suggester(sf_dir, out_dir=tmp_path / "small_rg", force=True)
+    hit, total = matching_row_groups(d / "terms.parquet", "token", "sugb", "sugb\U0010ffff")
+    assert total >= 10, total  # the tiny row groups actually took effect
+    # 40 'sugb*' tokens / 8-row groups → at most ~6 touched (5 + boundary),
+    # i.e. pruning excludes the majority of the file
+    assert hit <= 40 // 8 + 2 and hit < total // 2, (hit, total)
+    # and the pruned read still answers correctly
+    got = sg.Suggester(d).lookup("sugb", 8)
+    assert got["token"].str.startswith("sugb").all() and len(got) == 8
+
+
+def test_stale_artifact_rebuilds_on_source_change(ray_session, sf_dir, tmp_path):
+    out = tmp_path / "fresh"
+    d = build_suggester(sf_dir, out_dir=out)
+    n0 = Suggester(d).manifest["n_terms"]
+    # unchanged source → reuse (manifest identity)
+    assert build_suggester(sf_dir, out_dir=out) == d
+    # content change (new source dir, same out_dir) → rebuild picks up the
+    # new vocabulary instead of serving the stale artifact
+    src = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    extra = pd.concat(
+        [src, pd.DataFrame({"doc_id": [99999], "text": ["zzznewterm zzznewterm"]})]
+    )
+    sf2 = tmp_path / "sf2"
+    sf2.mkdir()
+    extra.to_parquet(sf2 / "documents.parquet")
+    d3 = build_suggester(str(sf2), out_dir=out)
+    s = Suggester(d3)
+    assert s.manifest["n_terms"] == n0 + 1
+    assert s.lookup("zzznew", 3)["token"].tolist() == ["zzznewterm"]
+
+
+def test_gated_pipelines_registered():
+    from lucene_solr_ray.pipelines import REGISTRY
+
+    assert REGISTRY["suggest_artifact_prefix"].sql is not None
+    assert REGISTRY["suggest_artifact_infix"].sql is not None
