@@ -104,8 +104,14 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
         agg_cols = {}
         for i, lv in enumerate(levels):
             for name, m in _metrics(lv).items():
-                v = sub[m["field"]].to_numpy()
                 c = mcol(i, name)
+                if m["type"] == "relatedness":
+                    # semantic-knn relatedness (RelatednessAgg.java /
+                    # the Semantic Knowledge Graph z-score): the partial
+                    # is just the per-bucket FOREGROUND count
+                    agg_cols[c] = ("sum", np.asarray(m["fg"](sub), dtype=np.int64))
+                    continue
+                v = sub[m["field"]].to_numpy()
                 if m.get("money"):
                     v = cents(v)
                 if m["type"] in ("sum", "avg"):
@@ -142,7 +148,7 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
     ops = {"_n": "sum"}
     for i, lv in enumerate(levels):
         for name, m in _metrics(lv).items():
-            ops[mcol(i, name)] = {"sum": "sum", "avg": "sum", "min": "min", "max": "max"}[m["type"]]
+            ops[mcol(i, name)] = {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum"}[m["type"]]
     parts_df = read(sf_dir, table, need).map_batches(partial, batch_format="pandas").to_pandas()
     lattice = parts_df.groupby(bucket_cols, as_index=False).agg(ops)
 
@@ -152,7 +158,7 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
         mets = {"_n": "sum"}
         for name, m in _metrics(levels[li]).items():
             c = mcol(li, name)
-            mets[c] = {"sum": "sum", "avg": "sum", "min": "min", "max": "max"}[m["type"]]
+            mets[c] = {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum"}[m["type"]]
         t = lattice.groupby(keys, as_index=False).agg(mets)
         return t.rename(columns={"_n": f"_n{li}"})
 
@@ -212,6 +218,16 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
     for li in range(1, len(levels)):
         out = out.merge(frames[li], on=bucket_cols[:li], how="inner")
 
+    # relatedness needs the GLOBAL fg/bg sizes: sum the lattice with the
+    # allBuckets/missing sentinels excluded (the facet domain, background
+    # set of RelatednessAgg; Solr's default background is the collection)
+    has_rel = any(m["type"] == "relatedness" for lv in levels for m in _metrics(lv).values())
+    if has_rel:
+        nosent = lattice
+        for c in bucket_cols:
+            nosent = nosent[~nosent[c].isin([ALL_BUCKET, MISSING_BUCKET])]
+        bg_size = int(nosent["_n"].sum())
+
     # avg metrics + user-facing names, applied once at the end
     ren: dict[str, str] = {}
     for li, lv in enumerate(levels):
@@ -221,6 +237,21 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
             if m["type"] == "avg":
                 out[name] = out[mcol(li, name)] / out[f"_n{li}"].astype("float64")
                 out = out.drop(columns=[mcol(li, name)])
+            elif m["type"] == "relatedness":
+                # Semantic Knowledge Graph z-score (Grainger et al. 2016;
+                # the RelatednessAgg.java stat): a one-sample proportion
+                # z-test of the bucket's foreground rate against its
+                # background rate.  Expression mirrors the SQL twin
+                # op-for-op (float-parity; np.sqrt is IEEE-exact).
+                fg_size = int(nosent[mcol(li, name)].sum())
+                fg_pop = out[mcol(li, name)].to_numpy(np.float64) / fg_size
+                bg_pop = out[f"_n{li}"].to_numpy(np.int64) / bg_size
+                x = bg_pop * (1.0 - bg_pop) / float(fg_size)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    z = (fg_pop - bg_pop) / np.sqrt(x)
+                out[name] = np.where(x > 0, z, 0.0)
+                ren[mcol(li, name)] = m.get("fg_key", f"{name}_fg_count")
+                out[mcol(li, name)] = out[mcol(li, name)].astype("int64")
             else:
                 ren[mcol(li, name)] = name
     out = out.rename(columns=ren)
@@ -470,6 +501,61 @@ ORDER BY n DESC, o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# relatedness() aggregate (solr/core/src/java/org/apache/solr/search/facet/
+# RelatednessAgg.java; Grainger et al. 2016, "The Semantic Knowledge
+# Graph"): per bucket, a z-score of the bucket's foreground popularity vs
+# its background popularity — the JSON Facet API's semantic-knn stat.
+# Foreground here: English documents; buckets: source.
+
+
+def json_facet_relatedness(sf_dir: str):
+    spec = {
+        "type": "terms",
+        "field": "source",
+        "key": "bucket",
+        "count_key": "bg_count",
+        "sort": "index",
+        "facet": {
+            "relatedness": {
+                "type": "relatedness",
+                "field": "lang",
+                "fg": lambda s: (s["lang"] == "en").to_numpy(),
+                "fg_key": "fg_count",
+            }
+        },
+    }
+    out = compute_json_facet(sf_dir, "documents", spec)
+    out = out[["bucket", "fg_count", "bg_count", "relatedness"]]
+    return (
+        out.sort_values(["relatedness", "bucket"], ascending=[False, True]).reset_index(drop=True)
+    )
+
+
+JSON_FACET_RELATEDNESS_SQL = """
+WITH b AS (
+  SELECT source AS bucket,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fg_count,
+         CAST(COUNT(*) AS BIGINT) AS bg_count
+  FROM documents GROUP BY source
+), t AS (
+  SELECT CAST(SUM(fg_count) AS BIGINT) AS fg_size,
+         CAST(SUM(bg_count) AS BIGINT) AS bg_size FROM b
+), p AS (
+  SELECT bucket, fg_count, bg_count,
+         CAST(fg_count AS DOUBLE) / fg_size AS fg_pop,
+         CAST(bg_count AS DOUBLE) / bg_size AS bg_pop,
+         CAST(fg_size AS DOUBLE) AS fgs
+  FROM b, t
+)
+SELECT bucket, fg_count, bg_count,
+       CASE WHEN bg_pop * (1 - bg_pop) / fgs > 0
+            THEN (fg_pop - bg_pop) / sqrt(bg_pop * (1 - bg_pop) / fgs)
+            ELSE 0.0 END AS relatedness
+FROM p ORDER BY relatedness DESC, bucket
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "json_facet_nested": Pipeline(
         json_facet_nested, JSON_FACET_NESTED_SQL, "nested JSON facet: terms×terms buckets, per-level sort/limit, sum metrics"
@@ -482,5 +568,10 @@ PIPELINES: dict[str, Pipeline] = {
     ),
     "facet_refined": Pipeline(
         facet_refined, FACET_REFINED_SQL, "two-phase facet refinement: truncated per-shard partials + exact refinement round (FacetComponent)"
+    ),
+    "json_facet_relatedness": Pipeline(
+        json_facet_relatedness,
+        JSON_FACET_RELATEDNESS_SQL,
+        "relatedness() semantic-knn aggregate: fg-vs-bg z-score per bucket (RelatednessAgg)",
     ),
 }

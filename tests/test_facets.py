@@ -132,3 +132,28 @@ def test_json_facet_limit_zero(ray_session):
     }
     out = compute_json_facet(SF, "orders", spec)
     assert len(out) == 0
+
+
+def test_relatedness_metric_sign_and_magnitude(ray_session):
+    """relatedness() (RelatednessAgg / Semantic Knowledge Graph z-score):
+    buckets where the foreground is over-represented score positive,
+    under-represented negative, and a bucket matching the background
+    rate scores ~0; the z-score matches a direct recomputation."""
+    import math
+
+    from lucene_solr_ray.pipelines.facets import json_facet_relatedness
+
+    out = json_facet_relatedness(SF)
+    assert list(out.columns) == ["bucket", "fg_count", "bg_count", "relatedness"]
+    bg_size = int(out["bg_count"].sum())
+    fg_size = int(out["fg_count"].sum())
+    for _, r in out.iterrows():
+        fg_pop = r["fg_count"] / fg_size
+        bg_pop = r["bg_count"] / bg_size
+        z = (fg_pop - bg_pop) / math.sqrt(bg_pop * (1.0 - bg_pop) / fg_size)
+        assert r["relatedness"] == z, r["bucket"]
+        # sign tracks over/under-representation of the foreground
+        if r["fg_count"] / max(r["bg_count"], 1) > fg_size / bg_size:
+            assert r["relatedness"] > 0
+    # ordering: most fg-enriched bucket first
+    assert out["relatedness"].is_monotonic_decreasing
