@@ -280,6 +280,44 @@ def read_json_docs(paths, field_map: dict[str, str] | None = None, urps: list | 
     return ds
 
 
+def read_xml_docs(paths, urps: list | None = None):
+    """Solr XML update format → docs (solr/core/src/java/org/apache/solr/
+    handler/loader/XMLLoader.java): `<add><doc><field name="f">v</field>…`
+    documents; a field name repeated within a doc becomes a multi-valued
+    list (the XMLLoader multiValued collection rule).
+
+    Ray-Data-first: files stream through `read_binary_files` and each
+    batch parses with stdlib ElementTree inside `map_batches` — parsing is
+    per-FILE work distributed across the cluster, never a driver loop."""
+    import ray.data as rd
+
+    def parse(batch: pd.DataFrame) -> pd.DataFrame:
+        import xml.etree.ElementTree as ET
+
+        rows: list[dict] = []
+        for blob in batch["bytes"]:
+            root = ET.fromstring(bytes(blob))
+            adds = [root] if root.tag == "add" else root.findall(".//add")
+            for add in adds:
+                for doc in add.findall("doc"):
+                    rec: dict = {}
+                    for f in doc.findall("field"):
+                        name = f.get("name")
+                        val = f.text or ""
+                        if name in rec:  # repeated name → multiValued list
+                            prev = rec[name]
+                            rec[name] = (prev if isinstance(prev, list) else [prev]) + [val]
+                        else:
+                            rec[name] = val
+                    rows.append(rec)
+        return pd.DataFrame(rows)
+
+    ds = rd.read_binary_files(paths).map_batches(parse, batch_format="pandas")
+    if urps:
+        ds = apply_chain(ds, urps)
+    return ds
+
+
 def read_csv_docs(paths, multivalue: dict[str, str] | None = None, urps: list | None = None, **csv_kwargs):
     """CSV → docs; `multivalue` maps field → delimiter (CSVLoader `split`)."""
     import ray.data as rd

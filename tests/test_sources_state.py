@@ -78,3 +78,29 @@ def test_lru_cache_eviction_and_stats():
     assert c.get("b") is None
     s = c.stats()
     assert s["items"] == 2 and s["hits"] == 1 and s["misses"] == 1
+
+
+def test_xml_loader(ray_session, tmp_path):
+    """Solr XML update format: <add><doc><field name=..> docs, repeated
+    field names collect into multiValued lists, URP chain applies."""
+    from lucene_solr_ray.sources.loaders import read_xml_docs
+
+    x1 = tmp_path / "u1.xml"
+    x1.write_text(
+        """<add>
+  <doc><field name="id">1</field><field name="text"> hello </field>
+       <field name="tag">a</field><field name="tag">b</field></doc>
+  <doc><field name="id">2</field><field name="text">world</field>
+       <field name="tag">c</field></doc>
+</add>"""
+    )
+    x2 = tmp_path / "u2.xml"
+    x2.write_text(
+        '<add><doc><field name="id">3</field><field name="text">third</field>'
+        '<field name="tag">d</field></doc></add>'
+    )
+    ds = read_xml_docs([str(x1), str(x2)], urps=[("trim", {"field": "text"}), ("parse_int", {"field": "id"})])
+    df = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert df["id"].tolist() == [1, 2, 3]
+    assert df["text"].tolist() == ["hello", "world", "third"]
+    assert df["tag"].tolist()[0] == ["a", "b"] and df["tag"].tolist()[1] == "c"
