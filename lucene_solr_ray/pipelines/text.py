@@ -176,20 +176,50 @@ FROM documents ORDER BY doc_id
 # §2.6 TermsComponent: global term/df enumeration, top 20 by (df desc, term).
 
 
-def terms_component(sf_dir: str):
-    from ray.data.aggregate import Sum
+TOKEN_BUCKETS = 512  # fixed shuffle domain for vocabulary-keyed merges:
+# never key a Ray shuffle by the (unbounded) token space itself; tokens
+# hash into this bounded domain and real groupbys run in pandas per group
+# (the CLAUDE.md bucketed-shuffle rule).  Per-bucket TOP-K partials make
+# every driver merge output-bounded — the vocabulary never materializes.
 
+
+def _token_bucket(uniq: np.ndarray) -> np.ndarray:
+    """Deterministic vectorized token → bucket (pandas siphash, fixed key
+    — stable across worker processes, unlike builtin hash)."""
+    return (pd.util.hash_array(uniq.astype(object)) % TOKEN_BUCKETS).astype(np.int64)
+
+
+def terms_component(sf_dir: str):
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         # partial df per batch: distinct (doc, token) → bincount per token
         doc_idx, codes, uniq, _ = _explode_tokens(batch["text"])
         if not codes.size:
-            return pd.DataFrame({"token": pd.Series([], dtype=object), "df": pd.Series([], dtype="int64")})
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype=object),
+                    "df": pd.Series([], dtype="int64"),
+                    "gb": pd.Series([], dtype="int64"),
+                }
+            )
         ucode = np.unique(doc_idx * np.int64(uniq.size) + codes) % np.int64(uniq.size)
         df_part = np.bincount(ucode, minlength=uniq.size)
-        return pd.DataFrame({"token": uniq, "df": df_part.astype("int64")})
+        return pd.DataFrame(
+            {"token": uniq, "df": df_part.astype("int64"), "gb": _token_bucket(uniq)}
+        )
 
-    parts = read(sf_dir, "documents", ["text"]).map_batches(explode, batch_format="pandas")
-    out = parts.groupby("token").aggregate(Sum("df", alias_name="df")).to_pandas()
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False)["df"].sum()
+        # per-bucket top-k: the global top-k is a subset of the union of
+        # per-bucket top-k (each token lives in exactly one bucket)
+        return m.sort_values(["df", "token"], ascending=[False, True]).head(20)
+
+    out = (
+        read(sf_dir, "documents", ["text"])
+        .map_batches(explode, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # ≤ TOKEN_BUCKETS × 20 rows
+    )
     out["df"] = out["df"].astype("int64")
     return (
         out.sort_values(["df", "token"], ascending=[False, True]).head(20).reset_index(drop=True)
@@ -210,8 +240,6 @@ GROUP BY token ORDER BY df DESC, token LIMIT 20
 
 
 def significant_terms(sf_dir: str):
-    from ray.data.aggregate import Sum
-
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         toks = _tokens(batch["text"]).map(lambda ws: sorted(set(ws)))
         n = toks.map(len).to_numpy()
@@ -222,21 +250,26 @@ def significant_terms(sf_dir: str):
             }
         )
         g = flat.groupby("token", as_index=False).agg(fg_df=("fg", "sum"), bg_df=("fg", "size"))
+        g["gb"] = _token_bucket(g["token"].to_numpy())
         return g
 
-    parts = read(sf_dir, "documents", ["text", "lang"]).map_batches(explode, batch_format="pandas")
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False).agg(fg_df=("fg_df", "sum"), bg_df=("bg_df", "sum"))
+        m = m[m["bg_df"] >= 10]
+        if not len(m):
+            return m
+        ratio_key = m["fg_df"].to_numpy() / m["bg_df"].to_numpy()
+        return m.iloc[np.lexsort((m["token"].to_numpy(), -ratio_key))].head(15)
+
     out = (
-        parts.groupby("token")
-        .aggregate(Sum("fg_df", alias_name="fg_df"), Sum("bg_df", alias_name="bg_df"))
-        .to_pandas()
+        read(sf_dir, "documents", ["text", "lang"])
+        .map_batches(explode, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # ≤ TOKEN_BUCKETS × 15 rows
     )
     out["fg_df"] = out["fg_df"].astype("int64")
     out["bg_df"] = out["bg_df"].astype("int64")
-    out = out[out["bg_df"] >= 10]
-    # order by fg_df/bg_df desc without float division: cross-multiplied sort
-    out = out.sort_values(
-        ["token"]
-    )  # stable base
     ratio_key = out["fg_df"].to_numpy() / out["bg_df"].to_numpy()
     out = out.iloc[np.lexsort((out["token"].to_numpy(), -ratio_key))]
     return out.head(15).reset_index(drop=True)
@@ -374,23 +407,40 @@ FROM documents ORDER BY doc_id
 SUGGEST_PREFIX = "s"
 
 
-def suggest_prefix(sf_dir: str):
-    from ray.data.aggregate import Sum
+def _suggest_bucketed(sf_dir: str, token_filter, k: int = 8) -> pd.DataFrame:
+    """Shared suggester shape: per-batch cf partials for tokens passing
+    `token_filter`, fixed-bucket shuffle, per-bucket top-k, bounded driver
+    merge."""
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         toks = _tokens(batch["text"])
         flat = pd.DataFrame(
             {"token": np.concatenate(toks.to_numpy()) if len(toks) else np.array([], dtype=object)}
         )
-        flat = flat[flat["token"].str.startswith(SUGGEST_PREFIX)]
-        return flat.groupby("token", as_index=False).size().rename(columns={"size": "cf"})
+        flat = flat[token_filter(flat["token"])]
+        g = flat.groupby("token", as_index=False).size().rename(columns={"size": "cf"})
+        g["gb"] = _token_bucket(g["token"].to_numpy())
+        return g
 
-    parts = read(sf_dir, "documents", ["text"]).map_batches(explode, batch_format="pandas")
-    out = parts.groupby("token").aggregate(Sum("cf", alias_name="cf")).to_pandas()
-    if "token" not in out.columns:
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False)["cf"].sum()
+        return m.sort_values(["cf", "token"], ascending=[False, True]).head(k)
+
+    out = (
+        read(sf_dir, "documents", ["text"])
+        .map_batches(explode, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if "token" not in out.columns or not len(out):
         return pd.DataFrame({"token": pd.Series([], dtype=object), "cf": pd.Series([], dtype="int64")})
     out["cf"] = out["cf"].astype("int64")
-    return out.sort_values(["cf", "token"], ascending=[False, True]).head(8).reset_index(drop=True)
+    return out.sort_values(["cf", "token"], ascending=[False, True]).head(k).reset_index(drop=True)
+
+
+def suggest_prefix(sf_dir: str):
+    return _suggest_bucketed(sf_dir, lambda t: t.str.startswith(SUGGEST_PREFIX))
 
 
 SUGGEST_SQL = f"""
@@ -410,24 +460,7 @@ SUGGEST_INFIX = "oin"
 
 
 def suggest_infix(sf_dir: str):
-    from ray.data.aggregate import Sum
-
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        doc_idx, codes, uniq, _ = _explode_tokens(batch["text"])
-        if not codes.size:
-            return pd.DataFrame({"token": pd.Series([], dtype=object), "cf": pd.Series([], dtype="int64")})
-        hit_vocab = np.char.find(uniq.astype(str), SUGGEST_INFIX) >= 0
-        keep = hit_vocab[codes]
-        cf = np.bincount(codes[keep], minlength=uniq.size)
-        present = cf > 0
-        return pd.DataFrame({"token": uniq[present], "cf": cf[present].astype("int64")})
-
-    parts = read(sf_dir, "documents", ["text"]).map_batches(explode, batch_format="pandas")
-    out = parts.groupby("token").aggregate(Sum("cf", alias_name="cf")).to_pandas()
-    if "token" not in out.columns:
-        return pd.DataFrame({"token": pd.Series([], dtype=object), "cf": pd.Series([], dtype="int64")})
-    out["cf"] = out["cf"].astype("int64")
-    return out.sort_values(["cf", "token"], ascending=[False, True]).head(8).reset_index(drop=True)
+    return _suggest_bucketed(sf_dir, lambda t: t.str.contains(SUGGEST_INFIX, regex=False))
 
 
 SUGGEST_INFIX_SQL = f"""
@@ -469,32 +502,62 @@ SPELL_WORD = "mrege"  # not in the corpus; 2 edits from "merge"
 
 
 def spellcheck_suggest(sf_dir: str):
-    from ray.data.aggregate import Sum
-
     from ..search.query import _levenshtein_leq
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         doc_idx, codes, uniq, _ = _explode_tokens(batch["text"])
         if not codes.size:
-            return pd.DataFrame({"term": pd.Series([], dtype=object), "df": pd.Series([], dtype="int64")})
+            return pd.DataFrame(
+                {
+                    "term": pd.Series([], dtype=object),
+                    "df": pd.Series([], dtype="int64"),
+                    "gb": pd.Series([], dtype="int64"),
+                }
+            )
         ucode = np.unique(doc_idx * np.int64(uniq.size) + codes) % np.int64(uniq.size)
         df_part = np.bincount(ucode, minlength=uniq.size)
-        return pd.DataFrame({"term": uniq, "df": df_part.astype("int64")})
+        # DirectSpellChecker length-band prefilter: only terms within the
+        # edit budget of the query's length can be candidates
+        lens = np.char.str_len(uniq.astype(str))
+        keep = np.abs(lens - len(SPELL_WORD)) <= 2
+        return pd.DataFrame(
+            {
+                "term": uniq[keep],
+                "df": df_part[keep].astype("int64"),
+                "gb": _token_bucket(uniq[keep]),
+            }
+        )
 
-    vocab = (
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket-local distance scan over the bucket's slice of the
+        # vocabulary — the dictionary never assembles on one node
+        m = g.groupby("term", as_index=False)["df"].sum()
+        rows = []
+        for term, df in zip(m["term"], m["df"]):
+            for d in (1, 2):
+                if _levenshtein_leq(SPELL_WORD, str(term), d):
+                    rows.append((str(term), np.int64(d), np.int64(df)))
+                    break
+        out = pd.DataFrame(rows, columns=["term", "distance", "df"])
+        for c in ("distance", "df"):  # stable block schema incl. empty groups
+            out[c] = out[c].astype("int64")
+        return out.sort_values(["distance", "df", "term"], ascending=[True, False, True]).head(5)
+
+    out = (
         read(sf_dir, "documents", ["text"])
         .map_batches(explode, batch_format="pandas")
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
-        .to_pandas()  # vocabulary-sized
+        .groupby("gb")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # ≤ TOKEN_BUCKETS × 5 rows
     )
-    rows = []
-    for term, df in zip(vocab["term"], vocab["df"]):
-        for d in (1, 2):
-            if _levenshtein_leq(SPELL_WORD, str(term), d):
-                rows.append((str(term), np.int64(d), np.int64(df)))
-                break
-    out = pd.DataFrame(rows, columns=["term", "distance", "df"])
+    if not len(out):
+        return pd.DataFrame(
+            {
+                "term": pd.Series([], dtype=object),
+                "distance": pd.Series([], dtype="int64"),
+                "df": pd.Series([], dtype="int64"),
+            }
+        )
     out = out.sort_values(["distance", "df", "term"], ascending=[True, False, True]).head(5)
     for c in ("distance", "df"):
         out[c] = out[c].astype("int64")
@@ -550,8 +613,6 @@ MLT_TOP = 5
 
 
 def mlt_terms(sf_dir: str):
-    from ray.data.aggregate import Sum
-
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         doc_idx, codes, uniq, _ = _explode_tokens(batch["text"])
         if not codes.size:
@@ -560,6 +621,7 @@ def mlt_terms(sf_dir: str):
                     "token": pd.Series([], dtype=object),
                     "df": pd.Series([], dtype="int64"),
                     "tf_doc": pd.Series([], dtype="int64"),
+                    "gb": pd.Series([], dtype="int64"),
                 }
             )
         ucode = np.unique(doc_idx * np.int64(uniq.size) + codes) % np.int64(uniq.size)
@@ -572,16 +634,24 @@ def mlt_terms(sf_dir: str):
                 "token": uniq[present],
                 "df": df_part[present].astype("int64"),
                 "tf_doc": tf_part[present].astype("int64"),
+                "gb": _token_bucket(uniq[present]),
             }
         )
 
-    parts = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(explode, batch_format="pandas")
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False).agg(df=("df", "sum"), tf=("tf_doc", "sum"))
+        # only the MLT doc's own terms survive → output bounded by ONE
+        # document's vocabulary, not the collection's
+        return m[m["tf"] > 0]
+
     agg = (
-        parts.groupby("token")
-        .aggregate(Sum("df", alias_name="df"), Sum("tf_doc", alias_name="tf"))
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(explode, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(merge, batch_format="pandas")
         .to_pandas()
+        .copy()
     )
-    agg = agg[agg["tf"] > 0].copy()
     n_docs = int(pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).shape[0])
     import math
 
