@@ -442,6 +442,74 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_
 ORDER BY o_custkey
 """
 
+
+# --------------------------------------------------------------------------
+# ExpandComponent (solr/core/src/java/org/apache/solr/handler/component/
+# ExpandComponent.java): after a collapse, return the OTHER members of the
+# collapsed groups that appear on the result page — up to `expand.rows`
+# per group, in the expand sort order.
+
+EXPAND_PAGE = 10  # collapsed heads on the page
+EXPAND_ROWS = 3  # expanded members per group
+
+
+def collapse_expand(sf_dir: str):
+    import ray
+
+    # phase 1: the collapse page (bucketed collapse -> top-P heads)
+    heads = collapse_best(sf_dir)
+    page = heads.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(
+        EXPAND_PAGE
+    )
+    page_keys = page["o_custkey"].to_numpy(np.int64)
+    head_orders = page["o_orderkey"].to_numpy(np.int64)
+    ref = ray.put((np.sort(page_keys), head_orders[np.argsort(page_keys)]))
+
+    # phase 2: ONE streaming pass; the page keys (bounded) broadcast into a
+    # semi-join filter + per-batch per-group top-E combiner — the driver
+    # merge is ≤ page × (E+1) rows per batch, never the orders table
+    def expand(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, horders = ray.get(ref)
+        ck = batch["o_custkey"].to_numpy(np.int64)
+        pos = np.clip(np.searchsorted(keys, ck), 0, max(keys.size - 1, 0))
+        m = (keys[pos] == ck) if keys.size else np.zeros(ck.size, bool)
+        m &= batch["o_orderkey"].to_numpy(np.int64) != horders[pos]  # not the head
+        sub = batch.loc[m]
+        return (
+            sub.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+            .groupby("o_custkey", sort=False)
+            .head(EXPAND_ROWS)
+        )
+
+    parts = (
+        read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(expand, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        .groupby("o_custkey", sort=False)
+        .head(EXPAND_ROWS)
+    )
+    return out.sort_values(
+        ["o_custkey", "o_totalprice", "o_orderkey"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
+COLLAPSE_EXPAND_SQL = f"""
+WITH heads AS (
+  SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+), page AS (
+  SELECT * FROM heads ORDER BY o_totalprice DESC, o_orderkey LIMIT {EXPAND_PAGE}
+)
+SELECT o.o_custkey AS o_custkey, o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice
+FROM orders o JOIN page p ON o.o_custkey = p.o_custkey
+WHERE o.o_orderkey != p.o_orderkey
+QUALIFY row_number() OVER (PARTITION BY o.o_custkey ORDER BY o.o_totalprice DESC, o.o_orderkey) <= {EXPAND_ROWS}
+ORDER BY o.o_custkey, o.o_totalprice DESC, o.o_orderkey
+"""
+
 # --------------------------------------------------------------------------
 # §2.7 top-k by fields (TopFieldCollector): distributed top-10, merged on
 # the driver — never a full sort.
@@ -1058,6 +1126,9 @@ PIPELINES: dict[str, Pipeline] = {
     "anti_join": Pipeline(anti_join, ANTI_JOIN_SQL, "anti-join (MUST_NOT / ComplementStream)"),
     "group_topk": Pipeline(group_topk, GROUP_TOPK_SQL, "top-k docs per group (grouping collectors)"),
     "collapse_best": Pipeline(collapse_best, COLLAPSE_SQL, "field collapse (CollapsingQParserPlugin)"),
+    "collapse_expand": Pipeline(
+        collapse_expand, COLLAPSE_EXPAND_SQL, "expand collapsed groups on the page (ExpandComponent)"
+    ),
     "sort_topk": Pipeline(sort_topk, SORT_TOPK_SQL, "distributed top-k by fields (TopFieldCollector)"),
     "range_filter": Pipeline(range_filter, RANGE_FILTER_SQL, "numeric/date range predicate (PointRangeQuery)"),
     "merge_union": Pipeline(merge_union, MERGE_UNION_SQL, "sorted union (MergeStream)"),

@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .common import Pipeline, read
+from .common import Pipeline, merge_partials, read
 
 TOKEN_RE = "[a-z0-9_]+"
 # a small fixed stopword list shared literally with the SQL oracle
@@ -224,6 +224,44 @@ def terms_component(sf_dir: str):
     return (
         out.sort_values(["df", "token"], ascending=[False, True]).head(20).reset_index(drop=True)
     )
+
+
+# --------------------------------------------------------------------------
+# strdist() value source, gated (ValueSourceParser `strdist`, SURVEY §2.9;
+# DuckDB's levenshtein() is the exact-integer twin).  The source domain is
+# BOUNDED, so per-batch value counts combine on the coordinator and the
+# edit distance runs once per DISTINCT value.
+
+STRDIST_REF = "src1"
+
+
+def strdist_source(sf_dir: str):
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch["source"].value_counts().rename_axis("source").reset_index(name="n")
+
+    parts = read(sf_dir, "documents", ["source"]).map_batches(counts, batch_format="pandas")
+    out = merge_partials(parts, ["source"], {"n": "sum"})
+
+    def lev(s: str, t: str) -> int:
+        prev = list(range(len(t) + 1))
+        for i, ca in enumerate(s, 1):
+            cur = [i] + [0] * len(t)
+            for j, cb in enumerate(t, 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            prev = cur
+        return prev[-1]
+
+    out["dist"] = [np.int64(lev(str(s), STRDIST_REF)) for s in out["source"]]
+    out["n"] = out["n"].astype("int64")
+    out["dist"] = out["dist"].astype("int64")
+    return out[["source", "dist", "n"]].sort_values("source").reset_index(drop=True)
+
+
+STRDIST_SQL = f"""
+SELECT source, CAST(levenshtein(source, '{STRDIST_REF}') AS BIGINT) AS dist,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY source ORDER BY source
+"""
 
 
 TERMS_SQL = f"""
@@ -853,5 +891,8 @@ PIPELINES: dict[str, Pipeline] = {
     "terms_component": Pipeline(terms_component, TERMS_SQL, "term/df enumeration (TermsComponent)"),
     "significant_terms": Pipeline(significant_terms, SIGNIFICANT_SQL, "fg-vs-bg term significance (SignificantTermsStream)"),
     "term_filter": Pipeline(term_filter, TERM_FILTER_SQL, "term membership filter (TermQuery as filter)"),
+    "strdist_source": Pipeline(
+        strdist_source, STRDIST_SQL, "strdist() value source: exact edit distance per bounded domain value"
+    ),
     "json_extract_sum": Pipeline(json_extract_sum, JSON_EXTRACT_SQL, "scalar function extraction (ValueSources)"),
 }
