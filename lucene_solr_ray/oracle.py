@@ -167,6 +167,29 @@ class BruteForceIndex:
             first &= {p - off for p in pl}
         return len(first)
 
+    def multi_phrase_freq(self, slots: list[list[str]], doc: int, slop: int = 0) -> float:
+        """MultiPhraseQuery frequency: per-slot positions are the UNION of
+        the slot's alternatives; exact = offset-intersect of the unions,
+        sloppy = greedy-chain sloppyWeight sum over the unions."""
+        if not slots:
+            return 0
+        plists = []
+        for alts in slots:
+            u: set[int] = set()
+            for t in alts:
+                u.update(self.docs[doc].get(t, ()))
+            if not u:
+                return 0
+            plists.append(u)
+        if slop > 0:
+            from .search.proximity import sloppy_phrase_freq
+
+            return sloppy_phrase_freq([sorted(p) for p in plists], slop)
+        first = set(plists[0])
+        for off, pl in enumerate(plists[1:], start=1):
+            first &= {p - off for p in pl}
+        return len(first)
+
     def phrase_score(self, terms: list[str], doc: int, slop: int = 0) -> float:
         """PhraseQuery scoring: BM25 over phrase freq with summed idf
         (lucene/core/.../search/PhraseWeight.java: similarity scorer over
@@ -229,6 +252,18 @@ class BruteForceIndex:
         if node.kind == "phrase":
             pf = self.phrase_freq(node.terms, doc, slop=node.slop)
             return (pf > 0, self.phrase_score(node.terms, doc, slop=node.slop))
+        if node.kind == "multi_phrase":
+            pf = self.multi_phrase_freq(node.slots, doc, slop=node.slop)
+            if pf == 0:
+                return (False, 0.0)
+            # MultiPhraseQuery scoring: phrase shape, idf summed over every
+            # alternative present in the index (combined TermStatistics)
+            idf_sum = sum(self.idf(t) for alts in node.slots for t in alts if self.df.get(t, 0) > 0)
+            field = self._field_of(node.slots[0][0])
+            sim = getattr(self, "similarity", "bm25")
+            if sim == "classic":
+                return (True, math.sqrt(pf) * idf_sum * idf_sum / math.sqrt(max(self._dl(doc, field), 1)))
+            return (True, idf_sum * pf / (pf + self._norm_k(doc, field)))
         if node.kind == "term_set":
             return (any(t in self.docs[doc] for t in node.terms), 1.0)
         if node.kind == "interval":

@@ -326,6 +326,106 @@ class IndexShard:
             scores = score_postings(pf, norm_b, idf_sum, self._cache_for(terms[0]))
         return match_docs, scores
 
+    def _score_multi_phrase(
+        self, slots: list[list[str]], idfs: dict[str, float], slop: int = 0, sim: str = "bm25"
+    ):
+        """MultiPhraseQuery (lucene/core/.../search/MultiPhraseQuery.java):
+        each slot's alternative postings UNION before the phrase chain —
+        slop=0 reuses the composite-key intersect on per-slot unioned
+        keys; slop>0 chains per-slot unioned intervals.  idf sums over
+        every alternative (BM25Similarity over combined TermStatistics);
+        a slot with no indexed alternative matches nothing."""
+        slot_plists: list[list[tuple]] = []
+        for alts in slots:
+            pl = [p for t in alts if (p := self._postings(t, with_positions=True)) is not None]
+            if not pl:
+                return _EMPTY_I64, _EMPTY_F64
+            slot_plists.append(pl)
+        # norms map: union of slot-0 alternatives (any match contains one)
+        d0 = np.concatenate([p[0] for p in slot_plists[0]])
+        n0 = np.concatenate([p[2] for p in slot_plists[0]])
+        order = np.argsort(d0, kind="stable")
+        d0, n0 = d0[order], n0[order]
+        keep = np.ones(d0.size, bool)
+        keep[1:] = d0[1:] != d0[:-1]
+        d0, n0 = d0[keep], n0[keep]
+        # absent terms carry idf 0.0 in the GLOBAL stats (no TermStatistics
+        # in the reference either), so the plain sum is shard-independent
+        idf_sum = sum(idfs.get(t, 0.0) for alts in slots for t in alts)
+        if slop == 0:
+            keys = None
+            for off, pl in enumerate(slot_plists):
+                ks = []
+                for docs, freqs, _, positions, _ in pl:
+                    doc_of_pos = np.repeat(docs, freqs)
+                    pos_adj = positions - off
+                    valid = pos_adj >= 0
+                    ks.append(doc_of_pos[valid] * _POS_LIMIT + pos_adj[valid])
+                k = np.unique(np.concatenate(ks))  # union + dedup per slot
+                keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+                if keys.size == 0:
+                    return _EMPTY_I64, _EMPTY_F64
+            match_docs, pf = np.unique(keys // _POS_LIMIT, return_counts=True)
+            pf = pf.astype(np.float64)
+        else:
+            cand = None
+            for pl in slot_plists:
+                u = np.unique(np.concatenate([p[0] for p in pl]))
+                cand = u if cand is None else np.intersect1d(cand, u, assume_unique=True)
+                if cand.size == 0:
+                    return _EMPTY_I64, _EMPTY_F64
+            counts = self._multi_phrase_counts(slot_plists, cand, slop)
+            nz = counts > 0
+            match_docs, pf = cand[nz], counts[nz]
+            if match_docs.size == 0:
+                return _EMPTY_I64, _EMPTY_F64
+        idx = np.searchsorted(d0, match_docs)
+        norm_b = n0[idx]
+        lead = slots[0][0]
+        if sim == "classic":
+            scores = score_postings_classic(pf, norm_b, idf_sum)
+        elif sim == "lm":
+            scores = score_postings_lm(pf, norm_b, idf_sum)
+        elif sim == "dfr":
+            scores = score_postings_dfr(pf, norm_b, idf_sum, self._dfr_table_for(lead))
+        else:
+            scores = score_postings(pf, norm_b, idf_sum, self._cache_for(lead))
+        return match_docs, scores
+
+    def _multi_phrase_counts(self, slot_plists, cand: np.ndarray, slop: int) -> np.ndarray:
+        """Sloppy multi-phrase frequencies: per-slot position UNIONS feed
+        the same greedy chain + sloppyWeight sum as `_phrase_counts`."""
+        from .intervals import chain_spans
+
+        all_counts = []
+        for c0 in range(0, cand.size, self._IV_CHUNK):
+            chunk = cand[c0 : c0 + self._IV_CHUNK]
+            children = [self._slot_intervals(pl, chunk) for pl in slot_plists]
+            idoc, s, e = chain_spans(children, minimal=False)
+            if idoc.size:
+                ml = (e - s) - (len(slot_plists) - 1)
+                ok = ml <= slop
+                counts = np.bincount(idoc[ok], weights=1.0 / (1.0 + ml[ok]), minlength=chunk.size)
+            else:
+                counts = np.zeros(chunk.size, np.float64)
+            all_counts.append(counts)
+        return np.concatenate(all_counts) if all_counts else np.zeros(0, np.float64)
+
+    @staticmethod
+    def _slot_intervals(pl: list[tuple], cand: np.ndarray):
+        """Union of a slot's alternative term positions within cand docs,
+        deduped (graph-analyzed indexes can put two alternatives at the
+        same position) and (idoc, start)-sorted for chain_spans."""
+        from .intervals import term_intervals
+
+        parts = [term_intervals(lambda _t, _p=p: _p, "", cand) for p in pl]
+        idoc = np.concatenate([x[0] for x in parts])
+        pos = np.concatenate([x[1] for x in parts])
+        if idoc.size:
+            key = np.unique(idoc * _POS_LIMIT + pos)
+            idoc, pos = key // _POS_LIMIT, key % _POS_LIMIT
+        return idoc, pos, pos.copy()
+
     _IV_CHUNK = 1 << 18  # candidate chunk: keeps doc·L² composite keys in int64
 
     def _score_freq_docs(self, cand: np.ndarray, counts: np.ndarray, terms, idfs, sim):
@@ -520,6 +620,8 @@ class IndexShard:
             return self._score_term(node.terms[0], idfs, sim)
         if node.kind == "phrase":
             return self._score_phrase(node.terms, idfs, slop=node.slop, sim=sim)
+        if node.kind == "multi_phrase":
+            return self._score_multi_phrase(node.slots, idfs, slop=node.slop, sim=sim)
         if node.kind == "interval":
             return self._score_interval(node, idfs, sim)
         if node.kind == "intervals":

@@ -74,7 +74,8 @@ class BM25Stats:
         return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
 
     def idfs(self, terms: list[str]) -> dict[str, float]:
-        return {t: self.idf(t) for t in set(terms)}
+        # df=0 → 0.0, mirroring LazyBM25Stats.idfs (no TermStatistics)
+        return {t: (self.idf(t) if self.df(t) > 0 else 0.0) for t in set(terms)}
 
 
 class LazyBM25Stats:
@@ -130,8 +131,12 @@ class LazyBM25Stats:
         return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
 
     def idfs(self, terms: list[str]) -> dict[str, float]:
+        """Absent terms (df=0) map to 0.0: the reference has no
+        TermStatistics for them, so they contribute nothing to combined
+        weights (MultiPhrase/blended scoring) — and a df=0 term can never
+        match, so no other path observes the difference."""
         self.resolve(terms)
-        return {t: self.idf(t) for t in set(terms)}
+        return {t: (self.idf(t) if self.df(t) > 0 else 0.0) for t in set(terms)}
 
 
 def score_postings(

@@ -53,16 +53,30 @@ class QueryNode:
     tiebreak: float = 0.0  # DisjunctionMaxQuery tieBreakerMultiplier
     slop: int = 0  # PhraseQuery slop: "a b"~N proximity window
     tree: object = None  # IntervalsNode for kind == "intervals"
+    slots: list[list[str]] = field(default_factory=list)  # multi_phrase positions
 
     def all_terms(self) -> list[str]:
         if self.kind in ("term", "phrase", "term_set", "interval"):
             return list(self.terms)
+        if self.kind == "multi_phrase":
+            return [t for alts in self.slots for t in alts]
         if self.kind == "intervals":
             return self.tree.leaf_terms()
         out: list[str] = []
         for _, c in self.clauses:
             out.extend(c.all_terms())
         return out
+
+
+def multi_phrase(slots: list[list[str]], slop: int = 0, boost: float = 1.0) -> QueryNode:
+    """MultiPhraseQuery (lucene/core/src/java/org/apache/lucene/search/
+    MultiPhraseQuery.java): a phrase where each position admits ANY of
+    several terms — the query QueryBuilder emits for analysis graphs
+    (index- or query-time synonyms at one position).  freq counts matches
+    with per-slot alternatives unioned; scoring uses the phrase shape
+    with idf summed over every alternative (BM25Similarity combines all
+    TermStatistics)."""
+    return QueryNode("multi_phrase", slots=[list(a) for a in slots], slop=slop, boost=boost)
 
 
 def dismax(children: list[QueryNode], tiebreak: float = 0.0, boost: float = 1.0) -> QueryNode:
