@@ -252,6 +252,27 @@ class BruteForceIndex:
         if node.kind == "phrase":
             pf = self.phrase_freq(node.terms, doc, slop=node.slop)
             return (pf > 0, self.phrase_score(node.terms, doc, slop=node.slop))
+        if node.kind == "synonym":
+            # SynonymQuery: freq = Σ member tf, weight from df_max (the
+            # combined TermStatistics of SynonymQuery.java)
+            tf = sum(len(self.docs[doc].get(t, ())) for t in node.terms)
+            if tf == 0:
+                return (False, 0.0)
+            df_max = max((self.df.get(t, 0) for t in node.terms), default=0)
+            field = self._field_of(node.terms[0])
+            sim = getattr(self, "similarity", "bm25")
+            if sim == "classic":
+                idf = 1.0 + math.log(self.N / (df_max + 1.0))
+                return (True, math.sqrt(tf) * idf * idf / math.sqrt(max(self._dl(doc, field), 1)))
+            if sim == "lm":
+                p_sum = sum(self.cf(t) / self.sum_ttf for t in node.terms)
+                return (True, self._lm_score(tf, p_sum, doc))
+            if sim == "dfr":
+                from .search.bm25 import dfr_weight
+
+                return (True, self._dfr_score(tf, dfr_weight(df_max, self.N), doc, field))
+            w = math.log(1.0 + (self.N - df_max + 0.5) / (df_max + 0.5))
+            return (True, w * tf / (tf + self._norm_k(doc, field)))
         if node.kind == "multi_phrase":
             pf = self.multi_phrase_freq(node.slots, doc, slop=node.slop)
             if pf == 0:

@@ -288,6 +288,36 @@ class IndexShard:
             )
         return docs, score_postings(freqs, norms, idfs.get(term, 0.0), self._cache_for(term))
 
+    def _score_synonym(self, terms: list[str], idfs: dict[str, float], sim: str = "bm25"):
+        """SynonymQuery (lucene/core/.../search/SynonymQuery.java): members
+        score as ONE pseudo-term — per-doc freq is the SUM over members,
+        and the blended weight (idf of max df, driver-computed from global
+        stats under `synonym_weight_key`) scores the union list."""
+        from .query import synonym_weight_key
+
+        plists = [p for t in terms if (p := self._postings(t)) is not None]
+        if not plists:
+            return _EMPTY_I64, _EMPTY_F64
+        docs_c = np.concatenate([p[0] for p in plists])
+        freqs_c = np.concatenate([p[1] for p in plists])
+        norms_c = np.concatenate([p[2] for p in plists])
+        order = np.argsort(docs_c, kind="stable")
+        docs_c, freqs_c, norms_c = docs_c[order], freqs_c[order], norms_c[order]
+        first = np.ones(docs_c.size, bool)
+        first[1:] = docs_c[1:] != docs_c[:-1]
+        starts = np.flatnonzero(first)
+        docs = docs_c[starts]
+        freqs = np.add.reduceat(freqs_c, starts)
+        norms = norms_c[starts]
+        w = idfs.get(synonym_weight_key(terms), 0.0)
+        if sim == "classic":
+            return docs, score_postings_classic(freqs, norms, w)
+        if sim == "lm":
+            return docs, score_postings_lm(freqs, norms, w)
+        if sim == "dfr":
+            return docs, score_postings_dfr(freqs, norms, w, self._dfr_table_for(terms[0]))
+        return docs, score_postings(freqs, norms, w, self._cache_for(terms[0]))
+
     def _score_phrase(self, terms: list[str], idfs: dict[str, float], slop: int = 0, sim: str = "bm25"):
         """Phrase matching: (docs, scores) for docs with phrase_freq > 0.
         slop=0 uses the vectorized composite-key exact matcher; slop>0
@@ -622,6 +652,8 @@ class IndexShard:
             return self._score_phrase(node.terms, idfs, slop=node.slop, sim=sim)
         if node.kind == "multi_phrase":
             return self._score_multi_phrase(node.slots, idfs, slop=node.slop, sim=sim)
+        if node.kind == "synonym":
+            return self._score_synonym(node.terms, idfs, sim)
         if node.kind == "interval":
             return self._score_interval(node, idfs, sim)
         if node.kind == "intervals":

@@ -56,7 +56,7 @@ class QueryNode:
     slots: list[list[str]] = field(default_factory=list)  # multi_phrase positions
 
     def all_terms(self) -> list[str]:
-        if self.kind in ("term", "phrase", "term_set", "interval"):
+        if self.kind in ("term", "phrase", "term_set", "interval", "synonym"):
             return list(self.terms)
         if self.kind == "multi_phrase":
             return [t for alts in self.slots for t in alts]
@@ -66,6 +66,22 @@ class QueryNode:
         for _, c in self.clauses:
             out.extend(c.all_terms())
         return out
+
+
+def synonym_query(terms: list[str], boost: float = 1.0) -> QueryNode:
+    """SynonymQuery (lucene/core/src/java/org/apache/lucene/search/
+    SynonymQuery.java): terms scored as ONE pseudo-term — per doc the
+    frequency is the SUM over members, and the combined TermStatistics
+    carry docFreq = max(df_i), so idf reflects the most common member.
+    This is the QueryBuilder output for same-position single-token
+    synonyms (vs dismax, which scores members separately and takes max)."""
+    return QueryNode("synonym", terms=list(terms), boost=boost)
+
+
+def synonym_weight_key(terms: list[str]) -> str:
+    """idfs-dict key for a synonym node's blended weight (computed on the
+    driver from GLOBAL stats, read in the shard actors)."""
+    return "\0syn:" + "\0".join(terms)
 
 
 def multi_phrase(slots: list[list[str]], slop: int = 0, boost: float = 1.0) -> QueryNode:

@@ -229,7 +229,7 @@ class Searcher:
         if node is None:
             return []
         node = self._rewrite(node)
-        idfs = self.stats.idfs(node.all_terms())
+        idfs = self._weights_for(node)
         # tombstones are masked actor-side at posting decode — no dead set
         # ships with the query
         parts = self._scatter("match_parents", node, idfs, score_mode, "bm25")
@@ -252,7 +252,7 @@ class Searcher:
         if node is None:
             return []
         node = self._rewrite(node)
-        idfs = self.stats.idfs(node.all_terms())
+        idfs = self._weights_for(node)
         parts = self._scatter("match_children", node, idfs, score_mode, "bm25")
         docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float32)
@@ -278,7 +278,7 @@ class Searcher:
         if node is None:
             return []
         node = self._rewrite(node)
-        idfs = self.stats.idfs(node.all_terms())
+        idfs = self._weights_for(node)
         parts = self._scatter("match_all", node, idfs)
         docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]).astype(np.float32) if parts else np.empty(0, np.float32)
@@ -368,7 +368,7 @@ class Searcher:
         if node is None:
             return 0
         node = self._rewrite(node)
-        idfs = self.stats.idfs(node.all_terms())
+        idfs = self._weights_for(node)
         parts = self._scatter("match_all", node, idfs)
         new = (
             np.unique(np.concatenate([p[0] for p in parts]))
@@ -412,6 +412,40 @@ class Searcher:
             return []
         return self.search_node(node, k, prune=prune, similarity=similarity)
 
+    def _weights_for(self, node, similarity: str = "bm25") -> dict:
+        """Per-term weights + blended SynonymQuery weights for every
+        synonym node in the tree: docFreq = max over members, ttf = sum
+        (SynonymQuery.java's combined TermStatistics), computed from the
+        GLOBAL stats on the driver so every shard scores identically."""
+        import math as _math
+
+        from .query import synonym_weight_key
+
+        idfs = self._term_weights(node.all_terms(), similarity)
+
+        def walk(n):
+            if n.kind == "synonym":
+                df_max = max((self.stats.df(t) for t in n.terms), default=0)
+                key = synonym_weight_key(n.terms)
+                if df_max == 0:
+                    idfs[key] = 0.0
+                elif similarity == "classic":
+                    idfs[key] = classic_idf(df_max, self.stats.N)
+                elif similarity == "lm":
+                    st = self.manifest["stats"]
+                    idfs[key] = sum(self.stats.cf(t) for t in n.terms) / st["sum_ttf"]
+                elif similarity == "dfr":
+                    idfs[key] = dfr_weight(df_max, self.stats.N)
+                else:
+                    idfs[key] = _math.log(
+                        1.0 + (self.stats.N - df_max + 0.5) / (df_max + 0.5)
+                    )
+            for _, c in n.clauses:
+                walk(c)
+
+        walk(node)
+        return idfs
+
     def _term_weights(self, terms, similarity: str) -> dict:
         if similarity == "classic":
             return {t: classic_idf(self.stats.df(t), self.stats.N) for t in set(terms)}
@@ -433,7 +467,7 @@ class Searcher:
         node = self._rewrite(node)
         if node is None:
             return []
-        idfs = self._term_weights(node.all_terms(), similarity)
+        idfs = self._weights_for(node, similarity)
         # tombstones masked at decode actor-side: no over-fetch needed —
         # shard top-k is already live-only
         if self.use_ray:
@@ -460,7 +494,7 @@ class Searcher:
         if node is None:
             return None
         node = self._rewrite(node)
-        idfs = self._term_weights(node.all_terms(), similarity)
+        idfs = self._weights_for(node, similarity)
         if self.use_ray:
             import ray
 

@@ -47,3 +47,46 @@ def test_multi_phrase_boost(searcher):  # noqa: F811
     assert [d for d, _ in base] == [d for d, _ in boosted]
     for (_, s1), (_, s2) in zip(base, boosted):
         assert s2 == pytest.approx(2 * s1, rel=1e-6)
+
+
+SYN_CASES = [
+    ["tool", "instrument"],
+    ["error", "ok"],
+    ["assistant", "user"],
+    ["tool", "zzznotaterm"],
+    ["zzznotaterm", "zzzalsomissing"],
+]
+
+
+def test_duel_synonym_query(searcher, oracle):  # noqa: F811
+    """SynonymQuery: blended df=max / tf=sum scoring, engine vs oracle."""
+    from lucene_solr_ray.search.query import QueryNode, synonym_query
+
+    for sim in ("bm25", "classic"):
+        for terms in SYN_CASES:
+            node = synonym_query(terms)
+            got = searcher.search_node(node, 10, similarity=sim)
+            oracle.similarity = sim
+            exp = [(d, float(s)) for d, s in oracle.search_node(node, 10)]
+            oracle.similarity = "bm25"
+            assert got == exp, f"{terms} {sim}\n got {got[:3]}\n exp {exp[:3]}"
+    # inside a boolean tree
+    node = QueryNode(
+        "bool",
+        clauses=[("MUST", synonym_query(["tool", "instrument"])), ("SHOULD", synonym_query(["error", "ok"]))],
+    )
+    got = searcher.search_node(node, 10)
+    exp = [(d, float(s)) for d, s in oracle.search_node(node, 10)]
+    assert got == exp
+
+
+def test_synonym_differs_from_dismax(searcher):  # noqa: F811
+    """SynonymQuery blends (sum tf, one idf); dismax takes the best member
+    — on a corpus where both members occur they must disagree."""
+    from lucene_solr_ray.search.query import dismax, synonym_query, QueryNode
+
+    t = lambda x: QueryNode("term", terms=[x])  # noqa: E731
+    syn = dict(searcher.search_node(synonym_query(["tool", "output"]), 1000))
+    dm = dict(searcher.search_node(dismax([t("tool"), t("output")]), 1000))
+    assert set(syn) == set(dm)  # same match set (union)
+    assert any(abs(syn[d] - dm[d]) > 1e-9 for d in syn)  # different scores
