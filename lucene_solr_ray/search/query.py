@@ -121,9 +121,11 @@ def synonym_expand(
     """Query-time synonym-graph expansion (lucene/core/src/java/org/apache/
     lucene/util/QueryBuilder.java :: analyzeGraphBoolean over a
     SynonymGraphFilter): each greedy-longest rule match over the analyzed
-    query becomes a DisjunctionMax of the ORIGINAL path and every synonym
-    alternative — multi-token paths as phrases, single tokens as terms —
-    so "wi fi" finds docs indexed with either surface form."""
+    query expands to the ORIGINAL path plus every synonym alternative.
+    All-single-token alternative sets become a blended SynonymQuery
+    (QueryBuilder's actual output for same-position synonyms); sets with
+    a multi-token path become a DisjunctionMax of phrase/term paths — so
+    "wi fi" finds docs indexed with either surface form."""
     toks = [t for t, _ in tokenize(user_query)]
     if not toks:
         return None
@@ -147,8 +149,13 @@ def synonym_expand(
             clauses.append(("SHOULD", QueryNode("term", terms=[toks[i]])))
             i += 1
             continue
-        alts = [path_node(matched)] + [path_node(out) for out in rules[matched]]
-        clauses.append(("SHOULD", dismax(alts, tiebreak=tiebreak)))
+        paths = [matched] + list(rules[matched])
+        if all(len(p) == 1 for p in paths):
+            members = list(dict.fromkeys(p[0] for p in paths))
+            clauses.append(("SHOULD", synonym_query(members)))
+        else:
+            alts = [path_node(p) for p in paths]
+            clauses.append(("SHOULD", dismax(alts, tiebreak=tiebreak)))
         i += len(matched)
     if len(clauses) == 1:
         return clauses[0][1]
