@@ -111,6 +111,20 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
                     # is just the per-bucket FOREGROUND count
                     agg_cols[c] = ("sum", np.asarray(m["fg"](sub), dtype=np.int64))
                     continue
+                vs = m["derive"](sub) if "derive" in m else sub[m["field"]]
+                if m["type"] == "countvals":  # CountValsAgg: non-null values
+                    agg_cols[c] = ("sum", vs.notna().to_numpy().astype(np.int64))
+                    continue
+                if m["type"] == "missing":  # MissingAgg: null values
+                    agg_cols[c] = ("sum", vs.isna().to_numpy().astype(np.int64))
+                    continue
+                if m["type"] == "sumsq":
+                    # SumsqAgg, exact: integer cents squared, summed as
+                    # PYTHON ints (object dtype — no int64 overflow); the
+                    # finalize exports float64 like the HUGEINT SQL twin
+                    cc = cents(vs.to_numpy())
+                    agg_cols[c] = ("sum", (cc.astype(object) * cc.astype(object)))
+                    continue
                 v = sub[m["field"]].to_numpy()
                 if m.get("money"):
                     v = cents(v)
@@ -148,7 +162,7 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
     ops = {"_n": "sum"}
     for i, lv in enumerate(levels):
         for name, m in _metrics(lv).items():
-            ops[mcol(i, name)] = {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum"}[m["type"]]
+            ops[mcol(i, name)] = {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum", "countvals": "sum", "missing": "sum", "sumsq": "sum"}[m["type"]]
     parts_df = read(sf_dir, table, need).map_batches(partial, batch_format="pandas").to_pandas()
     lattice = parts_df.groupby(bucket_cols, as_index=False).agg(ops)
 
@@ -158,7 +172,7 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
         mets = {"_n": "sum"}
         for name, m in _metrics(levels[li]).items():
             c = mcol(li, name)
-            mets[c] = {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum"}[m["type"]]
+            mets[c] = {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum", "countvals": "sum", "missing": "sum", "sumsq": "sum"}[m["type"]]
         t = lattice.groupby(keys, as_index=False).agg(mets)
         return t.rename(columns={"_n": f"_n{li}"})
 
@@ -252,6 +266,14 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
                 out[name] = np.where(x > 0, z, 0.0)
                 ren[mcol(li, name)] = m.get("fg_key", f"{name}_fg_count")
                 out[mcol(li, name)] = out[mcol(li, name)].astype("int64")
+            elif m["type"] == "sumsq":
+                # exact Python-int sum exported as float64 — the same
+                # conversion DuckDB applies casting its HUGEINT to DOUBLE
+                out[name] = out[mcol(li, name)].astype("float64")
+                out = out.drop(columns=[mcol(li, name)])
+            elif m["type"] in ("countvals", "missing"):
+                out[name] = out[mcol(li, name)].astype("int64")
+                out = out.drop(columns=[mcol(li, name)])
             else:
                 ren[mcol(li, name)] = name
     out = out.rename(columns=ren)
@@ -532,6 +554,52 @@ def json_facet_relatedness(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# countvals / missing / sumsq aggs (CountValsAgg.java, MissingAgg.java,
+# SumsqAgg.java): the remaining JSON-facet stat functions, over a derived
+# nullable column (the tables carry no native NULLs; both sides derive
+# identically, the allBuckets-gate pattern).
+
+
+def json_facet_stats(sf_dir: str):
+    spec = {
+        "type": "terms",
+        "field": "event_type",
+        "key": "bucket",
+        "count_key": "n",
+        "sort": "index",
+        "facet": {
+            "countvals": {
+                "type": "countvals",
+                "field": "value",
+                "derive": lambda s: s["value"].where(s["value"] >= 1.0),
+            },
+            "missing": {
+                "type": "missing",
+                "field": "value",
+                "derive": lambda s: s["value"].where(s["value"] >= 1.0),
+            },
+            "sumsq": {"type": "sumsq", "field": "value"},
+        },
+    }
+    out = compute_json_facet(sf_dir, "events", spec)
+    return (
+        out[["bucket", "n", "countvals", "missing", "sumsq"]]
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+
+
+JSON_FACET_STATS_SQL = """
+SELECT event_type AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(CASE WHEN value >= 1.0 THEN value END) AS BIGINT) AS countvals,
+       CAST(SUM(CASE WHEN value >= 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS missing,
+       CAST(SUM(CAST(ROUND(value*100) AS HUGEINT) * CAST(ROUND(value*100) AS HUGEINT)) AS DOUBLE) AS sumsq
+FROM events GROUP BY event_type ORDER BY bucket
+"""
+
+
 JSON_FACET_RELATEDNESS_SQL = """
 WITH b AS (
   SELECT source AS bucket,
@@ -568,6 +636,11 @@ PIPELINES: dict[str, Pipeline] = {
     ),
     "facet_refined": Pipeline(
         facet_refined, FACET_REFINED_SQL, "two-phase facet refinement: truncated per-shard partials + exact refinement round (FacetComponent)"
+    ),
+    "json_facet_stats": Pipeline(
+        json_facet_stats,
+        JSON_FACET_STATS_SQL,
+        "countvals/missing/sumsq facet aggs over a derived nullable column (CountValsAgg/MissingAgg/SumsqAgg)",
     ),
     "json_facet_relatedness": Pipeline(
         json_facet_relatedness,
