@@ -101,7 +101,25 @@ FUNCTIONS: dict[str, tuple[int, int, callable]] = {
     "sqedist": (2, 99, lambda *a: _lp_dist(a, squared=True)),
     "dist": (3, 99, lambda p, *a: _lp_dist(a, p=float(np.asarray(p).flat[0]))),
     "strdist": (2, 3, _strdist),
+    "hsin": (5, 5, lambda r, y1, x1, y2, x2: _haversine(y1, x1, y2, x2, r)),
+    "geodist": (4, 4, lambda y1, x1, y2, x2: _haversine(y1, x1, y2, x2, EARTH_MEAN_RADIUS_KM)),
 }
+
+EARTH_MEAN_RADIUS_KM = 6371.0087714  # GeoUtils.EARTH_MEAN_RADIUS_METERS / 1000
+
+
+def _haversine(lat1, lon1, lat2, lon2, radius):
+    """Great-circle distance (solr/core/.../search/function/distance/
+    HaversineFunction.java; `geodist` returns km on the earth-mean
+    radius).  Spherical-trig kernels are vectorized numpy — deliberately
+    NOT hash-gated against SQL (np.sin vs libm can differ in the last
+    ulp); the pytest oracle checks against scalar math.* instead."""
+    lat1, lon1, lat2, lon2 = (np.radians(np.asarray(v, dtype=np.float64)) for v in (lat1, lon1, lat2, lon2))
+    sdlat = np.sin((lat2 - lat1) / 2.0)
+    sdlon = np.sin((lon2 - lon1) / 2.0)
+    h = sdlat * sdlat + np.cos(lat1) * np.cos(lat2) * sdlon * sdlon
+    r = float(np.asarray(radius, dtype=np.float64).flat[0])
+    return 2.0 * r * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
 
 
 def _lp_dist(cols, p=2.0, squared=False):

@@ -66,3 +66,40 @@ def test_parse_errors():
 
 def test_literals_and_field_syntax():
     np.testing.assert_allclose(ev("add(1.5e1, field(y))")[:1], [17.0])
+
+
+def test_geodist_haversine():
+    """geodist/hsin: great-circle km vs a scalar-math reference and a
+    known city-pair distance (Paris-London ~343.5 km)."""
+    import math
+
+    import numpy as np
+
+    from lucene_solr_ray.functions.scalar import EARTH_MEAN_RADIUS_KM, FUNCTIONS
+
+    geodist = FUNCTIONS["geodist"][2]
+    hsin = FUNCTIONS["hsin"][2]
+    lat1, lon1 = np.array([48.8566, 0.0]), np.array([2.3522, 0.0])
+    lat2, lon2 = np.array([51.5074, 0.0]), np.array([-0.1278, 0.0])
+    d = geodist(lat1, lon1, lat2, lon2)
+    assert abs(d[0] - 343.5) < 1.0, d[0]  # Paris → London
+    assert d[1] == 0.0
+    # scalar-math reference, element-wise
+    for i in range(2):
+        p1, l1, p2, l2 = (math.radians(float(x[i])) for x in (lat1, lon1, lat2, lon2))
+        h = math.sin((p2 - p1) / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin((l2 - l1) / 2) ** 2
+        ref = 2 * EARTH_MEAN_RADIUS_KM * math.asin(math.sqrt(h))
+        assert d[i] == pytest.approx(ref, rel=1e-12)
+    # hsin with an explicit radius: same formula scaled
+    d2 = hsin(np.array([1.0]), lat1[:1], lon1[:1], lat2[:1], lon2[:1])
+    assert d2[0] == pytest.approx(d[0] / EARTH_MEAN_RADIUS_KM, rel=1e-12)
+
+
+def test_geodist_through_expression_parser():
+    import numpy as np
+
+    from lucene_solr_ray.functions.scalar import evaluate, parse_expr
+
+    node = parse_expr("geodist(lat, lon, 48.8566, 2.3522)")
+    out = evaluate(node, {"lat": np.array([48.8566]), "lon": np.array([2.3522])})
+    assert out[0] == 0.0
