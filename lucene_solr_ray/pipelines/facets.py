@@ -37,6 +37,24 @@ ALL_BUCKET = "__all__"
 MISSING_BUCKET = "__missing__"
 
 
+def _digest_of(s: pd.Series) -> bytes:
+    """Pandas agg kernel: raw float values → serialized t-digest."""
+    from ..state.tdigest import TDigest
+
+    return TDigest.of(s.to_numpy(np.float64)).to_bytes()
+
+
+def _digest_merge(s: pd.Series) -> bytes:
+    """Pandas agg kernel: serialized t-digests → merged serialized digest."""
+    from ..state.tdigest import TDigest
+
+    it = iter(s)
+    acc = TDigest.from_bytes(next(it))
+    for b in it:
+        acc = acc.merge(TDigest.from_bytes(b))
+    return acc.to_bytes()
+
+
 def _levels(spec: dict) -> list[dict]:
     """Flatten the nested spec into its bucket-level chain (one nested
     bucket facet per level; the rest of each `facet` block are metrics)."""
@@ -134,8 +152,18 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
                     agg_cols[c] = ("min", v)
                 elif m["type"] == "max":
                     agg_cols[c] = ("max", v)
+        # percentile metrics (PercentileAgg.java): the partial is a
+        # SERIALIZED t-digest per bucket — a mergeable sketch, ~1.6 KB,
+        # instead of the bucket's raw values
+        pct_cols: dict[str, np.ndarray] = {}
+        for i, lv in enumerate(levels):
+            for name, m in _metrics(lv).items():
+                if m["type"] == "percentile":
+                    pct_cols[mcol(i, name)] = sub[m["field"]].to_numpy(np.float64)
         df["_n"] = 1
         for c, (op, v) in agg_cols.items():
+            df[c] = v
+        for c, v in pct_cols.items():
             df[c] = v
         # allBuckets: a synthetic bucket aggregating every NON-missing row,
         # exempt from limit — duplicated into the combiner so sub-levels
@@ -150,6 +178,7 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
             {
                 "_n": "sum",
                 **{c: op for c, (op, _) in agg_cols.items()},
+                **{c: _digest_of for c in pct_cols},
             }
         )
         return out
@@ -162,7 +191,7 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
     ops = {"_n": "sum"}
     for i, lv in enumerate(levels):
         for name, m in _metrics(lv).items():
-            ops[mcol(i, name)] = {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum", "countvals": "sum", "missing": "sum", "sumsq": "sum"}[m["type"]]
+            ops[mcol(i, name)] = _digest_merge if m["type"] == "percentile" else {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum", "countvals": "sum", "missing": "sum", "sumsq": "sum"}[m["type"]]
     parts_df = read(sf_dir, table, need).map_batches(partial, batch_format="pandas").to_pandas()
     lattice = parts_df.groupby(bucket_cols, as_index=False).agg(ops)
 
@@ -172,7 +201,7 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
         mets = {"_n": "sum"}
         for name, m in _metrics(levels[li]).items():
             c = mcol(li, name)
-            mets[c] = {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum", "countvals": "sum", "missing": "sum", "sumsq": "sum"}[m["type"]]
+            mets[c] = _digest_merge if m["type"] == "percentile" else {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum", "countvals": "sum", "missing": "sum", "sumsq": "sum"}[m["type"]]
         t = lattice.groupby(keys, as_index=False).agg(mets)
         return t.rename(columns={"_n": f"_n{li}"})
 
@@ -273,6 +302,13 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
                 out = out.drop(columns=[mcol(li, name)])
             elif m["type"] in ("countvals", "missing"):
                 out[name] = out[mcol(li, name)].astype("int64")
+                out = out.drop(columns=[mcol(li, name)])
+            elif m["type"] == "percentile":
+                from ..state.tdigest import TDigest
+
+                out[name] = [
+                    TDigest.from_bytes(b).quantile(m.get("q", 0.5)) for b in out[mcol(li, name)]
+                ]
                 out = out.drop(columns=[mcol(li, name)])
             else:
                 ren[mcol(li, name)] = name
@@ -524,6 +560,29 @@ ORDER BY n DESC, o_orderpriority
 
 
 # --------------------------------------------------------------------------
+# percentile() agg inside the facet tree (PercentileAgg.java, t-digest
+# backed): per-bucket mergeable sketches — approximate by design, so no
+# SQL twin (rows-only in the gate); the pytest oracle checks accuracy vs
+# exact quantiles and determinism.
+
+
+def json_facet_percentile(sf_dir: str):
+    spec = {
+        "type": "terms",
+        "field": "l_returnflag",
+        "key": "bucket",
+        "count_key": "n",
+        "sort": "index",
+        "facet": {
+            "p50": {"type": "percentile", "field": "l_extendedprice", "q": 0.5},
+            "p90": {"type": "percentile", "field": "l_extendedprice", "q": 0.9},
+        },
+    }
+    out = compute_json_facet(sf_dir, "lineitem", spec)
+    return out[["bucket", "n", "p50", "p90"]].sort_values("bucket").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
 # relatedness() aggregate (solr/core/src/java/org/apache/solr/search/facet/
 # RelatednessAgg.java; Grainger et al. 2016, "The Semantic Knowledge
 # Graph"): per bucket, a z-score of the bucket's foreground popularity vs
@@ -636,6 +695,11 @@ PIPELINES: dict[str, Pipeline] = {
     ),
     "facet_refined": Pipeline(
         facet_refined, FACET_REFINED_SQL, "two-phase facet refinement: truncated per-shard partials + exact refinement round (FacetComponent)"
+    ),
+    "json_facet_percentile": Pipeline(
+        json_facet_percentile,
+        None,  # t-digest is approximate by design → rows-only gate; pytest oracle
+        "percentile facet agg via mergeable t-digest partials (PercentileAgg)",
     ),
     "json_facet_stats": Pipeline(
         json_facet_stats,

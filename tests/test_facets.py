@@ -157,3 +157,22 @@ def test_relatedness_metric_sign_and_magnitude(ray_session):
             assert r["relatedness"] > 0
     # ordering: most fg-enriched bucket first
     assert out["relatedness"].is_monotonic_decreasing
+
+
+def test_percentile_facet_metric(ray_session):
+    """t-digest percentile metric in the facet tree: within 1% of the
+    exact quantile per bucket, and deterministic across runs."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_solr_ray.pipelines.facets import json_facet_percentile
+
+    out = json_facet_percentile(SF)
+    out2 = json_facet_percentile(SF)
+    pd.testing.assert_frame_equal(out, out2)  # deterministic merge order
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"])
+    for _, r in out.iterrows():
+        vals = li[li["l_returnflag"] == r["bucket"]]["l_extendedprice"].to_numpy()
+        for q, col in [(0.5, "p50"), (0.9, "p90")]:
+            exact = np.quantile(vals, q)
+            assert abs(r[col] - exact) <= 0.01 * abs(exact), (r["bucket"], col, r[col], exact)
