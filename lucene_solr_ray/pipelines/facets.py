@@ -55,6 +55,48 @@ def _digest_merge(s: pd.Series) -> bytes:
     return acc.to_bytes()
 
 
+def _uniq_of(s: pd.Series) -> bytes:
+    import pickle
+
+    return pickle.dumps(sorted(set(s)))
+
+
+def _uniq_merge(s: pd.Series) -> bytes:
+    import pickle
+
+    u: set = set()
+    for b in s:
+        u.update(pickle.loads(b))
+    return pickle.dumps(sorted(u))
+
+
+def _hll_of(s: pd.Series) -> bytes:
+    from .sketches import HLL
+
+    return HLL.of(s.to_numpy()).regs.tobytes()
+
+
+def _hll_merge(s: pd.Series) -> bytes:
+    from .sketches import HLL
+
+    it = iter(s)
+    acc = np.frombuffer(next(it), dtype=np.uint8).copy()
+    for b in it:
+        np.maximum(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
+    return HLL(acc).regs.tobytes()
+
+
+# sketch-backed facet metrics: (build kernel over raw values, merge kernel
+# over serialized partials).  UniqueAgg is EXACT (sorted value-set union —
+# use only on bounded-cardinality fields; HLLAgg is the unbounded path),
+# PercentileAgg / HLLAgg are mergeable approximate sketches.
+SKETCH_METRICS = {
+    "percentile": (_digest_of, _digest_merge),
+    "unique": (_uniq_of, _uniq_merge),
+    "hll": (_hll_of, _hll_merge),
+}
+
+
 def _levels(spec: dict) -> list[dict]:
     """Flatten the nested spec into its bucket-level chain (one nested
     bucket facet per level; the rest of each `facet` block are metrics)."""
@@ -152,19 +194,19 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
                     agg_cols[c] = ("min", v)
                 elif m["type"] == "max":
                     agg_cols[c] = ("max", v)
-        # percentile metrics (PercentileAgg.java): the partial is a
-        # SERIALIZED t-digest per bucket — a mergeable sketch, ~1.6 KB,
-        # instead of the bucket's raw values
-        pct_cols: dict[str, np.ndarray] = {}
+        # sketch metrics (Percentile/Unique/HLL aggs): the partial is a
+        # SERIALIZED per-bucket sketch (t-digest / value set / HLL
+        # registers) instead of the bucket's raw values
+        pct_cols: dict[str, tuple] = {}
         for i, lv in enumerate(levels):
             for name, m in _metrics(lv).items():
-                if m["type"] == "percentile":
-                    pct_cols[mcol(i, name)] = sub[m["field"]].to_numpy(np.float64)
+                if m["type"] in SKETCH_METRICS:
+                    pct_cols[mcol(i, name)] = (SKETCH_METRICS[m["type"]][0], sub[m["field"]])
         df["_n"] = 1
         for c, (op, v) in agg_cols.items():
             df[c] = v
-        for c, v in pct_cols.items():
-            df[c] = v
+        for c, (_, v) in pct_cols.items():
+            df[c] = v.to_numpy()
         # allBuckets: a synthetic bucket aggregating every NON-missing row,
         # exempt from limit — duplicated into the combiner so sub-levels
         # and metrics compute for it like any bucket (FacetField.java)
@@ -178,7 +220,7 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
             {
                 "_n": "sum",
                 **{c: op for c, (op, _) in agg_cols.items()},
-                **{c: _digest_of for c in pct_cols},
+                **{c: k for c, (k, _) in pct_cols.items()},
             }
         )
         return out
@@ -191,7 +233,7 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
     ops = {"_n": "sum"}
     for i, lv in enumerate(levels):
         for name, m in _metrics(lv).items():
-            ops[mcol(i, name)] = _digest_merge if m["type"] == "percentile" else {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum", "countvals": "sum", "missing": "sum", "sumsq": "sum"}[m["type"]]
+            ops[mcol(i, name)] = SKETCH_METRICS[m["type"]][1] if m["type"] in SKETCH_METRICS else {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum", "countvals": "sum", "missing": "sum", "sumsq": "sum"}[m["type"]]
     parts_df = read(sf_dir, table, need).map_batches(partial, batch_format="pandas").to_pandas()
     lattice = parts_df.groupby(bucket_cols, as_index=False).agg(ops)
 
@@ -201,7 +243,7 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
         mets = {"_n": "sum"}
         for name, m in _metrics(levels[li]).items():
             c = mcol(li, name)
-            mets[c] = _digest_merge if m["type"] == "percentile" else {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum", "countvals": "sum", "missing": "sum", "sumsq": "sum"}[m["type"]]
+            mets[c] = SKETCH_METRICS[m["type"]][1] if m["type"] in SKETCH_METRICS else {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum", "countvals": "sum", "missing": "sum", "sumsq": "sum"}[m["type"]]
         t = lattice.groupby(keys, as_index=False).agg(mets)
         return t.rename(columns={"_n": f"_n{li}"})
 
@@ -309,6 +351,24 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
                 out[name] = [
                     TDigest.from_bytes(b).quantile(m.get("q", 0.5)) for b in out[mcol(li, name)]
                 ]
+                out = out.drop(columns=[mcol(li, name)])
+            elif m["type"] == "unique":
+                import pickle
+
+                out[name] = np.asarray(
+                    [len(pickle.loads(b)) for b in out[mcol(li, name)]], dtype=np.int64
+                )
+                out = out.drop(columns=[mcol(li, name)])
+            elif m["type"] == "hll":
+                from .sketches import HLL
+
+                out[name] = np.asarray(
+                    [
+                        round(HLL(np.frombuffer(b, dtype=np.uint8).copy()).estimate())
+                        for b in out[mcol(li, name)]
+                    ],
+                    dtype=np.int64,
+                )
                 out = out.drop(columns=[mcol(li, name)])
             else:
                 ren[mcol(li, name)] = name
@@ -576,10 +636,36 @@ def json_facet_percentile(sf_dir: str):
         "facet": {
             "p50": {"type": "percentile", "field": "l_extendedprice", "q": 0.5},
             "p90": {"type": "percentile", "field": "l_extendedprice", "q": 0.9},
+            "hll_parts": {"type": "hll", "field": "l_partkey"},
         },
     }
     out = compute_json_facet(sf_dir, "lineitem", spec)
-    return out[["bucket", "n", "p50", "p90"]].sort_values("bucket").reset_index(drop=True)
+    return (
+        out[["bucket", "n", "p50", "p90", "hll_parts"]].sort_values("bucket").reset_index(drop=True)
+    )
+
+
+def json_facet_unique(sf_dir: str):
+    """unique() agg (UniqueAgg.java): EXACT distinct count per bucket via
+    mergeable sorted value-set partials — bounded-cardinality fields only
+    (hll is the unbounded path).  Exact → hash-gated."""
+    spec = {
+        "type": "terms",
+        "field": "event_type",
+        "key": "bucket",
+        "count_key": "n",
+        "sort": "index",
+        "facet": {"uniq_users": {"type": "unique", "field": "user_id"}},
+    }
+    out = compute_json_facet(sf_dir, "events", spec)
+    return out[["bucket", "n", "uniq_users"]].sort_values("bucket").reset_index(drop=True)
+
+
+JSON_FACET_UNIQUE_SQL = """
+SELECT event_type AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users
+FROM events GROUP BY event_type ORDER BY bucket
+"""
 
 
 # --------------------------------------------------------------------------
@@ -695,6 +781,9 @@ PIPELINES: dict[str, Pipeline] = {
     ),
     "facet_refined": Pipeline(
         facet_refined, FACET_REFINED_SQL, "two-phase facet refinement: truncated per-shard partials + exact refinement round (FacetComponent)"
+    ),
+    "json_facet_unique": Pipeline(
+        json_facet_unique, JSON_FACET_UNIQUE_SQL, "exact unique() facet agg via sorted value-set partials (UniqueAgg)"
     ),
     "json_facet_percentile": Pipeline(
         json_facet_percentile,

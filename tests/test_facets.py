@@ -176,3 +176,23 @@ def test_percentile_facet_metric(ray_session):
         for q, col in [(0.5, "p50"), (0.9, "p90")]:
             exact = np.quantile(vals, q)
             assert abs(r[col] - exact) <= 0.01 * abs(exact), (r["bucket"], col, r[col], exact)
+
+
+def test_unique_and_hll_facet_metrics(ray_session):
+    """unique() is exact per bucket; hll() is within 5% of exact."""
+    import pandas as pd
+
+    from lucene_solr_ray.pipelines.facets import json_facet_percentile, json_facet_unique
+
+    uq = json_facet_unique(SF)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    exact = ev.groupby("event_type")["user_id"].nunique()
+    for _, r in uq.iterrows():
+        assert r["uniq_users"] == exact[r["bucket"]], r["bucket"]
+
+    pc = json_facet_percentile(SF)
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_partkey"])
+    ex = li.groupby("l_returnflag")["l_partkey"].nunique()
+    for _, r in pc.iterrows():
+        e = ex[r["bucket"]]
+        assert abs(r["hll_parts"] - e) <= max(2, 0.05 * e), (r["bucket"], r["hll_parts"], e)
