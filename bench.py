@@ -44,6 +44,9 @@ SUITE = [
     "json_facet_nested", "intervals_ordered_pairs", "regression_ols",
     "percentile_tdigest", "synonym_phrase_match", "hopping_window",
     "atomic_update", "rollup_cube",
+    # round-3b additions: facet stat metrics, geo family, expand
+    "json_facet_relatedness", "json_facet_unique", "geo_bbox",
+    "geo_heatmap", "collapse_expand",
 ]
 
 

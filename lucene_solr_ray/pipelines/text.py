@@ -350,14 +350,10 @@ ORDER BY doc_id
 
 
 def json_extract_sum(sf_dir: str):
-    from ray.data.aggregate import Sum
-
     def ext(batch: pd.DataFrame) -> pd.DataFrame:
         k = batch["props"].str.extract(r'"k": (\d+)')[0].astype("int64")
         g = pd.DataFrame({"event_type": batch["event_type"], "k_sum": k})
         return g.groupby("event_type", as_index=False).sum()
-
-    from .common import merge_partials
 
     out = merge_partials(
         read(sf_dir, "events", ["event_type", "props"]).map_batches(ext, batch_format="pandas"),
@@ -381,8 +377,6 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 def shingle_bigrams(sf_dir: str):
-    from ray.data.aggregate import Sum
-
     from ..analysis.extras import shingle_filter
 
     sh = shingle_filter(2)
@@ -393,10 +387,21 @@ def shingle_bigrams(sf_dir: str):
         flat = pd.DataFrame(
             {"bigram": np.concatenate(grams.to_numpy()) if len(grams) else np.array([], dtype=object)}
         )
-        return flat.groupby("bigram", as_index=False).size().rename(columns={"size": "df"})
+        g = flat.groupby("bigram", as_index=False).size().rename(columns={"size": "df"})
+        g["gb"] = _token_bucket(g["bigram"].to_numpy())
+        return g
 
-    parts = read(sf_dir, "documents", ["text"]).map_batches(explode, batch_format="pandas")
-    out = parts.groupby("bigram").aggregate(Sum("df", alias_name="df")).to_pandas()
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("bigram", as_index=False)["df"].sum()
+        return m.sort_values(["df", "bigram"], ascending=[False, True]).head(15)
+
+    out = (
+        read(sf_dir, "documents", ["text"])
+        .map_batches(explode, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # ≤ TOKEN_BUCKETS × 15 rows
+    )
     out["df"] = out["df"].astype("int64")
     return out.sort_values(["df", "bigram"], ascending=[False, True]).head(15).reset_index(drop=True)
 
