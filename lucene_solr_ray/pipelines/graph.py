@@ -53,6 +53,124 @@ def graph_traversal(sf_dir: str):
     return pd.DataFrame({"partkey": np.sort(parts).astype("int64")})
 
 
+# --------------------------------------------------------------------------
+# ShortestPathStream (solr/solrj/.../io/stream/ShortestPathStream.java):
+# BFS distance labelling from a source node, driver loop of broadcast
+# frontier scans.  The part—part graph is bipartite through orders
+# (p1 ~ p2 iff they share an l_orderkey).  The frontier and the distance
+# map stay driver-sized (node domain = part keys, dimension-bounded); the
+# edge table is only ever scanned with a broadcast membership filter,
+# never shuffled — the same partitioning assumption as graph_traversal.
+
+SP_MAX_DEPTH = 2
+
+
+def shortest_path_nodes(sf_dir: str, src: int = START_PART, max_depth: int = SP_MAX_DEPTH):
+    """BFS distance of every part within max_depth co-order hops of src."""
+    dist: dict[int, int] = {int(src): 0}
+    frontier = np.array([src], dtype=np.int64)
+    for d in range(1, max_depth + 1):
+        if frontier.size == 0:
+            break
+        orders = _member_scan(sf_dir, "l_partkey", frontier, "l_orderkey")
+        nxt = _member_scan(sf_dir, "l_orderkey", orders, "l_partkey")
+        frontier = np.array([p for p in nxt.tolist() if p not in dist], dtype=np.int64)
+        for p in frontier.tolist():
+            dist[p] = d
+    out = pd.DataFrame(sorted(dist.items()), columns=["node", "dist"])
+    return out.astype({"node": "int64", "dist": "int64"})
+
+
+def _pair_scan(sf_dir: str, frontier: np.ndarray) -> pd.DataFrame:
+    """(src_part, dst_part) edges out of the frontier: min src per (order,
+    dst) — enough to pick deterministic min-predecessors.  Rows leaving
+    each task are bounded by (orders touched × parts per order), i.e. the
+    frontier's edge neighbourhood, not the table."""
+    import ray
+
+    ref = ray.put(np.sort(frontier))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(ref)
+        v = batch["l_partkey"].to_numpy()
+        idx = np.clip(np.searchsorted(ks, v), 0, max(ks.size - 1, 0))
+        m = ks[idx] == v if ks.size else np.zeros(v.size, bool)
+        return batch.loc[m, ["l_orderkey", "l_partkey"]].drop_duplicates()
+
+    hits = (
+        read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(f, batch_format="pandas")
+        .to_pandas()
+    )
+    if hits.empty:
+        return pd.DataFrame({"src": [], "dst": []})
+    # min frontier part per touched order (deterministic predecessor)
+    src_per_order = hits.groupby("l_orderkey", as_index=False)["l_partkey"].min()
+    src_per_order.columns = ["l_orderkey", "src"]
+    orders = src_per_order["l_orderkey"].to_numpy(np.int64)
+    dsts = _member_pairs(sf_dir, orders)
+    out = dsts.merge(src_per_order, on="l_orderkey")[["src", "l_partkey"]]
+    out.columns = ["src", "dst"]
+    return out.groupby("dst", as_index=False)["src"].min()[["src", "dst"]]
+
+
+def _member_pairs(sf_dir: str, orders: np.ndarray) -> pd.DataFrame:
+    """Distinct (l_orderkey, l_partkey) rows with l_orderkey ∈ orders."""
+    import ray
+
+    ref = ray.put(np.sort(orders))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(ref)
+        v = batch["l_orderkey"].to_numpy()
+        idx = np.clip(np.searchsorted(ks, v), 0, max(ks.size - 1, 0))
+        m = ks[idx] == v if ks.size else np.zeros(v.size, bool)
+        return batch.loc[m, ["l_orderkey", "l_partkey"]].drop_duplicates()
+
+    out = (
+        read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(f, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.drop_duplicates() if not out.empty else pd.DataFrame({"l_orderkey": [], "l_partkey": []})
+
+
+def shortest_path_route(sf_dir: str, src: int, dst: int, max_depth: int = 6) -> list[int] | None:
+    """One deterministic shortest path src→dst (min-predecessor BFS walk),
+    or None if dst is unreachable within max_depth hops."""
+    pred: dict[int, int] = {int(src): -1}
+    frontier = np.array([src], dtype=np.int64)
+    for _ in range(max_depth):
+        if int(dst) in pred or frontier.size == 0:
+            break
+        edges = _pair_scan(sf_dir, frontier)
+        new = edges[~edges["dst"].isin(pred)]
+        for s, t in zip(new["src"].astype(int), new["dst"].astype(int)):
+            pred[t] = s
+        frontier = new["dst"].to_numpy(np.int64)
+    if int(dst) not in pred:
+        return None
+    path, cur = [], int(dst)
+    while cur != -1:
+        path.append(cur)
+        cur = pred[cur]
+    return path[::-1]
+
+
+SHORTEST_PATH_SQL = f"""
+WITH RECURSIVE bfs(node, depth) AS (
+  SELECT CAST({START_PART} AS BIGINT), 0
+  UNION
+  SELECT l2.l_partkey, bfs.depth + 1
+  FROM bfs
+  JOIN lineitem l1 ON l1.l_partkey = bfs.node
+  JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey
+  WHERE bfs.depth < {SP_MAX_DEPTH}
+)
+SELECT node, MIN(depth) AS dist FROM bfs GROUP BY node ORDER BY node
+"""
+
+
 GRAPH_SQL = f"""
 WITH o1 AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_partkey = {START_PART}),
 p1 AS (SELECT DISTINCT l_partkey FROM lineitem
@@ -67,4 +185,5 @@ SELECT l_partkey AS partkey FROM p2 ORDER BY partkey
 
 PIPELINES: dict[str, Pipeline] = {
     "graph_traversal": Pipeline(graph_traversal, GRAPH_SQL, "iterative frontier expansion (GraphQuery / GatherNodesStream)"),
+    "shortest_path": Pipeline(shortest_path_nodes, SHORTEST_PATH_SQL, "BFS distance labelling from a source node (ShortestPathStream)"),
 }
