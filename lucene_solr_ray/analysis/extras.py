@@ -302,6 +302,172 @@ def word_delimiter_filter(
     return f
 
 
+# -- long-tail filters (SURVEY §2.2: the miscellaneous/* family) ------------
+
+
+def common_grams_filter(common_words: frozenset[str], sep: str = "_") -> TokenFilter:
+    """commongrams/CommonGramsFilter.java: for each adjacent token pair where
+    either side is a common word, additionally emit the joined bigram at the
+    first token's position (posLength-2 token in Lucene)."""
+
+    def f(tokens: list[Token]) -> list[Token]:
+        out: list[Token] = []
+        for i, (t, p) in enumerate(tokens):
+            out.append((t, p))
+            if i + 1 < len(tokens):
+                nt, _ = tokens[i + 1]
+                if t in common_words or nt in common_words:
+                    out.append((t + sep + nt, p))
+        return out
+
+    return f
+
+
+def pattern_replace_filter(pattern: str, replacement: str) -> TokenFilter:
+    """pattern/PatternReplaceFilter.java (empty results are dropped)."""
+    import re
+
+    pat = re.compile(pattern)
+
+    def f(tokens: list[Token]) -> list[Token]:
+        out = [(pat.sub(replacement, t), p) for t, p in tokens]
+        return [(t, p) for t, p in out if t]
+
+    return f
+
+
+def remove_duplicates_filter() -> TokenFilter:
+    """miscellaneous/RemoveDuplicatesTokenFilter.java: drop tokens whose
+    (term, position) pair was already emitted."""
+
+    def f(tokens: list[Token]) -> list[Token]:
+        seen: set[Token] = set()
+        out = []
+        for tok in tokens:
+            if tok not in seen:
+                seen.add(tok)
+                out.append(tok)
+        return out
+
+    return f
+
+
+def capitalization_filter() -> TokenFilter:
+    """miscellaneous/CapitalizationFilter.java default mode: first char
+    uppercased, rest lowercased."""
+    return lambda tokens: [(t.capitalize(), p) for t, p in tokens]
+
+
+def limit_token_count_filter(max_count: int) -> TokenFilter:
+    """miscellaneous/LimitTokenCountFilter.java."""
+    return lambda tokens: tokens[:max_count]
+
+
+def truncate_filter(length: int) -> TokenFilter:
+    """miscellaneous/TruncateTokenFilter.java."""
+    return lambda tokens: [(t[:length], p) for t, p in tokens]
+
+
+def decimal_digit_filter() -> TokenFilter:
+    """core/DecimalDigitFilter.java: fold any Unicode decimal digit to its
+    ASCII value."""
+
+    def fold(t: str) -> str:
+        return "".join(str(unicodedata.decimal(c)) if c.isdigit() and not c.isascii() else c for c in t)
+
+    return lambda tokens: [(fold(t), p) for t, p in tokens]
+
+
+_ELISION_DEFAULT = frozenset("l m t qu n s j d c jusqu quoiqu lorsqu puisqu".split())
+
+
+def elision_filter(articles: frozenset[str] = _ELISION_DEFAULT) -> TokenFilter:
+    """util/ElisionFilter.java: strip a leading article before an apostrophe
+    (l'avion → avion)."""
+
+    def strip(t: str) -> str:
+        for apos in ("'", "’"):
+            i = t.find(apos)
+            if i >= 0 and t[:i].lower() in articles:
+                return t[i + 1 :]
+        return t
+
+    def f(tokens: list[Token]) -> list[Token]:
+        out = [(strip(t), p) for t, p in tokens]
+        return [(t, p) for t, p in out if t]
+
+    return f
+
+
+def english_possessive_filter() -> TokenFilter:
+    """en/EnglishPossessiveFilter.java: strip trailing 's (both apostrophes)."""
+
+    def strip(t: str) -> str:
+        if len(t) >= 2 and t[-1] in ("s", "S") and t[-2] in ("'", "’"):
+            return t[:-2]
+        return t
+
+    return lambda tokens: [(strip(t), p) for t, p in tokens]
+
+
+def english_minimal_stem_filter() -> TokenFilter:
+    """en/EnglishMinimalStemFilter.java (S-stemmer, Harman 1991 as shipped
+    in Lucene's EnglishMinimalStemmer): plural-only minimal stemming."""
+
+    def stem(w: str) -> str:
+        if len(w) < 3 or w[-1] != "s":
+            return w
+        c = w[-2]
+        if c in ("u", "s"):
+            return w
+        if c == "e":
+            if len(w) > 3 and w[-3] == "i" and w[-4] not in ("a", "e"):
+                return w[:-3] + "y"  # -ies → -y
+            if w[-3] in ("i", "a", "o", "e"):
+                return w
+            return w[:-1]
+        return w[:-1]
+
+    return lambda tokens: [(stem(t), p) for t, p in tokens]
+
+
+def stemmer_override_filter(overrides: dict[str, str], inner: TokenFilter) -> TokenFilter:
+    """miscellaneous/StemmerOverrideFilter.java: dictionary-mapped terms
+    bypass the inner stemmer."""
+
+    def f(tokens: list[Token]) -> list[Token]:
+        out: list[Token] = []
+        for tok in tokens:
+            if tok[0] in overrides:
+                out.append((overrides[tok[0]], tok[1]))
+            else:
+                out.extend(inner([tok]))
+        return out
+
+    return f
+
+
+def keep_word_filter(keep: frozenset[str]) -> TokenFilter:
+    """miscellaneous/KeepWordFilter.java (position gaps kept, like stop)."""
+    return lambda tokens: [(t, p) for t, p in tokens if t in keep]
+
+
+def delimited_payload_filter(delimiter: str = "|") -> TokenFilter:
+    """payloads/DelimitedPayloadTokenFilter.java: strip the `term|payload`
+    suffix from the term. Payload bytes are not carried into postings (our
+    index stores positions only); the filter exists so delimited corpora
+    analyze to the same terms as the reference chain."""
+
+    def f(tokens: list[Token]) -> list[Token]:
+        out = []
+        for t, p in tokens:
+            i = t.find(delimiter)
+            out.append((t[:i] if i > 0 else t, p))
+        return out
+
+    return f
+
+
 def chain(*filters: TokenFilter) -> TokenFilter:
     """Compose filters left-to-right (the TokenStream decorator chain)."""
 
@@ -324,4 +490,17 @@ REGISTRY: dict[str, Callable[..., TokenFilter]] = {
     "porter_stem": porter_stem_filter,
     "synonym": synonym_filter,
     "word_delimiter": word_delimiter_filter,
+    "common_grams": common_grams_filter,
+    "pattern_replace": pattern_replace_filter,
+    "remove_duplicates": remove_duplicates_filter,
+    "capitalization": capitalization_filter,
+    "limit_token_count": limit_token_count_filter,
+    "truncate": truncate_filter,
+    "decimal_digit": decimal_digit_filter,
+    "elision": elision_filter,
+    "english_possessive": english_possessive_filter,
+    "english_minimal_stem": english_minimal_stem_filter,
+    "stemmer_override": stemmer_override_filter,
+    "keep_word": keep_word_filter,
+    "delimited_payload": delimited_payload_filter,
 }

@@ -869,6 +869,109 @@ GROUP BY a.doc_id ORDER BY a.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# §2.2 PhoneticFilter (lucene/analysis/phonetic): soundex code groups over
+# the corpus vocabulary.  Same fixed-bucket shuffle as terms_component —
+# tokens hash into TOKEN_BUCKETS, per-bucket merges resolve distinct tokens
+# and encode them (scalar soundex per DISTINCT token, bucket-bounded), and
+# the driver merge is soundex-code-space bounded (≤26·7³ codes).  The SQL
+# twin reimplements the identical soundex algorithm with translate + chained
+# regexp_replace folds (RE2 has no backrefs, hence one fold per digit).
+
+PHONETIC_MIN_TOKENS = 1
+PHONETIC_TOP = 20
+
+
+def phonetic_match(sf_dir: str):
+    from ..analysis.phonetic import soundex
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        _, codes, uniq, _ = _explode_tokens(batch["text"])
+        empty = pd.DataFrame(
+            {
+                "token": pd.Series([], dtype=object),
+                "occ": pd.Series([], dtype="int64"),
+                "gb": pd.Series([], dtype="int64"),
+            }
+        )
+        if not codes.size:
+            return empty
+        occ = np.bincount(codes, minlength=uniq.size).astype("int64")
+        alpha = pd.Series(uniq, dtype=object).str.fullmatch("[a-z]+").to_numpy(dtype=bool)
+        if not alpha.any():
+            return empty
+        uniq, occ = uniq[alpha], occ[alpha]
+        return pd.DataFrame({"token": uniq, "occ": occ, "gb": _token_bucket(uniq)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False)["occ"].sum()
+        m["code"] = [soundex(t) for t in m["token"]]
+        return m.groupby("code", as_index=False).agg(n_tokens=("token", "size"), occ=("occ", "sum"))
+
+    out = (
+        read(sf_dir, "documents", ["text"])
+        .map_batches(partials, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # ≤ buckets × codes-per-bucket, code-space bounded
+    )
+    if not len(out):
+        return pd.DataFrame(
+            {
+                "code": pd.Series([], dtype=object),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "occ": pd.Series([], dtype="int64"),
+            }
+        )
+    m = out.groupby("code", as_index=False).agg(n_tokens=("n_tokens", "sum"), occ=("occ", "sum"))
+    m = m[m["n_tokens"] >= PHONETIC_MIN_TOKENS]
+    m["n_tokens"] = m["n_tokens"].astype("int64")
+    m["occ"] = m["occ"].astype("int64")
+    return (
+        m.sort_values(["n_tokens", "occ", "code"], ascending=[False, False, True])
+        .head(PHONETIC_TOP)
+        .reset_index(drop=True)[["code", "n_tokens", "occ"]]
+    )
+
+
+_SOUNDEX_FOLD_SQL = "replace(d, '9', '')"
+for _dig in "0123456":
+    _SOUNDEX_FOLD_SQL = f"regexp_replace({_SOUNDEX_FOLD_SQL}, '{_dig}+', '{_dig}', 'g')"
+
+PHONETIC_SQL = f"""
+WITH toks AS (
+  SELECT token FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token FROM documents
+  ) WHERE regexp_matches(token, '^[a-z]+$')
+),
+enc AS (
+  SELECT token, upper(token) AS u,
+         translate(upper(token), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                   '01230129022455012623019202') AS d
+  FROM toks
+),
+folded AS (
+  SELECT token, u, substr(d, 1, 1) AS first_code, {_SOUNDEX_FOLD_SQL} AS coll
+  FROM enc
+),
+codes AS (
+  SELECT token,
+         substr(u, 1, 1) ||
+         substr(replace(CASE WHEN first_code = '9' THEN coll
+                             ELSE substr(coll, 2) END, '0', '') || '000', 1, 3) AS code
+  FROM folded
+)
+SELECT code,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS occ
+FROM codes
+GROUP BY code
+HAVING COUNT(DISTINCT token) >= {PHONETIC_MIN_TOKENS}
+ORDER BY n_tokens DESC, occ DESC, code
+LIMIT {PHONETIC_TOP}
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "synonym_phrase_match": Pipeline(
         synonym_phrase_match, SYNONYM_SQL, "multi-word synonym injection (SynonymGraphFilter), actor pool"
@@ -896,6 +999,9 @@ PIPELINES: dict[str, Pipeline] = {
     "terms_component": Pipeline(terms_component, TERMS_SQL, "term/df enumeration (TermsComponent)"),
     "significant_terms": Pipeline(significant_terms, SIGNIFICANT_SQL, "fg-vs-bg term significance (SignificantTermsStream)"),
     "term_filter": Pipeline(term_filter, TERM_FILTER_SQL, "term membership filter (TermQuery as filter)"),
+    "phonetic_match": Pipeline(
+        phonetic_match, PHONETIC_SQL, "soundex code groups over the vocabulary (PhoneticFilter family)"
+    ),
     "strdist_source": Pipeline(
         strdist_source, STRDIST_SQL, "strdist() value source: exact edit distance per bounded domain value"
     ),
