@@ -157,6 +157,98 @@ def shortest_path_route(sf_dir: str, src: int, dst: int, max_depth: int = 6) -> 
     return path[::-1]
 
 
+# --------------------------------------------------------------------------
+# ScoreNodesStream (solr/solrj/.../io/stream/ScoreNodesStream.java): tf-idf
+# scoring of gathered nodes — gather count × idf of the node over the full
+# corpus.  Same frontier-broadcast shape as gatherNodes: per-batch partials
+# are bounded by the frontier's edge neighbourhood; only (node, cnt) /
+# (node, order) partials leave the tasks; N comes from a count() aggregate.
+# Scores use scalar libm log on the driver (bounded node set) for
+# bit-parity with the DuckDB ln() twin.
+
+SCORE_NODES_TOP = 25
+
+
+def score_nodes(sf_dir: str):
+    import math
+
+    import ray
+
+    orders = _member_scan(sf_dir, "l_partkey", np.array([START_PART], np.int64), "l_orderkey")
+    oref = ray.put(np.sort(orders))
+
+    def gather(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(oref)
+        v = batch["l_orderkey"].to_numpy()
+        idx = np.clip(np.searchsorted(ks, v), 0, max(ks.size - 1, 0))
+        m = ks[idx] == v if ks.size else np.zeros(v.size, bool)
+        hit = batch.loc[m, "l_partkey"]
+        return hit.value_counts().rename_axis("node").reset_index(name="cnt")
+
+    g = (
+        read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(gather, batch_format="pandas")
+        .to_pandas()
+    )
+    if g.empty:
+        return pd.DataFrame(
+            {
+                "node": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64"),
+                "df": pd.Series([], dtype="int64"),
+                "score": pd.Series([], dtype="float64"),
+            }
+        )
+    g = g.groupby("node", as_index=False)["cnt"].sum()
+
+    nodes = g["node"].to_numpy(np.int64)
+    nref = ray.put(np.sort(nodes))
+
+    def doc_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(nref)
+        v = batch["l_partkey"].to_numpy()
+        idx = np.clip(np.searchsorted(ks, v), 0, max(ks.size - 1, 0))
+        m = ks[idx] == v if ks.size else np.zeros(v.size, bool)
+        return batch.loc[m, ["l_partkey", "l_orderkey"]].drop_duplicates()
+
+    pairs = (
+        read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(doc_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    df = pairs.groupby("l_partkey").size().rename("df").rename_axis("node").reset_index()
+    n_docs = read(sf_dir, "orders", ["o_orderkey"]).count()
+
+    out = g.merge(df, on="node")
+    out["score"] = np.array(
+        [float(c) * math.log((n_docs + 1.0) / (int(d) + 1.0)) for c, d in zip(out["cnt"], out["df"])],
+        dtype=np.float64,
+    )
+    out["node"] = out["node"].astype("int64")
+    out["cnt"] = out["cnt"].astype("int64")
+    out["df"] = out["df"].astype("int64")
+    return (
+        out.sort_values(["score", "node"], ascending=[False, True])
+        .head(SCORE_NODES_TOP)
+        .reset_index(drop=True)[["node", "cnt", "df", "score"]]
+    )
+
+
+SCORE_NODES_SQL = f"""
+WITH o1 AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_partkey = {START_PART}),
+g AS (SELECT l_partkey AS node, COUNT(*) AS cnt FROM lineitem
+      WHERE l_orderkey IN (SELECT l_orderkey FROM o1) GROUP BY l_partkey),
+d AS (SELECT l_partkey AS node, COUNT(DISTINCT l_orderkey) AS df FROM lineitem
+      WHERE l_partkey IN (SELECT node FROM g) GROUP BY l_partkey),
+n AS (SELECT COUNT(*) AS n FROM orders)
+SELECT g.node, CAST(g.cnt AS BIGINT) AS cnt, CAST(d.df AS BIGINT) AS df,
+       g.cnt * ln((n.n + 1.0) / (d.df + 1.0)) AS score
+FROM g JOIN d ON g.node = d.node, n
+ORDER BY score DESC, g.node LIMIT {SCORE_NODES_TOP}
+"""
+
+
 SHORTEST_PATH_SQL = f"""
 WITH RECURSIVE bfs(node, depth) AS (
   SELECT CAST({START_PART} AS BIGINT), 0
@@ -186,4 +278,5 @@ SELECT l_partkey AS partkey FROM p2 ORDER BY partkey
 PIPELINES: dict[str, Pipeline] = {
     "graph_traversal": Pipeline(graph_traversal, GRAPH_SQL, "iterative frontier expansion (GraphQuery / GatherNodesStream)"),
     "shortest_path": Pipeline(shortest_path_nodes, SHORTEST_PATH_SQL, "BFS distance labelling from a source node (ShortestPathStream)"),
+    "score_nodes": Pipeline(score_nodes, SCORE_NODES_SQL, "tf-idf scoring of gathered nodes (ScoreNodesStream)"),
 }

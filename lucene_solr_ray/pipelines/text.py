@@ -934,6 +934,43 @@ def phonetic_match(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# CartesianProductStream (solr/solrj/.../io/stream/CartesianProductStream.java):
+# explode a multivalue field into one tuple per value.  The multivalue field
+# here is the token list of `text`; a deterministic doc_id sample bounds the
+# output (the stream itself is unbounded — it streams; the gate needs a
+# finite table).  Pure per-batch flatMap: no shuffle, no driver state.
+
+CARTESIAN_MOD = 50  # sample: doc_id % 50 == 0
+
+
+def cartesian_product(sf_dir: str):
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[batch["doc_id"] % CARTESIAN_MOD == 0]
+        if not len(sel):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"), "token": pd.Series([], dtype=object)}
+            )
+        toks = _tokens(sel["text"])
+        counts = toks.map(len).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(sel["doc_id"].to_numpy(np.int64), counts),
+                "token": np.asarray([t for ws in toks for t in ws], dtype=object),
+            }
+        )
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(explode, batch_format="pandas")
+    return out.to_pandas().sort_values(["doc_id", "token"]).reset_index(drop=True)
+
+
+CARTESIAN_SQL = f"""
+SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+FROM documents WHERE doc_id % {CARTESIAN_MOD} = 0
+ORDER BY doc_id, token
+"""
+
+
 _SOUNDEX_FOLD_SQL = "replace(d, '9', '')"
 for _dig in "0123456":
     _SOUNDEX_FOLD_SQL = f"regexp_replace({_SOUNDEX_FOLD_SQL}, '{_dig}+', '{_dig}', 'g')"
@@ -999,6 +1036,9 @@ PIPELINES: dict[str, Pipeline] = {
     "terms_component": Pipeline(terms_component, TERMS_SQL, "term/df enumeration (TermsComponent)"),
     "significant_terms": Pipeline(significant_terms, SIGNIFICANT_SQL, "fg-vs-bg term significance (SignificantTermsStream)"),
     "term_filter": Pipeline(term_filter, TERM_FILTER_SQL, "term membership filter (TermQuery as filter)"),
+    "cartesian_product": Pipeline(
+        cartesian_product, CARTESIAN_SQL, "multivalue-field explode (CartesianProductStream)"
+    ),
     "phonetic_match": Pipeline(
         phonetic_match, PHONETIC_SQL, "soundex code groups over the vocabulary (PhoneticFilter family)"
     ),
