@@ -525,3 +525,107 @@ class Searcher:
             mask = np.isin(t.column("doc_id").to_numpy(), want)
             out.append(t.filter(pa.array(mask)))
         return pa.concat_tables(out) if out else None
+
+    def fetch_text(self, doc_ids: list[int]) -> dict[int, str]:
+        """Stored-field text for specific docs, read from the SOURCE files
+        recorded in the manifest lineage (the index stores no text; docID =
+        file base + rank under the (conv_id, turn_idx) sort, so the text of
+        doc d lives at sorted-row (d - base) of its input file)."""
+        inputs = self.manifest["config"]["inputs"]
+        bases = np.asarray([b for _, _, b in inputs], dtype=np.int64)
+        total = int(bases[-1]) + int(inputs[-1][1]) if inputs else 0
+        want = np.asarray(sorted(set(int(d) for d in doc_ids)), dtype=np.int64)
+        want = want[(want >= 0) & (want < total)]
+        pids = np.searchsorted(bases, want, side="right") - 1
+        out: dict[int, str] = {}
+        for pid in np.unique(pids):
+            path, _rows, base = inputs[int(pid)]
+            t = pq.read_table(path, columns=["conv_id", "turn_idx", "text"])
+            import pyarrow.compute as pc
+
+            order = pc.sort_indices(
+                t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+            ).to_numpy()
+            texts = t.column("text").to_numpy(zero_copy_only=False)
+            for d in want[pids == pid]:
+                out[int(d)] = str(texts[order[int(d) - base]])
+        return out
+
+    # -- TermVectorComponent ----------------------------------------------
+    def term_vectors(self, doc_id: int) -> dict[str, dict]:
+        """/tvrh (solr/core/.../handler/component/TermVectorComponent.java):
+        per-document term vector {term: {tf, positions, df}}.  The reference
+        re-analyzes stored fields when term vectors aren't stored in the
+        segment — same here: one pid-pruned stored-text read + the analyzer
+        chain; dfs resolve through the lazy global stats (row-group-pruned
+        reads, vocabulary stays off the driver)."""
+        from ..analysis.analyzer import tokenize
+
+        text = self.fetch_text([doc_id]).get(int(doc_id))
+        if text is None:
+            return {}
+        vec: dict[str, dict] = {}
+        for term, pos in tokenize(text):
+            e = vec.setdefault(term, {"tf": 0, "positions": []})
+            e["tf"] += 1
+            e["positions"].append(pos)
+        for term, e in vec.items():
+            e["df"] = int(self.stats.df(term))
+        return vec
+
+    # -- MoreLikeThis ------------------------------------------------------
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_query_terms: int = 10,
+        min_tf: int = 1,
+        min_doc_freq: int = 1,
+        similarity: str = "bm25",
+    ) -> list[tuple[int, float]]:
+        """MoreLikeThisHandler (lucene/queries/.../mlt/MoreLikeThis.java,
+        solr/core/.../handler/MoreLikeThisHandler.java): pick the doc's top
+        `max_query_terms` interesting terms by tf·idf (mintf/mindf gates),
+        run them as a SHOULD BooleanQuery, exclude the seed doc.  Term
+        selection runs on ONE fetched doc; the search is the normal
+        scatter-gather path."""
+        import math as _math
+
+        from .query import QueryNode
+
+        vec = self.term_vectors(doc_id)
+        scored = []
+        for term, e in vec.items():
+            if e["tf"] < min_tf or e["df"] < min_doc_freq or e["df"] == 0:
+                continue
+            idf = _math.log(1.0 + (self.stats.N - e["df"] + 0.5) / (e["df"] + 0.5))
+            scored.append((-(e["tf"] * idf), term))
+        scored.sort()
+        terms = [t for _, t in scored[:max_query_terms]]
+        if not terms:
+            return []
+        node = QueryNode(
+            "bool", clauses=[("SHOULD", QueryNode("term", terms=[t])) for t in terms]
+        )
+        hits = self.search_node(node, k + 1, similarity=similarity)
+        return [(d, s) for d, s in hits if d != int(doc_id)][:k]
+
+    # -- Luke / index introspection ---------------------------------------
+    def index_info(self, top_terms: int = 10) -> dict:
+        """LukeRequestHandler (solr/core/.../handler/admin/LukeRequestHandler
+        .java): index-level metadata + top terms, all from the committed
+        manifest and the distributed /terms path — no corpus scan."""
+        st = self.manifest["stats"]
+        return {
+            "num_docs": int(st["N"]) - int(self._tombstones.size),
+            "max_doc": int(st["N"]),
+            "deleted_docs": int(self._tombstones.size),
+            "sum_ttf": int(st.get("sum_ttf", 0)),
+            "avgdl": float(st["avgdl"]),
+            "num_shards": len(self.shard_dirs),
+            "num_segments": len(self.manifest["segments"]),
+            "fields": [""] + sorted((st.get("fields") or {}).keys()),
+            "codec": self.manifest["config"].get("codec", "varbyte"),
+            "version": self.manifest.get("version"),
+            "top_terms": self.terms(limit=top_terms),
+        }

@@ -489,3 +489,76 @@ def test_query_elevation(searcher):
     rest = [d for d, _ in got[2:]]
     assert pin[0] not in rest  # no duplicate of the promoted doc
     assert rest == [d for d, _ in organic if d not in pin][: len(rest)]
+
+
+def test_fetch_text_roundtrip(searcher, corpus):
+    """fetch_text reads the stored text of arbitrary docs via the lineage
+    (pid-pruned source read + (conv_id, turn_idx) rank)."""
+    _, full = corpus
+    want = [0, 17, full.num_rows // 2, full.num_rows - 1]
+    got = searcher.fetch_text(want)
+    texts = full.column("text").to_pylist()
+    for d in want:
+        assert got[d] == texts[d]
+
+
+def test_term_vectors_duel(searcher, corpus, oracle):
+    """/tvrh: tf + positions equal a direct re-analysis; df equals the
+    brute-force oracle's global df."""
+    from lucene_solr_ray.analysis.analyzer import tokenize
+
+    _, full = corpus
+    doc = full.num_rows // 3
+    vec = searcher.term_vectors(doc)
+    toks = tokenize(full.column("text")[doc].as_py())
+    assert sum(e["tf"] for e in vec.values()) == len(toks)
+    exp: dict[str, list[int]] = {}
+    for t, p in toks:
+        exp.setdefault(t, []).append(p)
+    assert {t: e["positions"] for t, e in vec.items()} == exp
+    for t, e in vec.items():
+        assert e["df"] == oracle.df[t]
+    assert searcher.term_vectors(10**9) == {}
+
+
+def test_more_like_this_duel(searcher, corpus, oracle):
+    """MLT = independent term selection (tf·idf, same formula) + SHOULD
+    BooleanQuery scored by the brute-force oracle; rank AND float32 score
+    identical, seed doc excluded."""
+    import math
+
+    from lucene_solr_ray.analysis.analyzer import tokenize
+    from lucene_solr_ray.search.query import QueryNode
+
+    _, full = corpus
+    doc = full.num_rows // 4
+    got = searcher.more_like_this(doc, k=8, max_query_terms=10)
+    assert got and all(d != doc for d, _ in got)
+
+    tf: dict[str, int] = {}
+    for t, _p in tokenize(full.column("text")[doc].as_py()):
+        tf[t] = tf.get(t, 0) + 1
+    scored = []
+    for t, f in tf.items():
+        df = oracle.df.get(t, 0)
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (oracle.N - df + 0.5) / (df + 0.5))
+        scored.append((-(f * idf), t))
+    scored.sort()
+    terms = [t for _, t in scored[:10]]
+    node = QueryNode("bool", clauses=[("SHOULD", QueryNode("term", terms=[t])) for t in terms])
+    exp = [(d, float(s)) for d, s in oracle.search_node(node, 9) if d != doc][:8]
+    assert got == exp
+
+
+def test_index_info(searcher, oracle, index):
+    """Luke handler analog: manifest-derived metadata + distributed top terms."""
+    info = searcher.index_info(top_terms=5)
+    assert info["max_doc"] == oracle.N
+    assert info["num_docs"] == oracle.N - info["deleted_docs"]
+    assert info["sum_ttf"] == oracle.sum_ttf
+    assert info["avgdl"] == pytest.approx(oracle.avgdl, abs=0)
+    assert info["num_segments"] == len(index.data["segments"])
+    assert len(info["top_terms"]) == 5
+    assert info["top_terms"] == searcher.terms(limit=5)
