@@ -156,26 +156,8 @@ MA_WINDOW = 3
 
 
 def moving_average_monthly(sf_dir: str):
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        d = batch["o_orderdate"]
-        month = (d.dt.year * 100 + d.dt.month).astype("int64")
-        g = pd.DataFrame({"month": month, "cents": cents(batch["o_totalprice"].to_numpy())})
-        return g.groupby("month", as_index=False).sum()
-
-    from .common import merge_partials
-
-    monthly = (
-        merge_partials(
-            read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
-                partial, batch_format="pandas"
-            ),
-            ["month"],
-            {"cents": "sum"},
-        )
-        .sort_values("month")
-        .reset_index(drop=True)
-    )
     # the series is months-long (bounded) — the evaluator runs driver-side
+    monthly = _monthly_cents(sf_dir)
     ma = moving_average(monthly["cents"].to_numpy().astype(np.float64), MA_WINDOW)
     out = monthly.iloc[MA_WINDOW - 1 :].copy().reset_index(drop=True)
     out["cents"] = out["cents"].astype("int64")
@@ -305,7 +287,172 @@ def fft_daily_counts(sf_dir: str):
     return pd.DataFrame({"bin": np.arange(mag.size, dtype=np.int64), "magnitude": mag})
 
 
+# --------------------------------------------------------------------------
+# More of the eval/ time-series + stats surface, each on the same
+# exact-integer-partials → bounded-driver-series shape:
+# - series_diff    DiffEvaluator (time-series differencing) — BIGINT lag
+#   subtraction, integer-exact on both sides.
+# - moving_median  MovingMedianEvaluator — odd window over integer cents ⇒
+#   the median is an integral double, bit-exact vs DuckDB's window median.
+# - mode_value     ModeEvaluator — bounded (status × priority) domain,
+#   deterministic lowest-value tiebreak.
+# - chi_square     ChiSquareDataSetEvaluator — per-cell observed/expected/
+#   contribution table (no cross-cell float summation ⇒ order-independent
+#   hash parity; the statistic is the contrib sum, left to the caller).
+
+
+def _monthly_cents(sf_dir: str) -> pd.DataFrame:
+    from .common import merge_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["o_orderdate"]
+        month = (d.dt.year * 100 + d.dt.month).astype("int64")
+        g = pd.DataFrame({"month": month, "cents": cents(batch["o_totalprice"].to_numpy())})
+        return g.groupby("month", as_index=False).sum()
+
+    return (
+        merge_partials(
+            read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
+                partial, batch_format="pandas"
+            ),
+            ["month"],
+            {"cents": "sum"},
+        )
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+
+
+def series_diff(sf_dir: str):
+    monthly = _monthly_cents(sf_dir)
+    c = monthly["cents"].to_numpy(np.int64)
+    out = monthly.iloc[1:].copy().reset_index(drop=True)
+    out["cents"] = out["cents"].astype("int64")
+    out["diff"] = (c[1:] - c[:-1]).astype("int64")
+    return out[["month", "cents", "diff"]]
+
+
+SERIES_DIFF_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY month
+)
+SELECT month, cents, CAST(cents - lag(cents) OVER (ORDER BY month) AS BIGINT) AS diff
+FROM monthly
+QUALIFY row_number() OVER (ORDER BY month) >= 2
+ORDER BY month
+"""
+
+MM_WINDOW = 3
+
+
+def moving_median_monthly(sf_dir: str):
+    monthly = _monthly_cents(sf_dir)
+    c = monthly["cents"].to_numpy(np.int64)
+    med = np.array(
+        [float(np.median(c[i - MM_WINDOW + 1 : i + 1])) for i in range(MM_WINDOW - 1, c.size)],
+        dtype=np.float64,
+    )
+    out = monthly.iloc[MM_WINDOW - 1 :].copy().reset_index(drop=True)
+    out["cents"] = out["cents"].astype("int64")
+    out["med3"] = med
+    return out[["month", "cents", "med3"]]
+
+
+MOVING_MEDIAN_SQL = f"""
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY month
+)
+SELECT month, cents, CAST(median(cents) OVER w AS DOUBLE) AS med3
+FROM monthly
+WINDOW w AS (ORDER BY month ROWS BETWEEN {MM_WINDOW - 1} PRECEDING AND CURRENT ROW)
+QUALIFY row_number() OVER (ORDER BY month) >= {MM_WINDOW}
+ORDER BY month
+"""
+
+
+def _status_priority_counts(sf_dir: str) -> pd.DataFrame:
+    from .common import merge_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(["o_orderstatus", "o_orderpriority"]).size().reset_index(name="n")
+        return g
+
+    return merge_partials(
+        read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["o_orderstatus", "o_orderpriority"],
+        {"n": "sum"},
+    )
+
+
+def mode_value(sf_dir: str):
+    cts = _status_priority_counts(sf_dir)
+    cts = cts.sort_values(["o_orderstatus", "n", "o_orderpriority"], ascending=[True, False, True])
+    out = cts.groupby("o_orderstatus", as_index=False).first()
+    out = out.rename(columns={"o_orderpriority": "mode_priority"})
+    out["n"] = out["n"].astype("int64")
+    return out[["o_orderstatus", "mode_priority", "n"]].sort_values("o_orderstatus").reset_index(drop=True)
+
+
+MODE_SQL = """
+SELECT o_orderstatus, mode_priority, n FROM (
+  SELECT o_orderstatus, o_orderpriority AS mode_priority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+) WHERE rn = 1 ORDER BY o_orderstatus
+"""
+
+
+def chi_square(sf_dir: str):
+    cts = _status_priority_counts(sf_dir)
+    n = int(cts["n"].sum())
+    row = cts.groupby("o_orderstatus")["n"].sum().to_dict()
+    col = cts.groupby("o_orderpriority")["n"].sum().to_dict()
+    cts = cts.sort_values(["o_orderstatus", "o_orderpriority"]).reset_index(drop=True)
+    exp = np.array(
+        [
+            float(row[s]) * float(col[p]) / float(n)
+            for s, p in zip(cts["o_orderstatus"], cts["o_orderpriority"])
+        ],
+        dtype=np.float64,
+    )
+    obs = cts["n"].to_numpy(np.int64).astype(np.float64)
+    cts["obs"] = cts["n"].astype("int64")
+    cts["expected"] = exp
+    cts["contrib"] = (obs - exp) * (obs - exp) / exp
+    return cts[["o_orderstatus", "o_orderpriority", "obs", "expected", "contrib"]]
+
+
+CHI_SQUARE_SQL = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+tot AS (SELECT CAST(SUM(obs) AS DOUBLE) AS n FROM c),
+r AS (SELECT o_orderstatus, CAST(SUM(obs) AS DOUBLE) AS rt FROM c GROUP BY o_orderstatus),
+k AS (SELECT o_orderpriority, CAST(SUM(obs) AS DOUBLE) AS ct FROM c GROUP BY o_orderpriority)
+SELECT c.o_orderstatus, c.o_orderpriority, c.obs,
+       r.rt * k.ct / tot.n AS expected,
+       (CAST(c.obs AS DOUBLE) - r.rt * k.ct / tot.n)
+       * (CAST(c.obs AS DOUBLE) - r.rt * k.ct / tot.n) / (r.rt * k.ct / tot.n) AS contrib
+FROM c JOIN r ON c.o_orderstatus = r.o_orderstatus
+       JOIN k ON c.o_orderpriority = k.o_orderpriority, tot
+ORDER BY c.o_orderstatus, c.o_orderpriority
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "series_diff": Pipeline(series_diff, SERIES_DIFF_SQL, "time-series differencing (DiffEvaluator), integer-exact"),
+    "moving_median": Pipeline(moving_median_monthly, MOVING_MEDIAN_SQL, "trailing moving median (MovingMedianEvaluator)"),
+    "mode_value": Pipeline(mode_value, MODE_SQL, "modal value per group (ModeEvaluator), deterministic tiebreak"),
+    "chi_square": Pipeline(chi_square, CHI_SQUARE_SQL, "chi-square contingency cells (ChiSquareDataSetEvaluator)"),
     "regression_ols": Pipeline(regression_ols, REGRESSION_SQL, "OLS regression from exact moments (RegressionEvaluator)"),
     "correlation_moments": Pipeline(correlation_moments, CORRELATION_SQL, "Pearson correlation from exact moments (CorrelationEvaluator)"),
     "moving_average": Pipeline(moving_average_monthly, MOVING_AVG_SQL, "trailing moving average over monthly rollup (MovingAverageEvaluator)"),
