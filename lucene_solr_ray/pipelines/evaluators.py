@@ -267,6 +267,89 @@ def kmeans_clusters(sf_dir: str, k: int = 8):
 
 
 # --------------------------------------------------------------------------
+# DbscanEvaluator (solr/solrj/.../io/eval/DbscanEvaluator.java): density
+# clustering.  Core structure discovers on a driver-side sample (DBSCAN has
+# no out-of-sample model — the standard scale shape is sample-cluster +
+# nearest-core assignment); the full corpus is then labelled distributed
+# against the broadcast core points.  Rows-only (iterative, not SQL).
+
+DBSCAN_EPS = 0.35  # cosine distance on unit vectors
+DBSCAN_MIN_PTS = 5
+
+
+def _dbscan(pts: np.ndarray, eps: float, min_pts: int) -> np.ndarray:
+    """O(n²) driver DBSCAN over unit vectors (cosine distance); labels:
+    -1 noise, else cluster id in first-seen order (deterministic)."""
+    n = pts.shape[0]
+    d = 1.0 - pts @ pts.T
+    neigh = d <= eps
+    n_neigh = neigh.sum(axis=1)
+    core = n_neigh >= min_pts
+    labels = np.full(n, -1, dtype=np.int64)
+    cid = 0
+    for i in range(n):
+        if labels[i] != -1 or not core[i]:
+            continue
+        stack = [i]
+        labels[i] = cid
+        while stack:
+            j = stack.pop()
+            if not core[j]:
+                continue
+            for m in np.nonzero(neigh[j])[0]:
+                if labels[m] == -1:
+                    labels[m] = cid
+                    if core[m]:
+                        stack.append(int(m))
+        cid += 1
+    return labels
+
+
+def dbscan_clusters(sf_dir: str, eps: float = DBSCAN_EPS, min_pts: int = DBSCAN_MIN_PTS):
+    import ray
+
+    sample = read(sf_dir, "embeddings", ["embedding"]).limit(4_000).to_pandas()
+    pts = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    labels = _dbscan(pts, eps, min_pts)
+    core_mask = labels >= 0
+    cores, core_labels = pts[core_mask], labels[core_mask]
+    n_clusters = int(labels.max()) + 1 if core_mask.any() else 0
+    refs = ray.put((cores, core_labels, n_clusters))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c, cl, k = ray.get(refs)
+        out = {"cluster": np.arange(-1, k, dtype=np.int64)}
+        m = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        if k == 0:
+            return pd.DataFrame({"cluster": [-1], "n": [len(batch)]})
+        sim = m @ c.T
+        best = sim.argmax(axis=1)
+        lab = np.where(1.0 - sim[np.arange(len(m)), best] <= eps, cl[best], -1)
+        return pd.DataFrame(
+            {
+                "cluster": out["cluster"],
+                "n": np.bincount(lab + 1, minlength=k + 1).astype(np.int64),
+            }
+        )
+
+    from .common import merge_partials
+
+    out = (
+        merge_partials(
+            read(sf_dir, "embeddings", ["embedding"]).map_batches(assign, batch_format="pandas"),
+            ["cluster"],
+            {"n": "sum"},
+        )
+        .sort_values("cluster")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out[["cluster", "n"]]
+
+
+# --------------------------------------------------------------------------
 # FFTEvaluator over the daily event-count series (rows-only; Parseval and
 # determinism checked in pytest).
 
@@ -458,5 +541,6 @@ PIPELINES: dict[str, Pipeline] = {
     "moving_average": Pipeline(moving_average_monthly, MOVING_AVG_SQL, "trailing moving average over monthly rollup (MovingAverageEvaluator)"),
     "facet_sample": Pipeline(facet_sample, FACET_SAMPLE_SQL, "facet over deterministic hash sample with scale-up estimate"),
     "kmeans_clusters": Pipeline(kmeans_clusters, None, "seeded k-means clustering (KmeansEvaluator); pytest-checked"),
+    "dbscan_clusters": Pipeline(dbscan_clusters, None, "density clustering (DbscanEvaluator); pytest-checked"),
     "fft_magnitude": Pipeline(fft_daily_counts, None, "FFT magnitude of daily counts (FFTEvaluator); pytest-checked"),
 }

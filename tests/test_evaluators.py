@@ -116,3 +116,33 @@ def test_moment_partial_hilo_round_trip():
         hi, lo = sign * (abs(v) >> _HILO_SHIFT), sign * (abs(v) & _HILO_MASK)
         assert (hi << _HILO_SHIFT) + lo == v
         assert abs(hi) < np.iinfo(np.int64).max and abs(lo) < np.iinfo(np.int64).max
+
+
+def test_dbscan_blobs():
+    """Two dense unit-vector blobs + isolated noise → 2 clusters, noise -1."""
+    from lucene_solr_ray.pipelines.evaluators import _dbscan
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(0, 0.02, (60, 4)) + np.array([1.0, 0, 0, 0])
+    b = rng.normal(0, 0.02, (60, 4)) + np.array([0, 1.0, 0, 0])
+    noise = np.array([[0, 0, 1.0, 0], [0, 0, 0, 1.0]])
+    pts = np.concatenate([a, b, noise])
+    pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    lab = _dbscan(pts, eps=0.05, min_pts=5)
+    assert (lab[:60] == lab[0]).all() and lab[0] >= 0
+    assert (lab[60:120] == lab[60]).all() and lab[60] >= 0 and lab[60] != lab[0]
+    assert (lab[120:] == -1).all()
+    assert np.array_equal(lab, _dbscan(pts, eps=0.05, min_pts=5))
+
+
+def test_dbscan_pipeline(ray_session):
+    from lucene_solr_ray.pipelines.evaluators import dbscan_clusters
+
+    a = dbscan_clusters(SF)
+    b = dbscan_clusters(SF)
+    assert a.equals(b)  # deterministic
+    import pandas as pd
+
+    n_rows = len(pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id"]))
+    assert int(a["n"].sum()) == n_rows  # every vector labelled exactly once
+    assert (a["cluster"] >= -1).all()
