@@ -47,6 +47,10 @@ SUITE = [
     # round-3b additions: facet stat metrics, geo family, expand
     "json_facet_relatedness", "json_facet_unique", "geo_bbox",
     "geo_heatmap", "collapse_expand",
+    # round-3 session additions: ML stream family, phonetic vocabulary agg,
+    # graph scoring, evaluator time-series/stats surface
+    "features_igain", "phonetic_match", "score_nodes", "chi_square",
+    "moving_median",
 ]
 
 

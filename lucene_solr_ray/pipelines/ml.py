@@ -105,9 +105,10 @@ def _class_totals(sf_dir: str) -> tuple[int, int]:
     """(n_docs, n_positive) — the FeaturesSelectionStream stats pass."""
 
     def tot(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.lower().str.findall(TOKEN_RE)
-        npos = int(sum(POS_TERM in set(ws) for ws in toks))
-        return pd.DataFrame({"n": [len(batch)], "npos": [npos]})
+        # vectorized token-boundary containment == "POS_TERM in token set"
+        # under the [a-z0-9_]+ token definition
+        hit = batch["text"].str.lower().str.contains(rf"(?<![a-z0-9_]){POS_TERM}(?![a-z0-9_])", regex=True)
+        return pd.DataFrame({"n": [len(batch)], "npos": [int(hit.sum())]})
 
     parts = read(sf_dir, "documents", ["text"]).map_batches(tot, batch_format="pandas").to_pandas()
     return int(parts["n"].sum()), int(parts["npos"].sum())
