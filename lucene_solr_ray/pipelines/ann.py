@@ -183,6 +183,81 @@ ORDER BY vec_id
 """
 
 # --------------------------------------------------------------------------
+# KnnRegressionEvaluator (solr/solrj/.../io/eval/KnnRegressionEvaluator.java):
+# predicted value of each query = mean label of its k nearest neighbours
+# (self excluded).  Same ONE-streaming-pass candidate shape as
+# knn_label_vote; the label sum over k small ints is exact in float64, so
+# the mean hash-matches the SQL twin regardless of summation order.
+
+
+def knn_regress(sf_dir: str, k: int = 5, n_queries: int = 50):
+    import ray
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_queries)],
+    ).to_pandas().sort_values("vec_id")
+    Q = np.stack(qt["embedding"].to_numpy()).astype(np.float64)
+    Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qt["vec_id"].to_numpy()
+    ref = ray.put((Q, qids))
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        Q_, qids_ = ray.get(ref)
+        m = _embed_matrix(batch)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = (m @ Q_.T).T
+        nq, b = sims.shape
+        kk = min(k + 1, b)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        thr = sims[np.arange(nq)[:, None], part].min(axis=1)
+        qi, bi = np.nonzero(sims >= thr[:, None])
+        return pd.DataFrame(
+            {
+                "qid": qids_[qi],
+                "nid": batch["vec_id"].to_numpy()[bi],
+                "nlabel": batch["label"].to_numpy()[bi].astype(np.int64),
+                "sim": sims[qi, bi],
+            }
+        )
+
+    parts = (
+        read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+        .map_batches(local_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    parts = parts[parts["qid"] != parts["nid"]]
+    knn = (
+        parts.sort_values(["qid", "sim", "nid"], ascending=[True, False, True])
+        .groupby("qid", sort=True)
+        .head(k)
+    )
+    pred = knn.groupby("qid", as_index=False)["nlabel"].mean()
+    return pd.DataFrame(
+        {"vec_id": pred["qid"].astype("int64"), "pred": pred["nlabel"].astype(np.float64)}
+    ).sort_values("vec_id").reset_index(drop=True)
+
+
+KNN_REGRESS_SQL = """
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid, b.label AS nlabel,
+         list_cosine_similarity(a.v, b.v) AS sim
+  FROM base a JOIN base b ON a.vec_id != b.vec_id
+  WHERE a.vec_id < 50
+),
+knn AS (
+  SELECT qid, nlabel FROM pairs
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) <= 5
+)
+SELECT qid AS vec_id, AVG(CAST(nlabel AS DOUBLE)) AS pred
+FROM knn GROUP BY qid ORDER BY vec_id
+"""
+
+# --------------------------------------------------------------------------
 # Persisted LSH signature index (scale path).
 
 N_PLANES = 64
@@ -497,5 +572,6 @@ PIPELINES: dict[str, Pipeline] = {
     "dedup_embedding": Pipeline(dedup_embedding, None, "embedding-cosine near-dup pairs via sign-LSH banding; recall-tested in pytest"),
     "ann_ivf_topk": Pipeline(ann_ivf_topk, None, "persisted cell-partitioned IVF ANN (probe-only queries); recall-tested in pytest"),
     "knn_label_vote": Pipeline(knn_label_vote, KNN_VOTE_SQL, "kNN majority-label classification (KNearestNeighborClassifier)"),
+    "knn_regress": Pipeline(knn_regress, KNN_REGRESS_SQL, "kNN mean-label regression (KnnRegressionEvaluator)"),
     "ann_lsh_topk": Pipeline(ann_lsh_topk, None, "persisted LSH signature index (signature-only scan + bounded exact rerank); recall-tested in pytest"),
 }
