@@ -28,6 +28,7 @@ from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 Step = Callable[[pd.DataFrame], pd.DataFrame]
 
@@ -311,6 +312,40 @@ def read_xml_docs(paths, urps: list | None = None):
                             rec[name] = val
                     rows.append(rec)
         return pd.DataFrame(rows)
+
+    ds = rd.read_binary_files(paths).map_batches(parse, batch_format="pandas")
+    if urps:
+        ds = apply_chain(ds, urps)
+    return ds
+
+
+def read_arrow_ipc_docs(paths, field_map: dict[str, str] | None = None, urps: list | None = None):
+    """Arrow IPC (feather v2 / stream) files → docs — the modern binary
+    wire format standing in for Javabin (SURVEY §2.1: JavabinLoader is an
+    obsolete JVM serialization; Arrow IPC is its zero-copy columnar
+    equivalent).  Files stream through `read_binary_files`; each file
+    decodes with `pyarrow.ipc` inside `map_batches` — per-FILE distributed
+    work, schema preserved, then the shared URP chain."""
+    import ray.data as rd
+
+    def parse(batch: pd.DataFrame) -> pd.DataFrame:
+        import io
+
+        import pyarrow.ipc as ipc
+
+        frames = []
+        for blob in batch["bytes"]:
+            buf = io.BytesIO(bytes(blob))
+            try:
+                t = ipc.open_file(buf).read_all()
+            except pa.ArrowInvalid:
+                buf.seek(0)
+                t = ipc.open_stream(buf).read_all()
+            frames.append(t.to_pandas())
+        out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+        if field_map:
+            out = out.rename(columns=field_map)
+        return out
 
     ds = rd.read_binary_files(paths).map_batches(parse, batch_format="pandas")
     if urps:

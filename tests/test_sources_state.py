@@ -104,3 +104,34 @@ def test_xml_loader(ray_session, tmp_path):
     assert df["id"].tolist() == [1, 2, 3]
     assert df["text"].tolist() == ["hello", "world", "third"]
     assert df["tag"].tolist()[0] == ["a", "b"] and df["tag"].tolist()[1] == "c"
+
+
+def test_arrow_ipc_loader(ray_session, tmp_path):
+    """Arrow IPC files (the Javabin-equivalent binary wire format): both
+    file and stream variants decode; field_map + URP chain apply."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    from lucene_solr_ray.sources.loaders import read_arrow_ipc_docs
+
+    t1 = pa.table({"docid": [1, 2], "body": [" a ", "b"]})
+    t2 = pa.table({"docid": [3], "body": ["c"]})
+    f1 = tmp_path / "d1.arrow"
+    with ipc.new_file(str(f1), t1.schema) as w:
+        w.write_table(t1)
+    f2 = tmp_path / "d2.arrows"
+    import io
+
+    buf = io.BytesIO()
+    with ipc.new_stream(buf, t2.schema) as w:
+        w.write_table(t2)
+    f2.write_bytes(buf.getvalue())
+
+    ds = read_arrow_ipc_docs(
+        [str(f1), str(f2)],
+        field_map={"docid": "id", "body": "text"},
+        urps=[("trim", {"field": "text"})],
+    )
+    df = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert df["id"].tolist() == [1, 2, 3]
+    assert df["text"].tolist() == ["a", "b", "c"]
