@@ -101,22 +101,21 @@ def _doc_term_partials(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _class_totals(sf_dir: str) -> tuple[int, int]:
-    """(n_docs, n_positive) — the FeaturesSelectionStream stats pass."""
-
-    def tot(batch: pd.DataFrame) -> pd.DataFrame:
-        # vectorized token-boundary containment == "POS_TERM in token set"
-        # under the [a-z0-9_]+ token definition
-        hit = batch["text"].str.lower().str.contains(rf"(?<![a-z0-9_]){POS_TERM}(?![a-z0-9_])", regex=True)
-        return pd.DataFrame({"n": [len(batch)], "npos": [int(hit.sum())]})
-
-    parts = read(sf_dir, "documents", ["text"]).map_batches(tot, batch_format="pandas").to_pandas()
-    return int(parts["n"].sum()), int(parts["npos"].sum())
-
-
 def features_igain(sf_dir: str) -> pd.DataFrame:
-    """Top-N features by information gain (FeaturesSelectionStream)."""
-    n, npos = _class_totals(sf_dir)
+    """Top-N features by information gain (FeaturesSelectionStream).
+
+    ONE text scan: the (token, df, pos_df) partials are materialized, the
+    class totals derive from them without re-reading text — n_docs is the
+    parquet-metadata row count (no data I/O) and n_positive is by
+    definition the global df of POS_TERM (summed from its partial rows) —
+    then the same materialized partials feed the bucketed IG merge."""
+    ds = read(sf_dir, "documents", ["text"])
+    n = ds.count()  # parquet footer row counts — metadata only
+    parts = ds.map_batches(_doc_term_partials, batch_format="pandas").materialize()
+    pos_rows = parts.map_batches(
+        lambda b: b[b["token"] == POS_TERM], batch_format="pandas"
+    ).to_pandas()
+    npos = int(pos_rows["df"].sum()) if len(pos_rows) else 0
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby("token", as_index=False).agg(df=("df", "sum"), pos_df=("pos_df", "sum"))
@@ -131,9 +130,7 @@ def features_igain(sf_dir: str) -> pd.DataFrame:
         return m.iloc[order].head(N_FEATURES)
 
     out = (
-        read(sf_dir, "documents", ["text"])
-        .map_batches(_doc_term_partials, batch_format="pandas")
-        .groupby("gb")
+        parts.groupby("gb")
         .map_groups(merge, batch_format="pandas")
         .to_pandas()  # ≤ TOKEN_BUCKETS × N_FEATURES rows
     )
