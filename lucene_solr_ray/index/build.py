@@ -861,7 +861,16 @@ def _finalize(
         )
         pq.write_table(stats_pa, tmp, row_group_size=STATS_ROW_GROUP_SIZE)
         stats_rows = stats_pa.num_rows
-    os.replace(tmp, index_dir / "global_stats.parquet")
+    # versioned stats file (append-only, like segment files): each commit
+    # references its own generation via stats["stats_file"], so snapshots
+    # (index/snapshot.py) pin a consistent vocabulary — an incremental
+    # append never mutates the stats a pinned commit reads
+    gen = 1 + max(
+        (int(p.stem.rsplit("_g", 1)[-1]) for p in index_dir.glob("global_stats_g*.parquet")),
+        default=0,
+    )
+    stats_name = f"global_stats_g{gen:03d}.parquet"
+    os.replace(tmp, index_dir / stats_name)
 
     segs = list(manifest.data["segments"].values())
     n_docs = sum(s["n_docs"] for s in segs)
@@ -881,5 +890,6 @@ def _finalize(
             "avgdl": (sum_ttf / n_docs) if n_docs else 0.0,
             "n_terms": int(stats_rows),
             "fields": field_stats,
+            "stats_file": stats_name,
         }
     )

@@ -167,5 +167,11 @@ def compact_index(
         cfg["shard_plan"] = new_plan
     manifest.save()
 
-    shutil.rmtree(old_root, ignore_errors=True)  # old generation cleanup
+    # old-generation cleanup — UNLESS a snapshot pins it (the
+    # SnapshotDeletionPolicy contract: a pinned commit's files survive
+    # later writes; see index/snapshot.py::referenced_roots)
+    from .snapshot import referenced_roots
+
+    if old_root.name not in referenced_roots(index_dir):
+        shutil.rmtree(old_root, ignore_errors=True)
     return manifest

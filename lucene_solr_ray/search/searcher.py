@@ -47,8 +47,12 @@ class Searcher:
         st = manifest["stats"]
         # Lazy stats: df/cf resolved per query term by row-group-pruned
         # reads — the vocabulary is NEVER materialized on the driver
+        # each commit references its own stats generation (append-only
+        # files; snapshots pin a consistent vocabulary)
         self.stats = LazyBM25Stats(
-            str(self.index_dir / "global_stats.parquet"), st["N"], st["avgdl"]
+            str(self.index_dir / st.get("stats_file", "global_stats.parquet")),
+            st["N"],
+            st["avgdl"],
         )
         # per-field norm caches for extra analyzed fields (per-field avgdl)
         self.norm_caches = {"": self.stats.norm_cache}

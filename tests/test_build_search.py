@@ -416,15 +416,16 @@ def test_distributed_stats_finalize_identical(ray_session, index):
 
     import pyarrow.parquet as pq
 
+    from lucene_solr_ray.index import stats_path
     from lucene_solr_ray.index.build import Manifest, _finalize
 
-    ref = pq.read_table(f"{INDEX_DIR}/global_stats.parquet")
+    ref = pq.read_table(stats_path(INDEX_DIR))
     tmp = "/tmp/lsr_statsdist_idx"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.copytree(INDEX_DIR, tmp)
     m = Manifest.load(tmp)
     _finalize(__import__("pathlib").Path(tmp), m, stats_groupby_threshold=0)
-    got = pq.read_table(f"{tmp}/global_stats.parquet")
+    got = pq.read_table(stats_path(tmp))
     assert got.column("term").to_pylist() == ref.column("term").to_pylist()
     assert got.column("df").to_pylist() == ref.column("df").to_pylist()
     assert got.column("cf").to_pylist() == ref.column("cf").to_pylist()

@@ -13,6 +13,7 @@ import pytest
 
 import lucene_solr_ray.index.build as build_mod
 from lucene_solr_ray.fixtures import write_transcripts
+from lucene_solr_ray.index import stats_path
 from lucene_solr_ray.index.build import build_index
 from lucene_solr_ray.search import Searcher
 from lucene_solr_ray.search.bm25 import BM25Stats, LazyBM25Stats
@@ -41,17 +42,17 @@ def eager(tiny_rg_index):
     from pathlib import Path
 
     st = json.loads((Path(tiny_rg_index) / "manifest.json").read_text())["stats"]
-    return BM25Stats.load(f"{tiny_rg_index}/global_stats.parquet", st["N"], st["avgdl"])
+    return BM25Stats.load(stats_path(tiny_rg_index), st["N"], st["avgdl"])
 
 
 def test_row_groups_are_small(tiny_rg_index):
-    md = pq.read_metadata(f"{tiny_rg_index}/global_stats.parquet")
+    md = pq.read_metadata(stats_path(tiny_rg_index))
     assert md.num_row_groups >= 4, "tiny row-group size must yield many groups"
     assert md.row_group(0).num_rows <= 64
 
 
 def test_lazy_stats_match_eager(tiny_rg_index, eager):
-    lazy = LazyBM25Stats(f"{tiny_rg_index}/global_stats.parquet", eager.N, eager.avgdl)
+    lazy = LazyBM25Stats(stats_path(tiny_rg_index), eager.N, eager.avgdl)
     probe = [str(t) for t in eager.terms[:: max(1, len(eager.terms) // 50)]]
     probe += ["zzz_not_a_term", "assistant", "role:assistant"]
     lazy.resolve(probe)
@@ -68,11 +69,11 @@ def test_lazy_stats_match_eager(tiny_rg_index, eager):
 def test_lazy_read_prunes_row_groups(tiny_rg_index):
     """The pruned read must touch fewer row groups than the file holds
     (term-sorted file + min/max stats → filters prune)."""
-    f = pq.ParquetFile(f"{tiny_rg_index}/global_stats.parquet")
+    f = pq.ParquetFile(stats_path(tiny_rg_index))
     n_groups = f.metadata.num_row_groups
     first_term = f.read_row_group(0, columns=["term"]).column("term")[0].as_py()
     t = pq.read_table(
-        f"{tiny_rg_index}/global_stats.parquet",
+        stats_path(tiny_rg_index),
         columns=["term", "df", "cf"],
         filters=[("term", "in", [first_term])],
     )
