@@ -769,6 +769,160 @@ FROM p ORDER BY relatedness DESC, bucket
 """
 
 
+# --------------------------------------------------------------------------
+# Classic FacetComponent long tail (SURVEY.md §2.6): pivot facets
+# (solr/core/src/java/org/apache/solr/handler/component/PivotFacetProcessor
+# .java — `facet.pivot=f1,f2` with a `stats` tag) and interval facets
+# (solr/core/src/java/org/apache/solr/request/IntervalFacets.java —
+# `facet.interval` with `[lo,hi)` / `(lo,hi]` / `*` endpoint syntax).
+#
+# Pivot shape: ONE combiner pass computes the LEAF lattice (full field
+# cross-product with count + stats partials); every ancestor level's counts
+# are then derived by re-aggregating the lattice on the driver — exactly
+# how PivotFacetProcessor drills down one docset per level, but in a single
+# distributed sweep.  No limits (classic pivots return the whole tree);
+# `mincount` prunes per level.
+
+
+def pivot_facet(
+    sf_dir: str,
+    table: str,
+    fields: list[str],
+    stats_field: str | None = None,
+    mincount: int = 1,
+) -> pd.DataFrame:
+    """Hierarchical pivot over `fields` → flat DataFrame, one row per leaf
+    combination, carrying each level's count (`n_<field>`) and, when
+    `stats_field` is given, the leaf-level exact-cents sum (`cents`)."""
+    need = list(fields) + ([stats_field] if stats_field else [])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch[list(fields)].copy()
+        g["_n"] = 1
+        if stats_field:
+            g["cents"] = cents(batch[stats_field].to_numpy())
+        return g.groupby(list(fields), as_index=False).sum()
+
+    ops = {"_n": "sum", **({"cents": "sum"} if stats_field else {})}
+    parts = read(sf_dir, table, need).map_batches(partial, batch_format="pandas").to_pandas()
+    leaf = parts.groupby(list(fields), as_index=False).agg(ops)
+
+    # derive ancestor counts from the leaf lattice; prune mincount per level
+    out = leaf
+    for li in range(len(fields)):
+        keys = fields[: li + 1]
+        lvl = leaf.groupby(keys, as_index=False)["_n"].sum().rename(columns={"_n": f"n_{fields[li]}"})
+        lvl = lvl[lvl[f"n_{fields[li]}"] >= mincount]
+        out = out.merge(lvl, on=keys, how="inner")
+    out = out.drop(columns=["_n"])
+    for li in range(len(fields)):
+        out[f"n_{fields[li]}"] = out[f"n_{fields[li]}"].astype("int64")
+    if stats_field:
+        out["cents"] = out["cents"].astype("int64")
+    return out.sort_values(list(fields)).reset_index(drop=True)
+
+
+def facet_pivot(sf_dir: str):
+    """`facet.pivot=o_orderpriority,o_orderstatus` + a stats tag on
+    o_totalprice, mincount=2 (leaf cells rarer than 2 pruned)."""
+    out = pivot_facet(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus"], "o_totalprice", mincount=2
+    )
+    cols = ["o_orderpriority", "n_o_orderpriority", "o_orderstatus", "n_o_orderstatus", "cents"]
+    return out[cols]
+
+
+FACET_PIVOT_SQL = """
+WITH base AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(ROUND(o_totalprice*100) AS BIGINT) AS c FROM orders
+),
+l1 AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_o_orderpriority
+  FROM base GROUP BY o_orderpriority HAVING COUNT(*) >= 2
+),
+l2 AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_o_orderstatus,
+         CAST(SUM(c) AS BIGINT) AS cents
+  FROM base GROUP BY o_orderpriority, o_orderstatus HAVING COUNT(*) >= 2
+)
+SELECT l1.o_orderpriority, n_o_orderpriority, o_orderstatus, n_o_orderstatus, cents
+FROM l1 JOIN l2 USING (o_orderpriority)
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+def parse_interval(s: str) -> tuple[float, float, bool, bool]:
+    """Parse Solr interval-facet syntax (IntervalFacets.FacetInterval):
+    `[lo,hi]` / `(lo,hi)` mixed freely, `*` = unbounded endpoint.
+    Returns (lo, hi, lo_inclusive, hi_inclusive) with ±inf for `*`."""
+    s = s.strip()
+    if s[0] not in "([" or s[-1] not in ")]":
+        raise ValueError(f"bad interval syntax: {s!r}")
+    lo_inc, hi_inc = s[0] == "[", s[-1] == "]"
+    body = s[1:-1]
+    depth = 0
+    cut = -1
+    for i, ch in enumerate(body):  # split on the comma (no nesting in numeric intervals)
+        if ch == "," and depth == 0:
+            cut = i
+            break
+    if cut < 0:
+        raise ValueError(f"bad interval syntax: {s!r}")
+    lo_s, hi_s = body[:cut].strip(), body[cut + 1 :].strip()
+    lo = -np.inf if lo_s == "*" else float(lo_s)
+    hi = np.inf if hi_s == "*" else float(hi_s)
+    # Solr normalizes (*… and …*) to inclusive-unbounded
+    if lo_s == "*":
+        lo_inc = True
+    if hi_s == "*":
+        hi_inc = True
+    if lo > hi or (lo == hi and not (lo_inc and hi_inc)):
+        raise ValueError(f"empty interval: {s!r}")
+    return lo, hi, lo_inc, hi_inc
+
+
+def interval_facet(sf_dir: str, table: str, field: str, intervals: list[str]) -> pd.DataFrame:
+    """Interval facet: count rows per (possibly overlapping) interval — a
+    row lands in EVERY interval containing it, unlike range facets.  One
+    combiner pass emits a per-batch count vector; partials merge on the
+    driver (interval domain is request-sized)."""
+    parsed = [parse_interval(s) for s in intervals]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[field].to_numpy()
+        ns = []
+        for lo, hi, lo_inc, hi_inc in parsed:
+            m = (v >= lo) if lo_inc else (v > lo)
+            m &= (v <= hi) if hi_inc else (v < hi)
+            ns.append(int(m.sum()))
+        return pd.DataFrame({"interval": intervals, "n": np.asarray(ns, dtype=np.int64)})
+
+    parts = read(sf_dir, table, [field]).map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("interval", as_index=False, sort=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("interval").reset_index(drop=True)
+
+
+FACET_INTERVALS = ["[*,0)", "[0,4500)", "[1000,9000]", "(4500,*]"]
+
+
+def facet_interval(sf_dir: str):
+    return interval_facet(sf_dir, "customer", "c_acctbal", FACET_INTERVALS)
+
+
+FACET_INTERVAL_SQL = """
+SELECT interval, n FROM (
+  SELECT '[*,0)'      AS interval, CAST(COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS BIGINT) AS n FROM customer
+  UNION ALL
+  SELECT '[0,4500)',    CAST(COUNT(CASE WHEN c_acctbal >= 0 AND c_acctbal < 4500 THEN 1 END) AS BIGINT) FROM customer
+  UNION ALL
+  SELECT '[1000,9000]', CAST(COUNT(CASE WHEN c_acctbal >= 1000 AND c_acctbal <= 9000 THEN 1 END) AS BIGINT) FROM customer
+  UNION ALL
+  SELECT '(4500,*]',    CAST(COUNT(CASE WHEN c_acctbal > 4500 THEN 1 END) AS BIGINT) FROM customer
+) ORDER BY interval
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "json_facet_nested": Pipeline(
         json_facet_nested, JSON_FACET_NESTED_SQL, "nested JSON facet: terms×terms buckets, per-level sort/limit, sum metrics"
@@ -799,5 +953,15 @@ PIPELINES: dict[str, Pipeline] = {
         json_facet_relatedness,
         JSON_FACET_RELATEDNESS_SQL,
         "relatedness() semantic-knn aggregate: fg-vs-bg z-score per bucket (RelatednessAgg)",
+    ),
+    "facet_pivot": Pipeline(
+        facet_pivot,
+        FACET_PIVOT_SQL,
+        "classic pivot facet: full hierarchical cross-product w/ per-level counts, stats tag, mincount (PivotFacetProcessor)",
+    ),
+    "facet_interval": Pipeline(
+        facet_interval,
+        FACET_INTERVAL_SQL,
+        "interval facet: overlapping [lo,hi) intervals w/ Solr endpoint syntax (IntervalFacets)",
     ),
 }

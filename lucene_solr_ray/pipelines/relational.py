@@ -769,6 +769,51 @@ ORDER BY score DESC, o_orderkey LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# §2.3 {!frange}: FunctionRangeQuery (solr/core/src/java/org/apache/solr/
+# search/FunctionRangeQParserPlugin.java / lucene FunctionRangeQuery) —
+# FILTER docs by a ValueSource expression's value in [l, u].  Same
+# vectorized expression evaluator as function_query; the range test is a
+# per-batch mask, so the filter streams (no materialization, no shuffle).
+
+FRANGE_L, FRANGE_U = 150.0, 155.0
+
+
+def frange_filter(sf_dir: str):
+    from ..functions import evaluate, parse_expr
+
+    ast = parse_expr(FUNC_EXPR)
+    epoch0 = np.datetime64("1990-01-01", "us").astype("int64")
+
+    def frange(batch: pd.DataFrame) -> pd.DataFrame:
+        days = (ts_us(batch["o_orderdate"]) - epoch0) // 86_400_000_000
+        s = evaluate(ast, {"days": days.astype(np.float64), "price": batch["o_totalprice"].to_numpy()})
+        keep = (s >= FRANGE_L) & (s <= FRANGE_U)  # inclusive bounds (frange default incl=true)
+        return pd.DataFrame({"o_orderkey": batch["o_orderkey"][keep], "score": s[keep]})
+
+    out = (
+        read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+        .map_batches(frange, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:  # keep a stable schema when no doc's value lands in range
+        out = pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+FRANGE_SQL = f"""
+WITH s AS (
+  SELECT o_orderkey,
+         (1000 / (1 * CAST(datediff('day', DATE '1990-01-01', o_orderdate) AS DOUBLE) + 1000))
+         * sqrt(o_totalprice) AS score
+  FROM orders
+)
+SELECT o_orderkey, score FROM s
+WHERE score >= {FRANGE_L} AND score <= {FRANGE_U}
+ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
 # §2.1 /export: full sorted dump via distributed sort → partitioned parquet
 # sink, then read back (resumable layout: one directory per run).
 
@@ -1116,6 +1161,7 @@ PIPELINES: dict[str, Pipeline] = {
     "variance_moments": Pipeline(variance_moments, VARIANCE_SQL, "stddev/variance from exact integer moments (VarianceAgg)"),
     "export_sorted": Pipeline(export_sorted, EXPORT_SQL, "full sorted export via ds.sort → parquet sink (/export)"),
     "function_query": Pipeline(function_query, FUNCTION_QUERY_SQL, "ValueSource expression scoring (FunctionScoreQuery)"),
+    "frange_filter": Pipeline(frange_filter, FRANGE_SQL, "{!frange}: filter by ValueSource expression range (FunctionRangeQuery)"),
     "time_series_rollup": Pipeline(time_series_rollup, TIME_SERIES_SQL, "calendar-window rollup (TimeSeriesStream)"),
     "stats_numeric": Pipeline(stats_numeric, STATS_SQL, "global field stats (StatsComponent)"),
     "rollup_pricing": Pipeline(rollup_pricing, ROLLUP_SQL, "multi-metric grouped rollup (RollupStream / TPC-H Q1 shape)"),

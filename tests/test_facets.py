@@ -196,3 +196,56 @@ def test_unique_and_hll_facet_metrics(ray_session):
     for _, r in pc.iterrows():
         e = ex[r["bucket"]]
         assert abs(r["hll_parts"] - e) <= max(2, 0.05 * e), (r["bucket"], r["hll_parts"], e)
+
+
+# ---------------------------------------------------------------------------
+# Classic FacetComponent: pivot + interval facets
+
+
+def test_interval_parser():
+    from lucene_solr_ray.pipelines.facets import parse_interval
+
+    assert parse_interval("[0,10)") == (0.0, 10.0, True, False)
+    assert parse_interval("(0,10]") == (0.0, 10.0, False, True)
+    assert parse_interval("[ -5.5 , 5.5 ]") == (-5.5, 5.5, True, True)
+    lo, hi, li, hi_inc = parse_interval("[*,0)")
+    assert lo == -np.inf and li  # * endpoints normalize to inclusive
+    lo, hi, li, hi_inc = parse_interval("(0,*]")
+    assert hi == np.inf and hi_inc
+    assert parse_interval("[3,3]") == (3.0, 3.0, True, True)  # single point
+    for bad in ("0,10", "[10,0]", "(3,3]", "[1;2]", "[x,2]"):
+        with pytest.raises(ValueError):
+            parse_interval(bad)
+
+
+def test_interval_facet_overlap(ray_session):
+    """Overlapping intervals: every row is counted in EACH containing
+    interval (IntervalFacets semantics, unlike range facets)."""
+    from lucene_solr_ray.pipelines.facets import interval_facet
+
+    out = interval_facet(SF, "customer", "c_acctbal", ["[*,*]", "[0,*]", "[*,0)"])
+    n = dict(zip(out["interval"], out["n"]))
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_acctbal"])
+    assert n["[*,*]"] == len(cust)
+    assert n["[0,*]"] + n["[*,0)"] == len(cust)
+    assert n["[0,*]"] == int((cust["c_acctbal"] >= 0).sum())
+
+
+def test_pivot_facet_levels_and_mincount(ray_session):
+    """Pivot counts at each level match pandas; mincount prunes BOTH the
+    leaf and any ancestor below the threshold."""
+    from lucene_solr_ray.pipelines.facets import pivot_facet
+
+    out = pivot_facet(SF, "orders", ["o_orderpriority", "o_orderstatus"], "o_totalprice", mincount=1)
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+    lvl1 = orders.groupby("o_orderpriority").size()
+    lvl2 = orders.groupby(["o_orderpriority", "o_orderstatus"]).size()
+    assert len(out) == len(lvl2)
+    for _, r in out.iterrows():
+        assert r["n_o_orderpriority"] == lvl1[r["o_orderpriority"]]
+        assert r["n_o_orderstatus"] == lvl2[(r["o_orderpriority"], r["o_orderstatus"])]
+    # a mincount above the rarest leaf prunes it
+    mc = int(lvl2.max())
+    pruned = pivot_facet(SF, "orders", ["o_orderpriority", "o_orderstatus"], None, mincount=mc)
+    assert len(pruned) == int((lvl2 >= mc).sum())
+    assert "cents" not in pruned.columns
