@@ -1,0 +1,583 @@
+"""Parallel SQL handler (SURVEY.md §2: solr/core/src/java/org/apache/solr/
+handler/sql/ — Solr's /sql endpoint compiles Calcite plans onto streaming
+expressions).  Here: a restricted ANSI-SQL dialect parsed and planned onto
+the engine's Ray Data shapes:
+
+  SELECT cols | aggregates  FROM table  [WHERE ...]  [GROUP BY ...]
+  [HAVING ...]  [ORDER BY ... [ASC|DESC], ...]  [LIMIT n]
+
+Plan shapes (mirroring how the reference maps Calcite nodes to streams):
+- projection prunes the parquet read to referenced columns only;
+- WHERE is a vectorized per-batch mask (streams, never materializes);
+- GROUP BY runs as per-batch combiner partials (sum/count/min/max per
+  group) merged on the coordinator — the bounded-domain aggregate pattern
+  (`common.merge_partials`); HAVING filters the merged frame;
+- ORDER BY + LIMIT without grouping is per-batch top-k + driver merge
+  (the `sort_topk` shape), so only k rows per batch leave workers.
+
+Exactness: COUNT/MIN/MAX are exact; SUM/AVG are exact over integer
+columns (the gated queries use integer sums — float sums are
+order-dependent and would break the driver's value-hash).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from .common import Pipeline, read
+
+# --------------------------------------------------------------------------
+# Tokenizer
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<num>\d+\.\d*|\.\d+|\d+)"
+    r"|(?P<str>'(?:[^']|'')*')"
+    r"|(?P<id>[A-Za-z_][A-Za-z_0-9]*)"
+    r"|(?P<op><=|>=|<>|!=|[(),*<>=+\-/%]))"
+)
+
+_KEYWORDS = {
+    "select", "from", "where", "group", "by", "having", "order", "limit",
+    "and", "or", "not", "in", "between", "like", "as", "asc", "desc",
+    "count", "sum", "avg", "min", "max", "is", "null", "distinct",
+}
+
+
+def tokenize(sql: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if m is None:
+            if sql[pos:].strip() == "":
+                break
+            raise ValueError(f"SQL syntax error at {sql[pos:pos+20]!r}")
+        pos = m.end()
+        if m.lastgroup == "num":
+            out.append(("num", m.group("num")))
+        elif m.lastgroup == "str":
+            out.append(("str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.lastgroup == "id":
+            w = m.group("id")
+            out.append(("kw", w.lower()) if w.lower() in _KEYWORDS else ("id", w))
+        else:
+            out.append(("op", m.group("op")))
+    out.append(("eof", ""))
+    return out
+
+
+# --------------------------------------------------------------------------
+# AST
+
+@dataclass
+class Col:
+    name: str
+
+
+@dataclass
+class Lit:
+    value: object
+
+
+@dataclass
+class Bin:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class Un:
+    op: str  # 'not' | 'neg'
+    arg: object
+
+
+@dataclass
+class InList:
+    expr: object
+    items: list
+    negated: bool
+
+
+@dataclass
+class Between:
+    expr: object
+    lo: object
+    hi: object
+    negated: bool
+
+
+@dataclass
+class Like:
+    expr: object
+    pattern: str
+    negated: bool
+
+
+@dataclass
+class IsNull:
+    expr: object
+    negated: bool
+
+
+@dataclass
+class Agg:
+    fn: str  # count/sum/avg/min/max
+    arg: object | None  # None = COUNT(*)
+    distinct: bool = False
+
+
+@dataclass
+class Select:
+    cols: list[tuple[object, str]]  # (expr, output name)
+    table: str = ""
+    where: object | None = None
+    group_by: list[str] = field(default_factory=list)
+    having: object | None = None
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (name, asc)
+    limit: int | None = None
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind: str, val: str | None = None) -> bool:
+        k, v = self.peek()
+        if k == kind and (val is None or v == val):
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, kind: str, val: str | None = None) -> str:
+        k, v = self.next()
+        if k != kind or (val is not None and v != val):
+            raise ValueError(f"expected {val or kind}, got {v!r}")
+        return v
+
+    # expression grammar: or < and < not < predicate < additive < mult < unary
+    def expr(self):
+        e = self.and_()
+        while self.accept("kw", "or"):
+            e = Bin("or", e, self.and_())
+        return e
+
+    def and_(self):
+        e = self.not_()
+        while self.accept("kw", "and"):
+            e = Bin("and", e, self.not_())
+        return e
+
+    def not_(self):
+        if self.accept("kw", "not"):
+            return Un("not", self.not_())
+        return self.pred()
+
+    def pred(self):
+        e = self.add()
+        neg = False
+        if self.peek() == ("kw", "not"):
+            # lookahead: NOT IN / NOT BETWEEN / NOT LIKE
+            nxt = self.toks[self.i + 1]
+            if nxt in (("kw", "in"), ("kw", "between"), ("kw", "like")):
+                self.next()
+                neg = True
+        if self.accept("kw", "in"):
+            self.expect("op", "(")
+            items = [self.add()]
+            while self.accept("op", ","):
+                items.append(self.add())
+            self.expect("op", ")")
+            return InList(e, items, neg)
+        if self.accept("kw", "between"):
+            lo = self.add()
+            self.expect("kw", "and")
+            return Between(e, lo, self.add(), neg)
+        if self.accept("kw", "like"):
+            k, v = self.next()
+            if k != "str":
+                raise ValueError("LIKE needs a string pattern")
+            return Like(e, v, neg)
+        if self.accept("kw", "is"):
+            neg = self.accept("kw", "not")
+            self.expect("kw", "null")
+            return IsNull(e, neg)
+        k, v = self.peek()
+        if k == "op" and v in ("<", "<=", ">", ">=", "=", "!=", "<>"):
+            self.next()
+            return Bin("!=" if v == "<>" else v, e, self.add())
+        return e
+
+    def add(self):
+        e = self.mul()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("+", "-"):
+                self.next()
+                e = Bin(v, e, self.mul())
+            else:
+                return e
+
+    def mul(self):
+        e = self.unary()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("*", "/", "%"):
+                self.next()
+                e = Bin(v, e, self.unary())
+            else:
+                return e
+
+    def unary(self):
+        if self.accept("op", "-"):
+            return Un("neg", self.unary())
+        return self.primary()
+
+    def primary(self):
+        k, v = self.next()
+        if k == "num":
+            return Lit(float(v) if "." in v else int(v))
+        if k == "str":
+            return Lit(v)
+        if k == "kw" and v in ("count", "sum", "avg", "min", "max"):
+            self.expect("op", "(")
+            distinct = self.accept("kw", "distinct")
+            if v == "count" and self.accept("op", "*"):
+                self.expect("op", ")")
+                return Agg("count", None)
+            arg = self.add()
+            self.expect("op", ")")
+            return Agg(v, arg, distinct)
+        if k == "id":
+            return Col(v)
+        if k == "op" and v == "(":
+            e = self.expr()
+            self.expect("op", ")")
+            return e
+        raise ValueError(f"unexpected token {v!r}")
+
+    def select(self) -> Select:
+        self.expect("kw", "select")
+        cols: list[tuple[object, str]] = []
+        while True:
+            e = self.expr()
+            if self.accept("kw", "as"):
+                name = self.expect("id")
+            elif isinstance(e, Col):
+                name = e.name
+            else:
+                name = f"col{len(cols)}"
+            cols.append((e, name))
+            if not self.accept("op", ","):
+                break
+        stmt = Select(cols)
+        self.expect("kw", "from")
+        stmt.table = self.expect("id")
+        if self.accept("kw", "where"):
+            stmt.where = self.expr()
+        if self.accept("kw", "group"):
+            self.expect("kw", "by")
+            stmt.group_by.append(self.expect("id"))
+            while self.accept("op", ","):
+                stmt.group_by.append(self.expect("id"))
+        if self.accept("kw", "having"):
+            stmt.having = self.expr()
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            while True:
+                name = self.expect("id")
+                asc = True
+                if self.accept("kw", "desc"):
+                    asc = False
+                else:
+                    self.accept("kw", "asc")
+                stmt.order_by.append((name, asc))
+                if not self.accept("op", ","):
+                    break
+        if self.accept("kw", "limit"):
+            stmt.limit = int(self.expect("num"))
+        self.expect("eof")
+        return stmt
+
+
+def parse_sql(sql: str) -> Select:
+    return _Parser(tokenize(sql)).select()
+
+
+# --------------------------------------------------------------------------
+# Vectorized evaluation + planning
+
+def _cols_of(e, out: set[str]):
+    if isinstance(e, Col):
+        out.add(e.name)
+    elif isinstance(e, Bin):
+        _cols_of(e.left, out)
+        _cols_of(e.right, out)
+    elif isinstance(e, Un):
+        _cols_of(e.arg, out)
+    elif isinstance(e, InList):
+        _cols_of(e.expr, out)
+        for it in e.items:
+            _cols_of(it, out)
+    elif isinstance(e, Between):
+        _cols_of(e.expr, out)
+        _cols_of(e.lo, out)
+        _cols_of(e.hi, out)
+    elif isinstance(e, (Like, IsNull)):
+        _cols_of(e.expr, out)
+    elif isinstance(e, Agg) and e.arg is not None:
+        _cols_of(e.arg, out)
+
+
+def _eval(e, df: pd.DataFrame):
+    """Evaluate a NON-aggregate expression over a batch → Series/array."""
+    if isinstance(e, Col):
+        return df[e.name]
+    if isinstance(e, Lit):
+        return e.value
+    if isinstance(e, Un):
+        v = _eval(e.arg, df)
+        return ~v if e.op == "not" else -v
+    if isinstance(e, Bin):
+        l, r = _eval(e.left, df), _eval(e.right, df)
+        if e.op == "and":
+            return l & r
+        if e.op == "or":
+            return l | r
+        if e.op == "=":
+            return l == r
+        if e.op == "!=":
+            return l != r
+        if e.op == "<":
+            return l < r
+        if e.op == "<=":
+            return l <= r
+        if e.op == ">":
+            return l > r
+        if e.op == ">=":
+            return l >= r
+        if e.op == "+":
+            return l + r
+        if e.op == "-":
+            return l - r
+        if e.op == "*":
+            return l * r
+        if e.op == "/":
+            return l / r
+        if e.op == "%":
+            return l % r
+    if isinstance(e, InList):
+        v = _eval(e.expr, df)
+        m = v.isin([_eval(it, df) for it in e.items])
+        return ~m if e.negated else m
+    if isinstance(e, Between):
+        v = _eval(e.expr, df)
+        m = (v >= _eval(e.lo, df)) & (v <= _eval(e.hi, df))
+        return ~m if e.negated else m
+    if isinstance(e, Like):
+        rx = "^" + re.escape(e.pattern).replace("%", ".*").replace("_", ".") + "$"
+        m = _eval(e.expr, df).astype(str).str.match(rx)
+        return ~m if e.negated else m
+    if isinstance(e, IsNull):
+        m = _eval(e.expr, df).isna()
+        return ~m if e.negated else m
+    raise ValueError(f"cannot evaluate {e!r} outside aggregation")
+
+
+def _find_aggs(e, out: list):
+    if isinstance(e, Agg):
+        out.append(e)
+    elif isinstance(e, Bin):
+        _find_aggs(e.left, out)
+        _find_aggs(e.right, out)
+    elif isinstance(e, Un):
+        _find_aggs(e.arg, out)
+
+
+def _agg_key(a: Agg) -> str:
+    parts: set[str] = set()
+    if a.arg is not None:
+        _cols_of(a.arg, parts)
+    return f"_{a.fn}{'_d' if a.distinct else ''}_{'_'.join(sorted(parts)) or 'star'}"
+
+
+def _eval_with_aggs(e, merged: pd.DataFrame, aggcol: dict):
+    """Evaluate a select/having expression AFTER aggregation: Agg nodes
+    read their merged column; bare Cols read the group-by column."""
+    if isinstance(e, Agg):
+        if e.fn == "avg":
+            return merged[aggcol[("sum", _agg_key(e))]] / merged[aggcol[("count", _agg_key(e))]]
+        return merged[aggcol[(e.fn, _agg_key(e))]]
+    if isinstance(e, Bin):
+        l = _eval_with_aggs(e.left, merged, aggcol)
+        r = _eval_with_aggs(e.right, merged, aggcol)
+        return _eval(Bin(e.op, Lit(l), Lit(r)), merged)
+    if isinstance(e, Un):
+        v = _eval_with_aggs(e.arg, merged, aggcol)
+        return ~v if e.op == "not" else -v
+    return _eval(e, merged)
+
+
+def execute_sql(sf_dir: str, sql: str) -> pd.DataFrame:
+    """Parse + plan + run `sql` over the parquet tables in `sf_dir`."""
+    stmt = parse_sql(sql)
+    need: set[str] = set()
+    for e, _ in stmt.cols:
+        _cols_of(e, need)
+    if stmt.where is not None:
+        _cols_of(stmt.where, need)
+    for g in stmt.group_by:
+        need.add(g)
+    if stmt.having is not None:
+        _cols_of(stmt.having, need)
+    aggs: list[Agg] = []
+    for e, _ in stmt.cols:
+        _find_aggs(e, aggs)
+    if stmt.having is not None:
+        _find_aggs(stmt.having, aggs)
+    ds = read(sf_dir, stmt.table, sorted(need) or None)
+
+    if not aggs and not stmt.group_by:
+        # pure scan: filter + project per batch; ORDER+LIMIT → per-batch
+        # top-k, merged on the driver (only k rows per batch move)
+        def scan(batch: pd.DataFrame) -> pd.DataFrame:
+            if stmt.where is not None:
+                batch = batch[np.asarray(_eval(stmt.where, batch), dtype=bool)]
+            out = pd.DataFrame(index=batch.index)
+            for e, name in stmt.cols:
+                out[name] = _eval(e, batch)
+            if stmt.order_by and stmt.limit is not None:
+                keys = [k for k, _ in stmt.order_by]
+                asc = [a for _, a in stmt.order_by]
+                out = out.sort_values(keys, ascending=asc, kind="mergesort").head(stmt.limit)
+            return out
+
+        res = ds.map_batches(scan, batch_format="pandas").to_pandas()
+    else:
+        # grouped aggregation: per-batch combiner partials, coordinator merge
+        gb = stmt.group_by
+        plan: dict[tuple[str, str], str] = {}  # (op, agg key) -> partial col
+        for a in aggs:
+            key = _agg_key(a)
+            ops = [("sum", key), ("count", key)] if a.fn == "avg" else [(a.fn, key)]
+            for op, k in ops:
+                plan.setdefault((op, k), f"{op}{k}")
+        by_key: dict[str, Agg] = {_agg_key(a): a for a in aggs}
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            if stmt.where is not None:
+                batch = batch[np.asarray(_eval(stmt.where, batch), dtype=bool)]
+            g = pd.DataFrame(index=batch.index)
+            for k in gb:
+                g[k] = batch[k]
+            vals: dict[str, tuple[str, object]] = {}
+            for (op, key), colname in plan.items():
+                a = by_key[key]
+                if a.fn == "count" and a.arg is None:
+                    vals[colname] = ("sum", np.ones(len(batch), dtype=np.int64))
+                elif op == "count" or a.fn == "count":
+                    v = _eval(a.arg, batch)
+                    vals[colname] = ("sum", pd.Series(v, index=batch.index).notna().to_numpy(np.int64))
+                else:
+                    vals[colname] = (op, np.asarray(_eval(a.arg, batch)))
+            for colname, (_, v) in vals.items():
+                g[colname] = v
+            merged_ops = {c: op for c, (op, _) in vals.items()}
+            if not gb:
+                g["_g"] = 0
+                return g.groupby("_g", as_index=False).agg(merged_ops).drop(columns=["_g"]) if len(g) else g.head(0).drop(columns=["_g"])
+            return g.groupby(gb, as_index=False).agg(merged_ops)
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        merge_ops = {colname: ("sum" if op in ("sum", "count") else op) for (op, _), colname in plan.items()}
+        if parts.empty:  # zero matching rows anywhere: rebuild a stable schema
+            parts = pd.DataFrame({**{k: pd.Series([], dtype=object) for k in gb},
+                                  **{c: pd.Series([], dtype="int64") for c in merge_ops}})
+        if gb:
+            merged = parts.groupby(gb, as_index=False).agg(merge_ops)
+        else:
+            merged = parts.agg(merge_ops).to_frame().T if len(parts) else parts
+        aggcol = {k: v for k, v in plan.items()}
+        if stmt.having is not None:
+            merged = merged[np.asarray(_eval_with_aggs(stmt.having, merged, aggcol), dtype=bool)]
+        res = pd.DataFrame(index=merged.index)
+        for e, name in stmt.cols:
+            res[name] = _eval_with_aggs(e, merged, aggcol)
+
+    if stmt.order_by:
+        keys = [k for k, _ in stmt.order_by]
+        asc = [a for _, a in stmt.order_by]
+        res = res.sort_values(keys, ascending=asc, kind="mergesort")
+    if stmt.limit is not None:
+        res = res.head(stmt.limit)
+    # normalize count-like columns to int64 (pandas sums may widen)
+    for c in res.columns:
+        if res[c].dtype == np.int32:
+            res[c] = res[c].astype(np.int64)
+    return res.reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Gated pipelines — the oracle IS the input SQL string, run by DuckDB.
+
+SQL_SELECT = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice BETWEEN 100000 AND 200000
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+"""
+
+SQL_GROUPBY = """
+SELECT p_brand, COUNT(*) AS n, SUM(p_size) AS total_size,
+       MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price
+FROM part
+WHERE p_size > 10 AND p_type LIKE '%AND%'
+GROUP BY p_brand
+HAVING COUNT(*) > 2
+ORDER BY n DESC, p_brand
+LIMIT 10
+"""
+
+
+def sql_select(sf_dir: str) -> pd.DataFrame:
+    return execute_sql(sf_dir, SQL_SELECT)
+
+
+def sql_groupby(sf_dir: str) -> pd.DataFrame:
+    return execute_sql(sf_dir, SQL_GROUPBY)
+
+
+def _twin(sql: str) -> str:
+    # DuckDB twin: identical statement, with BIGINT casts on the count-ish
+    # outputs so both sides export int64 (DuckDB COUNT is already BIGINT;
+    # SUM over INTEGER promotes to HUGEINT → cast back)
+    return sql.replace("SUM(p_size) AS total_size", "CAST(SUM(p_size) AS BIGINT) AS total_size")
+
+
+PIPELINES: dict[str, Pipeline] = {
+    "sql_select": Pipeline(
+        sql_select,
+        _twin(SQL_SELECT),
+        "Parallel SQL handler: scan query (WHERE/IN/BETWEEN, ORDER BY, LIMIT) parsed + planned onto per-batch top-k",
+    ),
+    "sql_groupby": Pipeline(
+        sql_groupby,
+        _twin(SQL_GROUPBY),
+        "Parallel SQL handler: aggregate query (GROUP BY/HAVING/LIKE) planned onto combiner partials + coordinator merge",
+    ),
+}

@@ -1,0 +1,118 @@
+"""Parallel SQL handler tests: parser units + executor-vs-DuckDB duels on
+ad-hoc statements over the sf0.001 tables (the /sql endpoint contract —
+same statement, same answer)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_ray.pipelines.sql import execute_sql, parse_sql, tokenize
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["orders", "customer", "part", "supplier", "events", "lineitem"]
+
+
+def duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.execute(sql).df()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def duel(sql: str, ray_sql: str | None = None):
+    mine = canon(execute_sql(SF, ray_sql or sql))
+    ref = canon(duck(sql))
+    assert list(mine.columns) == list(ref.columns), (mine.columns, ref.columns)
+    assert len(mine) == len(ref), (len(mine), len(ref))
+    for c in mine.columns:
+        a, b = mine[c].to_numpy(), ref[c].to_numpy()
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            np.testing.assert_allclose(a.astype(float), b.astype(float), rtol=0, atol=0)
+        else:
+            assert (a == b).all(), (c, a[:5], b[:5])
+
+
+# -- parser units -----------------------------------------------------------
+
+def test_tokenizer_strings_and_ops():
+    toks = tokenize("SELECT a FROM t WHERE b = 'it''s' AND c <> 1.5")
+    assert ("str", "it's") in toks
+    assert ("op", "<>") in toks
+
+
+def test_parse_shapes():
+    s = parse_sql(
+        "SELECT a, COUNT(*) AS n, SUM(b) AS sb FROM t WHERE x > 3 AND y IN (1,2) "
+        "GROUP BY a HAVING COUNT(*) > 1 ORDER BY n DESC, a LIMIT 7"
+    )
+    assert s.table == "t" and s.group_by == ["a"] and s.limit == 7
+    assert [n for _, n in s.cols] == ["a", "n", "sb"]
+    assert s.order_by == [("n", False), ("a", True)]
+    assert s.having is not None
+
+
+def test_parse_errors():
+    for bad in ("SELECT", "SELECT a", "SELECT a FROM t WHERE", "FROM t", "SELECT a FROM t LIMIT x"):
+        with pytest.raises((ValueError, IndexError)):
+            parse_sql(bad)
+
+
+# -- executor duels ---------------------------------------------------------
+
+def test_scan_filters(ray_session):
+    duel("SELECT o_orderkey, o_totalprice FROM orders "
+         "WHERE o_orderstatus = 'F' AND o_totalprice > 150000 "
+         "ORDER BY o_orderkey LIMIT 50")
+
+
+def test_scan_not_in_like(ray_session):
+    duel("SELECT c_custkey, c_mktsegment FROM customer "
+         "WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY') AND c_name LIKE 'Customer%' "
+         "ORDER BY c_custkey LIMIT 30")
+
+
+def test_scan_arithmetic_projection(ray_session):
+    duel("SELECT l_orderkey, l_quantity * 2 + 1 AS q2, l_linenumber FROM lineitem "
+         "WHERE l_quantity BETWEEN 10 AND 20 ORDER BY l_orderkey, l_linenumber LIMIT 40")
+
+
+def test_groupby_aggregates(ray_session):
+    duel("SELECT o_orderpriority, COUNT(*) AS n, MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx "
+         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")
+
+
+def test_groupby_sum_int_and_avg(ray_session):
+    # SUM/AVG over an INTEGER column: exact on both sides
+    duel("SELECT p_brand, CAST(SUM(p_size) AS BIGINT) AS ts, AVG(p_size) AS avg_size "
+         "FROM part GROUP BY p_brand ORDER BY p_brand",
+         ray_sql="SELECT p_brand, SUM(p_size) AS ts, AVG(p_size) AS avg_size "
+                 "FROM part GROUP BY p_brand ORDER BY p_brand")
+
+
+def test_global_aggregate_no_groupby(ray_session):
+    duel("SELECT COUNT(*) AS n, MIN(s_acctbal) AS mn FROM supplier")
+
+
+def test_having_filters_groups(ray_session):
+    duel("SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+         "GROUP BY o_orderstatus HAVING COUNT(*) > 100 ORDER BY o_orderstatus")
+
+
+def test_empty_result_group(ray_session):
+    out = execute_sql(SF, "SELECT p_brand, COUNT(*) AS n FROM part WHERE p_size > 10000 GROUP BY p_brand")
+    assert len(out) == 0 and list(out.columns) == ["p_brand", "n"]
+
+
+def test_count_distinct_unsupported_vs_column_count(ray_session):
+    duel("SELECT event_type, COUNT(value) AS nv FROM events GROUP BY event_type ORDER BY event_type")
