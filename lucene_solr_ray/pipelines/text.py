@@ -103,6 +103,99 @@ def quality_signals(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+# --------------------------------------------------------------------------
+# Training-data repetition signals (Gopher / RefinedWeb quality filters:
+# Rae et al. 2021 §A1.1, Penedo et al. 2023): per-doc fraction of token
+# occurrences claimed by the most frequent 2-gram, fraction of 3-gram
+# occurrences that are duplicates, and duplicate-token fraction.  Fully
+# vectorized: the batch token stream is factorized ONCE, n-grams become
+# composite integer keys, per-(doc, gram) counts are one np.unique pass.
+
+
+def repetition_signals(sf_dir: str):
+    def rep(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        doc_idx, codes, uniq, counts = _explode_tokens(batch["text"])
+        V = np.int64(max(uniq.size, 1))
+        zeros_i = np.zeros(n, dtype=np.int64)
+        out = {"doc_id": batch["doc_id"], "n_tokens": counts.astype("int64")}
+        # duplicate-token fraction: (n - n_distinct) / n
+        if codes.size:
+            ud = np.unique(doc_idx * V + codes) // V
+            n_uniq = np.bincount(ud, minlength=n).astype(np.int64)
+        else:
+            n_uniq = zeros_i
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out["dup_tok_frac"] = np.where(counts > 0, (counts - n_uniq) / counts, 0.0)
+
+        def gram_stats(gram_keys: np.ndarray, gram_docs: np.ndarray):
+            """per-doc (max gram count, duplicate gram occurrences, total)."""
+            tot = np.bincount(gram_docs, minlength=n).astype(np.int64)
+            if gram_keys.size == 0:
+                return zeros_i, zeros_i, tot
+            # refactorize grams to a dense code space, then composite w/ doc
+            g_uniq, g_codes = np.unique(gram_keys, return_inverse=True)
+            G = np.int64(g_uniq.size)
+            comp, cnt = np.unique(gram_docs * G + g_codes, return_counts=True)
+            docs_of = comp // G
+            mx = np.zeros(n, dtype=np.int64)
+            np.maximum.at(mx, docs_of, cnt)
+            dup = np.zeros(n, dtype=np.int64)
+            np.add.at(dup, docs_of, np.where(cnt > 1, cnt, 0))
+            return mx, dup, tot
+
+        if codes.size >= 2:
+            v2 = doc_idx[:-1] == doc_idx[1:]
+            k2 = (codes[:-1] * V + codes[1:])[v2]
+            d2 = doc_idx[:-1][v2]
+        else:
+            v2 = np.zeros(0, dtype=bool)
+            k2 = d2 = np.empty(0, dtype=np.int64)
+        max2, _, tot2 = gram_stats(k2, d2)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out["top2gram_frac"] = np.where(tot2 > 0, max2 / tot2, 0.0)
+
+        if codes.size >= 3:
+            v3 = v2[:-1] & v2[1:]
+            # pair codes over the full stream keep 3-gram keys in range
+            p_uniq, p_codes = np.unique(codes[:-1] * V + codes[1:], return_inverse=True)
+            k3 = (p_codes[:-1] * V + codes[2:])[v3]
+            d3 = doc_idx[:-2][v3]
+        else:
+            k3 = d3 = np.empty(0, dtype=np.int64)
+        _, dup3, tot3 = gram_stats(k3, d3)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out["dup3gram_frac"] = np.where(tot3 > 0, dup3 / tot3, 0.0)
+        return pd.DataFrame(out)
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(rep, batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+REPETITION_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS nd,
+         [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS g2,
+         [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)] AS g3
+  FROM d
+),
+c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, unnest(g2) AS g FROM b) GROUP BY doc_id, g),
+m2 AS (SELECT doc_id, MAX(c) AS max2, SUM(c) AS tot2 FROM c2 GROUP BY doc_id),
+c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, unnest(g3) AS g FROM b) GROUP BY doc_id, g),
+m3 AS (SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3, SUM(c) AS tot3 FROM c3 GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(nt AS BIGINT) AS n_tokens,
+       CASE WHEN nt > 0 THEN (nt - nd) / CAST(nt AS DOUBLE) ELSE 0.0 END AS dup_tok_frac,
+       CASE WHEN COALESCE(tot2, 0) > 0 THEN max2 / CAST(tot2 AS DOUBLE) ELSE 0.0 END AS top2gram_frac,
+       CASE WHEN COALESCE(tot3, 0) > 0 THEN dup3 / CAST(tot3 AS DOUBLE) ELSE 0.0 END AS dup3gram_frac
+FROM b LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUALITY_SQL = f"""
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -1031,6 +1124,7 @@ PIPELINES: dict[str, Pipeline] = {
     "spellcheck_suggest": Pipeline(spellcheck_suggest, SPELLCHECK_SQL, "did-you-mean by edit distance + df (DirectSpellChecker)"),
     "shingle_bigrams": Pipeline(shingle_bigrams, SHINGLE_SQL, "word-bigram shingles + df (ShingleFilter)"),
     "quality_signals": Pipeline(quality_signals, QUALITY_SQL, "quality scoring signals for training-data filtering"),
+    "repetition_signals": Pipeline(repetition_signals, REPETITION_SQL, "Gopher/RefinedWeb repetition filters: top-2-gram / dup-3-gram / dup-token fractions per doc"),
     "lang_id": Pipeline(lang_id, LANG_ID_SQL, "stopword-heuristic language id (langid URP), actor pool"),
     "fingerprint": Pipeline(fingerprint, FINGERPRINT_SQL, "document fingerprint (FingerprintFilter)"),
     "terms_component": Pipeline(terms_component, TERMS_SQL, "term/df enumeration (TermsComponent)"),

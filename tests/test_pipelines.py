@@ -200,3 +200,34 @@ def test_media_embed_ann(ray_session):
     assert a["doc_id"][0] == 0 and abs(a["sim"][0] - 1.0) < 1e-6  # float32 storage
     assert ((a["sim"] <= 1.0 + 1e-6) & (a["sim"] >= -1.0)).all()  # float32 norms
     assert a["sim"].is_monotonic_decreasing
+
+
+def test_repetition_signals_semantics(ray_session, tmp_path):
+    """Gopher repetition metrics pinned on handcrafted docs: an all-repeat
+    doc scores 1.0 everywhere, an all-distinct doc scores 0.0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.text import repetition_signals
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": [
+                "spam spam spam spam spam",          # 1 distinct token / 1 distinct 2&3-gram
+                "alpha beta gamma delta epsilon",    # no repetition at all
+                "one two one two one two",           # top 2-gram 'one two' = 3 of 5
+            ],
+        }
+    )
+    d = tmp_path / "rep"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+    out = repetition_signals(str(d)).set_index("doc_id")
+    assert out.loc[0, "dup_tok_frac"] == 4 / 5
+    assert out.loc[0, "top2gram_frac"] == 1.0 and out.loc[0, "dup3gram_frac"] == 1.0
+    assert out.loc[1, "dup_tok_frac"] == 0.0
+    assert out.loc[1, "top2gram_frac"] == 1 / 4  # all 2-grams distinct, max count 1
+    assert out.loc[1, "dup3gram_frac"] == 0.0
+    assert out.loc[2, "top2gram_frac"] == 3 / 5
+    assert out.loc[2, "dup3gram_frac"] == 1.0  # both 3-gram kinds repeat
