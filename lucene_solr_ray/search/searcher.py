@@ -577,6 +577,68 @@ class Searcher:
             e["df"] = int(self.stats.df(term))
         return vec
 
+    # -- PayloadScoreQuery -------------------------------------------------
+    def payload_score(
+        self,
+        term: str,
+        k: int = 10,
+        func: str = "max",
+        delimiter: str = "|",
+        include_span_score: bool = False,
+        max_candidates: int = 1024,
+    ) -> list[tuple[int, float]]:
+        """{!payload_score} (solr/core/.../search/PayloadScoreQParserPlugin
+        .java → lucene/queries/.../payloads/PayloadScoreQuery.java +
+        PayloadFunction min/max/average/sum): rank docs matching `term` by
+        the aggregate of the numeric payloads attached to its occurrences
+        (`tok<delim>payload` markup, DelimitedPayloadTokenFilter).
+
+        Two-phase like /tvrh: phase 1 is the normal index match (postings
+        give the candidate docs — payload terms tokenize so the bare term
+        still matches); phase 2 re-analyzes ONLY the candidates' stored
+        text (pid-pruned fetch) with a whitespace split + payload
+        extraction, aggregating per doc.  Payload bytes never live in the
+        postings — the reference stores them per position; here the stored
+        source IS the payload store, read O(candidates) rows.
+        `include_span_score=True` multiplies by the BM25 term score
+        (PayloadScoreQuery(includeSpanScore=true)).
+
+        Exact over up to `max_candidates` matching docs (BM25-ordered
+        overrequest); raise it toward the term's df for exhaustive
+        payload ranking of very common terms."""
+        if func not in ("min", "max", "sum", "average"):
+            raise ValueError(f"unknown payload function {func!r}")
+        hits = self.search(term, k=max(k * 32, max_candidates))
+        if not hits:
+            return []
+        texts = self.fetch_text([d for d, _ in hits])
+        span_score = dict(hits)
+        scored: list[tuple[int, float]] = []
+        for d, text in texts.items():
+            vals: list[float] = []
+            for w in text.split():
+                i = w.find(delimiter)
+                if i > 0 and w[:i].lower() == term:
+                    try:
+                        vals.append(float(w[i + len(delimiter) :]))
+                    except ValueError:
+                        pass
+                elif w.lower() == term:
+                    vals.append(1.0)  # Lucene default payload for bare terms
+            if not vals:
+                continue
+            agg = {
+                "min": min,
+                "max": max,
+                "sum": sum,
+                "average": lambda v: sum(v) / len(v),
+            }[func](vals)
+            if include_span_score:
+                agg *= span_score[d]
+            scored.append((d, float(np.float32(agg))))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        return scored[:k]
+
     # -- MoreLikeThis ------------------------------------------------------
     def more_like_this(
         self,
