@@ -51,6 +51,8 @@ SUITE = [
     # graph scoring, evaluator time-series/stats surface
     "features_igain", "phonetic_match", "score_nodes", "chi_square",
     "moving_median",
+    # round-3d additions: SQL handler, pivot facet, repetition filters
+    "sql_groupby", "facet_pivot", "repetition_signals",
 ]
 
 

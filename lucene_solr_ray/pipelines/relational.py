@@ -362,6 +362,69 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 # --------------------------------------------------------------------------
+# §2.6 BlockJoinFacetComponent (solr/core/src/java/org/apache/solr/search/
+# join/BlockJoinFacetComponent.java; the JSON-facet `uniqueBlock(_root_)`
+# agg): facet over CHILD field values for children of matching parents,
+# counting each PARENT once per bucket no matter how many of its children
+# carry the value.  Shape: broadcast the matching parent keys (the query
+# result), one child stream pass emits per-batch-deduped (bucket-value,
+# parent) pairs, and a fixed 512-bucket shuffle on hash(parent) dedups
+# across batches — per-bucket distinct counts merge on the driver (facet
+# domain × 512 rows).  Never keyed by the unbounded parent id space.
+
+
+def blockjoin_facet(sf_dir: str):
+    import ray
+
+    def parent_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["o_orderpriority"].to_numpy() == "1-URGENT"
+        return pd.DataFrame({"o_orderkey": batch["o_orderkey"].to_numpy()[m]})
+
+    keys = np.sort(
+        read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        .map_batches(parent_partial, batch_format="pandas")
+        .to_pandas()["o_orderkey"]
+        .to_numpy()
+    )
+    ref = ray.put(keys)
+
+    def child_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(ref)
+        ok = batch["l_orderkey"].to_numpy()
+        pos = np.clip(np.searchsorted(ks, ok), 0, max(ks.size - 1, 0))
+        m = ks[pos] == ok if ks.size else np.zeros(ok.size, bool)
+        pairs = pd.DataFrame(
+            {"l_returnflag": batch["l_returnflag"].to_numpy()[m], "l_orderkey": ok[m]}
+        ).drop_duplicates()
+        pairs["bucket"] = pairs["l_orderkey"] % 512
+        return pairs
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["l_returnflag", "l_orderkey"])
+        out = u.groupby("l_returnflag", as_index=False).size()
+        return out.rename(columns={"size": "n_parents"})
+
+    parts = (
+        read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+        .map_batches(child_pairs, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(count_distinct, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("l_returnflag", as_index=False)["n_parents"].sum()
+    out["n_parents"] = out["n_parents"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+BLOCKJOIN_FACET_SQL = """
+SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_parents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
 # §2.5 anti-join (MUST_NOT / ComplementStream): customers with no orders.
 
 
@@ -1169,6 +1232,7 @@ PIPELINES: dict[str, Pipeline] = {
     "join_multi_region": Pipeline(join_multi_region, JOIN_MULTI_SQL, "multi-way dim join"),
     "semi_join": Pipeline(semi_join, SEMI_JOIN_SQL, "broadcast semi-join (JoinUtil)"),
     "child_join": Pipeline(child_join, CHILD_JOIN_SQL, "children of matching parents w/ parent value (ToChildBlockJoinQuery / {!child})"),
+    "blockjoin_facet": Pipeline(blockjoin_facet, BLOCKJOIN_FACET_SQL, "child-field facet counting each parent once per bucket (BlockJoinFacetComponent / uniqueBlock)"),
     "anti_join": Pipeline(anti_join, ANTI_JOIN_SQL, "anti-join (MUST_NOT / ComplementStream)"),
     "group_topk": Pipeline(group_topk, GROUP_TOPK_SQL, "top-k docs per group (grouping collectors)"),
     "collapse_best": Pipeline(collapse_best, COLLAPSE_SQL, "field collapse (CollapsingQParserPlugin)"),

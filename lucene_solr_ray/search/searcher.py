@@ -577,6 +577,53 @@ class Searcher:
             e["df"] = int(self.stats.df(term))
         return vec
 
+    # -- RealTimeGet -------------------------------------------------------
+    def get(self, conv_id: str, turn_idx: int | None = None, with_text: bool = False) -> list[dict]:
+        """/get by unique key (solr/core/.../handler/component/
+        RealTimeGetComponent.java — there backed by the tlog; here the
+        committed index IS the durable point, so /get reads the docmap).
+
+        Input files are conv-range partitioned in path order (the block
+        contract), so the owning partition is found by BINARY SEARCH over
+        per-pid conv ranges read from parquet footer statistics — O(log
+        n_files) footer reads, then ONE predicate-pushdown read of that
+        pid's norms segment.  Tombstoned docs are filtered (deleted docs
+        don't /get)."""
+        inputs = self.manifest["config"]["inputs"]
+        lo, hi = 0, len(inputs) - 1
+        owner = None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            seg = self.index_dir / "segments" / f"pid={mid:05d}" / "norms.parquet"
+            md = pq.ParquetFile(seg).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("conv_id")
+            mn = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            mx = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            if conv_id < mn:
+                hi = mid - 1
+            elif conv_id > mx:
+                lo = mid + 1
+            else:
+                owner = mid
+                break
+        if owner is None:
+            return []
+        seg = self.index_dir / "segments" / f"pid={owner:05d}" / "norms.parquet"
+        flt = [("conv_id", "==", conv_id)]
+        if turn_idx is not None:
+            flt.append(("turn_idx", "==", int(turn_idx)))
+        t = pq.read_table(seg, filters=flt)
+        if t.num_rows == 0:
+            return []
+        dead = np.isin(t.column("doc_id").to_numpy(), self._tombstones)
+        t = t.filter(pa.array(~dead))
+        rows = t.sort_by("turn_idx").to_pylist()
+        if with_text and rows:
+            texts = self.fetch_text([r["doc_id"] for r in rows])
+            for r in rows:
+                r["text"] = texts.get(r["doc_id"])
+        return rows
+
     # -- PayloadScoreQuery -------------------------------------------------
     def payload_score(
         self,

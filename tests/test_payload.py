@@ -103,3 +103,43 @@ def test_payload_unknown_func_raises(payload_searcher):
 
 def test_payload_no_matches(payload_searcher):
     assert payload_searcher.payload_score("zzzmissing", k=5) == []
+
+
+# ---------------------------------------------------------------------------
+# RealTimeGet (/get by unique key) — reuses the payload fixture index.
+
+
+def test_realtime_get_by_key(payload_searcher):
+    rows = payload_searcher.get("c0003", with_text=True)
+    assert len(rows) == 1
+    assert rows[0]["turn_idx"] == 0 and rows[0]["text"] == TEXTS[3]
+
+    one = payload_searcher.get("c0001", turn_idx=0)
+    assert len(one) == 1 and one[0]["doc_id"] == 1
+    assert payload_searcher.get("c0001", turn_idx=99) == []
+
+
+def test_realtime_get_missing_conv(payload_searcher):
+    assert payload_searcher.get("zz_not_a_conv") == []
+    assert payload_searcher.get("a_before_everything") == []
+
+
+def test_realtime_get_respects_tombstones(ray_session):
+    """Deleted docs don't /get (RealTimeGetComponent consults live docs)."""
+    import numpy as np
+
+    from lucene_solr_ray.search import Searcher
+
+    s = Searcher(IDX)
+    try:
+        before = s.get("c0000")
+        assert len(before) == 1
+        s.delete_by_query("alpha")  # doc 0's text contains 'alpha'
+        assert s.get("c0000") == []
+    finally:
+        # clear tombstones for other tests: remove the tombstone files
+        import glob, os
+
+        for f in glob.glob(f"{IDX}/tombstones/*.parquet") + glob.glob(f"{IDX}/tombstones/**/*.parquet"):
+            os.remove(f)
+        s.close()
