@@ -231,3 +231,24 @@ def test_repetition_signals_semantics(ray_session, tmp_path):
     assert out.loc[1, "dup3gram_frac"] == 0.0
     assert out.loc[2, "top2gram_frac"] == 3 / 5
     assert out.loc[2, "dup3gram_frac"] == 1.0  # both 3-gram kinds repeat
+
+
+def test_ann_pq_recall(ray_session):
+    """PQ ANN: asymmetric-LUT scan + exact rerank recovers most of the
+    brute-force top-10, deterministically; the codes table really is
+    PQ_M bytes/vector."""
+    import glob
+
+    import pyarrow.parquet as apq
+
+    from lucene_solr_ray.pipelines.ann import PQ_M, ann_cosine_topk, ann_pq_topk, build_pq_index
+
+    exact = ann_cosine_topk(SF)
+    a = ann_pq_topk(SF)
+    b = ann_pq_topk(SF)
+    pd.testing.assert_frame_equal(a, b)
+    recall = len(set(a["vec_id"]) & set(exact["vec_id"])) / len(exact)
+    assert recall >= 0.8, recall
+    d = build_pq_index(SF)
+    t = apq.read_table(glob.glob(f"{d}/codes/*.parquet")[0])
+    assert all(len(c) == PQ_M for c in t.column("codes").to_pylist()[:20])
