@@ -577,6 +577,61 @@ class Searcher:
             e["df"] = int(self.stats.df(term))
         return vec
 
+    # -- ClusteringComponent ----------------------------------------------
+    def cluster_results(
+        self, query: str, k: int = 50, n_clusters: int = 4, label_terms: int = 3, seed: int = 7
+    ) -> list[dict]:
+        """Search-result clustering (solr/contrib/clustering — the Carrot2
+        ClusteringComponent): cluster the TOP-k result PAGE, not the corpus.
+        Page docs are fetched (pid-pruned), tf-idf vectors built over the
+        page vocabulary, spherical k-means with a fixed seed, clusters
+        labelled by their centroids' top terms.  All work is O(page), the
+        Solr contract — the distributed part is the search itself."""
+        import math as _math
+
+        from ..analysis.analyzer import tokenize
+
+        hits = self.search(query, k)
+        if not hits:
+            return []
+        doc_ids = [d for d, _ in hits]
+        texts = self.fetch_text(doc_ids)
+        toks = {d: [t for t, _ in tokenize(texts.get(d, ""))] for d in doc_ids}
+        vocab = sorted({t for ts in toks.values() for t in ts})
+        if not vocab or len(doc_ids) < 2:
+            return [{"label": "", "docs": doc_ids}]
+        vi = {t: i for i, t in enumerate(vocab)}
+        tf = np.zeros((len(doc_ids), len(vocab)), dtype=np.float64)
+        for r, d in enumerate(doc_ids):
+            for t in toks[d]:
+                tf[r, vi[t]] += 1.0
+        df = (tf > 0).sum(axis=0)
+        idf = np.array([_math.log(1.0 + len(doc_ids) / (1.0 + int(x))) for x in df])
+        x = tf * idf[None, :]
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(norms > 0, norms, 1.0)
+        nc = min(n_clusters, len(doc_ids))
+        rng = np.random.default_rng(seed)
+        cent = x[rng.choice(len(x), size=nc, replace=False)].copy()
+        for _ in range(10):
+            assign = (x @ cent.T).argmax(axis=1)
+            for c in range(nc):
+                m = x[assign == c]
+                if len(m):
+                    v = m.sum(axis=0)
+                    n = np.linalg.norm(v)
+                    cent[c] = v / n if n > 0 else cent[c]
+        out = []
+        for c in range(nc):
+            members = [doc_ids[i] for i in np.flatnonzero(assign == c)]
+            if not members:
+                continue
+            top = np.argsort(-cent[c])[:label_terms]
+            out.append(
+                {"label": " ".join(vocab[int(i)] for i in top if cent[c][int(i)] > 0), "docs": members}
+            )
+        return out
+
     # -- RealTimeGet -------------------------------------------------------
     def get(self, conv_id: str, turn_idx: int | None = None, with_text: bool = False) -> list[dict]:
         """/get by unique key (solr/core/.../handler/component/

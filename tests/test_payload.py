@@ -143,3 +143,22 @@ def test_realtime_get_respects_tombstones(ray_session):
         for f in glob.glob(f"{IDX}/tombstones/*.parquet") + glob.glob(f"{IDX}/tombstones/**/*.parquet"):
             os.remove(f)
         s.close()
+
+
+# ---------------------------------------------------------------------------
+# ClusteringComponent (search-result clustering) — payload fixture index.
+
+
+def test_cluster_results_partitions_page(payload_searcher):
+    clusters = payload_searcher.cluster_results("boost", k=10, n_clusters=2)
+    hits = [d for d, _ in payload_searcher.search("boost", 10)]
+    got = sorted(d for c in clusters for d in c["docs"])
+    assert got == sorted(hits)  # clusters partition the result page
+    assert all(c["label"] for c in clusters)
+    # deterministic
+    again = payload_searcher.cluster_results("boost", k=10, n_clusters=2)
+    assert clusters == again
+
+
+def test_cluster_results_empty_query(payload_searcher):
+    assert payload_searcher.cluster_results("zzznothing") == []
