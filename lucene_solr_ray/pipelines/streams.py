@@ -1,0 +1,815 @@
+"""Streaming-expression language — the `Expressible` SPI surface.
+
+Reference: the reference's streaming expressions are a tiny functional
+language over TupleStreams; every stream/metric/evaluator is constructible
+from a parsed expression:
+  solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/expr/
+    StreamExpressionParser.java (~300, char-level recursive parser),
+    StreamFactory.java (~400, name -> constructor registry);
+  streams under solr/solrj/.../io/stream/ (SearchStream, RollupStream,
+    SelectStream, RankStream ("top"), UniqueStream, MergeStream,
+    InnerJoinStream, LeftOuterJoinStream, HashJoinStream, IntersectStream,
+    ComplementStream, HavingStream, FacetStream, StatsStream, FetchStream,
+    CartesianProductStream, ParallelStream);
+  metrics under .../io/stream/metrics/ (SumMetric, MeanMetric, ...);
+  boolean evaluators under .../io/eval/ (GreaterThanEvaluator, AndEvaluator...).
+
+Here: the same grammar parsed by a char-level recursive-descent parser into
+`Expr` nodes, then planned by a name->constructor REGISTRY onto the engine's
+Ray Data shapes:
+
+- `search` is a pruned parquet read + vectorized per-batch docvalues mask
+  (the /export-style docvalues search; index-backed BM25 search lives in
+  `search/searcher.py` and the SQL handler).
+- `rollup`/`facet`/`stats` run as per-batch combiner partials merged on the
+  coordinator (`common.merge_partials`) — the bounded-domain aggregate
+  pattern; Solr's FacetStream is likewise a facet response merge.
+- `top` (RankStream) is per-batch top-k + a bounded driver merge: only
+  n rows per block ever leave workers.
+- join/intersect/complement broadcast the (small) right side exactly as the
+  reference's HashJoinStream reads its `hashed` stream fully into memory;
+  the left side streams.
+- `unique` keeps the first tuple per key under the stream's declared sort
+  (per-batch first-per-key partials, coordinator re-sort of the bounded
+  partial set).
+- `parallel` is accepted and is a no-op: Ray Data executes every stage
+  data-parallel already (the `{!hash workers=N}` shuffle is native).
+
+Exactness: gated expressions aggregate integer columns only (float sums are
+order-dependent); raw float columns pass through untouched. `avg` is
+computed as float64(exact int sum)/float64(count) on both sides.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+
+from .common import Pipeline, merge_partials, read
+
+# --------------------------------------------------------------------------
+# Parser (StreamExpressionParser analog)
+
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*")
+
+
+@dataclass
+class Expr:
+    """One parsed expression node: name(positional..., key=value...)."""
+
+    name: str
+    args: list = dc_field(default_factory=list)  # positional: Expr | str
+    params: dict = dc_field(default_factory=dict)  # named: str -> Expr | str
+
+    def __repr__(self) -> str:  # round-trippable-ish, for error messages
+        inner = [repr(a) if isinstance(a, Expr) else a for a in self.args]
+        inner += [f"{k}={v!r}" for k, v in self.params.items()]
+        return f"{self.name}({', '.join(map(str, inner))})"
+
+
+class StreamExprError(ValueError):
+    pass
+
+
+class _Parser:
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def _ws(self) -> None:
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+
+    def _fail(self, msg: str) -> None:
+        raise StreamExprError(f"{msg} at offset {self.i}: ...{self.s[self.i:self.i+30]!r}")
+
+    def parse(self) -> Expr:
+        self._ws()
+        e = self._expr()
+        self._ws()
+        if self.i != len(self.s):
+            self._fail("trailing input")
+        return e
+
+    def _expr(self) -> Expr:
+        m = _IDENT_RE.match(self.s, self.i)
+        if not m:
+            self._fail("expected stream/function name")
+        name = m.group(0)
+        self.i = m.end()
+        self._ws()
+        if self.i >= len(self.s) or self.s[self.i] != "(":
+            self._fail(f"expected '(' after {name!r}")
+        self.i += 1
+        e = Expr(name)
+        self._ws()
+        if self.i < len(self.s) and self.s[self.i] == ")":
+            self.i += 1
+            return e
+        while True:
+            self._operand(e)
+            self._ws()
+            if self.i >= len(self.s):
+                self._fail("unterminated expression")
+            if self.s[self.i] == ",":
+                self.i += 1
+                self._ws()
+                continue
+            if self.s[self.i] == ")":
+                self.i += 1
+                return e
+            self._fail("expected ',' or ')'")
+
+    def _operand(self, parent: Expr) -> None:
+        self._ws()
+        if self.i < len(self.s) and self.s[self.i] == '"':
+            parent.args.append(self._quoted())
+            return
+        m = _IDENT_RE.match(self.s, self.i)
+        if m:
+            j = m.end()
+            while j < len(self.s) and self.s[j].isspace():
+                j += 1
+            if j < len(self.s) and self.s[j] == "(":
+                parent.args.append(self._expr())
+                return
+            if j < len(self.s) and self.s[j] == "=":
+                key = m.group(0)
+                self.i = j + 1
+                self._ws()
+                if self.i < len(self.s) and self.s[self.i] == '"':
+                    parent.params[key] = self._quoted()
+                    return
+                m2 = _IDENT_RE.match(self.s, self.i)
+                if m2:
+                    j2 = m2.end()
+                    while j2 < len(self.s) and self.s[j2].isspace():
+                        j2 += 1
+                    if j2 < len(self.s) and self.s[j2] == "(":
+                        parent.params[key] = self._expr()
+                        return
+                parent.params[key] = self._bare()
+                return
+        parent.args.append(self._bare())
+
+    def _quoted(self) -> str:
+        assert self.s[self.i] == '"'
+        self.i += 1
+        out: list[str] = []
+        while self.i < len(self.s):
+            c = self.s[self.i]
+            if c == "\\" and self.i + 1 < len(self.s):
+                out.append(self.s[self.i + 1])
+                self.i += 2
+                continue
+            if c == '"':
+                self.i += 1
+                return "".join(out)
+            out.append(c)
+            self.i += 1
+        self._fail("unterminated string")
+        raise AssertionError  # unreachable
+
+    def _bare(self) -> str:
+        start = self.i
+        while self.i < len(self.s) and self.s[self.i] not in ",)":
+            self.i += 1
+        val = self.s[start : self.i].strip()
+        if not val:
+            self._fail("empty operand")
+        return val
+
+
+def parse_expr(s: str) -> Expr:
+    return _Parser(s).parse()
+
+
+# --------------------------------------------------------------------------
+# Plan-time helpers
+
+@dataclass
+class SRes:
+    """A planned stream: either a lazy Ray Dataset (unbounded, streaming) or
+    a bounded pandas frame already safe on the coordinator, plus the
+    stream's declared sort (StreamComparator analog)."""
+
+    ds: Any = None
+    df: pd.DataFrame | None = None
+    sort: list[tuple[str, bool]] = dc_field(default_factory=list)  # (col, asc)
+
+
+@dataclass
+class Ctx:
+    sf_dir: str
+
+
+def _map(res: SRes, fn: Callable[[pd.DataFrame], pd.DataFrame]) -> SRes:
+    if res.df is not None:
+        return SRes(df=fn(res.df), sort=res.sort)
+    return SRes(ds=res.ds.map_batches(fn, batch_format="pandas"), sort=res.sort)
+
+
+def _to_df(res: SRes) -> pd.DataFrame:
+    """Materialize — ONLY for bounded results and broadcast (hashed/right)
+    join sides, mirroring HashJoinStream reading its build side fully."""
+    if res.df is not None:
+        return res.df
+    df = res.ds.to_pandas()
+    if len(df.columns) == 0:  # all blocks empty: Ray drops the schema
+        try:
+            schema = res.ds.schema()
+            if schema is not None:
+                df = pd.DataFrame({c: pd.Series(dtype="object") for c in schema.names})
+        except Exception:
+            pass
+    return df
+
+
+def _parse_sort(spec: str) -> list[tuple[str, bool]]:
+    out = []
+    for part in spec.split(","):
+        toks = part.split()
+        if not toks:
+            continue
+        asc = True
+        if len(toks) > 1:
+            d = toks[1].lower()
+            if d not in ("asc", "desc"):
+                raise StreamExprError(f"bad sort direction {toks[1]!r}")
+            asc = d == "asc"
+        out.append((toks[0], asc))
+    if not out:
+        raise StreamExprError(f"empty sort spec {spec!r}")
+    return out
+
+
+def _sorted_df(df: pd.DataFrame, sort: list[tuple[str, bool]]) -> pd.DataFrame:
+    return df.sort_values(
+        [c for c, _ in sort], ascending=[a for _, a in sort], kind="mergesort"
+    )
+
+
+def _split_fl(spec: str) -> list[str]:
+    return [c.strip() for c in spec.split(",") if c.strip()]
+
+
+# --------------------------------------------------------------------------
+# Docvalues query compiler for search(q=...): *:* | clause AND clause...
+# clause := field:value | field:[lo TO hi] | field:(v1 OR v2 ...)
+
+def _typed(col_type, raw: str):
+    import pyarrow.types as pt
+
+    if pt.is_integer(col_type):
+        return int(raw)
+    if pt.is_floating(col_type):
+        return float(raw)
+    return raw
+
+
+def _compile_q(q: str, schema) -> tuple[list[str], Callable | None]:
+    q = q.strip()
+    if q in ("*:*", ""):
+        return [], None
+    clauses = []
+    cols: list[str] = []
+    for part in re.split(r"\s+AND\s+", q):
+        part = part.strip()
+        m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", part, re.S)
+        if not m:
+            raise StreamExprError(f"unsupported query clause {part!r}")
+        fld, rhs = m.group(1), m.group(2).strip()
+        if fld not in schema.names:
+            raise StreamExprError(f"unknown field {fld!r} in q")
+        typ = schema.field(fld).type
+        cols.append(fld)
+        rm = re.match(r"^\[(.+?)\s+TO\s+(.+?)\]$", rhs)
+        if rm:
+            lo = None if rm.group(1) == "*" else _typed(typ, rm.group(1))
+            hi = None if rm.group(2) == "*" else _typed(typ, rm.group(2))
+            clauses.append(("range", fld, lo, hi))
+        elif rhs.startswith("(") and rhs.endswith(")"):
+            vals = [_typed(typ, v.strip()) for v in re.split(r"\s+OR\s+", rhs[1:-1])]
+            clauses.append(("in", fld, vals, None))
+        else:
+            if rhs.startswith('"') and rhs.endswith('"'):
+                rhs = rhs[1:-1]
+            clauses.append(("eq", fld, _typed(typ, rhs), None))
+
+    def mask(batch: pd.DataFrame) -> np.ndarray:
+        m = np.ones(len(batch), dtype=bool)
+        for kind, fld, a, b in clauses:
+            col = batch[fld]
+            if kind == "eq":
+                m &= (col == a).to_numpy()
+            elif kind == "in":
+                m &= col.isin(a).to_numpy()
+            else:  # range, [] = inclusive both ends (TermRange semantics)
+                if a is not None:
+                    m &= (col >= a).to_numpy()
+                if b is not None:
+                    m &= (col <= b).to_numpy()
+        return m
+
+    return cols, mask
+
+
+# --------------------------------------------------------------------------
+# Metrics (RollupStream / FacetStream metrics)
+
+_METRIC_NAMES = {"sum", "min", "max", "avg", "count"}
+
+
+@dataclass
+class Metric:
+    op: str
+    col: str  # "*" for count
+
+    @property
+    def out(self) -> str:
+        return f"{self.op}({self.col})"
+
+
+def _metrics_of(e: Expr) -> list[Metric]:
+    ms = []
+    for a in e.args:
+        if isinstance(a, Expr) and a.name in _METRIC_NAMES:
+            col = a.args[0] if a.args else "*"
+            if a.name != "count" and (not isinstance(col, str) or col == "*"):
+                raise StreamExprError(f"metric {a.name} needs a field operand")
+            ms.append(Metric(a.name, col if isinstance(col, str) else "*"))
+    return ms
+
+
+def _rollup_partials(res: SRes, over: list[str], metrics: list[Metric]) -> pd.DataFrame:
+    """Per-batch combiner partials + coordinator merge (bounded group domain
+    — the facet/stats coordinator pattern; unbounded keys belong in a
+    bucketed groupby shuffle, see CLAUDE.md)."""
+    named: dict[str, tuple[str, str]] = {}
+    merge_ops: dict[str, str] = {}
+    need_n = False
+    for m in metrics:
+        if m.op == "count" or m.op == "avg":
+            need_n = True
+        if m.op in ("sum", "avg"):
+            named[f"__sum_{m.col}"] = (m.col, "sum")
+            merge_ops[f"__sum_{m.col}"] = "sum"
+        elif m.op in ("min", "max"):
+            named[f"__{m.op}_{m.col}"] = (m.col, m.op)
+            merge_ops[f"__{m.op}_{m.col}"] = m.op
+    if need_n:
+        merge_ops["__n"] = "sum"
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        gb = batch.groupby(over, as_index=False, sort=False)
+        aggs = dict(named)
+        if need_n:
+            aggs["__n"] = (over[0], "size")
+        return gb.agg(**aggs)
+
+    part = _map(res, partial)
+    if part.df is not None:
+        merged = part.df.groupby(over, as_index=False).agg(merge_ops)
+    else:
+        merged = merge_partials(part.ds, over, merge_ops)
+
+    out = merged[over].copy()
+    for m in metrics:
+        if m.op == "count":
+            out[m.out] = merged["__n"].astype("int64")
+        elif m.op == "sum":
+            out[m.out] = merged[f"__sum_{m.col}"].astype("int64")
+        elif m.op == "avg":
+            out[m.out] = merged[f"__sum_{m.col}"].astype("int64").astype(
+                "float64"
+            ) / merged["__n"].astype("int64").astype("float64")
+        else:
+            out[m.out] = merged[f"__{m.op}_{m.col}"]
+    return out.sort_values(over, kind="mergesort").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Boolean evaluators for having() (io/eval/*Evaluator)
+
+def _bool_eval(e: Expr | str, df: pd.DataFrame) -> np.ndarray:
+    if not isinstance(e, Expr):
+        raise StreamExprError(f"expected boolean evaluator, got {e!r}")
+    if e.name in ("and", "or"):
+        masks = [_bool_eval(a, df) for a in e.args]
+        out = masks[0]
+        for m in masks[1:]:
+            out = (out & m) if e.name == "and" else (out | m)
+        return out
+    if e.name == "not":
+        return ~_bool_eval(e.args[0], df)
+    if e.name in ("eq", "gt", "lt", "gteq", "lteq"):
+        lhs, rhs = e.args
+        if isinstance(lhs, Expr):  # metric reference, e.g. count(*)
+            lname = f"{lhs.name}({lhs.args[0] if lhs.args else '*'})"
+        else:
+            lname = lhs
+        if lname not in df.columns:
+            raise StreamExprError(f"having: unknown field {lname!r}")
+        col = df[lname]
+        try:
+            val: Any = float(rhs) if "." in str(rhs) else int(rhs)
+        except ValueError:
+            val = str(rhs).strip('"')
+        op = {"eq": "__eq__", "gt": "__gt__", "lt": "__lt__", "gteq": "__ge__", "lteq": "__le__"}[e.name]
+        return getattr(col, op)(val).to_numpy()
+    raise StreamExprError(f"unknown boolean evaluator {e.name!r}")
+
+
+# --------------------------------------------------------------------------
+# Stream constructors (StreamFactory registry)
+
+def _eval_stream_arg(ctx: Ctx, e: Expr) -> SRes:
+    if not isinstance(e, Expr) or e.name not in REGISTRY_STREAMS:
+        raise StreamExprError(f"expected a stream, got {e!r}")
+    return REGISTRY_STREAMS[e.name](ctx, e)
+
+
+def _stream_args(e: Expr) -> list[Expr]:
+    return [a for a in e.args if isinstance(a, Expr) and a.name in REGISTRY_STREAMS]
+
+
+def _search(ctx: Ctx, e: Expr) -> SRes:
+    import pyarrow.parquet as pq
+
+    if not e.args or not isinstance(e.args[0], str):
+        raise StreamExprError("search(collection, ...) needs a collection name")
+    table = e.args[0]
+    schema = pq.read_schema(f"{ctx.sf_dir}/{table}.parquet")
+    fl = _split_fl(e.params.get("fl", ",".join(schema.names)))
+    for c in fl:
+        if c not in schema.names:
+            raise StreamExprError(f"unknown field {c!r} in fl")
+    qcols, mask = _compile_q(str(e.params.get("q", "*:*")), schema)
+    read_cols = list(dict.fromkeys(fl + qcols))  # prune the read
+    ds = read(ctx.sf_dir, table, read_cols)
+    if mask is not None:
+        ds = ds.map_batches(
+            lambda b, _m=mask, _fl=fl: b.loc[_m(b), _fl], batch_format="pandas"
+        )
+    elif read_cols != fl:
+        ds = ds.map_batches(lambda b, _fl=fl: b[_fl], batch_format="pandas")
+    sort = _parse_sort(e.params["sort"]) if "sort" in e.params else []
+    res = SRes(ds=ds, sort=sort)
+    if "rows" in e.params:  # bounded: per-batch top-k + driver merge
+        if not sort:
+            raise StreamExprError("search rows= needs sort=")
+        return _rank(res, int(str(e.params["rows"])), sort)
+    return res
+
+
+def _rank(res: SRes, n: int, sort: list[tuple[str, bool]]) -> SRes:
+    def topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return _sorted_df(batch, sort).head(n)
+
+    part = _map(res, topk)
+    df = _sorted_df(_to_df(part), sort).head(n).reset_index(drop=True)
+    return SRes(df=df, sort=sort)
+
+
+def _top(ctx: Ctx, e: Expr) -> SRes:
+    inner = _eval_stream_arg(ctx, _stream_args(e)[0])
+    n = int(str(e.params["n"]))
+    sort = _parse_sort(str(e.params["sort"]))
+    return _rank(inner, n, sort)
+
+
+def _rollup(ctx: Ctx, e: Expr) -> SRes:
+    inner = _eval_stream_arg(ctx, _stream_args(e)[0])
+    over = _split_fl(str(e.params["over"]))
+    metrics = _metrics_of(e)
+    if not metrics:
+        raise StreamExprError("rollup needs at least one metric")
+    return SRes(df=_rollup_partials(inner, over, metrics), sort=[(c, True) for c in over])
+
+
+def _facet(ctx: Ctx, e: Expr) -> SRes:
+    # FacetStream: pushed-down facet over a collection (not a wrapped stream)
+    search_e = Expr("search", args=[e.args[0]], params={"q": e.params.get("q", "*:*")})
+    buckets = _split_fl(str(e.params["buckets"]))
+    metrics = _metrics_of(e)
+    if not metrics:
+        raise StreamExprError("facet needs at least one metric")
+    cols = list(dict.fromkeys(buckets + [m.col for m in metrics if m.col != "*"]))
+    search_e.params["fl"] = ",".join(cols)
+    inner = _search(ctx, search_e)
+    df = _rollup_partials(inner, buckets, metrics)
+    sorts = _parse_sort(str(e.params.get("bucketSorts", f"{buckets[0]} asc")))
+    # deterministic: append bucket columns as tie-break
+    full = sorts + [(b, True) for b in buckets if b not in [c for c, _ in sorts]]
+    df = _sorted_df(df, full)
+    lim = e.params.get("bucketSizeLimit")
+    if lim is not None:
+        df = df.head(int(str(lim)))
+    return SRes(df=df.reset_index(drop=True), sort=sorts)
+
+
+def _stats(ctx: Ctx, e: Expr) -> SRes:
+    search_e = Expr("search", args=[e.args[0]], params={"q": e.params.get("q", "*:*")})
+    metrics = _metrics_of(e)
+    cols = list(dict.fromkeys([m.col for m in metrics if m.col != "*"])) or None
+    if cols:
+        search_e.params["fl"] = ",".join(cols)
+    inner = _search(ctx, search_e)
+    one = _map(inner, lambda b: b.assign(__g=0))
+    df = _rollup_partials(one, ["__g"], metrics).drop(columns="__g")
+    return SRes(df=df.reset_index(drop=True))
+
+
+def _select(ctx: Ctx, e: Expr) -> SRes:
+    inner = _eval_stream_arg(ctx, _stream_args(e)[0])
+    items: list[tuple[str, str]] = []
+    for a in e.args:
+        if isinstance(a, str):
+            for part in a.split(","):
+                toks = re.split(r"\s+as\s+", part.strip(), flags=re.I)
+                src = toks[0].strip()
+                dst = toks[1].strip() if len(toks) > 1 else src
+                items.append((src, dst))
+    if not items:
+        raise StreamExprError("select needs field specs")
+
+    def proj(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({dst: batch[src] for src, dst in items})
+
+    ren = dict(items)
+    sort = [(ren.get(c, c), a) for c, a in inner.sort if c in ren]
+    out = _map(inner, proj)
+    out.sort = sort
+    return out
+
+
+def _unique(ctx: Ctx, e: Expr) -> SRes:
+    inner = _eval_stream_arg(ctx, _stream_args(e)[0])
+    over = _split_fl(str(e.params["over"]))
+    if not inner.sort:
+        raise StreamExprError("unique requires a sorted input stream")
+    sort = inner.sort
+
+    def first_per_key(batch: pd.DataFrame) -> pd.DataFrame:
+        return _sorted_df(batch, sort).drop_duplicates(subset=over, keep="first")
+
+    part = _map(inner, first_per_key)
+    # coordinator sees (#keys x #blocks) rows — bounded-domain merge
+    df = (
+        _sorted_df(_to_df(part), sort)
+        .drop_duplicates(subset=over, keep="first")
+        .reset_index(drop=True)
+    )
+    return SRes(df=df, sort=sort)
+
+
+def _merge(ctx: Ctx, e: Expr) -> SRes:
+    streams = [_eval_stream_arg(ctx, a) for a in _stream_args(e)]
+    sort = _parse_sort(str(e.params["on"])) if "on" in e.params else []
+    if all(s.ds is not None for s in streams):
+        ds = streams[0].ds
+        for s in streams[1:]:
+            ds = ds.union(s.ds)
+        return SRes(ds=ds, sort=sort)
+    df = pd.concat([_to_df(s) for s in streams], ignore_index=True)
+    return SRes(df=_sorted_df(df, sort).reset_index(drop=True) if sort else df, sort=sort)
+
+
+def _parse_on(spec: str) -> tuple[list[str], list[str]]:
+    left, right = [], []
+    for part in spec.split(","):
+        part = part.strip()
+        if "=" in part:
+            a, b = part.split("=", 1)
+            left.append(a.strip())
+            right.append(b.strip())
+        else:
+            left.append(part)
+            right.append(part)
+    return left, right
+
+
+def _join(ctx: Ctx, e: Expr, how: str) -> SRes:
+    streams = _stream_args(e)
+    if "hashed" in e.params:  # hashJoin(left, hashed=right, on=...)
+        left = _eval_stream_arg(ctx, streams[0])
+        right = _eval_stream_arg(ctx, e.params["hashed"])
+    else:
+        left = _eval_stream_arg(ctx, streams[0])
+        right = _eval_stream_arg(ctx, streams[1])
+    lk, rk = _parse_on(str(e.params["on"]))
+    rdf = _to_df(right)  # broadcast build side (HashJoinStream semantics)
+
+    def joiner(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(rdf, left_on=lk, right_on=rk, how=how)
+
+    return _map(left, joiner)
+
+
+def _semi(ctx: Ctx, e: Expr, keep: bool) -> SRes:
+    streams = _stream_args(e)
+    left = _eval_stream_arg(ctx, streams[0])
+    right = _eval_stream_arg(ctx, streams[1])
+    lk, rk = _parse_on(str(e.params["on"]))
+    rdf = _to_df(right)
+    keys = set(map(tuple, rdf[rk].itertuples(index=False, name=None)))
+
+    def mask(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.fromiter(
+            (tuple(t) in keys for t in batch[lk].itertuples(index=False, name=None)),
+            dtype=bool,
+            count=len(batch),
+        ) if len(lk) > 1 else batch[lk[0]].isin({k[0] for k in keys}).to_numpy()
+        return batch.loc[m if keep else ~m]
+
+    return _map(left, mask)
+
+
+def _having(ctx: Ctx, e: Expr) -> SRes:
+    inner = _eval_stream_arg(ctx, _stream_args(e)[0])
+    cond = next(
+        a for a in e.args if isinstance(a, Expr) and a.name not in REGISTRY_STREAMS
+    )
+    return _map(inner, lambda b: b.loc[_bool_eval(cond, b)].reset_index(drop=True))
+
+
+def _fetch(ctx: Ctx, e: Expr) -> SRes:
+    # FetchStream: batch keys from the (bounded) stream, fetch matching rows
+    # via parquet predicate pushdown, merge fields.
+    import pyarrow.parquet as pq
+
+    table = e.args[0] if isinstance(e.args[0], str) else None
+    if table is None:
+        raise StreamExprError("fetch(collection, stream, ...) needs a collection")
+    inner = _eval_stream_arg(ctx, _stream_args(e)[0])
+    if inner.df is None:
+        raise StreamExprError("fetch expects a bounded input stream (top/rollup/...)")
+    lk, rk = _parse_on(str(e.params["on"]))
+    if len(lk) != 1:
+        raise StreamExprError("fetch joins on a single key")
+    fl = _split_fl(str(e.params["fl"]))
+    keys = sorted(inner.df[lk[0]].unique().tolist())
+    got = pq.read_table(
+        f"{ctx.sf_dir}/{table}.parquet",
+        columns=list(dict.fromkeys([rk[0]] + fl)),
+        filters=[(rk[0], "in", keys)],  # row-group pruned, keys only
+    ).to_pandas()
+    out = inner.df.merge(got, left_on=lk[0], right_on=rk[0], how="left")
+    if rk[0] != lk[0]:
+        out = out.drop(columns=[rk[0]])
+    return SRes(df=out, sort=inner.sort)
+
+
+def _cartesian(ctx: Ctx, e: Expr) -> SRes:
+    inner = _eval_stream_arg(ctx, _stream_args(e)[0])
+    fld = next(a for a in e.args if isinstance(a, str))
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.explode(fld, ignore_index=True)
+        return out
+
+    return _map(inner, explode)
+
+
+def _parallel(ctx: Ctx, e: Expr) -> SRes:
+    # ParallelStream ships the plan to N workers over a hash partition; Ray
+    # Data already executes every stage data-parallel, so this is the
+    # identity wrapper (workers/sort params accepted for compatibility).
+    return _eval_stream_arg(ctx, _stream_args(e)[0])
+
+
+REGISTRY_STREAMS: dict[str, Callable[[Ctx, Expr], SRes]] = {
+    "search": _search,
+    "top": _top,
+    "rollup": _rollup,
+    "facet": _facet,
+    "stats": _stats,
+    "select": _select,
+    "unique": _unique,
+    "merge": _merge,
+    "innerJoin": lambda c, e: _join(c, e, "inner"),
+    "leftOuterJoin": lambda c, e: _join(c, e, "left"),
+    "hashJoin": lambda c, e: _join(c, e, "inner"),
+    "outerHashJoin": lambda c, e: _join(c, e, "left"),
+    "intersect": lambda c, e: _semi(c, e, True),
+    "complement": lambda c, e: _semi(c, e, False),
+    "having": _having,
+    "fetch": _fetch,
+    "cartesianProduct": _cartesian,
+    "parallel": _parallel,
+}
+
+
+def register_stream(name: str, fn: Callable[[Ctx, Expr], SRes]) -> None:
+    """Extension surface: StreamFactory.withFunctionName analog."""
+    REGISTRY_STREAMS[name] = fn
+
+
+def run_expr(expr_str: str, sf_dir: str) -> pd.DataFrame:
+    """Parse and execute a streaming expression; returns the full result as
+    a pandas frame (callers wanting the lazy Dataset use plan_expr)."""
+    res = plan_expr(expr_str, sf_dir)
+    df = _to_df(res)
+    return df.reset_index(drop=True)
+
+
+def plan_expr(expr_str: str, sf_dir: str) -> SRes:
+    e = parse_expr(expr_str)
+    return _eval_stream_arg(Ctx(sf_dir), e)
+
+
+# --------------------------------------------------------------------------
+# Gated pipelines
+
+def stream_expr_rollup(sf_dir: str):
+    return run_expr(
+        'rollup(search(documents, q="lang:en", fl="source,n_chars", sort="source asc"),'
+        ' over="source", sum(n_chars), count(*), avg(n_chars), min(n_chars), max(n_chars))',
+        sf_dir,
+    )
+
+
+STREAM_EXPR_ROLLUP_SQL = """
+SELECT source,
+       CAST(SUM(n_chars) AS BIGINT) AS "sum(n_chars)",
+       CAST(COUNT(*) AS BIGINT) AS "count(*)",
+       CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS "avg(n_chars)",
+       MIN(n_chars) AS "min(n_chars)",
+       MAX(n_chars) AS "max(n_chars)"
+FROM documents WHERE lang = 'en' GROUP BY source
+"""
+
+
+def stream_expr_join(sf_dir: str):
+    return run_expr(
+        'innerJoin('
+         'search(orders, q="o_orderstatus:F", fl="o_orderkey,o_custkey,o_totalprice", sort="o_custkey asc"),'
+        ' search(customer, q="c_mktsegment:BUILDING", fl="c_custkey,c_name", sort="c_custkey asc"),'
+        ' on="o_custkey=c_custkey")',
+        sf_dir,
+    )
+
+
+STREAM_EXPR_JOIN_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F' AND c_mktsegment = 'BUILDING'
+"""
+
+
+def stream_expr_topk(sf_dir: str):
+    return run_expr(
+        'top(n=20, search(events, q="event_type:click", fl="event_id,user_id,value"),'
+        ' sort="value desc, event_id asc")',
+        sf_dir,
+    )
+
+
+STREAM_EXPR_TOPK_SQL = """
+SELECT event_id, user_id, value
+FROM events WHERE event_type = 'click'
+ORDER BY value DESC, event_id LIMIT 20
+"""
+
+
+def stream_expr_facet(sf_dir: str):
+    return run_expr(
+        'having(facet(events, q="*:*", buckets="event_type",'
+        ' bucketSorts="count(*) desc", bucketSizeLimit=100, count(*)),'
+        ' gt(count(*), 10))',
+        sf_dir,
+    )
+
+
+STREAM_EXPR_FACET_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS "count(*)"
+FROM events GROUP BY event_type HAVING COUNT(*) > 10
+"""
+
+
+PIPELINES: dict[str, Pipeline] = {
+    "stream_expr_rollup": Pipeline(
+        stream_expr_rollup,
+        STREAM_EXPR_ROLLUP_SQL,
+        "streaming-expression language: rollup(search(...)) with 5 metrics",
+    ),
+    "stream_expr_join": Pipeline(
+        stream_expr_join,
+        STREAM_EXPR_JOIN_SQL,
+        "streaming-expression language: innerJoin of two searches",
+    ),
+    "stream_expr_topk": Pipeline(
+        stream_expr_topk,
+        STREAM_EXPR_TOPK_SQL,
+        "streaming-expression language: top (RankStream) over a search",
+    ),
+    "stream_expr_facet": Pipeline(
+        stream_expr_facet,
+        STREAM_EXPR_FACET_SQL,
+        "streaming-expression language: having(facet(...)) with bucketSorts",
+    ),
+}

@@ -1,0 +1,283 @@
+"""Streaming-expression language tests: parser units + stream-vs-DuckDB
+duels over the sf0.001 tables (StreamExpressionParser / StreamFactory
+contract — same expression, same tuples)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_ray.pipelines.streams import (
+    Expr,
+    StreamExprError,
+    parse_expr,
+    register_stream,
+    run_expr,
+)
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["orders", "customer", "events", "documents", "embeddings", "nation", "region"]
+
+
+def duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.execute(sql).df()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def duel(expr: str, sql: str, ordered: bool = False):
+    mine = run_expr(expr, SF)
+    ref = duck(sql)
+    if ordered:
+        a, b = mine.reset_index(drop=True), ref.reset_index(drop=True)
+        a = a[sorted(a.columns)]
+        b = b[sorted(b.columns)]
+    else:
+        a, b = canon(mine), canon(ref)
+    assert list(a.columns) == list(b.columns), (a.columns, b.columns)
+    assert len(a) == len(b), (len(a), len(b))
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            assert np.array_equal(av.astype("f8"), bv.astype("f8"), equal_nan=True), c
+        else:
+            assert (av.astype(str) == bv.astype(str)).all() if av.dtype == object else (
+                av == bv
+            ).all(), c
+    return mine
+
+
+# --------------------------------------------------------------------------
+# Parser units
+
+
+def test_parse_nested_and_params():
+    e = parse_expr(
+        'rollup(search(documents, q="lang:en", fl="a,b", sort="a asc"), over="a", sum(b), count(*))'
+    )
+    assert e.name == "rollup"
+    inner = e.args[0]
+    assert isinstance(inner, Expr) and inner.name == "search"
+    assert inner.args == ["documents"]
+    assert inner.params["q"] == "lang:en"
+    assert e.params["over"] == "a"
+    metrics = [a for a in e.args[1:]]
+    assert [m.name for m in metrics] == ["sum", "count"]
+    assert metrics[1].args == ["*"]
+
+
+def test_parse_quoted_escape_and_bare():
+    e = parse_expr('f(a, "x \\" y", n=3, g(h=i))')
+    assert e.args[0] == "a"
+    assert e.args[1] == 'x " y'
+    assert e.params["n"] == "3"
+    assert isinstance(e.args[2], Expr) and e.args[2].params["h"] == "i"
+
+
+def test_parse_errors():
+    for bad in ["", "f(", "f(a,,b)", 'f("unterminated)', "f(a) trailing", "f(a=)"]:
+        with pytest.raises(StreamExprError):
+            parse_expr(bad)
+
+
+def test_unknown_stream_and_fields():
+    with pytest.raises(StreamExprError):
+        run_expr("notAStream(documents)", SF)
+    with pytest.raises(StreamExprError):
+        run_expr('search(documents, q="nope:1", fl="doc_id")', SF)
+    with pytest.raises(StreamExprError):
+        run_expr('search(documents, fl="nope")', SF)
+
+
+# --------------------------------------------------------------------------
+# Stream duels (ray_session ensures single shared Ray)
+
+
+def test_search_q_range_and_in(ray_session):
+    duel(
+        'search(orders, q="o_totalprice:[1000 TO 5000] AND o_orderstatus:(F OR P)",'
+        ' fl="o_orderkey,o_totalprice,o_orderstatus")',
+        "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders "
+        "WHERE o_totalprice BETWEEN 1000 AND 5000 AND o_orderstatus IN ('F','P')",
+    )
+
+
+def test_search_rows_bounded(ray_session):
+    out = run_expr(
+        'search(events, q="*:*", fl="event_id,value", sort="event_id asc", rows=7)', SF
+    )
+    ref = duck("SELECT event_id, value FROM events ORDER BY event_id LIMIT 7")
+    assert out["event_id"].tolist() == ref["event_id"].tolist()
+
+
+def test_select_rename(ray_session):
+    duel(
+        'select(search(customer, q="c_mktsegment:BUILDING", fl="c_custkey,c_acctbal"),'
+        ' "c_custkey as id, c_acctbal as bal")',
+        "SELECT c_custkey AS id, c_acctbal AS bal FROM customer WHERE c_mktsegment='BUILDING'",
+    )
+
+
+def test_unique_first_per_key(ray_session):
+    # first tuple per key under the declared sort = arg-min of sort tuple
+    out = run_expr(
+        'unique(search(events, q="*:*", fl="event_type,event_id,value",'
+        ' sort="event_type asc, event_id asc"), over="event_type")',
+        SF,
+    )
+    ref = duck(
+        "SELECT event_type, MIN(event_id) AS event_id FROM events GROUP BY event_type"
+    )
+    got = out.set_index("event_type")["event_id"].to_dict()
+    want = ref.set_index("event_type")["event_id"].to_dict()
+    assert got == want
+
+
+def test_unique_requires_sort(ray_session):
+    with pytest.raises(StreamExprError):
+        run_expr('unique(search(events, fl="event_id"), over="event_id")', SF)
+
+
+def test_merge_union(ray_session):
+    duel(
+        'merge(search(orders, q="o_orderstatus:F", fl="o_orderkey"),'
+        ' search(orders, q="o_orderstatus:P", fl="o_orderkey"), on="o_orderkey asc")',
+        "SELECT o_orderkey FROM orders WHERE o_orderstatus IN ('F','P')",
+    )
+
+
+def test_left_outer_join(ray_session):
+    out = run_expr(
+        'leftOuterJoin(search(nation, fl="n_nationkey,n_regionkey,n_name"),'
+        ' search(region, q="r_regionkey:[0 TO 2]", fl="r_regionkey,r_name"),'
+        ' on="n_regionkey=r_regionkey")',
+        SF,
+    )
+    ref = duck(
+        "SELECT n_nationkey, n_regionkey, n_name, r.r_regionkey, r.r_name FROM nation "
+        "LEFT JOIN (SELECT * FROM region WHERE r_regionkey BETWEEN 0 AND 2) r "
+        "ON n_regionkey = r.r_regionkey"
+    )
+    a, b = canon(out), canon(ref)
+    assert len(a) == len(b)
+    assert a["n_nationkey"].tolist() == b["n_nationkey"].tolist()
+    # unmatched rows carry nulls on the right side
+    assert a["r_name"].isna().sum() == b["r_name"].isna().sum() or (
+        a["r_name"].astype(str) == b["r_name"].astype(str)
+    ).all()
+
+
+def test_hash_join_same_as_inner(ray_session):
+    expr_i = (
+        'innerJoin(search(nation, fl="n_nationkey,n_regionkey"),'
+        ' search(region, fl="r_regionkey,r_name"), on="n_regionkey=r_regionkey")'
+    )
+    expr_h = (
+        'hashJoin(search(nation, fl="n_nationkey,n_regionkey"),'
+        ' hashed=search(region, fl="r_regionkey,r_name"), on="n_regionkey=r_regionkey")'
+    )
+    a = canon(run_expr(expr_i, SF))
+    b = canon(run_expr(expr_h, SF))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_intersect_complement(ray_session):
+    duel(
+        'intersect(search(customer, fl="c_custkey,c_name"),'
+        ' search(orders, q="o_orderstatus:F", fl="o_custkey"), on="c_custkey=o_custkey")',
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_orderstatus='F')",
+    )
+    duel(
+        'complement(search(customer, fl="c_custkey,c_name"),'
+        ' search(orders, q="o_totalprice:[400000 TO *]", fl="o_custkey"),'
+        ' on="c_custkey=o_custkey")',
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice >= 400000)",
+    )
+
+
+def test_stats_global(ray_session):
+    duel(
+        'stats(orders, q="o_orderstatus:F", count(*), min(o_orderkey), max(o_orderkey))',
+        'SELECT CAST(COUNT(*) AS BIGINT) AS "count(*)", MIN(o_orderkey) AS "min(o_orderkey)",'
+        ' MAX(o_orderkey) AS "max(o_orderkey)" FROM orders WHERE o_orderstatus=\'F\'',
+    )
+
+
+def test_having_and_or(ray_session):
+    duel(
+        'having(facet(events, buckets="event_type", bucketSorts="count(*) desc",'
+        " count(*)), and(gt(count(*), 0), not(eq(event_type, click))))",
+        'SELECT event_type, CAST(COUNT(*) AS BIGINT) AS "count(*)" FROM events '
+        "GROUP BY event_type HAVING COUNT(*) > 0 AND event_type <> 'click'",
+    )
+
+
+def test_fetch_enrichment(ray_session):
+    # top 5 orders by price, then fetch customer names via pruned pushdown read
+    out = run_expr(
+        'fetch(customer, top(n=5, search(orders, fl="o_orderkey,o_custkey,o_totalprice"),'
+        ' sort="o_totalprice desc, o_orderkey asc"), on="o_custkey=c_custkey", fl="c_name")',
+        SF,
+    )
+    ref = duck(
+        "SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name FROM "
+        "(SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5) o "
+        "JOIN customer ON o_custkey = c_custkey"
+    )
+    assert sorted(out["o_orderkey"]) == sorted(ref["o_orderkey"])
+    assert out.set_index("o_orderkey")["c_name"].to_dict() == ref.set_index("o_orderkey")[
+        "c_name"
+    ].to_dict()
+
+
+def test_cartesian_product_explodes_list(ray_session):
+    out = run_expr(
+        'cartesianProduct(top(n=3, search(embeddings, fl="vec_id,embedding"),'
+        ' sort="vec_id asc"), embedding)',
+        SF,
+    )
+    ref = duck(
+        "SELECT vec_id, UNNEST(embedding) AS embedding FROM "
+        "(SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)"
+    )
+    assert len(out) == len(ref)
+    a = out.sort_values(["vec_id", "embedding"]).reset_index(drop=True)
+    b = ref.sort_values(["vec_id", "embedding"]).reset_index(drop=True)
+    assert np.array_equal(
+        a["embedding"].astype("f4").to_numpy(), b["embedding"].astype("f4").to_numpy()
+    )
+
+
+def test_parallel_is_identity(ray_session):
+    a = canon(run_expr('search(region, fl="r_regionkey,r_name")', SF))
+    b = canon(
+        run_expr('parallel(4, search(region, fl="r_regionkey,r_name"), workers=4)', SF)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_register_stream_extension(ray_session):
+    from lucene_solr_ray.pipelines.streams import REGISTRY_STREAMS, SRes
+
+    def _const(ctx, e):
+        return SRes(df=pd.DataFrame({"x": [1, 2, 3]}))
+
+    register_stream("constStream", _const)
+    try:
+        out = run_expr("constStream()", SF)
+        assert out["x"].tolist() == [1, 2, 3]
+    finally:
+        REGISTRY_STREAMS.pop("constStream", None)
