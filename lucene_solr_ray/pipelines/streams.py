@@ -675,6 +675,76 @@ def _cartesian(ctx: Ctx, e: Expr) -> SRes:
     return _map(inner, explode)
 
 
+def _sort(ctx: Ctx, e: Expr) -> SRes:
+    # SortStream: full re-sort of a stream. Bounded inputs sort on the
+    # coordinator; unbounded ones use Ray's range-partitioned distributed
+    # sort (the /export shape) and stay lazy.
+    inner = _eval_stream_arg(ctx, _stream_args(e)[0])
+    sort = _parse_sort(str(e.params["by"]))
+    if inner.df is not None:
+        return SRes(df=_sorted_df(inner.df, sort).reset_index(drop=True), sort=sort)
+    ds = inner.ds.sort([c for c, _ in sort], descending=[not a for _, a in sort])
+    return SRes(ds=ds, sort=sort)
+
+
+def _timeseries(ctx: Ctx, e: Expr) -> SRes:
+    # TimeSeriesStream: fixed calendar-window rollups off a date field.
+    # gap supports +nDAY / +nHOUR / +nMINUTE (DateMathParser subset).
+    field_name = str(e.params["field"])
+    gap = str(e.params.get("gap", "+1DAY"))
+    m = re.match(r"^\+?(\d+)(DAY|HOUR|MINUTE)S?$", gap)
+    if not m:
+        raise StreamExprError(f"unsupported gap {gap!r}")
+    unit_us = {"DAY": 86_400_000_000, "HOUR": 3_600_000_000, "MINUTE": 60_000_000}
+    width = int(m.group(1)) * unit_us[m.group(2)]
+    metrics = _metrics_of(e)
+    if not metrics:
+        raise StreamExprError("timeseries needs at least one metric")
+    search_e = Expr("search", args=[e.args[0]], params={"q": e.params.get("q", "*:*")})
+    cols = list(dict.fromkeys([field_name] + [mt.col for mt in metrics if mt.col != "*"]))
+    search_e.params["fl"] = ",".join(cols)
+    inner = _search(ctx, search_e)
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        us = batch[field_name].astype("datetime64[us]").astype("int64").to_numpy()
+        out = batch.drop(columns=[field_name])
+        out[field_name] = us // width  # bucket ordinal (epoch-us / gap)
+        return out
+
+    df = _rollup_partials(_map(inner, bucket), [field_name], metrics)
+    return SRes(df=df, sort=[(field_name, True)])
+
+
+def _let(ctx: Ctx, e: Expr) -> SRes:
+    # let(a=stream, b=stream, get(a)...): named cells usable via get(name)
+    # inside the trailing expression (LetStream/GetStream subset).
+    cells: dict[str, SRes] = {}
+    body: Expr | None = None
+    for k, v in e.params.items():
+        if isinstance(v, Expr):
+            cells[k] = _eval_stream_arg(ctx, v)
+    for a in e.args:
+        if isinstance(a, Expr):
+            body = a
+    if body is None:
+        raise StreamExprError("let needs a trailing stream expression")
+    def _get_cell(c: Ctx, ee: Expr) -> SRes:
+        name = ee.args[0] if ee.args else None
+        if name not in cells:
+            raise StreamExprError(f"get({name!r}): unknown let binding")
+        return cells[name]
+
+    prev = REGISTRY_STREAMS.get("get")
+    REGISTRY_STREAMS["get"] = _get_cell
+    try:
+        return _eval_stream_arg(ctx, body)
+    finally:
+        if prev is None:
+            REGISTRY_STREAMS.pop("get", None)
+        else:
+            REGISTRY_STREAMS["get"] = prev
+
+
 def _parallel(ctx: Ctx, e: Expr) -> SRes:
     # ParallelStream ships the plan to N workers over a hash partition; Ray
     # Data already executes every stage data-parallel, so this is the
@@ -701,6 +771,9 @@ REGISTRY_STREAMS: dict[str, Callable[[Ctx, Expr], SRes]] = {
     "fetch": _fetch,
     "cartesianProduct": _cartesian,
     "parallel": _parallel,
+    "sort": _sort,
+    "timeseries": _timeseries,
+    "let": _let,
 }
 
 

@@ -281,3 +281,32 @@ def test_register_stream_extension(ray_session):
         assert out["x"].tolist() == [1, 2, 3]
     finally:
         REGISTRY_STREAMS.pop("constStream", None)
+
+
+def test_sort_stream(ray_session):
+    out = run_expr(
+        'sort(search(nation, fl="n_nationkey,n_name"), by="n_nationkey desc")', SF
+    )
+    ref = duck("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey DESC")
+    assert out["n_nationkey"].tolist() == ref["n_nationkey"].tolist()
+
+
+def test_timeseries_daily(ray_session):
+    duel(
+        'timeseries(events, q="event_type:purchase", field="ts", gap="+1DAY", count(*))',
+        "SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS ts,"
+        ' CAST(COUNT(*) AS BIGINT) AS "count(*)" FROM events'
+        " WHERE event_type = 'purchase' GROUP BY 1",
+    )
+
+
+def test_let_get_binding(ray_session):
+    out = run_expr(
+        'let(a=search(region, fl="r_regionkey,r_name"),'
+        ' top(n=2, get(a), sort="r_regionkey asc"))',
+        SF,
+    )
+    ref = duck("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey LIMIT 2")
+    assert out["r_regionkey"].tolist() == ref["r_regionkey"].tolist()
+    with pytest.raises(StreamExprError):
+        run_expr('let(a=search(region, fl="r_name"), top(n=1, get(b), sort="r_name asc"))', SF)
