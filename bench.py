@@ -53,8 +53,8 @@ SUITE = [
     "moving_median",
     # round-3d additions: SQL handler, pivot facet, repetition filters
     "sql_groupby", "facet_pivot", "repetition_signals",
-    # round-3e additions: streaming-expression language
-    "stream_expr_rollup", "stream_expr_join",
+    # round-3e additions: streaming-expression language, LM perplexity
+    "stream_expr_rollup", "stream_expr_join", "lm_perplexity",
 ]
 
 
