@@ -437,11 +437,40 @@ def _stream_args(e: Expr) -> list[Expr]:
     return [a for a in e.args if isinstance(a, Expr) and a.name in REGISTRY_STREAMS]
 
 
+def _search_index(ctx: Ctx, e: Expr) -> SRes:
+    """CloudSolrStream leaf over the real engine: qt=\"/select\" routes the
+    query through the BM25 shard actor pool (analyzed text field), returns
+    (doc_id, score, rank) for the top `rows` hits; compose with fetch()
+    for stored-field enrichment (the two-phase distributed shape)."""
+    from .fulltext import _searcher
+
+    q = str(e.params.get("q", ""))
+    if q.startswith("text:"):
+        q = q[len("text:") :]
+    rows = int(str(e.params.get("rows", 10)))
+    with _searcher(ctx.sf_dir) as s:
+        hits = s.search(q, rows)
+        fetched = s.fetch([d for d, _ in hits]).to_pylist() if hits else []
+    conv_by_doc = {r["doc_id"]: r["conv_id"] for r in fetched}
+    df = pd.DataFrame(
+        {
+            "doc_id": pd.Series(
+                [int(conv_by_doc[d].split("-")[1]) for d, _ in hits], dtype="int64"
+            ),
+            "score": pd.Series([sc for _, sc in hits], dtype="float32"),
+            "rank": pd.Series(range(1, len(hits) + 1), dtype="int64"),
+        }
+    )
+    return SRes(df=df, sort=[("score", False), ("doc_id", True)])
+
+
 def _search(ctx: Ctx, e: Expr) -> SRes:
     import pyarrow.parquet as pq
 
     if not e.args or not isinstance(e.args[0], str):
         raise StreamExprError("search(collection, ...) needs a collection name")
+    if str(e.params.get("qt", "")) == "/select":
+        return _search_index(ctx, e)
     table = e.args[0]
     schema = pq.read_schema(f"{ctx.sf_dir}/{table}.parquet")
     fl = _split_fl(e.params.get("fl", ",".join(schema.names)))

@@ -310,3 +310,25 @@ def test_let_get_binding(ray_session):
     assert out["r_regionkey"].tolist() == ref["r_regionkey"].tolist()
     with pytest.raises(StreamExprError):
         run_expr('let(a=search(region, fl="r_name"), top(n=1, get(b), sort="r_name asc"))', SF)
+
+
+def test_search_qt_select_index_backed(ray_session):
+    # CloudSolrStream leaf over the real BM25 engine + two-phase fetch
+    from lucene_solr_ray.pipelines.fulltext import _searcher
+
+    out = run_expr('search(documents, q="text:spark join", qt="/select", rows=5)', SF)
+    with _searcher(SF) as s:
+        hits = s.search("spark join", 5)
+        fetched = {r["doc_id"]: r["conv_id"] for r in s.fetch([d for d, _ in hits]).to_pylist()}
+    want_ids = [int(fetched[d].split("-")[1]) for d, _ in hits]
+    assert out["doc_id"].tolist() == want_ids
+    assert np.array_equal(
+        out["score"].to_numpy(), np.array([sc for _, sc in hits], dtype="float32")
+    )
+    enriched = run_expr(
+        'fetch(documents, search(documents, q="text:spark join", qt="/select", rows=5),'
+        ' on="doc_id=doc_id", fl="lang,n_chars")',
+        SF,
+    )
+    assert enriched["doc_id"].tolist() == want_ids
+    assert "lang" in enriched.columns and "n_chars" in enriched.columns
