@@ -41,9 +41,14 @@ import pandas as pd
 from .common import Pipeline, read
 from .text import TOKEN_RE, _token_bucket, _tokens
 
-# per-bucket model cap: bounds the broadcast model to ≤ 512·M rows per kind
-# (CCNet prunes its KenLM the same way); never binds at test scale.
+# per-bucket model cap: bounds the broadcast model to ≤ LM_BUCKETS·M rows
+# per kind (CCNet prunes its KenLM the same way); never binds at test scale.
 LM_TOP_M = 50_000
+# fewer buckets than TOKEN_BUCKETS: map_groups costs ~1ms/group of fixed
+# scheduling (CLAUDE.md), and 512 groups dominated the trainer wall-time
+# (6.6 s → 1.6 s at 64, measured sf0.1). Raise on a real cluster where
+# per-bucket merge parallelism matters more than per-group fixed cost.
+LM_BUCKETS = 64
 
 
 def _count_partials(batch: pd.DataFrame) -> pd.DataFrame:
@@ -69,7 +74,7 @@ def _count_partials(batch: pd.DataFrame) -> pd.DataFrame:
     if not frames:
         return pd.DataFrame({"key": pd.Series(dtype=object), "kind": pd.Series(dtype="int64"), "cnt": pd.Series(dtype="int64"), "gb": pd.Series(dtype="int64")})
     out = pd.concat(frames, ignore_index=True)
-    out["gb"] = _token_bucket(out["key"].to_numpy())
+    out["gb"] = _token_bucket(out["key"].to_numpy()) % LM_BUCKETS
     return out
 
 
@@ -111,7 +116,10 @@ def train_bigram_lm(sf_dir: str) -> tuple[dict, dict, int]:
 
 
 class _LMScorer:
-    """Actor-pool scorer: model tables built once per actor (libm logs)."""
+    """Scorer state: model lookup tables built once per worker (libm logs).
+    Run as a TASK pool (plain map_batches fn + per-worker cache, the
+    knn_label_vote lesson) — the state is one ray.get away, and actor-pool
+    startup costs more than the whole scoring pass at suite scale."""
 
     def __init__(self, model_ref):
         import ray
@@ -174,17 +182,22 @@ def lm_perplexity(sf_dir: str):
     import ray
 
     model_ref = ray.put(train_bigram_lm(sf_dir))
+
+    def score(batch: pd.DataFrame, _ref=model_ref) -> pd.DataFrame:
+        sc = _SCORER_CACHE.get(_ref.hex())
+        if sc is None:
+            sc = _SCORER_CACHE[_ref.hex()] = _LMScorer(_ref)
+        return sc(batch)
+
     out = (
         read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(
-            _LMScorer,
-            fn_constructor_args=(model_ref,),
-            batch_format="pandas",
-            concurrency=(1, 8),
-        )
+        .map_batches(score, batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_SCORER_CACHE: dict[str, _LMScorer] = {}  # per-worker-process model tables
 
 
 def lm_bigram_model(sf_dir: str):

@@ -774,6 +774,34 @@ def _let(ctx: Ctx, e: Expr) -> SRes:
             REGISTRY_STREAMS["get"] = prev
 
 
+def _update(ctx: Ctx, e: Expr) -> SRes:
+    # UpdateStream: terminal sink writing the wrapped stream into a
+    # destination collection (a parquet directory). Unbounded inputs stream
+    # straight through write_parquet (never materialized); returns the
+    # batch-count summary tuples the reference's UpdateStream emits.
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dest = e.args[0] if e.args and isinstance(e.args[0], str) else None
+    if dest is None or not dest.startswith("/tmp/"):
+        raise StreamExprError("update(dest, stream): dest must be a /tmp/... path")
+    inner = _eval_stream_arg(ctx, _stream_args(e)[0])
+    os.makedirs(dest, exist_ok=True)
+    if inner.df is not None:
+        pq.write_table(pa.Table.from_pandas(inner.df, preserve_index=False), f"{dest}/part-0.parquet")
+        n = len(inner.df)
+    else:
+        inner.ds.write_parquet(dest)
+        n = sum(
+            pq.read_metadata(os.path.join(dest, f)).num_rows
+            for f in os.listdir(dest)
+            if f.endswith(".parquet")
+        )
+    return SRes(df=pd.DataFrame({"batchIndexed": [np.int64(n)], "worker": [dest]}))
+
+
 def _parallel(ctx: Ctx, e: Expr) -> SRes:
     # ParallelStream ships the plan to N workers over a hash partition; Ray
     # Data already executes every stage data-parallel, so this is the
@@ -803,6 +831,8 @@ REGISTRY_STREAMS: dict[str, Callable[[Ctx, Expr], SRes]] = {
     "sort": _sort,
     "timeseries": _timeseries,
     "let": _let,
+    "update": _update,
+    "commit": lambda c, e: _eval_stream_arg(c, _stream_args(e)[0]),  # write is atomic per file
 }
 
 

@@ -332,3 +332,19 @@ def test_search_qt_select_index_backed(ray_session):
     )
     assert enriched["doc_id"].tolist() == want_ids
     assert "lang" in enriched.columns and "n_chars" in enriched.columns
+
+
+def test_update_sink_roundtrip(ray_session, tmp_path):
+    import shutil
+
+    dest = "/tmp/lsr_stream_update_test"
+    shutil.rmtree(dest, ignore_errors=True)
+    out = run_expr(
+        f'update({dest}, commit(search(region, fl="r_regionkey,r_name")))', SF
+    )
+    assert out["batchIndexed"].iloc[0] == 5
+    back = duck(f"SELECT * FROM '{dest}/*.parquet' ORDER BY r_regionkey")
+    assert back["r_regionkey"].tolist() == [0, 1, 2, 3, 4]
+    with pytest.raises(StreamExprError):
+        run_expr('update(/etc/nope, search(region, fl="r_name"))', SF)
+    shutil.rmtree(dest, ignore_errors=True)
