@@ -774,6 +774,101 @@ def _let(ctx: Ctx, e: Expr) -> SRes:
             REGISTRY_STREAMS["get"] = prev
 
 
+def _significant_terms(ctx: Ctx, e: Expr) -> SRes:
+    # SignificantTermsStream, fully parameterized: terms over-represented in
+    # the q-matching foreground vs the whole collection.  Vocabulary-keyed,
+    # so the per-doc-distinct token df partials go through a fixed-bucket
+    # shuffle (never a driver merge of the raw vocab).
+    import pyarrow.parquet as pq
+
+    from .text import _token_bucket, _tokens
+
+    table = e.args[0]
+    field_name = str(e.params.get("field", "text"))
+    limit = int(str(e.params.get("limit", 15)))
+    mindf = int(str(e.params.get("minDocFreq", 1)))
+    schema = pq.read_schema(f"{ctx.sf_dir}/{table}.parquet")
+    qcols, mask = _compile_q(str(e.params.get("q", "*:*")), schema)
+    n_buckets = 64  # map_groups fixed cost dominates at 512 (see lm.py)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch[field_name]).map(lambda ws: sorted(set(ws)))
+        n = toks.map(len).to_numpy()
+        fg = mask(batch).astype(np.int64) if mask is not None else np.ones(len(batch), dtype=np.int64)
+        flat = pd.DataFrame(
+            {
+                "token": np.concatenate(toks.to_numpy()) if len(toks) else np.array([], dtype=object),
+                "fg": np.repeat(fg, n),
+            }
+        )
+        g = flat.groupby("token", as_index=False).agg(fg_df=("fg", "sum"), bg_df=("fg", "size"))
+        g["gb"] = _token_bucket(g["token"].to_numpy()) % n_buckets
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False).agg(fg_df=("fg_df", "sum"), bg_df=("bg_df", "sum"))
+        m = m[m["bg_df"] >= mindf]
+        if not len(m):
+            return m
+        ratio = m["fg_df"].to_numpy() / m["bg_df"].to_numpy()
+        return m.iloc[np.lexsort((m["token"].to_numpy(), -ratio))].head(limit)
+
+    cols = list(dict.fromkeys([field_name] + qcols))
+    out = (
+        read(ctx.sf_dir, table, cols)
+        .map_batches(explode, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()  # ≤ n_buckets × limit rows
+    )
+    out["fg_df"] = out["fg_df"].astype("int64")
+    out["bg_df"] = out["bg_df"].astype("int64")
+    ratio = out["fg_df"].to_numpy() / out["bg_df"].to_numpy()
+    out = out.iloc[np.lexsort((out["token"].to_numpy(), -ratio))].head(limit)
+    return SRes(df=out.reset_index(drop=True))
+
+
+def _knn_search(ctx: Ctx, e: Expr) -> SRes:
+    # knnSearch: brute-force cosine top-k against a stored vector (pushdown
+    # single-row query fetch; per-batch matmul + top-k; bounded merge).
+    import pyarrow.parquet as pq
+
+    table = e.args[0]
+    qid = int(str(e.params["id"]))
+    field_name = str(e.params.get("field", "embedding"))
+    k = int(str(e.params.get("k", 10)))
+    qrow = pq.read_table(
+        f"{ctx.sf_dir}/{table}.parquet",
+        columns=["vec_id", field_name],
+        filters=[("vec_id", "==", qid)],
+    ).to_pandas()
+    if not len(qrow):
+        raise StreamExprError(f"knnSearch: vec_id {qid} not found")
+    q = np.asarray(list(qrow[field_name].iloc[0]), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(batch[field_name].to_numpy()).astype(np.float64)
+        sims = (m @ qn) / np.linalg.norm(m, axis=1)
+        d = pd.DataFrame({"vec_id": batch["vec_id"], "sim": sims})
+        return d.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+
+    parts = (
+        read(ctx.sf_dir, table, ["vec_id", field_name])
+        .map_batches(score, batch_format="pandas")
+        .to_pandas()
+    )
+    top = parts.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k).reset_index(drop=True)
+    df = pd.DataFrame(
+        {
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "vec_id": top["vec_id"].astype("int64"),
+            "sim": top["sim"],
+        }
+    )
+    return SRes(df=df, sort=[("rank", True)])
+
+
 def _update(ctx: Ctx, e: Expr) -> SRes:
     # UpdateStream: terminal sink writing the wrapped stream into a
     # destination collection (a parquet directory). Unbounded inputs stream
@@ -833,6 +928,8 @@ REGISTRY_STREAMS: dict[str, Callable[[Ctx, Expr], SRes]] = {
     "let": _let,
     "update": _update,
     "commit": lambda c, e: _eval_stream_arg(c, _stream_args(e)[0]),  # write is atomic per file
+    "significantTerms": _significant_terms,
+    "knnSearch": _knn_search,
 }
 
 
@@ -923,7 +1020,34 @@ FROM events GROUP BY event_type HAVING COUNT(*) > 10
 """
 
 
+def stream_expr_significant(sf_dir: str):
+    return run_expr(
+        'significantTerms(documents, q="lang:en", field="text", limit=10, minDocFreq=10)',
+        sf_dir,
+    )
+
+
+STREAM_EXPR_SIGNIFICANT_SQL = """
+SELECT token, fg_df, bg_df FROM (
+  SELECT token,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fg_df,
+         CAST(COUNT(*) AS BIGINT) AS bg_df
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS token
+    FROM documents
+  ) GROUP BY token
+) WHERE bg_df >= 10
+ORDER BY fg_df / CAST(bg_df AS DOUBLE) DESC, token LIMIT 10
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "stream_expr_significant": Pipeline(
+        stream_expr_significant,
+        STREAM_EXPR_SIGNIFICANT_SQL,
+        "streaming-expression language: parameterized significantTerms over any q/field",
+    ),
     "stream_expr_rollup": Pipeline(
         stream_expr_rollup,
         STREAM_EXPR_ROLLUP_SQL,

@@ -348,3 +348,36 @@ def test_update_sink_roundtrip(ray_session, tmp_path):
     with pytest.raises(StreamExprError):
         run_expr('update(/etc/nope, search(region, fl="r_name"))', SF)
     shutil.rmtree(dest, ignore_errors=True)
+
+
+def test_significant_terms_generic(ray_session):
+    duel(
+        'significantTerms(documents, q="lang:en", field="text", limit=10, minDocFreq=10)',
+        f"""
+        SELECT token, fg_df, bg_df FROM (
+          SELECT token,
+                 CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fg_df,
+                 CAST(COUNT(*) AS BIGINT) AS bg_df
+          FROM (
+            SELECT doc_id, lang, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS token
+            FROM documents
+          ) GROUP BY token
+        ) WHERE bg_df >= 10
+        ORDER BY fg_df / CAST(bg_df AS DOUBLE) DESC, token LIMIT 10
+        """,
+    )
+
+
+def test_knn_search_expr(ray_session):
+    out = run_expr("knnSearch(embeddings, id=0, k=5)", SF)
+    ref = duck(
+        """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id FROM (
+          SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) AS sim
+          FROM embeddings
+        ) ORDER BY sim DESC, vec_id LIMIT 5
+        """
+    )
+    assert out["vec_id"].tolist() == ref["vec_id"].tolist()
+    assert out["rank"].tolist() == [1, 2, 3, 4, 5]
