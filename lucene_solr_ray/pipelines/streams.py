@@ -644,15 +644,16 @@ def _semi(ctx: Ctx, e: Expr, keep: bool) -> SRes:
     left = _eval_stream_arg(ctx, streams[0])
     right = _eval_stream_arg(ctx, streams[1])
     lk, rk = _parse_on(str(e.params["on"]))
-    rdf = _to_df(right)
-    keys = set(map(tuple, rdf[rk].itertuples(index=False, name=None)))
+    rdf = _to_df(right)[rk].drop_duplicates()
 
     def mask(batch: pd.DataFrame) -> pd.DataFrame:
-        m = np.fromiter(
-            (tuple(t) in keys for t in batch[lk].itertuples(index=False, name=None)),
-            dtype=bool,
-            count=len(batch),
-        ) if len(lk) > 1 else batch[lk[0]].isin({k[0] for k in keys}).to_numpy()
+        if len(lk) == 1:
+            m = batch[lk[0]].isin(rdf[rk[0]]).to_numpy()
+        else:  # vectorized multi-key membership via an indexed left merge
+            probe = batch[lk].merge(
+                rdf, left_on=lk, right_on=rk, how="left", indicator=True
+            )
+            m = (probe["_merge"] == "both").to_numpy()
         return batch.loc[m if keep else ~m]
 
     return _map(left, mask)

@@ -381,3 +381,14 @@ def test_knn_search_expr(ray_session):
     )
     assert out["vec_id"].tolist() == ref["vec_id"].tolist()
     assert out["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_intersect_multikey(ray_session):
+    duel(
+        'intersect(search(events, fl="event_id,user_id,event_type"),'
+        ' search(events, q="value:[4.0 TO *]", fl="user_id,event_type"),'
+        ' on="user_id,event_type")',
+        "SELECT event_id, user_id, event_type FROM events e WHERE EXISTS ("
+        "SELECT 1 FROM events f WHERE f.value >= 4.0 AND f.user_id = e.user_id"
+        " AND f.event_type = e.event_type)",
+    )
