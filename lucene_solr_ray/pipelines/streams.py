@@ -775,6 +775,84 @@ def _let(ctx: Ctx, e: Expr) -> SRes:
             REGISTRY_STREAMS["get"] = prev
 
 
+def _drill(ctx: Ctx, e: Expr) -> SRes:
+    """DrillStream (Solr 8.5 /export drill): the UNBOUNDED-key-domain
+    rollup.  Where rollup() coordinator-merges combiner partials (bounded
+    group domains only), drill keeps the aggregation distributed end-to-end:
+    per-batch combiner partials are bucketed by hash(over) into a fixed
+    shuffle domain and each bucket merges its share of the key space exactly
+    (buckets partition the keys).  The result stays a Dataset — arbitrary
+    group cardinality never lands on the coordinator.
+
+    Syntax: drill(collection, q=..., fl=..., rollup(input(), over=..., metrics))
+    """
+    roll = next(
+        (a for a in e.args if isinstance(a, Expr) and a.name == "rollup"), None
+    )
+    if roll is None:
+        raise StreamExprError("drill needs a rollup(input(), ...) operand")
+    over = _split_fl(str(roll.params["over"]))
+    metrics = _metrics_of(roll)
+    if not metrics:
+        raise StreamExprError("drill rollup needs at least one metric")
+    search_e = Expr("search", args=[e.args[0]], params={"q": e.params.get("q", "*:*")})
+    cols = list(dict.fromkeys(over + [m.col for m in metrics if m.col != "*"]))
+    search_e.params["fl"] = e.params.get("fl", ",".join(cols))
+    inner = _search(ctx, search_e)
+
+    named: dict[str, tuple[str, str]] = {}
+    merge_ops: dict[str, str] = {}
+    need_n = False
+    for m in metrics:
+        if m.op in ("count", "avg"):
+            need_n = True
+        if m.op in ("sum", "avg"):
+            named[f"__sum_{m.col}"] = (m.col, "sum")
+            merge_ops[f"__sum_{m.col}"] = "sum"
+        elif m.op in ("min", "max"):
+            named[f"__{m.op}_{m.col}"] = (m.col, m.op)
+            merge_ops[f"__{m.op}_{m.col}"] = m.op
+    if need_n:
+        merge_ops["__n"] = "sum"
+    n_buckets = 64
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        gb = batch.groupby(over, as_index=False, sort=False)
+        aggs = dict(named)
+        if need_n:
+            aggs["__n"] = (over[0], "size")
+        out = gb.agg(**aggs)
+        h = pd.util.hash_pandas_object(out[over].astype(str), index=False).to_numpy()
+        out["__gb"] = (h % n_buckets).astype(np.int64)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        merged = g.groupby(over, as_index=False).agg(merge_ops)
+        out = merged[over].copy()
+        for m in metrics:
+            if m.op == "count":
+                out[m.out] = merged["__n"].astype("int64")
+            elif m.op == "sum":
+                out[m.out] = merged[f"__sum_{m.col}"].astype("int64")
+            elif m.op == "avg":
+                out[m.out] = merged[f"__sum_{m.col}"].astype("int64").astype(
+                    "float64"
+                ) / merged["__n"].astype("int64").astype("float64")
+            else:
+                out[m.out] = merged[f"__{m.op}_{m.col}"]
+        return out
+
+    ds = (
+        inner.ds.map_batches(partial, batch_format="pandas")
+        if inner.ds is not None
+        else None
+    )
+    if ds is None:
+        return SRes(df=merge(partial(inner.df)).drop(columns="__gb", errors="ignore"))
+    out_ds = ds.groupby("__gb").map_groups(merge, batch_format="pandas")
+    return SRes(ds=out_ds, sort=[(c, True) for c in over])
+
+
 def _significant_terms(ctx: Ctx, e: Expr) -> SRes:
     # SignificantTermsStream, fully parameterized: terms over-represented in
     # the q-matching foreground vs the whole collection.  Vocabulary-keyed,
@@ -931,6 +1009,8 @@ REGISTRY_STREAMS: dict[str, Callable[[Ctx, Expr], SRes]] = {
     "commit": lambda c, e: _eval_stream_arg(c, _stream_args(e)[0]),  # write is atomic per file
     "significantTerms": _significant_terms,
     "knnSearch": _knn_search,
+    "drill": _drill,
+    "input": lambda c, e: SRes(df=pd.DataFrame()),  # placeholder inside drill
 }
 
 
@@ -1043,7 +1123,30 @@ ORDER BY fg_df / CAST(bg_df AS DOUBLE) DESC, token LIMIT 10
 """
 
 
+def stream_expr_drill(sf_dir: str):
+    # unbounded-key rollup: one group per customer, stays distributed
+    res = plan_expr(
+        'drill(orders, q="*:*", fl="o_custkey,o_orderkey",'
+        ' rollup(input(), over="o_custkey", count(*), max(o_orderkey)))',
+        sf_dir,
+    )
+    df = _to_df(res)
+    return df.sort_values("o_custkey").reset_index(drop=True)
+
+
+STREAM_EXPR_DRILL_SQL = """
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS "count(*)",
+       MAX(o_orderkey) AS "max(o_orderkey)"
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "stream_expr_drill": Pipeline(
+        stream_expr_drill,
+        STREAM_EXPR_DRILL_SQL,
+        "streaming-expression language: drill (distributed unbounded-key rollup)",
+    ),
     "stream_expr_significant": Pipeline(
         stream_expr_significant,
         STREAM_EXPR_SIGNIFICANT_SQL,

@@ -392,3 +392,14 @@ def test_intersect_multikey(ray_session):
         "SELECT 1 FROM events f WHERE f.value >= 4.0 AND f.user_id = e.user_id"
         " AND f.event_type = e.event_type)",
     )
+
+
+def test_drill_unbounded_rollup(ray_session):
+    duel(
+        'drill(events, q="event_type:click", fl="user_id,event_id",'
+        ' rollup(input(), over="user_id", count(*), sum(event_id), avg(event_id)))',
+        'SELECT user_id, CAST(COUNT(*) AS BIGINT) AS "count(*)",'
+        ' CAST(SUM(event_id) AS BIGINT) AS "sum(event_id)",'
+        ' CAST(CAST(SUM(event_id) AS BIGINT) AS DOUBLE)/CAST(COUNT(*) AS BIGINT) AS "avg(event_id)"'
+        " FROM events WHERE event_type = 'click' GROUP BY user_id",
+    )
