@@ -19,11 +19,12 @@ Here: the same grammar parsed by a char-level recursive-descent parser into
 Ray Data shapes:
 
 - `search` is a pruned parquet read + vectorized per-batch docvalues mask
-  (the /export-style docvalues search; index-backed BM25 search lives in
-  `search/searcher.py` and the SQL handler).
+  (the /export-style docvalues search); `qt="/select"` instead routes the
+  query through the real BM25 shard actor pool (CloudSolrStream leaf).
 - `rollup`/`facet`/`stats` run as per-batch combiner partials merged on the
   coordinator (`common.merge_partials`) — the bounded-domain aggregate
-  pattern; Solr's FacetStream is likewise a facet response merge.
+  pattern; Solr's FacetStream is likewise a facet response merge.  For
+  UNBOUNDED group domains use `drill` (bucketed exact merge, Dataset out).
 - `top` (RankStream) is per-batch top-k + a bounded driver merge: only
   n rows per block ever leave workers.
 - join/intersect/complement broadcast the (small) right side exactly as the
@@ -268,6 +269,8 @@ def _typed(col_type, raw: str):
         return int(raw)
     if pt.is_floating(col_type):
         return float(raw)
+    if pt.is_timestamp(col_type):
+        return pd.Timestamp(raw.strip('"'))
     return raw
 
 
