@@ -986,6 +986,27 @@ def _parallel(ctx: Ctx, e: Expr) -> SRes:
     return _eval_stream_arg(ctx, _stream_args(e)[0])
 
 
+def _tuple_stream(ctx: Ctx, e: Expr) -> SRes:
+    # TupStream: one tuple whose fields are values or single-row projections
+    # of evaluated streams (row counts for multi-row operands).
+    row: dict[str, Any] = {}
+    for k, v in e.params.items():
+        if isinstance(v, Expr):
+            df = _to_df(_eval_stream_arg(ctx, v))
+            row[k] = df.iloc[0, 0] if len(df) == 1 and len(df.columns) == 1 else len(df)
+        else:
+            row[k] = v
+    return SRes(df=pd.DataFrame([row]))
+
+
+def _list_stream(ctx: Ctx, e: Expr) -> SRes:
+    # ListStream: evaluate wrapped streams in order, concatenate tuples.
+    frames = [_to_df(_eval_stream_arg(ctx, a)) for a in _stream_args(e)]
+    if not frames:
+        raise StreamExprError("list needs at least one stream")
+    return SRes(df=pd.concat(frames, ignore_index=True))
+
+
 REGISTRY_STREAMS: dict[str, Callable[[Ctx, Expr], SRes]] = {
     "search": _search,
     "top": _top,
@@ -1014,6 +1035,9 @@ REGISTRY_STREAMS: dict[str, Callable[[Ctx, Expr], SRes]] = {
     "knnSearch": _knn_search,
     "drill": _drill,
     "input": lambda c, e: SRes(df=pd.DataFrame()),  # placeholder inside drill
+    "echo": lambda c, e: SRes(df=pd.DataFrame({"echo": [e.args[0] if e.args else ""]})),
+    "tuple": _tuple_stream,
+    "list": _list_stream,
 }
 
 

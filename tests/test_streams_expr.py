@@ -403,3 +403,16 @@ def test_drill_unbounded_rollup(ray_session):
         ' CAST(CAST(SUM(event_id) AS BIGINT) AS DOUBLE)/CAST(COUNT(*) AS BIGINT) AS "avg(event_id)"'
         " FROM events WHERE event_type = 'click' GROUP BY user_id",
     )
+
+
+def test_echo_tuple_list(ray_session):
+    assert run_expr('echo(hello world)', SF)["echo"].iloc[0] == "hello world"
+    t = run_expr(
+        'tuple(n=stats(orders, count(*)), name=fixed)', SF
+    )
+    assert t["name"].iloc[0] == "fixed"
+    assert int(t["n"].iloc[0]) > 0
+    lst = run_expr(
+        'list(search(region, fl="r_regionkey"), search(region, fl="r_regionkey"))', SF
+    )
+    assert len(lst) == 10
