@@ -69,7 +69,7 @@ def _ig(df: int, pos_df: int, n: int, npos: int) -> float:
     return _entropy(pc) - (pt * _entropy(pct) + (1.0 - pt) * _entropy(pcnt))
 
 
-def _doc_term_partials(batch: pd.DataFrame) -> pd.DataFrame:
+def _doc_term_partials(batch: pd.DataFrame, pos_term: str = POS_TERM) -> pd.DataFrame:
     """Per-batch (token, df, pos_df) partials over DISTINCT (doc, token)."""
     doc_idx, codes, uniq, _counts = _explode_tokens(batch["text"])
     if not codes.size:
@@ -86,7 +86,7 @@ def _doc_term_partials(batch: pd.DataFrame) -> pd.DataFrame:
     d_code = comp % np.int64(uniq.size)
     df = np.bincount(d_code, minlength=uniq.size)
     pos_docs = np.zeros(len(batch), dtype=bool)
-    hit = np.nonzero(uniq == POS_TERM)[0]
+    hit = np.nonzero(uniq == pos_term)[0]
     if hit.size:
         pos_docs[d_doc[d_code == hit[0]]] = True
     pos_mask = pos_docs[d_doc]
@@ -101,7 +101,12 @@ def _doc_term_partials(batch: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def features_igain(sf_dir: str) -> pd.DataFrame:
+def features_igain(
+    sf_dir: str,
+    pos_term: str = POS_TERM,
+    n_features: int = N_FEATURES,
+    df_min: int = DF_MIN,
+) -> pd.DataFrame:
     """Top-N features by information gain (FeaturesSelectionStream).
 
     ONE text scan: the (token, df, pos_df) partials are materialized, the
@@ -111,15 +116,17 @@ def features_igain(sf_dir: str) -> pd.DataFrame:
     then the same materialized partials feed the bucketed IG merge."""
     ds = read(sf_dir, "documents", ["text"])
     n = ds.count()  # parquet footer row counts — metadata only
-    parts = ds.map_batches(_doc_term_partials, batch_format="pandas").materialize()
+    parts = ds.map_batches(
+        lambda b, _t=pos_term: _doc_term_partials(b, _t), batch_format="pandas"
+    ).materialize()
     pos_rows = parts.map_batches(
-        lambda b: b[b["token"] == POS_TERM], batch_format="pandas"
+        lambda b, _t=pos_term: b[b["token"] == _t], batch_format="pandas"
     ).to_pandas()
     npos = int(pos_rows["df"].sum()) if len(pos_rows) else 0
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby("token", as_index=False).agg(df=("df", "sum"), pos_df=("pos_df", "sum"))
-        m = m[m["df"] >= DF_MIN]
+        m = m[m["df"] >= df_min]
         if not len(m):
             return m.assign(ig=pd.Series([], dtype="float64"))
         m["ig"] = np.array(
@@ -127,12 +134,12 @@ def features_igain(sf_dir: str) -> pd.DataFrame:
             dtype=np.float64,
         )
         order = np.lexsort((m["token"].to_numpy(), -m["ig"].to_numpy()))
-        return m.iloc[order].head(N_FEATURES)
+        return m.iloc[order].head(n_features)
 
     out = (
         parts.groupby("gb")
         .map_groups(merge, batch_format="pandas")
-        .to_pandas()  # ≤ TOKEN_BUCKETS × N_FEATURES rows
+        .to_pandas()  # ≤ TOKEN_BUCKETS × n_features rows
     )
     cols = ["token", "df", "pos_df", "ig"]
     if not all(c in out.columns for c in cols):
@@ -145,7 +152,7 @@ def features_igain(sf_dir: str) -> pd.DataFrame:
             }
         )
     order = np.lexsort((out["token"].to_numpy(), -out["ig"].to_numpy()))
-    out = out.iloc[order].head(N_FEATURES).reset_index(drop=True)
+    out = out.iloc[order].head(n_features).reset_index(drop=True)
     out["df"] = out["df"].astype("int64")
     out["pos_df"] = out["pos_df"].astype("int64")
     return out[cols]
@@ -193,7 +200,7 @@ LIMIT {N_FEATURES}
 # per iteration over the materialized narrow feature matrix.
 
 
-def _feature_matrix(sf_dir: str, features: list[str]):
+def _feature_matrix(sf_dir: str, features: list[str], pos_term: str = POS_TERM):
     """Materialized (doc_id, y, f0..fK int8 presence) dataset."""
     feats = list(features)
 
@@ -202,7 +209,7 @@ def _feature_matrix(sf_dir: str, features: list[str]):
         n = len(batch)
         out = {"doc_id": batch["doc_id"].to_numpy()}
         cols = {}
-        for j, t in enumerate(feats + [POS_TERM]):
+        for j, t in enumerate(feats + [pos_term]):
             pres = np.zeros(n, dtype=np.int8)
             hit = np.nonzero(uniq == t)[0]
             if hit.size and codes.size:
@@ -210,7 +217,7 @@ def _feature_matrix(sf_dir: str, features: list[str]):
             cols[t] = pres
         for j, t in enumerate(feats):
             out[f"f{j}"] = cols[t]
-        out["y"] = cols[POS_TERM]
+        out["y"] = cols[pos_term]
         return pd.DataFrame(out)
 
     return (
@@ -220,12 +227,12 @@ def _feature_matrix(sf_dir: str, features: list[str]):
     )
 
 
-def _train(sf_dir: str) -> tuple[list[str], np.ndarray, float, int]:
+def _train(sf_dir: str, pos_term: str = POS_TERM) -> tuple[list[str], np.ndarray, float, int]:
     """→ (features, weights[F+1] with bias last, final_logloss, n_docs)."""
     import ray
 
-    feats = [str(t) for t in features_igain(sf_dir)["token"]]
-    mat = _feature_matrix(sf_dir, feats)
+    feats = [str(t) for t in features_igain(sf_dir, pos_term=pos_term)["token"]]
+    mat = _feature_matrix(sf_dir, feats, pos_term=pos_term)
     ncols = len(feats)
     w = np.zeros(ncols + 1, dtype=np.float64)
     n_docs = mat.count()
@@ -256,9 +263,9 @@ def _train(sf_dir: str) -> tuple[list[str], np.ndarray, float, int]:
     return feats, w, loss, n_docs
 
 
-def logit_train(sf_dir: str) -> pd.DataFrame:
+def logit_train(sf_dir: str, pos_term: str = POS_TERM) -> pd.DataFrame:
     """Final model weights per feature (TextLogitStream / TrainStream)."""
-    feats, w, loss, _ = _train(sf_dir)
+    feats, w, loss, _ = _train(sf_dir, pos_term)
     return pd.DataFrame(
         {
             "feature": feats + ["__bias__"],
@@ -268,9 +275,9 @@ def logit_train(sf_dir: str) -> pd.DataFrame:
     )
 
 
-def classify_docs(sf_dir: str) -> pd.DataFrame:
+def classify_docs(sf_dir: str, pos_term: str = POS_TERM) -> pd.DataFrame:
     """Score every document with the trained model (ClassifyStream)."""
-    feats, w, _, _ = _train(sf_dir)
+    feats, w, _, _ = _train(sf_dir, pos_term)
     ncols = len(feats)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:

@@ -951,6 +951,42 @@ def _knn_search(ctx: Ctx, e: Expr) -> SRes:
     return SRes(df=df, sort=[("rank", True)])
 
 
+def _pos_term_of(e: Expr) -> str:
+    # FeaturesSelectionStream/TextLogitStream define the positive class by a
+    # query; the engine's ML family supports the text:<term> form.
+    q = str(e.params.get("q", ""))
+    if not q.startswith("text:") or not q[len("text:") :].strip():
+        raise StreamExprError(f"{e.name} needs q=\"text:<term>\"")
+    return q[len("text:") :].strip()
+
+
+def _features(ctx: Ctx, e: Expr) -> SRes:
+    # FeaturesSelectionStream: top-N terms by information gain vs q-class.
+    from .ml import DF_MIN, N_FEATURES, features_igain
+
+    df = features_igain(
+        ctx.sf_dir,
+        pos_term=_pos_term_of(e),
+        n_features=int(str(e.params.get("numTerms", N_FEATURES))),
+        df_min=int(str(e.params.get("minDocFreq", DF_MIN))),
+    )
+    return SRes(df=df)
+
+
+def _train_stream(ctx: Ctx, e: Expr) -> SRes:
+    # TextLogitStream / TrainStream: logistic regression over IG features.
+    from .ml import logit_train
+
+    return SRes(df=logit_train(ctx.sf_dir, pos_term=_pos_term_of(e)))
+
+
+def _classify(ctx: Ctx, e: Expr) -> SRes:
+    # ClassifyStream: score every document with the trained model.
+    from .ml import classify_docs
+
+    return SRes(df=classify_docs(ctx.sf_dir, pos_term=_pos_term_of(e)), sort=[("doc_id", True)])
+
+
 def _update(ctx: Ctx, e: Expr) -> SRes:
     # UpdateStream: terminal sink writing the wrapped stream into a
     # destination collection (a parquet directory). Unbounded inputs stream
@@ -1038,6 +1074,9 @@ REGISTRY_STREAMS: dict[str, Callable[[Ctx, Expr], SRes]] = {
     "echo": lambda c, e: SRes(df=pd.DataFrame({"echo": [e.args[0] if e.args else ""]})),
     "tuple": _tuple_stream,
     "list": _list_stream,
+    "features": _features,
+    "train": _train_stream,
+    "classify": _classify,
 }
 
 

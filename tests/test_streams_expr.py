@@ -416,3 +416,18 @@ def test_echo_tuple_list(ray_session):
         'list(search(region, fl="r_regionkey"), search(region, fl="r_regionkey"))', SF
     )
     assert len(lst) == 10
+
+
+def test_features_train_classify_streams(ray_session):
+    from lucene_solr_ray.pipelines.ml import classify_docs, features_igain, logit_train
+
+    f = run_expr('features(documents, q="text:spark", numTerms=8)', SF)
+    pd.testing.assert_frame_equal(f, features_igain(SF))
+    f4 = run_expr('features(documents, q="text:merge", numTerms=4, minDocFreq=3)', SF)
+    assert len(f4) == 4
+    t = run_expr('train(documents, q="text:spark")', SF)
+    pd.testing.assert_frame_equal(t, logit_train(SF))
+    c = run_expr('classify(documents, q="text:spark")', SF)
+    pd.testing.assert_frame_equal(c, classify_docs(SF))
+    with pytest.raises(StreamExprError):
+        run_expr('features(documents, q="lang:en")', SF)
