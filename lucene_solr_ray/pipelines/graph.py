@@ -21,7 +21,9 @@ START_PART = 1
 HOPS = 2
 
 
-def _member_scan(sf_dir: str, col_filter: str, keys: np.ndarray, col_out: str) -> np.ndarray:
+def _member_scan(
+    sf_dir: str, col_filter: str, keys: np.ndarray, col_out: str, table: str = "lineitem"
+) -> np.ndarray:
     """Distinct values of col_out over rows where col_filter ∈ keys."""
     import ray
 
@@ -35,13 +37,44 @@ def _member_scan(sf_dir: str, col_filter: str, keys: np.ndarray, col_out: str) -
         return pd.DataFrame({col_out: pd.unique(batch.loc[mask, col_out])})
 
     parts = (
-        read(sf_dir, "lineitem", [col_filter, col_out])
+        read(sf_dir, table, [col_filter, col_out])
         .map_batches(f, batch_format="pandas")
         .to_pandas()
     )
     if col_out not in parts.columns:
         return np.empty(0, dtype=np.int64)
     return np.unique(parts[col_out].to_numpy())
+
+
+def gather_counts(
+    sf_dir: str, table: str, col_filter: str, keys: np.ndarray, col_out: str
+) -> pd.DataFrame:
+    """One GatherNodesStream hop with edge counts: rows where col_filter ∈
+    keys, grouped by the gathered col_out value → (node, n).  Same broadcast
+    membership scan as _member_scan; per-task output is bounded by the
+    gathered-node domain of the batch, never the batch size."""
+    import ray
+
+    ref = ray.put(np.sort(keys))
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(ref)
+        v = batch[col_filter].to_numpy()
+        idx = np.clip(np.searchsorted(ks, v), 0, max(ks.size - 1, 0))
+        mask = ks[idx] == v if ks.size else np.zeros(v.size, bool)
+        hit = batch.loc[mask, col_out]
+        return hit.value_counts().rename_axis("node").reset_index(name="n")
+
+    parts = (
+        read(sf_dir, table, [col_filter, col_out])
+        .map_batches(f, batch_format="pandas")
+        .to_pandas()
+    )
+    if "node" not in parts.columns or parts.empty:
+        return pd.DataFrame({"node": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")})
+    out = parts.groupby("node", as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
 
 
 def graph_traversal(sf_dir: str):
@@ -81,10 +114,16 @@ def shortest_path_nodes(sf_dir: str, src: int = START_PART, max_depth: int = SP_
     return out.astype({"node": "int64", "dist": "int64"})
 
 
-def _pair_scan(sf_dir: str, frontier: np.ndarray) -> pd.DataFrame:
-    """(src_part, dst_part) edges out of the frontier: min src per (order,
+def _pair_scan(
+    sf_dir: str,
+    frontier: np.ndarray,
+    table: str = "lineitem",
+    node_col: str = "l_partkey",
+    doc_col: str = "l_orderkey",
+) -> pd.DataFrame:
+    """(src_node, dst_node) edges out of the frontier: min src per (doc,
     dst) — enough to pick deterministic min-predecessors.  Rows leaving
-    each task are bounded by (orders touched × parts per order), i.e. the
+    each task are bounded by (docs touched × nodes per doc), i.e. the
     frontier's edge neighbourhood, not the table."""
     import ray
 
@@ -92,50 +131,64 @@ def _pair_scan(sf_dir: str, frontier: np.ndarray) -> pd.DataFrame:
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         ks = ray.get(ref)
-        v = batch["l_partkey"].to_numpy()
+        v = batch[node_col].to_numpy()
         idx = np.clip(np.searchsorted(ks, v), 0, max(ks.size - 1, 0))
         m = ks[idx] == v if ks.size else np.zeros(v.size, bool)
-        return batch.loc[m, ["l_orderkey", "l_partkey"]].drop_duplicates()
+        return batch.loc[m, [doc_col, node_col]].drop_duplicates()
 
     hits = (
-        read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        read(sf_dir, table, [doc_col, node_col])
         .map_batches(f, batch_format="pandas")
         .to_pandas()
     )
     if hits.empty:
         return pd.DataFrame({"src": [], "dst": []})
-    # min frontier part per touched order (deterministic predecessor)
-    src_per_order = hits.groupby("l_orderkey", as_index=False)["l_partkey"].min()
-    src_per_order.columns = ["l_orderkey", "src"]
-    orders = src_per_order["l_orderkey"].to_numpy(np.int64)
-    dsts = _member_pairs(sf_dir, orders)
-    out = dsts.merge(src_per_order, on="l_orderkey")[["src", "l_partkey"]]
+    # min frontier node per touched doc (deterministic predecessor)
+    src_per_doc = hits.groupby(doc_col, as_index=False)[node_col].min()
+    src_per_doc.columns = [doc_col, "src"]
+    docs = src_per_doc[doc_col].to_numpy(np.int64)
+    dsts = _member_pairs(sf_dir, docs, table, node_col, doc_col)
+    out = dsts.merge(src_per_doc, on=doc_col)[["src", node_col]]
     out.columns = ["src", "dst"]
     return out.groupby("dst", as_index=False)["src"].min()[["src", "dst"]]
 
 
-def _member_pairs(sf_dir: str, orders: np.ndarray) -> pd.DataFrame:
-    """Distinct (l_orderkey, l_partkey) rows with l_orderkey ∈ orders."""
+def _member_pairs(
+    sf_dir: str,
+    docs: np.ndarray,
+    table: str = "lineitem",
+    node_col: str = "l_partkey",
+    doc_col: str = "l_orderkey",
+) -> pd.DataFrame:
+    """Distinct (doc_col, node_col) rows with doc_col ∈ docs."""
     import ray
 
-    ref = ray.put(np.sort(orders))
+    ref = ray.put(np.sort(docs))
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         ks = ray.get(ref)
-        v = batch["l_orderkey"].to_numpy()
+        v = batch[doc_col].to_numpy()
         idx = np.clip(np.searchsorted(ks, v), 0, max(ks.size - 1, 0))
         m = ks[idx] == v if ks.size else np.zeros(v.size, bool)
-        return batch.loc[m, ["l_orderkey", "l_partkey"]].drop_duplicates()
+        return batch.loc[m, [doc_col, node_col]].drop_duplicates()
 
     out = (
-        read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        read(sf_dir, table, [doc_col, node_col])
         .map_batches(f, batch_format="pandas")
         .to_pandas()
     )
-    return out.drop_duplicates() if not out.empty else pd.DataFrame({"l_orderkey": [], "l_partkey": []})
+    return out.drop_duplicates() if not out.empty else pd.DataFrame({doc_col: [], node_col: []})
 
 
-def shortest_path_route(sf_dir: str, src: int, dst: int, max_depth: int = 6) -> list[int] | None:
+def shortest_path_route(
+    sf_dir: str,
+    src: int,
+    dst: int,
+    max_depth: int = 6,
+    table: str = "lineitem",
+    node_col: str = "l_partkey",
+    doc_col: str = "l_orderkey",
+) -> list[int] | None:
     """One deterministic shortest path src→dst (min-predecessor BFS walk),
     or None if dst is unreachable within max_depth hops."""
     pred: dict[int, int] = {int(src): -1}
@@ -143,7 +196,7 @@ def shortest_path_route(sf_dir: str, src: int, dst: int, max_depth: int = 6) -> 
     for _ in range(max_depth):
         if int(dst) in pred or frontier.size == 0:
             break
-        edges = _pair_scan(sf_dir, frontier)
+        edges = _pair_scan(sf_dir, frontier, table, node_col, doc_col)
         new = edges[~edges["dst"].isin(pred)]
         for s, t in zip(new["src"].astype(int), new["dst"].astype(int)):
             pred[t] = s
@@ -169,28 +222,25 @@ def shortest_path_route(sf_dir: str, src: int, dst: int, max_depth: int = 6) -> 
 SCORE_NODES_TOP = 25
 
 
-def score_nodes(sf_dir: str):
+def score_gathered_nodes(
+    sf_dir: str,
+    gathered: pd.DataFrame,  # (node, cnt)
+    table: str = "lineitem",
+    node_col: str = "l_partkey",
+    doc_col: str = "l_orderkey",
+    docs_table: str = "orders",
+    docs_key: str = "o_orderkey",
+    top: int = SCORE_NODES_TOP,
+) -> pd.DataFrame:
+    """tf-idf score a gathered (node, cnt) set: df = distinct docs per node
+    over the edge table (broadcast membership scan), N = docs_table row
+    count (parquet footer metadata), score = cnt × ln((N+1)/(df+1)) with
+    scalar libm log on the driver (bounded node set — ln-twin parity)."""
     import math
 
     import ray
 
-    orders = _member_scan(sf_dir, "l_partkey", np.array([START_PART], np.int64), "l_orderkey")
-    oref = ray.put(np.sort(orders))
-
-    def gather(batch: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(oref)
-        v = batch["l_orderkey"].to_numpy()
-        idx = np.clip(np.searchsorted(ks, v), 0, max(ks.size - 1, 0))
-        m = ks[idx] == v if ks.size else np.zeros(v.size, bool)
-        hit = batch.loc[m, "l_partkey"]
-        return hit.value_counts().rename_axis("node").reset_index(name="cnt")
-
-    g = (
-        read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-        .map_batches(gather, batch_format="pandas")
-        .to_pandas()
-    )
-    if g.empty:
+    if gathered.empty:
         return pd.DataFrame(
             {
                 "node": pd.Series([], dtype="int64"),
@@ -199,28 +249,26 @@ def score_nodes(sf_dir: str):
                 "score": pd.Series([], dtype="float64"),
             }
         )
-    g = g.groupby("node", as_index=False)["cnt"].sum()
-
-    nodes = g["node"].to_numpy(np.int64)
+    nodes = gathered["node"].to_numpy(np.int64)
     nref = ray.put(np.sort(nodes))
 
     def doc_pairs(batch: pd.DataFrame) -> pd.DataFrame:
         ks = ray.get(nref)
-        v = batch["l_partkey"].to_numpy()
+        v = batch[node_col].to_numpy()
         idx = np.clip(np.searchsorted(ks, v), 0, max(ks.size - 1, 0))
         m = ks[idx] == v if ks.size else np.zeros(v.size, bool)
-        return batch.loc[m, ["l_partkey", "l_orderkey"]].drop_duplicates()
+        return batch.loc[m, [node_col, doc_col]].drop_duplicates()
 
     pairs = (
-        read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        read(sf_dir, table, [doc_col, node_col])
         .map_batches(doc_pairs, batch_format="pandas")
         .to_pandas()
         .drop_duplicates()
     )
-    df = pairs.groupby("l_partkey").size().rename("df").rename_axis("node").reset_index()
-    n_docs = read(sf_dir, "orders", ["o_orderkey"]).count()
+    df = pairs.groupby(node_col).size().rename("df").rename_axis("node").reset_index()
+    n_docs = read(sf_dir, docs_table, [docs_key]).count()
 
-    out = g.merge(df, on="node")
+    out = gathered.merge(df, on="node")
     out["score"] = np.array(
         [float(c) * math.log((n_docs + 1.0) / (int(d) + 1.0)) for c, d in zip(out["cnt"], out["df"])],
         dtype=np.float64,
@@ -230,9 +278,17 @@ def score_nodes(sf_dir: str):
     out["df"] = out["df"].astype("int64")
     return (
         out.sort_values(["score", "node"], ascending=[False, True])
-        .head(SCORE_NODES_TOP)
+        .head(top)
         .reset_index(drop=True)[["node", "cnt", "df", "score"]]
     )
+
+
+def score_nodes(sf_dir: str):
+    orders = _member_scan(sf_dir, "l_partkey", np.array([START_PART], np.int64), "l_orderkey")
+    g = gather_counts(sf_dir, "lineitem", "l_orderkey", orders, "l_partkey").rename(
+        columns={"n": "cnt"}
+    )
+    return score_gathered_nodes(sf_dir, g)
 
 
 SCORE_NODES_SQL = f"""

@@ -987,6 +987,186 @@ def _classify(ctx: Ctx, e: Expr) -> SRes:
     return SRes(df=classify_docs(ctx.sf_dir, pos_term=_pos_term_of(e)), sort=[("doc_id", True)])
 
 
+# --------------------------------------------------------------------------
+# Graph streams (solr/solrj/.../io/graph/): GatherNodesStream ("nodes"),
+# ScoreNodesStream, ShortestPathStream — planned onto the engine's
+# frontier-broadcast scans (pipelines/graph.py): the edge table is only
+# ever scanned with a broadcast membership filter, never shuffled, and the
+# node/frontier sets stay driver-sized (dimension-bounded key domains).
+
+
+def _nodes(ctx: Ctx, e: Expr) -> SRes:
+    import pyarrow.parquet as pq
+
+    from .graph import gather_counts
+
+    if not e.args or not isinstance(e.args[0], str):
+        raise StreamExprError("nodes(collection, ...) needs a collection name")
+    table = e.args[0]
+    walk = str(e.params.get("walk", ""))
+    if "->" not in walk:
+        raise StreamExprError('nodes needs walk="<src>-><field>"')
+    src_s, fld = (t.strip() for t in walk.split("->", 1))
+    gather = str(e.params.get("gather", ""))
+    if not gather:
+        raise StreamExprError('nodes needs gather="<field>"')
+    schema = pq.read_schema(f"{ctx.sf_dir}/{table}.parquet")
+    for c in (fld, gather):
+        if c not in schema.names:
+            raise StreamExprError(f"unknown field {c!r} in nodes walk/gather")
+    inner_streams = _stream_args(e)
+    if inner_streams:
+        # walk source = a column of the wrapped stream (chained hops use
+        # the previous hop's "node" column)
+        vals_df = _to_df(_eval_stream_arg(ctx, inner_streams[0]))
+        if src_s not in vals_df.columns:
+            raise StreamExprError(f"walk source {src_s!r} is not a column of the inner stream")
+        vals = np.unique(vals_df[src_s].to_numpy())
+    else:  # literal root values, typed by the walk field
+        typ = schema.field(fld).type
+        vals = np.unique(np.array([_typed(typ, v.strip()) for v in src_s.split(",")]))
+    g = gather_counts(ctx.sf_dir, table, fld, vals, gather)
+    if any(isinstance(a, Expr) and a.name == "count" for a in e.args):
+        g = g.rename(columns={"n": "count(*)"})
+    else:
+        g = g[["node"]]
+    return SRes(df=g.reset_index(drop=True), sort=[("node", True)])
+
+
+def _score_nodes_stream(ctx: Ctx, e: Expr) -> SRes:
+    from .graph import score_gathered_nodes
+
+    inner_e = _stream_args(e)
+    if not inner_e:
+        raise StreamExprError("scoreNodes needs a nodes() operand")
+    inner = _to_df(_eval_stream_arg(ctx, inner_e[0]))
+    if "node" not in inner.columns or "count(*)" not in inner.columns:
+        raise StreamExprError("scoreNodes needs (node, count(*)) tuples — add count(*) to nodes()")
+    g = inner.rename(columns={"count(*)": "cnt"})[["node", "cnt"]]
+    out = score_gathered_nodes(
+        ctx.sf_dir,
+        g,
+        table=str(e.params.get("collection", "lineitem")),
+        node_col=str(e.params.get("termField", "l_partkey")),
+        doc_col=str(e.params.get("docField", "l_orderkey")),
+        docs_table=str(e.params.get("docsCollection", "orders")),
+        docs_key=str(e.params.get("docsKey", "o_orderkey")),
+        top=int(str(e.params.get("top", 25))),
+    )
+    return SRes(df=out, sort=[("score", False), ("node", True)])
+
+
+def _shortest_path(ctx: Ctx, e: Expr) -> SRes:
+    from .graph import shortest_path_route
+
+    if not e.args or not isinstance(e.args[0], str):
+        raise StreamExprError("shortestPath(collection, ...) needs a collection name")
+    edge = str(e.params.get("edge", "l_partkey->l_orderkey"))
+    if "->" not in edge:
+        raise StreamExprError('shortestPath needs edge="<node_field>-><doc_field>"')
+    node_col, doc_col = (t.strip() for t in edge.split("->", 1))
+    path = shortest_path_route(
+        ctx.sf_dir,
+        int(str(e.params["from"])),
+        int(str(e.params["to"])),
+        int(str(e.params.get("maxDepth", 6))),
+        e.args[0],
+        node_col,
+        doc_col,
+    )
+    if path is None:
+        df = pd.DataFrame({"step": pd.Series(dtype="int64"), "node": pd.Series(dtype="int64")})
+    else:
+        df = pd.DataFrame(
+            {
+                "step": np.arange(len(path), dtype=np.int64),
+                "node": np.asarray(path, dtype=np.int64),
+            }
+        )
+    return SRes(df=df, sort=[("step", True)])
+
+
+def _random(ctx: Ctx, e: Expr) -> SRes:
+    # RandomStream (solr/solrj/.../io/stream/RandomStream.java): pseudo-random
+    # docs.  DETERMINISTIC here: the seeded multiplicative hash of idField
+    # (relational._sample_hash — SQL-replicable, the facet_sample pattern)
+    # orders the rows; per-batch top-`rows` partials, bounded driver merge.
+    import pyarrow.parquet as pq
+
+    from .relational import _sample_hash
+
+    if not e.args or not isinstance(e.args[0], str):
+        raise StreamExprError("random(collection, ...) needs a collection name")
+    table = e.args[0]
+    rows = int(str(e.params.get("rows", 10)))
+    id_field = str(e.params.get("idField", ""))
+    if not id_field:
+        raise StreamExprError('random needs idField="<unique int field>"')
+    schema = pq.read_schema(f"{ctx.sf_dir}/{table}.parquet")
+    fl = _split_fl(str(e.params.get("fl", ",".join(schema.names))))
+    search_e = Expr("search", args=[table], params={"q": e.params.get("q", "*:*")})
+    search_e.params["fl"] = ",".join(dict.fromkeys(fl + [id_field]))
+    inner = _search(ctx, search_e)
+
+    def key(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.assign(__hk=_sample_hash(batch[id_field].to_numpy()))
+        return b.sort_values(["__hk", id_field]).head(rows)
+
+    parts = _to_df(_map(inner, key))
+    top = parts.sort_values(["__hk", id_field]).head(rows).reset_index(drop=True)
+    return SRes(df=top[fl])
+
+
+def _analyze(ctx: Ctx, e: Expr) -> SRes:
+    # AnalyzeEvaluator / the /stream analyze() helper: run the engine's
+    # analysis chain over a literal string → one tuple per emitted token
+    # (term, position — stopword gaps preserved).
+    from ..analysis.analyzer import tokenize
+
+    if not e.args or not isinstance(e.args[0], str):
+        raise StreamExprError('analyze("text", ...) needs a text operand')
+    toks = tokenize(e.args[0])
+    return SRes(
+        df=pd.DataFrame(
+            {
+                "term": pd.Series([t for t, _ in toks], dtype="object"),
+                "position": pd.Series([p for _, p in toks], dtype="int64"),
+            }
+        ),
+        sort=[("position", True)],
+    )
+
+
+def _null(ctx: Ctx, e: Expr) -> SRes:
+    # NullStream: consume the wrapped stream, emit one tuple with the count
+    # (used to benchmark the stream without tuple transfer).
+    inner = _eval_stream_arg(ctx, _stream_args(e)[0])
+    n = len(inner.df) if inner.df is not None else inner.ds.count()
+    return SRes(df=pd.DataFrame({"nullCount": [np.int64(n)]}))
+
+
+def _reduce(ctx: Ctx, e: Expr) -> SRes:
+    # ReduceStream: group-adjacent reduce under the stream's sort; the
+    # group(sort=..., n=...) operation keeps the top-n tuples per key.
+    # Top-n-per-key is a mergeable partial: per-batch groupby-head, then a
+    # bounded driver merge — only n × keys-per-batch rows leave each task.
+    inner = _eval_stream_arg(ctx, _stream_args(e)[0])
+    by = _split_fl(str(e.params["by"]))
+    grp = next((a for a in e.args if isinstance(a, Expr) and a.name == "group"), None)
+    if grp is None:
+        raise StreamExprError("reduce needs a group(sort=..., n=...) operation")
+    sort = _parse_sort(str(grp.params["sort"]))
+    n = int(str(grp.params.get("n", 1)))
+    full = [(c, True) for c in by] + sort
+
+    def topn(batch: pd.DataFrame) -> pd.DataFrame:
+        return _sorted_df(batch, full).groupby(by, sort=False).head(n)
+
+    parts = _to_df(_map(inner, topn))
+    out = _sorted_df(parts, full).groupby(by, sort=False).head(n).reset_index(drop=True)
+    return SRes(df=out, sort=full)
+
+
 def _update(ctx: Ctx, e: Expr) -> SRes:
     # UpdateStream: terminal sink writing the wrapped stream into a
     # destination collection (a parquet directory). Unbounded inputs stream
@@ -1077,6 +1257,15 @@ REGISTRY_STREAMS: dict[str, Callable[[Ctx, Expr], SRes]] = {
     "features": _features,
     "train": _train_stream,
     "classify": _classify,
+    "nodes": _nodes,
+    "gatherNodes": _nodes,  # pre-7.0 alias
+    "scoreNodes": _score_nodes_stream,
+    "shortestPath": _shortest_path,
+    "random": _random,
+    "analyze": _analyze,
+    "null": _null,
+    "reduce": _reduce,
+    "plist": _list_stream,  # parallel list: Ray runs each plan data-parallel
 }
 
 
@@ -1207,6 +1396,45 @@ FROM orders GROUP BY o_custkey ORDER BY o_custkey
 """
 
 
+def stream_expr_nodes(sf_dir: str):
+    # two chained gatherNodes hops: parts that share an order with part 1
+    return run_expr(
+        'nodes(lineitem, nodes(lineitem, walk="1->l_partkey", gather="l_orderkey"),'
+        ' walk="node->l_orderkey", gather="l_partkey", count(*))',
+        sf_dir,
+    )
+
+
+STREAM_EXPR_NODES_SQL = """
+WITH o1 AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_partkey = 1)
+SELECT l_partkey AS node, CAST(COUNT(*) AS BIGINT) AS "count(*)"
+FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM o1)
+GROUP BY l_partkey ORDER BY node
+"""
+
+
+def stream_expr_random(sf_dir: str):
+    return run_expr(
+        'random(events, q="event_type:click", fl="event_id,user_id", rows=15,'
+        ' idField="event_id")',
+        sf_dir,
+    )
+
+
+def _random_sql() -> str:
+    from .relational import _M32, _SAMPLE_C1, _SAMPLE_C2, _SAMPLE_SEED
+
+    return f"""
+WITH b AS (SELECT event_id, user_id FROM events WHERE event_type = 'click'),
+h1 AS (
+  SELECT *, (CAST(event_id % {_M32} + {_SAMPLE_SEED} AS HUGEINT) * {_SAMPLE_C1}) % {_M32} AS a
+  FROM b
+),
+h2 AS (SELECT *, (CAST(xor(a, a >> 15) AS HUGEINT) * {_SAMPLE_C2}) % {_M32} AS h FROM h1)
+SELECT event_id, user_id FROM h2 ORDER BY xor(h, h >> 13), event_id LIMIT 15
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "stream_expr_drill": Pipeline(
         stream_expr_drill,
@@ -1237,5 +1465,15 @@ PIPELINES: dict[str, Pipeline] = {
         stream_expr_facet,
         STREAM_EXPR_FACET_SQL,
         "streaming-expression language: having(facet(...)) with bucketSorts",
+    ),
+    "stream_expr_nodes": Pipeline(
+        stream_expr_nodes,
+        STREAM_EXPR_NODES_SQL,
+        "streaming-expression language: chained gatherNodes hops with edge counts",
+    ),
+    "stream_expr_random": Pipeline(
+        stream_expr_random,
+        _random_sql(),
+        "streaming-expression language: deterministic seeded random sample (RandomStream)",
     ),
 }

@@ -16,7 +16,16 @@ from lucene_solr_ray.pipelines.streams import (
 )
 
 SF = "/root/testdata/sf0.001"
-TABLES = ["orders", "customer", "events", "documents", "embeddings", "nation", "region"]
+TABLES = [
+    "orders",
+    "customer",
+    "events",
+    "documents",
+    "embeddings",
+    "nation",
+    "region",
+    "lineitem",
+]
 
 
 def duck(sql: str) -> pd.DataFrame:
@@ -431,3 +440,86 @@ def test_features_train_classify_streams(ray_session):
     pd.testing.assert_frame_equal(c, classify_docs(SF))
     with pytest.raises(StreamExprError):
         run_expr('features(documents, q="lang:en")', SF)
+
+
+def test_nodes_scorenodes_streams(ray_session):
+    from lucene_solr_ray.pipelines.graph import score_nodes
+    from lucene_solr_ray.pipelines.streams import STREAM_EXPR_NODES_SQL, stream_expr_nodes
+
+    duel(
+        'nodes(lineitem, nodes(lineitem, walk="1->l_partkey", gather="l_orderkey"),'
+        ' walk="node->l_orderkey", gather="l_partkey", count(*))',
+        STREAM_EXPR_NODES_SQL,
+    )
+    # literal multi-root hop, no count metric → node column only
+    roots = run_expr('nodes(lineitem, walk="1,2->l_partkey", gather="l_orderkey")', SF)
+    ref = duck(
+        "SELECT DISTINCT l_orderkey AS node FROM lineitem WHERE l_partkey IN (1,2) ORDER BY node"
+    )
+    assert roots["node"].tolist() == ref["node"].tolist()
+    # scoreNodes over the gathered hop == the gated score_nodes pipeline
+    sn = run_expr(
+        'scoreNodes(nodes(lineitem, nodes(lineitem, walk="1->l_partkey", gather="l_orderkey"),'
+        ' walk="node->l_orderkey", gather="l_partkey", count(*)))',
+        SF,
+    )
+    pd.testing.assert_frame_equal(sn, score_nodes(SF))
+    assert stream_expr_nodes(SF)["count(*)"].sum() > 0
+
+
+def test_shortest_path_stream(ray_session):
+    from lucene_solr_ray.pipelines.graph import shortest_path_nodes
+
+    dist = shortest_path_nodes(SF, src=1, max_depth=2)
+    two_hop = dist[dist["dist"] == 2]
+    assert len(two_hop), "fixture should have a distance-2 part"
+    dst = int(two_hop["node"].iloc[0])
+    path = run_expr(f'shortestPath(lineitem, from="1", to="{dst}", maxDepth=4)', SF)
+    assert path["node"].iloc[0] == 1 and path["node"].iloc[-1] == dst
+    assert len(path) == 3  # dist 2 → 3 nodes on the path
+    assert path["step"].tolist() == [0, 1, 2]
+    # consecutive path nodes must share an order (a real edge)
+    li = duck("SELECT l_orderkey, l_partkey FROM lineitem")
+    by_part = li.groupby("l_partkey")["l_orderkey"].apply(set)
+    for a, b in zip(path["node"], path["node"][1:]):
+        assert by_part[a] & by_part[b], (a, b)
+    missing = run_expr('shortestPath(lineitem, from="1", to="-99", maxDepth=2)', SF)
+    assert len(missing) == 0
+
+
+def test_random_analyze_null_reduce_streams(ray_session):
+    from lucene_solr_ray.pipelines.streams import _random_sql, stream_expr_random
+
+    duel(
+        'random(events, q="event_type:click", fl="event_id,user_id", rows=15,'
+        ' idField="event_id")',
+        _random_sql(),
+    )
+    r = stream_expr_random(SF)
+    assert list(r.columns) == ["event_id", "user_id"] and len(r) == 15
+    # determinism across runs
+    pd.testing.assert_frame_equal(r, stream_expr_random(SF))
+
+    a = run_expr('analyze("The Quick saw-tooth FOX")', SF)
+    assert a["term"].tolist() == ["quick", "saw", "tooth", "fox"]
+    assert a["position"].tolist() == [1, 2, 3, 4]  # stopword gap at 0
+
+    n = run_expr('null(search(region, fl="r_regionkey"))', SF)
+    assert n["nullCount"].tolist() == [5]
+
+    red = run_expr(
+        'reduce(search(events, fl="event_type,event_id,value"), by="event_type",'
+        ' group(sort="value desc, event_id asc", n=2))',
+        SF,
+    )
+    ref = duck(
+        """SELECT event_type, event_id, value FROM events
+           QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) <= 2
+           ORDER BY event_type, value DESC, event_id"""
+    )
+    pd.testing.assert_frame_equal(
+        red.reset_index(drop=True), ref.reset_index(drop=True), check_dtype=False
+    )
+
+    pl = run_expr('plist(search(region, fl="r_regionkey"), search(nation, fl="n_nationkey"))', SF)
+    assert len(pl) == 30
