@@ -531,6 +531,357 @@ ORDER BY c.o_orderstatus, c.o_orderpriority
 """
 
 
+# --------------------------------------------------------------------------
+# hist() (HistEvaluator, commons-math EmpiricalDistribution): fixed-width
+# bins with per-bin count / min / max / exact-cents mean.  Per-batch
+# combiner partials (bin domain is request-sized), coordinator merge.
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 600000.0, 10
+
+
+def hist_bins(sf_dir: str):
+    from .common import merge_partials
+
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["o_totalprice"].to_numpy()
+        keep = (v >= HIST_LO) & (v < HIST_HI)
+        v = v[keep]
+        g = pd.DataFrame(
+            {
+                "bin": np.floor((v - HIST_LO) / width).astype(np.int64),
+                "n": 1,
+                "cents": cents(v),
+                "vmin": v,
+                "vmax": v,
+            }
+        )
+        return g.groupby("bin", as_index=False).agg(
+            n=("n", "sum"), cents=("cents", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max")
+        )
+
+    out = merge_partials(
+        read(sf_dir, "orders", ["o_totalprice"]).map_batches(partial, batch_format="pandas"),
+        ["bin"],
+        {"n": "sum", "cents": "sum", "vmin": "min", "vmax": "max"},
+    )
+    out["mean_cents"] = out["cents"].astype("int64").astype("float64") / out["n"].astype(
+        "int64"
+    ).astype("float64")
+    out["n"] = out["n"].astype("int64")
+    out = out.drop(columns=["cents"])
+    return out.sort_values("bin").reset_index(drop=True)[["bin", "n", "vmin", "vmax", "mean_cents"]]
+
+
+HIST_SQL = f"""
+SELECT CAST(FLOOR((o_totalprice - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BINS}) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_totalprice) AS vmin,
+       MAX(o_totalprice) AS vmax,
+       CAST(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS BIGINT) AS mean_cents
+FROM orders WHERE o_totalprice >= {HIST_LO} AND o_totalprice < {HIST_HI}
+GROUP BY bin ORDER BY bin
+"""
+
+
+# --------------------------------------------------------------------------
+# describe() (DescribeEvaluator): n/min/max/mean/variance/stddev/sumsq of a
+# column from exact integer moments — the variance_moments shape plus the
+# order-statistics partials, one distributed pass.
+
+
+def _col_moments(ds, to_cents) -> dict:
+    """(n, s1, s2, vmin, vmax) of a column with Python-int exact sums; s2
+    ships as (hi, lo) int64 pairs (a block of cents² can exceed int64)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = to_cents(batch)
+        s2 = _exact_prod_sum(c, c)
+        sign = -1 if s2 < 0 else 1
+        return pd.DataFrame(
+            {
+                "n": [len(c)],
+                "s1": [_exact_sum(c)],
+                "s2_hi": [sign * (abs(s2) >> _HILO_SHIFT)],
+                "s2_lo": [sign * (abs(s2) & _HILO_MASK)],
+                "vmin": [int(c.min()) if c.size else np.iinfo(np.int64).max],
+                "vmax": [int(c.max()) if c.size else np.iinfo(np.int64).min],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return {
+        "n": int(parts["n"].astype(object).sum()),
+        "s1": int(parts["s1"].astype(object).sum()),
+        "s2": (int(parts["s2_hi"].astype(object).sum()) << _HILO_SHIFT)
+        + int(parts["s2_lo"].astype(object).sum()),
+        "vmin": int(parts["vmin"].min()),
+        "vmax": int(parts["vmax"].max()),
+    }
+
+
+def describe_stats(sf_dir: str):
+    m = _col_moments(
+        read(sf_dir, "lineitem", ["l_extendedprice"]),
+        lambda b: cents(b["l_extendedprice"].to_numpy()),
+    )
+    n, s1, s2 = m["n"], m["s1"], m["s2"]
+    mean = float(s1) / float(n)
+    var = float(n * s2 - s1 * s1) / float(n * (n - 1))
+    import math
+
+    return pd.DataFrame(
+        {
+            "n": [np.int64(n)],
+            "vmin": [np.int64(m["vmin"])],
+            "vmax": [np.int64(m["vmax"])],
+            "mean": [mean],
+            "variance": [var],
+            "stddev": [math.sqrt(var)],
+            "sumsq": [float(s2)],
+        }
+    )
+
+
+DESCRIBE_SQL = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2,
+         CAST(MIN(c) AS BIGINT) AS vmin, CAST(MAX(c) AS BIGINT) AS vmax
+  FROM (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c FROM lineitem)
+)
+SELECT n, vmin, vmax,
+       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS variance,
+       sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS stddev,
+       CAST(s2 AS DOUBLE) AS sumsq
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# ttest() (TTestEvaluator, Welch's unequal-variance two-sample t): per-group
+# exact integer moments of events.value cents (click vs view), the t statistic
+# and Welch–Satterthwaite dof derived with one identical double formula.
+
+_TT_A, _TT_B = "click", "view"
+
+
+def ttest_welch(sf_dir: str):
+    import math
+
+    def group_moments(ev_type: str) -> dict:
+        ds = read(sf_dir, "events", ["event_type", "value"])
+        return _col_moments(
+            ds.map_batches(
+                lambda b, _t=ev_type: b[b["event_type"] == _t][["value"]],
+                batch_format="pandas",
+            ),
+            lambda b: cents(b["value"].to_numpy()),
+        )
+
+    ma, mb = group_moments(_TT_A), group_moments(_TT_B)
+    n1, n2 = ma["n"], mb["n"]
+    m1 = float(ma["s1"]) / float(n1)
+    m2 = float(mb["s1"]) / float(n2)
+    v1 = float(n1 * ma["s2"] - ma["s1"] * ma["s1"]) / float(n1 * (n1 - 1))
+    v2 = float(n2 * mb["s2"] - mb["s1"] * mb["s1"]) / float(n2 * (n2 - 1))
+    se1, se2 = v1 / float(n1), v2 / float(n2)
+    t = (m1 - m2) / math.sqrt(se1 + se2)
+    dof = (se1 + se2) * (se1 + se2) / (se1 * se1 / float(n1 - 1) + se2 * se2 / float(n2 - 1))
+    return pd.DataFrame(
+        {
+            "n1": [np.int64(n1)],
+            "n2": [np.int64(n2)],
+            "mean1": [m1],
+            "mean2": [m2],
+            "t": [t],
+            "dof": [dof],
+        }
+    )
+
+
+TTEST_SQL = f"""
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+  FROM (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS c FROM events
+        WHERE event_type IN ('{_TT_A}', '{_TT_B}'))
+  GROUP BY event_type
+),
+m AS (
+  SELECT
+    (SELECT n FROM g WHERE event_type = '{_TT_A}') AS n1,
+    (SELECT n FROM g WHERE event_type = '{_TT_B}') AS n2,
+    (SELECT CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) FROM g WHERE event_type = '{_TT_A}') AS m1,
+    (SELECT CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) FROM g WHERE event_type = '{_TT_B}') AS m2,
+    (SELECT CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+       / CAST(n AS DOUBLE) FROM g WHERE event_type = '{_TT_A}') AS se1,
+    (SELECT CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+       / CAST(n AS DOUBLE) FROM g WHERE event_type = '{_TT_B}') AS se2
+)
+SELECT n1, n2, m1 AS mean1, m2 AS mean2,
+       (m1 - m2) / sqrt(se1 + se2) AS t,
+       (se1 + se2) * (se1 + se2)
+         / (se1 * se1 / CAST(n1 - 1 AS DOUBLE) + se2 * se2 / CAST(n2 - 1 AS DOUBLE)) AS dof
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# zscores() (ZScoresEvaluator / NormalizeEvaluator): standardize the monthly
+# revenue series — mean/stddev from exact integer sums over the (bounded)
+# series, z derived with one identical double formula per month.
+
+
+def zscores_monthly(sf_dir: str):
+    import math
+
+    monthly = _monthly_cents(sf_dir)
+    c = [int(v) for v in monthly["cents"]]
+    n = len(c)
+    s1, s2 = sum(c), sum(v * v for v in c)
+    mean = float(s1) / float(n)
+    sd = math.sqrt(float(n * s2 - s1 * s1) / float(n * (n - 1)))
+    out = monthly.copy()
+    out["cents"] = out["cents"].astype("int64")
+    out["z"] = np.array([(float(v) - mean) / sd for v in c], dtype=np.float64)
+    return out[["month", "cents", "z"]]
+
+
+ZSCORES_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY month
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+  FROM monthly
+)
+SELECT month, cents,
+       (CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+         / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS z
+FROM monthly, m ORDER BY month
+"""
+
+
+# --------------------------------------------------------------------------
+# cov() (CovarianceEvaluator): sample covariance of (order day, price cents)
+# from the same exact moments as the OLS/correlation gates.
+
+
+def covariance_moments(sf_dir: str):
+    m = _xy_moments(sf_dir)
+    n = m["n"]
+    cov = float(n * m["sxy"] - m["sx"] * m["sy"]) / float(n * (n - 1))
+    return pd.DataFrame({"n": [np.int64(n)], "cov": [cov]})
+
+
+COVARIANCE_SQL = (
+    MOMENTS_SQL_BASE
+    + """
+SELECT n, CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        / CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE) AS cov
+FROM m
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# polyfit() (PolyFitEvaluator, degree 2): least-squares quadratic of price
+# cents on order day.  The normal-equation moments (Σx..Σx⁴, Σy..Σx²y) are
+# exact Python ints shipped as (hi,lo) pairs (Σx⁴ over a 150k-row block is
+# ~1e19 > int64); the 3×3 Cramer solve runs as ONE identical double
+# expression on both sides — float parity like the OLS gate.
+
+_PMOMENTS = ("s1", "s2", "s3", "s4", "t0", "t1", "t2")
+
+
+def _poly_moments(sf_dir: str) -> dict:
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = (ts_us(batch["o_orderdate"]) // 86_400_000_000 - _EPOCH0_DAYS).astype(np.int64)
+        y = cents(batch["o_totalprice"].to_numpy())
+        x2 = x * x  # days < 5000 → x² < 2.5e7, x⁴ per element < 6.25e14: int64-safe
+        vals = {
+            "s1": _exact_sum(x),
+            "s2": _exact_sum(x2),
+            "s3": _exact_prod_sum(x2, x),
+            "s4": _exact_prod_sum(x2, x2),
+            "t0": _exact_sum(y),
+            "t1": _exact_prod_sum(x, y),
+            "t2": _exact_prod_sum(x2, y),
+        }
+        row: dict[str, list[int]] = {"n": [len(x)]}
+        for c, v in vals.items():
+            sign = -1 if v < 0 else 1
+            row[f"{c}_hi"] = [sign * (abs(v) >> _HILO_SHIFT)]
+            row[f"{c}_lo"] = [sign * (abs(v) & _HILO_MASK)]
+        return pd.DataFrame(row)
+
+    parts = (
+        read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    out = {"n": int(parts["n"].astype(object).sum())}
+    for c in _PMOMENTS:
+        hi = int(parts[f"{c}_hi"].astype(object).sum())
+        lo = int(parts[f"{c}_lo"].astype(object).sum())
+        out[c] = (hi << _HILO_SHIFT) + lo
+    return out
+
+
+def polyfit_quadratic(sf_dir: str):
+    m = _poly_moments(sf_dir)
+    a, b, c = float(m["n"]), float(m["s1"]), float(m["s2"])
+    p, q = float(m["s3"]), float(m["s4"])
+    t0, t1, t2 = float(m["t0"]), float(m["t1"]), float(m["t2"])
+    det = a * (c * q - p * p) - b * (b * q - p * c) + c * (b * p - c * c)
+    c0 = (t0 * (c * q - p * p) - b * (t1 * q - p * t2) + c * (t1 * p - c * t2)) / det
+    c1 = (a * (t1 * q - p * t2) - t0 * (b * q - p * c) + c * (b * t2 - t1 * c)) / det
+    c2 = (a * (c * t2 - t1 * p) - b * (b * t2 - t1 * c) + t0 * (b * p - c * c)) / det
+    return pd.DataFrame({"n": [np.int64(m["n"])], "c0": [c0], "c1": [c1], "c2": [c2]})
+
+
+POLYFIT_SQL = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2,
+         CAST(SUM(CAST(x AS HUGEINT) * x * x) AS HUGEINT) AS s3,
+         CAST(SUM(CAST(x AS HUGEINT) * x * x * x) AS HUGEINT) AS s4,
+         CAST(SUM(y) AS HUGEINT) AS t0,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS t1,
+         CAST(SUM(CAST(x AS HUGEINT) * x * y) AS HUGEINT) AS t2
+  FROM (
+    SELECT datediff('day', DATE '1990-01-01', o_orderdate) AS x,
+           CAST(ROUND(o_totalprice*100) AS BIGINT) AS y
+    FROM orders
+  )
+),
+d AS (
+  SELECT n, CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS b, CAST(s2 AS DOUBLE) AS c,
+         CAST(s3 AS DOUBLE) AS p, CAST(s4 AS DOUBLE) AS q,
+         CAST(t0 AS DOUBLE) AS t0, CAST(t1 AS DOUBLE) AS t1, CAST(t2 AS DOUBLE) AS t2
+  FROM m
+)
+SELECT n,
+  (t0 * (c * q - p * p) - b * (t1 * q - p * t2) + c * (t1 * p - c * t2))
+    / (a * (c * q - p * p) - b * (b * q - p * c) + c * (b * p - c * c)) AS c0,
+  (a * (t1 * q - p * t2) - t0 * (b * q - p * c) + c * (b * t2 - t1 * c))
+    / (a * (c * q - p * p) - b * (b * q - p * c) + c * (b * p - c * c)) AS c1,
+  (a * (c * t2 - t1 * p) - b * (b * t2 - t1 * c) + t0 * (b * p - c * c))
+    / (a * (c * q - p * p) - b * (b * q - p * c) + c * (b * p - c * c)) AS c2
+FROM d
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "series_diff": Pipeline(series_diff, SERIES_DIFF_SQL, "time-series differencing (DiffEvaluator), integer-exact"),
     "moving_median": Pipeline(moving_median_monthly, MOVING_MEDIAN_SQL, "trailing moving median (MovingMedianEvaluator)"),
@@ -543,4 +894,10 @@ PIPELINES: dict[str, Pipeline] = {
     "kmeans_clusters": Pipeline(kmeans_clusters, None, "seeded k-means clustering (KmeansEvaluator); pytest-checked"),
     "dbscan_clusters": Pipeline(dbscan_clusters, None, "density clustering (DbscanEvaluator); pytest-checked"),
     "fft_magnitude": Pipeline(fft_daily_counts, None, "FFT magnitude of daily counts (FFTEvaluator); pytest-checked"),
+    "hist_bins": Pipeline(hist_bins, HIST_SQL, "fixed-width histogram w/ per-bin count/min/max/mean (HistEvaluator)"),
+    "describe_stats": Pipeline(describe_stats, DESCRIBE_SQL, "n/min/max/mean/variance/stddev/sumsq from exact moments (DescribeEvaluator)"),
+    "ttest_welch": Pipeline(ttest_welch, TTEST_SQL, "Welch two-sample t-test from per-group exact moments (TTestEvaluator)"),
+    "zscores_monthly": Pipeline(zscores_monthly, ZSCORES_SQL, "z-scores of the monthly revenue series (ZScoresEvaluator)"),
+    "covariance_moments": Pipeline(covariance_moments, COVARIANCE_SQL, "sample covariance from exact moments (CovarianceEvaluator)"),
+    "polyfit_quadratic": Pipeline(polyfit_quadratic, POLYFIT_SQL, "degree-2 least-squares fit via exact normal-equation moments (PolyFitEvaluator)"),
 }

@@ -146,3 +146,62 @@ def test_dbscan_pipeline(ray_session):
     n_rows = len(pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id"]))
     assert int(a["n"].sum()) == n_rows  # every vector labelled exactly once
     assert (a["cluster"] >= -1).all()
+
+
+def test_polyfit_matches_numpy(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from lucene_solr_ray.pipelines.evaluators import polyfit_quadratic
+
+    out = polyfit_quadratic(SF)
+    df = duckdb.sql(
+        f"SELECT datediff('day', DATE '1990-01-01', o_orderdate) AS x,"
+        f" CAST(ROUND(o_totalprice*100) AS BIGINT) AS y FROM '{SF}/orders.parquet'"
+    ).df()
+    ref = np.polyfit(df["x"].to_numpy(float), df["y"].to_numpy(float), 2)
+    assert np.isclose(out["c2"].iloc[0], ref[0], rtol=1e-6)
+    assert np.isclose(out["c1"].iloc[0], ref[1], rtol=1e-6)
+    assert np.isclose(out["c0"].iloc[0], ref[2], rtol=1e-6)
+
+
+def test_ttest_describe_match_numpy(ray_session):
+    import duckdb
+
+    from lucene_solr_ray.pipelines.evaluators import describe_stats, ttest_welch
+
+    d = describe_stats(SF)
+    c = duckdb.sql(
+        f"SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c FROM '{SF}/lineitem.parquet'"
+    ).df()["c"].to_numpy(np.int64)
+    assert int(d["n"].iloc[0]) == c.size
+    assert int(d["vmin"].iloc[0]) == c.min() and int(d["vmax"].iloc[0]) == c.max()
+    assert np.isclose(d["mean"].iloc[0], c.astype(float).mean(), rtol=1e-12)
+    assert np.isclose(d["variance"].iloc[0], c.astype(float).var(ddof=1), rtol=1e-9)
+
+    t = ttest_welch(SF)
+    ev = duckdb.sql(
+        f"SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS c FROM '{SF}/events.parquet'"
+        f" WHERE event_type IN ('click','view')"
+    ).df()
+    a = ev[ev["event_type"] == "click"]["c"].to_numpy(float)
+    b = ev[ev["event_type"] == "view"]["c"].to_numpy(float)
+    se = a.var(ddof=1) / a.size + b.var(ddof=1) / b.size
+    t_ref = (a.mean() - b.mean()) / np.sqrt(se)
+    assert np.isclose(t["t"].iloc[0], t_ref, rtol=1e-9)
+    dof_ref = se * se / (
+        (a.var(ddof=1) / a.size) ** 2 / (a.size - 1) + (b.var(ddof=1) / b.size) ** 2 / (b.size - 1)
+    )
+    assert np.isclose(t["dof"].iloc[0], dof_ref, rtol=1e-9)
+
+
+def test_hist_zscores_shapes(ray_session):
+    from lucene_solr_ray.pipelines.evaluators import HIST_BINS, hist_bins, zscores_monthly
+
+    h = hist_bins(SF)
+    assert (h["bin"] >= 0).all() and (h["bin"] < HIST_BINS).all()
+    assert (h["vmin"] <= h["vmax"]).all()
+    z = zscores_monthly(SF)
+    # standardized series: mean ~0, sample std ~1
+    assert abs(z["z"].mean()) < 1e-9
+    assert np.isclose(z["z"].std(ddof=1), 1.0, rtol=1e-12)
