@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from .common import Pipeline
 from . import ann, dedup, evaluators, facets, fulltext, geo, graph, lm, ml, multimodal, relational, sketches, sql, streaming, streams, text
+from ..sources import dih
 
 REGISTRY: dict[str, Pipeline] = {}
 for _mod in (relational, text, dedup, ann, streaming, multimodal, fulltext, graph, sketches, facets, evaluators, geo, ml, sql, streams, lm):
@@ -12,5 +13,9 @@ for _mod in (relational, text, dedup, ann, streaming, multimodal, fulltext, grap
         if _name in REGISTRY:
             raise ValueError(f"duplicate pipeline name {_name}")
         REGISTRY[_name] = _p
+for _name, _p in dih.pipelines().items():  # sources registry hook (deferred
+    if _name in REGISTRY:  # to avoid a pipelines<->sources import cycle)
+        raise ValueError(f"duplicate pipeline name {_name}")
+    REGISTRY[_name] = _p
 
 __all__ = ["REGISTRY", "Pipeline"]

@@ -135,3 +135,47 @@ def test_arrow_ipc_loader(ray_session, tmp_path):
     df = ds.to_pandas().sort_values("id").reset_index(drop=True)
     assert df["id"].tolist() == [1, 2, 3]
     assert df["text"].tolist() == ["a", "b", "c"]
+
+
+def test_dih_ingest_surface(ray_session, tmp_path):
+    import duckdb
+    import pandas as pd
+    import pytest as _pytest
+
+    from lucene_solr_ray.sources.dih import DIH_CONFIG, DIH_SQL, dih_ingest
+
+    sf = "/root/testdata/sf0.001"
+    ds = dih_ingest(sf, DIH_CONFIG)
+    # streams to a partitioned parquet sink (resumable import)
+    out_dir = str(tmp_path / "dih_out")
+    ds.write_parquet(out_dir)
+    got = duckdb.sql(f"SELECT * FROM '{out_dir}/*.parquet' ORDER BY id").df()
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = con.execute(DIH_SQL + " ORDER BY id").df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    # no-where root entity + number_format transformer
+    cfg = {
+        "entity": {
+            "table": "customer",
+            "fields": [("c_custkey", "id"), ("bal100", "bal100")],
+            "transformers": [
+                {
+                    "type": "template",
+                    "name": "bal_s",
+                    "template": "${c_nationkey}",
+                },
+                {"type": "number_format", "name": "bal100", "column": "bal_s"},
+            ],
+        }
+    }
+    df = dih_ingest(sf, cfg).to_pandas()
+    ref = duckdb.sql(f"SELECT c_custkey, c_nationkey FROM '{sf}/customer.parquet'").df()
+    assert len(df) == len(ref)
+    assert sorted(df["bal100"].unique()) == sorted(ref["c_nationkey"].unique())
+    with _pytest.raises(ValueError):
+        dih_ingest(sf, {"entity": {"table": "customer", "fields": [("c_custkey", "id")],
+                                   "transformers": [{"type": "js", "name": "x"}]}}).to_pandas()
