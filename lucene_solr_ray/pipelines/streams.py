@@ -1167,6 +1167,105 @@ def _reduce(ctx: Ctx, e: Expr) -> SRes:
     return SRes(df=out, sort=full)
 
 
+def _facet2d(ctx: Ctx, e: Expr) -> SRes:
+    # Facet2DStream: two-dimensional facet — the top dimX x-buckets by the
+    # metric, each with its top dimY y-buckets.  One combiner-partials pass
+    # over the (bounded) x×y lattice; the per-dimension cuts happen on the
+    # lattice, the coordinator never sees raw rows.
+    if not e.args or not isinstance(e.args[0], str):
+        raise StreamExprError("facet2D(collection, ...) needs a collection name")
+    x, y = str(e.params["x"]), str(e.params["y"])
+    dims = [int(v) for v in str(e.params.get("dimensions", "10,10")).split(",")]
+    if len(dims) != 2:
+        raise StreamExprError('facet2D dimensions="dimX,dimY"')
+    metrics = _metrics_of(e)
+    if len(metrics) != 1:
+        raise StreamExprError("facet2D needs exactly one metric")
+    m = metrics[0]
+    search_e = Expr("search", args=[e.args[0]], params={"q": e.params.get("q", "*:*")})
+    cols = list(dict.fromkeys([x, y] + ([m.col] if m.col != "*" else [])))
+    search_e.params["fl"] = ",".join(cols)
+    lattice = _rollup_partials(_search(ctx, search_e), [x, y], [m])
+    per_x = lattice.groupby(x, as_index=False)[m.out].sum()
+    top_x = per_x.sort_values([m.out, x], ascending=[False, True], kind="mergesort").head(dims[0])
+    out = lattice.merge(top_x[[x]], on=x)
+    out = out.sort_values([x, m.out, y], ascending=[True, False, True], kind="mergesort")
+    out = out.groupby(x, sort=False).head(dims[1]).reset_index(drop=True)
+    return SRes(df=out, sort=[(x, True), (m.out, False), (y, True)])
+
+
+def _topic(ctx: Ctx, e: Expr) -> SRes:
+    # TopicStream: checkpointed pub/sub over a collection — remembers the
+    # max ingested id and each call returns only NEW rows (id > watermark),
+    # read with a parquet predicate pushdown so caught-up polls touch only
+    # the row groups whose max exceeds the watermark.  The checkpoint file
+    # is the durable consumption state (Solr stores it in a checkpoint
+    # collection).  initialCheckpoint=0 replays from the beginning; absent,
+    # the first call initializes the watermark to the current max and
+    # returns nothing (Solr's default new-topic behavior).
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    if len(e.args) < 2 or not isinstance(e.args[0], str) or not isinstance(e.args[1], str):
+        raise StreamExprError("topic(checkpointDir, collection, ...) needs two names")
+    ckpt_dir, table = e.args[0], e.args[1]
+    if not ckpt_dir.startswith("/tmp/"):
+        raise StreamExprError("topic checkpointDir must be a /tmp/... path")
+    id_field = str(e.params.get("id", ""))
+    if not id_field:
+        raise StreamExprError('topic needs id="<monotonic int field>"')
+    schema = pq.read_schema(f"{ctx.sf_dir}/{table}.parquet")
+    fl = _split_fl(str(e.params.get("fl", ",".join(schema.names))))
+    os.makedirs(ckpt_dir, exist_ok=True)
+    ckpt = f"{ckpt_dir}/topic_{table}_{id_field}.json"
+    wm: int | None = None
+    if os.path.exists(ckpt):
+        with open(ckpt) as f:
+            wm = int(json.load(f)["checkpoint"])
+    elif "initialCheckpoint" in e.params:
+        wm = int(str(e.params["initialCheckpoint"])) - 1
+
+    import ray.data as rd
+
+    cur_max = int(
+        pq.read_table(f"{ctx.sf_dir}/{table}.parquet", columns=[id_field])[id_field]
+        .to_pandas()
+        .max()
+    )
+    if wm is None:  # new topic, default: start from NOW
+        new_df = pd.DataFrame({c: pd.Series(dtype="object") for c in fl})
+        res = SRes(df=new_df)
+    else:
+        import pyarrow.dataset as pds
+
+        ds = rd.read_parquet(
+            f"{ctx.sf_dir}/{table}.parquet",
+            columns=list(dict.fromkeys(fl + [id_field])),
+            filter=pds.field(id_field) > wm,
+        )
+        res = SRes(ds=ds.map_batches(lambda b, _fl=fl: b[_fl], batch_format="pandas"))
+    tmp = ckpt + ".tmp"  # atomic checkpoint advance (commit point)
+    with open(tmp, "w") as f:
+        json.dump({"checkpoint": cur_max}, f)
+    os.replace(tmp, ckpt)
+    return res
+
+
+def _executor(ctx: Ctx, e: Expr) -> SRes:
+    # ExecutorStream: each incoming tuple carries a streaming expression in
+    # its `expr_s` field; execute each and concatenate the results.  The
+    # task list is bounded (it is a work queue, not data), so the driver
+    # loop matches Solr's executor threads-on-the-worker model.
+    inner = _to_df(_eval_stream_arg(ctx, _stream_args(e)[0]))
+    if "expr_s" not in inner.columns:
+        raise StreamExprError("executor needs tuples with an expr_s field")
+    outs = [_to_df(_eval_stream_arg(ctx, parse_expr(str(s)))) for s in inner["expr_s"]]
+    outs = [o for o in outs if len(o)]
+    return SRes(df=pd.concat(outs, ignore_index=True) if outs else pd.DataFrame())
+
+
 def _update(ctx: Ctx, e: Expr) -> SRes:
     # UpdateStream: terminal sink writing the wrapped stream into a
     # destination collection (a parquet directory). Unbounded inputs stream
@@ -1266,6 +1365,9 @@ REGISTRY_STREAMS: dict[str, Callable[[Ctx, Expr], SRes]] = {
     "null": _null,
     "reduce": _reduce,
     "plist": _list_stream,  # parallel list: Ray runs each plan data-parallel
+    "facet2D": _facet2d,
+    "topic": _topic,
+    "executor": _executor,
 }
 
 
@@ -1435,7 +1537,37 @@ SELECT event_id, user_id FROM h2 ORDER BY xor(h, h >> 13), event_id LIMIT 15
 """
 
 
+def stream_expr_facet2d(sf_dir: str):
+    return run_expr(
+        'facet2D(customer, q="*:*", x="c_mktsegment", y="c_nationkey",'
+        ' dimensions="3,2", count(*))',
+        sf_dir,
+    )
+
+
+STREAM_EXPR_FACET2D_SQL = """
+WITH l AS (
+  SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS "count(*)"
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+),
+px AS (SELECT c_mktsegment, SUM("count(*)") AS t FROM l GROUP BY c_mktsegment),
+topx AS (
+  SELECT c_mktsegment FROM px
+  QUALIFY row_number() OVER (ORDER BY t DESC, c_mktsegment) <= 3
+)
+SELECT l.c_mktsegment, c_nationkey, "count(*)" FROM l JOIN topx USING (c_mktsegment)
+QUALIFY row_number() OVER (PARTITION BY l.c_mktsegment
+                           ORDER BY "count(*)" DESC, c_nationkey) <= 2
+ORDER BY c_mktsegment, "count(*)" DESC, c_nationkey
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "stream_expr_facet2d": Pipeline(
+        stream_expr_facet2d,
+        STREAM_EXPR_FACET2D_SQL,
+        "streaming-expression language: facet2D two-dimensional facet with per-dimension cuts",
+    ),
     "stream_expr_drill": Pipeline(
         stream_expr_drill,
         STREAM_EXPR_DRILL_SQL,

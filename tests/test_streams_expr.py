@@ -523,3 +523,70 @@ def test_random_analyze_null_reduce_streams(ray_session):
 
     pl = run_expr('plist(search(region, fl="r_regionkey"), search(nation, fl="n_nationkey"))', SF)
     assert len(pl) == 30
+
+
+def test_facet2d_stream(ray_session):
+    from lucene_solr_ray.pipelines.streams import STREAM_EXPR_FACET2D_SQL
+
+    out = duel(
+        'facet2D(customer, q="*:*", x="c_mktsegment", y="c_nationkey",'
+        ' dimensions="3,2", count(*))',
+        STREAM_EXPR_FACET2D_SQL,
+    )
+    assert out["c_mktsegment"].nunique() == 3
+    assert (out.groupby("c_mktsegment").size() <= 2).all()
+    with pytest.raises(StreamExprError):
+        run_expr('facet2D(customer, x="c_mktsegment", y="c_nationkey")', SF)
+
+
+def test_topic_stream_checkpointed(ray_session, tmp_path):
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    sf_tmp = str(tmp_path / "sf")
+    ckpt = "/tmp/topic_ckpt_test"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    import os
+
+    os.makedirs(sf_tmp)
+    shutil.copy(f"{SF}/events.parquet", f"{sf_tmp}/events.parquet")
+    expr = f'topic({ckpt}, events, fl="event_id,event_type", id="event_id", initialCheckpoint=0)'
+    first = run_expr(expr, sf_tmp)
+    n_all = len(duck("SELECT * FROM events"))
+    assert len(first) == n_all  # initialCheckpoint=0 → full replay
+    second = run_expr(expr, sf_tmp)
+    assert len(second) == 0  # caught up
+    # new rows appended → only the delta comes back
+    t = pq.read_table(f"{SF}/events.parquet")
+    maxid = int(t["event_id"].to_pandas().max())
+    delta = t.slice(0, 7).to_pandas()
+    delta["event_id"] = np.arange(maxid + 1, maxid + 8, dtype="int64")
+    pq.write_table(
+        __import__("pyarrow").Table.from_pandas(delta, preserve_index=False),
+        f"{sf_tmp}/events2.parquet",
+    )
+    # single-file collection: rewrite events.parquet with the union
+    full = pd.concat([t.to_pandas(), delta], ignore_index=True)
+    pq.write_table(
+        __import__("pyarrow").Table.from_pandas(full, preserve_index=False),
+        f"{sf_tmp}/events.parquet",
+    )
+    third = run_expr(expr, sf_tmp)
+    assert sorted(third["event_id"]) == list(range(maxid + 1, maxid + 8))
+    # default (no initialCheckpoint): new topic starts at NOW → empty
+    shutil.rmtree(ckpt)
+    expr_now = f'topic({ckpt}, events, fl="event_id", id="event_id")'
+    assert len(run_expr(expr_now, sf_tmp)) == 0
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_executor_stream(ray_session):
+    out = run_expr(
+        'executor(list(tuple(expr_s="echo(alpha)"),'
+        ' tuple(expr_s="search(region, fl=\\"r_regionkey\\")")))',
+        SF,
+    )
+    assert len(out) == 6  # 1 echo row + 5 regions
+    with pytest.raises(StreamExprError):
+        run_expr('executor(search(region, fl="r_regionkey"))', SF)
