@@ -55,6 +55,9 @@ SUITE = [
     "sql_groupby", "facet_pivot", "repetition_signals",
     # round-3e additions: streaming-expression language, LM perplexity
     "stream_expr_rollup", "stream_expr_join", "lm_perplexity",
+    # round-3f additions: DIH ingestion, graph/2D-facet streams, polyfit
+    "dih_full_import", "stream_expr_nodes", "stream_expr_facet2d",
+    "polyfit_quadratic",
 ]
 
 

@@ -271,6 +271,7 @@ class _Parser:
 
     def select(self) -> Select:
         self.expect("kw", "select")
+        is_distinct = self.accept("kw", "distinct")
         cols: list[tuple[object, str]] = []
         while True:
             e = self.expr()
@@ -284,6 +285,7 @@ class _Parser:
             if not self.accept("op", ","):
                 break
         stmt = Select(cols)
+        stmt.distinct = is_distinct
         self.expect("kw", "from")
         stmt.table = self.expect("id")
         if self.accept("kw", "where"):
@@ -452,13 +454,17 @@ def execute_sql(sf_dir: str, sql: str) -> pd.DataFrame:
 
     if not aggs and not stmt.group_by:
         # pure scan: filter + project per batch; ORDER+LIMIT → per-batch
-        # top-k, merged on the driver (only k rows per batch move)
+        # top-k, merged on the driver (only k rows per batch move).
+        # SELECT DISTINCT dedupes per batch (a mergeable partial — only the
+        # batch's distinct domain moves) and once more on the driver.
         def scan(batch: pd.DataFrame) -> pd.DataFrame:
             if stmt.where is not None:
                 batch = batch[np.asarray(_eval(stmt.where, batch), dtype=bool)]
             out = pd.DataFrame(index=batch.index)
             for e, name in stmt.cols:
                 out[name] = _eval(e, batch)
+            if stmt.distinct:
+                out = out.drop_duplicates()
             if stmt.order_by and stmt.limit is not None:
                 keys = [k for k, _ in stmt.order_by]
                 asc = [a for _, a in stmt.order_by]
@@ -466,16 +472,25 @@ def execute_sql(sf_dir: str, sql: str) -> pd.DataFrame:
             return out
 
         res = ds.map_batches(scan, batch_format="pandas").to_pandas()
+        if stmt.distinct:
+            res = res.drop_duplicates()
     else:
-        # grouped aggregation: per-batch combiner partials, coordinator merge
+        # grouped aggregation: per-batch combiner partials, coordinator
+        # merge.  COUNT(DISTINCT x) is handled separately below: its partial
+        # is the batch's distinct (group, value) PAIRS, not a scalar.
+        if any(a.distinct and a.fn != "count" for a in aggs):
+            raise ValueError("DISTINCT is only supported inside COUNT(...)")
         gb = stmt.group_by
+        dist_by_key: dict[str, Agg] = {_agg_key(a): a for a in aggs if a.distinct}
         plan: dict[tuple[str, str], str] = {}  # (op, agg key) -> partial col
         for a in aggs:
+            if a.distinct:
+                continue
             key = _agg_key(a)
             ops = [("sum", key), ("count", key)] if a.fn == "avg" else [(a.fn, key)]
             for op, k in ops:
                 plan.setdefault((op, k), f"{op}{k}")
-        by_key: dict[str, Agg] = {_agg_key(a): a for a in aggs}
+        by_key: dict[str, Agg] = {_agg_key(a): a for a in aggs if not a.distinct}
 
         def partial(batch: pd.DataFrame) -> pd.DataFrame:
             if stmt.where is not None:
@@ -501,16 +516,54 @@ def execute_sql(sf_dir: str, sql: str) -> pd.DataFrame:
                 return g.groupby("_g", as_index=False).agg(merged_ops).drop(columns=["_g"]) if len(g) else g.head(0).drop(columns=["_g"])
             return g.groupby(gb, as_index=False).agg(merged_ops)
 
-        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-        merge_ops = {colname: ("sum" if op in ("sum", "count") else op) for (op, _), colname in plan.items()}
-        if parts.empty:  # zero matching rows anywhere: rebuild a stable schema
-            parts = pd.DataFrame({**{k: pd.Series([], dtype=object) for k in gb},
-                                  **{c: pd.Series([], dtype="int64") for c in merge_ops}})
-        if gb:
-            merged = parts.groupby(gb, as_index=False).agg(merge_ops)
-        else:
-            merged = parts.agg(merge_ops).to_frame().T if len(parts) else parts
+        merged: pd.DataFrame | None = None
+        if plan:
+            parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+            merge_ops = {colname: ("sum" if op in ("sum", "count") else op) for (op, _), colname in plan.items()}
+            if parts.empty:  # zero matching rows anywhere: rebuild a stable schema
+                parts = pd.DataFrame({**{k: pd.Series([], dtype=object) for k in gb},
+                                      **{c: pd.Series([], dtype="int64") for c in merge_ops}})
+            if gb:
+                merged = parts.groupby(gb, as_index=False).agg(merge_ops)
+            else:
+                merged = parts.agg(merge_ops).to_frame().T if len(parts) else parts
         aggcol = {k: v for k, v in plan.items()}
+
+        # COUNT(DISTINCT x): per-batch distinct (group, value) pairs →
+        # driver dedupe + per-group count.  Rows leaving each task are
+        # bounded by the batch's distinct pair domain, not its size.
+        for dkey, a in dist_by_key.items():
+            colname = f"dcnt{dkey}"
+
+            def dpart(batch: pd.DataFrame, _a=a) -> pd.DataFrame:
+                if stmt.where is not None:
+                    batch = batch[np.asarray(_eval(stmt.where, batch), dtype=bool)]
+                g = pd.DataFrame(index=batch.index)
+                for k in gb:
+                    g[k] = batch[k]
+                g["_v"] = _eval(_a.arg, batch)
+                return g.dropna(subset=["_v"]).drop_duplicates()
+
+            pairs = ds.map_batches(dpart, batch_format="pandas").to_pandas().drop_duplicates()
+            if pairs.empty and not all(k in pairs.columns for k in gb):
+                pairs = pd.DataFrame({**{k: pd.Series([], dtype=object) for k in gb},
+                                      "_v": pd.Series([], dtype=object)})
+            if gb:
+                cnt = pairs.groupby(gb, as_index=False).agg(**{colname: ("_v", "size")})
+                cnt[colname] = cnt[colname].astype("int64")
+                if merged is None:
+                    merged = cnt
+                else:
+                    merged = merged.merge(cnt, on=gb, how="left")
+                    merged[colname] = merged[colname].fillna(0).astype("int64")
+            else:
+                n_uni = np.int64(len(pairs))
+                if merged is None:
+                    merged = pd.DataFrame({colname: [n_uni]})
+                else:
+                    merged[colname] = n_uni
+            aggcol[("count", dkey)] = colname
+        assert merged is not None
         if stmt.having is not None:
             merged = merged[np.asarray(_eval_with_aggs(stmt.having, merged, aggcol), dtype=bool)]
         res = pd.DataFrame(index=merged.index)
@@ -569,7 +622,38 @@ def _twin(sql: str) -> str:
     return sql.replace("SUM(p_size) AS total_size", "CAST(SUM(p_size) AS BIGINT) AS total_size")
 
 
+SQL_DISTINCT = """
+SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+WHERE o_totalprice > 100000
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+def sql_distinct(sf_dir: str) -> pd.DataFrame:
+    return execute_sql(sf_dir, SQL_DISTINCT)
+
+
+SQL_COUNT_DISTINCT = """
+SELECT event_type, COUNT(DISTINCT user_id) AS uniq_users, COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def sql_count_distinct(sf_dir: str) -> pd.DataFrame:
+    return execute_sql(sf_dir, SQL_COUNT_DISTINCT)
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "sql_distinct": Pipeline(
+        sql_distinct,
+        SQL_DISTINCT,
+        "Parallel SQL handler: SELECT DISTINCT via mergeable per-batch dedupe partials",
+    ),
+    "sql_count_distinct": Pipeline(
+        sql_count_distinct,
+        SQL_COUNT_DISTINCT,
+        "Parallel SQL handler: COUNT(DISTINCT) via distinct-pair partials + driver merge",
+    ),
     "sql_select": Pipeline(
         sql_select,
         _twin(SQL_SELECT),

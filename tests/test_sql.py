@@ -116,3 +116,25 @@ def test_empty_result_group(ray_session):
 
 def test_count_distinct_unsupported_vs_column_count(ray_session):
     duel("SELECT event_type, COUNT(value) AS nv FROM events GROUP BY event_type ORDER BY event_type")
+
+
+def test_select_distinct_and_count_distinct(ray_session):
+    # duel both new forms against DuckDB over sf0.001
+    duel("SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus")
+    duel(
+        "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders"
+        " WHERE o_totalprice > 50000 ORDER BY o_orderpriority, o_orderstatus"
+    )
+    duel(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS u, COUNT(*) AS n"
+        " FROM events GROUP BY event_type ORDER BY event_type"
+    )
+    # ungrouped COUNT(DISTINCT), mixed with nothing else
+    duel("SELECT COUNT(DISTINCT user_id) AS u FROM events")
+    # HAVING over the distinct count
+    duel(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS u FROM events"
+        " GROUP BY event_type HAVING COUNT(DISTINCT user_id) > 1 ORDER BY event_type"
+    )
+    with pytest.raises(ValueError):
+        execute_sql(SF, "SELECT SUM(DISTINCT value) FROM events")
