@@ -1167,6 +1167,75 @@ def _reduce(ctx: Ctx, e: Expr) -> SRes:
     return SRes(df=out, sort=full)
 
 
+def _priority(ctx: Ctx, e: Expr) -> SRes:
+    # PriorityStream: two wrapped (topic) streams — drain the high-priority
+    # one first; the low-priority stream's tuples flow only when the high
+    # one is empty.
+    ss = _stream_args(e)
+    if len(ss) != 2:
+        raise StreamExprError("priority needs exactly two stream operands")
+    hi = _eval_stream_arg(ctx, ss[0])
+    hi_df = _to_df(hi)
+    if len(hi_df):
+        return SRes(df=hi_df, sort=hi.sort)
+    return _eval_stream_arg(ctx, ss[1])
+
+
+def _delete(ctx: Ctx, e: Expr) -> SRes:
+    # DeleteStream: delete-by-id sink against an update() destination
+    # collection — rewrites each parquet part without the matching ids,
+    # atomically per file (the tombstone-install analog for stream
+    # collections; the INDEX delete path is index tombstones).
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not e.args or not isinstance(e.args[0], str) or not e.args[0].startswith("/tmp/"):
+        raise StreamExprError("delete(dest, stream): dest must be a /tmp/... path")
+    dest = e.args[0]
+    id_field = str(e.params.get("id", "id"))
+    inner = _to_df(_eval_stream_arg(ctx, _stream_args(e)[0]))
+    if id_field not in inner.columns:
+        raise StreamExprError(f"delete: id field {id_field!r} not in the wrapped stream")
+    ids = set(inner[id_field].tolist())
+    deleted = 0
+    for f in sorted(os.listdir(dest)):
+        if not f.endswith(".parquet"):
+            continue
+        path = f"{dest}/{f}"
+        t = pq.read_table(path)
+        keep = ~pd.Series(t[id_field].to_pandas()).isin(ids)
+        if not keep.all():
+            deleted += int((~keep).sum())
+            pq.write_table(t.filter(pa.array(keep.to_numpy())), path + ".tmp")
+            os.replace(path + ".tmp", path)
+    return SRes(df=pd.DataFrame({"totalDeleted": [np.int64(deleted)]}))
+
+
+def _knn_mlt(ctx: Ctx, e: Expr) -> SRes:
+    # KnnStream ("knn": MoreLikeThis of a seed document — distinct from
+    # knnSearch's vector ANN): term selection + scatter-gather through the
+    # BM25 shard actor pool (Searcher.more_like_this).
+    from .fulltext import _searcher
+
+    doc = int(str(e.params["id"]))
+    k = int(str(e.params.get("k", 10)))
+    mqt = int(str(e.params.get("maxQueryTerms", 10)))
+    with _searcher(ctx.sf_dir) as s:
+        hits = s.more_like_this(doc, k=k, max_query_terms=mqt)
+    return SRes(
+        df=pd.DataFrame(
+            {
+                "doc_id": pd.Series([d for d, _ in hits], dtype="int64"),
+                "score": pd.Series([sc for _, sc in hits], dtype="float32"),
+                "rank": pd.Series(range(1, len(hits) + 1), dtype="int64"),
+            }
+        ),
+        sort=[("rank", True)],
+    )
+
+
 def _facet2d(ctx: Ctx, e: Expr) -> SRes:
     # Facet2DStream: two-dimensional facet — the top dimX x-buckets by the
     # metric, each with its top dimY y-buckets.  One combiner-partials pass
@@ -1368,6 +1437,9 @@ REGISTRY_STREAMS: dict[str, Callable[[Ctx, Expr], SRes]] = {
     "facet2D": _facet2d,
     "topic": _topic,
     "executor": _executor,
+    "priority": _priority,
+    "delete": _delete,
+    "knn": _knn_mlt,
 }
 
 

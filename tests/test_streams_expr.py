@@ -590,3 +590,46 @@ def test_executor_stream(ray_session):
     assert len(out) == 6  # 1 echo row + 5 regions
     with pytest.raises(StreamExprError):
         run_expr('executor(search(region, fl="r_regionkey"))', SF)
+
+
+def test_priority_delete_knn_streams(ray_session, tmp_path):
+    import os
+
+    # priority: high stream non-empty wins; empty high falls through
+    hi = run_expr(
+        'priority(search(region, fl="r_regionkey"), search(nation, fl="n_nationkey"))', SF
+    )
+    assert list(hi.columns) == ["r_regionkey"] and len(hi) == 5
+    lo = run_expr(
+        'priority(search(region, q="r_regionkey:[90 TO 99]", fl="r_regionkey"),'
+        ' search(nation, fl="n_nationkey"))',
+        SF,
+    )
+    assert list(lo.columns) == ["n_nationkey"] and len(lo) == 25
+
+    # delete: update sink → delete-by-id → re-read shows survivors only
+    dest = "/tmp/streams_delete_test"
+    import shutil
+
+    shutil.rmtree(dest, ignore_errors=True)
+    run_expr(f'update({dest}, search(region, fl="r_regionkey,r_name"))', SF)
+    out = run_expr(
+        f'delete({dest}, search(region, q="r_regionkey:[0 TO 1]", fl="r_regionkey"),'
+        ' id="r_regionkey")',
+        SF,
+    )
+    assert out["totalDeleted"].tolist() == [2]
+    import duckdb as _d
+
+    left = _d.sql(f"SELECT r_regionkey FROM '{dest}/*.parquet' ORDER BY 1").df()
+    assert left["r_regionkey"].tolist() == [2, 3, 4]
+    shutil.rmtree(dest, ignore_errors=True)
+
+    # knn: MLT stream == Searcher.more_like_this
+    from lucene_solr_ray.pipelines.fulltext import _searcher
+
+    got = run_expr('knn(documents, id="3", k=5, maxQueryTerms=8)', SF)
+    with _searcher(SF) as s:
+        want = s.more_like_this(3, k=5, max_query_terms=8)
+    assert got["doc_id"].tolist() == [d for d, _ in want]
+    assert np.allclose(got["score"].to_numpy(), np.array([sc for _, sc in want], "f4"))
