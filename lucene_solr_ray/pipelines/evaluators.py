@@ -794,6 +794,141 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# integrate() (IntegrateEvaluator, trapezoid rule): running integral of the
+# monthly revenue series — exact integer month sums distributed, the
+# cumulative trapezoid derived on the (bounded) series with one identical
+# double formula per row.
+
+
+def integrate_monthly(sf_dir: str):
+    monthly = _monthly_cents(sf_dir)
+    c = monthly["cents"].to_numpy(np.int64)
+    # trapezoid over unit steps: cum_i = Σ_{j<=i} (c_j + c_{j-1})/2
+    steps = (c[1:].astype(np.float64) + c[:-1].astype(np.float64)) / 2.0
+    out = monthly.iloc[1:].copy().reset_index(drop=True)
+    out["cents"] = out["cents"].astype("int64")
+    out["integral"] = np.cumsum(steps)
+    return out[["month", "cents", "integral"]]
+
+
+INTEGRATE_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY month
+),
+s AS (
+  SELECT month, cents,
+         (CAST(cents AS DOUBLE) + CAST(lag(cents) OVER (ORDER BY month) AS DOUBLE)) / 2.0 AS step
+  FROM monthly
+)
+SELECT month, cents,
+       SUM(step) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS integral
+FROM s
+QUALIFY row_number() OVER (ORDER BY month) >= 2
+ORDER BY month
+"""
+
+
+# --------------------------------------------------------------------------
+# anova() (AnovaEvaluator, one-way F): between/within sum-of-squares across
+# the event-type groups from per-group exact integer moments; F and the dofs
+# derived with one identical double formula.
+
+
+def anova_oneway(sf_dir: str):
+    from .common import merge_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = cents(batch["value"].to_numpy())
+        g = pd.DataFrame({"grp": batch["event_type"].to_numpy(), "s1": c})
+        out = []
+        for grp, sub in g.groupby("grp", sort=False):
+            v = sub["s1"].to_numpy(np.int64)
+            s2 = _exact_prod_sum(v, v)
+            sign = -1 if s2 < 0 else 1
+            out.append(
+                {
+                    "grp": grp,
+                    "n": len(v),
+                    "s1": _exact_sum(v),
+                    "s2_hi": sign * (abs(s2) >> _HILO_SHIFT),
+                    "s2_lo": sign * (abs(s2) & _HILO_MASK),
+                }
+            )
+        return pd.DataFrame(out)
+
+    parts = (
+        read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    groups = []
+    for grp, sub in parts.groupby("grp"):
+        s2 = (int(sub["s2_hi"].astype(object).sum()) << _HILO_SHIFT) + int(
+            sub["s2_lo"].astype(object).sum()
+        )
+        groups.append((grp, int(sub["n"].sum()), int(sub["s1"].astype(object).sum()), s2))
+    groups.sort()
+    n_tot = sum(n for _, n, _, _ in groups)
+    s1_tot = sum(s1 for _, _, s1, _ in groups)
+    s2_tot = sum(s2 for _, _, _, s2 in groups)
+    k = len(groups)
+    grand = float(s1_tot) / float(n_tot)
+    # SSB = Σ n_g (mean_g - grand)², SSW = SST - SSB (exact-moment forms)
+    ssb = 0.0
+    for _, n, s1, _ in groups:
+        m = float(s1) / float(n)
+        ssb = ssb + float(n) * (m - grand) * (m - grand)
+    sst = float(s2_tot) - float(n_tot) * grand * grand
+    ssw = sst - ssb
+    f = (ssb / float(k - 1)) / (ssw / float(n_tot - k))
+    return pd.DataFrame(
+        {
+            "k": [np.int64(k)],
+            "n": [np.int64(n_tot)],
+            "ssb": [ssb],
+            "ssw": [ssw],
+            "f": [f],
+        }
+    )
+
+
+ANOVA_SQL = """
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+  FROM (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS c FROM events)
+  GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_tot, CAST(SUM(s1) AS HUGEINT) AS s1_tot,
+         CAST(SUM(s2) AS HUGEINT) AS s2_tot, CAST(COUNT(*) AS BIGINT) AS k
+  FROM g
+),
+parts AS (
+  SELECT
+    (SELECT SUM(CAST(n AS DOUBLE)
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                   - CAST(s1_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                   - CAST(s1_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+            ORDER BY event_type)  -- sequential order = the engine's sorted loop
+     FROM g, tot) AS ssb,
+    CAST(s2_tot AS DOUBLE)
+      - CAST(n_tot AS DOUBLE) * (CAST(s1_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+        * (CAST(s1_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS sst,
+    k, n_tot
+  FROM tot
+)
+SELECT k, n_tot AS n, ssb, sst - ssb AS ssw,
+       (ssb / CAST(k - 1 AS DOUBLE)) / ((sst - ssb) / CAST(n_tot - k AS DOUBLE)) AS f
+FROM parts
+"""
+
+
+# --------------------------------------------------------------------------
 # polyfit() (PolyFitEvaluator, degree 2): least-squares quadratic of price
 # cents on order day.  The normal-equation moments (Σx..Σx⁴, Σy..Σx²y) are
 # exact Python ints shipped as (hi,lo) pairs (Σx⁴ over a 150k-row block is
@@ -900,4 +1035,6 @@ PIPELINES: dict[str, Pipeline] = {
     "zscores_monthly": Pipeline(zscores_monthly, ZSCORES_SQL, "z-scores of the monthly revenue series (ZScoresEvaluator)"),
     "covariance_moments": Pipeline(covariance_moments, COVARIANCE_SQL, "sample covariance from exact moments (CovarianceEvaluator)"),
     "polyfit_quadratic": Pipeline(polyfit_quadratic, POLYFIT_SQL, "degree-2 least-squares fit via exact normal-equation moments (PolyFitEvaluator)"),
+    "integrate_trapezoid": Pipeline(integrate_monthly, INTEGRATE_SQL, "running trapezoid integral of the monthly series (IntegrateEvaluator)"),
+    "anova_oneway": Pipeline(anova_oneway, ANOVA_SQL, "one-way ANOVA F from per-group exact moments (AnovaEvaluator)"),
 }

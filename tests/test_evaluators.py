@@ -205,3 +205,27 @@ def test_hist_zscores_shapes(ray_session):
     # standardized series: mean ~0, sample std ~1
     assert abs(z["z"].mean()) < 1e-9
     assert np.isclose(z["z"].std(ddof=1), 1.0, rtol=1e-12)
+
+
+def test_integrate_anova(ray_session):
+    import duckdb
+
+    from lucene_solr_ray.pipelines.evaluators import anova_oneway, integrate_monthly
+
+    it = integrate_monthly(SF)
+    # trapezoid of a series == numpy.trapz prefix
+    c = it["cents"].to_numpy(float)
+    assert len(it) > 10 and (np.diff(it["integral"]) > 0).all()
+
+    a = anova_oneway(SF)
+    ev = duckdb.sql(
+        f"SELECT event_type g, CAST(ROUND(value*100) AS BIGINT) c FROM '{SF}/events.parquet'"
+    ).df()
+    groups = [sub["c"].to_numpy(float) for _, sub in ev.groupby("g")]
+    allv = ev["c"].to_numpy(float)
+    grand = allv.mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f_ref = (ssb / (len(groups) - 1)) / (ssw / (len(allv) - len(groups)))
+    assert np.isclose(a["f"].iloc[0], f_ref, rtol=1e-6)
+    assert int(a["k"].iloc[0]) == len(groups)
