@@ -1,0 +1,96 @@
+"""Real image codec + decode/resize/hash/dedup pipeline oracles."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_ray.pipelines.images import (
+    ahash64,
+    decode_bmp,
+    decode_image_bytes,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    image_ahash_dedup,
+    image_features,
+    luminance,
+    resize_nearest,
+    synth_image,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 23),
+    w=st.integers(1, 23),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_codec_round_trip(h, w, seed):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    assert np.array_equal(decode_image_bytes(encode_bmp(img)), img)
+    assert np.array_equal(decode_image_bytes(encode_ppm(img)), img)
+
+
+def test_decode_rejects_and_dispatches():
+    with pytest.raises(ValueError):
+        decode_bmp(b"XXnot a bmp")
+    with pytest.raises(NotImplementedError):
+        decode_image_bytes(b"\x89PNG\r\n\x1a\nfakepng")  # codec integration point
+    # wrong bpp rejected, not garbage-decoded
+    img = np.zeros((2, 2, 3), np.uint8)
+    b = bytearray(encode_bmp(img))
+    b[28] = 8  # claim 8bpp
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(b))
+
+
+def test_resize_and_hash_reference():
+    img = synth_image(5)
+    small = resize_nearest(img, 8, 8)
+    # scalar reference for nearest-neighbor
+    h, w = img.shape[:2]
+    for r in range(8):
+        for c in range(8):
+            assert (small[r, c] == img[(r * h) // 8, (c * w) // 8]).all()
+    # ahash matches a scalar recomputation and is int64-ranged
+    lum = luminance(small)
+    bits = (lum > lum.mean()).reshape(64)
+    want = 0
+    for b in bits:
+        want = (want << 1) | int(b)
+    want -= 1 << 63
+    assert ahash64(img) == want
+    assert -(2**63) <= ahash64(img) < 2**63
+
+
+def test_image_pipelines(ray_session):
+    feats = image_features(SF)
+    import duckdb
+
+    n_docs = duckdb.sql(f"SELECT COUNT(*) FROM '{SF}/documents.parquet'").fetchone()[0]
+    assert len(feats) == n_docs
+    # every 7th doc is a planted duplicate of its predecessor
+    f = feats.set_index("doc_id")
+    for d in range(7, min(int(feats["doc_id"].max()), 70) + 1, 7):
+        assert f.loc[d, "ahash"] == f.loc[d - 1, "ahash"], d
+        assert f.loc[d, "height"] == f.loc[d - 1, "height"]
+    # feature values match a direct decode of the synthetic corpus
+    img3 = synth_image(3)
+    assert f.loc[3, "height"] == img3.shape[0] and f.loc[3, "width"] == img3.shape[1]
+    assert f.loc[3, "ahash"] == ahash64(img3)
+    thumb = resize_nearest(img3, 16, 16).reshape(-1, 3).mean(axis=0)
+    assert np.isclose(f.loc[3, "mean_r"], thumb[0])
+
+    dups = image_ahash_dedup(SF)
+    planted = {ahash64(synth_image(d)) for d in range(7, n_docs, 7)}
+    assert planted <= set(dups["ahash"])  # every planted pair found
+    assert (dups["n"] >= 2).all()
+    # determinism
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(dups, image_ahash_dedup(SF))
