@@ -1,0 +1,238 @@
+"""Real audio decode/feature stages — pure numpy RIFF/WAV PCM codec.
+
+Uncompressed 16-bit PCM WAV needs no media libs, so — like the BMP/PPM
+image path (`pipelines/images.py`) — the audio chain here is genuinely
+end-to-end: bytes in, signal math out.  Compressed codecs (MP3/AAC/OPUS)
+remain the `multimodal.decode_image`-style integration point.
+
+Stages (actor-pool `map_batches` over binary payload columns):
+- `encode_wav` / `decode_wav`: RIFF little-endian, PCM16 mono/stereo
+  (public Microsoft/IBM WAVE spec)
+- frame features: RMS energy, zero-crossing rate, spectral centroid
+  (rFFT), duration — the standard VAD/quality-filter signals
+- `audio_silence_ratio`: fraction of low-energy frames (the silence-trim
+  pre-filter a speech training pipeline runs before transcription)
+- `audio_fingerprint`: 32-bit energy-delta hash over band energies (the
+  Haitsma–Kalker/Shazam-family shape at toy size) for exact near-dup
+  grouping; duplicates planted every 9th doc in the synthetic corpus.
+
+Rows-only in the gate (signal DSP has no SQL twin); pytest oracles:
+bit-exact codec round-trip (hypothesis), scalar-reference features,
+planted duplicates found exactly.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .common import Pipeline, read
+
+# --------------------------------------------------------------------------
+# Codec (RIFF WAVE, PCM16)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 array (n,) mono or (n, 2) stereo → RIFF/WAVE PCM16 bytes."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav wants int16 samples")
+    ch = 1 if samples.ndim == 1 else samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    block = 2 * ch
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 bytes → (int16 samples [n] or [n, ch], rate).
+    Walks the chunk list (fmt may be followed by LIST/fact before data)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack_from("<I", b, i + 4)[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", b, i + 8)
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    codec, ch, rate, _, _, bits = fmt
+    if codec != 1 or bits != 16:
+        raise NotImplementedError("only PCM16 WAV is decoded here")
+    s = np.frombuffer(data, dtype="<i2").astype(np.int16)
+    if ch > 1:
+        s = s.reshape(-1, ch)
+    return s, rate
+
+
+# --------------------------------------------------------------------------
+# Signal features (vectorized; frames via reshape, no Python loops)
+
+FRAME = 256
+
+
+def _frames(x: np.ndarray, frame: int = FRAME) -> np.ndarray:
+    n = (x.size // frame) * frame
+    return x[:n].astype(np.float64).reshape(-1, frame)
+
+
+def rms_energy(x: np.ndarray, frame: int = FRAME) -> np.ndarray:
+    f = _frames(x, frame)
+    return np.sqrt((f * f).mean(axis=1))
+
+
+def zero_crossing_rate(x: np.ndarray, frame: int = FRAME) -> np.ndarray:
+    f = _frames(x, frame)
+    return (np.diff(np.signbit(f), axis=1) != 0).mean(axis=1)
+
+
+def spectral_centroid(x: np.ndarray, rate: int, frame: int = FRAME) -> np.ndarray:
+    f = _frames(x, frame)
+    mag = np.abs(np.fft.rfft(f, axis=1))
+    freqs = np.fft.rfftfreq(frame, d=1.0 / rate)
+    denom = mag.sum(axis=1)
+    denom[denom == 0] = 1.0
+    return (mag * freqs).sum(axis=1) / denom
+
+
+def audio_fingerprint32(x: np.ndarray, frame: int = FRAME, bands: int = 33) -> int:
+    """Haitsma–Kalker-style bit: sign of the energy delta across adjacent
+    frequency bands and time frames, folded (XOR) over frames → 32 bits."""
+    f = _frames(x, frame)
+    mag = np.abs(np.fft.rfft(f, axis=1))
+    edges = np.linspace(0, mag.shape[1], bands + 1).astype(int)
+    be = np.add.reduceat(mag, edges[:-1], axis=1)  # (frames, bands)
+    d = np.diff(be, axis=1)  # band deltas
+    if d.shape[0] < 2:
+        bits = (d[0] > 0).astype(np.uint32)
+    else:
+        dd = d[1:] - d[:-1]  # time deltas of band deltas
+        folded = np.bitwise_xor.reduce((dd > 0).astype(np.uint32), axis=0)
+        bits = folded
+    out = np.uint32(0)
+    for bit in bits[:32]:
+        out = np.uint32(out << np.uint32(1)) | np.uint32(bit)
+    return int(out)
+
+
+# --------------------------------------------------------------------------
+# Deterministic synthetic corpus: sine mixture + noise seeded per doc;
+# every 9th doc reuses the previous seed (planted duplicate).
+
+RATE = 8000
+
+
+def _seed_of(doc_id: int) -> int:
+    return doc_id - 1 if (doc_id % 9 == 0 and doc_id > 0) else doc_id
+
+
+def synth_audio(doc_id: int) -> np.ndarray:
+    seed = _seed_of(doc_id)
+    rng = np.random.default_rng(seed + 10_000)
+    n = FRAME * (4 + seed % 13)
+    t = np.arange(n) / RATE
+    f0 = 200.0 + (seed % 40) * 37.0
+    sig = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.25 * np.sin(2 * np.pi * 2.1 * f0 * t)
+    sig = sig + 0.05 * rng.standard_normal(n)
+    # leading/trailing silence so the silence-ratio stage has work to do
+    pad = np.zeros(FRAME * (seed % 3 + 1))
+    sig = np.concatenate([pad, sig, pad])
+    return np.clip(sig * 12000.0, -32768, 32767).astype(np.int16)
+
+
+class AudioDecoder:
+    """Actor-pool stage: WAV decode → frame features.  Frame size / rate
+    are actor state; __call__ handles one small batch of wide payloads."""
+
+    def __init__(self, silence_db: float = -30.0):
+        self.silence_thresh = 32768.0 * (10.0 ** (silence_db / 20.0))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, dur, nf, rms, zcr, cent, sil, fp = [], [], [], [], [], [], [], []
+        for did, payload in zip(
+            batch.column("doc_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            x, rate = decode_wav(payload)
+            e = rms_energy(x)
+            ids.append(did)
+            dur.append(x.size / rate)
+            nf.append(e.size)
+            rms.append(float(e.mean()) if e.size else 0.0)
+            zcr.append(float(zero_crossing_rate(x).mean()) if e.size else 0.0)
+            cent.append(float(spectral_centroid(x, rate).mean()) if e.size else 0.0)
+            sil.append(float((e < self.silence_thresh).mean()) if e.size else 1.0)
+            fp.append(audio_fingerprint32(x))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "duration_s": pa.array(dur, type=pa.float64()),
+                "n_frames": pa.array(nf, type=pa.int64()),
+                "rms": pa.array(rms, type=pa.float64()),
+                "zcr": pa.array(zcr, type=pa.float64()),
+                "centroid_hz": pa.array(cent, type=pa.float64()),
+                "silence_ratio": pa.array(sil, type=pa.float64()),
+                "fp32": pa.array(fp, type=pa.int64()),
+            }
+        )
+
+
+def _payloads(sf_dir: str):
+    def to_payload(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array([encode_wav(synth_audio(d), RATE) for d in ids], type=pa.binary()),
+            }
+        )
+
+    return read(sf_dir, "documents", ["doc_id"]).map_batches(
+        to_payload, batch_format="pyarrow", batch_size=256
+    )
+
+
+def audio_features(sf_dir: str):
+    out = (
+        _payloads(sf_dir)
+        .map_batches(AudioDecoder, batch_format="pyarrow", batch_size=64, concurrency=2)
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def audio_fp_dedup(sf_dir: str):
+    """Exact fingerprint dup groups via bounded (fp, count) partials."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = batch.column("fp32").to_numpy()
+        uniq, counts = np.unique(h, return_counts=True)
+        return pa.table({"fp32": pa.array(uniq), "n": pa.array(counts.astype(np.int64))})
+
+    parts = (
+        _payloads(sf_dir)
+        .map_batches(AudioDecoder, batch_format="pyarrow", batch_size=64, concurrency=2)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    g = parts.groupby("fp32", as_index=False)["n"].sum()
+    g = g[g["n"] >= 2].sort_values(["n", "fp32"], ascending=[False, True])
+    g["n"] = g["n"].astype("int64")
+    return g.reset_index(drop=True)
+
+
+PIPELINES: dict[str, Pipeline] = {
+    "audio_features": Pipeline(
+        audio_features, None, "REAL audio decode (numpy RIFF/WAV PCM16 codec) → RMS/ZCR/centroid/silence features"
+    ),
+    "audio_fp_dedup": Pipeline(
+        audio_fp_dedup, None, "audio fingerprint near-dup groups via bounded hash-count partials"
+    ),
+}

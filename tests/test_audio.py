@@ -1,0 +1,94 @@
+"""Real audio codec + feature/dedup pipeline oracles."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_ray.pipelines.audio import (
+    FRAME,
+    RATE,
+    audio_features,
+    audio_fingerprint32,
+    audio_fp_dedup,
+    decode_wav,
+    encode_wav,
+    rms_energy,
+    spectral_centroid,
+    synth_audio,
+    zero_crossing_rate,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@settings(max_examples=40, deadline=None)
+@given(n=st.integers(1, 3000), seed=st.integers(0, 2**31 - 1), stereo=st.booleans())
+def test_wav_round_trip(n, seed, stereo):
+    rng = np.random.default_rng(seed)
+    shape = (n, 2) if stereo else (n,)
+    x = rng.integers(-32768, 32768, size=shape, dtype=np.int16)
+    y, rate = decode_wav(encode_wav(x, 44100))
+    assert rate == 44100
+    assert np.array_equal(x, y)
+
+
+def test_wav_rejects_and_chunk_walk():
+    with pytest.raises(ValueError):
+        decode_wav(b"OggSnot a wav")
+    # extra chunk between fmt and data must be skipped
+    x = np.arange(-5, 5, dtype=np.int16)
+    b = encode_wav(x, 8000)
+    i = b.index(b"data")
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    patched = b[:i] + extra + b[i:]
+    patched = b"RIFF" + (len(patched) - 8 + len(extra)).to_bytes(4, "little") + patched[8:]
+    y, _ = decode_wav(patched)
+    assert np.array_equal(x, y)
+    # non-PCM rejected
+    bad = bytearray(encode_wav(x, 8000))
+    j = bad.index(b"fmt ")
+    bad[j + 8] = 3  # IEEE float codec id
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))
+
+
+def test_feature_scalar_reference():
+    x = synth_audio(4)
+    f = x[: (x.size // FRAME) * FRAME].astype(np.float64).reshape(-1, FRAME)
+    # RMS per frame
+    assert np.allclose(rms_energy(x), np.sqrt((f**2).mean(axis=1)))
+    # ZCR of a pure tone ≈ 2·f0/rate; use an integer-bin frequency
+    # (437.5 = 14 × 31.25 Hz bins) so spectral leakage doesn't smear the
+    # centroid — leakage tails legitimately bias non-integer-bin tones up
+    f0 = 437.5
+    t = np.arange(FRAME * 8) / RATE
+    tone = (10000 * np.sin(2 * np.pi * f0 * t)).astype(np.int16)
+    assert abs(zero_crossing_rate(tone).mean() - 2 * f0 / RATE) < 0.01
+    assert abs(spectral_centroid(tone, RATE).mean() - f0) < 5.0
+    # fingerprint deterministic + fits uint32
+    assert audio_fingerprint32(x) == audio_fingerprint32(x)
+    assert 0 <= audio_fingerprint32(x) < 2**32
+
+
+def test_audio_pipelines(ray_session):
+    import duckdb
+
+    feats = audio_features(SF)
+    n_docs = duckdb.sql(f"SELECT COUNT(*) FROM '{SF}/documents.parquet'").fetchone()[0]
+    assert len(feats) == n_docs
+    fset = feats.set_index("doc_id")
+    for d in range(9, min(int(feats["doc_id"].max()), 90) + 1, 9):
+        assert fset.loc[d, "fp32"] == fset.loc[d - 1, "fp32"], d
+        assert fset.loc[d, "n_frames"] == fset.loc[d - 1, "n_frames"]
+    # silence padding shows up in the ratio
+    assert (feats["silence_ratio"] > 0).all()
+    assert (feats["silence_ratio"] < 1).all()
+    x3 = synth_audio(3)
+    assert np.isclose(fset.loc[3, "duration_s"], x3.size / RATE)
+    assert fset.loc[3, "fp32"] == audio_fingerprint32(x3)
+
+    dups = audio_fp_dedup(SF)
+    planted = {audio_fingerprint32(synth_audio(d)) for d in range(9, n_docs, 9)}
+    assert planted <= set(dups["fp32"])
+    assert (dups["n"] >= 2).all()
