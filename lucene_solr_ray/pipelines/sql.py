@@ -44,6 +44,7 @@ _KEYWORDS = {
     "select", "from", "where", "group", "by", "having", "order", "limit",
     "and", "or", "not", "in", "between", "like", "as", "asc", "desc",
     "count", "sum", "avg", "min", "max", "is", "null", "distinct",
+    "join", "on",
 }
 
 
@@ -140,6 +141,7 @@ class Select:
     having: object | None = None
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (name, asc)
     limit: int | None = None
+    joins: list[tuple[str, str, str]] = field(default_factory=list)  # (table, left col, right col)
 
 
 class _Parser:
@@ -288,6 +290,14 @@ class _Parser:
         stmt.distinct = is_distinct
         self.expect("kw", "from")
         stmt.table = self.expect("id")
+        while self.accept("kw", "join"):
+            # INNER equi-join, one column each side: JOIN t ON a = b
+            jt = self.expect("id")
+            self.expect("kw", "on")
+            lcol = self.expect("id")
+            self.expect("op", "=")
+            rcol = self.expect("id")
+            stmt.joins.append((jt, lcol, rcol))
         if self.accept("kw", "where"):
             stmt.where = self.expr()
         if self.accept("kw", "group"):
@@ -450,7 +460,50 @@ def execute_sql(sf_dir: str, sql: str) -> pd.DataFrame:
         _find_aggs(e, aggs)
     if stmt.having is not None:
         _find_aggs(stmt.having, aggs)
-    ds = read(sf_dir, stmt.table, sorted(need) or None)
+
+    if stmt.joins:
+        # INNER equi-joins: every joined table is read ONCE (pruned to the
+        # referenced columns + key), broadcast via ray.put, and merged into
+        # each root batch — the small-side lookup-join shape.  Key sides are
+        # resolved by schema membership (TPC-H column prefixes are unique).
+        import pyarrow.parquet as pq
+        import ray
+
+        root_names = set(pq.read_schema(f"{sf_dir}/{stmt.table}.parquet").names)
+        avail = set(root_names)
+        join_plan: list[tuple[str, str, str, set[str], set[str]]] = []
+        for jt, a, b in stmt.joins:
+            jnames = set(pq.read_schema(f"{sf_dir}/{jt}.parquet").names)
+            if b in jnames and a in avail:
+                lk, rk = a, b
+            elif a in jnames and b in avail:
+                lk, rk = b, a
+            else:
+                raise ValueError(f"cannot resolve join keys {a} = {b} against {jt}")
+            rcols = ({c for c in need if c in jnames} - avail) | {rk}
+            # a LATER join's left key may be provided by THIS table
+            if lk not in root_names:
+                for _, _, _, rcols2, jnames2 in join_plan:
+                    if lk in jnames2:
+                        rcols2.add(lk)
+                        break
+            join_plan.append((jt, lk, rk, rcols, jnames))
+            avail |= jnames
+        root_need = sorted((need | {lk for _, lk, _, _, _ in join_plan}) & root_names)
+        ds = read(sf_dir, stmt.table, root_need or None)
+        refs = [
+            (lk, rk, ray.put(read(sf_dir, jt, sorted(rcols)).to_pandas()))
+            for jt, lk, rk, rcols, _ in join_plan
+        ]
+
+        def joiner(batch: pd.DataFrame) -> pd.DataFrame:
+            for lk, rk, ref in refs:
+                batch = batch.merge(ray.get(ref), left_on=lk, right_on=rk, how="inner")
+            return batch
+
+        ds = ds.map_batches(joiner, batch_format="pandas")
+    else:
+        ds = read(sf_dir, stmt.table, sorted(need) or None)
 
     if not aggs and not stmt.group_by:
         # pure scan: filter + project per batch; ORDER+LIMIT → per-batch
@@ -643,6 +696,20 @@ def sql_count_distinct(sf_dir: str) -> pd.DataFrame:
     return execute_sql(sf_dir, SQL_COUNT_DISTINCT)
 
 
+SQL_JOIN = """
+SELECT c_mktsegment, n_name, COUNT(*) AS n, SUM(c_nationkey) AS key_sum
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 0
+GROUP BY c_mktsegment, n_name
+HAVING COUNT(*) > 1
+ORDER BY c_mktsegment, n_name
+"""
+
+
+def sql_join(sf_dir: str) -> pd.DataFrame:
+    return execute_sql(sf_dir, SQL_JOIN)
+
+
 PIPELINES: dict[str, Pipeline] = {
     "sql_distinct": Pipeline(
         sql_distinct,
@@ -653,6 +720,13 @@ PIPELINES: dict[str, Pipeline] = {
         sql_count_distinct,
         SQL_COUNT_DISTINCT,
         "Parallel SQL handler: COUNT(DISTINCT) via distinct-pair partials + driver merge",
+    ),
+    "sql_join": Pipeline(
+        sql_join,
+        "SELECT c_mktsegment, n_name, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c_nationkey) AS BIGINT) AS key_sum"
+        " FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_acctbal > 0"
+        " GROUP BY c_mktsegment, n_name HAVING COUNT(*) > 1 ORDER BY c_mktsegment, n_name",
+        "Parallel SQL handler: broadcast equi-join + grouped aggregate over the joined stream",
     ),
     "sql_select": Pipeline(
         sql_select,

@@ -10,7 +10,7 @@ import pytest
 from lucene_solr_ray.pipelines.sql import execute_sql, parse_sql, tokenize
 
 SF = "/root/testdata/sf0.001"
-TABLES = ["orders", "customer", "part", "supplier", "events", "lineitem"]
+TABLES = ["orders", "customer", "part", "supplier", "events", "lineitem", "nation", "region"]
 
 
 def duck(sql: str) -> pd.DataFrame:
@@ -138,3 +138,24 @@ def test_select_distinct_and_count_distinct(ray_session):
     )
     with pytest.raises(ValueError):
         execute_sql(SF, "SELECT SUM(DISTINCT value) FROM events")
+
+
+def test_sql_join(ray_session):
+    duel(
+        "SELECT c_name, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        " WHERE c_acctbal > 9000 ORDER BY c_name LIMIT 20"
+    )
+    # two chained joins: customer → nation → region
+    duel(
+        "SELECT r_name, COUNT(*) AS n FROM customer"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey"
+        " GROUP BY r_name ORDER BY r_name"
+    )
+    # key side written reversed still resolves by schema
+    duel(
+        "SELECT n_name, COUNT(*) AS n FROM customer JOIN nation ON n_nationkey = c_nationkey"
+        " GROUP BY n_name ORDER BY n DESC, n_name LIMIT 5"
+    )
+    with pytest.raises(ValueError):
+        execute_sql(SF, "SELECT 1 AS x FROM customer JOIN nation ON c_custkey = c_acctbal")
