@@ -125,8 +125,14 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
     row per LEAF bucket (parent bucket keys + metrics repeated per row)."""
     levels = _levels(spec)
     bucket_cols = [f"_b{i}" for i in range(len(levels))]
+    # domain change (FacetRequest.Domain / multi-select `domain:{filter:..}`):
+    # a predicate re-scoping the rows the WHOLE facet tree sees, applied
+    # before bucketing in the same combiner pass
+    dom = spec.get("domain")
     # columns to read: bucket fields + metric fields
     need: list[str] = []
+    if dom is not None:
+        need.append(dom["q_field"])
     for lv in levels:
         if lv["type"] in ("terms", "range"):
             need.append(lv["field"])
@@ -141,6 +147,8 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
         return f"_m{i}_{name}"
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if dom is not None:
+            batch = batch[np.asarray(dom["filter"](batch), dtype=bool)]
         df = pd.DataFrame(index=batch.index)
         keep = np.ones(len(batch), dtype=bool)
         for i, lv in enumerate(levels):
@@ -923,7 +931,42 @@ SELECT interval, n FROM (
 """
 
 
+def json_facet_domain(sf_dir: str):
+    """Multi-select faceting: the facet domain is re-scoped by a filter the
+    main result set does NOT share (`domain:{filter:...}` — tag/ex
+    faceting's engine mechanism).  Facet order priorities over only the
+    fulfilled (F) orders, with an exact-cents sum metric."""
+    spec = {
+        "type": "terms",
+        "field": "o_orderpriority",
+        "key": "priority",
+        "count_key": "n",
+        "sort": "index",
+        "domain": {
+            "q_field": "o_orderstatus",
+            "filter": lambda b: (b["o_orderstatus"] == "F").to_numpy(),
+        },
+        "facet": {"cents": {"type": "sum", "field": "o_totalprice", "money": True}},
+    }
+    out = compute_json_facet(sf_dir, "orders", spec)
+    out["cents"] = out["cents"].astype("int64")
+    return out[["priority", "n", "cents"]].sort_values("priority").reset_index(drop=True)
+
+
+JSON_FACET_DOMAIN_SQL = """
+SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority ORDER BY priority
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "json_facet_domain": Pipeline(
+        json_facet_domain,
+        JSON_FACET_DOMAIN_SQL,
+        "JSON facet domain change: domain:{filter} re-scopes the facet tree (multi-select faceting)",
+    ),
     "json_facet_nested": Pipeline(
         json_facet_nested, JSON_FACET_NESTED_SQL, "nested JSON facet: terms×terms buckets, per-level sort/limit, sum metrics"
     ),
