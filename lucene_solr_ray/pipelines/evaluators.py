@@ -929,6 +929,115 @@ FROM parts
 
 
 # --------------------------------------------------------------------------
+# expMovingAvg() (ExponentialMovingAverageEvaluator): EMA over the monthly
+# series.  The recurrence is inherently sequential — it runs driver-side on
+# the (bounded) series; the SQL twin is a RECURSIVE CTE evaluating the SAME
+# float recurrence step by step, so parity is exact.
+
+EMA_ALPHA = 0.25  # = 2/(window+1), window 7
+
+
+def exp_moving_avg(sf_dir: str):
+    monthly = _monthly_cents(sf_dir)
+    c = monthly["cents"].to_numpy(np.int64)
+    ema = np.empty(c.size, dtype=np.float64)
+    acc = float(c[0])
+    ema[0] = acc
+    for i in range(1, c.size):
+        acc = EMA_ALPHA * float(c[i]) + (1.0 - EMA_ALPHA) * acc
+        ema[i] = acc
+    out = monthly.copy()
+    out["cents"] = out["cents"].astype("int64")
+    out["ema"] = ema
+    return out[["month", "cents", "ema"]]
+
+
+EMA_SQL = f"""
+WITH RECURSIVE monthly AS (
+  SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY month
+),
+idx AS (
+  SELECT month, cents, row_number() OVER (ORDER BY month) AS rn FROM monthly
+),
+ema(rn, month, cents, ema) AS (
+  SELECT rn, month, cents, CAST(cents AS DOUBLE) FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.rn, i.month, i.cents,
+         {EMA_ALPHA} * CAST(i.cents AS DOUBLE) + (1.0 - {EMA_ALPHA}) * e.ema
+  FROM idx i JOIN ema e ON i.rn = e.rn + 1
+)
+SELECT month, cents, ema FROM ema ORDER BY month
+"""
+
+
+# --------------------------------------------------------------------------
+# lerp() (LerpEvaluator): linear interpolation of the monthly series at
+# half-steps — midpoint sampling of the piecewise-linear interpolant.
+
+
+def lerp_midpoints(sf_dir: str):
+    monthly = _monthly_cents(sf_dir)
+    c = monthly["cents"].to_numpy(np.int64)
+    out = monthly.iloc[1:].copy().reset_index(drop=True)
+    out["cents"] = out["cents"].astype("int64")
+    out["mid"] = (c[:-1].astype(np.float64) + c[1:].astype(np.float64)) / 2.0
+    return out[["month", "cents", "mid"]]
+
+
+LERP_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY month
+)
+SELECT month, cents,
+       (CAST(lag(cents) OVER (ORDER BY month) AS DOUBLE) + CAST(cents AS DOUBLE)) / 2.0 AS mid
+FROM monthly QUALIFY row_number() OVER (ORDER BY month) >= 2 ORDER BY month
+"""
+
+
+# --------------------------------------------------------------------------
+# cosineSimilarity() (CosineSimilarityEvaluator): cosine between the monthly
+# revenue series and its one-step lag — exact integer dot/norms, one sqrt
+# formula both sides.
+
+
+def cosine_series(sf_dir: str):
+    import math
+
+    monthly = _monthly_cents(sf_dir)
+    c = [int(v) for v in monthly["cents"]]
+    a, b = c[1:], c[:-1]
+    dot = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a)
+    nb = sum(y * y for y in b)
+    cos = float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+    return pd.DataFrame({"n": [np.int64(len(a))], "cos": [cos]})
+
+
+COSINE_SERIES_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY month
+),
+p AS (
+  SELECT CAST(cents AS HUGEINT) AS a, CAST(lag(cents) OVER (ORDER BY month) AS HUGEINT) AS b
+  FROM monthly QUALIFY row_number() OVER (ORDER BY month) >= 2
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(a*b) AS HUGEINT) AS dot,
+         CAST(SUM(a*a) AS HUGEINT) AS na, CAST(SUM(b*b) AS HUGEINT) AS nb
+  FROM p
+)
+SELECT n, CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
 # polyfit() (PolyFitEvaluator, degree 2): least-squares quadratic of price
 # cents on order day.  The normal-equation moments (Σx..Σx⁴, Σy..Σx²y) are
 # exact Python ints shipped as (hi,lo) pairs (Σx⁴ over a 150k-row block is
@@ -1037,4 +1146,7 @@ PIPELINES: dict[str, Pipeline] = {
     "polyfit_quadratic": Pipeline(polyfit_quadratic, POLYFIT_SQL, "degree-2 least-squares fit via exact normal-equation moments (PolyFitEvaluator)"),
     "integrate_trapezoid": Pipeline(integrate_monthly, INTEGRATE_SQL, "running trapezoid integral of the monthly series (IntegrateEvaluator)"),
     "anova_oneway": Pipeline(anova_oneway, ANOVA_SQL, "one-way ANOVA F from per-group exact moments (AnovaEvaluator)"),
+    "exp_moving_avg": Pipeline(exp_moving_avg, EMA_SQL, "exponential moving average; recursive-CTE twin evaluates the same float recurrence (ExpMovingAvgEvaluator)"),
+    "lerp_midpoints": Pipeline(lerp_midpoints, LERP_SQL, "piecewise-linear midpoint interpolation of the monthly series (LerpEvaluator)"),
+    "cosine_series": Pipeline(cosine_series, COSINE_SERIES_SQL, "cosine similarity of the series vs its lag from exact integer dot/norms (CosineSimilarityEvaluator)"),
 }

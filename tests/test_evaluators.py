@@ -229,3 +229,31 @@ def test_integrate_anova(ray_session):
     f_ref = (ssb / (len(groups) - 1)) / (ssw / (len(allv) - len(groups)))
     assert np.isclose(a["f"].iloc[0], f_ref, rtol=1e-6)
     assert int(a["k"].iloc[0]) == len(groups)
+
+
+def test_ema_lerp_cosine(ray_session):
+    from lucene_solr_ray.pipelines.evaluators import (
+        EMA_ALPHA,
+        cosine_series,
+        exp_moving_avg,
+        lerp_midpoints,
+    )
+
+    e = exp_moving_avg(SF)
+    c = e["cents"].to_numpy(float)
+    # pandas ewm with adjust=False is the same recurrence
+    import pandas as pd
+
+    ref = pd.Series(c).ewm(alpha=EMA_ALPHA, adjust=False).mean().to_numpy()
+    assert np.allclose(e["ema"].to_numpy(), ref, rtol=1e-12)
+
+    m = lerp_midpoints(SF)
+    full = exp_moving_avg(SF)["cents"].to_numpy(float)
+    assert np.allclose(m["mid"].to_numpy(), (full[:-1] + full[1:]) / 2.0)
+
+    cs = cosine_series(SF)
+    a, b = full[1:], full[:-1]
+    assert np.isclose(
+        cs["cos"].iloc[0], (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)), rtol=1e-12
+    )
+    assert 0.0 < cs["cos"].iloc[0] <= 1.0
