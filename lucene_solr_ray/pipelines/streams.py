@@ -1298,10 +1298,13 @@ def _topic(ctx: Ctx, e: Expr) -> SRes:
 
     import ray.data as rd
 
-    cur_max = int(
-        pq.read_table(f"{ctx.sf_dir}/{table}.parquet", columns=[id_field])[id_field]
-        .to_pandas()
-        .max()
+    # current max id from parquet FOOTER statistics — metadata only, no
+    # column read (the collection may be arbitrarily large)
+    pf = pq.ParquetFile(f"{ctx.sf_dir}/{table}.parquet")
+    col_idx = pf.schema_arrow.names.index(id_field)
+    cur_max = max(
+        pf.metadata.row_group(i).column(col_idx).statistics.max
+        for i in range(pf.metadata.num_row_groups)
     )
     if wm is None:  # new topic, default: start from NOW
         new_df = pd.DataFrame({c: pd.Series(dtype="object") for c in fl})
