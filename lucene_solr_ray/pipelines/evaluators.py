@@ -929,6 +929,95 @@ FROM parts
 
 
 # --------------------------------------------------------------------------
+# mannWhitney() (MannWhitneyUEvaluator): rank-based two-sample U test with
+# midrank tie handling — EXACT integer rank arithmetic.  The distributed
+# partial is per-batch (value, n_group1, n_total) counts (bounded: the
+# cents domain of a 2-decimal column), the driver derives doubled midranks
+# 2·rank(v) = 2·cum_before(v) + count(v) + 1 as exact ints, and the final
+# U / tie-corrected z use one identical double formula on both sides.
+
+
+def mann_whitney(sf_dir: str):
+    import math
+
+    from .common import merge_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch["event_type"].isin((_TT_A, _TT_B))]
+        df = pd.DataFrame(
+            {
+                "c": cents(sub["value"].to_numpy()),
+                "n1": (sub["event_type"] == _TT_A).to_numpy().astype(np.int64),
+                "nt": 1,
+            }
+        )
+        return df.groupby("c", as_index=False).sum()
+
+    cnt = merge_partials(
+        read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["c"],
+        {"n1": "sum", "nt": "sum"},
+    ).sort_values("c")
+    n1v = [int(v) for v in cnt["n1"]]
+    ntv = [int(v) for v in cnt["nt"]]
+    n1 = sum(n1v)
+    n_tot = sum(ntv)
+    n2 = n_tot - n1
+    cumb, r1x2, ties = 0, 0, 0
+    for a, t in zip(n1v, ntv):
+        r1x2 += a * (2 * cumb + t + 1)  # Σ n1(v)·2·midrank(v), exact
+        ties += t * t * t - t
+        cumb += t
+    u1 = float(r1x2 - n1 * (n1 + 1)) / 2.0
+    mu = float(n1) * float(n2) / 2.0
+    tiefrac = float(ties) / (float(n_tot) * float(n_tot - 1))
+    var = (float(n1) * float(n2) / 12.0) * ((float(n_tot) + 1.0) - tiefrac)
+    z = (u1 - mu) / math.sqrt(var)
+    return pd.DataFrame(
+        {"n1": [np.int64(n1)], "n2": [np.int64(n2)], "u1": [u1], "z": [z]}
+    )
+
+
+MANN_WHITNEY_SQL = f"""
+WITH v AS (
+  SELECT CAST(ROUND(value*100) AS BIGINT) AS c,
+         CASE WHEN event_type = '{_TT_A}' THEN 1 ELSE 0 END AS g1
+  FROM events WHERE event_type IN ('{_TT_A}', '{_TT_B}')
+),
+cnt AS (
+  SELECT c, CAST(SUM(g1) AS BIGINT) AS n1v, CAST(COUNT(*) AS BIGINT) AS ntv
+  FROM v GROUP BY c
+),
+r AS (
+  SELECT c, n1v, ntv,
+         CAST(COALESCE(SUM(ntv) OVER (ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+  FROM cnt
+),
+s AS (
+  SELECT CAST(SUM(n1v * (2*cumb + ntv + 1)) AS HUGEINT) AS r1x2,
+         CAST(SUM(ntv*ntv*ntv - ntv) AS HUGEINT) AS ties,
+         CAST(SUM(n1v) AS BIGINT) AS n1, CAST(SUM(ntv) AS BIGINT) AS n_tot
+  FROM r
+),
+m AS (
+  SELECT n1, n_tot - n1 AS n2,
+         CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+         CAST(n1 AS DOUBLE) * CAST(n_tot - n1 AS DOUBLE) / 2.0 AS mu,
+         CAST(ties AS DOUBLE) / (CAST(n_tot AS DOUBLE) * CAST(n_tot - 1 AS DOUBLE)) AS tiefrac,
+         CAST(n_tot AS DOUBLE) AS nd, n_tot
+  FROM s
+)
+SELECT n1, n2, u1,
+       (u1 - mu) / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                        * ((nd + 1.0) - tiefrac)) AS z
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
 # expMovingAvg() (ExponentialMovingAverageEvaluator): EMA over the monthly
 # series.  The recurrence is inherently sequential — it runs driver-side on
 # the (bounded) series; the SQL twin is a RECURSIVE CTE evaluating the SAME
@@ -1149,4 +1238,5 @@ PIPELINES: dict[str, Pipeline] = {
     "exp_moving_avg": Pipeline(exp_moving_avg, EMA_SQL, "exponential moving average; recursive-CTE twin evaluates the same float recurrence (ExpMovingAvgEvaluator)"),
     "lerp_midpoints": Pipeline(lerp_midpoints, LERP_SQL, "piecewise-linear midpoint interpolation of the monthly series (LerpEvaluator)"),
     "cosine_series": Pipeline(cosine_series, COSINE_SERIES_SQL, "cosine similarity of the series vs its lag from exact integer dot/norms (CosineSimilarityEvaluator)"),
+    "mann_whitney": Pipeline(mann_whitney, MANN_WHITNEY_SQL, "Mann-Whitney U with exact integer midranks + tie-corrected z (MannWhitneyUEvaluator)"),
 }

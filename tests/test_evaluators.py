@@ -257,3 +257,34 @@ def test_ema_lerp_cosine(ray_session):
         cs["cos"].iloc[0], (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)), rtol=1e-12
     )
     assert 0.0 < cs["cos"].iloc[0] <= 1.0
+
+
+def test_mann_whitney_reference(ray_session):
+    import duckdb
+
+    from lucene_solr_ray.pipelines.evaluators import mann_whitney
+
+    out = mann_whitney(SF)
+    ev = duckdb.sql(
+        f"SELECT event_type, CAST(ROUND(value*100) AS BIGINT) c FROM '{SF}/events.parquet'"
+        f" WHERE event_type IN ('click','view')"
+    ).df()
+    a = ev[ev["event_type"] == "click"]["c"].to_numpy()
+    b = ev[ev["event_type"] == "view"]["c"].to_numpy()
+    # brute-force midrank reference
+    allv = np.concatenate([a, b])
+    order = np.argsort(allv, kind="mergesort")
+    ranks = np.empty(allv.size, dtype=np.float64)
+    sorted_v = allv[order]
+    i = 0
+    while i < sorted_v.size:
+        j = i
+        while j < sorted_v.size and sorted_v[j] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0  # midrank (1-based)
+        i = j
+    r1 = ranks[: a.size].sum()
+    u1_ref = r1 - a.size * (a.size + 1) / 2.0
+    assert np.isclose(out["u1"].iloc[0], u1_ref)
+    assert int(out["n1"].iloc[0]) == a.size and int(out["n2"].iloc[0]) == b.size
+    assert abs(out["z"].iloc[0]) < 50  # sane magnitude
