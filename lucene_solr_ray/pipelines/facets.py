@@ -86,12 +86,40 @@ def _hll_merge(s: pd.Series) -> bytes:
     return HLL(acc).regs.tobytes()
 
 
+def _vcount_of(s: pd.Series) -> bytes:
+    import pickle
+
+    vals, counts = np.unique(s.to_numpy(), return_counts=True)
+    return pickle.dumps((vals, counts.astype(np.int64)))
+
+
+def _vcount_merge(s: pd.Series) -> bytes:
+    import pickle
+    from collections import Counter
+
+    acc: Counter = Counter()
+    for b in s:
+        vals, counts = pickle.loads(b)
+        acc.update(dict(zip(vals.tolist(), counts.tolist())))
+    items = sorted(acc.items())
+    return pickle.dumps(
+        (
+            np.array([v for v, _ in items], dtype=np.float64),
+            np.array([c for _, c in items], dtype=np.int64),
+        )
+    )
+
+
 # sketch-backed facet metrics: (build kernel over raw values, merge kernel
 # over serialized partials).  UniqueAgg is EXACT (sorted value-set union —
 # use only on bounded-cardinality fields; HLLAgg is the unbounded path),
-# PercentileAgg / HLLAgg are mergeable approximate sketches.
+# PercentileAgg / HLLAgg are mergeable approximate sketches;
+# percentile_exact is the EXACT order statistic via per-bucket value-count
+# partials (bounded-distinct-value fields only — the t-digest `percentile`
+# is the unbounded path), bit-identical to DuckDB quantile_disc.
 SKETCH_METRICS = {
     "percentile": (_digest_of, _digest_merge),
+    "percentile_exact": (_vcount_of, _vcount_merge),
     "unique": (_uniq_of, _uniq_merge),
     "hll": (_hll_of, _hll_merge),
 }
@@ -359,6 +387,18 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
                 out[name] = [
                     TDigest.from_bytes(b).quantile(m.get("q", 0.5)) for b in out[mcol(li, name)]
                 ]
+                out = out.drop(columns=[mcol(li, name)])
+            elif m["type"] == "percentile_exact":
+                import pickle
+
+                q = m.get("q", 0.5)
+                vals_out = []
+                for b in out[mcol(li, name)]:
+                    vs, counts = pickle.loads(b)
+                    cum = np.cumsum(counts)
+                    rank = max(int(np.ceil(q * int(cum[-1]))), 1)  # quantile_disc
+                    vals_out.append(float(vs[int(np.searchsorted(cum, rank))]))
+                out[name] = vals_out
                 out = out.drop(columns=[mcol(li, name)])
             elif m["type"] == "unique":
                 import pickle
@@ -651,6 +691,33 @@ def json_facet_percentile(sf_dir: str):
     return (
         out[["bucket", "n", "p50", "p90", "hll_parts"]].sort_values("bucket").reset_index(drop=True)
     )
+
+
+def json_facet_percentile_exact(sf_dir: str):
+    """Exact per-bucket order-statistic percentiles (the strict twin of the
+    t-digest `percentile` metric): value-count partials per bucket, ranked
+    with the quantile_disc convention."""
+    spec = {
+        "type": "terms",
+        "field": "l_returnflag",
+        "key": "bucket",
+        "count_key": "n",
+        "sort": "index",
+        "facet": {
+            "p50": {"type": "percentile_exact", "field": "l_extendedprice", "q": 0.5},
+            "p90": {"type": "percentile_exact", "field": "l_extendedprice", "q": 0.9},
+        },
+    }
+    out = compute_json_facet(sf_dir, "lineitem", spec)
+    return out[["bucket", "n", "p50", "p90"]].sort_values("bucket").reset_index(drop=True)
+
+
+JSON_FACET_PERCENTILE_EXACT_SQL = """
+SELECT l_returnflag AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_disc(l_extendedprice, 0.5) AS p50,
+       quantile_disc(l_extendedprice, 0.9) AS p90
+FROM lineitem GROUP BY l_returnflag ORDER BY bucket
+"""
 
 
 def json_facet_unique(sf_dir: str):
@@ -986,6 +1053,11 @@ PIPELINES: dict[str, Pipeline] = {
         json_facet_percentile,
         None,  # t-digest is approximate by design → rows-only gate; pytest oracle
         "percentile facet agg via mergeable t-digest partials (PercentileAgg)",
+    ),
+    "json_facet_percentile_exact": Pipeline(
+        json_facet_percentile_exact,
+        JSON_FACET_PERCENTILE_EXACT_SQL,
+        "EXACT per-bucket percentile via value-count partials (quantile_disc parity)",
     ),
     "json_facet_stats": Pipeline(
         json_facet_stats,
