@@ -720,6 +720,54 @@ FROM lineitem GROUP BY l_returnflag ORDER BY bucket
 """
 
 
+def range_facet_other(sf_dir: str):
+    """Classic range facet `facet.range.other=all` (RangeFacetProcessor):
+    gap buckets over [start, end) plus the before / after / between
+    sections, one combiner pass (bucket domain is request-sized)."""
+    from .common import merge_partials
+
+    start, end, gap = 50000.0, 350000.0, 100000.0
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["o_totalprice"].to_numpy()
+        inside = (v >= start) & (v < end)
+        b = np.where(inside, start + gap * np.floor((v - start) / gap), np.nan)
+        lab = np.where(
+            inside,
+            b.astype("U32"),
+            np.where(v < start, "__before__", "__after__"),
+        )
+        g = pd.DataFrame({"bucket": lab, "n": 1})
+        out = g.groupby("bucket", as_index=False).sum()
+        between = pd.DataFrame({"bucket": ["__between__"], "n": [int(inside.sum())]})
+        return pd.concat([out, between], ignore_index=True)
+
+    out = merge_partials(
+        read(sf_dir, "orders", ["o_totalprice"]).map_batches(partial, batch_format="pandas"),
+        ["bucket"],
+        {"n": "sum"},
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+RANGE_FACET_OTHER_SQL = """
+WITH lab AS (
+  SELECT CASE
+           WHEN o_totalprice < 50000 THEN '__before__'
+           WHEN o_totalprice >= 350000 THEN '__after__'
+           ELSE CAST(50000.0 + 100000.0 * FLOOR((o_totalprice - 50000.0) / 100000.0) AS VARCHAR)
+         END AS bucket
+  FROM orders
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY bucket
+UNION ALL
+SELECT '__between__', CAST(COUNT(*) AS BIGINT) FROM orders
+WHERE o_totalprice >= 50000 AND o_totalprice < 350000
+ORDER BY bucket
+"""
+
+
 def json_facet_unique(sf_dir: str):
     """unique() agg (UniqueAgg.java): EXACT distinct count per bucket via
     mergeable sorted value-set partials — bounded-cardinality fields only
@@ -1058,6 +1106,11 @@ PIPELINES: dict[str, Pipeline] = {
         json_facet_percentile_exact,
         JSON_FACET_PERCENTILE_EXACT_SQL,
         "EXACT per-bucket percentile via value-count partials (quantile_disc parity)",
+    ),
+    "range_facet_other": Pipeline(
+        range_facet_other,
+        RANGE_FACET_OTHER_SQL,
+        "classic range facet with before/after/between `other` sections (RangeFacetProcessor)",
     ),
     "json_facet_stats": Pipeline(
         json_facet_stats,
