@@ -582,9 +582,11 @@ def execute_sql(sf_dir: str, sql: str) -> pd.DataFrame:
                 merged = parts.agg(merge_ops).to_frame().T if len(parts) else parts
         aggcol = {k: v for k, v in plan.items()}
 
-        # COUNT(DISTINCT x): per-batch distinct (group, value) pairs →
-        # driver dedupe + per-group count.  Rows leaving each task are
-        # bounded by the batch's distinct pair domain, not its size.
+        # COUNT(DISTINCT x): per-batch distinct (group, value) pairs,
+        # bucketed by hash(value) into a FIXED shuffle domain (buckets
+        # partition the value space, so per-bucket distinct counts sum
+        # exactly); the driver only ever sees buckets × groups count rows,
+        # never the distinct-pair domain (which is vocabulary-sized).
         for dkey, a in dist_by_key.items():
             colname = f"dcnt{dkey}"
 
@@ -595,14 +597,31 @@ def execute_sql(sf_dir: str, sql: str) -> pd.DataFrame:
                 for k in gb:
                     g[k] = batch[k]
                 g["_v"] = _eval(_a.arg, batch)
-                return g.dropna(subset=["_v"]).drop_duplicates()
+                g = g.dropna(subset=["_v"]).drop_duplicates()
+                g["__gb"] = (
+                    pd.util.hash_array(g["_v"].astype(str).to_numpy()) % 512
+                ).astype("int64")
+                return g
 
-            pairs = ds.map_batches(dpart, batch_format="pandas").to_pandas().drop_duplicates()
-            if pairs.empty and not all(k in pairs.columns for k in gb):
-                pairs = pd.DataFrame({**{k: pd.Series([], dtype=object) for k in gb},
-                                      "_v": pd.Series([], dtype=object)})
+            def bucket_count(grp: pd.DataFrame) -> pd.DataFrame:
+                d = grp.drop_duplicates(subset=gb + ["_v"]) if gb else grp.drop_duplicates(subset=["_v"])
+                if gb:
+                    out = d.groupby(gb, as_index=False).agg(**{colname: ("_v", "size")})
+                else:
+                    out = pd.DataFrame({colname: [len(d)]})
+                return out
+
+            parts_d = (
+                ds.map_batches(dpart, batch_format="pandas")
+                .groupby("__gb")
+                .map_groups(bucket_count, batch_format="pandas")
+                .to_pandas()
+            )
             if gb:
-                cnt = pairs.groupby(gb, as_index=False).agg(**{colname: ("_v", "size")})
+                if parts_d.empty and not all(k in parts_d.columns for k in gb):
+                    parts_d = pd.DataFrame({**{k: pd.Series([], dtype=object) for k in gb},
+                                            colname: pd.Series([], dtype="int64")})
+                cnt = parts_d.groupby(gb, as_index=False)[colname].sum()
                 cnt[colname] = cnt[colname].astype("int64")
                 if merged is None:
                     merged = cnt
@@ -610,7 +629,7 @@ def execute_sql(sf_dir: str, sql: str) -> pd.DataFrame:
                     merged = merged.merge(cnt, on=gb, how="left")
                     merged[colname] = merged[colname].fillna(0).astype("int64")
             else:
-                n_uni = np.int64(len(pairs))
+                n_uni = np.int64(int(parts_d[colname].sum())) if len(parts_d) else np.int64(0)
                 if merged is None:
                     merged = pd.DataFrame({colname: [n_uni]})
                 else:
