@@ -1148,8 +1148,11 @@ def _null(ctx: Ctx, e: Expr) -> SRes:
 def _reduce(ctx: Ctx, e: Expr) -> SRes:
     # ReduceStream: group-adjacent reduce under the stream's sort; the
     # group(sort=..., n=...) operation keeps the top-n tuples per key.
-    # Top-n-per-key is a mergeable partial: per-batch groupby-head, then a
-    # bounded driver merge — only n × keys-per-batch rows leave each task.
+    # Top-n-per-key is a mergeable partial (per-batch groupby-head).  The
+    # merge is keyed by the UNBOUNDED `by` domain, so Dataset inputs go
+    # through a fixed-bucket hash shuffle (buckets partition the keys —
+    # per-bucket top-n is exact) and the result STAYS a Dataset; only a
+    # bounded df input merges on the coordinator.
     inner = _eval_stream_arg(ctx, _stream_args(e)[0])
     by = _split_fl(str(e.params["by"]))
     grp = next((a for a in e.args if isinstance(a, Expr) and a.name == "group"), None)
@@ -1162,9 +1165,28 @@ def _reduce(ctx: Ctx, e: Expr) -> SRes:
     def topn(batch: pd.DataFrame) -> pd.DataFrame:
         return _sorted_df(batch, full).groupby(by, sort=False).head(n)
 
-    parts = _to_df(_map(inner, topn))
-    out = _sorted_df(parts, full).groupby(by, sort=False).head(n).reset_index(drop=True)
-    return SRes(df=out, sort=full)
+    if inner.df is not None:
+        out = _sorted_df(topn(inner.df), full).groupby(by, sort=False).head(n)
+        return SRes(df=out.reset_index(drop=True), sort=full)
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        b = topn(batch).copy()
+        key = b[by[0]].astype(str).to_numpy() if len(by) == 1 else (
+            b[by].astype(str).agg("\x1f".join, axis=1).to_numpy()
+        )
+        b["__gb"] = (pd.util.hash_array(key) % 512).astype("int64")
+        return b
+
+    def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
+        out = _sorted_df(g, full).groupby(by, sort=False).head(n)
+        return out.drop(columns="__gb")
+
+    out_ds = (
+        inner.ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("__gb")
+        .map_groups(bucket_final, batch_format="pandas")
+    )
+    return SRes(ds=out_ds, sort=full)
 
 
 def _priority(ctx: Ctx, e: Expr) -> SRes:
