@@ -754,6 +754,12 @@ class IndexShard:
         and delete-by-query, where every child hit matters."""
         return self._eval(node, idfs, sim)
 
+    def count_matches(self, node: QueryNode, idfs: dict[str, float], sim: str = "bm25") -> int:
+        """numFound for this shard — only the hit COUNT crosses the wire
+        (feeds SpellCheckCollator verification and rows=0 counting queries)."""
+        docs, _ = self._eval(node, idfs, sim)
+        return int(docs.size)
+
     def explain(self, node: QueryNode, doc: int, idfs: dict[str, float], sim: str = "bm25"):
         """Score explanation for one doc (Lucene's IndexSearcher.explain /
         Solr debugQuery): per-leaf-term contribution + the node total, or

@@ -167,6 +167,49 @@ class Searcher:
         out = sorted((d, -df, t) for t, (df, d) in agg.items())
         return [(t, -negdf, d) for d, negdf, t in out[:max_suggestions]]
 
+    def spellcheck_collate(
+        self, query: str, max_collations: int = 3, max_edits: int = 2
+    ) -> list[tuple[str, int]]:
+        """SpellCheckCollator (solr/core/.../spelling/SpellCheckCollator
+        .java): rewrite the query replacing each misspelled term with its
+        top suggestions, then VERIFY each candidate collation actually
+        matches documents — only collations with hits > 0 are returned,
+        ranked by hit count desc (then collation asc).
+
+        Per-term corrections come from the distributed spellcheck scatter;
+        verification is one conjunctive search per candidate collation
+        (candidates are capped: top-2 suggestions per misspelled term)."""
+        from itertools import product
+
+        words = [w for w in query.lower().split() if w]
+        options: list[list[str]] = []
+        any_fix = False
+        for w in words:
+            sugg = self.spellcheck(w, max_suggestions=2, max_edits=max_edits)
+            if sugg:  # misspelled: try its suggestions
+                options.append([t for t, _, _ in sugg])
+                any_fix = True
+            else:  # in-dictionary (or hopeless): keep as-is
+                options.append([w])
+        if not any_fix:
+            return []
+        seen: list[tuple[str, int]] = []
+        for combo in product(*options):
+            n = self.count(" AND ".join(combo))
+            if n > 0:
+                seen.append((" ".join(combo), n))
+        return sorted(seen, key=lambda t: (-t[1], t[0]))[:max_collations]
+
+    def count(self, query: str) -> int:
+        """Total hit count of a query (numFound / rows=0) — each shard
+        returns only its hit COUNT; no doc ids or scores cross the wire."""
+        node = parse_query(query)
+        if node is None:
+            return 0
+        node = self._rewrite(node)
+        idfs = self._weights_for(node)
+        return int(sum(self._scatter("count_matches", node, idfs)))
+
     # -- terms / facets over the index ------------------------------------
     def terms(self, prefix: str = "", limit: int = 10) -> list[tuple[str, int]]:
         """/terms handler (solr/core/.../handler/component/TermsComponent.java):

@@ -323,6 +323,31 @@ def test_spellcheck(searcher, oracle):
     assert searcher.spellcheck("qqqqqqqqqq", max_edits=1) == []
 
 
+def test_count_matches(searcher, oracle):
+    """numFound scatter (rows=0 counting): per-shard hit counts summed on
+    the driver, duel vs the oracle's full match set."""
+    for q in ["error", "assistant AND error", '"tool output"', "error OR ok", "zzzznope"]:
+        exp = len(oracle.search(q, 10**9))
+        assert searcher.count(q) == exp, q
+
+
+def test_spellcheck_collate(searcher, oracle):
+    """SpellCheckCollator: misspelled terms rewritten from spellcheck
+    suggestions, each candidate collation VERIFIED to have hits > 0,
+    ranked by hit count desc."""
+    col = searcher.spellcheck_collate("assistnt errr")
+    assert col, "expected at least one verified collation"
+    best, hits = col[0]
+    assert "assistant" in best.split()
+    # reported hit count is the real conjunctive numFound
+    assert hits == len(oracle.search(" AND ".join(best.split()), 10**9))
+    assert hits > 0
+    # counts are sorted desc
+    assert [h for _, h in col] == sorted((h for _, h in col), reverse=True)
+    # fully in-dictionary query → no collation needed
+    assert searcher.spellcheck_collate("assistant error") == []
+
+
 def test_duel_classic_similarity(searcher, oracle):
     """Pluggable Similarity: classic TF-IDF ranks differently from BM25 but
     identically between engine and oracle."""
