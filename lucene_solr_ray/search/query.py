@@ -16,6 +16,8 @@ A query-AST in the spirit of the reference's query algebra
                      dictionary by `rewrite` (SCORING_BOOLEAN_REWRITE,
                      MultiTermQuery.java), capped at MAX_EXPANSIONS clauses
   term~ / term~1   → fuzzy query, Levenshtein ≤ n (default 2, FuzzyQuery.java)
+  /re/ / field:/re/ → regexp query anchored over the whole term
+                     (RegexpQuery.java; dialect = Python `re`)
 
 Analyzed query text runs through the SAME chain as documents; terms that
 analyze away (stopwords) drop their clause.  A query with no surviving
@@ -33,6 +35,7 @@ _CLAUSE_RE = re.compile(r'([+\-#]?)(?:"([^"]*)"(?:~(\d+))?(?:\^(\d+\.?\d*))?|(\w
 _KEYWORD_RE = re.compile(r"^(\w+):(.+)$")
 _RANGE_RE = re.compile(r"^(\w+):\[(\S+) TO (\S+)\]$")
 _FUZZY_RE = re.compile(r"^(.+?)~(\d?)$")
+_REGEXP_RE = re.compile(r"^(?:(\w+):)?/(.+)/$")
 _BOOST_RE = re.compile(r"^(.*?)\^(\d+\.?\d*)$")
 
 MAX_EXPANSIONS = 1024  # BooleanQuery.maxClauseCount spirit
@@ -215,6 +218,16 @@ def _leaf(raw: str, is_phrase: bool) -> QueryNode | None:
                 pattern=m.group(1).lower(),
                 terms=[m.group(2).lower(), m.group(3).lower()],
             )
+        m = _REGEXP_RE.match(raw)
+        if m:
+            # RegexpQuery (lucene/core/src/java/org/apache/lucene/search/
+            # RegexpQuery.java): /re/ anchored over the whole term; a field
+            # prefix scopes it to that keyword namespace (field:/re/).
+            # Dialect is Python `re` (a superset of Lucene's operators).
+            fld, body = m.group(1), m.group(2).lower()
+            pat = (re.escape(fld.lower() + ":") if fld else "") + body
+            re.compile(pat)  # validate at parse time, like Lucene's parser
+            return QueryNode("regexp", pattern=pat)
         m = _KEYWORD_RE.match(raw)
         if m and "*" not in raw and "?" not in raw and not raw.endswith("~"):
             return QueryNode("term", terms=[raw.lower()])
@@ -318,6 +331,9 @@ def expand_multi_term(node: QueryNode, sorted_terms) -> list[str]:
         out = [str(t) for t in terms if rx.match(str(t))]
     elif node.kind == "fuzzy":
         out = [str(t) for t in terms if _levenshtein_leq(node.pattern, str(t), node.max_edits)]
+    elif node.kind == "regexp":
+        rx = re.compile(node.pattern)
+        out = [str(t) for t in terms if rx.fullmatch(str(t))]
     else:
         raise ValueError(node.kind)
     return out[:MAX_EXPANSIONS]
@@ -326,7 +342,7 @@ def expand_multi_term(node: QueryNode, sorted_terms) -> list[str]:
 def multi_term_nodes(node: QueryNode) -> list[QueryNode]:
     """All prefix/wildcard/fuzzy leaves of a query tree (the set a
     distributed rewrite must expand before scoring)."""
-    if node.kind in ("prefix", "wildcard", "fuzzy"):
+    if node.kind in ("prefix", "wildcard", "fuzzy", "regexp"):
         return [node]
     if node.kind in ("bool", "dismax"):
         out: list[QueryNode] = []
@@ -347,7 +363,7 @@ def rewrite_with(node: QueryNode, expander) -> QueryNode | None:
     `expander(node) -> list[str]` supplies the dictionary matches — a
     driver-side array scan, or a shard-fan-out merge (the distributed
     TermsComponent shape)."""
-    if node.kind in ("prefix", "wildcard", "fuzzy"):
+    if node.kind in ("prefix", "wildcard", "fuzzy", "regexp"):
         expanded = expander(node)
         if not expanded:
             return QueryNode("bool", clauses=[], boost=node.boost)  # matches nothing

@@ -10,6 +10,7 @@ Patterns adopted from the reference test strategy (SURVEY.md §5):
 
 import glob
 import json
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -22,6 +23,7 @@ from lucene_solr_ray.index import codec
 from lucene_solr_ray.index.build import build_index
 from lucene_solr_ray.oracle import BruteForceIndex
 from lucene_solr_ray.search import Searcher
+from lucene_solr_ray.search.query import parse_query
 
 CORPUS_DIR = "/tmp/lsr_test_corpus"
 INDEX_DIR = "/tmp/lsr_test_index"
@@ -321,6 +323,20 @@ def test_spellcheck(searcher, oracle):
     assert searcher.spellcheck("assistant") == []
     # garbage far from everything at max_edits=1 → empty
     assert searcher.spellcheck("qqqqqqqqqq", max_edits=1) == []
+
+
+def test_duel_regexp(searcher, oracle):
+    """RegexpQuery: /re/ anchored term expansion, duel-identical; field
+    prefix scopes to the keyword namespace."""
+    for q in ["/w0000[12]/", "/err.*/", "/assist[ae]nt/", "role:/us.r/", "/zz+nope/"]:
+        got = searcher.search(q, 10)
+        exp = [(d, float(s)) for d, s in oracle.search(q, 10)]
+        assert got == exp, q
+    assert searcher.search("/w0000[12]/", 10)  # actually matches something
+    assert searcher.search("role:/us.r/", 10)
+    assert searcher.search("/zz+nope/", 10) == []
+    with pytest.raises(re.error):
+        parse_query("/w0000[/")
 
 
 def test_count_matches(searcher, oracle):
