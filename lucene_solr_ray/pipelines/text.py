@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .common import Pipeline, merge_partials, read
+from .common import Pipeline, merge_partials, read, ts_us
 
 TOKEN_RE = "[a-z0-9_]+"
 # a small fixed stopword list shared literally with the SQL oracle
@@ -1102,7 +1102,53 @@ LIMIT {PHONETIC_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+# PII scrubbing (training-data pipeline op; the shape of Solr's
+# RegexReplaceProcessorFactory in an update chain, solr/core/.../update/
+# processor/RegexReplaceProcessorFactory.java, applied at corpus scale):
+# pseudonymize identities (keyed hash), redact digit runs from free-form
+# payloads, and generalize timestamps to day granularity (k-anonymity
+# coarsening).  Everything is one vectorized pandas pass per batch; the
+# regexes are module-level literals shared with the SQL twin.
+
+PII_DIGIT_RUN = "[0-9]+"
+
+
+def pii_scrub(sf_dir: str):
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        props = batch["props"].astype(str)
+        return pd.DataFrame(
+            {
+                "event_id": batch["event_id"],
+                "user_token": batch["user_id"]
+                .astype(str)
+                .map(lambda s: hashlib.md5(s.encode()).hexdigest()[:12]),
+                "day": ts_us(batch["ts"]) // 86_400_000_000,
+                "props_redacted": props.str.replace(PII_DIGIT_RUN, "#", regex=True),
+                "n_redactions": props.str.count(PII_DIGIT_RUN).astype("int64"),
+            }
+        )
+
+    out = read(sf_dir, "events", ["event_id", "ts", "user_id", "props"]).map_batches(
+        scrub, batch_format="pandas"
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+PII_SCRUB_SQL = f"""
+SELECT event_id,
+       md5(CAST(user_id AS VARCHAR))[1:12] AS user_token,
+       epoch_us(ts) // 86400000000 AS day,
+       regexp_replace(props, '{PII_DIGIT_RUN}', '#', 'g') AS props_redacted,
+       CAST(len(regexp_extract_all(props, '{PII_DIGIT_RUN}')) AS BIGINT) AS n_redactions
+FROM events ORDER BY event_id
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "pii_scrub": Pipeline(
+        pii_scrub, PII_SCRUB_SQL, "PII scrubbing: pseudonymize ids, redact digit runs, coarsen timestamps (RegexReplaceProcessor at corpus scale)"
+    ),
     "synonym_phrase_match": Pipeline(
         synonym_phrase_match, SYNONYM_SQL, "multi-word synonym injection (SynonymGraphFilter), actor pool"
     ),
