@@ -1,0 +1,64 @@
+"""Monitor / percolator unit oracles (lucene/monitor semantics): phrase
+adjacency, boolean occurs, presearcher anchor pruning."""
+
+import numpy as np
+import pandas as pd
+
+from lucene_solr_ray.pipelines.monitor import MonitorMatcher, _anchor_terms
+from lucene_solr_ray.search.query import parse_query
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "hash join beats sort merge",  # 0
+            "join hash reversed order",  # 1
+            "fast merge of the fast path",  # 2
+            "scan the window",  # 3
+            "scan only",  # 4
+            "",  # 5 empty doc
+        ],
+    }
+)
+
+
+def _pairs(queries, docs=DOCS):
+    m = MonitorMatcher(queries)
+    out = m(docs)
+    return sorted(zip(out["query_id"], out["doc_id"]))
+
+
+def test_phrase_adjacency_direction():
+    # "hash join" must match doc 0 only — doc 1 has both terms reversed
+    assert _pairs([("p", '"hash join"')]) == [("p", 0)]
+    # 3-term phrase spanning the stride boundary logic
+    assert _pairs([("p3", '"hash join beats"')]) == [("p3", 0)]
+    assert _pairs([("px", '"join beats sort merge"')]) == [("px", 0)]
+
+
+def test_boolean_occurs():
+    assert _pairs([("a", "+fast +merge")]) == [("a", 2)]
+    assert _pairs([("n", "+scan -window")]) == [("n", 4)]
+    # pure disjunction
+    assert _pairs([("o", "hash window")]) == [("o", 0), ("o", 1), ("o", 3)]
+    # MUST present → SHOULD optional (Lucene BooleanQuery semantics)
+    assert _pairs([("m", "+scan window")]) == [("m", 3), ("m", 4)]
+
+
+def test_presearcher_anchors():
+    # conjunction: one MUST clause's terms anchor it
+    assert _anchor_terms(parse_query("+fast +merge")) == ["fast"]
+    # disjunction: union of all SHOULD branches
+    assert set(_anchor_terms(parse_query("spark dup"))) == {"spark", "dup"}
+    # phrase anchors on its first term
+    assert _anchor_terms(parse_query('"hash join"')) == ["hash"]
+    # absent anchor ⇒ query skipped, zero matches, no error
+    assert _pairs([("z", "+zzzabsent +fast")]) == []
+
+
+def test_empty_and_no_match_batches():
+    m = MonitorMatcher([("q", "fast")])
+    empty = DOCS.iloc[0:0]
+    assert len(m(empty)) == 0
+    silent = m(pd.DataFrame({"doc_id": np.array([9], dtype=np.int64), "text": [""]}))
+    assert len(silent) == 0
