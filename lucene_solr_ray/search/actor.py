@@ -754,6 +754,20 @@ class IndexShard:
         and delete-by-query, where every child hit matters."""
         return self._eval(node, idfs, sim)
 
+    def join_values(self, node: QueryNode, idfs: dict[str, float], field: str, sim: str = "bm25") -> list:
+        """JoinQParserPlugin from-side (solr/core/src/java/org/apache/solr/
+        search/JoinQParserPlugin.java): evaluate the from-query shard-local,
+        gather the `field` doc values of every matching live doc, and return
+        this shard's UNIQUE value set — only distinct join keys cross the
+        wire (JoinQuery's from-side term enumeration)."""
+        docs, _ = self._eval(node, idfs, sim)
+        dv = self._load_docvalues(field)
+        if dv is None or docs.size == 0:
+            return []
+        fd, fv = dv
+        vals = fv[np.searchsorted(fd, docs)]
+        return sorted({v for v in vals.tolist() if v is not None})
+
     def count_matches(self, node: QueryNode, idfs: dict[str, float], sim: str = "bm25") -> int:
         """numFound for this shard — only the hit COUNT crosses the wire
         (feeds SpellCheckCollator verification and rows=0 counting queries)."""

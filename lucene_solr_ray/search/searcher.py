@@ -34,7 +34,7 @@ import pyarrow.parquet as pq
 
 from .actor import IndexShard
 from .bm25 import LazyBM25Stats, classic_idf, dfr_weight, make_norm_cache
-from .query import MAX_EXPANSIONS, multi_term_nodes, node_key, parse_query, rewrite_with
+from .query import MAX_EXPANSIONS, QueryNode, multi_term_nodes, node_key, parse_query, rewrite_with
 
 
 class Searcher:
@@ -199,6 +199,32 @@ class Searcher:
             if n > 0:
                 seen.append((" ".join(combo), n))
         return sorted(seen, key=lambda t: (-t[1], t[0]))[:max_collations]
+
+    def join_search(
+        self, from_field: str, to_field: str, subquery: str, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """`{!join from=f to=t}subquery` (solr/core/src/java/org/apache/
+        solr/search/JoinQParserPlugin.java): docs whose `to_field` value
+        equals the `from_field` value of ANY doc matching the subquery.
+        Constant score 1.0 — JoinQuery does not propagate from-side scores
+        — so ties rank by docID asc, like Solr's.
+
+        Distributed shape: the from-query runs shard-local and only each
+        shard's DISTINCT join keys reach the driver (bounded by field
+        cardinality, never by match count); the to-side is one
+        TermInSetQuery fan-out over the keyword postings."""
+        node = parse_query(subquery)
+        if node is None:
+            return []
+        node = self._rewrite(node)
+        idfs = self._weights_for(node)
+        vals: set = set()
+        for part in self._scatter("join_values", node, idfs, from_field):
+            vals.update(part)
+        if not vals:
+            return []
+        tnode = QueryNode("term_set", terms=[f"{to_field}:{v}" for v in sorted(vals)])
+        return self.search_node(tnode, k)
 
     def count(self, query: str) -> int:
         """Total hit count of a query (numFound / rows=0) — each shard

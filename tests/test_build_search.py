@@ -339,6 +339,25 @@ def test_duel_regexp(searcher, oracle):
         parse_query("/w0000[/")
 
 
+def test_join_query(searcher, corpus, oracle):
+    """{!join from=tool to=tool}: docs sharing a join key with any subquery
+    match; constant score 1.0, ties by docID asc — duel vs a brute-force
+    pandas join over the fixture."""
+    _, full = corpus
+    tools = full.column("tool").to_pylist()
+    for sub in ["error", "+error +ok", '"tool output"']:
+        sub_docs = [d for d, _ in oracle.search(sub, 10**9)]
+        keys = {tools[d] for d in sub_docs if tools[d] is not None}
+        expected = [i for i, v in enumerate(tools) if v in keys][:20]
+        got = searcher.join_search("tool", "tool", sub, 20)
+        assert [d for d, _ in got] == expected, sub
+        assert all(s == 1.0 for _, s in got), sub
+    # subquery matching nothing → empty
+    assert searcher.join_search("tool", "tool", "zzzznope") == []
+    # unknown from-field → empty, not an error
+    assert searcher.join_search("nosuchfield", "tool", "error") == []
+
+
 def test_count_matches(searcher, oracle):
     """numFound scatter (rows=0 counting): per-shard hit counts summed on
     the driver, duel vs the oracle's full match set."""
