@@ -760,13 +760,32 @@ class IndexShard:
         gather the `field` doc values of every matching live doc, and return
         this shard's UNIQUE value set — only distinct join keys cross the
         wire (JoinQuery's from-side term enumeration)."""
-        docs, _ = self._eval(node, idfs, sim)
+        docs, scores = self._eval(node, idfs, sim)
         dv = self._load_docvalues(field)
         if dv is None or docs.size == 0:
             return []
         fd, fv = dv
         vals = fv[np.searchsorted(fd, docs)]
-        return sorted({v for v in vals.tolist() if v is not None})
+        # per-key score partials for JoinUtil's ScoreMode (lucene/join/src/
+        # java/org/apache/lucene/search/join/ScoreMode.java): (sum64,
+        # count, max32), accumulated in docID order within the shard
+        # (bincount is sequential), merged on the driver in shard order —
+        # deterministic for a given layout; max/count are order-free.
+        import pandas as pd
+
+        keep = np.array([v is not None for v in vals.tolist()], dtype=bool)
+        vals, s64 = vals[keep], scores[keep].astype(np.float32).astype(np.float64)
+        if not vals.size:
+            return []
+        codes, uniq = pd.factorize(vals)
+        sums = np.bincount(codes, weights=s64)
+        counts = np.bincount(codes)
+        maxs = np.full(len(uniq), -np.inf)
+        np.maximum.at(maxs, codes, s64)
+        return sorted(
+            (v, float(s), int(c), float(m))
+            for v, s, c, m in zip(uniq.tolist(), sums, counts, maxs)
+        )
 
     def count_matches(self, node: QueryNode, idfs: dict[str, float], sim: str = "bm25") -> int:
         """numFound for this shard — only the hit COUNT crosses the wire

@@ -201,29 +201,70 @@ class Searcher:
         return sorted(seen, key=lambda t: (-t[1], t[0]))[:max_collations]
 
     def join_search(
-        self, from_field: str, to_field: str, subquery: str, k: int = 10
+        self,
+        from_field: str,
+        to_field: str,
+        subquery: str,
+        k: int = 10,
+        score: str = "none",
     ) -> list[tuple[int, float]]:
-        """`{!join from=f to=t}subquery` (solr/core/src/java/org/apache/
-        solr/search/JoinQParserPlugin.java): docs whose `to_field` value
-        equals the `from_field` value of ANY doc matching the subquery.
-        Constant score 1.0 — JoinQuery does not propagate from-side scores
-        — so ties rank by docID asc, like Solr's.
+        """`{!join from=f to=t score=m}subquery` (solr/core/src/java/org/
+        apache/solr/search/JoinQParserPlugin.java over JoinUtil.
+        createJoinQuery, lucene/join/src/java/org/apache/lucene/search/
+        join/JoinUtil.java): docs whose `to_field` value equals the
+        `from_field` value of ANY doc matching the subquery.
+
+        `score` is JoinUtil's ScoreMode: "none" → constant 1.0 (Solr's
+        default JoinQuery; ties rank by docID asc); "max" / "total" /
+        "avg" → the from-side scores are aggregated PER JOIN KEY and each
+        to-side doc carries its key's aggregate.  Per-key sums accumulate
+        float64 in docID order within a shard and merge in shard order —
+        deterministic for a given index layout.
 
         Distributed shape: the from-query runs shard-local and only each
-        shard's DISTINCT join keys reach the driver (bounded by field
-        cardinality, never by match count); the to-side is one
-        TermInSetQuery fan-out over the keyword postings."""
+        shard's DISTINCT join keys (with score partials) reach the driver
+        — bounded by field cardinality, never by match count; the to-side
+        is one TermInSetQuery fan-out over the keyword postings (per-key
+        boosted when scored; key sets are disjoint, so the SHOULD-union
+        assigns each doc exactly its key's score)."""
         node = parse_query(subquery)
         if node is None:
             return []
         node = self._rewrite(node)
         idfs = self._weights_for(node)
-        vals: set = set()
+        merged: dict = {}
         for part in self._scatter("join_values", node, idfs, from_field):
-            vals.update(part)
-        if not vals:
+            for v, s, c, m in part:
+                cur = merged.get(v)
+                if cur is None:
+                    merged[v] = [s, c, m]
+                else:
+                    cur[0] += s
+                    cur[1] += c
+                    cur[2] = max(cur[2], m)
+        if not merged:
             return []
-        tnode = QueryNode("term_set", terms=[f"{to_field}:{v}" for v in sorted(vals)])
+        if score == "none":
+            tnode = QueryNode(
+                "term_set", terms=[f"{to_field}:{v}" for v in sorted(merged)]
+            )
+        else:
+            key_score = {
+                v: {"total": s, "avg": s / c, "max": m}[score]
+                for v, (s, c, m) in merged.items()
+            }
+            tnode = QueryNode(
+                "bool",
+                clauses=[
+                    (
+                        "SHOULD",
+                        QueryNode(
+                            "term_set", terms=[f"{to_field}:{v}"], boost=key_score[v]
+                        ),
+                    )
+                    for v in sorted(merged)
+                ],
+            )
         return self.search_node(tnode, k)
 
     def count(self, query: str) -> int:

@@ -358,6 +358,43 @@ def test_join_query(searcher, corpus, oracle):
     assert searcher.join_search("nosuchfield", "tool", "error") == []
 
 
+def test_join_query_score_modes(searcher, corpus, oracle):
+    """JoinUtil ScoreMode max/total/avg: from-side scores aggregated per
+    join key (float64 in docID order within a shard, merged in shard
+    order) and carried by every to-side doc — bit-exact duel."""
+    paths, full = corpus
+    tools = full.column("tool").to_pylist()
+    sizes = [pq.read_table(p).num_rows for p in sorted(paths)]
+    ends = np.cumsum(sizes)[FILES_PER_SHARD - 1 :: FILES_PER_SHARD]
+    sub = "error ok"
+    pairs = sorted((d, np.float64(np.float32(s))) for d, s in oracle.search(sub, 10**9))
+    merged: dict = {}
+    start = 0
+    for end in ends:  # replicate per-shard partials merged in shard order
+        part: dict = {}
+        for d, s in pairs:
+            if start <= d < int(end) and tools[d] is not None:
+                p = part.setdefault(tools[d], [np.float64(0.0), 0, np.float64("-inf")])
+                p[0] += s
+                p[1] += 1
+                p[2] = max(p[2], s)
+        for v, (s, c, m) in sorted(part.items()):
+            cur = merged.setdefault(v, [np.float64(0.0), 0, np.float64("-inf")])
+            cur[0] += s
+            cur[1] += c
+            cur[2] = max(cur[2], m)
+        start = int(end)
+    for mode in ["total", "avg", "max"]:
+        key_score = {
+            v: float(np.float32({"total": s, "avg": s / c, "max": m}[mode]))
+            for v, (s, c, m) in merged.items()
+        }
+        scored = [(i, key_score[v]) for i, v in enumerate(tools) if v in key_score]
+        expected = sorted(scored, key=lambda t: (-t[1], t[0]))[:15]
+        got = searcher.join_search("tool", "tool", sub, 15, score=mode)
+        assert got == expected, mode
+
+
 def test_count_matches(searcher, oracle):
     """numFound scatter (rows=0 counting): per-shard hit counts summed on
     the driver, duel vs the oracle's full match set."""
