@@ -1103,6 +1103,112 @@ LIMIT {PHONETIC_TOP}
 
 
 # --------------------------------------------------------------------------
+# Benchmark decontamination (training-data pipeline op — the n-gram-overlap
+# test-set filter of GPT-3 App. C / Gopher / The Pile): documents sharing a
+# W-token n-gram with any "benchmark" document are flagged.  The benchmark
+# membership rule (doc_id % DECON_MOD == 0) is a literal shared with the SQL
+# twin; real deployments pass the held-out set in its place.
+#
+# Shape: the benchmark gram set is collected DISTRIBUTED (per-batch distinct
+# grams, driver union — bounded by the benchmark's size, which is the small
+# side by definition: test sets are MBs against a 100 TB corpus), broadcast
+# once via ray.put, and the corpus streams through one vectorized scan; no
+# shuffle anywhere.
+
+DECON_MOD = 97  # doc_id % MOD == 0 ⇒ benchmark member
+DECON_W = 5  # n-gram width
+
+
+def _doc_grams(texts: pd.Series):
+    """→ (gram strings object array, doc index per gram): vectorized W-gram
+    construction via shifted object-array concatenation over ONE flat token
+    stream — no per-document Python loop."""
+    doc_idx, codes, uniq, counts = _explode_tokens(texts)
+    n = len(texts)
+    if codes.size < DECON_W:
+        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64), n
+    flat = uniq[codes]
+    valid = doc_idx[: -(DECON_W - 1)] == doc_idx[DECON_W - 1 :]
+    grams = flat[: -(DECON_W - 1)]
+    for j in range(1, DECON_W):
+        part = flat[j:] if j == DECON_W - 1 else flat[j : -(DECON_W - 1 - j)]
+        grams = grams + " "
+        grams = grams + part
+    return grams[valid], doc_idx[: -(DECON_W - 1)][valid], n
+
+
+_DECON_CACHE: dict[str, np.ndarray] = {}  # per-worker benchmark gram sets
+
+
+def decontaminate(sf_dir: str):
+    import ray
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["doc_id"] % DECON_MOD == 0]
+        g, _, _ = _doc_grams(b["text"])
+        return pd.DataFrame({"g": pd.array(np.unique(g), dtype=object)})
+
+    bench = np.unique(
+        ds.map_batches(bench_grams, batch_format="pandas").to_pandas()["g"].to_numpy()
+    )
+    bench_ref = ray.put(np.sort(bench))
+
+    def scan(batch: pd.DataFrame, _ref=bench_ref) -> pd.DataFrame:
+        bset = _DECON_CACHE.get(_ref.hex())
+        if bset is None:
+            bset = _DECON_CACHE[_ref.hex()] = ray.get(_ref)
+        out = batch[batch["doc_id"] % DECON_MOD != 0]
+        grams, didx, n = _doc_grams(out["text"])
+        n_overlap = np.zeros(len(out), dtype=np.int64)
+        if grams.size:
+            codes, uniq = pd.factorize(grams)
+            # distinct (doc, gram) pairs so repeats inside a doc count once
+            comp = np.unique(didx * np.int64(len(uniq)) + codes)
+            d_of, c_of = comp // len(uniq), comp % len(uniq)
+            hit_uniq = np.isin(uniq, bset)
+            np.add.at(n_overlap, d_of[hit_uniq[c_of]], 1)
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(),
+                "n_overlap": n_overlap,
+                "contaminated": n_overlap > 0,
+            }
+        )
+
+    res = ds.map_batches(scan, batch_format="pandas").to_pandas()
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
+DECON_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         [array_to_string(toks[i:i+{DECON_W - 1}], ' ') for i in range(1, len(toks) - {DECON_W - 2})] AS grams
+  FROM d
+),
+bench AS (
+  SELECT DISTINCT unnest(grams) AS bg FROM g WHERE doc_id % {DECON_MOD} = 0
+),
+corpus AS (
+  SELECT doc_id, unnest(list_distinct(grams)) AS cg FROM g WHERE doc_id % {DECON_MOD} != 0
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n FROM corpus JOIN bench ON cg = bg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(hits.n, 0) AS n_overlap,
+       COALESCE(hits.n, 0) > 0 AS contaminated
+FROM d LEFT JOIN hits USING (doc_id)
+WHERE d.doc_id % {DECON_MOD} != 0
+ORDER BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # PII scrubbing (training-data pipeline op; the shape of Solr's
 # RegexReplaceProcessorFactory in an update chain, solr/core/.../update/
 # processor/RegexReplaceProcessorFactory.java, applied at corpus scale):
@@ -1148,6 +1254,9 @@ FROM events ORDER BY event_id
 PIPELINES: dict[str, Pipeline] = {
     "pii_scrub": Pipeline(
         pii_scrub, PII_SCRUB_SQL, "PII scrubbing: pseudonymize ids, redact digit runs, coarsen timestamps (RegexReplaceProcessor at corpus scale)"
+    ),
+    "decontaminate": Pipeline(
+        decontaminate, DECON_SQL, "benchmark decontamination: W-gram overlap vs a broadcast held-out set (GPT-3/Gopher test-set filter)"
     ),
     "synonym_phrase_match": Pipeline(
         synonym_phrase_match, SYNONYM_SQL, "multi-word synonym injection (SynonymGraphFilter), actor pool"
