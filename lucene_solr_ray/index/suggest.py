@@ -172,6 +172,19 @@ def matching_row_groups(path: str | Path, column: str, lo: str, hi: str) -> tupl
     return hit, f.metadata.num_row_groups
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Plain edit distance (no transpositions) — DuckDB levenshtein()."""
+    if not a:
+        return len(b)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 class Suggester:
     """Serve lookups from a built artifact; every read is row-group-pruned."""
 
@@ -187,6 +200,33 @@ class Suggester:
             self.dir / "terms.parquet",
             filters=[("token", ">=", prefix), ("token", "<=", prefix + MAX_CHAR)],
         ).to_pandas()
+        return (
+            t.sort_values(["cf", "token"], ascending=[False, True]).head(k).reset_index(drop=True)
+        )
+
+    def lookup_fuzzy(self, prefix: str, k: int = 8, max_edits: int = 1) -> pd.DataFrame:
+        """FuzzySuggester (lucene/suggest/src/java/org/apache/lucene/search/
+        suggest/analyzing/FuzzySuggester.java): top-k completions whose
+        indexed PREFIX is within `max_edits` of the typed prefix, by cf.
+        Lucene defaults mirrored: nonFuzzyPrefix=1 (first char exact — which
+        is also what keeps the artifact read row-group-pruned to one
+        first-char bucket), minFuzzyLength=3 (shorter inputs stay exact),
+        transpositions NOT counted (plain Levenshtein, so the SQL twin's
+        levenshtein() is the same function).  Alignment slack: the indexed
+        prefix window ranges len(p)±max_edits, the automaton's reach."""
+        if len(prefix) < 3:
+            return self.lookup(prefix, k)
+        self.reads += 1
+        t = pq.read_table(
+            self.dir / "terms.parquet",
+            filters=[("token", ">=", prefix[0]), ("token", "<=", prefix[0] + MAX_CHAR)],
+        ).to_pandas()
+        L = len(prefix)
+        windows = range(max(1, L - max_edits), L + max_edits + 1)
+        keep = t["token"].map(
+            lambda tok: min(_levenshtein(tok[:w], prefix) for w in windows) <= max_edits
+        )
+        t = t[keep]
         return (
             t.sort_values(["cf", "token"], ascending=[False, True]).head(k).reset_index(drop=True)
         )

@@ -626,6 +626,35 @@ def suggest_artifact_infix(sf_dir: str):
 
     return Suggester(build_suggester(sf_dir)).lookup_infix(SUGGEST_INFIX, 8)
 
+
+SUGGEST_FUZZY = "sot"  # one edit inside the prefix of e.g. "sort"
+SUGGEST_FUZZY_EDITS = 1
+
+
+def suggest_artifact_fuzzy(sf_dir: str):
+    from ..index.suggest import Suggester, build_suggester
+
+    return Suggester(build_suggester(sf_dir)).lookup_fuzzy(
+        SUGGEST_FUZZY, 8, max_edits=SUGGEST_FUZZY_EDITS
+    )
+
+
+def _fuzzy_windows_sql() -> str:
+    L = len(SUGGEST_FUZZY)
+    alts = ", ".join(
+        f"levenshtein(substr(token, 1, {w}), '{SUGGEST_FUZZY}')"
+        for w in range(max(1, L - SUGGEST_FUZZY_EDITS), L + SUGGEST_FUZZY_EDITS + 1)
+    )
+    return f"least({alts}) <= {SUGGEST_FUZZY_EDITS}"
+
+
+SUGGEST_FUZZY_SQL = f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cf
+FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token FROM documents)
+WHERE token LIKE '{SUGGEST_FUZZY[0]}%' AND {_fuzzy_windows_sql()}
+GROUP BY token ORDER BY cf DESC, token LIMIT 8
+"""
+
 # --------------------------------------------------------------------------
 # Spellcheck (solr/core/.../handler/component/SpellCheckComponent.java over
 # DirectSpellChecker): dictionary terms within edit distance ≤ 2 of a
@@ -1275,6 +1304,9 @@ PIPELINES: dict[str, Pipeline] = {
     ),
     "suggest_artifact_infix": Pipeline(
         suggest_artifact_infix, SUGGEST_INFIX_SQL, "infix lookup from the persisted gram index of the suggester artifact"
+    ),
+    "suggest_artifact_fuzzy": Pipeline(
+        suggest_artifact_fuzzy, SUGGEST_FUZZY_SQL, "typo-tolerant prefix completion (FuzzySuggester: prefix within max_edits)"
     ),
     "spellcheck_suggest": Pipeline(spellcheck_suggest, SPELLCHECK_SQL, "did-you-mean by edit distance + df (DirectSpellChecker)"),
     "shingle_bigrams": Pipeline(shingle_bigrams, SHINGLE_SQL, "word-bigram shingles + df (ShingleFilter)"),

@@ -110,8 +110,34 @@ def test_stale_artifact_rebuilds_on_source_change(ray_session, sf_dir, tmp_path)
     assert s.lookup("zzznew", 3)["token"].tolist() == ["zzznewterm"]
 
 
+def test_fuzzy_lookup(ray_session, sf_dir, artifact):
+    """FuzzySuggester: prefix within max_edits completes; brute-force dual."""
+    from lucene_solr_ray.index.suggest import _levenshtein
+
+    s = Suggester(artifact)
+    cf = brute_cf(sf_dir)
+    prefix, me = "suha", 1  # one substitution inside the "suga…" prefix
+    L = len(prefix)
+    exp = cf[
+        cf["token"].str.startswith(prefix[0])
+        & cf["token"].map(
+            lambda t: min(_levenshtein(t[:w], prefix) for w in range(L - me, L + me + 1)) <= me
+        )
+    ]
+    exp = exp.sort_values(["cf", "token"], ascending=[False, True]).head(8).reset_index(drop=True)
+    got = s.lookup_fuzzy(prefix, 8, max_edits=me)
+    assert got["token"].tolist() == exp["token"].tolist()
+    assert got["cf"].tolist() == exp["cf"].tolist()
+    assert got["token"].str.startswith("sug").all()  # real completions
+    # minFuzzyLength: short inputs stay exact-prefix
+    assert s.lookup_fuzzy("su", 5).equals(s.lookup("su", 5))
+    # no candidate within budget → empty
+    assert len(s.lookup_fuzzy("sxxx", 5, max_edits=1)) == 0
+
+
 def test_gated_pipelines_registered():
     from lucene_solr_ray.pipelines import REGISTRY
 
     assert REGISTRY["suggest_artifact_prefix"].sql is not None
     assert REGISTRY["suggest_artifact_infix"].sql is not None
+    assert REGISTRY["suggest_artifact_fuzzy"].sql is not None
