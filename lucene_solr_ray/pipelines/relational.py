@@ -35,6 +35,58 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM documents GROUP BY lang ORDER BY cnt DESC, lang
 """
 
+# Classic facet parameter surface (solr/core/src/java/org/apache/solr/
+# request/SimpleFacets.java): facet.prefix + facet.contains narrow the
+# bucket domain, facet.sort=index orders lexicographically, facet.offset/
+# facet.limit page, facet.mincount prunes, facet.missing appends the
+# null-bucket count as a sentinel row.  The prefix/contains filters run
+# INSIDE the per-batch combiner, so pruned buckets never shuffle.
+
+FACET_PREFIX, FACET_CONTAINS = "src1", "1"
+FACET_OFFSET, FACET_LIMIT, FACET_MINCOUNT = 2, 5, 1
+FACET_MISSING_SENTINEL = "__missing__"
+
+
+def facet_field_params(sf_dir: str):
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["source"]
+        n_missing = int(s.isna().sum())
+        keep = s.dropna()
+        keep = keep[keep.str.startswith(FACET_PREFIX) & keep.str.contains(FACET_CONTAINS, regex=False)]
+        vc = keep.value_counts()
+        out = pd.DataFrame({"source": vc.index, "cnt": vc.to_numpy()})
+        if n_missing:
+            out = pd.concat(
+                [out, pd.DataFrame({"source": [FACET_MISSING_SENTINEL], "cnt": [n_missing]})]
+            )
+        return out
+
+    ds = read(sf_dir, "documents", ["source"]).map_batches(partial, batch_format="pandas")
+    df = merge_partials(ds, ["source"], {"cnt": "sum"})
+    df["cnt"] = df["cnt"].astype("int64")
+    missing = df[df["source"] == FACET_MISSING_SENTINEL]
+    buckets = df[(df["source"] != FACET_MISSING_SENTINEL) & (df["cnt"] >= FACET_MINCOUNT)]
+    buckets = buckets.sort_values("source")  # facet.sort=index
+    page = buckets.iloc[FACET_OFFSET : FACET_OFFSET + FACET_LIMIT]
+    if missing.empty:  # facet.missing=true always reports, even count 0
+        missing = pd.DataFrame({"source": [FACET_MISSING_SENTINEL], "cnt": [0]})
+    return pd.concat([page, missing]).reset_index(drop=True)
+
+
+FACET_PARAMS_SQL = f"""
+SELECT source, cnt FROM (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents
+  WHERE source LIKE '{FACET_PREFIX}%' AND contains(source, '{FACET_CONTAINS}')
+  GROUP BY source HAVING COUNT(*) >= {FACET_MINCOUNT}
+  ORDER BY source LIMIT {FACET_LIMIT} OFFSET {FACET_OFFSET}
+)
+UNION ALL
+SELECT '{FACET_MISSING_SENTINEL}' AS source,
+       CAST(COUNT(*) FILTER (WHERE source IS NULL) AS BIGINT) AS cnt
+FROM documents
+"""
+
 # --------------------------------------------------------------------------
 # §2.6 range facet / TimeSeriesStream: fixed-window time rollup.
 
@@ -1218,7 +1270,10 @@ PIPELINES: dict[str, Pipeline] = {
     "atomic_update": Pipeline(atomic_update, ATOMIC_UPDATE_SQL, "set/inc atomic document updates (AtomicUpdateDocumentMerger)"),
     "rollup_cube": Pipeline(rollup_cube, ROLLUP_CUBE_SQL, "hierarchical GROUPING-SETS rollup (multi-level RollupStream)"),
     "group_percentile": Pipeline(group_percentile, GROUP_PERCENTILE_SQL, "exact percentiles inside facet buckets (facet.stats / PercentileAgg)"),
-    "facet_field": Pipeline(facet_field, FACET_FIELD_SQL, "field facet counts (SimpleFacets)"),
+    "facet_field_params": Pipeline(
+        facet_field_params, FACET_PARAMS_SQL, "classic facet params: prefix/contains/sort=index/offset/limit/mincount/missing (SimpleFacets)"
+    ),
+    "facet_field": Pipeline(facet_field, FACET_FIELD_SQL,"field facet counts (SimpleFacets)"),
     "promo_revenue_share": Pipeline(promo_revenue_share, PROMO_SQL, "conditional aggregate over dim join (TPC-H Q14 shape)"),
     "random_sample_hash": Pipeline(random_sample_hash, RANDOM_SAMPLE_SQL, "seeded pseudo-random sampling (RandomSortField)"),
     "variance_moments": Pipeline(variance_moments, VARIANCE_SQL, "stddev/variance from exact integer moments (VarianceAgg)"),
