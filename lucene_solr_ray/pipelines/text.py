@@ -1238,6 +1238,104 @@ ORDER BY d.doc_id
 
 
 # --------------------------------------------------------------------------
+# Text Tagger (solr/core/src/java/org/apache/solr/handler/tagger/
+# TaggerRequestHandler.java — the SolrTextTagger): a DICTIONARY of phrases
+# is matched against every document; each hit reports the tag, its
+# occurrence count and the first match position (1-based token offset).
+# overlaps=ALL semantics (every dictionary entry reports independently —
+# the handler's LONGEST_DOMINANT_RIGHT mode is a post-filter over these).
+# The dictionary is tiny by definition (entity lists), the corpus is the
+# 100 TB side: matching is one vectorized pass per batch over the shared
+# flat token stream — per-tag adjacency masks, no per-document loop.
+
+TAGGER_DICT = ["big data", "fast key order", "hash join", "sort merge", "window"]
+
+
+def text_tagger(sf_dir: str):
+    compiled = [(tag, tag.split()) for tag in TAGGER_DICT]
+
+    def tag_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, codes, uniq, counts = _explode_tokens(batch["text"])
+        n = len(batch)
+        code_of = {t: i for i, t in enumerate(uniq)}
+        offsets = np.zeros(len(counts), dtype=np.int64)
+        if len(counts) > 1:
+            offsets[1:] = counts.cumsum()[:-1]
+        pos = np.arange(codes.size, dtype=np.int64) - np.repeat(offsets, counts)
+        ids = batch["doc_id"].to_numpy()
+        rows = []
+        for tag, words in compiled:
+            if any(w not in code_of for w in words):
+                continue
+            w = len(words)
+            mask = codes[: codes.size - w + 1] == code_of[words[0]]
+            for j in range(1, w):
+                mask &= codes[j : codes.size - w + 1 + j] == code_of[words[j]]
+            if w > 1:
+                mask &= doc_idx[: codes.size - w + 1] == doc_idx[w - 1 :]
+            if not mask.any():
+                continue
+            d = doc_idx[: codes.size - w + 1][mask]
+            p = pos[: codes.size - w + 1][mask]
+            cnt = np.bincount(d, minlength=n)
+            first = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(first, d, p)
+            hit = np.flatnonzero(cnt)
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": ids[hit],
+                        "tag": tag,
+                        "cnt": cnt[hit].astype("int64"),
+                        "first_pos": first[hit] + 1,  # 1-based, = list_position
+                    }
+                )
+            )
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "doc_id": np.empty(0, np.int64),
+                    "tag": pd.array([], dtype=object),
+                    "cnt": np.empty(0, np.int64),
+                    "first_pos": np.empty(0, np.int64),
+                }
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tag_batch, batch_format="pandas"
+    )
+    return out.to_pandas().sort_values(["doc_id", "tag"]).reset_index(drop=True)
+
+
+def _tagger_sql() -> str:
+    parts = []
+    for tag in TAGGER_DICT:
+        w = len(tag.split())
+        if w == 1:
+            grams = "t"
+        else:
+            grams = f"[array_to_string(t[i:i+{w - 1}], ' ') for i in range(1, len(t) - {w - 2})]"
+        parts.append(
+            "SELECT * FROM (\n"
+            f"  SELECT doc_id, '{tag}' AS tag,\n"
+            f"         CAST(len(list_filter({grams}, x -> x = '{tag}')) AS BIGINT) AS cnt,\n"
+            f"         CAST(list_position({grams}, '{tag}') AS BIGINT) AS first_pos\n"
+            "  FROM d\n"
+            ") WHERE cnt > 0"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return (
+        "WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), "
+        f"'{TOKEN_RE}') AS t FROM documents)\n"
+        f"SELECT * FROM ({body}) ORDER BY doc_id, tag"
+    )
+
+
+TAGGER_SQL = _tagger_sql()
+
+
+# --------------------------------------------------------------------------
 # PII scrubbing (training-data pipeline op; the shape of Solr's
 # RegexReplaceProcessorFactory in an update chain, solr/core/.../update/
 # processor/RegexReplaceProcessorFactory.java, applied at corpus scale):
@@ -1286,6 +1384,9 @@ PIPELINES: dict[str, Pipeline] = {
     ),
     "decontaminate": Pipeline(
         decontaminate, DECON_SQL, "benchmark decontamination: W-gram overlap vs a broadcast held-out set (GPT-3/Gopher test-set filter)"
+    ),
+    "text_tagger": Pipeline(
+        text_tagger, TAGGER_SQL, "dictionary phrase tagging with counts + first position (SolrTextTagger, overlaps=ALL)"
     ),
     "synonym_phrase_match": Pipeline(
         synonym_phrase_match, SYNONYM_SQL, "multi-word synonym injection (SynonymGraphFilter), actor pool"
