@@ -1148,21 +1148,27 @@ DECON_MOD = 97  # doc_id % MOD == 0 ⇒ benchmark member
 DECON_W = 5  # n-gram width
 
 
+_FNV_PRIME = np.uint64(1099511628211)
+
+
 def _doc_grams(texts: pd.Series):
-    """→ (gram strings object array, doc index per gram): vectorized W-gram
-    construction via shifted object-array concatenation over ONE flat token
-    stream — no per-document Python loop."""
+    """→ (uint64 gram fingerprints, doc index per gram): each token string
+    is hashed ONCE per batch (`pd.util.hash_array` — deterministic across
+    processes), then W-gram fingerprints are a vectorized polynomial roll
+    over the flat hash stream (wrapping uint64).  No gram strings are ever
+    built — this is the hashed-n-gram representation real decontamination
+    pipelines use (Lee et al. 2022); a cross-set collision needs ~2⁶⁴
+    grams, far beyond any corpus."""
     doc_idx, codes, uniq, counts = _explode_tokens(texts)
     n = len(texts)
     if codes.size < DECON_W:
-        return np.empty(0, dtype=object), np.empty(0, dtype=np.int64), n
-    flat = uniq[codes]
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64), n
+    flat = pd.util.hash_array(uniq.astype(object))[codes]
     valid = doc_idx[: -(DECON_W - 1)] == doc_idx[DECON_W - 1 :]
-    grams = flat[: -(DECON_W - 1)]
+    grams = flat[: -(DECON_W - 1)].copy()
     for j in range(1, DECON_W):
         part = flat[j:] if j == DECON_W - 1 else flat[j : -(DECON_W - 1 - j)]
-        grams = grams + " "
-        grams = grams + part
+        grams = grams * _FNV_PRIME + part
     return grams[valid], doc_idx[: -(DECON_W - 1)][valid], n
 
 
@@ -1177,7 +1183,7 @@ def decontaminate(sf_dir: str):
     def bench_grams(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch[batch["doc_id"] % DECON_MOD == 0]
         g, _, _ = _doc_grams(b["text"])
-        return pd.DataFrame({"g": pd.array(np.unique(g), dtype=object)})
+        return pd.DataFrame({"g": np.unique(g)})
 
     bench = np.unique(
         ds.map_batches(bench_grams, batch_format="pandas").to_pandas()["g"].to_numpy()
