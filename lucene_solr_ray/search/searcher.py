@@ -200,6 +200,35 @@ class Searcher:
                 seen.append((" ".join(combo), n))
         return sorted(seen, key=lambda t: (-t[1], t[0]))[:max_collations]
 
+    def wordbreak(self, word: str, max_suggestions: int = 5) -> list[tuple[str, str, int]]:
+        """WordBreakSolrSpellChecker break-words direction (solr/core/src/
+        java/org/apache/solr/spelling/WordBreakSolrSpellChecker.java): an
+        out-of-dictionary word is split into two dictionary words.  Ranked
+        by the weaker half's df desc, then left half asc.  Every df lookup
+        is one batched pruned global-stats read (`LazyBM25Stats.resolve`)
+        — the vocabulary never materializes on the driver."""
+        w = word.lower()
+        if self.stats.df(w) > 0:
+            return []
+        parts = [(w[:i], w[i:]) for i in range(1, len(w))]
+        getattr(self.stats, "resolve", lambda ts: None)([p for ab in parts for p in ab])
+        out = [
+            (a, b, min(da, db))
+            for a, b in parts
+            if (da := self.stats.df(a)) > 0 and (db := self.stats.df(b)) > 0
+        ]
+        out.sort(key=lambda t: (-t[2], t[0]))
+        return out[:max_suggestions]
+
+    def wordcombine(self, terms: list[str]) -> list[tuple[str, str, int]]:
+        """WordBreakSolrSpellChecker combine-words direction: adjacent
+        query terms whose CONCATENATION is a dictionary word → (left,
+        right, df of the combined word)."""
+        toks = [t.lower() for t in terms]
+        cands = [(toks[i], toks[i + 1], toks[i] + toks[i + 1]) for i in range(len(toks) - 1)]
+        getattr(self.stats, "resolve", lambda ts: None)([c for _, _, c in cands])
+        return [(a, b, df) for a, b, c in cands if (df := self.stats.df(c)) > 0]
+
     def join_search(
         self,
         from_field: str,

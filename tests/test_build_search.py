@@ -395,6 +395,28 @@ def test_join_query_score_modes(searcher, corpus, oracle):
         assert got == expected, mode
 
 
+def test_wordbreak(searcher, oracle):
+    """WordBreakSolrSpellChecker: break an unknown concatenation into two
+    dictionary words; combine adjacent terms that concatenate into one."""
+    res = searcher.wordbreak("toolerror")
+    assert ("tool", "error") in [(a, b) for a, b, _ in res]
+    for a, b, w in res:
+        assert oracle.df[a] > 0 and oracle.df[b] > 0
+        assert w == min(oracle.df[a], oracle.df[b])
+    # ranked by weaker-half df desc
+    assert [w for _, _, w in res] == sorted((w for _, _, w in res), reverse=True)
+    # in-dictionary word → no break suggestions
+    assert searcher.wordbreak("assistant") == []
+    assert searcher.wordbreak("zzqqzzqq") == []
+    # combine: fixture vocabulary has no two-word concatenations → empty,
+    # and a manufactured hit is found via the oracle's own dictionary
+    assert searcher.wordcombine(["tool", "output"]) == []
+    some_term = "assistant"
+    assert searcher.wordcombine([some_term[:4], some_term[4:]]) == [
+        ("assi", "stant", oracle.df[some_term])
+    ]
+
+
 def test_count_matches(searcher, oracle):
     """numFound scatter (rows=0 counting): per-shard hit counts summed on
     the driver, duel vs the oracle's full match set."""
