@@ -978,6 +978,27 @@ class IndexShard:
             docs, scores = docs[live], scores[live]
         return docs, scores.astype(np.float32)
 
+    def children_of(self, convs: list, limit: int) -> dict:
+        """First `limit` LIVE child docIDs per conv — the fetch half of the
+        ChildDocTransformer (solr/core/src/java/org/apache/solr/response/
+        transform/ChildDocTransformerFactory.java).  Conv blocks are
+        shard-local, so exactly one shard answers for each conv; only
+        k × limit ids ever cross the wire."""
+        fd, fc = self._load_docmap()
+        out = {}
+        for c in convs:
+            lo = int(np.searchsorted(fc, c, "left"))
+            hi = int(np.searchsorted(fc, c, "right"))
+            if lo == hi:
+                continue
+            docs = fd[lo:hi].astype(np.int64)
+            live = self._live_mask(docs)
+            if live is not None:
+                docs = docs[live]
+            if docs.size:
+                out[c] = docs[:limit].tolist()
+        return out
+
     def top_k(self, node: QueryNode, k: int, idfs: dict[str, float], prune: bool = True, sim: str = "bm25"):
         """→ (doc_ids int64, scores float32), shard-local top-k."""
         cache_key = (repr(node), k, prune, sim)

@@ -383,6 +383,24 @@ class Searcher:
         top = np.lexsort((pconvs, -pscores))[:k]
         return [(str(pconvs[i]), float(pscores[i])) for i in top]
 
+    def search_with_children(
+        self, query: str, k: int = 10, child_limit: int = 3, score_mode: str = "max"
+    ) -> list[tuple[str, float, list[int]]]:
+        """ChildDocTransformer `fl=*,[child limit=N]` (solr/core/src/java/
+        org/apache/solr/response/transform/ChildDocTransformerFactory.java):
+        top-k parents by the block join, each carrying its first
+        `child_limit` live child docIDs nested in the row.  Two bounded
+        scatters: parent scores (conv tuples only), then children of just
+        the k winners."""
+        parents = self.search_parents(query, k, score_mode)
+        if not parents:
+            return []
+        convs = [c for c, _ in parents]
+        kids: dict = {}
+        for part in self._scatter("children_of", convs, child_limit):
+            kids.update(part)
+        return [(c, s, kids.get(c, [])) for c, s in parents]
+
     def search_children(
         self, query: str, k: int = 10, score_mode: str = "max"
     ) -> list[tuple[int, float]]:

@@ -109,3 +109,23 @@ def test_child_block_join_masks_deletes(ctx):
     assert after == []  # no live children match → no parents → no children
     s.clear_deletes()
     assert s.search_children("error", 20) == before
+
+
+def test_child_doc_transformer(ctx):
+    """[child limit=N]: top-k parents each carry their first N child
+    docIDs, straight from the fixture's conv → docID blocks."""
+    s, oracle, convs = ctx
+    q = "error"
+    got = s.search_with_children(q, 4, child_limit=3)
+    exp_parents = _oracle_parents(oracle, convs, q, 4, "max")
+    assert [(c, sc) for c, sc, _ in got] == exp_parents
+    carr = np.asarray(convs, dtype=object)
+    for conv, _, kids in got:
+        block = np.flatnonzero(carr == conv)
+        assert kids == block[:3].tolist()
+        assert 1 <= len(kids) <= 3
+    # unlimited-ish child_limit returns the whole block
+    conv0 = got[0][0]
+    all_kids = s.search_with_children(q, 1, child_limit=10**6)[0][2]
+    assert all_kids == np.flatnonzero(carr == conv0).tolist()
+    assert s.search_with_children("zzzznope", 3) == []
