@@ -469,7 +469,47 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.5):
+    """Near-duplicate CLUSTER assignment — the keep-one-per-cluster policy
+    step every training-data dedup run ends with (the exact-group analog
+    is SignatureUpdateProcessor's overwriteDupes, solr/core/.../update/
+    processor/SignatureUpdateProcessorFactory.java; LSH clusters are its
+    near-dup extension).  Connected components over the verified pair set
+    via path-compressed union-find ON THE DRIVER: the pair list is
+    output-bounded by LSH design, each component is labeled by its MINIMUM
+    doc_id (the canonical survivor) and `keep` marks it.  Docs in no pair
+    are implicitly their own singleton cluster and are omitted."""
+    pairs = dedup_minhash(sf_dir, jaccard_threshold)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"].tolist(), pairs["doc_b"].tolist()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:  # union by MIN root so the label is the canonical id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    docs = sorted(parent)
+    out = pd.DataFrame(
+        {
+            "doc_id": np.array(docs, dtype=np.int64),
+            "cluster_id": np.array([find(d) for d in docs], dtype=np.int64),
+        }
+    )
+    out["keep"] = out["doc_id"] == out["cluster_id"]
+    return out.reset_index(drop=True)
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "dedup_clusters": Pipeline(
+        dedup_clusters, None, "near-dup connected components + keep-one-per-cluster (LSH pairs → union-find); rows-only, oracled in pytest"
+    ),
     "dedup_exact": Pipeline(dedup_exact, DEDUP_EXACT_SQL, "exact content dedup (SignatureUpdateProcessor)"),
     "dedup_first_per_key": Pipeline(dedup_first_per_key, DEDUP_FIRST_SQL, "first-wins upsert dedup (updateDocument)"),
     "dedup_minhash": Pipeline(dedup_minhash, None, "MinHash+LSH near-dup (MinHashFilter); rows-only, oracled in pytest"),

@@ -46,6 +46,37 @@ def test_gated_pipeline_matches_oracle(ray_session, duck, name):
     assert not problems, problems
 
 
+def test_dedup_clusters_connected_components(ray_session):
+    """Union-find labels == BFS components over the same verified pairs;
+    exactly one keep per cluster, labeled by the minimum doc_id."""
+    from lucene_solr_ray.pipelines.dedup import dedup_clusters, dedup_minhash
+
+    pairs = dedup_minhash(SF)
+    got = dedup_clusters(SF)
+    adj: dict = {}
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    assert len(got) == len(adj) > 0
+    labels = dict(zip(got["doc_id"], got["cluster_id"]))
+    seen = set()
+    for root in sorted(adj):
+        if root in seen:
+            continue
+        comp, stack = set(), [root]
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            comp.add(x)
+            stack.extend(adj[x] - comp)
+        seen |= comp
+        lbl = min(comp)
+        assert all(labels[d] == lbl for d in comp), (root, comp)
+    keeps = got[got["keep"]]
+    assert set(keeps["doc_id"]) == set(got["cluster_id"].unique())
+
+
 def test_minhash_vs_bruteforce_jaccard(ray_session):
     """Every brute-force pair with Jaccard ≥ 0.8 must be found by LSH (high
     recall at high similarity); reported pairs carry exact Jaccard ≥ 0.5."""
