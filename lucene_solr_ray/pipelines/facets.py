@@ -1076,7 +1076,70 @@ GROUP BY o_orderpriority ORDER BY priority
 """
 
 
+# --------------------------------------------------------------------------
+# DrillSideways (lucene/facet/src/java/org/apache/lucene/facet/
+# DrillSideways.java): with a multi-dimension drill-down selection, each
+# dimension's facet counts are computed with every OTHER dimension's filter
+# applied but its OWN filter relaxed ("near-miss" counting — the UI pattern
+# where clicking lang=en still shows counts for the other languages).  One
+# streaming scan computes all per-dimension partials with complementary
+# masks plus the fully-filtered hit count; only (dim, val, cnt) combiner
+# rows reach the driver.
+
+DRILL_SELECTION = {"lang": "en", "source": "src3"}
+
+
+def drill_sideways(sf_dir: str):
+    dims = sorted(DRILL_SELECTION)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        masks = {d: (batch[d] == DRILL_SELECTION[d]).to_numpy() for d in dims}
+        frames = []
+        for d in dims:
+            others = np.ones(len(batch), dtype=bool)
+            for o in dims:
+                if o != d:
+                    others &= masks[o]
+            vc = batch[d][others].value_counts()
+            frames.append(pd.DataFrame({"dim": d, "val": vc.index, "cnt": vc.to_numpy()}))
+        hits = np.ones(len(batch), dtype=bool)
+        for d in dims:
+            hits &= masks[d]
+        frames.append(pd.DataFrame({"dim": ["__hits__"], "val": [""], "cnt": [int(hits.sum())]}))
+        return pd.concat(frames, ignore_index=True)
+
+    ds = read(sf_dir, "documents", dims).map_batches(partial, batch_format="pandas")
+    from .common import merge_partials
+
+    df = merge_partials(ds, ["dim", "val"], {"cnt": "sum"})
+    df["cnt"] = df["cnt"].astype("int64")
+    return df.sort_values(["dim", "val"]).reset_index(drop=True)
+
+
+def _drill_sql() -> str:
+    dims = sorted(DRILL_SELECTION)
+    parts = []
+    for d in dims:
+        where = " AND ".join(f"{o} = '{DRILL_SELECTION[o]}'" for o in dims if o != d)
+        parts.append(
+            f"SELECT '{d}' AS dim, {d} AS val, CAST(COUNT(*) AS BIGINT) AS cnt "
+            f"FROM documents WHERE {where} GROUP BY {d}"
+        )
+    full = " AND ".join(f"{d} = '{DRILL_SELECTION[d]}'" for d in dims)
+    parts.append(
+        "SELECT '__hits__' AS dim, '' AS val, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"FROM documents WHERE {full}"
+    )
+    return "SELECT * FROM (" + "\nUNION ALL\n".join(parts) + ") ORDER BY dim, val"
+
+
+DRILL_SIDEWAYS_SQL = _drill_sql()
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "drill_sideways": Pipeline(
+        drill_sideways, DRILL_SIDEWAYS_SQL, "DrillSideways near-miss facet counts: per-dim complementary masks in one scan"
+    ),
     "json_facet_domain": Pipeline(
         json_facet_domain,
         JSON_FACET_DOMAIN_SQL,
