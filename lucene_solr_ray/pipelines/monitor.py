@@ -79,6 +79,8 @@ class MonitorMatcher:
             node = parse_query(qstr)
             if node is not None:
                 self.compiled.append((qid, node, set(_anchor_terms(node))))
+        self.evaluated = 0  # presearcher diagnostics (per-actor, tests)
+        self.skipped = 0
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
@@ -142,7 +144,9 @@ class MonitorMatcher:
         ids = batch["doc_id"].to_numpy()
         for qid, node, anchors in self.compiled:
             if anchors and not (anchors & vocab):
-                continue  # presearcher skip: no anchor term in this batch
+                self.skipped += 1  # presearcher: no anchor term in batch
+                continue
+            self.evaluated += 1
             hit = match(node)
             if hit.any():
                 matched = ids[hit]

@@ -109,6 +109,9 @@ class Searcher:
             self.actors[0].set_docmap_paths(
                 sorted(p for ps in seg_by_shard.values() for p in ps)
             )
+        # shards.tolerant: skip dead shards instead of failing the request
+        self.tolerant = False
+        self.last_partial = False
         # install persisted tombstones actor-side (masked once at decode)
         self._tombstones = self._load_tombstones()
         if self._tombstones.size:
@@ -116,11 +119,30 @@ class Searcher:
 
     # -- distributed term-dictionary operations ---------------------------
     def _scatter(self, method: str, *args):
-        """Call an IndexShard method on every actor, gather the results."""
+        """Call an IndexShard method on every actor, gather the results.
+
+        `self.tolerant` is Solr's `shards.tolerant=true` (solr/core/.../
+        handler/component/SearchHandler.java partialResults): a dead shard
+        actor is SKIPPED instead of failing the request, and
+        `self.last_partial` records that the answer covers a subset of the
+        index — every scatter-based operation (search, count, terms,
+        facets, spellcheck) inherits the behavior."""
         if self.use_ray:
             import ray
 
-            return ray.get([getattr(a, method).remote(*args) for a in self.actors])
+            refs = [getattr(a, method).remote(*args) for a in self.actors]
+            if not getattr(self, "tolerant", False):
+                return ray.get(refs)
+            out = []
+            self.last_partial = False
+            for r in refs:
+                try:
+                    out.append(ray.get(r))
+                except ray.exceptions.RayActorError:
+                    self.last_partial = True
+            if not out:
+                raise RuntimeError("all shards failed (tolerant scatter)")
+            return out
         return [getattr(a, method)(*args) for a in self.actors]
 
     def _rewrite(self, node):
@@ -236,6 +258,7 @@ class Searcher:
         subquery: str,
         k: int = 10,
         score: str = "none",
+        from_searcher: "Searcher | None" = None,
     ) -> list[tuple[int, float]]:
         """`{!join from=f to=t score=m}subquery` (solr/core/src/java/org/
         apache/solr/search/JoinQParserPlugin.java over JoinUtil.
@@ -255,14 +278,20 @@ class Searcher:
         — bounded by field cardinality, never by match count; the to-side
         is one TermInSetQuery fan-out over the keyword postings (per-key
         boosted when scored; key sets are disjoint, so the SHOULD-union
-        assigns each doc exactly its key's score)."""
+        assigns each doc exactly its key's score).
+
+        `from_searcher` runs the from-side against ANOTHER index — Solr's
+        cross-core `{!join fromIndex=other}`: the subquery is rewritten,
+        weighted and scattered over the other collection's shards; only
+        its distinct join keys travel to this one."""
+        src = from_searcher or self
         node = parse_query(subquery)
         if node is None:
             return []
-        node = self._rewrite(node)
-        idfs = self._weights_for(node)
+        node = src._rewrite(node)
+        idfs = src._weights_for(node)
         merged: dict = {}
-        for part in self._scatter("join_values", node, idfs, from_field):
+        for part in src._scatter("join_values", node, idfs, from_field):
             for v, s, c, m in part:
                 cur = merged.get(v)
                 if cur is None:
@@ -631,14 +660,7 @@ class Searcher:
         idfs = self._weights_for(node, similarity)
         # tombstones masked at decode actor-side: no over-fetch needed —
         # shard top-k is already live-only
-        if self.use_ray:
-            import ray
-
-            parts = ray.get(
-                [a.top_k.remote(node, k, idfs, prune, similarity) for a in self.actors]
-            )
-        else:
-            parts = [a.top_k(node, k, idfs, prune, similarity) for a in self.actors]
+        parts = self._scatter("top_k", node, k, idfs, prune, similarity)
         docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float32)
         if docs.size == 0:

@@ -358,6 +358,40 @@ def test_join_query(searcher, corpus, oracle):
     assert searcher.join_search("nosuchfield", "tool", "error") == []
 
 
+def test_join_query_cross_index(searcher, corpus, oracle):
+    """Cross-core {!join fromIndex=other}: from-side keys come from a
+    DIFFERENT index's subquery matches; to-side runs here."""
+    import shutil
+
+    paths2 = write_transcripts("/tmp/lsr_xidx_corpus", 50, 2)
+    shutil.rmtree("/tmp/lsr_xidx_index", ignore_errors=True)
+    build_index(paths2, "/tmp/lsr_xidx_index", files_per_shard=1)
+    full2 = pa.concat_tables(
+        pq.read_table(p, columns=["conv_id", "turn_idx", "text", "role", "tool"])
+        for p in sorted(paths2)
+    )
+    full2 = full2.take(
+        pc.sort_indices(full2, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])
+    )
+    oracle2 = BruteForceIndex(
+        full2.column("text").to_pylist(),
+        fields={"role": full2.column("role").to_pylist(), "tool": full2.column("tool").to_pylist()},
+    )
+    other = Searcher("/tmp/lsr_xidx_index")
+    try:
+        tools2 = full2.column("tool").to_pylist()
+        sub_docs = [d for d, _ in oracle2.search("+error +ok", 10**9)]
+        keys = {tools2[d] for d in sub_docs if tools2[d] is not None}
+        _, full = corpus
+        tools = full.column("tool").to_pylist()
+        expected = [i for i, v in enumerate(tools) if v in keys][:20]
+        got = searcher.join_search("tool", "tool", "+error +ok", 20, from_searcher=other)
+        assert [d for d, _ in got] == expected
+        assert all(s == 1.0 for _, s in got)
+    finally:
+        other.close()
+
+
 def test_join_query_score_modes(searcher, corpus, oracle):
     """JoinUtil ScoreMode max/total/avg: from-side scores aggregated per
     join key (float64 in docID order within a shard, merged in shard

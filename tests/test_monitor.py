@@ -56,6 +56,18 @@ def test_presearcher_anchors():
     assert _pairs([("z", "+zzzabsent +fast")]) == []
 
 
+def test_presearcher_prunes_large_library():
+    """A large registered-query library costs O(queries whose anchors occur
+    in the batch), not O(all): 200 queries over absent vocabulary are all
+    presearcher-skipped; only the live ones evaluate."""
+    library = [(f"dead{i}", f"+absent{i:04d} +fast") for i in range(200)]
+    library += [("live1", "+fast +merge"), ("live2", '"hash join"')]
+    m = MonitorMatcher(library)
+    out = m(DOCS)
+    assert sorted(set(out["query_id"])) == ["live1", "live2"]
+    assert m.evaluated == 2 and m.skipped == 200
+
+
 def test_empty_and_no_match_batches():
     m = MonitorMatcher([("q", "fast")])
     empty = DOCS.iloc[0:0]
