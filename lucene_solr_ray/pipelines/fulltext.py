@@ -36,9 +36,15 @@ def _doc_corpus_dir(sf_dir: str) -> Path:
     return Path(f"/tmp/lsr_docs_corpus_{h}")
 
 
+# bump when the on-disk index layout gains columns the pipelines rely on
+# (e.g. dv_<field> docvalues) so a stale /tmp index rebuilds instead of
+# silently serving the old schema
+_INDEX_FORMAT = 2
+
+
 def _doc_index_dir(sf_dir: str) -> Path:
     h = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    return Path(f"/tmp/lsr_docs_index_{h}")
+    return Path(f"/tmp/lsr_docs_index_{h}_v{_INDEX_FORMAT}")
 
 
 def _prepare_corpus(sf_dir: str) -> list[str]:
@@ -181,6 +187,87 @@ ORDER BY query, rank
 
 
 BM25_SQL = _bm25_oracle_sql()
+
+# --------------------------------------------------------------------------
+# Scored {!join} end-to-end gate (JoinQParserPlugin + JoinUtil ScoreMode.Max
+# over the SAME independent SQL BM25 oracle): the from-side subquery scores
+# every matching doc, keys aggregate per `tool` (= source) with MAX — order
+# free, so the cross-shard partial merge is exact — and every to-side doc
+# carries its key's score.  Rank (score desc, docID asc); docID order equals
+# doc_id order by construction (conv_id = doc-<id> zero-padded).
+
+JOIN_QUERY = "scan slow"
+JOIN_TOP_K = 25
+
+
+def join_scored_topk(sf_dir: str):
+    with _searcher(sf_dir) as searcher:
+        hits = searcher.join_search("tool", "tool", JOIN_QUERY, JOIN_TOP_K, score="max")
+        fetched = searcher.fetch([d for d, _ in hits])
+    conv_by_doc = {r["doc_id"]: r["conv_id"] for r in fetched.to_pylist()}
+    df = pd.DataFrame(
+        {
+            "rank": np.arange(1, len(hits) + 1, dtype=np.int64),
+            "doc_id": np.array(
+                [int(conv_by_doc[d].split("-")[1]) for d, _ in hits], dtype=np.int64
+            ),
+            "score": np.array([s for _, s in hits], dtype=np.float32),
+        }
+    )
+    return df
+
+
+def _join_scored_sql() -> str:
+    stop_sql = "'" + "','".join(sorted(ENGLISH_STOP_WORDS)) + "'"
+    qt_values = ", ".join(f"('{t}')" for t, _ in tokenize(JOIN_QUERY))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+    FROM documents
+  ) WHERE t NOT IN ({stop_sql})
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY doc_id),
+dlq AS (
+  SELECT doc_id, c,
+         CASE WHEN c < 16 THEN c
+              ELSE (c >> GREATEST(CAST(floor(log2(c)) AS INTEGER) - 3, 0))
+                   << GREATEST(CAST(floor(log2(c)) AS INTEGER) - 3, 0)
+         END AS qdl
+  FROM dl
+),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+         (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM dl) AS sum_dl
+),
+qt(term) AS (VALUES {qt_values}),
+df AS (SELECT t AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY t),
+tf AS (SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, t),
+scored AS (
+  SELECT tf.doc_id,
+         SUM( (ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5)) * tf.tf)
+              / (tf.tf + 1.2 * (0.25 + (0.75 * dlq.qdl) / (sum_dl * 1.0 / n_docs))) ) AS s
+  FROM qt
+  JOIN df ON df.term = qt.term
+  JOIN tf ON tf.term = qt.term
+  JOIN dlq ON dlq.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+keys AS (
+  SELECT d.source AS k, MAX(CAST(s AS FLOAT)) AS ks
+  FROM scored JOIN documents d USING (doc_id)
+  WHERE d.source IS NOT NULL GROUP BY d.source
+)
+SELECT CAST(row_number() OVER (ORDER BY ks DESC, d.doc_id) AS BIGINT) AS rank,
+       d.doc_id, ks AS score
+FROM documents d JOIN keys ON d.source = keys.k
+QUALIFY rank <= {JOIN_TOP_K}
+ORDER BY rank
+"""
+
+
+JOIN_SCORED_SQL = _join_scored_sql()
 
 # --------------------------------------------------------------------------
 # Filtered BM25: scored term + keyword-field FILTER clause (`#role:<lang>`,
@@ -556,6 +643,9 @@ LTR_SQL = _ltr_sql()
 
 PIPELINES: dict[str, Pipeline] = {
     "bm25_topk": Pipeline(bm25_topk, BM25_SQL, "full index build + top-k BM25, vs independent SQL BM25 oracle"),
+    "join_scored_topk": Pipeline(
+        join_scored_topk, JOIN_SCORED_SQL, "{!join} ScoreMode.Max end-to-end: BM25 from-side, per-key max, to-side carries key score"
+    ),
     "rerank_brevity": Pipeline(rerank_brevity, RERANK_SQL, "two-stage re-rank (ReRankQParser) vs SQL twin"),
     "bm25_filtered": Pipeline(bm25_filtered, BM25_FILTERED_SQL, "BM25 + keyword-field FILTER clause vs SQL WHERE"),
     "phrase_search": Pipeline(phrase_search, PHRASE_SQL, "phrase + boolean search (positions) vs SQL adjacency twin"),
