@@ -44,6 +44,8 @@ __all__ = ["build_suggester", "Suggester"]
 
 ROW_GROUP_SIZE = 4096  # tokens / gram rows per row group (pruning granule)
 GRAM_N = 3
+FORMAT = 2  # artifact layout version: 2 adds contexts.parquet
+CONTEXT_FIELD = "lang"  # AnalyzingInfixSuggester contexts source column
 MAX_CHAR = "\U0010ffff"  # exclusive-ish upper bound for prefix range reads
 
 
@@ -96,7 +98,8 @@ def build_suggester(sf_dir: str, out_dir: str | Path | None = None, force: bool 
     man = d / "manifest.json"
     if not force and man.exists():
         try:
-            if json.loads(man.read_text()).get("source_fp") == fp:
+            m = json.loads(man.read_text())
+            if m.get("source_fp") == fp and m.get("format") == FORMAT:
                 return d
         except (ValueError, OSError):
             pass
@@ -144,13 +147,59 @@ def build_suggester(sf_dir: str, out_dir: str | Path | None = None, force: bool 
     )
     n_grams = _stream_sorted(grams, tmp / "grams.parquet", ["gram", "token", "cf"])
 
+    # contexts (AnalyzingInfixSuggester.lookup(..., contexts, ...)): per
+    # (token, context) cf so lookups can be scoped to a context subset.
+    # Composite shuffle key keeps it ONE vocabulary-sized exchange.
+    # Built only when the source HAS the context column (contexts are an
+    # optional suggester feature in the reference too).
+    has_ctx = CONTEXT_FIELD in pq.read_schema(src).names
+
+    def explode_ctx(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        counts = toks.map(len).to_numpy(dtype=np.int64)
+        flat = np.concatenate(toks.to_numpy()) if len(toks) else np.array([], dtype=object)
+        if not flat.size:
+            # dtype "string" so the empty block's Arrow type stays string,
+            # not null (groupby rejects mixed null/string blocks)
+            return pd.DataFrame({"key": pd.Series([], dtype="string"), "cf": pd.Series([], dtype="int64")})
+        ctx = np.repeat(batch[CONTEXT_FIELD].to_numpy(), counts)
+        # "|" is outside the token alphabet ([a-z0-9_]) — a safe separator;
+        # NB np.char.add silently strips "\x00", don't use NUL here
+        keys = (pd.Series(flat, dtype=object) + "|" + pd.Series(ctx, dtype=object)).to_numpy()
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return pd.DataFrame({"key": uniq, "cf": cnt.astype("int64")})
+
+    n_ctx = 0
+    if has_ctx:
+        ctxs = (
+            rd.read_parquet(src, columns=["text", CONTEXT_FIELD])
+            .map_batches(explode_ctx, batch_format="pandas")
+            .groupby("key")
+            .aggregate(Sum("cf", alias_name="cf"))
+            .sort("key")
+            .map_batches(
+                lambda b: pd.DataFrame(
+                    {
+                        "token": b["key"].str.split("|").str[0],
+                        "ctx": b["key"].str.split("|").str[1],
+                        "cf": b["cf"].astype("int64"),
+                    }
+                ),
+                batch_format="pandas",
+            )
+        )
+        n_ctx = _stream_sorted(ctxs, tmp / "contexts.parquet", ["token", "ctx", "cf"])
+
     (tmp / "manifest.json").write_text(
         json.dumps(
             {
                 "source_fp": fp,
+                "format": FORMAT,
                 "n_terms": n_terms,
                 "n_grams": n_grams,
+                "n_ctx": n_ctx,
                 "gram_n": GRAM_N,
+                "context_field": CONTEXT_FIELD if has_ctx else None,
                 "row_group_size": ROW_GROUP_SIZE,
             }
         )
@@ -193,13 +242,25 @@ class Suggester:
         self.manifest = json.loads((self.dir / "manifest.json").read_text())
         self.reads = 0  # pruned-read counter (tests/diagnostics)
 
-    def lookup(self, prefix: str, k: int = 8) -> pd.DataFrame:
-        """Top-k completions of `prefix` by cf → (token, cf)."""
+    def lookup(self, prefix: str, k: int = 8, contexts: list[str] | None = None) -> pd.DataFrame:
+        """Top-k completions of `prefix` by cf → (token, cf).  `contexts`
+        scopes the counts to a context subset (AnalyzingInfixSuggester's
+        contexts filter): the read switches to contexts.parquet with the
+        same token row-group pruning plus a ctx membership filter, and cf
+        sums over the selected contexts."""
         self.reads += 1
-        t = pq.read_table(
-            self.dir / "terms.parquet",
-            filters=[("token", ">=", prefix), ("token", "<=", prefix + MAX_CHAR)],
-        ).to_pandas()
+        rng = [("token", ">=", prefix), ("token", "<=", prefix + MAX_CHAR)]
+        if contexts is None:
+            t = pq.read_table(self.dir / "terms.parquet", filters=rng).to_pandas()
+        else:
+            if not self.manifest.get("context_field"):
+                raise ValueError("suggester artifact was built without contexts")
+            t = pq.read_table(
+                self.dir / "contexts.parquet",
+                columns=["token", "cf"],
+                filters=rng + [("ctx", "in", list(contexts))],
+            ).to_pandas()
+            t = t.groupby("token", as_index=False)["cf"].sum()
         return (
             t.sort_values(["cf", "token"], ascending=[False, True]).head(k).reset_index(drop=True)
         )

@@ -627,6 +627,26 @@ def suggest_artifact_infix(sf_dir: str):
     return Suggester(build_suggester(sf_dir)).lookup_infix(SUGGEST_INFIX, 8)
 
 
+SUGGEST_CONTEXTS = ["en"]
+
+
+def suggest_context_prefix(sf_dir: str):
+    from ..index.suggest import Suggester, build_suggester
+
+    return Suggester(build_suggester(sf_dir)).lookup(
+        SUGGEST_PREFIX, 8, contexts=SUGGEST_CONTEXTS
+    )
+
+
+SUGGEST_CONTEXT_SQL = f"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cf
+FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+      FROM documents WHERE lang IN ('{"','".join(SUGGEST_CONTEXTS)}'))
+WHERE token LIKE '{SUGGEST_PREFIX}%'
+GROUP BY token ORDER BY cf DESC, token LIMIT 8
+"""
+
+
 SUGGEST_FUZZY = "sot"  # one edit inside the prefix of e.g. "sort"
 SUGGEST_FUZZY_EDITS = 1
 
@@ -1414,6 +1434,9 @@ PIPELINES: dict[str, Pipeline] = {
     ),
     "suggest_artifact_fuzzy": Pipeline(
         suggest_artifact_fuzzy, SUGGEST_FUZZY_SQL, "typo-tolerant prefix completion (FuzzySuggester: prefix within max_edits)"
+    ),
+    "suggest_context_prefix": Pipeline(
+        suggest_context_prefix, SUGGEST_CONTEXT_SQL, "context-filtered completion (AnalyzingInfixSuggester contexts: per-(token,ctx) cf reads)"
     ),
     "spellcheck_suggest": Pipeline(spellcheck_suggest, SPELLCHECK_SQL, "did-you-mean by edit distance + df (DirectSpellChecker)"),
     "shingle_bigrams": Pipeline(shingle_bigrams, SHINGLE_SQL, "word-bigram shingles + df (ShingleFilter)"),
