@@ -89,6 +89,56 @@ ORDER BY sim DESC, vec_id LIMIT 10
 """
 
 # --------------------------------------------------------------------------
+# Filtered vector search (KnnFloatVectorQuery + filter acceptDocs,
+# lucene/core/src/java/org/apache/lucene/search/KnnFloatVectorQuery.java —
+# the metadata-filtered ANN every vector store exposes): the label
+# predicate is pushed INTO the parquet read, so non-matching row groups
+# never leave storage; the cosine scan touches only surviving rows.
+
+ANN_FILTER_LABELS = [2, 7]
+
+
+def ann_filtered_topk(sf_dir: str, k: int = 10):
+    import pyarrow.compute as pac
+    import ray.data as rd
+
+    q = _query_vec(sf_dir)
+    qn = q / np.linalg.norm(q)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        m = _embed_matrix(batch)
+        sims = (m @ qn) / np.linalg.norm(m, axis=1)
+        d = pd.DataFrame({"vec_id": batch["vec_id"], "sim": sims})
+        return d.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+
+    parts = (
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+            filter=pac.field("label").isin(ANN_FILTER_LABELS),
+        )
+        .map_batches(score, batch_format="pandas")
+        .to_pandas()
+    )
+    top = parts.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+    top = top.reset_index(drop=True)
+    return pd.DataFrame(
+        {"rank": np.arange(1, len(top) + 1, dtype=np.int64), "vec_id": top["vec_id"].astype("int64")}
+    )
+
+
+ANN_FILTERED_SQL = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank, vec_id
+FROM (
+  SELECT vec_id,
+         list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) AS sim
+  FROM embeddings WHERE label IN ({", ".join(str(x) for x in ANN_FILTER_LABELS)})
+)
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+# --------------------------------------------------------------------------
 # kNN label vote (KNearestNeighborClassifier): majority label of the 5
 # nearest neighbours (excluding self) for the first 50 vectors — exact,
 # computed in ONE streaming pass over the corpus (never materialized).
@@ -682,6 +732,9 @@ def ann_pq_topk(sf_dir: str, k: int = 10):
 
 PIPELINES: dict[str, Pipeline] = {
     "ann_cosine_topk": Pipeline(ann_cosine_topk, ANN_COSINE_SQL, "brute-force cosine top-k (similarity baseline)"),
+    "ann_filtered_topk": Pipeline(
+        ann_filtered_topk, ANN_FILTERED_SQL, "metadata-filtered vector search (KnnFloatVectorQuery + filter): predicate pushed into the read"
+    ),
     "dedup_embedding": Pipeline(dedup_embedding, None, "embedding-cosine near-dup pairs via sign-LSH banding; recall-tested in pytest"),
     "ann_ivf_topk": Pipeline(ann_ivf_topk, None, "persisted cell-partitioned IVF ANN (probe-only queries); recall-tested in pytest"),
     "knn_label_vote": Pipeline(knn_label_vote, KNN_VOTE_SQL, "kNN majority-label classification (KNearestNeighborClassifier)"),

@@ -169,14 +169,23 @@ class IndexShard:
             out[(kind, pattern, max_edits)] = expand_multi_term(n, terms)
         return out
 
-    def terms_partial(self, prefix: str = ""):
+    def terms_partial(self, prefix: str = "", regex: str | None = None):
         """(terms, local_dfs) in the prefix range — the per-shard half of
         the TermsComponent merge (solr/core/.../handler/component/
-        TermsComponent.java)."""
+        TermsComponent.java).  `regex` is terms.regex: an anchored match
+        applied SHARD-SIDE after the prefix cut, so only matching terms
+        travel."""
         terms, dfs = self._term_dict()
         lo = int(np.searchsorted(terms, prefix))
         hi = int(np.searchsorted(terms, prefix + "￿")) if prefix else terms.size
-        return terms[lo:hi], dfs[lo:hi]
+        terms, dfs = terms[lo:hi], dfs[lo:hi]
+        if regex is not None:
+            import re
+
+            rx = re.compile(regex)
+            keep = np.array([rx.fullmatch(str(t)) is not None for t in terms], dtype=bool)
+            terms, dfs = terms[keep], dfs[keep]
+        return terms, dfs
 
     def spellcheck_partial(self, word: str, max_edits: int = 2):
         """[(term, local_df, dist)] within `max_edits` of `word` — the

@@ -336,13 +336,16 @@ class Searcher:
         return int(sum(self._scatter("count_matches", node, idfs)))
 
     # -- terms / facets over the index ------------------------------------
-    def terms(self, prefix: str = "", limit: int = 10) -> list[tuple[str, int]]:
+    def terms(
+        self, prefix: str = "", limit: int = 10, regex: str | None = None
+    ) -> list[tuple[str, int]]:
         """/terms handler (solr/core/.../handler/component/TermsComponent.java):
         dictionary terms with df, ranked (df desc, term asc) — the
         distributed TermsComponent merge: per-shard (term, df) partials in
         the prefix range, dfs summed on the driver (exact: a term's global
-        df is the sum of its shard dfs)."""
-        parts = self._scatter("terms_partial", prefix)
+        df is the sum of its shard dfs).  `regex` = terms.regex, anchored,
+        filtered shard-side."""
+        parts = self._scatter("terms_partial", prefix, regex)
         frames = [
             pd.DataFrame({"term": t.astype(str), "df": d}) for t, d in parts if t.size
         ]

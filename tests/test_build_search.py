@@ -429,6 +429,19 @@ def test_join_query_score_modes(searcher, corpus, oracle):
         assert got == expected, mode
 
 
+def test_terms_regex(searcher, oracle):
+    """/terms with terms.regex: anchored shard-side filter, df-summed merge."""
+    got = searcher.terms(regex="w0000[0-9]", limit=100)
+    exp = sorted(
+        ((t, df) for t, df in oracle.df.items() if re.fullmatch("w0000[0-9]", t)),
+        key=lambda p: (-p[1], p[0]),
+    )
+    assert got == exp and got
+    # prefix + regex compose
+    assert searcher.terms(prefix="w", regex="w0000[0-9]", limit=100) == exp
+    assert searcher.terms(regex="zzz+") == []
+
+
 def test_wordbreak(searcher, oracle):
     """WordBreakSolrSpellChecker: break an unknown concatenation into two
     dictionary words; combine adjacent terms that concatenate into one."""
