@@ -184,12 +184,19 @@ def edismax(
     field_boosts: dict[str | None, float],
     tiebreak: float = 0.0,
     min_should_match: int = 0,
+    pf: dict[str | None, float] | None = None,
+    ps: int = 0,
 ) -> QueryNode | None:
     """ExtendedDisMax-style rewriter (solr/core/src/java/org/apache/solr/
     search/ExtendedDismaxQParser.java): each analyzed user term becomes a
     DisjunctionMax across the queried fields (None = the analyzed text
     field; other keys are keyword fields, matched as `field:term`), the
-    per-term dismaxes combine as SHOULD clauses with minShouldMatch."""
+    per-term dismaxes combine as SHOULD clauses with minShouldMatch.
+
+    `pf` / `ps` are the phrase-boost params: with ≥2 surviving tokens the
+    WHOLE query is added per pf-field as an OPTIONAL phrase clause (slop
+    `ps`, boosted), layered OUTSIDE the mm group — Solr's shape: main
+    query mandatory, phrase boosts additive when they match."""
     toks = [t for t, _ in tokenize(user_query)]
     if not toks:
         return None
@@ -200,7 +207,14 @@ def edismax(
             term = t if fld is None else f"{fld}:{t}"
             alts.append(QueryNode("term", terms=[term], boost=boost))
         clauses.append(("SHOULD", dismax(alts, tiebreak=tiebreak)))
-    return QueryNode("bool", clauses=clauses, min_should_match=min_should_match)
+    main = QueryNode("bool", clauses=clauses, min_should_match=min_should_match)
+    if not pf or len(toks) < 2:
+        return main
+    outer: list[tuple[str, QueryNode]] = [("MUST", main)]
+    for fld, boost in pf.items():
+        terms = toks if fld is None else [f"{fld}:{t}" for t in toks]
+        outer.append(("SHOULD", QueryNode("phrase", terms=terms, boost=boost, slop=ps)))
+    return QueryNode("bool", clauses=outer)
 
 
 def _leaf(raw: str, is_phrase: bool) -> QueryNode | None:

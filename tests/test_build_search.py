@@ -257,6 +257,28 @@ def test_duel_edismax(searcher, oracle):
     assert edismax("the of", {None: 1.0}) is None
 
 
+def test_duel_edismax_phrase_boost(searcher, oracle):
+    """edismax pf/ps: the whole query added as an optional boosted phrase
+    outside the mm group — adjacency ranks above scattered terms."""
+    from lucene_solr_ray.search.query import edismax
+
+    for uq, pf, ps in [
+        ("tool output", {None: 3.0}, 0),
+        ("error ok", {None: 2.0}, 1),
+        ("bash error ok", {None: 5.0}, 0),
+    ]:
+        node = edismax(uq, {None: 1.0}, pf=pf, ps=ps)
+        got = searcher.search_node(node, 10)
+        exp = [(d, float(s)) for d, s in oracle.search_node(node, 10)]
+        assert got == exp, uq
+    # the phrase boost actually changes the ranking vs plain edismax
+    plain = searcher.search_node(edismax("tool output", {None: 1.0}), 10)
+    boosted = searcher.search_node(edismax("tool output", {None: 1.0}, pf={None: 3.0}), 10)
+    assert plain != boosted
+    # single surviving token → no phrase layer (identical nodes)
+    assert repr(edismax("bash", {None: 1.0}, pf={None: 2.0})) == repr(edismax("bash", {None: 1.0}))
+
+
 def test_fetch_two_phase(searcher, corpus):
     _, full = corpus
     hits = searcher.search("assistant", 5)
