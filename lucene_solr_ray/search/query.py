@@ -186,6 +186,8 @@ def edismax(
     min_should_match: int = 0,
     pf: dict[str | None, float] | None = None,
     ps: int = 0,
+    pf2: dict[str | None, float] | None = None,
+    pf3: dict[str | None, float] | None = None,
 ) -> QueryNode | None:
     """ExtendedDisMax-style rewriter (solr/core/src/java/org/apache/solr/
     search/ExtendedDismaxQParser.java): each analyzed user term becomes a
@@ -208,12 +210,22 @@ def edismax(
             alts.append(QueryNode("term", terms=[term], boost=boost))
         clauses.append(("SHOULD", dismax(alts, tiebreak=tiebreak)))
     main = QueryNode("bool", clauses=clauses, min_should_match=min_should_match)
-    if not pf or len(toks) < 2:
-        return main
     outer: list[tuple[str, QueryNode]] = [("MUST", main)]
-    for fld, boost in pf.items():
-        terms = toks if fld is None else [f"{fld}:{t}" for t in toks]
-        outer.append(("SHOULD", QueryNode("phrase", terms=terms, boost=boost, slop=ps)))
+
+    def add_layers(fields: dict[str | None, float] | None, spans: list[list[str]]) -> None:
+        if not fields or not spans:
+            return
+        for fld, boost in fields.items():
+            for span in spans:
+                terms = span if fld is None else [f"{fld}:{t}" for t in span]
+                outer.append(("SHOULD", QueryNode("phrase", terms=terms, boost=boost, slop=ps)))
+
+    # pf spans the whole query; pf2/pf3 every consecutive bigram/trigram
+    add_layers(pf, [toks] if len(toks) >= 2 else [])
+    add_layers(pf2, [toks[i : i + 2] for i in range(len(toks) - 1)])
+    add_layers(pf3, [toks[i : i + 3] for i in range(len(toks) - 2)])
+    if len(outer) == 1:
+        return main
     return QueryNode("bool", clauses=outer)
 
 

@@ -325,6 +325,55 @@ class Searcher:
             )
         return self.search_node(tnode, k)
 
+    def graph_search(
+        self,
+        from_field: str,
+        to_field: str,
+        root_query: str,
+        max_depth: int = 1,
+        k: int = 10,
+    ) -> list[tuple[int, float]]:
+        """`{!graph from=f to=t maxDepth=N}root` (solr/core/src/java/org/
+        apache/solr/search/join/GraphQuery.java): breadth-first traversal —
+        the root query's docs seed the frontier; each hop collects the
+        frontier's `from_field` values and expands to every doc whose
+        `to_field` matches.  Returns all reachable docs (root ∪ hops),
+        constant score 1.0, ties by docID asc.
+
+        Each hop is the {!join} shape: shard-local distinct-key gather →
+        driver union (bounded by field cardinality) → TermInSetQuery; the
+        frontier is re-expressed as a key-set query, so per-doc frontiers
+        never materialize on the driver.  Traversal stops early once a hop
+        adds no new keys."""
+        node = parse_query(root_query)
+        if node is None:
+            return []
+        node = self._rewrite(node)
+        idfs = self._weights_for(node)
+        seen_keys: set = set()
+        frontier = node
+        members: list[QueryNode] = [QueryNode("bool", clauses=[("SHOULD", node)])]
+        for _ in range(max_depth):
+            new_keys: set = set()
+            for part in self._scatter("join_values", frontier, idfs, from_field):
+                new_keys.update(v for v, _, _, _ in part)
+            new_keys -= seen_keys
+            if not new_keys:
+                break
+            seen_keys |= new_keys
+            frontier = QueryNode(
+                "term_set", terms=[f"{to_field}:{v}" for v in sorted(new_keys)]
+            )
+            idfs = {}
+            members.append(frontier)
+        union = QueryNode(
+            "bool",
+            clauses=[("SHOULD", QueryNode("bool", clauses=[("FILTER", m)], boost=0.0)) for m in members],
+        )
+        # constant-score union: FILTER-wrapped members score 0; rank by docID
+        hits = self.search_node(union, k)
+        return [(d, 1.0) for d, _ in hits]
+
     def count(self, query: str) -> int:
         """Total hit count of a query (numFound / rows=0) — each shard
         returns only its hit COUNT; no doc ids or scores cross the wire."""

@@ -277,6 +277,16 @@ def test_duel_edismax_phrase_boost(searcher, oracle):
     assert plain != boosted
     # single surviving token → no phrase layer (identical nodes)
     assert repr(edismax("bash", {None: 1.0}, pf={None: 2.0})) == repr(edismax("bash", {None: 1.0}))
+    # pf2/pf3: consecutive bigram/trigram boosts, duel-exact
+    for kwargs in [
+        {"pf2": {None: 2.0}},
+        {"pf3": {None: 4.0}},
+        {"pf": {None: 2.0}, "pf2": {None: 1.5}, "pf3": {None: 3.0}, "ps": 1},
+    ]:
+        node = edismax("bash error ok", {None: 1.0}, **kwargs)
+        got = searcher.search_node(node, 10)
+        exp = [(d, float(s)) for d, s in oracle.search_node(node, 10)]
+        assert got == exp, kwargs
 
 
 def test_fetch_two_phase(searcher, corpus):
@@ -412,6 +422,30 @@ def test_join_query_cross_index(searcher, corpus, oracle):
         assert all(s == 1.0 for _, s in got)
     finally:
         other.close()
+
+
+def test_graph_query(searcher, corpus, oracle):
+    """{!graph from=tool to=tool maxDepth=N}: BFS over the field self-join,
+    duel vs a pandas traversal; constant score, docID order."""
+    _, full = corpus
+    tools = full.column("tool").to_pylist()
+    root = "+error +bash"
+    root_docs = {d for d, _ in oracle.search(root, 10**9)}
+    # depth 0: just the root matches
+    got0 = searcher.graph_search("tool", "tool", root, max_depth=0, k=30)
+    assert got0 == [(d, 1.0) for d in sorted(root_docs)][:30]
+    # BFS by hand
+    reach = set(root_docs)
+    keys: set = set()
+    for _ in range(2):
+        new_keys = {tools[d] for d in reach if tools[d] is not None} - keys
+        if not new_keys:
+            break
+        keys |= new_keys
+        reach |= {i for i, v in enumerate(tools) if v in new_keys}
+    got2 = searcher.graph_search("tool", "tool", root, max_depth=2, k=40)
+    assert got2 == [(d, 1.0) for d in sorted(reach)][:40]
+    assert searcher.graph_search("tool", "tool", "zzzznope", 2) == []
 
 
 def test_join_query_score_modes(searcher, corpus, oracle):
