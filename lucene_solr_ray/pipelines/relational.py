@@ -993,6 +993,57 @@ def random_sample_hash(sf_dir: str):
     return top[["o_orderkey"]]
 
 
+# Stratified / domain-mix sampling (training-data mixing: per-domain keep
+# rates, e.g. upsample curated sources and downsample web crawl — the
+# UpdateProcessor-chain sampling analog at corpus scale).  Deterministic:
+# keep doc ⇔ hash(doc_id) < rate(lang)·2³², so reruns and the SQL twin
+# agree exactly; no shuffle, one streaming mask per batch.
+
+STRATA_RATES = {"en": 0.5, "de": 0.25}
+STRATA_DEFAULT_RATE = 0.1
+
+
+def stratified_sample(sf_dir: str):
+    thresh_by_lang = {k: int(v * _M32) for k, v in STRATA_RATES.items()}
+    default_thresh = int(STRATA_DEFAULT_RATE * _M32)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        h = _sample_hash(batch["doc_id"].to_numpy()).astype(np.uint64)
+        limits = (
+            batch["lang"].map(thresh_by_lang).fillna(default_thresh).to_numpy(dtype=np.uint64)
+        )
+        out = batch[h < limits]
+        return pd.DataFrame({"doc_id": out["doc_id"], "lang": out["lang"]})
+
+    parts = (
+        read(sf_dir, "documents", ["doc_id", "lang"])
+        .map_batches(keep, batch_format="pandas")
+        .to_pandas()
+    )
+    return parts.sort_values("doc_id").reset_index(drop=True)
+
+
+def _strata_sql() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {int(v * _M32)}" for k, v in STRATA_RATES.items()
+    )
+    return f"""
+WITH h1 AS (
+  SELECT doc_id, lang,
+         (CAST(doc_id % {_M32} + {_SAMPLE_SEED} AS HUGEINT) * {_SAMPLE_C1}) % {_M32} AS a
+  FROM documents
+), h2 AS (
+  SELECT doc_id, lang, (CAST(xor(a, a >> 15) AS HUGEINT) * {_SAMPLE_C2}) % {_M32} AS b FROM h1
+)
+SELECT doc_id, lang FROM h2
+WHERE xor(b, b >> 13) < CASE {cases} ELSE {int(STRATA_DEFAULT_RATE * _M32)} END
+ORDER BY doc_id
+"""
+
+
+STRATIFIED_SAMPLE_SQL = _strata_sql()
+
+
 RANDOM_SAMPLE_SQL = f"""
 WITH h1 AS (
   SELECT o_orderkey,
@@ -1276,6 +1327,9 @@ PIPELINES: dict[str, Pipeline] = {
     "facet_field": Pipeline(facet_field, FACET_FIELD_SQL,"field facet counts (SimpleFacets)"),
     "promo_revenue_share": Pipeline(promo_revenue_share, PROMO_SQL, "conditional aggregate over dim join (TPC-H Q14 shape)"),
     "random_sample_hash": Pipeline(random_sample_hash, RANDOM_SAMPLE_SQL, "seeded pseudo-random sampling (RandomSortField)"),
+    "stratified_sample": Pipeline(
+        stratified_sample, STRATIFIED_SAMPLE_SQL, "per-domain keep-rate sampling (training-data mixing), deterministic hash"
+    ),
     "variance_moments": Pipeline(variance_moments, VARIANCE_SQL, "stddev/variance from exact integer moments (VarianceAgg)"),
     "export_sorted": Pipeline(export_sorted, EXPORT_SQL, "full sorted export via ds.sort → parquet sink (/export)"),
     "function_query": Pipeline(function_query, FUNCTION_QUERY_SQL, "ValueSource expression scoring (FunctionScoreQuery)"),
