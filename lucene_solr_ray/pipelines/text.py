@@ -1152,6 +1152,48 @@ LIMIT {PHONETIC_TOP}
 
 
 # --------------------------------------------------------------------------
+# Sequence packing (training-data prep: concatenate documents in docID
+# order and cut fixed token-budget sequences — the straddle variant of the
+# packing GPT/T5-style data loaders run before training): seq_id =
+# exclusive-cumulative-tokens // BUDGET, offset = the doc's start inside
+# its sequence.  Token counts are computed DISTRIBUTED (one vectorized
+# pass); only the (doc_id, n_tokens) METADATA is scanned on the driver,
+# integer-exact.  At cluster scale the scan becomes the two-pass
+# partition-offset pattern: per-file count partials, then per-file base
+# offsets broadcast back — same arithmetic, no metadata on one node.
+
+PACK_BUDGET = 2048
+
+
+def sequence_pack(sf_dir: str):
+    counts = token_count(sf_dir)  # doc_id-sorted (doc_id, n_tokens)
+    n = counts["n_tokens"].to_numpy(np.int64)
+    excl = np.zeros(len(n), dtype=np.int64)
+    if len(n) > 1:
+        excl[1:] = np.cumsum(n[:-1])
+    out = counts.copy()
+    out["seq_id"] = excl // PACK_BUDGET
+    out["offset"] = excl % PACK_BUDGET
+    return out
+
+
+SEQUENCE_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM t
+)
+SELECT doc_id, n_tokens, excl // {PACK_BUDGET} AS seq_id, excl % {PACK_BUDGET} AS "offset"
+FROM s ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Benchmark decontamination (training-data pipeline op — the n-gram-overlap
 # test-set filter of GPT-3 App. C / Gopher / The Pile): documents sharing a
 # W-token n-gram with any "benchmark" document are flagged.  The benchmark
@@ -1413,6 +1455,9 @@ PIPELINES: dict[str, Pipeline] = {
     ),
     "text_tagger": Pipeline(
         text_tagger, TAGGER_SQL, "dictionary phrase tagging with counts + first position (SolrTextTagger, overlaps=ALL)"
+    ),
+    "sequence_pack": Pipeline(
+        sequence_pack, SEQUENCE_PACK_SQL, "token-budget sequence packing (training-data prep): distributed counts + metadata-only scan"
     ),
     "synonym_phrase_match": Pipeline(
         synonym_phrase_match, SYNONYM_SQL, "multi-word synonym injection (SynonymGraphFilter), actor pool"
