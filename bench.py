@@ -58,8 +58,10 @@ SUITE = [
     # round-3f additions: DIH ingestion, graph/2D-facet streams, polyfit
     "dih_full_import", "stream_expr_nodes", "stream_expr_facet2d",
     "polyfit_quadratic",
-    # round-3g additions: percolator, training-data safety ops, tagging
+    # round-3g additions: percolator, training-data safety ops, tagging,
+    # and the composed curation flagship
     "monitor_match", "decontaminate", "text_tagger", "pii_scrub",
+    "curate_corpus",
 ]
 
 

@@ -1,0 +1,171 @@
+"""End-to-end corpus curation — the composed training-data pipeline a
+real pretraining run executes over the raw corpus, expressed as ONE
+streaming Ray Data job (each stage is also available standalone and
+separately gated; this is the flagship composition):
+
+  1. language filter        (lang ∈ LANGS — lang_id's output in real runs)
+  2. quality filter         (n_tokens ≥ Q_MIN_TOKENS — quality_signals)
+  3. decontamination        (no benchmark W-gram overlap — `decontaminate`)
+  4. exact near-dup removal (first doc per content fingerprint — dedup)
+  5. domain-mix sampling    (per-lang keep rates — `stratified_sample`)
+  6. sequence packing       (token-budget seq_id/offset — `sequence_pack`)
+
+Scale shape: the benchmark gram set is the only broadcast (tiny by
+definition); stages 1–3 + 5 are ONE vectorized map_batches pass computing
+per-doc masks; stage 4 is the fixed-512-bucket fingerprint shuffle (never
+keyed by the fingerprint space); stage 6 touches only (doc_id, n_tokens)
+metadata.  The DuckDB twin chains the same stages as CTEs with the same
+literals — the whole composition is strict-gated end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from .common import Pipeline, read
+from .relational import _M32, _SAMPLE_C1, _SAMPLE_C2, _SAMPLE_SEED, _sample_hash
+from .text import DECON_MOD, DECON_W, TOKEN_RE, _doc_grams, _tokens
+
+CURATE_LANGS = ("de", "en")
+Q_MIN_TOKENS = 30
+CURATE_RATES = {"en": 0.7, "de": 0.5}
+CURATE_BUDGET = 1024
+
+
+def curate_corpus(sf_dir: str):
+    import ray
+
+    ds = read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def bench_grams(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["doc_id"] % DECON_MOD == 0]
+        g, _, _ = _doc_grams(b["text"])
+        return pd.DataFrame({"g": np.unique(g)})
+
+    bench = np.unique(
+        ds.map_batches(bench_grams, batch_format="pandas").to_pandas()["g"].to_numpy()
+    )
+    bench_ref = ray.put(np.sort(bench))
+    thresh = {k: np.uint64(int(v * _M32)) for k, v in CURATE_RATES.items()}
+
+    def stage(batch: pd.DataFrame, _ref=bench_ref) -> pd.DataFrame:
+        bset = ray.get(_ref)
+        # 1+2: language + quality masks (and drop benchmark members)
+        keep = (
+            batch["lang"].isin(CURATE_LANGS).to_numpy()
+            & (batch["doc_id"].to_numpy() % DECON_MOD != 0)
+        )
+        toks = _tokens(batch["text"])
+        n_tokens = toks.map(len).to_numpy(np.int64)
+        keep &= n_tokens >= Q_MIN_TOKENS
+        # 3: contamination — any benchmark gram kills the doc
+        grams, didx, _ = _doc_grams(batch["text"])
+        if grams.size:
+            hit_docs = np.unique(didx[np.isin(grams, bset)])
+            hit = np.zeros(len(batch), dtype=bool)
+            hit[hit_docs] = True
+            keep &= ~hit
+        # 5: per-lang keep-rate hash sampling — depends only on the doc
+        # itself, so it folds into this same pass; the canonical stage
+        # order (sample BEFORE dedup, dedup keeps min surviving doc_id)
+        # is what the SQL twin implements too.
+        h = _sample_hash(batch["doc_id"].to_numpy()).astype(np.uint64)
+        limits = batch["lang"].map(thresh).fillna(np.uint64(0)).to_numpy(dtype=np.uint64)
+        keep &= h < limits
+        out = batch[keep]
+        fps = _tokens(out["text"]).map(
+            lambda ws: hashlib.md5(" ".join(sorted(set(ws))).encode()).hexdigest()
+        )
+        res = pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(),
+                "lang": out["lang"].to_numpy(),
+                "n_tokens": n_tokens[keep],
+                "fp": fps.to_numpy(),
+            }
+        )
+        # 4 combiner: local first-per-fingerprint, fixed-bucket shuffle key
+        res = res.sort_values("doc_id").drop_duplicates("fp").copy()
+        res["bucket"] = pd.util.hash_array(res["fp"].to_numpy(dtype=object)) % 512
+        return res
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values("doc_id").drop_duplicates("fp")[["doc_id", "lang", "n_tokens"]]
+        )
+
+    survivors = (
+        ds.map_batches(stage, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # 6: packing over the surviving metadata (exclusive scan)
+    n = survivors["n_tokens"].to_numpy(np.int64)
+    excl = np.zeros(len(n), dtype=np.int64)
+    if len(n) > 1:
+        excl[1:] = np.cumsum(n[:-1])
+    survivors["seq_id"] = excl // CURATE_BUDGET
+    survivors["offset"] = excl % CURATE_BUDGET
+    return survivors
+
+
+def _curate_sql() -> str:
+    langs = "', '".join(CURATE_LANGS)
+    rates = " ".join(f"WHEN lang = '{k}' THEN {int(v * _M32)}" for k, v in CURATE_RATES.items())
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         [array_to_string(toks[i:i+{DECON_W - 1}], ' ') for i in range(1, len(toks) - {DECON_W - 2})] AS grams
+  FROM d
+),
+bench AS (SELECT DISTINCT unnest(grams) AS bg FROM g WHERE doc_id % {DECON_MOD} = 0),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(grams) AS cg FROM g WHERE doc_id % {DECON_MOD} != 0)
+  JOIN bench ON cg = bg
+),
+h AS (
+  SELECT doc_id, (CAST(doc_id % {_M32} + {_SAMPLE_SEED} AS HUGEINT) * {_SAMPLE_C1}) % {_M32} AS a FROM d
+),
+hh AS (SELECT doc_id, (CAST(xor(a, a >> 15) AS HUGEINT) * {_SAMPLE_C2}) % {_M32} AS b FROM h),
+filtered AS (
+  SELECT d.doc_id, d.lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+  FROM d JOIN hh USING (doc_id)
+  WHERE d.lang IN ('{langs}')
+    AND d.doc_id % {DECON_MOD} != 0
+    AND len(toks) >= {Q_MIN_TOKENS}
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND xor(b, b >> 13) < CASE {rates} ELSE 0 END
+),
+deduped AS (
+  SELECT doc_id, lang, n_tokens FROM filtered
+  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+),
+s AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM deduped
+)
+SELECT doc_id, lang, n_tokens, excl // {CURATE_BUDGET} AS seq_id, excl % {CURATE_BUDGET} AS "offset"
+FROM s ORDER BY doc_id
+"""
+
+
+CURATE_SQL = _curate_sql()
+
+PIPELINES: dict[str, Pipeline] = {
+    "curate_corpus": Pipeline(
+        curate_corpus,
+        CURATE_SQL,
+        "flagship composed curation: lang+quality filters, decontamination, exact dedup, domain mixing, sequence packing — one streaming job",
+    ),
+}
