@@ -1446,7 +1446,38 @@ FROM events ORDER BY event_id
 """
 
 
+# --------------------------------------------------------------------------
+# strdist(.., 'jw') value source — Jaro-Winkler, DuckDB-exact (see
+# functions/scalar.jaro_winkler).  Computed once per DISTINCT value of the
+# bounded `source` domain, like strdist_source.
+
+JW_REF = "src7"
+
+
+def strdist_jarowinkler(sf_dir: str):
+    from ..functions.scalar import jaro_winkler
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch["source"].value_counts().rename_axis("source").reset_index(name="n")
+
+    parts = read(sf_dir, "documents", ["source"]).map_batches(counts, batch_format="pandas")
+    out = merge_partials(parts, ["source"], {"n": "sum"})
+    out["sim"] = out["source"].map(lambda s: jaro_winkler(str(s), JW_REF))
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)[["source", "sim", "n"]]
+
+
+STRDIST_JW_SQL = f"""
+SELECT source, jaro_winkler_similarity(source, '{JW_REF}') AS sim,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "strdist_jarowinkler": Pipeline(
+        strdist_jarowinkler, STRDIST_JW_SQL, "strdist jw metric: Jaro-Winkler per bounded domain value (DuckDB-exact)"
+    ),
     "pii_scrub": Pipeline(
         pii_scrub, PII_SCRUB_SQL, "PII scrubbing: pseudonymize ids, redact digit runs, coarsen timestamps (RegexReplaceProcessor at corpus scale)"
     ),
