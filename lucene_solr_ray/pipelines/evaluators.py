@@ -1215,7 +1215,64 @@ FROM d
 """
 
 
+# --------------------------------------------------------------------------
+# conv() (ConvolutionEvaluator, the signal-math family): full discrete
+# convolution of the 'purchase' and 'error' DAILY value series —
+# conv[k] = Σ_i a[i]·b[k−i] over POSITIONS in day order (Solr's conv takes
+# plain vectors).  Exact integer cents: daily sums ≪ 2³¹ cents, so every
+# product and partial sum fits int64 with huge margin.  Daily partials are
+# the only distributed work; the convolution itself runs on two
+# metadata-sized arrays.
+
+
+def convolve_series(sf_dir: str):
+    from .common import merge_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["event_type"].isin(["purchase", "error"])
+        b = batch[m]
+        g = pd.DataFrame(
+            {
+                "event_type": b["event_type"].to_numpy(),
+                "day": ts_us(b["ts"]) // 86_400_000_000,
+                "cents": cents(b["value"].to_numpy()),
+            }
+        )
+        return g.groupby(["event_type", "day"], as_index=False).sum()
+
+    daily = merge_partials(
+        read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["event_type", "day"],
+        {"cents": "sum"},
+    ).sort_values("day")
+    a = daily[daily["event_type"] == "purchase"]["cents"].to_numpy(np.int64)
+    b = daily[daily["event_type"] == "error"]["cents"].to_numpy(np.int64)
+    conv = np.convolve(a, b)
+    return pd.DataFrame(
+        {"k": np.arange(conv.size, dtype=np.int64), "conv": conv.astype("int64")}
+    )
+
+
+CONVOLVE_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('purchase', 'error')
+  GROUP BY event_type, day
+),
+a AS (SELECT row_number() OVER (ORDER BY day) - 1 AS i, c FROM daily WHERE event_type = 'purchase'),
+b AS (SELECT row_number() OVER (ORDER BY day) - 1 AS i, c FROM daily WHERE event_type = 'error')
+SELECT a.i + b.i AS k, CAST(SUM(a.c * b.c) AS BIGINT) AS conv
+FROM a, b GROUP BY k ORDER BY k
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "convolve_series": Pipeline(
+        convolve_series, CONVOLVE_SQL, "discrete convolution of two daily series from exact integer cents (ConvolutionEvaluator)"
+    ),
     "series_diff": Pipeline(series_diff, SERIES_DIFF_SQL, "time-series differencing (DiffEvaluator), integer-exact"),
     "moving_median": Pipeline(moving_median_monthly, MOVING_MEDIAN_SQL, "trailing moving median (MovingMedianEvaluator)"),
     "mode_value": Pipeline(mode_value, MODE_SQL, "modal value per group (ModeEvaluator), deterministic tiebreak"),
