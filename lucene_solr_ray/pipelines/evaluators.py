@@ -1269,7 +1269,71 @@ FROM a, b GROUP BY k ORDER BY k
 """
 
 
+# --------------------------------------------------------------------------
+# distance() (DistanceEvaluator over a matrix of series): pairwise
+# Euclidean distance between the event types' daily cents vectors, aligned
+# on the full day grid (absent days = 0).  The squared sums are exact
+# int64; sqrt is the single shared double op.
+
+
+def distance_matrix(sf_dir: str):
+    from .common import merge_partials
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(),
+                "day": ts_us(batch["ts"]) // 86_400_000_000,
+                "cents": cents(batch["value"].to_numpy()),
+            }
+        )
+        return g.groupby(["event_type", "day"], as_index=False).sum()
+
+    daily = merge_partials(
+        read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        ["event_type", "day"],
+        {"cents": "sum"},
+    )
+    pivot = (
+        daily.pivot_table(index="day", columns="event_type", values="cents", fill_value=0)
+        .astype(np.int64)
+        .sort_index()
+    )
+    types = sorted(pivot.columns)
+    rows = []
+    for i, e1 in enumerate(types):
+        for e2 in types[i + 1 :]:
+            d = pivot[e1].to_numpy(np.int64) - pivot[e2].to_numpy(np.int64)
+            rows.append((e1, e2, float(np.sqrt(float(int((d * d).sum()))))))
+    return pd.DataFrame(rows, columns=["e1", "e2", "dist"])
+
+
+DISTANCE_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY event_type, day
+),
+grid AS (SELECT DISTINCT day FROM daily),
+types AS (SELECT DISTINCT event_type FROM daily),
+v AS (
+  SELECT g.day, t.event_type, COALESCE(d.c, 0) AS c
+  FROM grid g CROSS JOIN types t
+  LEFT JOIN daily d ON d.day = g.day AND d.event_type = t.event_type
+)
+SELECT a.event_type AS e1, b.event_type AS e2,
+       sqrt(CAST(SUM((a.c - b.c) * (a.c - b.c)) AS DOUBLE)) AS dist
+FROM v a JOIN v b ON a.day = b.day AND a.event_type < b.event_type
+GROUP BY e1, e2 ORDER BY e1, e2
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "distance_matrix": Pipeline(
+        distance_matrix, DISTANCE_SQL, "pairwise Euclidean distance between event-type daily series, exact integer inner sums (DistanceEvaluator)"
+    ),
     "convolve_series": Pipeline(
         convolve_series, CONVOLVE_SQL, "discrete convolution of two daily series from exact integer cents (ConvolutionEvaluator)"
     ),
