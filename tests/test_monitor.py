@@ -68,6 +68,66 @@ def test_presearcher_prunes_large_library():
     assert m.evaluated == 2 and m.skipped == 200
 
 
+def test_property_duel_vs_per_doc_eval():
+    """Vectorized batch matcher == naive per-document evaluator over random
+    corpora and random query trees (the Monitor's own MatchAllPresearcher
+    test strategy)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    for trial in range(30):
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+            for _ in range(rng.randint(1, 20))
+        ]
+        frame = pd.DataFrame(
+            {"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs}
+        )
+        queries = []
+        for qi in range(6):
+            kind = rng.random()
+            if kind < 0.3:
+                q = rng.choice(vocab)
+            elif kind < 0.55:
+                q = f"+{rng.choice(vocab)} +{rng.choice(vocab)}"
+            elif kind < 0.75:
+                q = f"+{rng.choice(vocab)} -{rng.choice(vocab)}"
+            elif kind < 0.9:
+                q = f"{rng.choice(vocab)} {rng.choice(vocab)}"
+            else:
+                q = f'"{rng.choice(vocab)} {rng.choice(vocab)}"'
+            queries.append((f"q{qi}", q))
+
+        def naive(qstr: str, text: str) -> bool:
+            toks = text.split()
+            node = parse_query(qstr)
+
+            def ev(n) -> bool:
+                if n.kind == "term":
+                    return n.terms[0] in toks
+                if n.kind == "phrase":
+                    w = len(n.terms)
+                    return any(toks[i : i + w] == n.terms for i in range(len(toks) - w + 1))
+                musts = [ev(c) for o, c in n.clauses if o in ("MUST", "FILTER")]
+                shoulds = [ev(c) for o, c in n.clauses if o == "SHOULD"]
+                nots = [ev(c) for o, c in n.clauses if o == "MUST_NOT"]
+                ok = all(musts) if musts else (any(shoulds) if shoulds else False)
+                return ok and not any(nots)
+
+            return node is not None and ev(node)
+
+        out = MonitorMatcher(queries)(frame)
+        got = set(zip(out["query_id"], out["doc_id"]))
+        exp = {
+            (qid, d)
+            for qid, qs in queries
+            for d, text in enumerate(docs)
+            if naive(qs, text)
+        }
+        assert got == exp, (trial, got ^ exp)
+
+
 def test_empty_and_no_match_batches():
     m = MonitorMatcher([("q", "fast")])
     empty = DOCS.iloc[0:0]
