@@ -154,7 +154,9 @@ class MonitorMatcher:
                 dids.append(matched)
         return pd.DataFrame(
             {
-                "query_id": pd.array(qids, dtype=object),
+                # dtype "string" keeps the Arrow type string even for empty
+                # batches (a null-typed empty block breaks the global sort)
+                "query_id": pd.Series(qids, dtype="string"),
                 "doc_id": np.concatenate(dids) if dids else np.empty(0, np.int64),
             }
         )
@@ -168,8 +170,11 @@ def monitor_match(sf_dir: str, queries: list[tuple[str, str]] | None = None):
         concurrency=2,
         fn_constructor_kwargs={"queries": qs},
     )
-    df = out.to_pandas()
-    return df.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    # result STAYS a Dataset (distributed sort): the match set is
+    # output-bounded by the queries, not the corpus, but at 100 TB a hot
+    # query library can still emit billions of pairs — consumers
+    # write_parquet or iterate; the driver never holds them.
+    return out.sort(["query_id", "doc_id"])
 
 
 def _toks_cte() -> str:
