@@ -195,7 +195,9 @@ def main() -> None:
         for name in SUITE:
             fn = REGISTRY[name].fn
             s = time.monotonic()
-            fn(SF_DIR)
+            res = fn(SF_DIR)
+            if hasattr(res, "materialize"):  # lazy Dataset results: charge
+                res.materialize()  # the actual execution, not plan build
             suite_times[name] = round(time.monotonic() - s, 3)
             print(f"  suite {name}: {suite_times[name]}", file=_sys.stderr, flush=True)
 
