@@ -36,16 +36,21 @@ def _scale_fn(x, lo, hi):
     return lo + (x - xmin) * (hi - lo) / (xmax - xmin)
 
 
-def _strdist(a, b, metric="levenshtein"):
-    def lev(s, t):
-        prev = list(range(len(t) + 1))
-        for i, ca in enumerate(s, 1):
-            cur = [i] + [0] * len(t)
-            for j, cb in enumerate(t, 1):
-                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
-            prev = cur
-        return prev[-1]
+def levenshtein(s: str, t: str) -> int:
+    """Plain edit distance, DuckDB `levenshtein()` semantics — the ONE
+    scalar kernel shared by strdist, the fuzzy suggester and tests (the
+    vectorized matrix DP in search/spell.py is the bulk variant)."""
+    prev = list(range(len(t) + 1))
+    for i, ca in enumerate(s, 1):
+        cur = [i] + [0] * len(t)
+        for j, cb in enumerate(t, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
 
+
+def _strdist(a, b, metric="levenshtein"):
+    lev = levenshtein
     a = np.asarray(a, dtype=object)
     b = np.asarray(b, dtype=object)
     out = np.empty(len(a), dtype=np.float64)

@@ -221,17 +221,7 @@ def matching_row_groups(path: str | Path, column: str, lo: str, hi: str) -> tupl
     return hit, f.metadata.num_row_groups
 
 
-def _levenshtein(a: str, b: str) -> int:
-    """Plain edit distance (no transpositions) — DuckDB levenshtein()."""
-    if not a:
-        return len(b)
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i]
-        for j, cb in enumerate(b, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
-        prev = cur
-    return prev[-1]
+from ..functions.scalar import levenshtein as _levenshtein  # shared kernel
 
 
 class Suggester:

@@ -58,11 +58,11 @@ def curate_corpus(sf_dir: str):
             batch["lang"].isin(CURATE_LANGS).to_numpy()
             & (batch["doc_id"].to_numpy() % DECON_MOD != 0)
         )
-        toks = _tokens(batch["text"])
-        n_tokens = toks.map(len).to_numpy(np.int64)
+        toks = _tokens(batch["text"])  # ONE regex tokenize per batch —
+        n_tokens = toks.map(len).to_numpy(np.int64)  # reused by grams + fps
         keep &= n_tokens >= Q_MIN_TOKENS
         # 3: contamination — any benchmark gram kills the doc
-        grams, didx, _ = _doc_grams(batch["text"])
+        grams, didx, _ = _doc_grams(batch["text"], toks)
         if grams.size:
             hit_docs = np.unique(didx[np.isin(grams, bset)])
             hit = np.zeros(len(batch), dtype=bool)
@@ -76,7 +76,7 @@ def curate_corpus(sf_dir: str):
         limits = batch["lang"].map(thresh).fillna(np.uint64(0)).to_numpy(dtype=np.uint64)
         keep &= h < limits
         out = batch[keep]
-        fps = _tokens(out["text"]).map(
+        fps = toks[keep].map(
             lambda ws: hashlib.md5(" ".join(sorted(set(ws))).encode()).hexdigest()
         )
         res = pd.DataFrame(

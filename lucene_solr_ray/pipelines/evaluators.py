@@ -1249,6 +1249,8 @@ def convolve_series(sf_dir: str):
     ).sort_values("day")
     a = daily[daily["event_type"] == "purchase"]["cents"].to_numpy(np.int64)
     b = daily[daily["event_type"] == "error"]["cents"].to_numpy(np.int64)
+    if not a.size or not b.size:  # SQL twin's empty cross join
+        return pd.DataFrame({"k": np.empty(0, np.int64), "conv": np.empty(0, np.int64)})
     conv = np.convolve(a, b)
     return pd.DataFrame(
         {"k": np.arange(conv.size, dtype=np.int64), "conv": conv.astype("int64")}

@@ -1121,9 +1121,11 @@ def _drill_sql() -> str:
     parts = []
     for d in dims:
         where = " AND ".join(f"{o} = '{DRILL_SELECTION[o]}'" for o in dims if o != d)
+        # `{d} IS NOT NULL` mirrors the engine's value_counts (missing
+        # values are not facet buckets — Solr's facet.missing=false default)
         parts.append(
             f"SELECT '{d}' AS dim, {d} AS val, CAST(COUNT(*) AS BIGINT) AS cnt "
-            f"FROM documents WHERE {where} GROUP BY {d}"
+            f"FROM documents WHERE {where} AND {d} IS NOT NULL GROUP BY {d}"
         )
     full = " AND ".join(f"{d} = '{DRILL_SELECTION[d]}'" for d in dims)
     parts.append(

@@ -73,11 +73,26 @@ class MonitorMatcher:
     """Actor-pool stage: compiled query library in __init__, vectorized
     batch matching in __call__ → (query_id, doc_id) pairs."""
 
+    _SUPPORTED = ("term", "phrase", "bool", "dismax")
+
+    @classmethod
+    def _validate(cls, node: QueryNode, qid: str) -> None:
+        """Reject unsupported shapes at REGISTRATION (the Monitor's
+        register() is where Lucene throws too) — never mid-stream inside a
+        running map_batches batch."""
+        if node.kind not in cls._SUPPORTED:
+            raise ValueError(f"monitor query {qid!r}: unsupported node kind {node.kind}")
+        if node.kind == "phrase" and node.slop:
+            raise ValueError(f"monitor query {qid!r}: sloppy phrases are not supported")
+        for _, c in node.clauses:
+            cls._validate(c, qid)
+
     def __init__(self, queries: list[tuple[str, str]]):
         self.compiled: list[tuple[str, QueryNode, set[str]]] = []
         for qid, qstr in queries:
             node = parse_query(qstr)
             if node is not None:
+                self._validate(node, qid)
                 self.compiled.append((qid, node, set(_anchor_terms(node))))
         self.evaluated = 0  # presearcher diagnostics (per-actor, tests)
         self.skipped = 0

@@ -42,7 +42,8 @@ FROM documents GROUP BY lang ORDER BY cnt DESC, lang
 # null-bucket count as a sentinel row.  The prefix/contains filters run
 # INSIDE the per-batch combiner, so pruned buckets never shuffle.
 
-FACET_PREFIX, FACET_CONTAINS = "src1", "1"
+# prefix must NOT imply contains, or the contains path is untested
+FACET_PREFIX, FACET_CONTAINS = "src", "1"
 FACET_OFFSET, FACET_LIMIT, FACET_MINCOUNT = 2, 5, 1
 FACET_MISSING_SENTINEL = "__missing__"
 

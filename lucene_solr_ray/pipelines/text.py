@@ -29,11 +29,14 @@ def _tokens(texts: pd.Series) -> pd.Series:
     return texts.str.lower().str.findall(TOKEN_RE)
 
 
-def _explode_tokens(texts: pd.Series):
+def _explode_tokens(texts: pd.Series, toks: pd.Series | None = None):
     """→ (doc_idx, codes, uniq, counts): the batch token stream factorized
     once — downstream per-doc reducers become bincount/np.unique passes over
-    integer codes instead of Python set/sum loops per row."""
-    toks = _tokens(texts)
+    integer codes instead of Python set/sum loops per row.  Pass `toks`
+    (the `_tokens` output) to skip re-running the regex tokenizer when the
+    caller already has it."""
+    if toks is None:
+        toks = _tokens(texts)
     counts = toks.map(len).to_numpy(dtype=np.int64)
     flat = [t for ws in toks for t in ws]
     if not flat:
@@ -1213,7 +1216,7 @@ DECON_W = 5  # n-gram width
 _FNV_PRIME = np.uint64(1099511628211)
 
 
-def _doc_grams(texts: pd.Series):
+def _doc_grams(texts: pd.Series, toks: pd.Series | None = None):
     """→ (uint64 gram fingerprints, doc index per gram): each token string
     is hashed ONCE per batch (`pd.util.hash_array` — deterministic across
     processes), then W-gram fingerprints are a vectorized polynomial roll
@@ -1221,7 +1224,7 @@ def _doc_grams(texts: pd.Series):
     built — this is the hashed-n-gram representation real decontamination
     pipelines use (Lee et al. 2022); a cross-set collision needs ~2⁶⁴
     grams, far beyond any corpus."""
-    doc_idx, codes, uniq, counts = _explode_tokens(texts)
+    doc_idx, codes, uniq, counts = _explode_tokens(texts, toks)
     n = len(texts)
     if codes.size < DECON_W:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64), n
@@ -1232,9 +1235,6 @@ def _doc_grams(texts: pd.Series):
         part = flat[j:] if j == DECON_W - 1 else flat[j : -(DECON_W - 1 - j)]
         grams = grams * _FNV_PRIME + part
     return grams[valid], doc_idx[: -(DECON_W - 1)][valid], n
-
-
-_DECON_CACHE: dict[str, np.ndarray] = {}  # per-worker benchmark gram sets
 
 
 def decontaminate(sf_dir: str):
@@ -1253,9 +1253,7 @@ def decontaminate(sf_dir: str):
     bench_ref = ray.put(np.sort(bench))
 
     def scan(batch: pd.DataFrame, _ref=bench_ref) -> pd.DataFrame:
-        bset = _DECON_CACHE.get(_ref.hex())
-        if bset is None:
-            bset = _DECON_CACHE[_ref.hex()] = ray.get(_ref)
+        bset = ray.get(_ref)  # zero-copy plasma read per batch, no cache
         out = batch[batch["doc_id"] % DECON_MOD != 0]
         grams, didx, n = _doc_grams(out["text"])
         n_overlap = np.zeros(len(out), dtype=np.int64)
@@ -1470,7 +1468,7 @@ def strdist_jarowinkler(sf_dir: str):
 STRDIST_JW_SQL = f"""
 SELECT source, jaro_winkler_similarity(source, '{JW_REF}') AS sim,
        CAST(COUNT(*) AS BIGINT) AS n
-FROM documents GROUP BY source ORDER BY source
+FROM documents WHERE source IS NOT NULL GROUP BY source ORDER BY source
 """
 
 

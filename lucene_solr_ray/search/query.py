@@ -250,7 +250,11 @@ def _leaf(raw: str, is_phrase: bool) -> QueryNode | None:
             # RegexpQuery.java): /re/ anchored over the whole term; a field
             # prefix scopes it to that keyword namespace (field:/re/).
             # Dialect is Python `re` (a superset of Lucene's operators).
-            fld, body = m.group(1), m.group(2).lower()
+            # The body is NOT lowercased (lowercasing would invert escape
+            # classes like \D→\d); indexed terms are lowercase, so write
+            # lowercase literals — same contract as Lucene's regex, which
+            # skips multi-term analysis.
+            fld, body = m.group(1), m.group(2)
             pat = (re.escape(fld.lower() + ":") if fld else "") + body
             re.compile(pat)  # validate at parse time, like Lucene's parser
             return QueryNode("regexp", pattern=pat)

@@ -190,7 +190,11 @@ class Searcher:
         return [(t, -negdf, d) for d, negdf, t in out[:max_suggestions]]
 
     def spellcheck_collate(
-        self, query: str, max_collations: int = 3, max_edits: int = 2
+        self,
+        query: str,
+        max_collations: int = 3,
+        max_edits: int = 2,
+        max_tries: int = 10,
     ) -> list[tuple[str, int]]:
         """SpellCheckCollator (solr/core/.../spelling/SpellCheckCollator
         .java): rewrite the query replacing each misspelled term with its
@@ -199,9 +203,11 @@ class Searcher:
         ranked by hit count desc (then collation asc).
 
         Per-term corrections come from the distributed spellcheck scatter;
-        verification is one conjunctive search per candidate collation
-        (candidates are capped: top-2 suggestions per misspelled term)."""
-        from itertools import product
+        verification is one conjunctive count per candidate collation.
+        Bounded like the reference: top-2 suggestions per misspelled term
+        AND at most `max_tries` verification queries total (Solr's
+        maxCollationTries) — a many-typo query can't fan out 2^m counts."""
+        from itertools import islice, product
 
         words = [w for w in query.lower().split() if w]
         options: list[list[str]] = []
@@ -216,7 +222,7 @@ class Searcher:
         if not any_fix:
             return []
         seen: list[tuple[str, int]] = []
-        for combo in product(*options):
+        for combo in islice(product(*options), max_tries):
             n = self.count(" AND ".join(combo))
             if n > 0:
                 seen.append((" ".join(combo), n))
