@@ -57,7 +57,13 @@ def _anchor_terms(node: QueryNode) -> list[str]:
     if node.kind in ("bool", "dismax"):
         musts = [c for occ, c in node.clauses if occ in ("MUST", "FILTER")]
         if musts:
-            return _anchor_terms(musts[0])
+            # first MUST with a usable anchor set (a multi-term MUST is
+            # unanchorable; another conjunct can still anchor the query)
+            for m in musts:
+                a = _anchor_terms(m)
+                if a:
+                    return a
+            return []
         out: list[str] = []
         for occ, c in node.clauses:
             if occ == "SHOULD":
@@ -73,7 +79,7 @@ class MonitorMatcher:
     """Actor-pool stage: compiled query library in __init__, vectorized
     batch matching in __call__ → (query_id, doc_id) pairs."""
 
-    _SUPPORTED = ("term", "phrase", "bool", "dismax")
+    _SUPPORTED = ("term", "phrase", "bool", "dismax", "prefix", "wildcard", "fuzzy", "regexp")
 
     @classmethod
     def _validate(cls, node: QueryNode, qid: str) -> None:
@@ -129,11 +135,26 @@ class MonitorMatcher:
             v[cand // stride] = True
             return v
 
+        sorted_uniq: np.ndarray | None = None
+
         def match(node: QueryNode) -> np.ndarray:
+            nonlocal sorted_uniq
             if node.kind == "term":
                 return term_vec(node.terms[0])
             if node.kind == "phrase":
                 return phrase_vec(node.terms)
+            if node.kind in ("prefix", "wildcard", "fuzzy", "regexp"):
+                # multi-term leaf: expand against the BATCH vocabulary
+                # (the Monitor's ANYTOKEN presearcher path — unanchorable,
+                # so these queries evaluate on every batch)
+                from ..search.query import expand_multi_term
+
+                if sorted_uniq is None:
+                    sorted_uniq = np.sort(uniq.astype(str))
+                v = np.zeros(n, dtype=bool)
+                for t in expand_multi_term(node, sorted_uniq):
+                    v |= term_vec(t)
+                return v
             if node.kind in ("bool", "dismax"):
                 v = None
                 should = np.zeros(n, dtype=bool)

@@ -128,6 +128,25 @@ def test_property_duel_vs_per_doc_eval():
         assert got == exp, (trial, got ^ exp)
 
 
+def test_multi_term_monitor_queries():
+    """Prefix/wildcard/fuzzy/regexp monitor queries expand against the
+    batch vocabulary (ANYTOKEN path — evaluated on every batch)."""
+    assert _pairs([("p", "ha*")]) == [("p", 0), ("p", 1)]  # hash
+    assert _pairs([("w", "w?ndow")]) == [("w", 3)]
+    assert _pairs([("f", "merge~1")]) == [("f", 0), ("f", 2)]
+    assert _pairs([("r", "/jo.n/")]) == [("r", 0), ("r", 1)]
+    # composes inside booleans; the other MUST still anchors the query
+    m = MonitorMatcher([("c", "+merge +fa*")])
+    out = m(DOCS)
+    assert sorted(out["doc_id"]) == [2]
+    assert m.compiled[0][2] == {"merge"}  # anchored by the term MUST
+    # sloppy phrase and unsupported kinds rejected at REGISTRATION
+    import pytest
+
+    with pytest.raises(ValueError, match="sloppy"):
+        MonitorMatcher([("s", '"hash join"~2')])
+
+
 def test_empty_and_no_match_batches():
     m = MonitorMatcher([("q", "fast")])
     empty = DOCS.iloc[0:0]
