@@ -1,0 +1,55 @@
+"""Resumable partitioned output: finished partitions are skipped on rerun,
+a partition without its marker is rewritten, and the data round-trips."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_solr_ray.sources.sinks import write_partitioned
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "event_type", "value"])
+
+
+def test_write_skip_rewrite_cycle(ray_session, events_ds, tmp_path):
+    import duckdb
+
+    out = tmp_path / "by_type"
+    r1 = write_partitioned(events_ds, out, "event_type")
+    assert r1["skipped"] == [] and len(r1["written"]) >= 3
+    types = sorted(r1["written"])
+    for t in types:
+        assert (out / f"_DONE_{t}").exists()
+        assert list(out.glob(f"event_type={t}/*.parquet"))
+
+    # full rerun: everything skipped, nothing rewritten
+    before = {p: p.stat().st_mtime_ns for p in out.rglob("*.parquet")}
+    r2 = write_partitioned(events_ds, out, "event_type")
+    assert r2["written"] == [] and r2["skipped"] == types
+    assert {p: p.stat().st_mtime_ns for p in out.rglob("*.parquet")} == before
+
+    # simulate a crashed partition: marker missing → only IT is rewritten
+    victim = types[0]
+    (out / f"_DONE_{victim}").unlink()
+    r3 = write_partitioned(events_ds, out, "event_type")
+    assert r3["written"] == [victim]
+    after = {p: p.stat().st_mtime_ns for p in out.rglob("*.parquet")}
+    for p, m in before.items():
+        if f"event_type={victim}" not in str(p) and p in after:
+            assert after[p] == m, p
+
+    # data round-trip equals the source (hive partition column restored)
+    got = duckdb.sql(
+        f"SELECT event_id, event_type, value FROM read_parquet('{out}/*/*.parquet', hive_partitioning=1) ORDER BY event_id"
+    ).df()
+    exp = duckdb.sql(
+        f"SELECT event_id, event_type, value FROM read_parquet('{SF}/events.parquet') ORDER BY event_id"
+    ).df()
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert got["value"].tolist() == exp["value"].tolist()
