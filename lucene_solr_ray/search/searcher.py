@@ -228,6 +228,32 @@ class Searcher:
                 seen.append((" ".join(combo), n))
         return sorted(seen, key=lambda t: (-t[1], t[0]))[:max_collations]
 
+    def metrics(self) -> dict:
+        """/admin/metrics analog (solr/core/src/java/org/apache/solr/
+        handler/admin/MetricsHandler.java): per-shard result-cache and
+        block-max-pruning counters aggregated across the actor pool, plus
+        index-level gauges — one scatter, numbers only."""
+        rc = self._scatter("result_cache_stats")
+        pr = self._scatter("prune_stats")
+        cands = sum(p["candidates"] for p in pr)
+        scored = sum(p["scored"] for p in pr)
+        return {
+            "shards": len(self.actors),
+            "n_docs": int(self.stats.N),
+            "tombstones": int(self._tombstones.size),
+            "result_cache": {
+                "items": sum(r.get("items", 0) for r in rc),
+                "hits": (h := sum(r.get("hits", 0) for r in rc)),
+                "misses": (m := sum(r.get("misses", 0) for r in rc)),
+                "hit_rate": h / (h + m) if (h + m) else 0.0,
+            },
+            "prune": {
+                "candidates": cands,
+                "scored": scored,
+                "pruned_frac": (1.0 - scored / cands) if cands else 0.0,
+            },
+        }
+
     def wordbreak(self, word: str, max_suggestions: int = 5) -> list[tuple[str, str, int]]:
         """WordBreakSolrSpellChecker break-words direction (solr/core/src/
         java/org/apache/solr/spelling/WordBreakSolrSpellChecker.java): an
