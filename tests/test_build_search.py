@@ -485,6 +485,19 @@ def test_join_query_score_modes(searcher, corpus, oracle):
         assert got == expected, mode
 
 
+def test_metrics(searcher, oracle):
+    """/admin/metrics analog: pool-aggregated counters + index gauges."""
+    searcher.search("error ok w00042", 5)
+    searcher.search("error ok w00042", 5)  # second hit is cached
+    m = searcher.metrics()
+    assert m["shards"] == len(searcher.actors)
+    assert m["n_docs"] == oracle.N
+    rc = m["result_cache"]
+    assert rc["hits"] >= 1 and rc["misses"] >= 1
+    assert rc["hit_rate"] == rc["hits"] / (rc["hits"] + rc["misses"])
+    assert set(m["prune"]) == {"candidates", "scored", "pruned_frac"}
+
+
 def test_terms_regex(searcher, oracle):
     """/terms with terms.regex: anchored shard-side filter, df-summed merge."""
     got = searcher.terms(regex="w0000[0-9]", limit=100)
