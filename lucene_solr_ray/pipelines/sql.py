@@ -525,6 +525,10 @@ def execute_sql(sf_dir: str, sql: str) -> pd.DataFrame:
             return out
 
         res = ds.map_batches(scan, batch_format="pandas").to_pandas()
+        if len(res.columns) == 0:  # Ray drops the schema when EVERY block
+            res = pd.DataFrame(  # filtered to zero rows — rebuild it
+                {name: pd.Series([], dtype=object) for _, name in stmt.cols}
+            )
         if stmt.distinct:
             res = res.drop_duplicates()
     else:

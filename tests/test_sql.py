@@ -159,3 +159,61 @@ def test_sql_join(ray_session):
     )
     with pytest.raises(ValueError):
         execute_sql(SF, "SELECT 1 AS x FROM customer JOIN nation ON c_custkey = c_acctbal")
+
+
+def test_fuzz_random_statements(ray_session):
+    """Seeded random SELECT generator dueled against DuckDB — scans with
+    random predicate trees, projections with arithmetic, and grouped
+    aggregates with HAVING/ORDER/LIMIT (the planner paths users actually
+    combine)."""
+    import random
+
+    rng = random.Random(1234)
+    num_cols = ["o_totalprice", "o_orderkey", "o_custkey"]
+    cat_col = "o_orderpriority"
+    cats = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+    def pred():
+        r = rng.random()
+        if r < 0.3:
+            return f"{rng.choice(num_cols)} {rng.choice(['>', '<', '>=', '<='])} {rng.randint(1, 200000)}"
+        if r < 0.5:
+            return f"{cat_col} = '{rng.choice(cats)}'"
+        if r < 0.65:
+            pick = rng.sample(cats, rng.randint(1, 3))
+            return f"{cat_col} IN ({', '.join(repr(c) for c in pick)})"
+        if r < 0.8:
+            lo = rng.randint(0, 1000)
+            return f"o_custkey BETWEEN {lo} AND {lo + rng.randint(10, 500)}"
+        return f"NOT {cat_col} = '{rng.choice(cats)}'"
+
+    def where():
+        parts = [pred() for _ in range(rng.randint(1, 3))]
+        return (" " + rng.choice(["AND", "OR"]) + " ").join(parts)
+
+    for trial in range(25):
+        if rng.random() < 0.5:
+            # scan shape
+            sql = (
+                f"SELECT o_orderkey, {cat_col}, o_totalprice * 2 AS tp2 FROM orders "
+                f"WHERE {where()} ORDER BY o_orderkey LIMIT {rng.randint(5, 60)}"
+            )
+        else:
+            aggs = rng.sample(
+                [
+                    "COUNT(*) AS n",
+                    "MIN(o_totalprice) AS mn",
+                    "MAX(o_totalprice) AS mx",
+                    "SUM(o_orderkey) AS sk",
+                ],
+                rng.randint(1, 3),
+            )
+            having = " HAVING COUNT(*) > 2" if rng.random() < 0.4 else ""
+            sql = (
+                f"SELECT {cat_col}, {', '.join(aggs)} FROM orders "
+                f"WHERE {where()} GROUP BY {cat_col}{having} ORDER BY {cat_col}"
+            )
+        try:
+            duel(sql)
+        except AssertionError as e:
+            raise AssertionError(f"trial {trial}: {sql}") from e
