@@ -128,6 +128,51 @@ def test_duel_rank_and_score_identical(searcher, oracle):
         assert got == exp, f"qid={q['qid']} query={q['query']!r}\n got {got[:5]}\n exp {exp[:5]}"
 
 
+def test_fuzz_random_queries(searcher, oracle):
+    """Seeded random query-grammar duel: every syntax form the parser
+    accepts (occurs, phrases w/ slop, boosts, prefix/wildcard/fuzzy/regexp,
+    field terms) over head/mid/tail vocabulary — rank+float32-score
+    identical to the brute-force oracle."""
+    import random
+
+    rng = random.Random(20260818)
+    words = ["assistant", "error", "ok", "bash", "tool", "output", "the"] + [
+        f"w{rng.randint(0, 19999):05d}" for _ in range(20)
+    ]
+    fields = [("role", ["user", "assistant", "system"]), ("tool", ["bash", "browser", "editor"])]
+
+    def clause() -> str:
+        sign = rng.choice(["", "", "", "+", "-"])
+        r = rng.random()
+        if r < 0.35:
+            w = rng.choice(words)
+            if rng.random() < 0.15:
+                w += f"^{rng.randint(2, 5)}"
+            return sign + w
+        if r < 0.5:
+            n = rng.randint(2, 3)
+            ph = " ".join(rng.choice(words) for _ in range(n))
+            slop = f"~{rng.randint(1, 3)}" if rng.random() < 0.4 else ""
+            return f'{sign}"{ph}"{slop}'
+        if r < 0.62:
+            f, vals = rng.choice(fields)
+            return f"{sign}{f}:{rng.choice(vals)}"
+        if r < 0.74:
+            return sign + rng.choice(words)[: rng.randint(2, 4)] + "*"
+        if r < 0.82:
+            return sign + "w?" + rng.choice(words)[2:5] + "*"
+        if r < 0.92:
+            return sign + rng.choice(words) + f"~{rng.randint(1, 2)}"
+        return sign + "/" + rng.choice(words)[:3] + "[a-z0-9]*/"
+
+    for trial in range(60):
+        q = " ".join(clause() for _ in range(rng.randint(1, 3)))
+        k = rng.choice([3, 10, 25])
+        got = searcher.search(q, k)
+        exp = [(d, float(s)) for d, s in oracle.search(q, k)]
+        assert got == exp, f"trial {trial}: {q!r}\n got {got[:4]}\n exp {exp[:4]}"
+
+
 PRUNE_QUERIES = [
     "assistant error ok",             # pure disjunction
     "w00001 w00002 w00003 bash",
