@@ -637,3 +637,45 @@ def test_priority_delete_knn_streams(ray_session, tmp_path):
         want = s.more_like_this(3, k=5, max_query_terms=8)
     assert got["doc_id"].tolist() == [d for d, _ in want]
     assert np.allclose(got["score"].to_numpy(), np.array([sc for _, sc in want], "f4"))
+
+
+def test_fuzz_rollup_expressions(ray_session):
+    """Seeded random rollup(search(...)) expressions vs GENERATED SQL:
+    random source table/filter, over-field, aggregate set — the
+    StreamFactory planner holds for arbitrary combinations."""
+    import random
+
+    rng = random.Random(777)
+    shapes = [
+        ("events", "user_id,event_id,event_type,value",
+         [("event_type", ["click", "view", "purchase", "error"])],
+         "user_id", ["count(*)", "sum(event_id)", "min(event_id)", "max(event_id)"]),
+        ("orders", "o_orderkey,o_custkey,o_orderpriority,o_orderstatus",
+         [("o_orderstatus", ["O", "F", "P"])],
+         "o_orderpriority", ["count(*)", "sum(o_orderkey)", "min(o_custkey)", "max(o_custkey)"]),
+    ]
+    for trial in range(14):
+        table, fl, filters, over, aggpool = rng.choice(shapes)
+        fcol, fvals = filters[0]
+        fval = rng.choice(fvals)
+        aggs = rng.sample(aggpool, rng.randint(1, 3))
+        expr = (
+            f'rollup(search({table}, q="{fcol}:{fval}", fl="{fl}", '
+            f'sort="{over} asc"), over="{over}", {", ".join(aggs)})'
+        )
+        sels = [over]
+        for a in aggs:
+            if a == "count(*)":
+                sels.append('CAST(COUNT(*) AS BIGINT) AS "count(*)"')
+            else:
+                fn = a.split("(")[0]
+                col = a[len(fn) + 1 : -1]
+                sels.append(f'CAST({fn.upper()}({col}) AS BIGINT) AS "{a}"')
+        sql = (
+            f"SELECT {', '.join(sels)} FROM {table} "
+            f"WHERE {fcol} = '{fval}' GROUP BY {over}"
+        )
+        try:
+            duel(expr, sql)
+        except AssertionError as e:
+            raise AssertionError(f"trial {trial}: {expr}") from e
