@@ -53,6 +53,26 @@ def cents(x: np.ndarray) -> np.ndarray:
     return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
 
 
+def hugeint_to_double(v: int) -> float:
+    """EXACTLY DuckDB's CAST(HUGEINT AS DOUBLE) (duckdb/src/common/types/
+    hugeint.cpp Hugeint::Cast<double>): upper==0 → (double)lower;
+    upper==-1 → -(double)(UINT64_MAX - lower) - 1; else (double)lower +
+    (double)upper * (double)UINT64_MAX.  NOT correctly-rounded — the
+    hi·(2⁶⁴−1) + lo recombination carries its own rounding — so any exact
+    integer moment ≥ 2⁶³ (or any negative beyond 2⁵³) that a SQL twin
+    casts to DOUBLE must go through THIS function, never float(x), or the
+    value-hash gate diverges in the last ulp (seen live: describe_stats
+    sumsq at sf0.1).  Identical to float(x) for 0 ≤ x < 2⁶³.  Probed
+    bit-exact against DuckDB over 800 random hugeints."""
+    hi = v >> 64
+    lo = v & ((1 << 64) - 1)
+    if hi == 0:
+        return float(lo)
+    if hi == -1:
+        return -float((1 << 64) - 1 - lo) - 1.0
+    return float(lo) + float(hi) * float((1 << 64) - 1)
+
+
 def ts_us(series) -> np.ndarray:
     """pandas datetime series → int64 microseconds since epoch."""
     return series.astype("datetime64[us]").astype("int64").to_numpy()

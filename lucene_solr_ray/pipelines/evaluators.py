@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 
 from ..functions.evaluators import corr_from_moments, fft_magnitude, kmeans, moving_average, ols_from_moments
-from .common import Pipeline, cents, read, ts_us
+from .common import Pipeline, cents, hugeint_to_double as h2d, read, ts_us
 from .relational import _M32, _SAMPLE_C1, _SAMPLE_C2, _SAMPLE_SEED, _sample_hash
 
 _EPOCH0_DAYS = np.datetime64("1990-01-01", "us").astype("int64") // 86_400_000_000
@@ -629,7 +629,7 @@ def describe_stats(sf_dir: str):
     )
     n, s1, s2 = m["n"], m["s1"], m["s2"]
     mean = float(s1) / float(n)
-    var = float(n * s2 - s1 * s1) / float(n * (n - 1))
+    var = h2d(n * s2 - s1 * s1) / float(n * (n - 1))
     import math
 
     return pd.DataFrame(
@@ -640,7 +640,7 @@ def describe_stats(sf_dir: str):
             "mean": [mean],
             "variance": [var],
             "stddev": [math.sqrt(var)],
-            "sumsq": [float(s2)],
+            "sumsq": [h2d(s2)],
         }
     )
 
@@ -685,10 +685,10 @@ def ttest_welch(sf_dir: str):
 
     ma, mb = group_moments(_TT_A), group_moments(_TT_B)
     n1, n2 = ma["n"], mb["n"]
-    m1 = float(ma["s1"]) / float(n1)
-    m2 = float(mb["s1"]) / float(n2)
-    v1 = float(n1 * ma["s2"] - ma["s1"] * ma["s1"]) / float(n1 * (n1 - 1))
-    v2 = float(n2 * mb["s2"] - mb["s1"] * mb["s1"]) / float(n2 * (n2 - 1))
+    m1 = h2d(ma["s1"]) / float(n1)
+    m2 = h2d(mb["s1"]) / float(n2)
+    v1 = h2d(n1 * ma["s2"] - ma["s1"] * ma["s1"]) / float(n1 * (n1 - 1))
+    v2 = h2d(n2 * mb["s2"] - mb["s1"] * mb["s1"]) / float(n2 * (n2 - 1))
     se1, se2 = v1 / float(n1), v2 / float(n2)
     t = (m1 - m2) / math.sqrt(se1 + se2)
     dof = (se1 + se2) * (se1 + se2) / (se1 * se1 / float(n1 - 1) + se2 * se2 / float(n2 - 1))
@@ -746,7 +746,7 @@ def zscores_monthly(sf_dir: str):
     n = len(c)
     s1, s2 = sum(c), sum(v * v for v in c)
     mean = float(s1) / float(n)
-    sd = math.sqrt(float(n * s2 - s1 * s1) / float(n * (n - 1)))
+    sd = math.sqrt(h2d(n * s2 - s1 * s1) / float(n * (n - 1)))
     out = monthly.copy()
     out["cents"] = out["cents"].astype("int64")
     out["z"] = np.array([(float(v) - mean) / sd for v in c], dtype=np.float64)
@@ -779,7 +779,7 @@ FROM monthly, m ORDER BY month
 def covariance_moments(sf_dir: str):
     m = _xy_moments(sf_dir)
     n = m["n"]
-    cov = float(n * m["sxy"] - m["sx"] * m["sy"]) / float(n * (n - 1))
+    cov = h2d(n * m["sxy"] - m["sx"] * m["sy"]) / float(n * (n - 1))
     return pd.DataFrame({"n": [np.int64(n)], "cov": [cov]})
 
 
@@ -874,13 +874,13 @@ def anova_oneway(sf_dir: str):
     s1_tot = sum(s1 for _, _, s1, _ in groups)
     s2_tot = sum(s2 for _, _, _, s2 in groups)
     k = len(groups)
-    grand = float(s1_tot) / float(n_tot)
+    grand = h2d(s1_tot) / float(n_tot)
     # SSB = Σ n_g (mean_g - grand)², SSW = SST - SSB (exact-moment forms)
     ssb = 0.0
     for _, n, s1, _ in groups:
         m = float(s1) / float(n)
         ssb = ssb + float(n) * (m - grand) * (m - grand)
-    sst = float(s2_tot) - float(n_tot) * grand * grand
+    sst = h2d(s2_tot) - float(n_tot) * grand * grand
     ssw = sst - ssb
     f = (ssb / float(k - 1)) / (ssw / float(n_tot - k))
     return pd.DataFrame(
@@ -1102,7 +1102,7 @@ def cosine_series(sf_dir: str):
     dot = sum(x * y for x, y in zip(a, b))
     na = sum(x * x for x in a)
     nb = sum(y * y for y in b)
-    cos = float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+    cos = h2d(dot) / (math.sqrt(h2d(na)) * math.sqrt(h2d(nb)))
     return pd.DataFrame({"n": [np.int64(len(a))], "cos": [cos]})
 
 
@@ -1172,9 +1172,9 @@ def _poly_moments(sf_dir: str) -> dict:
 
 def polyfit_quadratic(sf_dir: str):
     m = _poly_moments(sf_dir)
-    a, b, c = float(m["n"]), float(m["s1"]), float(m["s2"])
-    p, q = float(m["s3"]), float(m["s4"])
-    t0, t1, t2 = float(m["t0"]), float(m["t1"]), float(m["t2"])
+    a, b, c = float(m["n"]), h2d(m["s1"]), h2d(m["s2"])
+    p, q = h2d(m["s3"]), h2d(m["s4"])
+    t0, t1, t2 = h2d(m["t0"]), h2d(m["t1"]), h2d(m["t2"])
     det = a * (c * q - p * p) - b * (b * q - p * c) + c * (b * p - c * c)
     c0 = (t0 * (c * q - p * p) - b * (t1 * q - p * t2) + c * (t1 * p - c * t2)) / det
     c1 = (a * (t1 * q - p * t2) - t0 * (b * q - p * c) + c * (b * t2 - t1 * c)) / det
