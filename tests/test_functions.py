@@ -103,3 +103,29 @@ def test_geodist_through_expression_parser():
     node = parse_expr("geodist(lat, lon, 48.8566, 2.3522)")
     out = evaluate(node, {"lat": np.array([48.8566]), "lon": np.array([2.3522])})
     assert out[0] == 0.0
+
+
+def test_hugeint_to_double_matches_duckdb():
+    """pipelines.common.hugeint_to_double == DuckDB CAST(HUGEINT AS DOUBLE)
+    bit-exactly across magnitude bands and signs (the non-correctly-rounded
+    hi/lo recombination the SQL twins actually execute)."""
+    import random
+
+    import duckdb
+
+    from lucene_solr_ray.pipelines.common import hugeint_to_double
+
+    rng = random.Random(31337)
+    con = duckdb.connect()
+    cases = [0, 1, -1, 5, -5, (1 << 63) - 1, -(1 << 63), (1 << 64) - 1,
+             1 << 64, -(1 << 64), 22240711483861231690]
+    for _ in range(400):
+        mag = rng.choice(
+            [rng.randint(0, 1 << 53), rng.randint(1 << 53, 1 << 63),
+             rng.randint(1 << 63, 1 << 64), rng.randint(1 << 64, 1 << 100),
+             rng.randint(1 << 100, (1 << 126))]
+        )
+        cases.append(mag * rng.choice([1, -1]))
+    for v in cases:
+        exp = con.execute(f"SELECT CAST(CAST({v} AS HUGEINT) AS DOUBLE)").fetchone()[0]
+        assert hugeint_to_double(v) == exp, v
