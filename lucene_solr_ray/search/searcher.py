@@ -364,13 +364,18 @@ class Searcher:
         root_query: str,
         max_depth: int = 1,
         k: int = 10,
+        return_root: bool = True,
+        traversal_filter: str | None = None,
     ) -> list[tuple[int, float]]:
-        """`{!graph from=f to=t maxDepth=N}root` (solr/core/src/java/org/
-        apache/solr/search/join/GraphQuery.java): breadth-first traversal —
-        the root query's docs seed the frontier; each hop collects the
-        frontier's `from_field` values and expands to every doc whose
-        `to_field` matches.  Returns all reachable docs (root ∪ hops),
-        constant score 1.0, ties by docID asc.
+        """`{!graph from=f to=t maxDepth=N returnRoot=.. traversalFilter=..}
+        root` (solr/core/src/java/org/apache/solr/search/join/GraphQuery
+        .java): breadth-first traversal — the root query's docs seed the
+        frontier; each hop collects the frontier's `from_field` values and
+        expands to every doc whose `to_field` matches.  Returns all
+        reachable docs (hops, plus the roots when `return_root`), constant
+        score 1.0, ties by docID asc.  `traversal_filter` restricts which
+        docs each hop may traverse THROUGH and return (the reference
+        applies it to every non-root frontier).
 
         Each hop is the {!join} shape: shard-local distinct-key gather →
         driver union (bounded by field cardinality) → TermInSetQuery; the
@@ -382,9 +387,21 @@ class Searcher:
             return []
         node = self._rewrite(node)
         idfs = self._weights_for(node)
+        tf_node = parse_query(traversal_filter) if traversal_filter else None
+        if tf_node is not None:
+            tf_node = self._rewrite(tf_node)
+            idfs = {**idfs, **self._weights_for(tf_node)}
+
+        def filtered(n: QueryNode) -> QueryNode:
+            if tf_node is None:
+                return n
+            return QueryNode("bool", clauses=[("MUST", n), ("FILTER", tf_node)])
+
         seen_keys: set = set()
         frontier = node
-        members: list[QueryNode] = [QueryNode("bool", clauses=[("SHOULD", node)])]
+        members: list[QueryNode] = (
+            [QueryNode("bool", clauses=[("SHOULD", node)])] if return_root else []
+        )
         for _ in range(max_depth):
             new_keys: set = set()
             for part in self._scatter("join_values", frontier, idfs, from_field):
@@ -393,11 +410,12 @@ class Searcher:
             if not new_keys:
                 break
             seen_keys |= new_keys
-            frontier = QueryNode(
-                "term_set", terms=[f"{to_field}:{v}" for v in sorted(new_keys)]
+            frontier = filtered(
+                QueryNode("term_set", terms=[f"{to_field}:{v}" for v in sorted(new_keys)])
             )
-            idfs = {}
             members.append(frontier)
+        if not members:
+            return []
         union = QueryNode(
             "bool",
             clauses=[("SHOULD", QueryNode("bool", clauses=[("FILTER", m)], boost=0.0)) for m in members],

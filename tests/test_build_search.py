@@ -491,6 +491,24 @@ def test_graph_query(searcher, corpus, oracle):
     got2 = searcher.graph_search("tool", "tool", root, max_depth=2, k=40)
     assert got2 == [(d, 1.0) for d in sorted(reach)][:40]
     assert searcher.graph_search("tool", "tool", "zzzznope", 2) == []
+    # returnRoot=false drops the seed docs from the result
+    got_nr = searcher.graph_search("tool", "tool", root, max_depth=2, k=40, return_root=False)
+    exp_nr = sorted({i for i, v in enumerate(tools) if v in keys})
+    assert got_nr == [(d, 1.0) for d in exp_nr][:40]
+    # traversalFilter restricts every hop (but not the roots)
+    flt = "error"
+    flt_docs = {d for d, _ in oracle.search(flt, 10**9)}
+    reach_f = set(root_docs)
+    frontier, fkeys = set(root_docs), set()
+    for _ in range(2):
+        nk = {tools[d] for d in frontier if tools[d] is not None} - fkeys
+        if not nk:
+            break
+        fkeys |= nk
+        frontier = {i for i, v in enumerate(tools) if v in nk and i in flt_docs}
+        reach_f |= frontier
+    got_f = searcher.graph_search("tool", "tool", root, max_depth=2, k=60, traversal_filter=flt)
+    assert got_f == [(d, 1.0) for d in sorted(reach_f)][:60]
 
 
 def test_join_query_score_modes(searcher, corpus, oracle):
