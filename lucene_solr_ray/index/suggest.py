@@ -282,10 +282,13 @@ class Suggester:
             t.sort_values(["cf", "token"], ascending=[False, True]).head(k).reset_index(drop=True)
         )
 
-    def lookup_infix(self, sub: str, k: int = 8) -> pd.DataFrame:
+    def lookup_infix(self, sub: str, k: int = 8, contexts: list[str] | None = None) -> pd.DataFrame:
         """Top-k tokens containing `sub` by cf → (token, cf).  Substrings
         shorter than the gram size fall back to a terms scan (documented:
-        the reference's infix suggester has the same min-gram floor)."""
+        the reference's infix suggester has the same min-gram floor).
+        `contexts` re-scores the gram-bounded CANDIDATE set from
+        contexts.parquet — one pushdown read per lookup, filtered to the
+        candidates' token range and the selected contexts."""
         self.reads += 1
         if len(sub) < self.manifest["gram_n"]:
             t = pq.read_table(self.dir / "terms.parquet").to_pandas()
@@ -297,6 +300,22 @@ class Suggester:
                 filters=[("gram", "==", g)],
             ).to_pandas()
         t = t[t["token"].str.contains(sub, regex=False)]
+        if contexts is not None:
+            if not self.manifest.get("context_field"):
+                raise ValueError("suggester artifact was built without contexts")
+            cand = sorted(t["token"].unique())
+            if not cand:
+                return t.head(0).reset_index(drop=True)
+            c = pq.read_table(
+                self.dir / "contexts.parquet",
+                columns=["token", "cf"],
+                filters=[
+                    ("token", ">=", cand[0]),
+                    ("token", "<=", cand[-1]),
+                    ("ctx", "in", list(contexts)),
+                ],
+            ).to_pandas()
+            t = c[c["token"].isin(cand)].groupby("token", as_index=False)["cf"].sum()
         return (
             t.sort_values(["cf", "token"], ascending=[False, True]).head(k).reset_index(drop=True)
         )

@@ -141,3 +141,43 @@ def test_gated_pipelines_registered():
     assert REGISTRY["suggest_artifact_prefix"].sql is not None
     assert REGISTRY["suggest_artifact_infix"].sql is not None
     assert REGISTRY["suggest_artifact_fuzzy"].sql is not None
+
+
+def test_context_filtered_lookups(ray_session):
+    """Prefix AND infix lookups with a contexts filter == brute counts
+    restricted to the selected contexts (AnalyzingInfixSuggester contexts)."""
+    import duckdb
+
+    from lucene_solr_ray.index.suggest import Suggester, build_suggester
+
+    sf = "/root/testdata/sf0.001"
+    s = Suggester(build_suggester(sf))
+
+    def brute(where_tok: str, langs: tuple) -> pd.DataFrame:
+        return duckdb.sql(
+            f"""SELECT token, CAST(COUNT(*) AS BIGINT) AS cf FROM (
+                  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+                  FROM read_parquet('{sf}/documents.parquet') WHERE lang IN {langs!r}
+                ) WHERE {where_tok}
+                GROUP BY token ORDER BY cf DESC, token LIMIT 8"""
+        ).df()
+
+    got = s.lookup("s", 8, contexts=["en"])
+    exp = brute("token LIKE 's%'", ("en",))
+    assert got["token"].tolist() == exp["token"].tolist()
+    assert got["cf"].tolist() == exp["cf"].tolist()
+
+    got_i = s.lookup_infix("oin", 8, contexts=["en", "de"])
+    exp_i = brute("contains(token, 'oin')", ("en", "de"))
+    assert got_i["token"].tolist() == exp_i["token"].tolist()
+    assert got_i["cf"].tolist() == exp_i["cf"].tolist()
+
+
+def test_contexts_refused_without_context_column(artifact):
+    """An artifact built from a source WITHOUT the context field refuses
+    context-filtered lookups loudly instead of answering wrong."""
+    s = Suggester(artifact)
+    with pytest.raises(ValueError, match="without contexts"):
+        s.lookup("sug", 5, contexts=["en"])
+    with pytest.raises(ValueError, match="without contexts"):
+        s.lookup_infix("oin", 5, contexts=["en"])
