@@ -768,7 +768,14 @@ class IndexShard:
         search/JoinQParserPlugin.java): evaluate the from-query shard-local,
         gather the `field` doc values of every matching live doc, and return
         this shard's UNIQUE value set — only distinct join keys cross the
-        wire (JoinQuery's from-side term enumeration)."""
+        wire (JoinQuery's from-side term enumeration).  Cached per
+        (query, field) in the shard's result cache — Solr's join caches the
+        resolved DocSet the same way — so repeated {!join}s and multi-hop
+        {!graph} frontiers skip re-evaluation."""
+        cache_key = ("join_values", repr(node), field, sim)
+        hit = self._result_cache.get(cache_key)
+        if hit is not None:
+            return hit
         docs, scores = self._eval(node, idfs, sim)
         dv = self._load_docvalues(field)
         if dv is None or docs.size == 0:
@@ -785,16 +792,19 @@ class IndexShard:
         keep = np.array([v is not None for v in vals.tolist()], dtype=bool)
         vals, s64 = vals[keep], scores[keep].astype(np.float32).astype(np.float64)
         if not vals.size:
+            self._result_cache.put(cache_key, [])
             return []
         codes, uniq = pd.factorize(vals)
         sums = np.bincount(codes, weights=s64)
         counts = np.bincount(codes)
         maxs = np.full(len(uniq), -np.inf)
         np.maximum.at(maxs, codes, s64)
-        return sorted(
+        out = sorted(
             (v, float(s), int(c), float(m))
             for v, s, c, m in zip(uniq.tolist(), sums, counts, maxs)
         )
+        self._result_cache.put(cache_key, out)
+        return out
 
     def count_matches(self, node: QueryNode, idfs: dict[str, float], sim: str = "bm25") -> int:
         """numFound for this shard — only the hit COUNT crosses the wire
