@@ -153,3 +153,31 @@ def test_empty_and_no_match_batches():
     assert len(m(empty)) == 0
     silent = m(pd.DataFrame({"doc_id": np.array([9], dtype=np.int64), "text": [""]}))
     assert len(silent) == 0
+
+
+def test_alerting_loop_topic_plus_monitor(ray_session, tmp_path):
+    """The alerting composition the Monitor exists for: a checkpointed
+    topic() consumes only NEW documents per poll; the registered query
+    library matches each increment — no document is alerted twice and the
+    union of increments equals a full-corpus match."""
+    from lucene_solr_ray.pipelines.streams import run_expr
+
+    sf = "/root/testdata/sf0.001"
+    ckpt = f"/tmp/lsr_alert_ckpt_{tmp_path.name}"
+    lib = [("alert_dup", "dup"), ("alert_hj", '"hash join"')]
+    matcher = MonitorMatcher(lib)
+
+    # poll 1: replay from the beginning — everything is "new"
+    batch1 = run_expr(f'topic({ckpt}, documents, id="doc_id", initialCheckpoint=0)', sf)
+    alerts1 = matcher(batch1[["doc_id", "text"]])
+    # poll 2: caught up — nothing new, nothing re-alerted
+    batch2 = run_expr(f'topic({ckpt}, documents, id="doc_id")', sf)
+    assert len(batch2) == 0
+    # increments ∪ == one-shot full match
+    full = matcher(
+        pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    )
+    assert sorted(zip(alerts1["query_id"], alerts1["doc_id"])) == sorted(
+        zip(full["query_id"], full["doc_id"])
+    )
+    assert len(full) > 0
