@@ -163,7 +163,8 @@ def test_alerting_loop_topic_plus_monitor(ray_session, tmp_path):
     from lucene_solr_ray.pipelines.streams import run_expr
 
     sf = "/root/testdata/sf0.001"
-    ckpt = f"/tmp/lsr_alert_ckpt_{tmp_path.name}"
+    ckpt = str(tmp_path / "alert_ckpt")  # tmp_path is unique PER RUN — a
+    # name-derived /tmp dir would persist a stale checkpoint across runs
     lib = [("alert_dup", "dup"), ("alert_hj", '"hash join"')]
     matcher = MonitorMatcher(lib)
 
