@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .common import Pipeline, read
+from .common import Pipeline, pool, read
 
 # --------------------------------------------------------------------------
 # Codec (RIFF WAVE, PCM16)
@@ -202,7 +202,7 @@ def _payloads(sf_dir: str):
 def audio_features(sf_dir: str):
     out = (
         _payloads(sf_dir)
-        .map_batches(AudioDecoder, batch_format="pyarrow", batch_size=64, concurrency=2)
+        .map_batches(AudioDecoder, batch_format="pyarrow", batch_size=64, concurrency=pool())
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -218,7 +218,7 @@ def audio_fp_dedup(sf_dir: str):
 
     parts = (
         _payloads(sf_dir)
-        .map_batches(AudioDecoder, batch_format="pyarrow", batch_size=64, concurrency=2)
+        .map_batches(AudioDecoder, batch_format="pyarrow", batch_size=64, concurrency=pool())
         .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
     )

@@ -47,6 +47,18 @@ def merge_partials(ds, keys: list[str], ops: dict[str, str]):
     return ds.to_pandas().groupby(keys, as_index=False).agg(ops)
 
 
+def pool(frac: float = 0.5, lo: int = 1) -> tuple[int, int]:
+    """Actor-pool `concurrency` sized from the CLUSTER, not hard-coded
+    (r3 verdict: monitor_match's `concurrency=2` capped the percolator's
+    only heavy stage at 2 actors on any cluster).  Returns an autoscaling
+    (lo, ceil(CPU·frac)) range: tiny inputs spin up one actor, a full
+    cluster fills its share and Ray only grows the pool under load."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return (lo, max(2, int(np.ceil(cpus * frac))))
+
+
 def cents(x: np.ndarray) -> np.ndarray:
     """round(x*100) half-away-from-zero → int64 (DuckDB ROUND semantics)."""
     v = np.asarray(x, dtype=np.float64) * 100.0

@@ -31,7 +31,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .common import Pipeline, read
+from .common import Pipeline, pool, read
 
 # --------------------------------------------------------------------------
 # Codecs
@@ -218,7 +218,7 @@ def _payloads(sf_dir: str):
 def image_features(sf_dir: str):
     out = (
         _payloads(sf_dir)
-        .map_batches(ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=2)
+        .map_batches(ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=pool())
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -236,7 +236,7 @@ def image_ahash_dedup(sf_dir: str):
 
     parts = (
         _payloads(sf_dir)
-        .map_batches(ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=2)
+        .map_batches(ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=pool())
         .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
     )

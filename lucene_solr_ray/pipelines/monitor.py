@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 
 from ..search.query import QueryNode, parse_query
-from .common import Pipeline, read
+from .common import Pipeline, pool, read
 from .text import TOKEN_RE, _explode_tokens
 
 # The default registered-query library for the gate: one per supported
@@ -203,7 +203,7 @@ def monitor_match(sf_dir: str, queries: list[tuple[str, str]] | None = None):
     out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         MonitorMatcher,
         batch_format="pandas",
-        concurrency=2,
+        concurrency=pool(),
         fn_constructor_kwargs={"queries": qs},
     )
     # result STAYS a Dataset (distributed sort): the match set is

@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .common import Pipeline, read
+from .common import Pipeline, pool, read
 
 
 def decode_image(payload: bytes):
@@ -67,7 +67,7 @@ def media_features(sf_dir: str):
     out = (
         read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(to_payload, batch_format="pyarrow")
-        .map_batches(FakeDecoder, batch_format="pyarrow", batch_size=256, concurrency=2)
+        .map_batches(FakeDecoder, batch_format="pyarrow", batch_size=256, concurrency=pool())
         .to_pandas()
     )
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -236,7 +236,7 @@ def media_embed_ann(sf_dir: str, k: int = 10):
     parts = (
         read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(to_payload, batch_format="pyarrow")
-        .map_batches(FakeEmbedder, batch_format="pyarrow", batch_size=256, concurrency=2)
+        .map_batches(FakeEmbedder, batch_format="pyarrow", batch_size=256, concurrency=pool())
         .map_batches(score, batch_format="pyarrow")
         .to_pandas()
     )

@@ -283,3 +283,64 @@ def test_ann_pq_recall(ray_session):
     d = build_pq_index(SF)
     t = apq.read_table(glob.glob(f"{d}/codes/*.parquet")[0])
     assert all(len(c) == PQ_M for c in t.column("codes").to_pylist()[:20])
+
+
+def test_pack_offsets_distributed_scan(ray_session):
+    """The packing exclusive scan must be the two-level distributed shape:
+    ≥4 input blocks, doc order scattered across them, driver touches only
+    O(nbuckets) bucket-total rows (never an O(docs) array), and the result
+    equals the naive single-array cumsum exactly."""
+    import ray
+
+    from lucene_solr_ray.pipelines import text as T
+
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(5000).astype(np.int64)
+    toks = rng.integers(1, 400, size=ids.size).astype(np.int64)
+    frames = [
+        pd.DataFrame({"doc_id": ids[i::5], "n_tokens": toks[i::5]}) for i in range(5)
+    ]
+    ds = ray.data.from_pandas(frames)
+    assert ds.num_blocks() >= 4
+    out = (
+        T.pack_offsets(ds, budget=257, nbuckets=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # driver-side metadata is bounded by the bucket count, not the doc count
+    assert T.last_pack_stats["driver_rows"] <= 64 < ids.size
+    assert T.last_pack_stats["n_buckets"] <= 65
+    # exact parity with the naive global exclusive cumsum
+    order = np.argsort(ids, kind="stable")
+    n_sorted = toks[order]
+    excl = np.zeros(ids.size, dtype=np.int64)
+    excl[1:] = np.cumsum(n_sorted[:-1])
+    assert (out["doc_id"].to_numpy() == ids[order]).all()
+    assert (out["n_tokens"].to_numpy() == n_sorted).all()
+    assert (out["seq_id"].to_numpy() == excl // 257).all()
+    assert (out["offset"].to_numpy() == excl % 257).all()
+
+
+def test_pack_offsets_extra_columns_and_sparse_ids(ray_session):
+    """Sparse non-contiguous doc_ids (post-curation survivors) and carried
+    extra columns survive the distributed scan."""
+    import ray
+
+    from lucene_solr_ray.pipelines import text as T
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([3, 900, 44, 100_000, 7_777], dtype=np.int64),
+            "n_tokens": np.array([10, 20, 30, 40, 50], dtype=np.int64),
+            "lang": ["en", "de", "en", "fr", "en"],
+        }
+    )
+    ds = ray.data.from_pandas([df.iloc[:2], df.iloc[2:4], df.iloc[4:]])
+    out = T.pack_offsets(ds, budget=25).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    srt = df.sort_values("doc_id").reset_index(drop=True)
+    excl = np.zeros(len(srt), dtype=np.int64)
+    excl[1:] = np.cumsum(srt["n_tokens"].to_numpy()[:-1])
+    assert list(out["lang"]) == list(srt["lang"])
+    assert (out["seq_id"].to_numpy() == excl // 25).all()
+    assert (out["offset"].to_numpy() == excl % 25).all()

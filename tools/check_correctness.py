@@ -45,6 +45,26 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     if len(ray_df) != len(sql_df):
         problems.append(f"row count differs: ray={len(ray_df)} sql={len(sql_df)}")
         return problems
+    # the driver's value-hash is dtype-sensitive (int64 vs DOUBLE hash
+    # differently even when element-wise equal — seen live on sequence_pack
+    # r3); the float coercion below would mask exactly that, so flag any
+    # float-vs-integer class divergence explicitly.
+    def _is_float(dt) -> bool:
+        try:
+            return np.issubdtype(dt, np.floating)
+        except TypeError:  # pandas extension dtypes (string[python], …)
+            return False
+
+    for c in sorted(ray_df.columns):
+        rf = _is_float(ray_df[c].dtype)
+        sf = _is_float(sql_df[c].dtype)
+        if rf != sf:
+            problems.append(
+                f"col {c}: dtype class differs (driver hash punishes this): "
+                f"ray={ray_df[c].dtype} sql={sql_df[c].dtype}"
+            )
+    if problems:
+        return problems
     a, b = canon(ray_df), canon(sql_df)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
