@@ -1321,25 +1321,47 @@ def _topic(ctx: Ctx, e: Expr) -> SRes:
     import ray.data as rd
 
     # current max id from parquet FOOTER statistics — metadata only, no
-    # column read (the collection may be arbitrarily large)
+    # column read (the collection may be arbitrarily large); fall back to
+    # a single-column scan when the writer omitted statistics, and treat a
+    # zero-row-group file as "nothing ingested yet" instead of raising.
     pf = pq.ParquetFile(f"{ctx.sf_dir}/{table}.parquet")
     col_idx = pf.schema_arrow.names.index(id_field)
-    cur_max = max(
-        pf.metadata.row_group(i).column(col_idx).statistics.max
-        for i in range(pf.metadata.num_row_groups)
-    )
+    if pf.metadata.num_row_groups == 0:
+        cur_max = wm if wm is not None else -1
+    else:
+        stats = [
+            pf.metadata.row_group(i).column(col_idx).statistics
+            for i in range(pf.metadata.num_row_groups)
+        ]
+        if any(s is None or s.max is None for s in stats):
+            import pyarrow.compute as pc
+
+            col = pq.read_table(f"{ctx.sf_dir}/{table}.parquet", columns=[id_field])
+            mx = pc.max(col[id_field]).as_py()  # None on an all-null/0-row file
+            cur_max = int(mx) if mx is not None else (wm if wm is not None else -1)
+        else:
+            cur_max = max(s.max for s in stats)
     if wm is None:  # new topic, default: start from NOW
         new_df = pd.DataFrame({c: pd.Series(dtype="object") for c in fl})
         res = SRes(df=new_df)
     else:
         import pyarrow.dataset as pds
 
+        # bounded increment (wm, cur_max]: rows appended between the
+        # footer scan and execution belong to the NEXT poll, never to
+        # both (the unbounded `> wm` read double-emitted them).
         ds = rd.read_parquet(
             f"{ctx.sf_dir}/{table}.parquet",
             columns=list(dict.fromkeys(fl + [id_field])),
-            filter=pds.field(id_field) > wm,
+            filter=(pds.field(id_field) > wm) & (pds.field(id_field) <= cur_max),
         )
-        res = SRes(ds=ds.map_batches(lambda b, _fl=fl: b[_fl], batch_format="pandas"))
+        # materialize BEFORE the checkpoint commit: the increment lives in
+        # the object store (never the driver), and a failed read leaves the
+        # watermark untouched — at-least-once, the reference TopicStream's
+        # persist-after-read semantics (its checkpoints are stored once the
+        # documents have been read).
+        res = SRes(ds=ds.map_batches(lambda b, _fl=fl: b[_fl], batch_format="pandas").materialize())
+        cur_max = max(cur_max, wm)
     tmp = ckpt + ".tmp"  # atomic checkpoint advance (commit point)
     with open(tmp, "w") as f:
         json.dump({"checkpoint": cur_max}, f)

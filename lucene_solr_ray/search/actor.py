@@ -771,8 +771,12 @@ class IndexShard:
         wire (JoinQuery's from-side term enumeration).  Cached per
         (query, field) in the shard's result cache — Solr's join caches the
         resolved DocSet the same way — so repeated {!join}s and multi-hop
-        {!graph} frontiers skip re-evaluation."""
-        cache_key = ("join_values", repr(node), field, sim)
+        {!graph} frontiers skip re-evaluation.  The caller's idf weights
+        are part of the key (sorted items — the per-query dict is small):
+        score partials depend on them, and a caller passing different
+        weights for the same node (e.g. after a stats-generation flip)
+        must not see stale partials."""
+        cache_key = ("join_values", repr(node), field, sim, tuple(sorted(idfs.items())))
         hit = self._result_cache.get(cache_key)
         if hit is not None:
             return hit

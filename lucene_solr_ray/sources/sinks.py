@@ -14,8 +14,14 @@ Usage:
 - `partition_col` must have a bounded value domain (it's one output
   directory per value) — exactly the brief's "one directory per input
   shard / key range";
-- markers are written AFTER write_parquet returns: a crash mid-write
-  leaves no marker, and the rerun overwrites that partition's directory.
+- each partition is committed SEPARATELY: its directory is written, then
+  its marker — a crash mid-job keeps every already-marked partition and
+  the rerun rewrites only the unfinished ones (resume granularity is
+  per-partition, not per-run).  The pending data is computed ONCE
+  (materialized to the object store), so the per-partition commit loop
+  re-filters cached blocks, never re-runs the upstream pipeline.
+- directory names are built HERE (`{col}={v}`), not by Ray's hive writer,
+  so the rmtree/marker/write paths can never disagree on value encoding.
 """
 
 from __future__ import annotations
@@ -30,7 +36,6 @@ def write_partitioned(ds, out_dir: str | Path, partition_col: str, values=None) 
 
     `values` optionally supplies the partition domain; otherwise ONE
     distinct scan discovers it (bounded-domain columns only)."""
-    import pyarrow as pa
     import pyarrow.compute as pc
 
     out = Path(out_dir)
@@ -39,17 +44,30 @@ def write_partitioned(ds, out_dir: str | Path, partition_col: str, values=None) 
         values = sorted(ds.unique(partition_col))  # returns bare values
     done = {v for v in values if (out / f"_DONE_{v}").exists()}
     pending = [v for v in values if v not in done]
+    written: list = []
     if pending:
         import shutil
 
-        for v in pending:  # a half-written partition restarts CLEAN —
-            shutil.rmtree(out / f"{partition_col}={v}", ignore_errors=True)
-        keep = pa.array(pending)  # Arrow membership mask per block
+        import pyarrow as pa
+
+        keep = pa.array(pending)
         sub = ds.map_batches(
             lambda t: t.filter(pc.is_in(t.column(partition_col), value_set=keep)),
             batch_format="pyarrow",
-        )
-        sub.write_parquet(str(out), partition_cols=[partition_col])
+        ).materialize()  # compute once; the commit loop below only re-filters
         for v in pending:
+            part_dir = out / f"{partition_col}={v}"
+            # a half-written partition restarts CLEAN (no marker ⇒ rewrite)
+            shutil.rmtree(part_dir, ignore_errors=True)
+            one = sub.map_batches(
+                # hive layout: the partition column lives in the path, not
+                # the files (what Ray's partition_cols writer emits too)
+                lambda t, _v=v: t.filter(pc.equal(t.column(partition_col), _v)).drop_columns(
+                    [partition_col]
+                ),
+                batch_format="pyarrow",
+            )
+            one.write_parquet(str(part_dir))
             (out / f"_DONE_{v}").write_text("ok")
-    return {"written": pending, "skipped": sorted(done)}
+            written.append(v)
+    return {"written": written, "skipped": sorted(done)}

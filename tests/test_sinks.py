@@ -53,3 +53,39 @@ def test_write_skip_rewrite_cycle(ray_session, events_ds, tmp_path):
     assert got["event_id"].tolist() == exp["event_id"].tolist()
     assert got["event_type"].tolist() == exp["event_type"].tolist()
     assert got["value"].tolist() == exp["value"].tolist()
+
+
+def test_crash_mid_job_keeps_completed_partitions(ray_session, events_ds, tmp_path, monkeypatch):
+    """Per-partition commit: if the job dies after partition #1's marker,
+    a rerun skips it and rewrites only the rest (resume granularity is
+    per-partition, not per-run)."""
+    import ray.data
+
+    out = tmp_path / "by_type"
+    types = sorted(events_ds.unique("event_type"))
+    assert len(types) >= 2
+
+    real_write = ray.data.Dataset.write_parquet
+    calls = {"n": 0}
+
+    def dying_write(self, path, *a, **kw):
+        if calls["n"] >= 1:
+            raise RuntimeError("simulated crash after first partition")
+        calls["n"] += 1
+        return real_write(self, path, *a, **kw)
+
+    monkeypatch.setattr(ray.data.Dataset, "write_parquet", dying_write)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        write_partitioned(events_ds, out, "event_type", values=types)
+    monkeypatch.undo()
+
+    assert (out / f"_DONE_{types[0]}").exists()  # first partition committed
+    assert not (out / f"_DONE_{types[1]}").exists()
+    r = write_partitioned(events_ds, out, "event_type", values=types)
+    assert r["skipped"] == [types[0]]
+    assert r["written"] == types[1:]
+    # committed data survives intact across the crash + resume
+    n_total = sum(
+        pq.read_table(p).num_rows for p in out.rglob("*.parquet")
+    )
+    assert n_total == events_ds.count()

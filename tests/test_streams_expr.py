@@ -679,3 +679,63 @@ def test_fuzz_rollup_expressions(ray_session):
             duel(expr, sql)
         except AssertionError as e:
             raise AssertionError(f"trial {trial}: {expr}") from e
+
+
+def test_topic_stream_no_statistics_and_empty(ray_session, tmp_path):
+    """A collection whose writer omitted column statistics falls back to a
+    column scan for the watermark (not a TypeError); a zero-row file is a
+    clean empty poll."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_tmp = str(tmp_path / "sf")
+    os.makedirs(sf_tmp)
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "event_type"])
+    pq.write_table(t, f"{sf_tmp}/events.parquet", write_statistics=False)
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs("/tmp/topic_nostat", exist_ok=True)
+    shutil.rmtree("/tmp/topic_nostat", ignore_errors=True)
+    expr = f'topic(/tmp/topic_nostat, events, fl="event_id", id="event_id", initialCheckpoint=0)'
+    out = run_expr(expr, sf_tmp)
+    assert len(out) == t.num_rows  # full replay despite missing stats
+    assert len(run_expr(expr, sf_tmp)) == 0  # caught up
+
+    # empty collection: poll returns nothing, watermark survives
+    pq.write_table(t.slice(0, 0), f"{sf_tmp}/events.parquet", write_statistics=False)
+    assert len(run_expr(expr, sf_tmp)) == 0
+    shutil.rmtree("/tmp/topic_nostat", ignore_errors=True)
+
+
+def test_topic_checkpoint_persists_after_read(ray_session, tmp_path, monkeypatch):
+    """At-least-once: a failed increment read leaves the watermark
+    untouched, so the next poll re-emits the rows instead of losing them
+    (the r3 at-most-once bug committed the checkpoint before execution)."""
+    import os
+    import shutil
+
+    import ray.data
+
+    sf_tmp = str(tmp_path / "sf")
+    os.makedirs(sf_tmp)
+    shutil.copy(f"{SF}/events.parquet", f"{sf_tmp}/events.parquet")
+    shutil.rmtree("/tmp/topic_alo", ignore_errors=True)
+    expr = 'topic(/tmp/topic_alo, events, fl="event_id", id="event_id", initialCheckpoint=0)'
+
+    real_mat = ray.data.Dataset.materialize
+
+    def failing_mat(self, *a, **kw):
+        raise RuntimeError("simulated read failure")
+
+    monkeypatch.setattr(ray.data.Dataset, "materialize", failing_mat)
+    with pytest.raises(RuntimeError, match="simulated read failure"):
+        run_expr(expr, sf_tmp)
+    monkeypatch.setattr(ray.data.Dataset, "materialize", real_mat)
+
+    out = run_expr(expr, sf_tmp)  # watermark did NOT advance: full replay
+    n_all = len(duck("SELECT * FROM events"))
+    assert len(out) == n_all
+    assert len(run_expr(expr, sf_tmp)) == 0
+    shutil.rmtree("/tmp/topic_alo", ignore_errors=True)
