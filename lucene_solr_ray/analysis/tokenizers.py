@@ -125,6 +125,18 @@ def url_email_tokenizer() -> Tokenizer:
     return f
 
 
+def _icu_entry() -> Tokenizer:
+    from .icu import icu_tokenizer
+
+    return icu_tokenizer()
+
+
+def _cjk_entry() -> Tokenizer:
+    from .icu import cjk_tokenizer
+
+    return cjk_tokenizer()
+
+
 TOKENIZER_REGISTRY: dict[str, Callable[..., Tokenizer]] = {
     "whitespace": whitespace_tokenizer,
     "letter": letter_tokenizer,
@@ -132,6 +144,9 @@ TOKENIZER_REGISTRY: dict[str, Callable[..., Tokenizer]] = {
     "pattern": pattern_tokenizer,
     "path_hierarchy": path_hierarchy_tokenizer,
     "url_email": url_email_tokenizer,
+    # ICU-lite multilingual word-break + CJK bigramming (analysis/icu.py)
+    "icu": _icu_entry,
+    "cjk": _cjk_entry,
 }
 
 CHAR_FILTER_REGISTRY: dict[str, Callable[..., CharFilter]] = {

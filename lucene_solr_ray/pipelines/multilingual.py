@@ -1,0 +1,175 @@
+"""Multilingual analysis pipelines over the ICU-lite tokenizer
+(`analysis/icu.py` — ICUTokenizer / CJKAnalyzer analogs, SURVEY §2.2).
+
+The driver corpus is ASCII, so the non-ASCII slice is DERIVED
+deterministically and identically on both sides: `lang='zh'` documents are
+mapped through a fixed char table (a→U+4E00, b→U+4E01, …, space deleted)
+— producing UNSEGMENTED Han text, the exact shape a real zh corpus has —
+via pandas `str.translate` on the Ray side and SQL `translate()` in the
+DuckDB twin.  The ICU-lite tokenizer then emits overlapping CJK bigrams
+for those documents and ordinary lowercased word runs for the rest, and
+both gates are strict (value-hash) checks.
+
+Scale shape: token derivation + bigramming are one vectorized codepoint
+pass per batch (composite uint64 bigram keys — no per-bigram Python
+strings until the bounded merge); the top-bigrams aggregate uses the
+fixed 512-bucket vocabulary shuffle with per-bucket top-k partials
+(CLAUDE.md bucketed-shuffle rule), so the driver merge is output-bounded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..analysis.icu import icu_terms
+from .common import Pipeline, read
+from .text import TOKEN_BUCKETS, TOKEN_RE
+
+# shared literal mapping: a-z0-9 → the first 36 CJK unified ideographs;
+# space and underscore are DELETED (unsegmented CJK text).
+_SRC = "abcdefghijklmnopqrstuvwxyz0123456789"
+_DST = "".join(chr(0x4E00 + i) for i in range(36))
+_TRANS = {**{ord(s): d for s, d in zip(_SRC, _DST)}, ord(" "): None, ord("_"): None}
+
+CJK_RE = r"[\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}]+"
+TOP_BIGRAMS = 20
+
+
+def _derive(batch: pd.DataFrame) -> pd.Series:
+    """lang='zh' rows become unsegmented Han text; others pass through."""
+    zh = batch["lang"].to_numpy() == "zh"
+    out = batch["text"].copy()
+    if zh.any():
+        out[zh] = batch.loc[zh, "text"].str.translate(_TRANS)
+    return out
+
+
+def icu_multilingual_tokens(sf_dir: str):
+    """Per-doc ICU-lite token counts over the derived mixed-script corpus:
+    zh docs count CJK bigrams (n-1 per n-char run, 1 for a lone char),
+    everything else counts word runs — the CJKAnalyzer-vs-Standard token
+    arithmetic, strict-gated against a SQL twin that re-derives the same
+    text with translate() and the same run arithmetic."""
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = _derive(batch)
+        n = np.fromiter(
+            (len(icu_terms(t)) for t in texts), dtype=np.int64, count=len(texts)
+        )
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "lang": batch["lang"], "n_tokens": n}
+        )
+
+    out = read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        counts, batch_format="pandas"
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+ICU_MULTILINGUAL_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'zh'
+              THEN translate(text, '{_SRC} _', '{_DST}')
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(CASE WHEN lang = 'zh' THEN COALESCE(list_sum(
+              [CASE WHEN len(r) = 1 THEN 1 ELSE len(r) - 1 END
+               for r in regexp_extract_all(t, '{CJK_RE}')]), 0)
+            ELSE len(regexp_extract_all(lower(t), '{TOKEN_RE}'))
+       END AS BIGINT) AS n_tokens
+FROM d ORDER BY doc_id
+"""
+
+
+def cjk_top_bigrams(sf_dir: str):
+    """Global top-{TOP_BIGRAMS} CJK bigrams over the derived zh slice —
+    the TermsComponent shape on a bigrammed CJK field.  Bigrams live as
+    composite uint64 codepoint keys through the shuffle; strings are only
+    materialized for the bounded per-bucket top-k partials."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        zh = batch["lang"].to_numpy() == "zh"
+        empty = pd.DataFrame(
+            {
+                "key": pd.Series([], dtype="uint64"),
+                "cnt": pd.Series([], dtype="int64"),
+                "gb": pd.Series([], dtype="int64"),
+            }
+        )
+        if not zh.any():
+            return empty
+        texts = batch.loc[zh, "text"].str.translate(_TRANS)
+        big = "\x01".join(texts)
+        if len(big) < 2:
+            return empty
+        cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
+        a, b = cp[:-1], cp[1:]
+        valid = (a >= 0x3000) & (b >= 0x3000)  # both CJK — no cross-doc pairs
+        keys = (a[valid].astype(np.uint64) << np.uint64(32)) | b[valid].astype(np.uint64)
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return pd.DataFrame(
+            {
+                "key": uniq,
+                "cnt": cnt.astype(np.int64),
+                "gb": (uniq % np.uint64(TOKEN_BUCKETS)).astype(np.int64),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("key", as_index=False)["cnt"].sum()
+        keys = m["key"].to_numpy(np.uint64)
+        m["bigram"] = [chr(int(k) >> 32) + chr(int(k) & 0xFFFFFFFF) for k in keys]
+        m = m.sort_values(["cnt", "bigram"], ascending=[False, True]).head(TOP_BIGRAMS)
+        return m[["bigram", "cnt"]]
+
+    out = (
+        read(sf_dir, "documents", ["text", "lang"])
+        .map_batches(explode, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out):
+        return pd.DataFrame(
+            {"bigram": pd.Series([], dtype=object), "cnt": pd.Series([], dtype="int64")}
+        )
+    out["cnt"] = out["cnt"].astype("int64")
+    return (
+        out.sort_values(["cnt", "bigram"], ascending=[False, True])
+        .head(TOP_BIGRAMS)
+        .reset_index(drop=True)
+    )
+
+
+CJK_TOP_BIGRAMS_SQL = f"""
+WITH d AS (
+  SELECT translate(text, '{_SRC} _', '{_DST}') AS t
+  FROM documents WHERE lang = 'zh'
+),
+runs AS (SELECT unnest(regexp_extract_all(t, '{CJK_RE}')) AS r FROM d),
+bi AS (
+  SELECT unnest([substr(r, i, 2) for i in range(1, len(r))]) AS bigram
+  FROM runs WHERE len(r) >= 2
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM bi GROUP BY bigram
+ORDER BY cnt DESC, bigram LIMIT {TOP_BIGRAMS}
+"""
+
+
+PIPELINES: dict[str, Pipeline] = {
+    "icu_multilingual_tokens": Pipeline(
+        icu_multilingual_tokens,
+        ICU_MULTILINGUAL_SQL,
+        "ICU-lite mixed-script token counts: CJK bigram arithmetic on the derived zh slice, word runs elsewhere",
+    ),
+    "cjk_top_bigrams": Pipeline(
+        cjk_top_bigrams,
+        CJK_TOP_BIGRAMS_SQL,
+        "top CJK bigrams over the derived zh slice — bucketed vocabulary shuffle, composite codepoint keys",
+    ),
+}
