@@ -249,14 +249,22 @@ def _leaf(raw: str, is_phrase: bool) -> QueryNode | None:
             # RegexpQuery (lucene/core/src/java/org/apache/lucene/search/
             # RegexpQuery.java): /re/ anchored over the whole term; a field
             # prefix scopes it to that keyword namespace (field:/re/).
-            # Dialect is Python `re` (a superset of Lucene's operators).
-            # The body is NOT lowercased (lowercasing would invert escape
-            # classes like \D→\d); indexed terms are lowercase, so write
-            # lowercase literals — same contract as Lucene's regex, which
-            # skips multi-term analysis.
+            # Dialect is the LUCENE RegExp automaton syntax (r4: util/
+            # automaton/RegExp.java semantics — `\x` is a literal x, and
+            # `~`/`&`/`<n-m>`/`@` are operators; see lucene_regexp.py), so
+            # a query copied from a Solr app means the same thing here.
+            # The body is NOT lowercased (a lowercased literal class could
+            # silently change meaning); indexed terms are lowercase, so
+            # write lowercase literals — same contract as Lucene, which
+            # skips multi-term analysis.  The field prefix chars are all
+            # literals in the dialect, so plain prepending is exact.
             fld, body = m.group(1), m.group(2)
-            pat = (re.escape(fld.lower() + ":") if fld else "") + body
-            re.compile(pat)  # validate at parse time, like Lucene's parser
+            # prefix chars are literals in the dialect; the body is GROUPED
+            # so a top-level `|`/`&` stays scoped to it, not the prefix
+            pat = f"{fld.lower()}:({body})" if fld else body
+            from .lucene_regexp import compile_regexp
+
+            compile_regexp(pat)  # validate at parse time, like Lucene
             return QueryNode("regexp", pattern=pat)
         m = _KEYWORD_RE.match(raw)
         if m and "*" not in raw and "?" not in raw and not raw.endswith("~"):
@@ -362,7 +370,9 @@ def expand_multi_term(node: QueryNode, sorted_terms) -> list[str]:
     elif node.kind == "fuzzy":
         out = [str(t) for t in terms if _levenshtein_leq(node.pattern, str(t), node.max_edits)]
     elif node.kind == "regexp":
-        rx = re.compile(node.pattern)
+        from .lucene_regexp import compile_regexp
+
+        rx = compile_regexp(node.pattern)  # Lucene RegExp dialect
         out = [str(t) for t in terms if rx.fullmatch(str(t))]
     else:
         raise ValueError(node.kind)

@@ -412,7 +412,9 @@ def test_duel_regexp(searcher, oracle):
     assert searcher.search("/w0000[12]/", 10)  # actually matches something
     assert searcher.search("role:/us.r/", 10)
     assert searcher.search("/zz+nope/", 10) == []
-    with pytest.raises(re.error):
+    from lucene_solr_ray.search.lucene_regexp import LuceneRegexpError
+
+    with pytest.raises(LuceneRegexpError):
         parse_query("/w0000[/")
 
 
