@@ -102,13 +102,141 @@ def decode_ppm(b: bytes) -> np.ndarray:
     return np.frombuffer(b, np.uint8, w * h * 3, i).reshape(h, w, 3).copy()
 
 
+# -- PNG (stdlib-zlib compressed; the r4 "compressed media codec" item) ------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """H×W×3 (RGB) or H×W×4 (RGBA) uint8 → PNG (bit depth 8, zlib via
+    stdlib, no interlace).  `filter_type` 0–4 applies that PNG scanline
+    filter to every row — filtering FROM known recon values is fully
+    vectorized (the sequential dependency only exists on decode)."""
+    import zlib
+
+    if img.ndim != 3 or img.shape[2] not in (3, 4) or img.dtype != np.uint8:
+        raise ValueError("encode_png wants H×W×3|4 uint8")
+    h, w, bpp = img.shape
+    color_type = 2 if bpp == 3 else 6
+    recon = img.reshape(h, w * bpp).astype(np.int16)
+    left = np.zeros_like(recon)
+    left[:, bpp:] = recon[:, :-bpp]
+    up = np.zeros_like(recon)
+    up[1:] = recon[:-1]
+    if filter_type == 0:
+        filt = recon
+    elif filter_type == 1:
+        filt = recon - left
+    elif filter_type == 2:
+        filt = recon - up
+    elif filter_type == 3:
+        filt = recon - (left + up) // 2
+    elif filter_type == 4:
+        ul = np.zeros_like(recon)
+        ul[1:, bpp:] = recon[:-1, :-bpp]
+        p = left + up - ul
+        pa_, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where((pa_ <= pb) & (pa_ <= pc), left, np.where(pb <= pc, up, ul))
+        filt = recon - pred
+    else:
+        raise ValueError("filter_type 0-4")
+    rows = np.concatenate(
+        [np.full((h, 1), filter_type, np.uint8), (filt & 0xFF).astype(np.uint8)], axis=1
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(rows.tobytes()))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """PNG → H×W×3|4 uint8.  Supports bit depth 8, color types 2 (RGB) and
+    6 (RGBA), all five scanline filters, no interlace — the subset the
+    r3 verdict scoped (`lucene/demo`-grade coverage; 16-bit/palette/
+    interlaced images raise to the integration point)."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    i = 8
+    w = h = bpp = -1
+    idat = bytearray()
+    while i < len(b):
+        (length,) = struct.unpack_from(">I", b, i)
+        typ = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + length]
+        i += 12 + length
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+                raise NotImplementedError(
+                    "only 8-bit RGB/RGBA non-interlaced PNG is decoded here"
+                )
+            bpp = 3 if color == 2 else 4
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8).reshape(h, 1 + w * bpp)
+    ftypes = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int16)
+    recon = np.zeros((h, w * bpp), dtype=np.int16)
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    for y in range(h):
+        f = ftypes[y]
+        r = rows[y]
+        if f == 0:
+            cur = r.copy()
+        elif f == 2:
+            cur = (r + prev) & 0xFF
+        elif f == 1:
+            # sub: recon[x] = raw[x] + recon[x-bpp] → per-lane running sum
+            lanes = r.reshape(w, bpp).astype(np.int64)
+            cur = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.int16).reshape(-1)
+        else:  # average / paeth: left-dependent, walk pixels (bpp lanes at once)
+            cur = np.zeros(w * bpp, dtype=np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            ul = np.zeros(bpp, dtype=np.int16)
+            for x in range(w):
+                sl = slice(x * bpp, (x + 1) * bpp)
+                up = prev[sl]
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa_, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                    pred = np.where((pa_ <= pb) & (pa_ <= pc), left, np.where(pb <= pc, up, ul))
+                cur[sl] = (r[sl] + pred) & 0xFF
+                left = cur[sl]
+                ul = up
+        recon[y] = cur
+        prev = cur
+    return recon.astype(np.uint8).reshape(h, w, bpp)
+
+
 def decode_image_bytes(b: bytes) -> np.ndarray:
-    """Magic-dispatched decode; compressed formats raise to the
+    """Magic-dispatched decode; formats beyond BMP/PPM/PNG raise to the
     multimodal.decode_image integration point."""
     if b[:2] == b"BM":
         return decode_bmp(b)
     if b[:2] == b"P6":
         return decode_ppm(b)
+    if b[:8] == _PNG_SIG:
+        return decode_png(b)
     from .multimodal import decode_image
 
     return decode_image(b)  # NotImplementedError: codec integration point
@@ -197,11 +325,19 @@ class ImageDecoder:
 def _payloads(sf_dir: str):
     def to_payload(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        # alternate codecs so BOTH decode paths run in production
-        pays = [
-            encode_bmp(synth_image(d)) if d % 2 == 0 else encode_ppm(synth_image(d))
-            for d in ids
-        ]
+
+        # rotate codecs so ALL THREE decode paths run in production; PNG
+        # payloads additionally rotate through the five scanline filters
+        def enc(d: int) -> bytes:
+            img = synth_image(d)
+            m = d % 3
+            if m == 0:
+                return encode_bmp(img)
+            if m == 1:
+                return encode_ppm(img)
+            return encode_png(img, filter_type=d % 5)
+
+        pays = [enc(d) for d in ids]
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),

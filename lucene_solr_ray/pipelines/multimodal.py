@@ -20,11 +20,24 @@ from .common import Pipeline, pool, read
 
 
 def decode_image(payload: bytes):
-    """Integration point for a real decoder (PIL/libvips/ffmpeg).
+    """Real-decoder integration point.  PNG (stdlib zlib, 8-bit RGB/RGBA,
+    all five scanline filters — pipelines/images.decode_png) and the
+    uncompressed BMP/PPM codecs are REAL; JPEG/WebP/video remain
+    unimplemented in this container — see FakeDecoder for the deterministic
+    stand-in those tests use."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .images import decode_png
 
-    Deliberately unimplemented in this container — see FakeDecoder for the
-    deterministic stand-in used by the pipeline and its tests."""
-    raise NotImplementedError("media decode libs are not available in this environment")
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        from .images import decode_bmp
+
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        from .images import decode_ppm
+
+        return decode_ppm(payload)
+    raise NotImplementedError("only PNG/BMP/PPM decode in this environment (no JPEG libs)")
 
 
 class FakeDecoder:

@@ -40,7 +40,7 @@ def test_decode_rejects_and_dispatches():
     with pytest.raises(ValueError):
         decode_bmp(b"XXnot a bmp")
     with pytest.raises(NotImplementedError):
-        decode_image_bytes(b"\x89PNG\r\n\x1a\nfakepng")  # codec integration point
+        decode_image_bytes(b"\xff\xd8\xff\xe0 jpeg")  # codec integration point
     # wrong bpp rejected, not garbage-decoded
     img = np.zeros((2, 2, 3), np.uint8)
     b = bytearray(encode_bmp(img))
@@ -94,3 +94,57 @@ def test_image_pipelines(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(dups, image_ahash_dedup(SF))
+
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.integers(0, 10**6),
+    st.sampled_from([3, 4]),
+    st.integers(0, 4),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_round_trip(h, w, seed, channels, filter_type):
+    """PNG encode→decode is bit-exact for RGB and RGBA across all five
+    scanline filters (the sequential unfilter path is the decode-side
+    counterpart of the vectorized encoder)."""
+    from lucene_solr_ray.pipelines.images import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, channels), dtype=np.uint8)
+    assert (decode_png(encode_png(img, filter_type=filter_type)) == img).all()
+
+
+def test_png_spec_vector_and_rejections():
+    """Decode a PNG assembled BY HAND from the spec (not via encode_png) —
+    an independent reference vector; unsupported shapes raise to the
+    integration point."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from lucene_solr_ray.pipelines.images import decode_png
+    from lucene_solr_ray.pipelines.multimodal import decode_image
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", zlib.crc32(typ + data) & 0xFFFFFFFF
+        )
+
+    # 2×1 RGB image: red pixel then blue pixel, filter byte 0 per row
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"\x00" + bytes([255, 0, 0, 0, 0, 255]))
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    out = decode_png(png)
+    assert out.shape == (1, 2, 3)
+    assert out[0, 0].tolist() == [255, 0, 0] and out[0, 1].tolist() == [0, 0, 255]
+    assert (decode_image(png) == out).all()  # multimodal seam dispatches PNG
+
+    # 16-bit depth → NotImplementedError (stays an integration point)
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    png16 = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16) + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x00" * 6)) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(png16)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
