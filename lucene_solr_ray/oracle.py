@@ -133,6 +133,64 @@ class BruteForceIndex:
         s = np.log1p(np.float64(tf) / (LM_MU * p_coll)) + np.log(LM_MU / (dl + LM_MU))
         return float(max(s, 0.0))
 
+
+    # -- r4 similarity long tail (LMJelinekMercer / IB LL-DF-H2 / Axiomatic
+    # F2EXP / Boolean) — identical scalar formulas to the engine's
+    # vectorized kernels in search/bm25.py (np scalar ufuncs == the
+    # vectorized elementwise kernels, the lm-score precedent).
+    _NEW_SIMS = ("lmjm", "ib", "axiomatic", "bool")
+
+    def _w(self, term: str) -> float:
+        """Per-term weight under the current similarity (new sims only)."""
+        from .search.bm25 import axiomatic_idf, ib_lambda
+
+        sim = getattr(self, "similarity", "bm25")
+        df = self.df.get(term, 0)
+        if sim == "lmjm":
+            return self.cf(term) / self.sum_ttf
+        if sim == "ib":
+            return ib_lambda(df, self.N)
+        if sim == "axiomatic":
+            return axiomatic_idf(df, self.N)
+        return 1.0  # bool
+
+    def _w_blended(self, df_max: int, terms) -> float:
+        """SynonymQuery blended weight (df = max over members; lm-family
+        weights sum member collection probabilities, as the engine does)."""
+        from .search.bm25 import axiomatic_idf, ib_lambda
+
+        sim = getattr(self, "similarity", "bm25")
+        if sim == "lmjm":
+            return sum(self.cf(t) / self.sum_ttf for t in terms)
+        if sim == "ib":
+            return ib_lambda(df_max, self.N)
+        if sim == "axiomatic":
+            return axiomatic_idf(df_max, self.N)
+        return 1.0  # bool
+
+    def _new_sim_score(self, sim: str, tf: float, w: float, doc: int, field: str = "") -> float:
+        from .search.bm25 import AXIOMATIC_S, LMJM_LAMBDA
+
+        if sim == "bool":
+            return float(w)
+        if sim == "lmjm":
+            if w <= 0 or tf == 0:
+                return 0.0
+            dl = np.float64(max(self._dl(doc, field), 1))
+            s = np.log1p(((1.0 - LMJM_LAMBDA) * np.float64(tf) / dl) / (LMJM_LAMBDA * w))
+            return float(max(s, 0.0))
+        if sim == "ib":
+            if w <= 0:
+                return 0.0
+            tfn = tf * math.log2(1.0 + self._avgdl_of(field) / max(self._dl(doc, field), 1))
+            return float(np.log1p(np.float64(tfn) / w))
+        # axiomatic F2EXP: denominator addend computed with the engine's
+        # exact table expression (s + s·dl/avgdl over the decoded length)
+        avgdl = self._avgdl_of(field)
+        dl = max(float(self._dl(doc, field)), 1.0)
+        k = AXIOMATIC_S + AXIOMATIC_S * dl / avgdl if avgdl > 0 else AXIOMATIC_S
+        return float(w * np.float64(tf) / (np.float64(tf) + k))
+
     def term_score(self, term: str, doc: int) -> float:
         tf = len(self.docs[doc].get(term, ()))
         if tf == 0:
@@ -148,6 +206,8 @@ class BruteForceIndex:
             from .search.bm25 import dfr_weight
 
             return self._dfr_score(tf, dfr_weight(self.df.get(term, 0), self.N), doc, field)
+        if sim in self._NEW_SIMS:
+            return self._new_sim_score(sim, tf, self._w(term), doc, field)
         return self.idf(term) * tf / (tf + self._norm_k(doc, field))
 
     def phrase_freq(self, terms: list[str], doc: int, slop: int = 0) -> float:
@@ -207,6 +267,8 @@ class BruteForceIndex:
 
             w_sum = sum(dfr_weight(self.df.get(t, 0), self.N) for t in terms)
             return self._dfr_score(pf, w_sum, doc, field)
+        if sim in self._NEW_SIMS:
+            return self._new_sim_score(sim, pf, sum(self._w(t) for t in terms), doc, field)
         idf_sum = sum(self.idf(t) for t in terms)
         if sim == "classic":
             return math.sqrt(pf) * idf_sum * idf_sum / math.sqrt(max(self._dl(doc, field), 1))
@@ -234,6 +296,8 @@ class BruteForceIndex:
 
             w_sum = sum(dfr_weight(self.df.get(t, 0), self.N) for t in terms)
             return (True, self._dfr_score(pf, w_sum, doc, field))
+        if sim in self._NEW_SIMS:
+            return (True, self._new_sim_score(sim, pf, sum(self._w(t) for t in terms), doc, field))
         if sim == "classic":
             return (True, math.sqrt(pf) * idf_sum * idf_sum / math.sqrt(max(self._dl(doc, field), 1)))
         return (True, idf_sum * pf / (pf + self._norm_k(doc, field)))
@@ -271,6 +335,8 @@ class BruteForceIndex:
                 from .search.bm25 import dfr_weight
 
                 return (True, self._dfr_score(tf, dfr_weight(df_max, self.N), doc, field))
+            if sim in self._NEW_SIMS:
+                return (True, self._new_sim_score(sim, tf, self._w_blended(df_max, node.terms), doc, field))
             w = math.log(1.0 + (self.N - df_max + 0.5) / (df_max + 0.5))
             return (True, w * tf / (tf + self._norm_k(doc, field)))
         if node.kind == "multi_phrase":

@@ -83,6 +83,7 @@ class IndexShard:
         self._codec = codec_name
         self._avgdls = avgdls or {}
         self._dfr_tables: dict[str, np.ndarray] = {}
+        self._axio_tables: dict[str, np.ndarray] = {}
         self._rows: dict[str, list[int]] = {}
         if self.table is not None:
             terms = self.table.column("term").to_pylist()
@@ -282,20 +283,56 @@ class IndexShard:
             self._dfr_tables[field] = make_dfr_table(self._avgdls.get(field, 0.0))
         return self._dfr_tables[field]
 
+    def _axio_table_for(self, term: str) -> np.ndarray:
+        """Per-field Axiomatic F2EXP denominator table (s + s·dl/avgdl)."""
+        field = ""
+        if ":" in term:
+            f = term.split(":", 1)[0]
+            if f in self._avgdls:
+                field = f
+        if field not in self._axio_tables:
+            from .bm25 import make_axiomatic_table
+
+            self._axio_tables[field] = make_axiomatic_table(self._avgdls.get(field, 0.0))
+        return self._axio_tables[field]
+
+    def _apply_sim(
+        self, freqs: np.ndarray, norm_b: np.ndarray, w: float, sim: str, lead: str
+    ) -> np.ndarray:
+        """One Similarity dispatch for every scoring path (term/synonym/
+        phrase/multi-phrase/freq-docs) — the pluggable-Similarity SPI
+        (SURVEY §2.11 search/similarities/).  `w` is the driver-computed
+        per-term weight (meaning varies per sim); `lead` selects the
+        per-field norm/tfn tables."""
+        from .bm25 import (
+            score_postings_axiomatic,
+            score_postings_bool,
+            score_postings_ib,
+            score_postings_lmjm,
+        )
+
+        if sim == "classic":
+            return score_postings_classic(freqs, norm_b, w)
+        if sim == "lm":
+            return score_postings_lm(freqs, norm_b, w)
+        if sim == "lmjm":
+            return score_postings_lmjm(freqs, norm_b, w)
+        if sim == "dfr":
+            return score_postings_dfr(freqs, norm_b, w, self._dfr_table_for(lead))
+        if sim == "ib":
+            return score_postings_ib(freqs, norm_b, w, self._dfr_table_for(lead))
+        if sim == "axiomatic":
+            return score_postings_axiomatic(freqs, norm_b, w, self._axio_table_for(lead))
+        if sim == "bool":
+            return score_postings_bool(freqs, w)
+        return score_postings(freqs, norm_b, w, self._cache_for(lead))
+
     def _score_term(self, term: str, idfs: dict[str, float], sim: str = "bm25"):
         p = self._postings(term)
         if p is None:
             return _EMPTY_I64, _EMPTY_F64
         docs, freqs, norms = p[0], p[1], p[2]
-        if sim == "classic":
-            return docs, score_postings_classic(freqs, norms, idfs.get(term, 0.0))
-        if sim == "lm":
-            return docs, score_postings_lm(freqs, norms, idfs.get(term, 0.0))
-        if sim == "dfr":
-            return docs, score_postings_dfr(
-                freqs, norms, idfs.get(term, 0.0), self._dfr_table_for(term)
-            )
-        return docs, score_postings(freqs, norms, idfs.get(term, 0.0), self._cache_for(term))
+        return docs, self._apply_sim(freqs, norms, idfs.get(term, 0.0), sim, term)
 
     def _score_synonym(self, terms: list[str], idfs: dict[str, float], sim: str = "bm25"):
         """SynonymQuery (lucene/core/.../search/SynonymQuery.java): members
@@ -319,13 +356,7 @@ class IndexShard:
         freqs = np.add.reduceat(freqs_c, starts)
         norms = norms_c[starts]
         w = idfs.get(synonym_weight_key(terms), 0.0)
-        if sim == "classic":
-            return docs, score_postings_classic(freqs, norms, w)
-        if sim == "lm":
-            return docs, score_postings_lm(freqs, norms, w)
-        if sim == "dfr":
-            return docs, score_postings_dfr(freqs, norms, w, self._dfr_table_for(terms[0]))
-        return docs, score_postings(freqs, norms, w, self._cache_for(terms[0]))
+        return docs, self._apply_sim(freqs, norms, w, sim, terms[0])
 
     def _score_phrase(self, terms: list[str], idfs: dict[str, float], slop: int = 0, sim: str = "bm25"):
         """Phrase matching: (docs, scores) for docs with phrase_freq > 0.
@@ -355,15 +386,7 @@ class IndexShard:
         idx = np.searchsorted(docs0, match_docs)
         norm_b = norms0[idx]
         idf_sum = sum(idfs.get(t, 0.0) for t in terms)
-        if sim == "classic":
-            scores = score_postings_classic(pf, norm_b, idf_sum)
-        elif sim == "lm":
-            scores = score_postings_lm(pf, norm_b, idf_sum)
-        elif sim == "dfr":
-            scores = score_postings_dfr(pf, norm_b, idf_sum, self._dfr_table_for(terms[0]))
-        else:
-            scores = score_postings(pf, norm_b, idf_sum, self._cache_for(terms[0]))
-        return match_docs, scores
+        return match_docs, self._apply_sim(pf, norm_b, idf_sum, sim, terms[0])
 
     def _score_multi_phrase(
         self, slots: list[list[str]], idfs: dict[str, float], slop: int = 0, sim: str = "bm25"
@@ -421,15 +444,7 @@ class IndexShard:
         idx = np.searchsorted(d0, match_docs)
         norm_b = n0[idx]
         lead = slots[0][0]
-        if sim == "classic":
-            scores = score_postings_classic(pf, norm_b, idf_sum)
-        elif sim == "lm":
-            scores = score_postings_lm(pf, norm_b, idf_sum)
-        elif sim == "dfr":
-            scores = score_postings_dfr(pf, norm_b, idf_sum, self._dfr_table_for(lead))
-        else:
-            scores = score_postings(pf, norm_b, idf_sum, self._cache_for(lead))
-        return match_docs, scores
+        return match_docs, self._apply_sim(pf, norm_b, idf_sum, sim, lead)
 
     def _multi_phrase_counts(self, slot_plists, cand: np.ndarray, slop: int) -> np.ndarray:
         """Sloppy multi-phrase frequencies: per-slot position UNIONS feed
@@ -490,14 +505,7 @@ class IndexShard:
             norm_b[fill] = norms[idx[fill]]
         idf_sum = sum(idfs.get(t, 0.0) for t in terms)
         nb_arr = np.maximum(norm_b, 0)
-        if sim == "classic":
-            scores = score_postings_classic(pf_arr, nb_arr, idf_sum)
-        elif sim == "lm":
-            scores = score_postings_lm(pf_arr, nb_arr, idf_sum)
-        elif sim == "dfr":
-            scores = score_postings_dfr(pf_arr, nb_arr, idf_sum, self._dfr_table_for(terms[0]))
-        else:
-            scores = score_postings(pf_arr, nb_arr, idf_sum, self._cache_for(terms[0]))
+        scores = self._apply_sim(pf_arr, nb_arr, idf_sum, sim, terms[0])
         return match_docs, scores
 
     def _score_interval(self, node: QueryNode, idfs: dict[str, float], sim: str):

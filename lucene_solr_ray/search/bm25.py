@@ -211,6 +211,76 @@ def score_postings_dfr(
     return weight * tfn / (tfn + 1.0)
 
 
+# -- r4 similarity long tail (SURVEY §2.11 search/similarities/) ------------
+# Each follows the DFR pattern: per-term weight computed ONCE on the driver
+# from global stats (scalar libm), per-field 256-entry norm tables built
+# with scalar math so engine and oracle agree bit-for-bit, vectorized
+# gathers shard-side.
+
+# LMJelinekMercer (LMJelinekMercerSimilarity.java, λ = 0.1):
+# score = max(0, ln(1 + ((1−λ)·tf/dl) / (λ·p(t|C)))); weight = p(t|C).
+LMJM_LAMBDA = 0.1
+
+
+def score_postings_lmjm(freqs: np.ndarray, norm_bytes: np.ndarray, p_coll: float) -> np.ndarray:
+    if p_coll <= 0:
+        return np.zeros(freqs.size, dtype=np.float64)
+    f = freqs.astype(np.float64)
+    dl = np.maximum(LENGTH_TABLE[norm_bytes].astype(np.float64), 1.0)
+    s = np.log1p(((1.0 - LMJM_LAMBDA) * f / dl) / (LMJM_LAMBDA * p_coll))
+    return np.maximum(s, 0.0)
+
+
+# IB LL/DF/H2 (IBSimilarity.java with DistributionLL + LambdaDF +
+# NormalizationH2, c=1): tfn = tf·log2(1 + avgdl/dl) (the SAME H2 table
+# DFR uses), λ = (df+1)/(N+1), score = −ln(λ/(tfn+λ)) = ln(1 + tfn/λ).
+def ib_lambda(df: int, n_docs: int) -> float:
+    return (df + 1.0) / (n_docs + 1.0)
+
+
+def score_postings_ib(
+    freqs: np.ndarray, norm_bytes: np.ndarray, lam: float, tfn_table: np.ndarray
+) -> np.ndarray:
+    if lam <= 0:
+        return np.zeros(freqs.size, dtype=np.float64)
+    tfn = freqs.astype(np.float64) * tfn_table[norm_bytes]
+    return np.log1p(tfn / lam)
+
+
+# Axiomatic F2EXP (AxiomaticF2EXP.java, s=0.5, k=0.35):
+# score = ((N+1)/df)^k · tf/(tf + s + s·dl/avgdl); weight = ((N+1)/df)^k.
+AXIOMATIC_S = 0.5
+AXIOMATIC_K = 0.35
+
+
+def axiomatic_idf(df: int, n_docs: int) -> float:
+    if df <= 0:
+        return 0.0
+    return ((n_docs + 1.0) / df) ** AXIOMATIC_K
+
+
+def make_axiomatic_table(avgdl: float) -> np.ndarray:
+    """256-entry norm → s + s·dl/avgdl denominator addend (scalar-built)."""
+    out = np.empty(256, dtype=np.float64)
+    for b in range(256):
+        dl = max(float(LENGTH_TABLE[b]), 1.0)
+        out[b] = AXIOMATIC_S + AXIOMATIC_S * dl / avgdl if avgdl > 0 else AXIOMATIC_S
+    return out
+
+
+def score_postings_axiomatic(
+    freqs: np.ndarray, norm_bytes: np.ndarray, w: float, axio_table: np.ndarray
+) -> np.ndarray:
+    f = freqs.astype(np.float64)
+    return w * f / (f + axio_table[norm_bytes])
+
+
+# BooleanSimilarity (BooleanSimilarity.java): match = query boost, length
+# and tf ignored entirely.
+def score_postings_bool(freqs: np.ndarray, w: float) -> np.ndarray:
+    return np.full(freqs.size, w, dtype=np.float64)
+
+
 def block_upper_bound(
     max_freq: np.ndarray, min_norm: np.ndarray, idf: float, norm_cache: np.ndarray
 ) -> np.ndarray:

@@ -728,6 +728,19 @@ class Searcher:
                     idfs[key] = sum(self.stats.cf(t) for t in n.terms) / st["sum_ttf"]
                 elif similarity == "dfr":
                     idfs[key] = dfr_weight(df_max, self.stats.N)
+                elif similarity == "lmjm":
+                    st = self.manifest["stats"]
+                    idfs[key] = sum(self.stats.cf(t) for t in n.terms) / st["sum_ttf"]
+                elif similarity == "ib":
+                    from .bm25 import ib_lambda
+
+                    idfs[key] = ib_lambda(df_max, self.stats.N)
+                elif similarity == "axiomatic":
+                    from .bm25 import axiomatic_idf
+
+                    idfs[key] = axiomatic_idf(df_max, self.stats.N)
+                elif similarity == "bool":
+                    idfs[key] = 1.0
                 else:
                     idfs[key] = _math.log(
                         1.0 + (self.stats.N - df_max + 0.5) / (df_max + 0.5)
@@ -741,11 +754,21 @@ class Searcher:
     def _term_weights(self, terms, similarity: str) -> dict:
         if similarity == "classic":
             return {t: classic_idf(self.stats.df(t), self.stats.N) for t in set(terms)}
-        if similarity == "lm":
+        if similarity in ("lm", "lmjm"):
             st = self.manifest["stats"]
             return {t: self.stats.cf(t) / st["sum_ttf"] for t in set(terms)}
         if similarity == "dfr":
             return {t: dfr_weight(self.stats.df(t), self.stats.N) for t in set(terms)}
+        if similarity == "ib":
+            from .bm25 import ib_lambda
+
+            return {t: ib_lambda(self.stats.df(t), self.stats.N) for t in set(terms)}
+        if similarity == "axiomatic":
+            from .bm25 import axiomatic_idf
+
+            return {t: axiomatic_idf(self.stats.df(t), self.stats.N) for t in set(terms)}
+        if similarity == "bool":
+            return {t: 1.0 for t in set(terms)}
         return self.stats.idfs(terms)
 
     def search_node(

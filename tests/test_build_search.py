@@ -863,3 +863,34 @@ def test_index_info(searcher, oracle, index):
     assert info["num_segments"] == len(index.data["segments"])
     assert len(info["top_terms"]) == 5
     assert info["top_terms"] == searcher.terms(limit=5)
+
+
+@pytest.mark.parametrize("sim", ["lmjm", "ib", "axiomatic", "bool"])
+def test_duel_similarity_long_tail(searcher, oracle, sim):
+    """r4 similarity long tail (SURVEY §2.11 search/similarities/):
+    LMJelinekMercer (λ=0.1), IB LL/DF/H2, Axiomatic F2EXP (s=0.5, k=0.35),
+    BooleanSimilarity — rank + float32-score duel-identical across term/
+    boolean/phrase/prefix/synonym shapes."""
+    queries = [
+        "error ok",
+        "assistant",
+        "+bash w00002",
+        '"tool output"',
+        "w0000* error",
+        "error^2 -bash",
+    ]
+    for q in queries:
+        got = searcher.search(q, 10, similarity=sim)
+        exp = [(d, float(s)) for d, s in oracle.search(q, 10, similarity=sim)]
+        assert got == exp, (sim, q)
+    # each sim actually changes the ranking function vs BM25 (bool trivially
+    # flattens scores; the others reweight)
+    assert searcher.search("error ok", 10, similarity=sim) != searcher.search("error ok", 10)
+
+
+def test_boolean_similarity_flat_scores(searcher):
+    """BooleanSimilarity: per-term contribution is the boost — tf and doc
+    length never matter, so single-term scores are constant."""
+    hits = searcher.search("error", 50, similarity="bool")
+    assert hits and len({s for _, s in hits}) == 1
+    assert hits[0][1] == 1.0
