@@ -859,6 +859,36 @@ class Searcher:
                 out[int(d)] = str(texts[order[int(d) - base]])
         return out
 
+    # -- UnifiedHighlighter -------------------------------------------------
+    def highlight(
+        self, query: str, k: int = 10, fragsize: int = 20, snippets: int = 2
+    ) -> list[tuple[int, float, list[tuple[int, float, str]]]]:
+        """UnifiedHighlighter over the top-k hits (lucene/highlighter/.../
+        uhighlight/UnifiedHighlighter.java): search, fetch the winners'
+        stored text (pid-pruned lineage read), re-analyze, and score fixed
+        token-window passages with the PassageScorer arithmetic against the
+        query's positive terms — weights from COLLECTION ttf (global
+        stats), the reference's TermsEnum.totalTermFreq.  → [(doc_id,
+        hit_score, [(passage_idx, passage_score, marked_snippet), ...])]."""
+        from ..analysis import tokenize
+        from ..pipelines.highlight import score_passages
+        from .query import parse_query
+
+        node = parse_query(query)
+        if node is None:
+            return []
+        terms = tuple(sorted(t for t in set(node.all_terms()) if ":" not in t))
+        hits = self.search(query, k)
+        if not hits or not terms:
+            return [(d, s, []) for d, s in hits]
+        ttf = {t: self.stats.cf(t) for t in terms}
+        texts = self.fetch_text([d for d, _ in hits])
+        out = []
+        for d, s in hits:
+            toks = [t for t, _ in tokenize(texts.get(d, ""))]
+            out.append((d, s, score_passages(toks, terms, ttf, fragsize, snippets)))
+        return out
+
     # -- TermVectorComponent ----------------------------------------------
     def term_vectors(self, doc_id: int) -> dict[str, dict]:
         """/tvrh (solr/core/.../handler/component/TermVectorComponent.java):

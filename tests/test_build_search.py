@@ -894,3 +894,49 @@ def test_boolean_similarity_flat_scores(searcher):
     hits = searcher.search("error", 50, similarity="bool")
     assert hits and len({s for _, s in hits}) == 1
     assert hits[0][1] == 1.0
+
+
+def test_unified_highlighter(searcher, oracle, corpus):
+    """UnifiedHighlighter passage scoring over the top hits: snippets wrap
+    the query terms, passage ranking follows the PassageScorer arithmetic
+    (duel vs the shared single-doc reference scorer on re-analyzed text)."""
+    from lucene_solr_ray.analysis import tokenize
+    from lucene_solr_ray.pipelines.highlight import score_passages
+
+    _, full = corpus
+    texts = full.column("text").to_pylist()
+    out = searcher.highlight("error ok", k=5, fragsize=8, snippets=2)
+    assert out and all(len(frags) >= 1 for _, _, frags in out)
+    ttf = {"error": oracle.cf("error"), "ok": oracle.cf("ok")}
+    for doc, score, frags in out:
+        toks = [t for t, _ in tokenize(texts[doc])]
+        exp = score_passages(toks, ("error", "ok"), ttf, fragsize=8, snippets=2)
+        assert frags == exp, doc
+        # best-first passage ordering, markup wraps only query terms
+        scores = [s for _, s, _ in frags]
+        assert scores == sorted(scores, reverse=True)
+        for _, _, snip in frags:
+            assert "<em>error</em>" in snip or "<em>ok</em>" in snip
+            assert "<em>the</em>" not in snip
+    # a query with no positive analyzable terms still returns the hits
+    flat = searcher.highlight('"tool output"', k=3, fragsize=8)
+    assert len(flat) == 3 and all(f for _, _, f in flat)
+
+
+def test_passage_scorer_ranking_properties():
+    """More matched terms / denser matches rank passages higher; snippets
+    cap respected; empty text yields nothing."""
+    from lucene_solr_ray.pipelines.highlight import score_passages
+
+    ttf = {"a": 100, "b": 50}
+    toks = (
+        ["x"] * 8                       # passage 0: no match
+        + ["a", "x", "x", "x", "x", "x", "x", "x"]   # passage 1: one a
+        + ["a", "b", "a", "x", "x", "x", "x", "x"]   # passage 2: a,a,b
+    )
+    out = score_passages(toks, ("a", "b"), ttf, fragsize=8, snippets=3)
+    assert [p for p, _, _ in out][0] == 2       # densest passage wins
+    assert len(out) == 2                        # passage 0 never scored
+    assert out[0][2].startswith("<em>a</em> <em>b</em> <em>a</em>")
+    assert score_passages([], ("a",), ttf) == []
+    assert len(score_passages(toks, ("a",), ttf, fragsize=4, snippets=1)) == 1
