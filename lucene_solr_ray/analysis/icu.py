@@ -183,6 +183,44 @@ def icu_terms(text: str) -> list[str]:
     return [t for t, _, _, _ in icu_tokenize_offsets(text)]
 
 
+def icu_index_tokenize(text: str) -> list[tuple[str, int]]:
+    """The CJKAnalyzer-chain INDEX analysis: ICU-lite tokenize + the same
+    English stop filter the standard chain applies, with position gaps
+    (StopFilter posInc semantics).  Used by BOTH the index build
+    (`build_index(tokenizer="icu")`) and query parsing on an icu-built
+    index — the analyzer must match on both sides."""
+    from .analyzer import ENGLISH_STOP_WORDS
+
+    return [(t, p) for t, p in icu_tokenize(text) if t not in ENGLISH_STOP_WORDS]
+
+
+def icu_analyze_batch(texts) -> dict:
+    """Batch analysis in the `analyze_batch` output shape (row/term/pos/dl)
+    — the configurable-analysis slow path (per-row loop; the default
+    standard chain stays fully vectorized).  Accepts a pyarrow Array."""
+    import pyarrow as pa
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    rows: list[int] = []
+    terms: list[str] = []
+    poss: list[int] = []
+    dl = np.zeros(len(texts), dtype=np.int64)
+    for r, v in enumerate(texts):
+        toks = icu_index_tokenize(v.as_py() or "")
+        dl[r] = len(toks)
+        for t, p in toks:
+            rows.append(r)
+            terms.append(t)
+            poss.append(p)
+    return {
+        "row": np.asarray(rows, dtype=np.int64),
+        "term": np.asarray(terms, dtype=object),
+        "pos": np.asarray(poss, dtype=np.int64),
+        "dl": dl,
+    }
+
+
 def icu_tokenizer():
     """TOKENIZER_REGISTRY entry ("icu")."""
     return icu_tokenize

@@ -149,6 +149,22 @@ def sample_hot_terms(paths: list[str], hot_df_frac: float = 0.02, sample_docs: i
 KEYWORD_FIELDS = ("role", "tool")
 
 
+
+def _batch_analyzer(tokenizer: str):
+    """Index-side batch analyzer by name: "standard" is the vectorized
+    Arrow chain; "icu" is the ICU-lite multilingual chain (per-row loop —
+    the configurable-analysis slow path, like token_filter).  The choice is
+    part of the config fingerprint AND persisted in the manifest so the
+    Searcher analyzes queries with the same chain."""
+    if tokenizer == "standard":
+        return analyze_batch
+    if tokenizer == "icu":
+        from ..analysis.icu import icu_analyze_batch
+
+        return icu_analyze_batch
+    raise ValueError(f"unknown tokenizer {tokenizer!r} (standard|icu)")
+
+
 def _apply_token_filter(tok: dict, flt, n_rows: int) -> dict:
     """Run a custom token filter (list[(term, pos)] → list[(term, pos)])
     over the analyzed stream — the configurable-analysis slow path (only
@@ -185,6 +201,7 @@ def invert_partition(
     token_filter=None,
     analyzed_fields: tuple[str, ...] = (),
     keyword_fields: tuple[str, ...] = KEYWORD_FIELDS,
+    tokenizer: str = "standard",
 ) -> tuple[pa.Table, pa.Table]:
     """Analyze + SPIMI-invert one doc-partition (vectorized, no row loops).
 
@@ -203,7 +220,8 @@ def invert_partition(
     n = table.num_rows
     doc_ids = base + np.arange(n, dtype=np.int64)
 
-    tok = analyze_batch(table.column("text"))
+    _analyze = _batch_analyzer(tokenizer)
+    tok = _analyze(table.column("text"))
     if token_filter is not None:
         tok = _apply_token_filter(tok, token_filter, n)
     dl = tok["dl"]
@@ -224,7 +242,7 @@ def invert_partition(
     for f in analyzed_fields:
         if f not in table.schema.names:
             continue
-        ftok = analyze_batch(table.column(f))
+        ftok = _analyze(table.column(f))
         fdl = ftok["dl"]
         fnb = int_to_byte4_np(fdl).astype(np.int64)
         norms_cols[f"dl_{f}"] = pa.array(fdl)
@@ -529,6 +547,7 @@ def build_index(
     max_concurrent_shards: int = 4,
     fail_after_shards: int | None = None,
     token_filter=None,
+    tokenizer: str = "standard",
     analyzer_id: str = "standard",
     analyzed_fields: tuple[str, ...] = (),
     keyword_fields: tuple[str, ...] = KEYWORD_FIELDS,
@@ -557,7 +576,7 @@ def build_index(
     keyword_fields = tuple(keyword_fields)
     fp = (
         _config_fingerprint(specs, files_per_shard, n_salts)
-        + f":{analyzer_id}:{','.join(analyzed_fields)}:{','.join(keyword_fields)}:{codec}"
+        + f":{analyzer_id}:{tokenizer}:{','.join(analyzed_fields)}:{','.join(keyword_fields)}:{codec}"
     )
 
     manifest = Manifest.load(index_dir) if resume else None
@@ -577,6 +596,7 @@ def build_index(
             # the ANALYSIS config must match too — appending with a different
             # analyzer/schema would silently mix term spaces
             and cfg.get("analyzer_id", "standard") == analyzer_id
+            and cfg.get("tokenizer", "standard") == tokenizer
             and tuple(cfg.get("analyzed_fields", ())) == analyzed_fields
             and tuple(cfg.get("keyword_fields", KEYWORD_FIELDS)) == keyword_fields
             and len(old_inputs) < len(new_inputs)
@@ -629,6 +649,7 @@ def build_index(
             "inputs": [[s.path, s.rows, s.base] for s in specs],
             "codec": codec,
             "analyzer_id": analyzer_id,
+            "tokenizer": tokenizer,
             "analyzed_fields": list(analyzed_fields),
             "keyword_fields": list(keyword_fields),
             "shard_plan": [
@@ -683,6 +704,7 @@ def build_index(
             token_filter=token_filter,
             analyzed_fields=analyzed_fields,
             keyword_fields=keyword_fields,
+            tokenizer=tokenizer,
         )
         partial = partial.set_column(
             partial.schema.get_field_index("pid"),

@@ -47,6 +47,7 @@ class BruteForceIndex:
         texts: list[str],
         fields: dict[str, list] | None = None,
         analyzed_fields: dict[str, list] | None = None,
+        analyzer=None,
     ):
         """`analyzed_fields` maps a field name → per-doc strings (None =
         absent); each runs the FULL analysis chain, terms namespaced
@@ -54,9 +55,11 @@ class BruteForceIndex:
         dl/avgdl for scoring — mirroring the engine's per-field norms."""
         self.docs: list[dict[str, list[int]]] = []
         self.dl: list[int] = []
+        _an = analyzer or tokenize  # icu-built indexes duel with icu analysis
+        self._analyzer = analyzer  # query-time analyzer (None = standard)
         fdl: dict[str, list[int]] = {f: [] for f in (analyzed_fields or {})}
         for i, text in enumerate(texts):
-            toks = tokenize(text)
+            toks = _an(text)
             by_term: dict[str, list[int]] = {}
             for term, pos in toks:
                 by_term.setdefault(term, []).append(pos)
@@ -68,7 +71,7 @@ class BruteForceIndex:
                         by_term.setdefault(f"{fname}:{vals[i]}", []).append(0)
             if analyzed_fields:
                 for fname, vals in analyzed_fields.items():
-                    ftoks = tokenize(vals[i]) if vals[i] is not None else []
+                    ftoks = _an(vals[i]) if vals[i] is not None else []
                     for term, pos in ftoks:
                         by_term.setdefault(f"{fname}:{term}", []).append(pos)
                     fdl[fname].append(len(ftoks))
@@ -409,7 +412,7 @@ class BruteForceIndex:
 
     def search(self, query: str, k: int, similarity: str = "bm25") -> list[tuple[int, float]]:
         """Top-k (docID, float32 score), tie-break (score desc, docID asc)."""
-        node = parse_query(query)
+        node = parse_query(query, analyzer=self._analyzer)
         if node is None:
             return []
         self.similarity = similarity

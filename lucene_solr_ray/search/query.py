@@ -229,7 +229,8 @@ def edismax(
     return QueryNode("bool", clauses=outer)
 
 
-def _leaf(raw: str, is_phrase: bool) -> QueryNode | None:
+def _leaf(raw: str, is_phrase: bool, analyzer=None) -> QueryNode | None:
+    analyzer = analyzer or tokenize
     if not is_phrase:
         if raw == "*:*":
             # MatchAllDocsQuery (lucene/core/src/java/org/apache/lucene/
@@ -271,7 +272,7 @@ def _leaf(raw: str, is_phrase: bool) -> QueryNode | None:
             return QueryNode("term", terms=[raw.lower()])
         m = _FUZZY_RE.match(raw)
         if m:
-            toks = [t for t, _ in tokenize(m.group(1))]
+            toks = [t for t, _ in analyzer(m.group(1))]
             if len(toks) == 1:
                 edits = int(m.group(2)) if m.group(2) else 2
                 return QueryNode("fuzzy", pattern=toks[0], max_edits=min(edits, 2))
@@ -280,7 +281,7 @@ def _leaf(raw: str, is_phrase: bool) -> QueryNode | None:
             if re.fullmatch(r"[a-z0-9_]+\*", pat):
                 return QueryNode("prefix", pattern=pat[:-1])
             return QueryNode("wildcard", pattern=pat)
-    toks = [t for t, _ in tokenize(raw)]
+    toks = [t for t, _ in analyzer(raw)]
     if not toks:
         return None
     if is_phrase and len(toks) > 1:
@@ -290,8 +291,12 @@ def _leaf(raw: str, is_phrase: bool) -> QueryNode | None:
     return QueryNode("bool", clauses=[("SHOULD", QueryNode("term", terms=[t])) for t in toks])
 
 
-def parse_query(query: str) -> QueryNode | None:
-    """Parse the query string; returns None if nothing survives analysis."""
+def parse_query(query: str, analyzer=None) -> QueryNode | None:
+    """Parse the query string; returns None if nothing survives analysis.
+
+    `analyzer` overrides the standard chain for term/phrase/fuzzy leaves —
+    queries against an index built with `tokenizer="icu"` must analyze
+    with the SAME chain (QueryBuilder uses the field's analyzer)."""
     clauses: list[tuple[str, QueryNode]] = []
     for m in _CLAUSE_RE.finditer(query):
         sign, phrase, slop_s, phrase_boost, rng, word = (
@@ -310,7 +315,7 @@ def parse_query(query: str) -> QueryNode | None:
             bm = _BOOST_RE.match(word)
             if bm and bm.group(1):
                 raw, boost = bm.group(1), float(bm.group(2))
-        node = _leaf(raw, phrase is not None)
+        node = _leaf(raw, phrase is not None, analyzer)
         if node is None:
             continue
         node.boost = node.boost * boost

@@ -109,6 +109,16 @@ class Searcher:
             self.actors[0].set_docmap_paths(
                 sorted(p for ps in seg_by_shard.values() for p in ps)
             )
+        # query-time analyzer follows the INDEX's tokenizer (manifest
+        # config) — QueryBuilder analyzes with the field's chain, so an
+        # icu-built index parses queries with the icu chain too
+        tk = manifest["config"].get("tokenizer", "standard")
+        if tk == "icu":
+            from ..analysis.icu import icu_index_tokenize
+
+            self._analyzer = icu_index_tokenize
+        else:
+            self._analyzer = None  # standard chain (parse_query default)
         # shards.tolerant: skip dead shards instead of failing the request
         self.tolerant = False
         self.last_partial = False
@@ -116,6 +126,10 @@ class Searcher:
         self._tombstones = self._load_tombstones()
         if self._tombstones.size:
             self._push_tombstones()
+
+    def _parse(self, query: str):
+        """parse_query with this index's analyzer (see __init__)."""
+        return parse_query(query, analyzer=self._analyzer)
 
     # -- distributed term-dictionary operations ---------------------------
     def _scatter(self, method: str, *args):
@@ -317,7 +331,7 @@ class Searcher:
         weighted and scattered over the other collection's shards; only
         its distinct join keys travel to this one."""
         src = from_searcher or self
-        node = parse_query(subquery)
+        node = self._parse(subquery)
         if node is None:
             return []
         node = src._rewrite(node)
@@ -382,12 +396,12 @@ class Searcher:
         frontier is re-expressed as a key-set query, so per-doc frontiers
         never materialize on the driver.  Traversal stops early once a hop
         adds no new keys."""
-        node = parse_query(root_query)
+        node = self._parse(root_query)
         if node is None:
             return []
         node = self._rewrite(node)
         idfs = self._weights_for(node)
-        tf_node = parse_query(traversal_filter) if traversal_filter else None
+        tf_node = self._parse(traversal_filter) if traversal_filter else None
         if tf_node is not None:
             tf_node = self._rewrite(tf_node)
             idfs = {**idfs, **self._weights_for(tf_node)}
@@ -427,7 +441,7 @@ class Searcher:
     def count(self, query: str) -> int:
         """Total hit count of a query (numFound / rows=0) — each shard
         returns only its hit COUNT; no doc ids or scores cross the wire."""
-        node = parse_query(query)
+        node = self._parse(query)
         if node is None:
             return 0
         node = self._rewrite(node)
@@ -499,7 +513,7 @@ class Searcher:
         blocks never span doc-range shards under conv-range partitioning),
         so only (conv, parent_score) tuples reach the driver, never child
         hits."""
-        node = parse_query(query)
+        node = self._parse(query)
         if node is None:
             return []
         node = self._rewrite(node)
@@ -540,7 +554,7 @@ class Searcher:
         conv aggregation), return the CHILD docs of matching conversations,
         each scored with its parent's score; rank (score desc, docID asc).
         Shard-local join — only (doc, score) pairs reach the driver."""
-        node = parse_query(query)
+        node = self._parse(query)
         if node is None:
             return []
         node = self._rewrite(node)
@@ -566,7 +580,7 @@ class Searcher:
         """DiversifiedTopDocsCollector analog (lucene/misc/src/java/org/
         apache/lucene/search/DiversifiedTopDocsCollector.java): top-k with
         at most `max_per_parent` hits per conversation."""
-        node = parse_query(query)
+        node = self._parse(query)
         if node is None:
             return []
         node = self._rewrite(node)
@@ -656,7 +670,7 @@ class Searcher:
         Matching doc ids come straight from the shards' match_all (docID
         arrays only — never the scored top-k path, no driver-side sort of
         every hit)."""
-        node = parse_query(query)
+        node = self._parse(query)
         if node is None:
             return 0
         node = self._rewrite(node)
@@ -699,7 +713,7 @@ class Searcher:
         """→ [(doc_id, float32 score)], rank order (score desc, docID asc).
         `similarity` selects the pluggable scoring model ("bm25" | "classic"
         TF-IDF — the Similarity SPI, SURVEY.md §2.11)."""
-        node = parse_query(query)
+        node = self._parse(query)
         if node is None:
             return []
         return self.search_node(node, k, prune=prune, similarity=similarity)
@@ -798,7 +812,7 @@ class Searcher:
         doDebug over IndexSearcher.explain): {'total': float32-rounded
         score, 'terms': {term: contribution}} or None if doc doesn't
         match."""
-        node = parse_query(query)
+        node = self._parse(query)
         if node is None:
             return None
         node = self._rewrite(node)
@@ -872,9 +886,11 @@ class Searcher:
         hit_score, [(passage_idx, passage_score, marked_snippet), ...])]."""
         from ..analysis import tokenize
         from ..pipelines.highlight import score_passages
+
+        _an = self._analyzer or tokenize
         from .query import parse_query
 
-        node = parse_query(query)
+        node = self._parse(query)
         if node is None:
             return []
         terms = tuple(sorted(t for t in set(node.all_terms()) if ":" not in t))
@@ -885,7 +901,7 @@ class Searcher:
         texts = self.fetch_text([d for d, _ in hits])
         out = []
         for d, s in hits:
-            toks = [t for t, _ in tokenize(texts.get(d, ""))]
+            toks = [t for t, _ in _an(texts.get(d, ""))]
             out.append((d, s, score_passages(toks, terms, ttf, fragsize, snippets)))
         return out
 
@@ -898,6 +914,8 @@ class Searcher:
         chain; dfs resolve through the lazy global stats (row-group-pruned
         reads, vocabulary stays off the driver)."""
         from ..analysis.analyzer import tokenize
+
+        tokenize = self._analyzer or tokenize
 
         text = self.fetch_text([doc_id]).get(int(doc_id))
         if text is None:
@@ -924,6 +942,8 @@ class Searcher:
         import math as _math
 
         from ..analysis.analyzer import tokenize
+
+        tokenize = self._analyzer or tokenize
 
         hits = self.search(query, k)
         if not hits:

@@ -118,3 +118,78 @@ def test_derived_zh_slice_matches_translate():
     assert out.iloc[0] == exp
     assert out.iloc[1] == "fast join scan"
     assert " " not in out.iloc[0] and all(unicodedata.category(c) == "Lo" for c in out.iloc[0])
+
+
+def test_icu_index_build_and_search_duel(ray_session, tmp_path):
+    """End-to-end CJK search: build_index(tokenizer="icu") over a mixed
+    Han/English corpus, then duel the distributed searcher against the
+    brute-force oracle analyzing with the SAME icu chain — term, bigram,
+    boolean, phrase, prefix/wildcard, similarity variants."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.analysis.icu import icu_index_tokenize
+    from lucene_solr_ray.index.build import build_index
+    from lucene_solr_ray.oracle import BruteForceIndex
+    from lucene_solr_ray.search import Searcher
+
+    rng = np.random.default_rng(11)
+    han = [chr(0x4E00 + i) for i in range(40)]
+    en = ["merge", "fast", "query", "data", "the", "index"]
+    texts = []
+    for _ in range(120):
+        parts = []
+        for _ in range(rng.integers(3, 10)):
+            if rng.random() < 0.5:
+                parts.append("".join(rng.choice(han, rng.integers(1, 5))))
+            else:
+                parts.append(str(rng.choice(en)))
+        texts.append(" ".join(parts))
+    corpus = tmp_path / "part0.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array([f"c{i:04d}" for i in range(len(texts))]),
+                "turn_idx": pa.array(np.zeros(len(texts), dtype=np.int64)),
+                "text": pa.array(texts),
+                "role": pa.array(["user"] * len(texts)),
+            }
+        ),
+        corpus,
+    )
+    idx = str(tmp_path / "idx")
+    build_index([str(corpus)], idx, files_per_shard=1, tokenizer="icu")
+    s = Searcher(idx)
+    try:
+        oracle = BruteForceIndex(
+            texts, fields={"role": ["user"] * len(texts)}, analyzer=icu_index_tokenize
+        )
+        run = " ".join(t for t in texts[1].split() if len(t) >= 3 and t[0] in set("".join(han)))
+        first_run = run.split()[0] if run else han[0] + han[1] + han[2]
+        queries = [
+            han[0] + han[1],                 # bare CJK bigram term
+            "merge",                          # latin term, same index
+            f"+merge {han[0]}{han[1]}",      # mixed boolean
+            f'"{first_run}"',                 # CJK phrase (bigram chain)
+            "merge fast",
+            f"{han[0]}*",                     # CJK wildcard over the bigram dict
+        ]
+        for q in queries:
+            got = s.search(q, 10)
+            exp = [(d, float(sc)) for d, sc in oracle.search(q, 10)]
+            assert got == exp, q
+        for sim in ("classic", "dfr", "lmjm"):
+            got = s.search("merge fast", 10, similarity=sim)
+            exp = [(d, float(sc)) for d, sc in oracle.search("merge fast", 10, similarity=sim)]
+            assert got == exp, sim
+        # the manifest records the analyzer; a standard rebuild would not
+        # resume on top of an icu index (fingerprint includes tokenizer)
+        import json
+
+        cfg = json.loads((tmp_path / "idx" / "manifest.json").read_text())["config"]
+        assert cfg["tokenizer"] == "icu"
+    finally:
+        s.close()
+        shutil.rmtree(idx, ignore_errors=True)
