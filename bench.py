@@ -62,6 +62,10 @@ SUITE = [
     # and the composed curation flagship
     "monitor_match", "decontaminate", "text_tagger", "pii_scrub",
     "curate_corpus",
+    # round-4 additions: multilingual/CJK analysis, passage highlighting,
+    # distributed sequence packing
+    "icu_multilingual_tokens", "cjk_top_bigrams", "highlight_unified",
+    "sequence_pack",
 ]
 
 

@@ -199,12 +199,24 @@ class MonitorMatcher:
 
 
 def monitor_match(sf_dir: str, queries: list[tuple[str, str]] | None = None):
+    import ray
+
     qs = MONITOR_QUERIES if queries is None else queries
+    # compile + VALIDATE the library once on the driver (registration is
+    # where errors belong), broadcast via ray.put, and match with a TASK
+    # pool — the knn_label_vote shape: the matcher's only per-worker state
+    # is one zero-copy ray.get, so there is no actor-startup cost and the
+    # pool is exactly as wide as the cluster lets map tasks run (the r3
+    # verdict's concurrency=2 cap is gone without paying actor spin-up,
+    # which measured SLOWER than the cap on startup-bound inputs).
+    compiled = MonitorMatcher(qs)
+    ref = ray.put(compiled)
+
+    def match(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        return ray.get(_ref)(batch)
+
     out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        MonitorMatcher,
-        batch_format="pandas",
-        concurrency=pool(),
-        fn_constructor_kwargs={"queries": qs},
+        match, batch_format="pandas"
     )
     # result STAYS a Dataset (distributed sort): the match set is
     # output-bounded by the queries, not the corpus, but at 100 TB a hot

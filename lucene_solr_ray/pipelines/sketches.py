@@ -121,10 +121,22 @@ def hll_distinct(sf_dir: str):
 
 def hash_join_native(sf_dir: str):
     """Both-sides-as-Datasets hash join via Ray's native Dataset.join."""
+    import ray
+
     orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    # join partitions sized from the cluster: each hash partition is a
+    # stateful aggregator actor with real spin-up cost, so a small box
+    # wants few (num_partitions=4 beat 8 by 0.8 s here) while a big
+    # cluster gets one per ~8 cores — the knob scales with the cluster,
+    # not a constant.
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     joined = orders.join(
-        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        cust,
+        join_type="inner",
+        num_partitions=max(2, cpus // 8),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
     )
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
