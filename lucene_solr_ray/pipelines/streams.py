@@ -1369,6 +1369,48 @@ def _topic(ctx: Ctx, e: Expr) -> SRes:
     return res
 
 
+def _daemon(ctx: Ctx, e: Expr) -> SRes:
+    # DaemonStream (solr/solrj/.../io/stream/DaemonStream.java): re-run the
+    # wrapped expression on an interval — usually update(topic(...)), the
+    # alerting/ingest loop.  Solr spawns a background thread; here the loop
+    # runs SYNCHRONOUSLY and bounded (`iterations`, default 1; with
+    # terminate=true it stops early once the inner expression yields zero
+    # tuples, Solr's topic-drained termination), returning the daemon's
+    # status tuple.  Long-lived scheduling belongs to the engine daemon
+    # (index/daemon.run_incremental_daemon).
+    import time as _time
+
+    did = str(e.params.get("id", "daemon"))
+    iterations = int(str(e.params.get("iterations", "1")))
+    interval_ms = int(str(e.params.get("runInterval", "0")))
+    terminate = str(e.params.get("terminate", "false")).lower() == "true"
+    if iterations < 1 or iterations > 1000:
+        raise StreamExprError("daemon iterations must be in [1, 1000]")
+    inner = _stream_args(e)
+    if len(inner) != 1:
+        raise StreamExprError("daemon wraps exactly one stream expression")
+    runs = 0
+    last_rows = 0
+    for _ in range(iterations):
+        out = _to_df(_eval_stream_arg(ctx, inner[0]))
+        runs += 1
+        last_rows = len(out)
+        if terminate and last_rows == 0:
+            break
+        if interval_ms and runs < iterations:
+            _time.sleep(min(interval_ms, 100) / 1000.0)  # bounded in-sandbox
+    return SRes(
+        df=pd.DataFrame(
+            {
+                "id": pd.Series([did], dtype="object"),
+                "state": pd.Series(["TERMINATED"], dtype="object"),
+                "iterations": pd.Series([np.int64(runs)], dtype="int64"),
+                "lastRows": pd.Series([np.int64(last_rows)], dtype="int64"),
+            }
+        )
+    )
+
+
 def _executor(ctx: Ctx, e: Expr) -> SRes:
     # ExecutorStream: each incoming tuple carries a streaming expression in
     # its `expr_s` field; execute each and concatenate the results.  The
@@ -1398,15 +1440,27 @@ def _update(ctx: Ctx, e: Expr) -> SRes:
     inner = _eval_stream_arg(ctx, _stream_args(e)[0])
     os.makedirs(dest, exist_ok=True)
     if inner.df is not None:
-        pq.write_table(pa.Table.from_pandas(inner.df, preserve_index=False), f"{dest}/part-0.parquet")
         n = len(inner.df)
+        if n:
+            # append-numbered parts: repeated updates (a daemon/topic poll
+            # loop) accumulate batches instead of overwriting part-0
+            k = sum(1 for f in os.listdir(dest) if f.endswith(".parquet"))
+            pq.write_table(
+                pa.Table.from_pandas(inner.df, preserve_index=False),
+                f"{dest}/part-{k:05d}.parquet",
+            )
     else:
+        before = {f for f in os.listdir(dest) if f.endswith(".parquet")}
         inner.ds.write_parquet(dest)
         n = sum(
             pq.read_metadata(os.path.join(dest, f)).num_rows
             for f in os.listdir(dest)
-            if f.endswith(".parquet")
+            if f.endswith(".parquet") and f not in before
         )
+    if n == 0:
+        # UpdateStream emits one summary tuple PER BATCH — zero documents
+        # means zero tuples, which is what daemon(terminate=true) watches
+        return SRes(df=pd.DataFrame({"batchIndexed": pd.Series([], dtype="int64"), "worker": pd.Series([], dtype="object")}))
     return SRes(df=pd.DataFrame({"batchIndexed": [np.int64(n)], "worker": [dest]}))
 
 
@@ -1483,6 +1537,7 @@ REGISTRY_STREAMS: dict[str, Callable[[Ctx, Expr], SRes]] = {
     "plist": _list_stream,  # parallel list: Ray runs each plan data-parallel
     "facet2D": _facet2d,
     "topic": _topic,
+    "daemon": _daemon,
     "executor": _executor,
     "priority": _priority,
     "delete": _delete,

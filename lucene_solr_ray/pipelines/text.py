@@ -1293,6 +1293,156 @@ FROM s ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Exact-substring duplicate spans (Lee et al. 2022 "Deduplicating Training
+# Data Makes Language Models Better", the ExactSubstr pass): token windows
+# of SUBSTR_W that occur MORE THAN ONCE anywhere in the corpus (cross-doc
+# or within-doc) are flagged, and per doc the flagged window starts merge
+# into maximal spans (windows overlap-merge when starts are ≤ W apart).
+#
+# Shape: phase 1 finds the duplicated gram keys with the fixed-bucket
+# vocabulary shuffle (per-batch per-key partial counts, per-bucket sums,
+# ≥2 survivors only) — the dup-key set is OUTPUT-bounded (only repeated
+# content) and broadcast via ray.put, exactly like decontaminate's
+# benchmark set; at a scale where it stops fitting, the documented upgrade
+# is a key-bucketed semi-join of phase 2 against the survivor Dataset.
+# Phase 2 re-streams the corpus once: per-batch membership test + a
+# vectorized gaps-and-islands merge.  Grams are uint64 FNV fingerprints
+# end to end — no gram strings (the SQL twin builds real strings; the
+# hashed representation is collision-equivalent at 2⁻⁶⁴, the
+# decontaminate precedent).
+
+SUBSTR_W = 20
+
+
+def _doc_grams_pos(texts: pd.Series, width: int):
+    """→ (uint64 gram keys, doc index, 0-based start pos within doc) for
+    every width-token window — the positional variant of `_doc_grams`."""
+    doc_idx, codes, uniq, counts = _explode_tokens(texts)
+    if codes.size < width:
+        e = np.empty(0, dtype=np.uint64)
+        return e, np.empty(0, np.int64), np.empty(0, np.int64)
+    flat = pd.util.hash_array(uniq.astype(object))[codes]
+    valid = doc_idx[: -(width - 1)] == doc_idx[width - 1 :]
+    grams = flat[: -(width - 1)].copy()
+    for j in range(1, width):
+        part = flat[j:] if j == width - 1 else flat[j : -(width - 1 - j)]
+        grams = grams * _FNV_PRIME + part
+    offsets = np.zeros(len(counts), dtype=np.int64)
+    if len(counts) > 1:
+        offsets[1:] = counts.cumsum()[:-1]
+    pos = np.arange(codes.size, dtype=np.int64) - np.repeat(offsets, counts)
+    return grams[valid], doc_idx[: -(width - 1)][valid], pos[: -(width - 1)][valid]
+
+
+def substring_dup_spans(sf_dir: str, width: int = SUBSTR_W):
+    import ray
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    # phase 1: duplicated gram keys (corpus-wide count ≥ 2)
+    def key_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        grams, _, _ = _doc_grams_pos(batch["text"], width)
+        uniq, cnt = np.unique(grams, return_counts=True)
+        return pd.DataFrame(
+            {
+                "key": uniq,
+                "n": cnt.astype(np.int64),
+                "gb": (uniq % np.uint64(TOKEN_BUCKETS)).astype(np.int64),
+            }
+        )
+
+    def dup_only(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("key", as_index=False)["n"].sum()
+        return m[m["n"] >= 2][["key"]]
+
+    dup_keys = (
+        ds.map_batches(key_partials, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(dup_only, batch_format="pandas")
+        .to_pandas()
+    )
+    dups = np.sort(dup_keys["key"].to_numpy(np.uint64)) if len(dup_keys) else np.empty(0, np.uint64)
+    dup_ref = ray.put(dups)
+
+    # phase 2: one streaming pass — membership + per-doc span merge
+    def spans(batch: pd.DataFrame, _ref=dup_ref) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "span_start": pd.Series([], dtype="int64"),
+                "span_end": pd.Series([], dtype="int64"),
+                "n_grams": pd.Series([], dtype="int64"),
+            }
+        )
+        dset = ray.get(_ref)
+        if not dset.size:
+            return empty
+        grams, didx, pos = _doc_grams_pos(batch["text"], width)
+        hit = np.isin(grams, dset)
+        if not hit.any():
+            return empty
+        d_h, p_h = didx[hit], pos[hit]  # already (doc, pos)-ordered
+        # gaps-and-islands: a new span starts at a doc change or a gap > W
+        new_span = np.ones(d_h.size, dtype=bool)
+        new_span[1:] = (d_h[1:] != d_h[:-1]) | (p_h[1:] - p_h[:-1] > width)
+        span_id = np.cumsum(new_span) - 1
+        starts = np.flatnonzero(new_span)
+        ends = np.append(starts[1:], d_h.size) - 1
+        ids = batch["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": ids[d_h[starts]],
+                "span_start": p_h[starts] + 1,  # 1-based, the SQL twin's range()
+                "span_end": p_h[ends] + width,  # inclusive last covered token
+                "n_grams": np.bincount(span_id).astype(np.int64),
+            }
+        )
+
+    out = ds.map_batches(spans, batch_format="pandas").to_pandas()
+    if "doc_id" not in out.columns or not len(out):
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "span_start": pd.Series([], dtype="int64"),
+                "span_end": pd.Series([], dtype="int64"),
+                "n_grams": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
+SUBSTR_DUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(
+    [{{'pos': i, 'gram': array_to_string(toks[i:i+{SUBSTR_W - 1}], ' ')}}
+     for i in range(1, len(toks) - {SUBSTR_W - 2})], recursive := true)
+  FROM d WHERE len(toks) >= {SUBSTR_W}
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {SUBSTR_W}
+              THEN 0 ELSE 1 END AS new_span
+  FROM g WHERE gram IN (SELECT gram FROM dup)
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM hits
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {SUBSTR_W} - 1 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, span_id
+ORDER BY doc_id, span_start
+"""
+
+
+# --------------------------------------------------------------------------
 # Benchmark decontamination (training-data pipeline op — the n-gram-overlap
 # test-set filter of GPT-3 App. C / Gopher / The Pile): documents sharing a
 # W-token n-gram with any "benchmark" document are flagged.  The benchmark
@@ -1577,6 +1727,11 @@ PIPELINES: dict[str, Pipeline] = {
     ),
     "decontaminate": Pipeline(
         decontaminate, DECON_SQL, "benchmark decontamination: W-gram overlap vs a broadcast held-out set (GPT-3/Gopher test-set filter)"
+    ),
+    "substring_dup_spans": Pipeline(
+        substring_dup_spans,
+        SUBSTR_DUP_SQL,
+        "exact-substring duplicate spans (Lee et al. ExactSubstr): bucketed dup-gram detection + vectorized span merge",
     ),
     "text_tagger": Pipeline(
         text_tagger, TAGGER_SQL, "dictionary phrase tagging with counts + first position (SolrTextTagger, overlaps=ALL)"

@@ -344,3 +344,42 @@ def test_pack_offsets_extra_columns_and_sparse_ids(ray_session):
     assert list(out["lang"]) == list(srt["lang"])
     assert (out["seq_id"].to_numpy() == excl // 25).all()
     assert (out["offset"].to_numpy() == excl % 25).all()
+
+
+def test_substring_dup_spans_semantics(ray_session, tmp_path):
+    """ExactSubstr span semantics on a planted corpus: a W-token block
+    shared by two docs is flagged in both; two overlapping duplicated
+    windows merge into ONE span; unique text is never flagged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.text import SUBSTR_W, substring_dup_spans
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i:03d}" for i in range(400)]
+    uniq = lambda n: " ".join(rng.choice(vocab, n))
+    shared = " ".join(rng.choice(vocab, SUBSTR_W + 5))  # W+5 tokens → 6 windows
+    texts = [
+        uniq(30) + " " + shared + " " + uniq(25),   # doc 0: shared at pos 31
+        shared + " " + uniq(40),                     # doc 1: shared at pos 1
+        uniq(60),                                    # doc 2: clean
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * 3),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = substring_dup_spans(str(tmp_path))
+    assert set(out["doc_id"]) == {0, 1}
+    d0 = out[out["doc_id"] == 0]
+    assert len(d0) == 1  # overlapping windows merged into one span
+    assert int(d0["span_start"].iloc[0]) == 31
+    assert int(d0["span_end"].iloc[0]) == 31 + SUBSTR_W + 5 - 1
+    assert int(d0["n_grams"].iloc[0]) == 6
+    d1 = out[out["doc_id"] == 1]
+    assert int(d1["span_start"].iloc[0]) == 1 and int(d1["n_grams"].iloc[0]) == 6
