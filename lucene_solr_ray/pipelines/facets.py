@@ -312,6 +312,13 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
         df = df.sort_values([col, bucket_cols[li]], ascending=[asc, True], kind="mergesort")
         if col == "_sortv":
             df = df.drop(columns=["_sortv"])
+        # numBuckets (FacetFieldProcessor.calculateNumBuckets): the count
+        # of DISTINCT buckets in this domain BEFORE the limit, emitted as a
+        # constant column named after the level key — for nested levels
+        # order_limit runs per parent bucket, so the count is per-parent,
+        # matching Solr's per-subfacet numBuckets field.
+        if lv.get("num_buckets"):
+            df = df.assign(**{f"num_{lv.get('key', f'b{li}')}": np.int64(len(df))})
         # Solr JSON-facet limit semantics: absent → unlimited, -1 → unlimited,
         # 0 → zero buckets (limit:0 must NOT mean "all").
         lim = lv.get("limit")
@@ -529,6 +536,59 @@ b AS (
 )
 SELECT price_bucket, n_bucket, avg_price_cents, n_urgent FROM b
 WHERE n_urgent > 0 ORDER BY price_bucket
+"""
+
+
+def json_facet_numbuckets(sf_dir: str):
+    """`numBuckets:true` at two nesting levels: the distinct-bucket count
+    of each facet domain BEFORE the limit — global at the root, per-parent
+    for the nested terms facet (FacetFieldProcessor.calculateNumBuckets)."""
+    spec = {
+        "type": "terms",
+        "field": "o_orderpriority",
+        "limit": 2,
+        "sort": "count desc",
+        "num_buckets": True,
+        "key": "prio",
+        "count_key": "n",
+        "facet": {
+            "sub": {
+                "type": "terms",
+                "field": "o_orderstatus",
+                "limit": 1,
+                "sort": "count desc",
+                "num_buckets": True,
+                "key": "status",
+                "count_key": "n_status",
+            }
+        },
+    }
+    out = compute_json_facet(sf_dir, "orders", spec)
+    cols = ["prio", "n", "num_prio", "status", "n_status", "num_status"]
+    out = out[cols].copy()
+    out["num_prio"] = out["num_prio"].astype("int64")
+    out["num_status"] = out["num_status"].astype("int64")
+    return out.sort_values("prio").reset_index(drop=True)
+
+
+JSON_FACET_NUMBUCKETS_SQL = """
+WITH l0 AS (
+  SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1
+),
+sel0 AS (SELECT * FROM l0 QUALIFY row_number() OVER (ORDER BY n DESC, prio) <= 2),
+nb0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS num_prio FROM l0),
+l1 AS (
+  SELECT o_orderpriority AS prio, o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_status
+  FROM orders GROUP BY 1, 2
+),
+sel1 AS (
+  SELECT * FROM l1
+  QUALIFY row_number() OVER (PARTITION BY prio ORDER BY n_status DESC, status) <= 1
+),
+nb1 AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS num_status FROM l1 GROUP BY prio)
+SELECT s0.prio, s0.n, num_prio, s1.status, s1.n_status, num_status
+FROM sel0 s0 CROSS JOIN nb0 JOIN sel1 s1 USING (prio) JOIN nb1 USING (prio)
+ORDER BY prio
 """
 
 
@@ -1152,6 +1212,11 @@ PIPELINES: dict[str, Pipeline] = {
     ),
     "json_facet_range": Pipeline(
         json_facet_range, JSON_FACET_RANGE_SQL, "JSON facet: range×query buckets with exact-cents avg metric"
+    ),
+    "json_facet_numbuckets": Pipeline(
+        json_facet_numbuckets,
+        JSON_FACET_NUMBUCKETS_SQL,
+        "numBuckets: distinct-bucket counts before the limit, per domain incl. nested (FacetFieldProcessor)",
     ),
     "json_facet_allbuckets": Pipeline(
         json_facet_allbuckets, JSON_FACET_ALLBUCKETS_SQL, "JSON facet allBuckets+missing sentinels with nested query facet"

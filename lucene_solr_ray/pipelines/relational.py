@@ -524,6 +524,60 @@ QUALIFY row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_
 ORDER BY c_mktsegment, c_custkey
 """
 
+# group.ngroups=true (solr/core/.../search/grouping/ GroupingSpecification /
+# TopGroupsResultTransformer): the grouped response carries the TOTAL
+# distinct group count alongside the returned page of groups.  Shape: the
+# collapse combiner (per-batch best-per-key, fixed 512-bucket shuffle);
+# each bucket emits its top-10 partial PLUS its distinct-group count, so
+# the driver merge sees ≤ 11·512 rows — ngroups is the sum of per-bucket
+# counts (buckets partition the key space), never a driver-side distinct.
+
+
+def group_ngroups(sf_dir: str):
+    def local_best(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        out = b.drop_duplicates("o_custkey").copy()
+        out["bucket"] = out["o_custkey"] % 512
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        b = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        b = b.drop_duplicates("o_custkey")
+        out = b.sort_values(["o_totalprice", "o_custkey"], ascending=[False, True]).head(10)
+        out = out.drop(columns=["bucket"]).copy()
+        out["ng_part"] = np.int64(len(b))
+        out["bucket"] = np.int64(g["bucket"].iloc[0])
+        return out
+
+    parts = (
+        read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(local_best, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    ngroups = int(parts.drop_duplicates("bucket")["ng_part"].sum())
+    top = parts.sort_values(["o_totalprice", "o_custkey"], ascending=[False, True]).head(10)
+    top = top.drop(columns=["ng_part", "bucket"]).copy()
+    top["ngroups"] = np.int64(ngroups)
+    return top.sort_values("o_custkey").reset_index(drop=True)
+
+
+GROUP_NGROUPS_SQL = """
+WITH best AS (
+  SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+),
+ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS ngroups FROM best),
+page AS (
+  SELECT * FROM best
+  QUALIFY row_number() OVER (ORDER BY o_totalprice DESC, o_custkey) <= 10
+)
+SELECT o_custkey, o_orderkey, o_totalprice, ngroups
+FROM page CROSS JOIN ng ORDER BY o_custkey
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.6 collapse (CollapsingQParserPlugin): keep the best doc per group key.
 
@@ -1344,6 +1398,9 @@ PIPELINES: dict[str, Pipeline] = {
     "child_join": Pipeline(child_join, CHILD_JOIN_SQL, "children of matching parents w/ parent value (ToChildBlockJoinQuery / {!child})"),
     "blockjoin_facet": Pipeline(blockjoin_facet, BLOCKJOIN_FACET_SQL, "child-field facet counting each parent once per bucket (BlockJoinFacetComponent / uniqueBlock)"),
     "anti_join": Pipeline(anti_join, ANTI_JOIN_SQL, "anti-join (MUST_NOT / ComplementStream)"),
+    "group_ngroups": Pipeline(
+        group_ngroups, GROUP_NGROUPS_SQL, "grouped page + total distinct group count via per-bucket count partials (group.ngroups)"
+    ),
     "group_topk": Pipeline(group_topk, GROUP_TOPK_SQL, "top-k docs per group (grouping collectors)"),
     "collapse_best": Pipeline(collapse_best, COLLAPSE_SQL, "field collapse (CollapsingQParserPlugin)"),
     "collapse_expand": Pipeline(

@@ -582,6 +582,75 @@ def suggest_prefix(sf_dir: str):
     return _suggest_bucketed(sf_dir, lambda t: t.str.startswith(SUGGEST_PREFIX))
 
 
+# FreeTextSuggester (lucene/suggest/src/java/org/apache/lucene/search/
+# suggest/analyzing/FreeTextSuggester.java): an n-gram language model over
+# the corpus predicts the NEXT token of a typed context — here the bigram
+# order (the suggester's default shape is grams=2 separated contexts), with
+# the unigram backoff exposed by the `onlyMorePopular`-style ranking:
+# candidates ranked by P(next|ctx) ∝ count(ctx, next), ties by token.
+# Shape: (ctx, next) pair counts are vocabulary-keyed → fixed-bucket
+# shuffle with per-bucket top-k partials; the gate pins one context
+# literal shared with the SQL twin.
+
+FREETEXT_CTX = "merge"
+FREETEXT_K = 8
+
+
+def suggest_freetext(sf_dir: str, context: str = FREETEXT_CTX, k: int = FREETEXT_K):
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, codes, uniq, counts = _explode_tokens(batch["text"])
+        empty = pd.DataFrame(
+            {
+                "next": pd.Series([], dtype=object),
+                "cnt": pd.Series([], dtype="int64"),
+                "gb": pd.Series([], dtype="int64"),
+            }
+        )
+        if codes.size < 2:
+            return empty
+        hit = np.flatnonzero(uniq == context)
+        if not hit.size:
+            return empty
+        first = codes[:-1] == hit[0]
+        same_doc = doc_idx[:-1] == doc_idx[1:]
+        nxt = codes[1:][first & same_doc]
+        if not nxt.size:
+            return empty
+        ucode, cnt = np.unique(nxt, return_counts=True)
+        toks = uniq[ucode]
+        return pd.DataFrame(
+            {"next": toks, "cnt": cnt.astype(np.int64), "gb": _token_bucket(toks)}
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("next", as_index=False)["cnt"].sum()
+        return m.sort_values(["cnt", "next"], ascending=[False, True]).head(k)
+
+    out = (
+        read(sf_dir, "documents", ["text"])
+        .map_batches(explode, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if "next" not in out.columns or not len(out):
+        return pd.DataFrame({"next": pd.Series([], dtype=object), "cnt": pd.Series([], dtype="int64")})
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values(["cnt", "next"], ascending=[False, True]).head(k).reset_index(drop=True)
+
+
+SUGGEST_FREETEXT_SQL = f"""
+WITH d AS (SELECT regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents),
+pairs AS (
+  SELECT unnest([toks[i+1] for i in range(1, len(toks))]) AS next, unnest([toks[i] for i in range(1, len(toks))]) AS ctx
+  FROM d WHERE len(toks) >= 2
+)
+SELECT next, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pairs WHERE ctx = '{FREETEXT_CTX}'
+GROUP BY next ORDER BY cnt DESC, next LIMIT {FREETEXT_K}
+"""
+
+
 SUGGEST_SQL = f"""
 SELECT token, CAST(COUNT(*) AS BIGINT) AS cf
 FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token FROM documents)
@@ -1750,6 +1819,9 @@ PIPELINES: dict[str, Pipeline] = {
     "highlight": Pipeline(highlight, HIGHLIGHT_SQL, "snippet extraction around matches (HighlightComponent)"),
     "mlt_terms": Pipeline(mlt_terms, MLT_SQL, "MoreLikeThis interesting-term selection (tf·idf)"),
     "suggest_prefix": Pipeline(suggest_prefix, SUGGEST_SQL, "prefix completion by cf (AnalyzingSuggester semantics)"),
+    "suggest_freetext": Pipeline(
+        suggest_freetext, SUGGEST_FREETEXT_SQL, "next-token prediction from a corpus bigram LM (FreeTextSuggester)"
+    ),
     "suggest_infix": Pipeline(suggest_infix, SUGGEST_INFIX_SQL, "infix/substring completion by cf (AnalyzingInfixSuggester)"),
     "suggest_artifact_prefix": Pipeline(
         suggest_artifact_prefix, SUGGEST_SQL, "prefix lookup from the persisted suggester artifact (FST build analog)"
