@@ -294,6 +294,12 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
             if is_sent.any():
                 sentinels = df[is_sent].sort_values(bucket_cols[li])
                 df = df[~is_sent]
+        # terms-facet `prefix` (FacetFieldProcessor prefix): restrict the
+        # bucket domain BEFORE ranking/limit/numBuckets — counts are
+        # unchanged, only non-matching buckets drop out
+        pref = lv.get("prefix")
+        if pref:
+            df = df[df[bucket_cols[li]].astype(str).str.startswith(pref)]
         sort = lv.get("sort", "count desc")
         key, direction = (sort.split() + ["desc"])[:2]
         asc = direction == "asc"
@@ -589,6 +595,37 @@ nb1 AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS num_status FROM l1 GROUP BY pri
 SELECT s0.prio, s0.n, num_prio, s1.status, s1.n_status, num_status
 FROM sel0 s0 CROSS JOIN nb0 JOIN sel1 s1 USING (prio) JOIN nb1 USING (prio)
 ORDER BY prio
+"""
+
+
+def json_facet_prefix(sf_dir: str):
+    """Terms facet with `prefix` + numBuckets: the bucket domain restricts
+    to prefix matches before ranking/limit, and numBuckets counts the
+    restricted domain (FacetFieldProcessor prefix semantics)."""
+    spec = {
+        "type": "terms",
+        "field": "o_orderpriority",
+        "prefix": "3",
+        "limit": 10,
+        "sort": "index",
+        "num_buckets": True,
+        "key": "prio",
+        "count_key": "n",
+    }
+    out = compute_json_facet(sf_dir, "orders", spec)
+    out = out[["prio", "n", "num_prio"]].copy()
+    out["num_prio"] = out["num_prio"].astype("int64")
+    return out.sort_values("prio").reset_index(drop=True)
+
+
+JSON_FACET_PREFIX_SQL = """
+WITH l AS (
+  SELECT o_orderpriority AS prio, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+f AS (SELECT * FROM l WHERE prio LIKE '3%'),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS num_prio FROM f)
+SELECT prio, n, num_prio FROM f CROSS JOIN nb ORDER BY prio
 """
 
 
@@ -1212,6 +1249,11 @@ PIPELINES: dict[str, Pipeline] = {
     ),
     "json_facet_range": Pipeline(
         json_facet_range, JSON_FACET_RANGE_SQL, "JSON facet: range×query buckets with exact-cents avg metric"
+    ),
+    "json_facet_prefix": Pipeline(
+        json_facet_prefix,
+        JSON_FACET_PREFIX_SQL,
+        "terms facet prefix param: domain restricted before rank/limit/numBuckets",
     ),
     "json_facet_numbuckets": Pipeline(
         json_facet_numbuckets,

@@ -170,20 +170,29 @@ class IndexShard:
             out[(kind, pattern, max_edits)] = expand_multi_term(n, terms)
         return out
 
-    def terms_partial(self, prefix: str = "", regex: str | None = None):
+    def terms_partial(self, prefix: str = "", regex: str | None = None, regex_dialect: str = "java"):
         """(terms, local_dfs) in the prefix range — the per-shard half of
         the TermsComponent merge (solr/core/.../handler/component/
         TermsComponent.java).  `regex` is terms.regex: an anchored match
         applied SHARD-SIDE after the prefix cut, so only matching terms
-        travel."""
+        travel.  Dialect: Solr's TermsComponent compiles java.util.regex
+        (Python `re` is the close analog, the default); pass
+        regex_dialect="lucene" for the RegexpQuery automaton syntax
+        (search/lucene_regexp.py) when the pattern comes from a /re/
+        query."""
         terms, dfs = self._term_dict()
         lo = int(np.searchsorted(terms, prefix))
         hi = int(np.searchsorted(terms, prefix + "￿")) if prefix else terms.size
         terms, dfs = terms[lo:hi], dfs[lo:hi]
         if regex is not None:
-            import re
+            if regex_dialect == "lucene":
+                from .lucene_regexp import compile_regexp
 
-            rx = re.compile(regex)
+                rx = compile_regexp(regex)
+            else:
+                import re
+
+                rx = re.compile(regex)
             keep = np.array([rx.fullmatch(str(t)) is not None for t in terms], dtype=bool)
             terms, dfs = terms[keep], dfs[keep]
         return terms, dfs

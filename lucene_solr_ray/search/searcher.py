@@ -450,7 +450,8 @@ class Searcher:
 
     # -- terms / facets over the index ------------------------------------
     def terms(
-        self, prefix: str = "", limit: int = 10, regex: str | None = None
+        self, prefix: str = "", limit: int = 10, regex: str | None = None,
+        regex_dialect: str = "java",
     ) -> list[tuple[str, int]]:
         """/terms handler (solr/core/.../handler/component/TermsComponent.java):
         dictionary terms with df, ranked (df desc, term asc) — the
@@ -458,7 +459,7 @@ class Searcher:
         the prefix range, dfs summed on the driver (exact: a term's global
         df is the sum of its shard dfs).  `regex` = terms.regex, anchored,
         filtered shard-side."""
-        parts = self._scatter("terms_partial", prefix, regex)
+        parts = self._scatter("terms_partial", prefix, regex, regex_dialect)
         frames = [
             pd.DataFrame({"term": t.astype(str), "df": d}) for t, d in parts if t.size
         ]

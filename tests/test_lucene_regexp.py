@@ -126,3 +126,22 @@ def test_query_parser_integration():
         "role:user",
         "role:usxr",
     ]
+
+
+def test_terms_regex_dialect_option():
+    """terms.regex dialect: default java/Python `re` (the TermsComponent
+    contract) vs explicit lucene automaton dialect — `\\d` means digit
+    class in one and literal d in the other."""
+    import numpy as np
+
+    from lucene_solr_ray.search.actor import IndexShard
+
+    sh = IndexShard([], None)
+    sh._local_terms = np.array(["d1", "dd", "x1"], dtype=object)
+    sh._local_dfs = np.array([3, 2, 1], dtype=np.int64)
+    java_terms, _ = sh.terms_partial(regex=r"\w\d")
+    assert list(java_terms) == ["d1", "x1"]
+    luc_terms, _ = sh.terms_partial(regex=r"\w\d", regex_dialect="lucene")
+    assert list(luc_terms) == []  # \w\d = literal "wd" in the automaton dialect
+    luc2, _ = sh.terms_partial(regex=r"d[0-9]", regex_dialect="lucene")
+    assert list(luc2) == ["d1"]
