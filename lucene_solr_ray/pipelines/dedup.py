@@ -506,7 +506,123 @@ def dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.5):
     return out.reset_index(drop=True)
 
 
+def cluster_pairs_distributed(pairs: pd.DataFrame, nbuckets: int = 512, max_rounds: int = 30):
+    """Connected components over a pair list WITHOUT a driver union-find —
+    the alternating small-star/large-star MapReduce algorithm (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond"), each round
+    a fixed-bucket groupby over the edge set:
+
+      large-star: per node u, every strictly-larger neighbor re-attaches
+                  to min(Γ(u) ∪ u);
+      small-star: per node u, the ≤-neighbors and u itself attach to the
+                  minimum — converging to a star per component whose
+                  center is the MINIMUM doc_id (the canonical survivor).
+
+    Convergence is detected with an order-free checksum (count + summed
+    edge hashes) computed from per-batch partials; the driver never holds
+    the edge set, only the 2-number checksum and the final output-bounded
+    (doc, root) labels.  O(log² n) rounds; `max_rounds` is a backstop.
+
+    Input `pairs` is the LSH-verified (doc_a, doc_b) frame; returns the
+    same (doc_id, cluster_id, keep) frame as the driver union-find."""
+    import ray
+    import ray.data as rd
+
+    if not len(pairs):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "cluster_id": pd.Series([], dtype="int64"),
+                "keep": pd.Series([], dtype=bool),
+            }
+        )
+    edges = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "a": pairs["doc_a"].to_numpy(np.int64),
+                "b": pairs["doc_b"].to_numpy(np.int64),
+            }
+        )
+    )
+
+    def star(edges_ds, large: bool):
+        def emit(b: pd.DataFrame) -> pd.DataFrame:
+            a = b["a"].to_numpy(np.int64)
+            c = b["b"].to_numpy(np.int64)
+            if large:  # undirected neighborhoods: both directions
+                u = np.concatenate([a, c])
+                v = np.concatenate([c, a])
+            else:  # directed high → low
+                u = np.maximum(a, c)
+                v = np.minimum(a, c)
+            df = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+            df["gb"] = df["u"] % nbuckets
+            return df
+
+        def grp(g: pd.DataFrame) -> pd.DataFrame:
+            mn = g.groupby("u")["v"].min()
+            m = np.minimum(mn.to_numpy(np.int64), mn.index.to_numpy(np.int64))
+            mmap = pd.Series(m, index=mn.index)
+            j = g.assign(m=g["u"].map(mmap).to_numpy(np.int64))
+            if large:
+                keep = j["v"].to_numpy() > j["u"].to_numpy()
+                out = pd.DataFrame({"a": j["v"].to_numpy()[keep], "b": j["m"].to_numpy()[keep]})
+            else:
+                out = pd.DataFrame({"a": j["v"].to_numpy(), "b": j["m"].to_numpy()})
+                out = pd.concat(
+                    [out, pd.DataFrame({"a": mn.index.to_numpy(np.int64), "b": m})]
+                )
+            out = out[out["a"] != out["b"]].drop_duplicates()
+            return out.astype({"a": "int64", "b": "int64"})
+
+        return (
+            edges_ds.map_batches(emit, batch_format="pandas")
+            .groupby("gb")
+            .map_groups(grp, batch_format="pandas")
+        )
+
+    def checksum(edges_ds) -> tuple[int, int]:
+        def part(b: pd.DataFrame) -> pd.DataFrame:
+            hi = np.maximum(b["a"].to_numpy(np.uint64), b["b"].to_numpy(np.uint64))
+            lo = np.minimum(b["a"].to_numpy(np.uint64), b["b"].to_numpy(np.uint64))
+            h = (hi * np.uint64(0x9E3779B97F4A7C15) + lo) * np.uint64(0xBF58476D1CE4E5B9)
+            return pd.DataFrame({"n": [np.int64(len(b))], "s": [np.int64(h.sum(dtype=np.uint64) >> np.uint64(1))]})
+
+        p = edges_ds.map_batches(part, batch_format="pandas").to_pandas()
+        return int(p["n"].sum()), int(p["s"].sum())
+
+    prev = None
+    for _ in range(max_rounds):
+        edges = star(star(edges, large=True), large=False).materialize()
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    labels = edges.to_pandas().rename(columns={"a": "doc_id", "b": "cluster_id"})
+    labels = labels.drop_duplicates("doc_id")
+    roots = np.setdiff1d(labels["cluster_id"].unique(), labels["doc_id"].to_numpy())
+    labels = pd.concat(
+        [labels, pd.DataFrame({"doc_id": roots, "cluster_id": roots})], ignore_index=True
+    )
+    labels = labels.sort_values("doc_id").reset_index(drop=True)
+    labels["doc_id"] = labels["doc_id"].astype("int64")
+    labels["cluster_id"] = labels["cluster_id"].astype("int64")
+    labels["keep"] = labels["doc_id"] == labels["cluster_id"]
+    return labels
+
+
+def dedup_clusters_distributed(sf_dir: str, jaccard_threshold: float = 0.5):
+    """`dedup_clusters` with the star-algorithm component labeling — the
+    shape that survives a pair list too large for one node."""
+    return cluster_pairs_distributed(dedup_minhash(sf_dir, jaccard_threshold))
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "dedup_clusters_distributed": Pipeline(
+        dedup_clusters_distributed,
+        None,
+        "near-dup components via alternating small/large-star rounds (no driver union-find); rows-only, union-find-equivalence in pytest",
+    ),
     "dedup_clusters": Pipeline(
         dedup_clusters, None, "near-dup connected components + keep-one-per-cluster (LSH pairs → union-find); rows-only, oracled in pytest"
     ),

@@ -383,3 +383,62 @@ def test_substring_dup_spans_semantics(ray_session, tmp_path):
     assert int(d0["n_grams"].iloc[0]) == 6
     d1 = out[out["doc_id"] == 1]
     assert int(d1["span_start"].iloc[0]) == 1 and int(d1["n_grams"].iloc[0]) == 6
+
+
+def test_star_components_equal_union_find(ray_session):
+    """The distributed small/large-star component labeling must produce
+    EXACTLY the union-find answer (min-id roots, keep flags) on random
+    graphs: chains, cliques, singleton-free pair lists, forests."""
+    from lucene_solr_ray.pipelines.dedup import cluster_pairs_distributed
+
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        n = int(rng.integers(10, 120))
+        m = int(rng.integers(1, 4 * n))
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        keep = a != b
+        pairs = pd.DataFrame({"doc_a": a[keep].astype(np.int64), "doc_b": b[keep].astype(np.int64)})
+        if not len(pairs):
+            continue
+        # reference: driver union-find (the dedup_clusters kernel)
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for x, y in zip(pairs["doc_a"], pairs["doc_b"]):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                parent[hi] = lo
+        docs = sorted(parent)
+        exp = pd.DataFrame(
+            {
+                "doc_id": np.array(docs, dtype=np.int64),
+                "cluster_id": np.array([find(d) for d in docs], dtype=np.int64),
+            }
+        )
+        exp["keep"] = exp["doc_id"] == exp["cluster_id"]
+        got = cluster_pairs_distributed(pairs, nbuckets=16)
+        pd.testing.assert_frame_equal(got, exp.reset_index(drop=True)), trial
+
+
+def test_star_components_long_chain(ray_session):
+    """A long path graph (worst diameter) converges within the round cap
+    and labels every node with the chain minimum."""
+    from lucene_solr_ray.pipelines.dedup import cluster_pairs_distributed
+
+    n = 60
+    pairs = pd.DataFrame(
+        {"doc_a": np.arange(n - 1, dtype=np.int64) + 1, "doc_b": np.arange(n - 1, dtype=np.int64)}
+    )
+    got = cluster_pairs_distributed(pairs, nbuckets=8)
+    assert (got["cluster_id"] == 0).all() and len(got) == n
+    assert got.loc[got["doc_id"] == 0, "keep"].iloc[0]
+    assert got["keep"].sum() == 1
