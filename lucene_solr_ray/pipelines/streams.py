@@ -1369,6 +1369,18 @@ def _topic(ctx: Ctx, e: Expr) -> SRes:
     return res
 
 
+def _shuffle(ctx: Ctx, e: Expr) -> SRes:
+    # ShuffleStream (solr/solrj/.../io/stream/ShuffleStream.java): the
+    # search stream pinned to the /export handler — the FULL sorted result
+    # stream (worker-partitionable), never a top-k page: `sort` is
+    # mandatory and `rows` is rejected.
+    if "sort" not in e.params:
+        raise StreamExprError("shuffle requires sort= (the /export contract)")
+    if "rows" in e.params:
+        raise StreamExprError("shuffle streams the full result set; use search() for rows=")
+    return _search(ctx, Expr("search", args=e.args, params={k: v for k, v in e.params.items() if k != "qt"}))
+
+
 def _daemon(ctx: Ctx, e: Expr) -> SRes:
     # DaemonStream (solr/solrj/.../io/stream/DaemonStream.java): re-run the
     # wrapped expression on an interval — usually update(topic(...)), the
@@ -1494,6 +1506,7 @@ def _list_stream(ctx: Ctx, e: Expr) -> SRes:
 
 REGISTRY_STREAMS: dict[str, Callable[[Ctx, Expr], SRes]] = {
     "search": _search,
+    "shuffle": _shuffle,
     "top": _top,
     "rollup": _rollup,
     "facet": _facet,

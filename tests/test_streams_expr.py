@@ -776,3 +776,16 @@ def test_daemon_stream(ray_session, tmp_path):
         run_expr('daemon(id="x", iterations="0", echo(hi))', sf_tmp)
     shutil.rmtree("/tmp/daemon_ckpt", ignore_errors=True)
     shutil.rmtree("/tmp/daemon_dest", ignore_errors=True)
+
+
+def test_shuffle_stream(ray_session):
+    """shuffle() = search pinned to /export: full sorted stream, sort
+    mandatory, rows rejected."""
+    out = run_expr('shuffle(region, fl="r_regionkey,r_name", sort="r_regionkey asc")', SF)
+    exp = duck("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+    assert out["r_regionkey"].tolist() == exp["r_regionkey"].tolist()
+    assert len(out) == len(exp)  # FULL stream, not a page
+    with pytest.raises(StreamExprError, match="sort"):
+        run_expr('shuffle(region, fl="r_name")', SF)
+    with pytest.raises(StreamExprError, match="rows"):
+        run_expr('shuffle(region, fl="r_name", sort="r_name asc", rows="2")', SF)
