@@ -221,6 +221,15 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
                     cc = cents(vs.to_numpy())
                     agg_cols[c] = ("sum", (cc.astype(object) * cc.astype(object)))
                     continue
+                if m["type"] in ("variance", "stddev"):
+                    # StddevAgg/VarianceAgg IN the facet tree: exact
+                    # integer moment partials — s2 as Python ints (no
+                    # overflow), s1 as a companion column; var derives at
+                    # finalize with the variance_moments formula
+                    cc = cents(vs.to_numpy())
+                    agg_cols[c] = ("sum", (cc.astype(object) * cc.astype(object)))
+                    agg_cols[c + "__s1"] = ("sum", cc)
+                    continue
                 v = sub[m["field"]].to_numpy()
                 if m.get("money"):
                     v = cents(v)
@@ -269,7 +278,9 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
     ops = {"_n": "sum"}
     for i, lv in enumerate(levels):
         for name, m in _metrics(lv).items():
-            ops[mcol(i, name)] = SKETCH_METRICS[m["type"]][1] if m["type"] in SKETCH_METRICS else {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum", "countvals": "sum", "missing": "sum", "sumsq": "sum"}[m["type"]]
+            ops[mcol(i, name)] = SKETCH_METRICS[m["type"]][1] if m["type"] in SKETCH_METRICS else {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum", "countvals": "sum", "missing": "sum", "sumsq": "sum", "variance": "sum", "stddev": "sum"}[m["type"]]
+            if m["type"] in ("variance", "stddev"):
+                ops[mcol(i, name) + "__s1"] = "sum"
     parts_df = read(sf_dir, table, need).map_batches(partial, batch_format="pandas").to_pandas()
     lattice = parts_df.groupby(bucket_cols, as_index=False).agg(ops)
 
@@ -279,7 +290,9 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
         mets = {"_n": "sum"}
         for name, m in _metrics(levels[li]).items():
             c = mcol(li, name)
-            mets[c] = SKETCH_METRICS[m["type"]][1] if m["type"] in SKETCH_METRICS else {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum", "countvals": "sum", "missing": "sum", "sumsq": "sum"}[m["type"]]
+            mets[c] = SKETCH_METRICS[m["type"]][1] if m["type"] in SKETCH_METRICS else {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum", "countvals": "sum", "missing": "sum", "sumsq": "sum", "variance": "sum", "stddev": "sum"}[m["type"]]
+            if m["type"] in ("variance", "stddev"):
+                mets[c + "__s1"] = "sum"
         t = lattice.groupby(keys, as_index=False).agg(mets)
         return t.rename(columns={"_n": f"_n{li}"})
 
@@ -391,6 +404,18 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
                 # conversion DuckDB applies casting its HUGEINT to DOUBLE
                 out[name] = out[mcol(li, name)].astype("float64")
                 out = out.drop(columns=[mcol(li, name)])
+            elif m["type"] in ("variance", "stddev"):
+                # the variance_moments formula per bucket, Python-int
+                # moments → the SAME float expression as the SQL twin
+                import math as _math
+
+                s2c, s1c = mcol(li, name), mcol(li, name) + "__s1"
+                vals = []
+                for a2, a1, k in zip(out[s2c], out[s1c], out[f"_n{li}"]):
+                    v = (a2 - (a1 * a1) / k) / k
+                    vals.append(_math.sqrt(v) if m["type"] == "stddev" else v)
+                out[name] = np.asarray(vals, dtype=np.float64)
+                out = out.drop(columns=[s2c, s1c])
             elif m["type"] in ("countvals", "missing"):
                 out[name] = out[mcol(li, name)].astype("int64")
                 out = out.drop(columns=[mcol(li, name)])
@@ -595,6 +620,51 @@ nb1 AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS num_status FROM l1 GROUP BY pri
 SELECT s0.prio, s0.n, num_prio, s1.status, s1.n_status, num_status
 FROM sel0 s0 CROSS JOIN nb0 JOIN sel1 s1 USING (prio) JOIN nb1 USING (prio)
 ORDER BY prio
+"""
+
+
+def json_facet_stddev(sf_dir: str):
+    """stddev/variance aggs INSIDE the facet tree (StddevAgg.java /
+    VarianceAgg.java): per-bucket exact integer moments (s1 companion
+    column + Python-int s2 partials), final value via the same float
+    expression as the `variance_moments` twin — population variance over
+    discount basis points per return flag."""
+    spec = {
+        "type": "terms",
+        "field": "l_returnflag",
+        "sort": "index",
+        "key": "flag",
+        "count_key": "n",
+        "facet": {
+            "var_bp": {
+                "type": "variance",
+                "field": "l_discount",
+                "derive": lambda b: b["l_discount"] * 100.0,  # basis points
+            },
+            "std_bp": {
+                "type": "stddev",
+                "field": "l_discount",
+                "derive": lambda b: b["l_discount"] * 100.0,
+            },
+        },
+    }
+    out = compute_json_facet(sf_dir, "lineitem", spec)
+    return out[["flag", "n", "var_bp", "std_bp"]].sort_values("flag").reset_index(drop=True)
+
+
+JSON_FACET_STDDEV_SQL = """
+WITH m AS (
+  SELECT l_returnflag AS flag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c*c) AS BIGINT) AS s2
+  FROM (SELECT l_returnflag, CAST(ROUND(l_discount*100*100) AS BIGINT) AS c FROM lineitem)
+  GROUP BY 1
+)
+SELECT flag, n,
+       (s2 - (s1 * s1) / n) / n AS var_bp,
+       sqrt((s2 - (s1 * s1) / n) / n) AS std_bp
+FROM m ORDER BY flag
 """
 
 
@@ -1249,6 +1319,11 @@ PIPELINES: dict[str, Pipeline] = {
     ),
     "json_facet_range": Pipeline(
         json_facet_range, JSON_FACET_RANGE_SQL, "JSON facet: range×query buckets with exact-cents avg metric"
+    ),
+    "json_facet_stddev": Pipeline(
+        json_facet_stddev,
+        JSON_FACET_STDDEV_SQL,
+        "stddev/variance facet aggs from exact per-bucket integer moments (StddevAgg/VarianceAgg)",
     ),
     "json_facet_prefix": Pipeline(
         json_facet_prefix,
