@@ -41,7 +41,7 @@ _TOKEN_RE = re.compile(
 )
 
 _KEYWORDS = {
-    "select", "from", "where", "group", "by", "having", "order", "limit",
+    "select", "from", "where", "group", "by", "having", "order", "limit", "offset",
     "and", "or", "not", "in", "between", "like", "as", "asc", "desc",
     "count", "sum", "avg", "min", "max", "is", "null", "distinct",
     "join", "on",
@@ -141,6 +141,7 @@ class Select:
     having: object | None = None
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (name, asc)
     limit: int | None = None
+    offset: int = 0
     joins: list[tuple[str, str, str]] = field(default_factory=list)  # (table, left col, right col)
 
 
@@ -321,6 +322,8 @@ class _Parser:
                     break
         if self.accept("kw", "limit"):
             stmt.limit = int(self.expect("num"))
+            if self.accept("kw", "offset"):
+                stmt.offset = int(self.expect("num"))
         self.expect("eof")
         return stmt
 
@@ -521,7 +524,11 @@ def execute_sql(sf_dir: str, sql: str) -> pd.DataFrame:
             if stmt.order_by and stmt.limit is not None:
                 keys = [k for k, _ in stmt.order_by]
                 asc = [a for _, a in stmt.order_by]
-                out = out.sort_values(keys, ascending=asc, kind="mergesort").head(stmt.limit)
+                # partials keep limit+offset rows — the page the driver
+                # slices can start past the per-batch top-k otherwise
+                out = out.sort_values(keys, ascending=asc, kind="mergesort").head(
+                    stmt.limit + stmt.offset
+                )
             return out
 
         res = ds.map_batches(scan, batch_format="pandas").to_pandas()
@@ -651,7 +658,7 @@ def execute_sql(sf_dir: str, sql: str) -> pd.DataFrame:
         asc = [a for _, a in stmt.order_by]
         res = res.sort_values(keys, ascending=asc, kind="mergesort")
     if stmt.limit is not None:
-        res = res.head(stmt.limit)
+        res = res.iloc[stmt.offset : stmt.offset + stmt.limit]
     # normalize count-like columns to int64 (pandas sums may widen)
     for c in res.columns:
         if res[c].dtype == np.int32:

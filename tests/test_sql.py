@@ -217,3 +217,18 @@ def test_fuzz_random_statements(ray_session):
             duel(sql)
         except AssertionError as e:
             raise AssertionError(f"trial {trial}: {sql}") from e
+
+
+def test_limit_offset(ray_session):
+    """LIMIT n OFFSET m: the page slices after the global order — per-batch
+    top-k partials must keep limit+offset rows."""
+    for q in [
+        "SELECT c_custkey, c_acctbal FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 5 OFFSET 7",
+        "SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 3 OFFSET 0",
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment LIMIT 2 OFFSET 1",
+    ]:
+        got = execute_sql(SF, q).reset_index(drop=True)
+        exp = duck(q)
+        assert got.columns.tolist() == exp.columns.tolist(), q
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), (q, c)
