@@ -183,6 +183,16 @@ def icu_terms(text: str) -> list[str]:
     return [t for t, _, _, _ in icu_tokenize_offsets(text)]
 
 
+def icu_token_count(text: str) -> int:
+    """Token count WITHOUT materializing the token list: one word run = 1,
+    one CJK run of n chars = max(1, n-1) bigrams — the hot-path form the
+    counting gates use (same arithmetic the SQL twin expresses)."""
+    n = 0
+    for s, e, kind in _segments(text):
+        n += 1 if kind == _WORD else max(1, e - s - 1)
+    return n
+
+
 def icu_index_tokenize(text: str) -> list[tuple[str, int]]:
     """The CJKAnalyzer-chain INDEX analysis: ICU-lite tokenize + the same
     English stop filter the standard chain applies, with position gaps

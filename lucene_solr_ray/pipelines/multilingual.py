@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from ..analysis.icu import icu_terms
+from ..analysis.icu import icu_terms, icu_token_count  # noqa: F401 (icu_terms re-exported for tests)
 from .common import Pipeline, read
 from .text import TOKEN_BUCKETS, TOKEN_RE
 
@@ -55,7 +55,7 @@ def icu_multilingual_tokens(sf_dir: str):
     def counts(batch: pd.DataFrame) -> pd.DataFrame:
         texts = _derive(batch)
         n = np.fromiter(
-            (len(icu_terms(t)) for t in texts), dtype=np.int64, count=len(texts)
+            (icu_token_count(t) for t in texts), dtype=np.int64, count=len(texts)
         )
         return pd.DataFrame(
             {"doc_id": batch["doc_id"], "lang": batch["lang"], "n_tokens": n}

@@ -193,3 +193,11 @@ def test_icu_index_build_and_search_duel(ray_session, tmp_path):
     finally:
         s.close()
         shutil.rmtree(idx, ignore_errors=True)
+
+
+@given(_texts())
+@settings(max_examples=200, deadline=None)
+def test_token_count_matches_token_list(text):
+    from lucene_solr_ray.analysis.icu import icu_token_count
+
+    assert icu_token_count(text) == len(icu_terms(text))
