@@ -158,11 +158,11 @@ def _batch_analyzer(tokenizer: str):
     Searcher analyzes queries with the same chain."""
     if tokenizer == "standard":
         return analyze_batch
-    if tokenizer == "icu":
-        from ..analysis.icu import icu_analyze_batch
+    if tokenizer in ("icu", "cjk"):  # "cjk" = the registry's alias for
+        from ..analysis.icu import icu_analyze_batch  # the same chain
 
         return icu_analyze_batch
-    raise ValueError(f"unknown tokenizer {tokenizer!r} (standard|icu)")
+    raise ValueError(f"unknown tokenizer {tokenizer!r} (standard|icu|cjk)")
 
 
 def _apply_token_filter(tok: dict, flt, n_rows: int) -> dict:

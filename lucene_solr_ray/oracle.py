@@ -164,7 +164,10 @@ class BruteForceIndex:
 
         sim = getattr(self, "similarity", "bm25")
         if sim == "lmjm":
-            return sum(self.cf(t) / self.sum_ttf for t in terms)
+            # engine order: integer cfs summed FIRST, one division
+            # (searcher._weights_for) — per-term quotients summed differ in
+            # the last ulp on ~quarter of random triples
+            return sum(self.cf(t) for t in terms) / self.sum_ttf
         if sim == "ib":
             return ib_lambda(df_max, self.N)
         if sim == "axiomatic":
@@ -332,7 +335,8 @@ class BruteForceIndex:
                 idf = 1.0 + math.log(self.N / (df_max + 1.0))
                 return (True, math.sqrt(tf) * idf * idf / math.sqrt(max(self._dl(doc, field), 1)))
             if sim == "lm":
-                p_sum = sum(self.cf(t) / self.sum_ttf for t in node.terms)
+                # engine order: sum cfs first (searcher._weights_for)
+                p_sum = sum(self.cf(t) for t in node.terms) / self.sum_ttf
                 return (True, self._lm_score(tf, p_sum, doc))
             if sim == "dfr":
                 from .search.bm25 import dfr_weight

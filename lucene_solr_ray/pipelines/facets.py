@@ -228,7 +228,7 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
                     # finalize with the variance_moments formula
                     cc = cents(vs.to_numpy())
                     agg_cols[c] = ("sum", (cc.astype(object) * cc.astype(object)))
-                    agg_cols[c + "__s1"] = ("sum", cc)
+                    agg_cols[c + "__s1"] = ("sum", cc.astype(object))  # Python ints: no int64 wrap
                     continue
                 v = sub[m["field"]].to_numpy()
                 if m.get("money"):
@@ -409,10 +409,17 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
                 # moments → the SAME float expression as the SQL twin
                 import math as _math
 
+                from .common import hugeint_to_double as _h2d
+
                 s2c, s1c = mcol(li, name), mcol(li, name) + "__s1"
                 vals = []
                 for a2, a1, k in zip(out[s2c], out[s1c], out[f"_n{li}"]):
-                    v = (a2 - (a1 * a1) / k) / k
+                    # Python-int moments; s1² through the HUGEINT→DOUBLE
+                    # cast model (the twin squares HUGEINTs — s1² wraps
+                    # int64 at large scale, and DuckDB's cast is not
+                    # correctly rounded past 2⁶³)
+                    a1, a2, k = int(a1), int(a2), int(k)
+                    v = (_h2d(a2) - _h2d(a1 * a1) / k) / k
                     vals.append(_math.sqrt(v) if m["type"] == "stddev" else v)
                 out[name] = np.asarray(vals, dtype=np.float64)
                 out = out.drop(columns=[s2c, s1c])
@@ -662,8 +669,8 @@ WITH m AS (
   GROUP BY 1
 )
 SELECT flag, n,
-       (s2 - (s1 * s1) / n) / n AS var_bp,
-       sqrt((s2 - (s1 * s1) / n) / n) AS std_bp
+       (s2 - (CAST(s1 AS HUGEINT) * s1) / n) / n AS var_bp,
+       sqrt((s2 - (CAST(s1 AS HUGEINT) * s1) / n) / n) AS std_bp
 FROM m ORDER BY flag
 """
 

@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 
 from ..search.query import QueryNode, parse_query
-from .common import Pipeline, pool, read
+from .common import Pipeline, read
 from .text import TOKEN_RE, _explode_tokens
 
 # The default registered-query library for the gate: one per supported
@@ -198,6 +198,9 @@ class MonitorMatcher:
         )
 
 
+_MATCHER_CACHE: dict = {}  # per-worker-process compiled-library cache
+
+
 def monitor_match(sf_dir: str, queries: list[tuple[str, str]] | None = None):
     import ray
 
@@ -213,7 +216,16 @@ def monitor_match(sf_dir: str, queries: list[tuple[str, str]] | None = None):
     ref = ray.put(compiled)
 
     def match(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
-        return ray.get(_ref)(batch)
+        # the compiled library is a Python object (NOT zero-copy numpy), so
+        # ray.get re-unpickles it per call — memoize per worker process,
+        # keyed by the ObjectRef, so each worker deserializes once (the
+        # actor-pool amortization without the actor spin-up)
+        key = _ref.hex()
+        m = _MATCHER_CACHE.get(key)
+        if m is None:
+            _MATCHER_CACHE.clear()
+            m = _MATCHER_CACHE[key] = ray.get(_ref)
+        return m(batch)
 
     out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         match, batch_format="pandas"

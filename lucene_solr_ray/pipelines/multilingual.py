@@ -33,6 +33,11 @@ _DST = "".join(chr(0x4E00 + i) for i in range(36))
 _TRANS = {**{ord(s): d for s, d in zip(_SRC, _DST)}, ord(" "): None, ord("_"): None}
 
 CJK_RE = r"[\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}]+"
+# the ICU-lite ASCII word class: letters+digits, NO underscore (Pc breaks
+# in the icu chain, unlike the core TOKEN_RE) — twin-side count parity on
+# any future corpus containing '_' (zh rows additionally count residual
+# word runs the translate() map leaves untouched, e.g. uppercase)
+WORD_RE = "[a-z0-9]+"
 TOP_BIGRAMS = 20
 
 
@@ -79,7 +84,8 @@ SELECT doc_id, lang,
        CAST(CASE WHEN lang = 'zh' THEN COALESCE(list_sum(
               [CASE WHEN len(r) = 1 THEN 1 ELSE len(r) - 1 END
                for r in regexp_extract_all(t, '{CJK_RE}')]), 0)
-            ELSE len(regexp_extract_all(lower(t), '{TOKEN_RE}'))
+              + len(regexp_extract_all(lower(t), '{WORD_RE}'))
+            ELSE len(regexp_extract_all(lower(t), '{WORD_RE}'))
        END AS BIGINT) AS n_tokens
 FROM d ORDER BY doc_id
 """
@@ -107,8 +113,11 @@ def cjk_top_bigrams(sf_dir: str):
         if len(big) < 2:
             return empty
         cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32)
-        a, b = cp[:-1], cp[1:]
-        valid = (a >= 0x3000) & (b >= 0x3000)  # both CJK — no cross-doc pairs
+        from ..analysis.icu import _CJK, _classify
+
+        cjk = _classify(cp)[0] == _CJK  # the tokenizer's exact CJK class —
+        a, b = cp[:-1], cp[1:]  # not a >= 0x3000 cutoff, which admits CJK
+        valid = cjk[:-1] & cjk[1:]  # punctuation the twin's CJK_RE excludes
         keys = (a[valid].astype(np.uint64) << np.uint64(32)) | b[valid].astype(np.uint64)
         uniq, cnt = np.unique(keys, return_counts=True)
         return pd.DataFrame(

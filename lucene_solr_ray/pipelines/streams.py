@@ -1455,12 +1455,18 @@ def _update(ctx: Ctx, e: Expr) -> SRes:
         n = len(inner.df)
         if n:
             # append-numbered parts: repeated updates (a daemon/topic poll
-            # loop) accumulate batches instead of overwriting part-0
+            # loop) accumulate batches instead of overwriting part-0.
+            # O_EXCL claims the slot — two concurrent update() plans (plist/
+            # executor) that count the same k cannot overwrite each other.
             k = sum(1 for f in os.listdir(dest) if f.endswith(".parquet"))
-            pq.write_table(
-                pa.Table.from_pandas(inner.df, preserve_index=False),
-                f"{dest}/part-{k:05d}.parquet",
-            )
+            while True:
+                try:
+                    fd = open(f"{dest}/part-{k:05d}.parquet", "xb")
+                    break
+                except FileExistsError:
+                    k += 1
+            with fd:
+                pq.write_table(pa.Table.from_pandas(inner.df, preserve_index=False), fd)
     else:
         before = {f for f in os.listdir(dest) if f.endswith(".parquet")}
         inner.ds.write_parquet(dest)

@@ -1268,7 +1268,21 @@ def pack_offsets(counts_ds, budget: int, nbuckets: int = PACK_NBUCKETS):
 
     mx_df = cds.map_batches(batch_max, batch_format="pandas").to_pandas()
     if not len(mx_df):
-        empty = cds.to_pandas()
+        # all-empty blocks: Ray's to_pandas drops the block schema (the
+        # recurring gotcha) — rebuild the projection from Dataset.schema()
+        # so callers' column selections still resolve
+        try:
+            names = list(cds.schema().names)
+        except Exception:
+            names = []
+        if not names:
+            names = ["doc_id", "n_tokens"]
+        empty = pd.DataFrame(
+            {
+                c: pd.Series([], dtype="int64" if c in ("doc_id", "n_tokens") else object)
+                for c in names
+            }
+        )
         empty["seq_id"] = np.empty(0, np.int64)
         empty["offset"] = np.empty(0, np.int64)
         return ray.data.from_pandas(empty)

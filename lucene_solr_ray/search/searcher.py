@@ -113,7 +113,7 @@ class Searcher:
         # config) — QueryBuilder analyzes with the field's chain, so an
         # icu-built index parses queries with the icu chain too
         tk = manifest["config"].get("tokenizer", "standard")
-        if tk == "icu":
+        if tk in ("icu", "cjk"):
             from ..analysis.icu import icu_index_tokenize
 
             self._analyzer = icu_index_tokenize
@@ -889,13 +889,11 @@ class Searcher:
         from ..pipelines.highlight import score_passages
 
         _an = self._analyzer or tokenize
-        from .query import parse_query
-
         node = self._parse(query)
         if node is None:
             return []
         terms = tuple(sorted(t for t in set(node.all_terms()) if ":" not in t))
-        hits = self.search(query, k)
+        hits = self.search_node(node, k)
         if not hits or not terms:
             return [(d, s, []) for d, s in hits]
         ttf = {t: self.stats.cf(t) for t in terms}

@@ -940,3 +940,20 @@ def test_passage_scorer_ranking_properties():
     assert out[0][2].startswith("<em>a</em> <em>b</em> <em>a</em>")
     assert score_passages([], ("a",), ttf) == []
     assert len(score_passages(toks, ("a",), ttf, fragsize=4, snippets=1)) == 1
+
+
+@pytest.mark.parametrize("sim", ["lm", "lmjm", "ib", "axiomatic", "dfr"])
+def test_duel_synonym_blended_weight_all_sims(searcher, oracle, sim):
+    """SynonymQuery blended weights per similarity — the engine sums
+    member cfs BEFORE the division for the lm family; the oracle must use
+    the identical float order (ulp-divergent otherwise)."""
+    from lucene_solr_ray.search.query import synonym_query
+
+    node = synonym_query(["error", "ok"])
+    got = searcher.search_node(node, 10, similarity=sim)
+    oracle.similarity = sim
+    try:
+        exp = [(d, float(s)) for d, s in oracle.search_node(node, 10)]
+    finally:
+        oracle.similarity = "bm25"
+    assert got == exp, sim
