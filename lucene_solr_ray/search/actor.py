@@ -1039,17 +1039,43 @@ class IndexShard:
                 out[c] = docs[:limit].tolist()
         return out
 
-    def top_k(self, node: QueryNode, k: int, idfs: dict[str, float], prune: bool = True, sim: str = "bm25"):
-        """→ (doc_ids int64, scores float32), shard-local top-k."""
-        cache_key = (repr(node), k, prune, sim)
+    def top_k(
+        self,
+        node: QueryNode,
+        k: int,
+        idfs: dict[str, float],
+        prune: bool = True,
+        sim: str = "bm25",
+        after: tuple | None = None,
+    ):
+        """→ (doc_ids int64, scores float32), shard-local top-k.
+
+        `after` = (score float32, doc_id) — IndexSearcher.searchAfter
+        (lucene/core/.../search/IndexSearcher.java): only hits STRICTLY
+        after the bound in (score desc, docID asc) rank order survive, so
+        page N+1 never re-ships page N's hits from any shard."""
+        cache_key = (repr(node), k, prune, sim, after)
         hit = self._result_cache.get(cache_key)
         if hit is not None:
             return hit
-        result = self._top_k_uncached(node, k, idfs, prune, sim)
+        result = self._top_k_uncached(node, k, idfs, prune, sim, after)
         self._result_cache.put(cache_key, result)
         return result
 
-    def _top_k_uncached(self, node: QueryNode, k: int, idfs: dict[str, float], prune: bool, sim: str):
+    def _top_k_uncached(
+        self,
+        node: QueryNode,
+        k: int,
+        idfs: dict[str, float],
+        prune: bool,
+        sim: str,
+        after: tuple | None = None,
+    ):
+        # searchAfter disables the pruned paths: WAND's θ floor assumes the
+        # page starts at rank 0 (Lucene routes searchAfter through a
+        # PagingTopScoreDocCollector for the same reason)
+        if after is not None:
+            prune = False
         plan = self._prunable_plan(node) if (prune and sim == "bm25") else None
         if plan is not None:
             docs, scores = self._eval_bool_pruned(*plan, k, idfs)
@@ -1057,6 +1083,11 @@ class IndexShard:
             docs, scores = self._eval_phrase_pruned(node, k, idfs)
         else:
             docs, scores = self._eval(node, idfs, sim)
+        if after is not None and docs.size:
+            a_s, a_d = np.float32(after[0]), int(after[1])
+            s32 = scores.astype(np.float32)
+            keep = (s32 < a_s) | ((s32 == a_s) & (docs > a_d))
+            docs, scores = docs[keep], scores[keep]
         scores32 = scores.astype(np.float32)
         if docs.size > k:
             # kth-highest score is the tie boundary; keep every candidate at

@@ -808,6 +808,37 @@ class Searcher:
         order = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]), float(scores[i])) for i in order]
 
+    def search_after(
+        self,
+        query: str,
+        k: int = 10,
+        after: tuple[float, int] | None = None,
+        similarity: str = "bm25",
+    ) -> list[tuple[int, float]]:
+        """IndexSearcher.searchAfter deep paging (lucene/core/.../search/
+        IndexSearcher.java): return the next page of k hits strictly after
+        `after` — the LAST HIT of the previous page, in the (doc_id, score)
+        shape search() returns — in (score desc, docID asc) rank order.
+        The bound is applied SHARD-SIDE, so page N+1 moves only k rows per
+        shard regardless of how deep the paging goes (the cursorMark
+        shape; offset-based deep paging re-ships every earlier page).
+        after=None is page one."""
+        node = self._parse(query)
+        if node is None:
+            return []
+        node = self._rewrite(node)
+        if node is None:
+            return []
+        idfs = self._weights_for(node, similarity)
+        a = (float(after[1]), int(after[0])) if after is not None else None
+        parts = self._scatter("top_k", node, k, idfs, a is None, similarity, a)
+        docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float32)
+        if docs.size == 0:
+            return []
+        order = np.lexsort((docs, -scores))[:k]
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
     def explain(self, query: str, doc_id: int, similarity: str = "bm25"):
         """debugQuery-style explanation (solr/core/.../util/SolrPluginUtils
         doDebug over IndexSearcher.explain): {'total': float32-rounded

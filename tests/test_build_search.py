@@ -957,3 +957,32 @@ def test_duel_synonym_blended_weight_all_sims(searcher, oracle, sim):
     finally:
         oracle.similarity = "bm25"
     assert got == exp, sim
+
+
+def test_search_after_deep_paging(searcher, oracle):
+    """IndexSearcher.searchAfter: successive pages reconstruct the full
+    ranking exactly (duel vs one big oracle page), pages never overlap,
+    and the bound applies shard-side including float32 score ties."""
+    q = "error ok bash"
+    full = [(d, float(s)) for d, s in oracle.search(q, 10**6)]
+    pages, after = [], None
+    for _ in range(12):
+        page = searcher.search_after(q, k=10, after=after)
+        if not page:
+            break
+        pages.extend(page)
+        after = page[-1]
+    assert pages == full[: len(pages)]
+    assert len(pages) == min(len(full), 120)
+    assert len({d for d, _ in pages}) == len(pages)  # no duplicates across pages
+    # page one with after=None equals plain search
+    assert searcher.search_after(q, k=10) == searcher.search(q, 10, prune=False)
+    # similarity variants page identically
+    p1 = searcher.search_after("error ok", 5, similarity="classic")
+    p2 = searcher.search_after("error ok", 5, after=p1[-1], similarity="classic")
+    oracle.similarity = "classic"
+    try:
+        exp = [(d, float(s)) for d, s in oracle.search_node(parse_query("error ok"), 10)]
+    finally:
+        oracle.similarity = "bm25"
+    assert p1 + p2 == exp
