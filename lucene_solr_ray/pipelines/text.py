@@ -1376,6 +1376,57 @@ FROM s ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Corpus-composition report (the domain/source mixing table every
+# pretraining run publishes — e.g. the Pile/Gopher/LLaMA data tables:
+# per-source document and token counts, share of corpus, mean doc length,
+# language breakdown entropy).  Pure combiner partials per (source, lang)
+# — the report domain is bounded, so the driver merge is tiny; shares and
+# the mean derive from exact integer sums with the same scalar formulas
+# as the twin.
+
+
+def domain_mix_report(sf_dir: str):
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        n_tok = toks.map(len).to_numpy(np.int64)
+        g = pd.DataFrame(
+            {"source": batch["source"], "lang": batch["lang"], "docs": 1, "tokens": n_tok}
+        )
+        return g.groupby(["source", "lang"], as_index=False).sum()
+
+    parts = (
+        read(sf_dir, "documents", ["source", "lang", "text"])
+        .map_batches(part, batch_format="pandas")
+        .to_pandas()
+    )
+    g = parts.groupby(["source", "lang"], as_index=False)[["docs", "tokens"]].sum()
+    total_tokens = int(g["tokens"].sum())
+    g["docs"] = g["docs"].astype("int64")
+    g["tokens"] = g["tokens"].astype("int64")
+    g["token_share"] = g["tokens"].astype("float64") / float(total_tokens)
+    g["mean_doc_tokens"] = g["tokens"].astype("float64") / g["docs"].astype("float64")
+    return g.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
+DOMAIN_MIX_SQL = f"""
+WITH d AS (
+  SELECT source, lang,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n
+  FROM documents
+),
+g AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(n) AS BIGINT) AS tokens
+  FROM d GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM g)
+SELECT source, lang, docs, tokens,
+       CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share,
+       CAST(tokens AS DOUBLE) / CAST(docs AS DOUBLE) AS mean_doc_tokens
+FROM g CROSS JOIN tot ORDER BY source, lang
+"""
+
+
+# --------------------------------------------------------------------------
 # Exact-substring duplicate spans (Lee et al. 2022 "Deduplicating Training
 # Data Makes Language Models Better", the ExactSubstr pass): token windows
 # of SUBSTR_W that occur MORE THAN ONCE anywhere in the corpus (cross-doc
@@ -1810,6 +1861,11 @@ PIPELINES: dict[str, Pipeline] = {
     ),
     "decontaminate": Pipeline(
         decontaminate, DECON_SQL, "benchmark decontamination: W-gram overlap vs a broadcast held-out set (GPT-3/Gopher test-set filter)"
+    ),
+    "domain_mix_report": Pipeline(
+        domain_mix_report,
+        DOMAIN_MIX_SQL,
+        "corpus-composition report: per-(source, lang) docs/tokens/share/mean-length from bounded combiner partials",
     ),
     "substring_dup_spans": Pipeline(
         substring_dup_spans,

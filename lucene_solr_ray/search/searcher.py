@@ -1163,6 +1163,38 @@ class Searcher:
         return [(d, s) for d, s in hits if d != int(doc_id)][:k]
 
     # -- Luke / index introspection ---------------------------------------
+    def schema(self) -> dict:
+        """Read-only Schema API (/schema — solr/core/.../handler/SchemaHandler
+        .java GET surface): the index's field model from the committed
+        manifest — the default analyzed `text` field, extra analyzed fields
+        with their own norms, keyword (StrField) filter fields, the
+        analyzer chain in effect, and codec.  Mutation (ADD-FIELD …) is the
+        build's job: analysis/config choices participate in the manifest
+        fingerprint, so schema changes are new commits, never in-place."""
+        cfg = self.manifest["config"]
+        st = self.manifest["stats"]
+        fields = [
+            {"name": "text", "type": "text_general", "indexed": True, "norms": True,
+             "avgdl": float(st["avgdl"])}
+        ]
+        for f, fs in (st.get("fields") or {}).items():
+            fields.append(
+                {"name": f, "type": "text_general", "indexed": True, "norms": True,
+                 "avgdl": float(fs["avgdl"])}
+            )
+        for f in cfg.get("keyword_fields", []):
+            if f not in (x["name"] for x in fields):
+                fields.append({"name": f, "type": "string", "indexed": True, "norms": False})
+        return {
+            "fields": fields,
+            "analyzer": {
+                "tokenizer": cfg.get("tokenizer", "standard"),
+                "id": cfg.get("analyzer_id", "standard"),
+            },
+            "codec": cfg.get("codec", "varbyte"),
+            "uniqueKey": "doc_id",
+        }
+
     def index_info(self, top_terms: int = 10) -> dict:
         """LukeRequestHandler (solr/core/.../handler/admin/LukeRequestHandler
         .java): index-level metadata + top terms, all from the committed

@@ -986,3 +986,17 @@ def test_search_after_deep_paging(searcher, oracle):
     finally:
         oracle.similarity = "bm25"
     assert p1 + p2 == exp
+
+
+def test_schema_api(searcher):
+    """Read-only /schema surface: field model + analyzer + codec from the
+    committed manifest."""
+    sch = searcher.schema()
+    names = {f["name"] for f in sch["fields"]}
+    assert "text" in names and {"role", "tool"} <= names
+    text_f = next(f for f in sch["fields"] if f["name"] == "text")
+    assert text_f["norms"] and text_f["avgdl"] > 0
+    role_f = next(f for f in sch["fields"] if f["name"] == "role")
+    assert role_f["type"] == "string" and not role_f["norms"]
+    assert sch["analyzer"]["tokenizer"] == "standard"
+    assert sch["codec"] in ("varbyte", "for")
