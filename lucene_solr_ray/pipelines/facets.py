@@ -326,6 +326,19 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
                 # avg metrics sort by the RATIO, not the sum partial
                 df = df.assign(_sortv=df[mcol(li, key)] / df[f"_n{li}"].astype("float64"))
                 col = "_sortv"
+            elif m is not None and m["type"] in ("variance", "stddev"):
+                # derived metrics sort by their FINAL value, not the s2
+                # moment partial (same formula the finalize applies)
+                from .common import hugeint_to_double as _h2d
+
+                sv = [
+                    (_h2d(int(a2)) - _h2d(int(a1) * int(a1)) / int(k)) / int(k)
+                    for a2, a1, k in zip(
+                        df[mcol(li, key)], df[mcol(li, key) + "__s1"], df[f"_n{li}"]
+                    )
+                ]
+                df = df.assign(_sortv=np.asarray(sv, dtype=np.float64))
+                col = "_sortv"
             else:
                 col = mcol(li, key)
         df = df.sort_values([col, bucket_cols[li]], ascending=[asc, True], kind="mergesort")

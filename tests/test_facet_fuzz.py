@@ -12,11 +12,19 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 
+_VAR_SQL = (
+    "(CAST(SUM(cents*cents) AS BIGINT)"
+    " - (CAST(CAST(SUM(cents) AS BIGINT) AS HUGEINT) * CAST(SUM(cents) AS BIGINT))"
+    " / CAST(COUNT(*) AS BIGINT)) / CAST(COUNT(*) AS BIGINT)"
+)
+
 METRICS = {
     "s": ("sum", "SUM(cents)"),
     "mn": ("min", "MIN(cents)"),
     "mx": ("max", "MAX(cents)"),
+    "vr": ("variance", _VAR_SQL),
 }
+_INT_METRICS = ("s", "mn", "mx")  # vr stays DOUBLE
 
 
 @pytest.fixture(scope="module")
@@ -75,7 +83,8 @@ def _twin_sql(lv) -> str:
     def aggsel(level):
         parts = [f"CAST(COUNT(*) AS BIGINT) AS {level['count_key']}"]
         for name, base in level["mkeys"]:
-            parts.append(f"CAST({METRICS[base][1]} AS BIGINT) AS {name}")
+            cast = "DOUBLE" if base == "vr" else "BIGINT"
+            parts.append(f"CAST({METRICS[base][1]} AS {cast}) AS {name}")
         return ", ".join(parts)
 
     def orderby(level):
@@ -116,7 +125,7 @@ def test_fuzz_nested_terms_facets(ray_session, duck):
             + [n for n, _ in lv[1]["mkeys"]]
         )
         for c in cols:
-            if c.startswith(("s", "mn", "mx")) and c not in (lv[0]["field"], lv[1]["field"]):
+            if c.startswith(_INT_METRICS) and c not in (lv[0]["field"], lv[1]["field"]):
                 out[c] = out[c].astype("int64")
         got = out[cols].sort_values([lv[0]["field"], lv[1]["field"]]).reset_index(drop=True)
         exp = duck.execute(_twin_sql(lv)).df()
