@@ -44,7 +44,7 @@ __all__ = ["build_suggester", "Suggester"]
 
 ROW_GROUP_SIZE = 4096  # tokens / gram rows per row group (pruning granule)
 GRAM_N = 3
-FORMAT = 2  # artifact layout version: 2 adds contexts.parquet
+FORMAT = 3  # artifact layout version: 2 adds contexts.parquet, 3 bigrams.parquet
 CONTEXT_FIELD = "lang"  # AnalyzingInfixSuggester contexts source column
 MAX_CHAR = "\U0010ffff"  # exclusive-ish upper bound for prefix range reads
 
@@ -169,6 +169,45 @@ def build_suggester(sf_dir: str, out_dir: str | Path | None = None, force: bool 
         uniq, cnt = np.unique(keys, return_counts=True)
         return pd.DataFrame({"key": uniq, "cf": cnt.astype("int64")})
 
+    # bigram LM (FreeTextSuggester, lucene/suggest/.../analyzing/
+    # FreeTextSuggester.java builds an n-gram FST): per (ctx_token, next)
+    # counts sorted by ctx_token — a lookup prunes to the context token's
+    # row groups.  Composite "ctx|next" shuffle key, one exchange.
+    def explode_bi(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        counts = toks.map(len).to_numpy(dtype=np.int64)
+        flat = np.concatenate(toks.to_numpy()) if len(toks) else np.array([], dtype=object)
+        if flat.size < 2:
+            return pd.DataFrame({"key": pd.Series([], dtype="string"), "cf": pd.Series([], dtype="int64")})
+        doc_idx = np.repeat(np.arange(len(toks), dtype=np.int64), counts)
+        same = doc_idx[:-1] == doc_idx[1:]
+        keys = (
+            pd.Series(flat[:-1][same], dtype=object) + "|" + pd.Series(flat[1:][same], dtype=object)
+        ).to_numpy()
+        if not keys.size:
+            return pd.DataFrame({"key": pd.Series([], dtype="string"), "cf": pd.Series([], dtype="int64")})
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return pd.DataFrame({"key": uniq, "cf": cnt.astype("int64")})
+
+    bigrams = (
+        rd.read_parquet(src, columns=["text"])
+        .map_batches(explode_bi, batch_format="pandas")
+        .groupby("key")
+        .aggregate(Sum("cf", alias_name="cf"))
+        .sort("key")
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "ctx": b["key"].str.split("|").str[0],
+                    "next": b["key"].str.split("|").str[1],
+                    "cf": b["cf"].astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+    n_bi = _stream_sorted(bigrams, tmp / "bigrams.parquet", ["ctx", "next", "cf"])
+
     n_ctx = 0
     if has_ctx:
         ctxs = (
@@ -198,6 +237,7 @@ def build_suggester(sf_dir: str, out_dir: str | Path | None = None, force: bool 
                 "n_terms": n_terms,
                 "n_grams": n_grams,
                 "n_ctx": n_ctx,
+                "n_bigrams": n_bi,
                 "gram_n": GRAM_N,
                 "context_field": CONTEXT_FIELD if has_ctx else None,
                 "row_group_size": ROW_GROUP_SIZE,
@@ -253,6 +293,23 @@ class Suggester:
             t = t.groupby("token", as_index=False)["cf"].sum()
         return (
             t.sort_values(["cf", "token"], ascending=[False, True]).head(k).reset_index(drop=True)
+        )
+
+    def lookup_freetext(self, context: str, k: int = 8) -> pd.DataFrame:
+        """FreeTextSuggester.lookup: next-token predictions after `context`
+        from the persisted bigram LM, ranked by pair count (ties by token)
+        — one row-group-pruned read of the context token's slice."""
+        if self.manifest.get("format", 0) < 3 or not self.manifest.get("n_bigrams"):
+            raise ValueError("suggester artifact was built without the bigram LM (format < 3)")
+        self.reads += 1
+        t = pq.read_table(
+            self.dir / "bigrams.parquet",
+            columns=["next", "cf"],
+            filters=[("ctx", "==", context)],
+        ).to_pandas()
+        t = t.rename(columns={"cf": "cnt"})
+        return (
+            t.sort_values(["cnt", "next"], ascending=[False, True]).head(k).reset_index(drop=True)
         )
 
     def lookup_fuzzy(self, prefix: str, k: int = 8, max_edits: int = 1) -> pd.DataFrame:

@@ -723,6 +723,12 @@ SUGGEST_FUZZY = "sot"  # one edit inside the prefix of e.g. "sort"
 SUGGEST_FUZZY_EDITS = 1
 
 
+def suggest_artifact_freetext(sf_dir: str):
+    from ..index.suggest import Suggester, build_suggester
+
+    return Suggester(build_suggester(sf_dir)).lookup_freetext(FREETEXT_CTX, FREETEXT_K)
+
+
 def suggest_artifact_fuzzy(sf_dir: str):
     from ..index.suggest import Suggester, build_suggester
 
@@ -1893,6 +1899,11 @@ PIPELINES: dict[str, Pipeline] = {
         suggest_freetext, SUGGEST_FREETEXT_SQL, "next-token prediction from a corpus bigram LM (FreeTextSuggester)"
     ),
     "suggest_infix": Pipeline(suggest_infix, SUGGEST_INFIX_SQL, "infix/substring completion by cf (AnalyzingInfixSuggester)"),
+    "suggest_artifact_freetext": Pipeline(
+        suggest_artifact_freetext,
+        SUGGEST_FREETEXT_SQL,
+        "next-token prediction from the PERSISTED bigram-LM artifact (FreeTextSuggester build+lookup)",
+    ),
     "suggest_artifact_prefix": Pipeline(
         suggest_artifact_prefix, SUGGEST_SQL, "prefix lookup from the persisted suggester artifact (FST build analog)"
     ),

@@ -181,3 +181,31 @@ def test_contexts_refused_without_context_column(artifact):
         s.lookup("sug", 5, contexts=["en"])
     with pytest.raises(ValueError, match="without contexts"):
         s.lookup_infix("oin", 5, contexts=["en"])
+
+
+def test_freetext_artifact_lookup_and_refusal(ray_session, tmp_path):
+    """Persisted bigram-LM lookup (FreeTextSuggester): artifact answers
+    match the recompute pipeline; a pre-format-3 artifact refuses with a
+    clear error instead of serving garbage."""
+    import json
+
+    from lucene_solr_ray.index.suggest import Suggester, build_suggester
+    from lucene_solr_ray.pipelines.text import FREETEXT_CTX, suggest_freetext
+
+    d = build_suggester(SF, out_dir=tmp_path / "art", force=True)
+    s = Suggester(d)
+    got = s.lookup_freetext(FREETEXT_CTX, 8)
+    exp = suggest_freetext(SF)
+    assert got["next"].tolist() == exp["next"].tolist()
+    assert got["cnt"].tolist() == exp["cnt"].tolist()
+    # unseen context → empty frame, no error
+    assert len(s.lookup_freetext("zzzznotatoken")) == 0
+    # format downgrade → refusal
+    man = json.loads((d / "manifest.json").read_text())
+    man["format"] = 2
+    man.pop("n_bigrams", None)
+    (d / "manifest.json").write_text(json.dumps(man))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bigram"):
+        Suggester(d).lookup_freetext(FREETEXT_CTX)
