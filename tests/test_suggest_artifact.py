@@ -192,10 +192,11 @@ def test_freetext_artifact_lookup_and_refusal(ray_session, tmp_path):
     from lucene_solr_ray.index.suggest import Suggester, build_suggester
     from lucene_solr_ray.pipelines.text import FREETEXT_CTX, suggest_freetext
 
-    d = build_suggester(SF, out_dir=tmp_path / "art", force=True)
+    sf = "/root/testdata/sf0.001"
+    d = build_suggester(sf, out_dir=tmp_path / "art", force=True)
     s = Suggester(d)
     got = s.lookup_freetext(FREETEXT_CTX, 8)
-    exp = suggest_freetext(SF)
+    exp = suggest_freetext(sf)
     assert got["next"].tolist() == exp["next"].tolist()
     assert got["cnt"].tolist() == exp["cnt"].tolist()
     # unseen context → empty frame, no error
