@@ -578,6 +578,59 @@ FROM page CROSS JOIN ng ORDER BY o_custkey
 """
 
 
+# Date-math range facet (solr/core/.../util/DateMathParser.java powering
+# facet.range on date fields): the bucket bounds come from REAL date-math
+# expressions evaluated against a pinned NOW — the SQL twin derives the
+# same instants independently with date_trunc + INTERVAL arithmetic
+# (DuckDB clamps month ends exactly like Calendar.add), so the gate
+# verifies the parser, not just the bucketing.
+
+DM_NOW = "2024-02-20T10:30:00Z"
+DM_START_EXPR = "NOW/MONTH-1MONTH"  # → 2024-01-01
+DM_END_EXPR = "NOW/MONTH+1MONTH"  # → 2024-03-01
+DM_GAP_US = 7 * 86_400_000_000  # 7 days
+
+
+def date_math_range_facet(sf_dir: str):
+    from ..functions.datemath import parse_date_math
+
+    s_us = int(np.datetime64(parse_date_math(DM_START_EXPR, now=DM_NOW), "us").astype("int64"))
+    e_us = int(np.datetime64(parse_date_math(DM_END_EXPR, now=DM_NOW), "us").astype("int64"))
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        us = ts_us(batch["ts"])
+        keep = (us >= s_us) & (us < e_us)
+        bk = (us[keep] - s_us) // DM_GAP_US
+        g = pd.DataFrame({"bk": bk, "n": 1, "cents": cents(batch["value"].to_numpy()[keep])})
+        return g.groupby("bk", as_index=False).sum()
+
+    out = merge_partials(
+        read(sf_dir, "events", ["ts", "value"]).map_batches(part, batch_format="pandas"),
+        ["bk"],
+        {"n": "sum", "cents": "sum"},
+    )
+    out["bucket_start_us"] = (s_us + out["bk"].astype("int64") * DM_GAP_US).astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["cents"] = out["cents"].astype("int64")
+    return out[["bucket_start_us", "n", "cents"]].sort_values("bucket_start_us").reset_index(drop=True)
+
+
+DATE_MATH_SQL = f"""
+WITH b AS (
+  SELECT date_trunc('month', TIMESTAMP '2024-02-20 10:30:00') - INTERVAL 1 MONTH AS s,
+         date_trunc('month', TIMESTAMP '2024-02-20 10:30:00') + INTERVAL 1 MONTH AS e
+),
+f AS (
+  SELECT (epoch_us(ts) - epoch_us(s)) // {DM_GAP_US} AS bk, epoch_us(s) AS s_us, value
+  FROM events CROSS JOIN b WHERE ts >= s AND ts < e
+)
+SELECT CAST(s_us + bk * {DM_GAP_US} AS BIGINT) AS bucket_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents
+FROM f GROUP BY 1 ORDER BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.6 collapse (CollapsingQParserPlugin): keep the best doc per group key.
 
@@ -1411,6 +1464,11 @@ PIPELINES: dict[str, Pipeline] = {
     "merge_union": Pipeline(merge_union, MERGE_UNION_SQL, "sorted union (MergeStream)"),
     "unique_values": Pipeline(unique_values, UNIQUE_SQL, "distinct values (UniqueStream)"),
     "cursor_paging": Pipeline(cursor_paging, CURSOR_SQL, "keyset pagination (CursorMark)"),
+    "date_math_range_facet": Pipeline(
+        date_math_range_facet,
+        DATE_MATH_SQL,
+        "range facet with REAL date-math bounds (DateMathParser NOW/MONTH±N) — twin derives the same instants via date_trunc+INTERVAL",
+    ),
     "percentile_disc": Pipeline(percentile_disc, PERCENTILE_SQL, "exact discrete percentiles via distributed value counts (StatsComponent percentiles)"),
     "percentile_tdigest": Pipeline(percentile_tdigest, None, "mergeable t-digest percentile sketch (PercentileAgg); accuracy-tested in pytest"),
 }
