@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import calendar
 import re
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 
 __all__ = ["parse_date_math"]
 
@@ -86,7 +86,7 @@ def parse_date_math(expr: str, now: str | datetime | None = None) -> datetime:
     expr = expr.strip()
     if expr.startswith("NOW"):
         if now is None:
-            base = datetime.utcnow()
+            base = datetime.now(timezone.utc).replace(tzinfo=None)
         elif isinstance(now, datetime):
             base = now
         else:

@@ -299,8 +299,12 @@ class Suggester:
         """FreeTextSuggester.lookup: next-token predictions after `context`
         from the persisted bigram LM, ranked by pair count (ties by token)
         — one row-group-pruned read of the context token's slice."""
-        if self.manifest.get("format", 0) < 3 or not self.manifest.get("n_bigrams"):
+        if self.manifest.get("format", 0) < 3:
             raise ValueError("suggester artifact was built without the bigram LM (format < 3)")
+        if not self.manifest.get("n_bigrams"):
+            # a valid format-3 artifact over a corpus with no 2-token docs:
+            # zero bigrams is an answer, not an error
+            return pd.DataFrame({"next": pd.Series([], dtype=object), "cnt": pd.Series([], dtype="int64")})
         self.reads += 1
         t = pq.read_table(
             self.dir / "bigrams.parquet",

@@ -223,8 +223,9 @@ def monitor_match(sf_dir: str, queries: list[tuple[str, str]] | None = None):
         key = _ref.hex()
         m = _MATCHER_CACHE.get(key)
         if m is None:
-            _MATCHER_CACHE.clear()
-            m = _MATCHER_CACHE[key] = ray.get(_ref)
+            if len(_MATCHER_CACHE) >= 4:  # bound without evicting OTHER
+                _MATCHER_CACHE.pop(next(iter(_MATCHER_CACHE)))  # concurrent
+            m = _MATCHER_CACHE[key] = ray.get(_ref)  # pipelines' entries
         return m(batch)
 
     out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(

@@ -34,9 +34,13 @@ _TRANS = {**{ord(s): d for s, d in zip(_SRC, _DST)}, ord(" "): None, ord("_"): N
 
 CJK_RE = r"[\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}\x{ac00}-\x{d7af}]+"
 # the ICU-lite ASCII word class: letters+digits, NO underscore (Pc breaks
-# in the icu chain, unlike the core TOKEN_RE) — twin-side count parity on
-# any future corpus containing '_' (zh rows additionally count residual
-# word runs the translate() map leaves untouched, e.g. uppercase)
+# in the icu chain, unlike the core TOKEN_RE); zh rows additionally count
+# residual word runs the translate() map leaves untouched.  The twin's
+# parity DOMAIN is ASCII + the derived Han slice (exactly what the driver
+# corpus and the translate() derivation produce): full ICU semantics —
+# non-ASCII Latin runs, script splits, accent folding — are not
+# RE2-expressible, and are covered by the tokenizer's own property tests
+# (tests/test_icu.py), not this SQL twin.
 WORD_RE = "[a-z0-9]+"
 TOP_BIGRAMS = 20
 

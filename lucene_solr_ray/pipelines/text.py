@@ -1396,16 +1396,27 @@ def domain_mix_report(sf_dir: str):
         toks = _tokens(batch["text"])
         n_tok = toks.map(len).to_numpy(np.int64)
         g = pd.DataFrame(
-            {"source": batch["source"], "lang": batch["lang"], "docs": 1, "tokens": n_tok}
+            {
+                # NULL-bucket parity (the drill/jw twin rule): missing
+                # source/lang rows become a sentinel bucket on BOTH sides —
+                # pandas groupby drops NaN keys and the twin's GROUP BY
+                # keeps NULLs, so raw NULLs would both lose the bucket and
+                # shift every token_share
+                "source": batch["source"].fillna("__missing__"),
+                "lang": batch["lang"].fillna("__missing__"),
+                "docs": 1,
+                "tokens": n_tok,
+            }
         )
         return g.groupby(["source", "lang"], as_index=False).sum()
 
-    parts = (
-        read(sf_dir, "documents", ["source", "lang", "text"])
-        .map_batches(part, batch_format="pandas")
-        .to_pandas()
+    g = merge_partials(
+        read(sf_dir, "documents", ["source", "lang", "text"]).map_batches(
+            part, batch_format="pandas"
+        ),
+        ["source", "lang"],
+        {"docs": "sum", "tokens": "sum"},
     )
-    g = parts.groupby(["source", "lang"], as_index=False)[["docs", "tokens"]].sum()
     total_tokens = int(g["tokens"].sum())
     g["docs"] = g["docs"].astype("int64")
     g["tokens"] = g["tokens"].astype("int64")
@@ -1416,7 +1427,8 @@ def domain_mix_report(sf_dir: str):
 
 DOMAIN_MIX_SQL = f"""
 WITH d AS (
-  SELECT source, lang,
+  SELECT COALESCE(source, '__missing__') AS source,
+         COALESCE(lang, '__missing__') AS lang,
          CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n
   FROM documents
 ),

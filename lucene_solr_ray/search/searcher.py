@@ -787,11 +787,17 @@ class Searcher:
         return self.stats.idfs(terms)
 
     def search_node(
-        self, node, k: int = 10, prune: bool = True, similarity: str = "bm25"
+        self,
+        node,
+        k: int = 10,
+        prune: bool = True,
+        similarity: str = "bm25",
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Programmatic query execution (dismax/term_set/minShouldMatch
         nodes have no string syntax, matching the reference's API-level
-        queries)."""
+        queries).  `after` = (score, doc_id) shard-side strict-after bound
+        (searchAfter — see `search_after` for the string-query wrapper)."""
         # multi-term (prefix/wildcard/fuzzy) expansion against the sorted
         # global term dictionary (Query.rewrite step, SURVEY.md §3.2)
         node = self._rewrite(node)
@@ -800,7 +806,7 @@ class Searcher:
         idfs = self._weights_for(node, similarity)
         # tombstones masked at decode actor-side: no over-fetch needed —
         # shard top-k is already live-only
-        parts = self._scatter("top_k", node, k, idfs, prune, similarity)
+        parts = self._scatter("top_k", node, k, idfs, prune and after is None, similarity, after)
         docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float32)
         if docs.size == 0:
@@ -826,18 +832,8 @@ class Searcher:
         node = self._parse(query)
         if node is None:
             return []
-        node = self._rewrite(node)
-        if node is None:
-            return []
-        idfs = self._weights_for(node, similarity)
         a = (float(after[1]), int(after[0])) if after is not None else None
-        parts = self._scatter("top_k", node, k, idfs, a is None, similarity, a)
-        docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
-        scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float32)
-        if docs.size == 0:
-            return []
-        order = np.lexsort((docs, -scores))[:k]
-        return [(int(docs[i]), float(scores[i])) for i in order]
+        return self.search_node(node, k, similarity=similarity, after=a)
 
     def explain(self, query: str, doc_id: int, similarity: str = "bm25"):
         """debugQuery-style explanation (solr/core/.../util/SolrPluginUtils
