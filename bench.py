@@ -65,7 +65,7 @@ SUITE = [
     # round-4 additions: multilingual/CJK analysis, passage highlighting,
     # distributed sequence packing
     "icu_multilingual_tokens", "cjk_top_bigrams", "highlight_unified",
-    "sequence_pack",
+    "sequence_pack", "substring_dup_spans", "domain_mix_report",
 ]
 
 

@@ -295,10 +295,13 @@ class Suggester:
             t.sort_values(["cf", "token"], ascending=[False, True]).head(k).reset_index(drop=True)
         )
 
-    def lookup_freetext(self, context: str, k: int = 8) -> pd.DataFrame:
+    def lookup_freetext(self, context: str, k: int = 8, backoff: bool = True) -> pd.DataFrame:
         """FreeTextSuggester.lookup: next-token predictions after `context`
         from the persisted bigram LM, ranked by pair count (ties by token)
-        — one row-group-pruned read of the context token's slice."""
+        — one row-group-pruned read of the context token's slice.  With
+        `backoff` (the suggester's stupid-backoff to the lower-order
+        model), an UNSEEN context answers with the top unigrams by cf
+        instead of nothing."""
         if self.manifest.get("format", 0) < 3:
             raise ValueError("suggester artifact was built without the bigram LM (format < 3)")
         if not self.manifest.get("n_bigrams"):
@@ -312,6 +315,10 @@ class Suggester:
             filters=[("ctx", "==", context)],
         ).to_pandas()
         t = t.rename(columns={"cf": "cnt"})
+        if not len(t) and backoff:
+            u = pq.read_table(self.dir / "terms.parquet").to_pandas()
+            u = u.rename(columns={"token": "next", "cf": "cnt"})
+            t = u
         return (
             t.sort_values(["cnt", "next"], ascending=[False, True]).head(k).reset_index(drop=True)
         )

@@ -59,6 +59,7 @@ def _weight(dl: float, ttf: float) -> float:
 def score_passages(
     tokens: list[str], terms: tuple[str, ...], ttf_of: dict[str, int],
     fragsize: int = HL_FRAGSIZE, snippets: int = HL_SNIPPETS,
+    tag_pre: str = "<em>", tag_post: str = "</em>",
 ) -> list[tuple[int, float, str]]:
     """Single-document reference scorer → [(passage_idx, score, snippet)],
     best first.  Used by Searcher.highlight (≤k docs) and as the pytest
@@ -78,7 +79,7 @@ def score_passages(
     out = []
     for p, s in best:
         window = tokens[p * fragsize : (p + 1) * fragsize]
-        snip = " ".join(f"<em>{x}</em>" if x in term_set else x for x in window)
+        snip = " ".join(f"{tag_pre}{x}{tag_post}" if x in term_set else x for x in window)
         out.append((p, s, snip))
     return out
 

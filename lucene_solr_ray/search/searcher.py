@@ -903,7 +903,8 @@ class Searcher:
 
     # -- UnifiedHighlighter -------------------------------------------------
     def highlight(
-        self, query: str, k: int = 10, fragsize: int = 20, snippets: int = 2
+        self, query: str, k: int = 10, fragsize: int = 20, snippets: int = 2,
+        tag_pre: str = "<em>", tag_post: str = "</em>",
     ) -> list[tuple[int, float, list[tuple[int, float, str]]]]:
         """UnifiedHighlighter over the top-k hits (lucene/highlighter/.../
         uhighlight/UnifiedHighlighter.java): search, fetch the winners'
@@ -928,7 +929,9 @@ class Searcher:
         out = []
         for d, s in hits:
             toks = [t for t, _ in _an(texts.get(d, ""))]
-            out.append((d, s, score_passages(toks, terms, ttf, fragsize, snippets)))
+            out.append(
+                (d, s, score_passages(toks, terms, ttf, fragsize, snippets, tag_pre, tag_post))
+            )
         return out
 
     # -- TermVectorComponent ----------------------------------------------

@@ -1000,3 +1000,17 @@ def test_schema_api(searcher):
     assert role_f["type"] == "string" and not role_f["norms"]
     assert sch["analyzer"]["tokenizer"] == "standard"
     assert sch["codec"] in ("varbyte", "for")
+
+
+def test_highlight_custom_tags_and_freetext_backoff(searcher):
+    """hl.tag.pre/post override the markup; the persisted freetext
+    suggester backs off to unigram popularity on an unseen context."""
+    out = searcher.highlight("error", k=2, fragsize=8, tag_pre="[", tag_post="]")
+    assert any("[error]" in snip for _, _, frags in out for _, _, snip in frags)
+    from lucene_solr_ray.index.suggest import Suggester, build_suggester
+
+    d = build_suggester("/root/testdata/sf0.001")
+    s = Suggester(d)
+    bo = s.lookup_freetext("zzzznotatoken", 5)
+    assert len(bo) == 5 and (bo["cnt"] > 0).all()  # stupid-backoff unigrams
+    assert len(s.lookup_freetext("zzzznotatoken", 5, backoff=False)) == 0
