@@ -199,8 +199,10 @@ def test_freetext_artifact_lookup_and_refusal(ray_session, tmp_path):
     exp = suggest_freetext(sf)
     assert got["next"].tolist() == exp["next"].tolist()
     assert got["cnt"].tolist() == exp["cnt"].tolist()
-    # unseen context → empty frame, no error
-    assert len(s.lookup_freetext("zzzznotatoken")) == 0
+    # unseen context: stupid-backoff serves top unigrams by default, and
+    # backoff=False answers empty (no error either way)
+    assert len(s.lookup_freetext("zzzznotatoken")) > 0
+    assert len(s.lookup_freetext("zzzznotatoken", backoff=False)) == 0
     # format downgrade → refusal
     man = json.loads((d / "manifest.json").read_text())
     man["format"] = 2
