@@ -1014,3 +1014,24 @@ def test_highlight_custom_tags_and_freetext_backoff(searcher):
     bo = s.lookup_freetext("zzzznotatoken", 5)
     assert len(bo) == 5 and (bo["cnt"] > 0).all()  # stupid-backoff unigrams
     assert len(s.lookup_freetext("zzzznotatoken", 5, backoff=False)) == 0
+
+
+def test_search_after_fuzz_queries(searcher, oracle):
+    """searchAfter paging reconstructs the oracle ranking for varied query
+    shapes (boolean, phrase, prefix, filter) and page sizes."""
+    for q, k in [
+        ("+error ok", 7),
+        ('"tool output" bash', 5),
+        ("w0000* -bash", 9),
+        ("error #role:assistant", 6),
+    ]:
+        full = [(d, float(s)) for d, s in oracle.search(q, 10**6)]
+        pages, after = [], None
+        while len(pages) < min(len(full), 40):
+            page = searcher.search_after(q, k=k, after=after)
+            if not page:
+                break
+            pages.extend(page)
+            after = page[-1]
+        assert pages == full[: len(pages)], q
+        assert len(pages) == min(len(full), len(pages) // k * k + (len(pages) % k)), q
