@@ -451,7 +451,7 @@ class Searcher:
     # -- terms / facets over the index ------------------------------------
     def terms(
         self, prefix: str = "", limit: int = 10, regex: str | None = None,
-        regex_dialect: str = "java",
+        regex_dialect: str = "java", sort: str = "count", mincount: int = 1,
     ) -> list[tuple[str, int]]:
         """/terms handler (solr/core/.../handler/component/TermsComponent.java):
         dictionary terms with df, ranked (df desc, term asc) — the
@@ -466,7 +466,14 @@ class Searcher:
         if not frames:
             return []
         g = pd.concat(frames).groupby("term", as_index=False)["df"].sum()
-        g = g.sort_values(["df", "term"], ascending=[False, True], kind="mergesort").head(limit)
+        # terms.mincount / terms.sort (TermsComponent.java): mincount
+        # filters on the GLOBAL df (after the shard-df sum); sort=index is
+        # plain term order, sort=count the (df desc, term asc) default
+        g = g[g["df"] >= mincount]
+        if sort == "index":
+            g = g.sort_values("term", kind="mergesort").head(limit)
+        else:
+            g = g.sort_values(["df", "term"], ascending=[False, True], kind="mergesort").head(limit)
         return [(str(t), int(d)) for t, d in zip(g["term"], g["df"])]
 
     def facet_field(self, field: str, limit: int = 10) -> list[tuple[str, int]]:

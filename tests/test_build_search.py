@@ -1035,3 +1035,14 @@ def test_search_after_fuzz_queries(searcher, oracle):
             after = page[-1]
         assert pages == full[: len(pages)], q
         assert len(pages) == min(len(full), len(pages) // k * k + (len(pages) % k)), q
+
+
+def test_terms_sort_index_and_mincount(searcher, oracle):
+    """terms.sort=index + terms.mincount: global-df filter then plain term
+    order (TermsComponent params)."""
+    out = searcher.terms(prefix="err", limit=5, sort="index")
+    assert out == sorted(out)  # term order, not count order
+    assert all(oracle.df[t] == d for t, d in out)
+    hi = searcher.terms(limit=1000, mincount=50)
+    assert all(d >= 50 for _, d in hi)
+    assert searcher.terms(limit=10, mincount=10**9) == []
