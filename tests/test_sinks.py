@@ -89,3 +89,30 @@ def test_crash_mid_job_keeps_completed_partitions(ray_session, events_ds, tmp_pa
         pq.read_table(p).num_rows for p in out.rglob("*.parquet")
     )
     assert n_total == events_ds.count()
+
+
+def test_curate_flagship_into_partitioned_sink(ray_session, tmp_path):
+    """End-to-end training-data run: the curate_corpus flagship's survivors
+    land in a per-lang resumable partitioned sink; a rerun with one marker
+    removed rewrites only that partition and the data round-trips."""
+    import ray.data as rd
+
+    from lucene_solr_ray.pipelines.curate import curate_corpus
+
+    survivors = curate_corpus("/root/testdata/sf0.001")
+    assert len(survivors) and set(survivors["lang"]) <= {"de", "en"}
+    ds = rd.from_pandas(survivors)
+    out = tmp_path / "curated"
+    r1 = write_partitioned(ds, out, "lang")
+    assert sorted(r1["written"]) == sorted(set(survivors["lang"]))
+    # crash-resume: drop one marker, only that partition rewrites
+    victim = r1["written"][0]
+    (out / f"_DONE_{victim}").unlink()
+    r2 = write_partitioned(ds, out, "lang")
+    assert r2["written"] == [victim]
+    import duckdb
+
+    got = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{out}/*/*.parquet', hive_partitioning=1)"
+    ).fetchone()[0]
+    assert got == len(survivors)
