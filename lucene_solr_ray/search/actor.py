@@ -863,6 +863,36 @@ class IndexShard:
     # column scan, cost ≈ maxDoc); pick by estimated cost.
     RANGE_SCAN_FRACTION = 8  # index wins when Σ df ≤ maxDoc / 8
 
+    def top_k_collapse(self, node: QueryNode, field: str, k: int, idfs: dict[str, float], sim: str = "bm25"):
+        """Shard-local query-time collapse (solr/core/.../search/
+        CollapsingQParserPlugin.java): evaluate ALL matching docs, keep the
+        best hit per `field` doc-value group (score desc, docID asc —
+        nullPolicy=ignore: docs without a value drop).  Returns at most one
+        (doc, score, group) per group PER SHARD — the driver merge is
+        bounded by the group domain, never the hit count."""
+        docs, scores = self._eval(node, idfs, sim)
+        if not docs.size:
+            return _EMPTY_I64, _EMPTY_F64, np.empty(0, dtype=object)
+        dv = self._load_docvalues(field)
+        if dv is None:
+            return _EMPTY_I64, _EMPTY_F64, np.empty(0, dtype=object)
+        fd, fv = dv
+        vals = fv[np.searchsorted(fd, docs)]
+        keep = np.array([v is not None for v in vals.tolist()], dtype=bool)
+        docs, scores, vals = docs[keep], scores[keep].astype(np.float32), vals[keep]
+        if not docs.size:
+            return _EMPTY_I64, _EMPTY_F64, np.empty(0, dtype=object)
+        # best per group: (score desc, doc asc) order, then first per value
+        order = np.lexsort((docs, -scores))
+        docs, scores, vals = docs[order], scores[order], vals[order]
+        codes, _ = __import__("pandas").factorize(vals)
+        _, first_idx = np.unique(codes, return_index=True)  # first hit per
+        sel = np.sort(first_idx)  # group in rank order — vectorized
+        out_docs, out_scores, out_vals = docs[sel], scores[sel], vals[sel]
+        # shard-local top-k groups is NOT safe to cut (another shard may
+        # beat a group's best) — return all group winners (domain-bounded)
+        return out_docs, out_scores, out_vals
+
     def _load_docvalues(self, field: str):
         """(doc_id, value) doc-values column for a keyword field, loaded
         once from the norms segments (the SortedDocValues analog)."""

@@ -821,6 +821,35 @@ class Searcher:
         order = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]), float(scores[i])) for i in order]
 
+    def search_collapse(
+        self, query: str, field: str, k: int = 10, similarity: str = "bm25"
+    ) -> list[tuple[int, float, str]]:
+        """Query-time collapse on the index path ({!collapse field=...},
+        CollapsingQParserPlugin): one best hit per `field` doc-value group,
+        ranked (score desc, docID asc), top-k groups.  Each shard returns
+        at most one winner per group (shard-side doc-value gather), the
+        driver keeps the best per group across shards — merge traffic is
+        group-domain-bounded, never hit-count-bounded.  nullPolicy=ignore:
+        docs without the field drop.  → [(doc_id, score, group_value)]."""
+        node = self._parse(query)
+        if node is None:
+            return []
+        node = self._rewrite(node)
+        if node is None:
+            return []
+        idfs = self._weights_for(node, similarity)
+        parts = self._scatter("top_k_collapse", node, field, k, idfs, similarity)
+        frames = [
+            pd.DataFrame({"doc": d, "score": s, "val": v.astype(object)})
+            for d, s, v in parts
+            if d.size
+        ]
+        if not frames:
+            return []
+        g = pd.concat(frames).sort_values(["score", "doc"], ascending=[False, True], kind="mergesort")
+        g = g.drop_duplicates("val").head(k)
+        return [(int(d), float(s), str(v)) for d, s, v in zip(g["doc"], g["score"], g["val"])]
+
     def search_after(
         self,
         query: str,

@@ -1046,3 +1046,23 @@ def test_terms_sort_index_and_mincount(searcher, oracle):
     hi = searcher.terms(limit=1000, mincount=50)
     assert all(d >= 50 for _, d in hi)
     assert searcher.terms(limit=10, mincount=10**9) == []
+
+
+def test_search_collapse_duel(searcher, oracle, corpus):
+    """{!collapse field=...} on the index path: one best hit per doc-value
+    group — duel vs a brute-force collapse over the oracle's full ranking."""
+    _, full = corpus
+    for fld, q in [("role", "error ok"), ("tool", "+error bash"), ("role", '"tool output"')]:
+        vals = full.column(fld).to_pylist()
+        ranked = oracle.search(q, 10**6)
+        seen, exp = set(), []
+        for d, s in ranked:
+            v = vals[d]
+            if v is None or v in seen:
+                continue
+            seen.add(v)
+            exp.append((d, float(s), str(v)))
+        got = searcher.search_collapse(q, fld, k=10)
+        assert got == exp[:10], (fld, q)
+    # unknown field ⇒ no dv column ⇒ empty, not an error
+    assert searcher.search_collapse("error", "nosuchfield", 5) == []
