@@ -335,6 +335,73 @@ def parse_query(query: str, analyzer=None) -> QueryNode | None:
     return QueryNode("bool", clauses=clauses)
 
 
+_CP_ELEM_RE = re.compile(r"\(([^)]*)\)(?:~(\d+))?|(\S+)")
+
+
+def _cp_slot_nodes(raw: str, analyzer) -> list[QueryNode]:
+    """One whitespace-separated element inside a complex phrase → slot
+    node(s).  Wildcard/prefix/fuzzy elements are lowercased but NOT
+    analyzed (Lucene skips analysis for multi-term queries); plain
+    elements run through the analyzer and may yield several consecutive
+    slots (or none, for stopwords)."""
+    if "*" in raw or "?" in raw:
+        pat = raw.lower()
+        if re.fullmatch(r"[a-z0-9_]+\*", pat):
+            return [QueryNode("prefix", pattern=pat[:-1])]
+        return [QueryNode("wildcard", pattern=pat)]
+    m = _FUZZY_RE.match(raw)
+    if m:
+        toks = [t for t, _ in analyzer(m.group(1))]
+        if len(toks) == 1:
+            edits = int(m.group(2)) if m.group(2) else 2
+            return [QueryNode("fuzzy", pattern=toks[0], max_edits=min(edits, 2))]
+    toks = [t for t, _ in analyzer(raw)]
+    return [QueryNode("term", terms=[t]) for t in toks]
+
+
+def complex_phrase(text: str, slop: int = 0, boost: float = 1.0, analyzer=None) -> QueryNode | None:
+    """ComplexPhraseQueryParser phrase body (lucene/queryparser/src/java/
+    org/apache/lucene/queryparser/complexPhrase/ComplexPhraseQueryParser
+    .java; Solr `{!complexphrase}`): a quoted phrase whose elements may be
+    wildcards (`ba*`, `wi?d`), fuzzy terms (`smyth~`, `smyth~1`) or
+    parenthesized alternative groups (`(john jon)`).  Parses to a
+    `complex_phrase` node whose slots rewrite against the term dictionary
+    (shard-side in the distributed path) into a MultiPhraseQuery.
+
+    Analysis contract: plain elements run the index analyzer (stopwords
+    drop their slot — collapsing the position, the documented variant);
+    multi-term elements are lowercased only."""
+    analyzer = analyzer or tokenize
+    slots: list[QueryNode] = []
+    for m in _CP_ELEM_RE.finditer(text):
+        group, word = m.group(1), m.group(3)
+        if group is not None:
+            alts: list[QueryNode] = []
+            for w in group.split():
+                alts.extend(_cp_slot_nodes(w, analyzer))
+            if not alts:
+                continue  # all-stopword group: position collapses
+            slots.append(alts[0] if len(alts) == 1 else QueryNode("bool", clauses=[("SHOULD", a) for a in alts]))
+        else:
+            slots.extend(_cp_slot_nodes(word, analyzer))
+    if not slots:
+        return None
+    if len(slots) == 1:
+        one = slots[0]
+        one.boost = one.boost * boost
+        return one  # single-position phrase degrades to its slot query
+    if not any(multi_term_nodes(s) for s in slots):
+        # no dictionary expansion needed → concrete MultiPhraseQuery now
+        # (the distributed rewrite only visits trees with multi-term leaves)
+        return QueryNode(
+            "multi_phrase",
+            slots=[list(dict.fromkeys(_term_leaves(s))) for s in slots],
+            slop=slop,
+            boost=boost,
+        )
+    return QueryNode("complex_phrase", clauses=[("SLOT", s) for s in slots], slop=slop, boost=boost)
+
+
 def _wildcard_to_re(pattern: str) -> re.Pattern:
     return re.compile("".join(".*" if c == "*" else "." if c == "?" else re.escape(c) for c in pattern) + "$")
 
@@ -389,7 +456,7 @@ def multi_term_nodes(node: QueryNode) -> list[QueryNode]:
     distributed rewrite must expand before scoring)."""
     if node.kind in ("prefix", "wildcard", "fuzzy", "regexp"):
         return [node]
-    if node.kind in ("bool", "dismax"):
+    if node.kind in ("bool", "dismax", "complex_phrase"):
         out: list[QueryNode] = []
         for _, c in node.clauses:
             out.extend(multi_term_nodes(c))
@@ -419,6 +486,21 @@ def rewrite_with(node: QueryNode, expander) -> QueryNode | None:
             clauses=[("SHOULD", QueryNode("term", terms=[t])) for t in expanded],
             boost=node.boost,
         )
+    if node.kind == "complex_phrase":
+        # ComplexPhraseQueryParser rewrite (lucene/queryparser/.../
+        # complexPhrase/ComplexPhraseQueryParser.java): each slot's
+        # embedded multi-term / group query expands against the term
+        # dictionary, then the phrase becomes a MultiPhraseQuery with
+        # per-slot alternatives.  Any slot that expands to nothing →
+        # MatchNoDocsQuery (the span rewrite's empty-clause contract).
+        slots: list[list[str]] = []
+        for _, c in node.clauses:
+            rc = rewrite_with(c, expander)
+            alts = list(dict.fromkeys(_term_leaves(rc))) if rc is not None else []
+            if not alts:
+                return QueryNode("bool", clauses=[], boost=node.boost)  # matches nothing
+            slots.append(alts)
+        return QueryNode("multi_phrase", slots=slots, slop=node.slop, boost=node.boost)
     if node.kind in ("bool", "dismax"):
         new = [(occ, rewrite_with(c, expander)) for occ, c in node.clauses]
         return QueryNode(
@@ -429,6 +511,16 @@ def rewrite_with(node: QueryNode, expander) -> QueryNode | None:
             tiebreak=node.tiebreak,
         )
     return node
+
+
+def _term_leaves(node: QueryNode) -> list[str]:
+    """Concrete term leaves of a rewritten slot subtree, in order."""
+    if node.kind == "term":
+        return [node.terms[0]]
+    out: list[str] = []
+    for _, c in node.clauses:
+        out.extend(_term_leaves(c))
+    return out
 
 
 def rewrite(node: QueryNode, sorted_terms) -> QueryNode | None:

@@ -726,6 +726,20 @@ class Searcher:
             return []
         return self.search_node(node, k, prune=prune, similarity=similarity)
 
+    def search_complex_phrase(
+        self, phrase: str, k: int = 10, slop: int = 0, similarity: str = "bm25"
+    ) -> list[tuple[int, float]]:
+        """Solr `{!complexphrase}` (ComplexPhraseQueryParser): a phrase
+        whose elements may be wildcards, fuzzy terms, or `(a b)` groups —
+        slots expand SHARD-SIDE like any multi-term query and the phrase
+        executes as a MultiPhraseQuery."""
+        from .query import complex_phrase
+
+        node = complex_phrase(phrase, slop=slop, analyzer=self._analyzer)
+        if node is None:
+            return []
+        return self.search_node(node, k, similarity=similarity)
+
     def _weights_for(self, node, similarity: str = "bm25") -> dict:
         """Per-term weights + blended SynonymQuery weights for every
         synonym node in the tree: docFreq = max over members, ttf = sum
