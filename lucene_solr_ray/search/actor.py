@@ -532,23 +532,16 @@ class IndexShard:
         return self._score_intervals_tree(tree, idfs, sim)
 
     def _score_intervals_tree(self, tree, idfs: dict[str, float], sim: str):
-        """Full intervals algebra (search/intervals.py): candidates are the
-        conjunction of the tree's scored-term doc lists; freq = intervals
-        per doc; scored like a phrase over the tree's leaf terms."""
+        """Full intervals algebra (search/intervals.py): candidates follow
+        the tree's required-set structure (union under `or`, intersection
+        under chains — IV.candidate_docs); freq = intervals per doc;
+        scored like a phrase over the tree's leaf terms."""
         from . import intervals as IV
 
-        req = tree.scored_terms()
-        cand = None
-        for t in dict.fromkeys(req):
-            p = self._postings(t, with_positions=True)
-            if p is None:
-                return _EMPTY_I64, _EMPTY_F64
-            cand = p[0] if cand is None else np.intersect1d(cand, p[0], assume_unique=True)
-            if cand.size == 0:
-                return _EMPTY_I64, _EMPTY_F64
-        if cand is None:
-            return _EMPTY_I64, _EMPTY_F64
         provider = lambda t: self._postings(t, with_positions=True)  # noqa: E731
+        cand = IV.candidate_docs(tree, provider)
+        if cand.size == 0:
+            return _EMPTY_I64, _EMPTY_F64
         all_docs, all_counts = [], []
         for c0 in range(0, cand.size, self._IV_CHUNK):
             chunk = cand[c0 : c0 + self._IV_CHUNK]

@@ -77,6 +77,34 @@ class IntervalsNode:
         return out
 
 
+def candidate_docs(node: IntervalsNode, provider) -> np.ndarray:
+    """Docs that can possibly yield an interval for `node` — the exact
+    required-set pruning a scorer scans before evaluating the tree:
+    UNION under `or` (any alternative suffices), INTERSECTION under
+    chains/filters (every child must appear), first-child-only under the
+    not_* variants (their filter side never requires presence).
+    `provider(term)` returns the term's postings with docs at index 0, or
+    None when absent.  (A flat intersection over scored_terms() would
+    over-prune `or` alternatives — a doc matching one branch need not
+    contain the other branch's terms.)"""
+    if node.kind == "term":
+        p = provider(node.term)
+        return np.empty(0, np.int64) if p is None else np.asarray(p[0], np.int64)
+    if node.kind == "or":
+        parts = [candidate_docs(c, provider) for c in node.children]
+        return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    if node.kind in ("not_containing", "not_contained_by", "maxwidth"):
+        return candidate_docs(node.children[0], provider)
+    # ordered / unordered / containing / contained_by / overlapping
+    out: np.ndarray | None = None
+    for c in node.children:
+        d = candidate_docs(c, provider)
+        out = d if out is None else np.intersect1d(out, d, assume_unique=True)
+        if out.size == 0:
+            return out
+    return out if out is not None else np.empty(0, np.int64)
+
+
 def iterm(t: str) -> IntervalsNode:
     return IntervalsNode("term", term=t)
 

@@ -169,6 +169,13 @@ class Searcher:
         leaves = multi_term_nodes(node)
         if not leaves:
             return node
+        merged = self._expand_merged(leaves)
+        return rewrite_with(node, lambda n: merged[node_key(n)])
+
+    def _expand_merged(self, leaves) -> dict[tuple, list[str]]:
+        """Shard-side dictionary expansion for a list of multi-term leaf
+        QueryNodes → {node_key: sorted matched terms} (the scatter half of
+        `_rewrite`, reused by parsers that pre-expand, e.g. surround)."""
         specs = sorted({node_key(n) for n in leaves})
         parts = self._scatter("expand_nodes", specs)
         merged: dict[tuple, list[str]] = {}
@@ -177,7 +184,7 @@ class Searcher:
             for p in parts:
                 s.update(p[spec])
             merged[spec] = sorted(s)[:MAX_EXPANSIONS]
-        return rewrite_with(node, lambda n: merged[node_key(n)])
+        return merged
 
     # -- spellcheck --------------------------------------------------------
     def spellcheck(self, word: str, max_suggestions: int = 5, max_edits: int = 2):
@@ -738,6 +745,23 @@ class Searcher:
         node = complex_phrase(phrase, slop=slop, analyzer=self._analyzer)
         if node is None:
             return []
+        return self.search_node(node, k, similarity=similarity)
+
+    def search_surround(
+        self, query: str, k: int = 10, similarity: str = "bm25"
+    ) -> list[tuple[int, float]]:
+        """Solr `{!surround}` (lucene/queryparser surround language):
+        `a 3W b` / `5N(a, b)` span-proximity ops compiled onto the
+        intervals algebra, `AND`/`OR`/`NOT` booleans, `*`/`?` truncation.
+        Truncated terms inside distance ops expand SHARD-SIDE before the
+        interval tree is built; the rest uses the normal rewrite."""
+        from .query import node_key
+        from .surround import multi_term_leaves, parse_surround, surround_to_node
+
+        ast = parse_surround(query)
+        leaves = multi_term_leaves(ast)
+        merged = self._expand_merged(leaves) if leaves else {}
+        node = surround_to_node(ast, lambda n: merged[node_key(n)])
         return self.search_node(node, k, similarity=similarity)
 
     def _weights_for(self, node, similarity: str = "bm25") -> dict:

@@ -700,6 +700,10 @@ def test_duel_intervals_algebra(searcher, oracle):
         IV.not_contained_by(c, IV.maxwidth(5, IV.unordered(a, b))),
         IV.overlapping(IV.maxwidth(4, IV.ordered(a, c)), IV.maxwidth(4, IV.ordered(c, b))),
         IV.maxwidth(9, IV.ordered(a, IV.maxwidth(4, IV.unordered(b, c)))),
+        # regression: `or` INSIDE a chain — candidates must union the
+        # alternatives, not require every branch term (candidate_docs)
+        IV.maxwidth(3, IV.ordered(IV.ior(a, IV.iterm("user")), c)),
+        IV.maxwidth(4, IV.unordered(IV.ior(IV.iterm("error"), IV.iterm("zzznotaterm")), a)),
     ]
     for i, tree in enumerate(trees):
         node = intervals_query(tree)
