@@ -478,6 +478,51 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 # --------------------------------------------------------------------------
+# §2.6 grouped faceting (solr/core/src/java/org/apache/solr/request/
+# SimpleFacets.java getGroupedCounts + grouping/TermGroupFacetCollector):
+# group.facet=true — each GROUP counts once toward a facet value if ANY of
+# its docs carries the value.  Shape: per-batch (value, group) dedup →
+# fixed-bucket shuffle on the group key → per-bucket distinct counts →
+# bounded coordinator merge (the uniqueBlock design, group key unbounded).
+
+
+def group_facet(sf_dir: str):
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["o_orderstatus"].to_numpy() == "O"
+        out = pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"].to_numpy()[m],
+                "o_custkey": batch["o_custkey"].to_numpy()[m],
+            }
+        ).drop_duplicates()
+        out["bucket"] = out["o_custkey"] % 512
+        return out
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["o_orderpriority", "o_custkey"])
+        out = u.groupby("o_orderpriority", as_index=False).size()
+        return out.rename(columns={"size": "n_groups"})
+
+    parts = (
+        read(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_orderstatus"])
+        .map_batches(pairs, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(count_distinct, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("o_orderpriority", as_index=False)["n_groups"].sum()
+    out["n_groups"] = out["n_groups"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+GROUP_FACET_SQL = """
+SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_groups
+FROM orders WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
 # §2.5 anti-join (MUST_NOT / ComplementStream): customers with no orders.
 
 
@@ -1450,6 +1495,7 @@ PIPELINES: dict[str, Pipeline] = {
     "semi_join": Pipeline(semi_join, SEMI_JOIN_SQL, "broadcast semi-join (JoinUtil)"),
     "child_join": Pipeline(child_join, CHILD_JOIN_SQL, "children of matching parents w/ parent value (ToChildBlockJoinQuery / {!child})"),
     "blockjoin_facet": Pipeline(blockjoin_facet, BLOCKJOIN_FACET_SQL, "child-field facet counting each parent once per bucket (BlockJoinFacetComponent / uniqueBlock)"),
+    "group_facet": Pipeline(group_facet, GROUP_FACET_SQL, "grouped faceting: each group counts once per value (group.facet=true / TermGroupFacetCollector)"),
     "anti_join": Pipeline(anti_join, ANTI_JOIN_SQL, "anti-join (MUST_NOT / ComplementStream)"),
     "group_ngroups": Pipeline(
         group_ngroups, GROUP_NGROUPS_SQL, "grouped page + total distinct group count via per-bucket count partials (group.ngroups)"

@@ -252,6 +252,105 @@ FROM documents ORDER BY doc_id
 # §2.2 FingerprintFilter: sort+dedup all tokens, concat → one fingerprint.
 
 
+# --------------------------------------------------------------------------
+# Training-data diversity report: distinct-n / type-token ratio per corpus
+# slice (the lexical-diversity side of the Gopher/RefinedWeb quality family;
+# distinct-1/2/3 are the standard corpus diversity metrics).  Key domain is
+# the n-gram vocabulary (unbounded) → per-batch dedup + fixed-bucket gram
+# shuffle with per-bucket distinct counts; token totals ride along as n=0
+# partial rows.  Only (source, n, count) partials ever reach the driver.
+
+
+def distinct_ngrams(sf_dir: str):
+    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        srcs = batch["source"].to_numpy()
+        doc_idx, codes, uniq, counts = _explode_tokens(batch["text"])
+        frames = []
+        # n=0 rows: per-source token totals (sum-merged, not deduped)
+        tot = pd.DataFrame({"source": srcs, "cnt": counts}).groupby("source", as_index=False)["cnt"].sum()
+        frames.append(
+            pd.DataFrame(
+                {"source": tot["source"], "n": np.int64(0), "gram": "", "cnt": tot["cnt"].astype("int64")}
+            )
+        )
+        if codes.size:
+            doc_src = srcs[doc_idx]
+            toks = uniq[codes]
+            grams = {1: (toks, doc_src)}
+            if codes.size >= 2:
+                same = doc_idx[:-1] == doc_idx[1:]
+                grams[2] = ((toks[:-1] + " " + toks[1:])[same], doc_src[:-1][same])
+            if codes.size >= 3:
+                same3 = same[:-1] & same[1:]
+                grams[3] = ((toks[:-2] + " " + toks[1:-1] + " " + toks[2:])[same3], doc_src[:-2][same3])
+            for n, (g, s) in grams.items():
+                if g.size:
+                    f = pd.DataFrame({"source": s, "n": np.int64(n), "gram": g, "cnt": np.int64(1)})
+                    frames.append(f.drop_duplicates(["source", "n", "gram"]))
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket"] = np.where(
+            out["n"].to_numpy() == 0, np.int64(0), _token_bucket(out["gram"].to_numpy(dtype=object))
+        )
+        return out
+
+    def bucket_partial(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g[g["n"] == 0].groupby("source", as_index=False)["cnt"].sum()
+        tot["n"] = np.int64(0)
+        d = g[g["n"] != 0].drop_duplicates(["source", "n", "gram"])
+        dc = d.groupby(["source", "n"], as_index=False).size().rename(columns={"size": "cnt"})
+        return pd.concat([tot[["source", "n", "cnt"]], dc[["source", "n", "cnt"]]], ignore_index=True)
+
+    parts = (
+        read(sf_dir, "documents", ["source", "text"])
+        .map_batches(gram_rows, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    merged = parts.groupby(["source", "n"], as_index=False)["cnt"].sum()
+    wide = merged.pivot_table(index="source", columns="n", values="cnt", fill_value=0).reset_index()
+    wide.columns.name = None
+    out = pd.DataFrame(
+        {
+            "source": wide["source"],
+            "n_tokens": wide.get(0, 0),
+            "distinct_1": wide.get(1, 0),
+            "distinct_2": wide.get(2, 0),
+            "distinct_3": wide.get(3, 0),
+        }
+    )
+    for c in ("n_tokens", "distinct_1", "distinct_2", "distinct_3"):
+        out[c] = out[c].astype("int64")
+    nt = out["n_tokens"].to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out["ttr"] = np.where(nt > 0, out["distinct_1"].to_numpy() / nt.astype(np.float64), 0.0)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+DISTINCT_NGRAMS_SQL = f"""
+WITH d AS (
+  SELECT source, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+t AS (SELECT source, SUM(len(toks)) AS n_tokens FROM d GROUP BY source),
+c1 AS (SELECT source, COUNT(DISTINCT g) AS d1
+       FROM (SELECT source, unnest(toks) AS g FROM d) GROUP BY source),
+c2 AS (SELECT source, COUNT(DISTINCT g) AS d2
+       FROM (SELECT source, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS g FROM d)
+       GROUP BY source),
+c3 AS (SELECT source, COUNT(DISTINCT g) AS d3
+       FROM (SELECT source, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks)-1)]) AS g FROM d)
+       GROUP BY source)
+SELECT t.source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(d1, 0) AS BIGINT) AS distinct_1,
+       CAST(COALESCE(d2, 0) AS BIGINT) AS distinct_2,
+       CAST(COALESCE(d3, 0) AS BIGINT) AS distinct_3,
+       CASE WHEN n_tokens > 0 THEN COALESCE(d1, 0) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS ttr
+FROM t LEFT JOIN c1 USING (source) LEFT JOIN c2 USING (source) LEFT JOIN c3 USING (source)
+ORDER BY source
+"""
+
+
 def fingerprint(sf_dir: str):
     def fp(batch: pd.DataFrame) -> pd.DataFrame:
         toks = _tokens(batch["text"])
@@ -1932,6 +2031,7 @@ PIPELINES: dict[str, Pipeline] = {
     "shingle_bigrams": Pipeline(shingle_bigrams, SHINGLE_SQL, "word-bigram shingles + df (ShingleFilter)"),
     "quality_signals": Pipeline(quality_signals, QUALITY_SQL, "quality scoring signals for training-data filtering"),
     "repetition_signals": Pipeline(repetition_signals, REPETITION_SQL, "Gopher/RefinedWeb repetition filters: top-2-gram / dup-3-gram / dup-token fractions per doc"),
+    "distinct_ngrams": Pipeline(distinct_ngrams, DISTINCT_NGRAMS_SQL, "corpus diversity report: distinct-1/2/3 + type-token ratio per source (bucketed gram shuffle)"),
     "lang_id": Pipeline(lang_id, LANG_ID_SQL, "stopword-heuristic language id (langid URP), actor pool"),
     "fingerprint": Pipeline(fingerprint, FINGERPRINT_SQL, "document fingerprint (FingerprintFilter)"),
     "terms_component": Pipeline(terms_component, TERMS_SQL, "term/df enumeration (TermsComponent)"),
