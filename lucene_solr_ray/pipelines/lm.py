@@ -239,6 +239,90 @@ ORDER BY c2 DESC, w1, w2 LIMIT 40
 """
 
 
+# --------------------------------------------------------------------------
+# CCNet perplexity-bucket mixing (Wenzek et al., 2019 §4.3): per language,
+# documents split into head/middle/tail by perplexity tertiles.  Thresholds
+# come from bounded per-lang histograms (4096 bins between the distributed
+# min/max — CCNet's own thresholds are quantile-approximate), so nothing
+# O(docs) ever reaches the driver: pass 1 = per-lang (min, max, count)
+# combiner partials; pass 2 = per-lang bin-count partials; the driver
+# merges (langs × bins) ints and picks the bin edges where the cumulative
+# count crosses n/3 and 2n/3; pass 3 assigns buckets by comparison.
+
+CCNET_BINS = 4096
+
+
+def ccnet_buckets(sf_dir: str):
+    """→ per-doc (doc_id, lang, ppl, bucket) with bucket ∈ head|middle|tail
+    per language.  Model-scored floats → rows-only gate; the algorithm is
+    pytest-oracled (threshold recomputation + balance/order properties)."""
+    import ray
+
+    model_ref = ray.put(train_bigram_lm(sf_dir))
+
+    def score(batch: pd.DataFrame, _ref=model_ref) -> pd.DataFrame:
+        sc = _SCORER_CACHE.get(_ref.hex())
+        if sc is None:
+            sc = _SCORER_CACHE[_ref.hex()] = _LMScorer(_ref)
+        out = sc(batch)
+        out["lang"] = batch["lang"].to_numpy()
+        return out[["doc_id", "lang", "ppl"]]
+
+    scored = read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        score, batch_format="pandas"
+    ).materialize()  # scored once, scanned twice (range pass + bin pass)
+
+    def range_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("lang")["ppl"].agg(["min", "max", "size"]).reset_index()
+        return g.rename(columns={"min": "lo", "max": "hi", "size": "cnt"})
+
+    rng = scored.map_batches(range_partial, batch_format="pandas").to_pandas()
+    rng = rng.groupby("lang").agg(lo=("lo", "min"), hi=("hi", "max"), cnt=("cnt", "sum"))
+    edges = {
+        lang: np.linspace(r.lo, r.hi if r.hi > r.lo else r.lo + 1.0, CCNET_BINS + 1)
+        for lang, r in rng.iterrows()
+    }
+    edges_ref = ray.put(edges)
+
+    def bin_partial(b: pd.DataFrame, _e=edges_ref) -> pd.DataFrame:
+        e = ray.get(_e)
+        frames = []
+        for lang, g in b.groupby("lang"):
+            idx = np.clip(np.searchsorted(e[lang], g["ppl"].to_numpy(), side="right") - 1, 0, CCNET_BINS - 1)
+            c = np.bincount(idx, minlength=CCNET_BINS).astype(np.int64)
+            frames.append(pd.DataFrame({"lang": lang, "bin": np.arange(CCNET_BINS, dtype=np.int64), "c": c}))
+        if not frames:
+            return pd.DataFrame({"lang": pd.Series(dtype=object), "bin": pd.Series(dtype="int64"), "c": pd.Series(dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    bins = scored.map_batches(bin_partial, batch_format="pandas").to_pandas()
+    bins = bins.groupby(["lang", "bin"], as_index=False)["c"].sum()
+    cuts = {}
+    for lang, g in bins.groupby("lang"):
+        g = g.sort_values("bin")
+        cum = g["c"].cumsum().to_numpy()
+        n = int(rng.loc[lang, "cnt"])
+        e = edges[lang]
+        # first bin whose cumulative count reaches the tertile → its upper
+        # edge is the threshold (quantile-approximate, like CCNet's)
+        b1 = int(np.searchsorted(cum, (n + 2) // 3))
+        b2 = int(np.searchsorted(cum, (2 * n + 2) // 3))
+        cuts[lang] = (float(e[min(b1 + 1, CCNET_BINS)]), float(e[min(b2 + 1, CCNET_BINS)]))
+    cuts_ref = ray.put(cuts)
+
+    def assign(b: pd.DataFrame, _c=cuts_ref) -> pd.DataFrame:
+        c = ray.get(_c)
+        t1 = b["lang"].map({k: v[0] for k, v in c.items()}).to_numpy()
+        t2 = b["lang"].map({k: v[1] for k, v in c.items()}).to_numpy()
+        p = b["ppl"].to_numpy()
+        b = b.copy()
+        b["bucket"] = np.where(p <= t1, "head", np.where(p <= t2, "middle", "tail"))
+        return b
+
+    out = scored.map_batches(assign, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 PIPELINES: dict[str, Pipeline] = {
     "lm_bigram_model": Pipeline(
         lm_bigram_model,
@@ -249,5 +333,10 @@ PIPELINES: dict[str, Pipeline] = {
         lm_perplexity,
         None,
         "CCNet-style bigram-LM perplexity per document (broadcast model, actor-pool scorer)",
+    ),
+    "ccnet_buckets": Pipeline(
+        ccnet_buckets,
+        None,
+        "CCNet head/middle/tail mixing: per-lang perplexity tertiles from bounded histograms",
     ),
 }

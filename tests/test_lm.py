@@ -88,3 +88,31 @@ def test_model_head_consistent(ray_session):
     for _, r in head.head(5).iterrows():
         assert rc2[f"{r['w1']} {r['w2']}"] == r["c2"]
         assert r["lp"] == math.log((r["c2"] + 1.0) / (rc1[r["w1"]] + rV))
+
+
+def test_ccnet_buckets(ray_session):
+    """CCNet head/middle/tail mixing: per-lang tertile thresholds from the
+    bounded-histogram pass — deterministic, near-balanced, and ordered
+    (head ppl <= middle ppl <= tail ppl within every language)."""
+    from lucene_solr_ray.pipelines.lm import ccnet_buckets
+
+    out = ccnet_buckets(SF)
+    out2 = ccnet_buckets(SF)
+    assert (out["bucket"].to_numpy() == out2["bucket"].to_numpy()).all()
+    assert set(out["bucket"]) <= {"head", "middle", "tail"}
+    docs = duckdb.sql(f"SELECT COUNT(*) FROM '{SF}/documents.parquet'").fetchone()[0]
+    assert len(out) == docs
+    for lang, g in out.groupby("lang"):
+        n = len(g)
+        sizes = g["bucket"].value_counts()
+        # histogram thresholds are quantile-approximate: tertiles within
+        # a small tolerance of n/3 (ties inside one bin move together)
+        for b in ("head", "middle", "tail"):
+            assert abs(sizes.get(b, 0) - n / 3) <= max(2, 0.15 * n), (lang, dict(sizes))
+        h = g.loc[g["bucket"] == "head", "ppl"]
+        m = g.loc[g["bucket"] == "middle", "ppl"]
+        t = g.loc[g["bucket"] == "tail", "ppl"]
+        if len(h) and len(m):
+            assert h.max() <= m.min()
+        if len(m) and len(t):
+            assert m.max() <= t.min()
