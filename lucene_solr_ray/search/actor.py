@@ -156,19 +156,56 @@ class IndexShard:
                 self._local_dfs = dfs
         return self._local_terms, self._local_dfs
 
+    def _rev_dict(self):
+        """Reverse-sorted companion dictionary (ReversedWildcardFilter-
+        Factory's leading-wildcard trick, solr/core/.../analysis/
+        ReversedWildcardFilterFactory.java — built lazily as a LOCAL
+        sorted array instead of doubling the postings: the reversed terms
+        only serve dictionary lookup, scoring uses the original terms)."""
+        if getattr(self, "_rev_terms", None) is None:
+            terms, _ = self._term_dict()
+            rev = np.array([str(t)[::-1] for t in terms], dtype=object)
+            order = np.argsort(rev)
+            self._rev_terms = rev[order]
+            self._rev_orig = terms[order]
+        return self._rev_terms, self._rev_orig
+
     def expand_nodes(self, specs: list[tuple[str, str, int]]) -> dict:
         """Expand multi-term leaves against the LOCAL vocabulary.
         `specs`: [(kind, pattern, max_edits)] → {spec: [matching terms]}.
         The driver unions per-shard matches (sorted, capped) — the
-        distributed Query.rewrite step (SURVEY.md §3.2)."""
-        from .query import QueryNode, expand_multi_term
+        distributed Query.rewrite step (SURVEY.md §3.2).  Leading-wildcard
+        patterns with a literal tail cut the reversed dictionary by prefix
+        (binary search) instead of scanning the whole vocabulary."""
+        import re as _re
+
+        from .query import MAX_EXPANSIONS, QueryNode, _wildcard_to_re, expand_multi_term
 
         terms, _ = self._term_dict()
         out = {}
+        self.last_wildcard_plan = None
         for kind, pattern, max_edits in specs:
+            spec = (kind, pattern, max_edits)
+            if kind == "wildcard" and pattern and pattern[0] in "*?":
+                m = _re.search(r"[^*?]+$", pattern)
+                if m and len(m.group(0)) >= 2:
+                    revs, origs = self._rev_dict()
+                    pre = m.group(0)[::-1]
+                    lo = int(np.searchsorted(revs, pre))
+                    hi = int(np.searchsorted(revs, pre + "￿"))
+                    rx = _wildcard_to_re(pattern)
+                    cand = [str(t) for t in origs[lo:hi] if rx.match(str(t))]
+                    out[spec] = sorted(cand)[:MAX_EXPANSIONS]
+                    self.last_wildcard_plan = "reversed"
+                    continue
+                self.last_wildcard_plan = "scan"
             n = QueryNode(kind, pattern=pattern, max_edits=max_edits)
-            out[(kind, pattern, max_edits)] = expand_multi_term(n, terms)
+            out[spec] = expand_multi_term(n, terms)
         return out
+
+    def get_last_wildcard_plan(self):
+        """Introspection for tests: 'reversed' | 'scan' | None."""
+        return getattr(self, "last_wildcard_plan", None)
 
     def terms_partial(self, prefix: str = "", regex: str | None = None, regex_dialect: str = "java"):
         """(terms, local_dfs) in the prefix range — the per-shard half of
