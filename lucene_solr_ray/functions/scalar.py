@@ -241,6 +241,16 @@ def parse_expr(s: str) -> Expr:
     return out
 
 
+def expr_fields(node: Expr) -> list[str]:
+    """Field names an expression reads (the columns a caller must load)."""
+    if node.kind == "field":
+        return [node.name]
+    out: list[str] = []
+    for a in node.args or []:
+        out.extend(expr_fields(a))
+    return list(dict.fromkeys(out))
+
+
 def evaluate(node: Expr, columns: dict[str, np.ndarray]) -> np.ndarray:
     """Vectorized evaluation over a batch's columns."""
     if node.kind == "lit":

@@ -947,6 +947,62 @@ class IndexShard:
                 )
         return cache[field]
 
+    def _load_numeric_dv(self, field: str):
+        """(doc_id, float64 values) for a NUMERIC per-doc column (turn_idx,
+        dl, norm_byte) from the norms segments — the DoubleValuesSource a
+        FunctionScoreQuery reads (lucene/core/.../search/DoubleValues
+        Source.java)."""
+        cache = getattr(self, "_ndv_cache", None)
+        if cache is None:
+            cache = self._ndv_cache = {}
+        if field not in cache:
+            import pyarrow as pa
+
+            tables = []
+            for p in self._docmap_paths:
+                sch = pq.read_schema(p)
+                if field in sch.names and sch.field(field).type.id not in (13, 14):  # not string/binary
+                    tables.append(pq.read_table(p, columns=["doc_id", field]))
+            if not tables:
+                cache[field] = None
+            else:
+                t = pa.concat_tables(tables).sort_by("doc_id")
+                cache[field] = (
+                    t.column("doc_id").to_numpy(),
+                    t.column(field).to_numpy().astype(np.float64),
+                )
+        return cache[field]
+
+    def top_k_boosted(self, node: QueryNode, k: int, idfs: dict[str, float], expr_src: str, sim: str = "bm25"):
+        """`{!boost b=expr}` (solr/core/.../search/BoostQParserPlugin.java
+        → FunctionScoreQuery.boostByValue): score × per-doc function value,
+        multiplied in float64 BEFORE the float32 cast.  Pruning stays off —
+        WAND's score bounds don't survive a per-doc multiplier (Lucene
+        routes function-scored queries outside WAND too)."""
+        from ..functions.scalar import evaluate, expr_fields, parse_expr
+
+        expr = parse_expr(expr_src)
+        docs, scores = self._eval(node, idfs, sim)
+        if docs.size == 0:
+            return _EMPTY_I64, np.empty(0, np.float32)
+        cols = {}
+        for f in expr_fields(expr):
+            dv = self._load_numeric_dv(f)
+            if dv is None:
+                raise KeyError(f"unknown numeric doc-values field {f!r}")
+            fd, fv = dv
+            cols[f] = fv[np.searchsorted(fd, docs)]
+        boosted = scores * np.broadcast_to(np.asarray(evaluate(expr, cols), np.float64), scores.shape)
+        scores32 = boosted.astype(np.float32)
+        if docs.size > k:
+            thresh = scores32[np.argpartition(-scores32, k - 1)[k - 1]]
+            cand = np.flatnonzero(scores32 >= thresh)
+            order = np.lexsort((docs[cand], -scores32[cand]))[:k]
+            sel = cand[order]
+            return docs[sel], scores32[sel]
+        order = np.lexsort((docs, -scores32))
+        return docs[order], scores32[order]
+
     def _range_matching_terms(self, field: str, lo: str, hi: str):
         terms, dfs = self._term_dict()
         i = int(np.searchsorted(terms, f"{field}:{lo}"))

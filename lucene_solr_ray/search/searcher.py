@@ -747,6 +747,29 @@ class Searcher:
             return []
         return self.search_node(node, k, similarity=similarity)
 
+    def search_boosted(
+        self, query: str, boost_expr: str, k: int = 10, similarity: str = "bm25"
+    ) -> list[tuple[int, float]]:
+        """Solr `{!boost b=<expr>}query` (BoostQParserPlugin): the query's
+        score is multiplied by a per-document function value computed from
+        numeric doc-values columns (turn_idx, dl — FunctionScoreQuery
+        .boostByValue).  The multiplier applies BEFORE shard top-k
+        selection, so ranking reflects the boost, not a rerank."""
+        node = self._parse(query)
+        if node is None:
+            return []
+        node = self._rewrite(node)
+        if node is None:
+            return []
+        idfs = self._weights_for(node, similarity)
+        parts = self._scatter("top_k_boosted", node, k, idfs, boost_expr, similarity)
+        docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float32)
+        if docs.size == 0:
+            return []
+        order = np.lexsort((docs, -scores))[:k]
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
     def search_surround(
         self, query: str, k: int = 10, similarity: str = "bm25"
     ) -> list[tuple[int, float]]:
