@@ -277,6 +277,63 @@ GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# Cohort retention (the classic time-series analytics table; engine analog
+# of a TimeSeriesStream × gatherNodes composition): users grouped by their
+# first-activity day, counted once per subsequent active day.  Users
+# are co-located by the fixed 512-bucket hash, so every per-bucket partial
+# (cohort day, day offset, distinct users) is EXACT and the driver
+# merge handles cohorts × offsets × buckets ints only.
+
+
+def cohort_retention(sf_dir: str):
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        us = ts_us(batch["ts"])
+        days = (us.astype("datetime64[us]").astype("datetime64[D]")).astype(np.int64)
+        out = pd.DataFrame({"user_id": batch["user_id"].to_numpy(), "m": days})
+        out = out.drop_duplicates()
+        out["bucket"] = out["user_id"] % 512
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "m"])
+        cohort = g.groupby("user_id")["m"].transform("min")
+        pairs = pd.DataFrame(
+            {"cohort_d": cohort, "offset_d": g["m"].to_numpy() - cohort.to_numpy()}
+        )
+        out = pairs.groupby(["cohort_d", "offset_d"], as_index=False).size()
+        return out.rename(columns={"size": "n_users"})
+
+    parts = (
+        read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["cohort_d", "offset_d"], as_index=False)["n_users"].sum()
+    # days since epoch → midnight timestamp (DuckDB date_trunc twin)
+    out["cohort"] = out["cohort_d"].to_numpy().astype("datetime64[D]").astype("datetime64[us]")
+    out["offset_d"] = out["offset_d"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return (
+        out[["cohort", "offset_d", "n_users"]]
+        .sort_values(["cohort", "offset_d"])
+        .reset_index(drop=True)
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH um AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS m FROM events),
+c AS (SELECT user_id, MIN(m) AS cohort FROM um GROUP BY user_id)
+SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+       CAST(datediff('day', cohort, m) AS BIGINT) AS offset_d,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM um JOIN c USING (user_id)
+GROUP BY cohort, offset_d ORDER BY cohort, offset_d
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "sessionize": Pipeline(sessionize, SESSIONIZE_SQL, "session windows over the event log"),
     "ttl_compact": Pipeline(ttl_compact, TTL_SQL, "TTL expiry compaction (DocExpiration URP)"),
@@ -285,4 +342,7 @@ PIPELINES: dict[str, Pipeline] = {
     ),
     "hopping_window": Pipeline(hopping_window, HOPPING_SQL, "7-day hopping windows via event explode + combiner"),
     "left_outer_enrich": Pipeline(left_outer_enrich, LEFT_OUTER_SQL, "left-outer enrichment join (OuterHashJoinStream)"),
+    "cohort_retention": Pipeline(
+        cohort_retention, COHORT_RETENTION_SQL, "cohort retention matrix: first-activity day × day offset distinct users (bucketed exact partials)"
+    ),
 }
