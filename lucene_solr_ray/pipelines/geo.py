@@ -139,8 +139,63 @@ GROUP BY cell_x, cell_y ORDER BY cell_x, cell_y
 """
 
 
+# concave test polygon (closed implicitly); vertices on the 0.5 grid so
+# they never coincide with derived event coordinates' exact y values
+POLYGON = [(-40.5, -20.5), (10.5, -35.5), (35.5, 5.5), (0.5, 2.5), (-25.5, 30.5)]
+
+
+def geo_polygon(sf_dir: str):
+    """XYShape `Intersects(POLYGON(...))` for points (lucene/core/.../
+    document/XYShape.java newPolygonQuery → the Tessellator edge tests):
+    crossing-number point-in-polygon, one vectorized pass per batch.  The
+    per-edge test uses only IEEE +,−,×,÷ and compares — bit-identical in
+    numpy and DuckDB, so the gate is strict like the rest of the planar
+    family."""
+    vx = np.array([p[0] for p in POLYGON])
+    vy = np.array([p[1] for p in POLYGON])
+
+    def inside(batch: pd.DataFrame) -> pd.DataFrame:
+        x, y = _xy(batch["event_id"])
+        crossings = np.zeros(x.size, dtype=np.int64)
+        for i in range(len(POLYGON)):
+            x1, y1 = vx[i], vy[i]
+            x2, y2 = vx[(i + 1) % len(POLYGON)], vy[(i + 1) % len(POLYGON)]
+            straddles = (y1 > y) != (y2 > y)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xi = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+            crossings += (straddles & (x < xi)).astype(np.int64)
+        m = (crossings % 2) == 1
+        return pd.DataFrame(
+            {"event_id": batch["event_id"].to_numpy(np.int64)[m], "x": x[m], "y": y[m]}
+        )
+
+    out = read(sf_dir, "events", ["event_id"]).map_batches(inside, batch_format="pandas")
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
+def _polygon_sql() -> str:
+    terms = []
+    n = len(POLYGON)
+    for i in range(n):
+        x1, y1 = POLYGON[i]
+        x2, y2 = POLYGON[(i + 1) % n]
+        terms.append(
+            f"CASE WHEN (({y1} > y) <> ({y2} > y)) AND "
+            f"(x < ({x2} - {x1}) * (y - {y1}) / ({y2} - {y1}) + {x1}) THEN 1 ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+GEO_POLYGON_SQL = f"""
+SELECT event_id, x, y FROM ({_XY_SQL})
+WHERE ({_polygon_sql()}) % 2 = 1
+ORDER BY event_id
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "geo_bbox": Pipeline(geo_bbox, GEO_BBOX_SQL, "planar rectangle containment (XYPointField.newRangeQuery)"),
+    "geo_polygon": Pipeline(geo_polygon, GEO_POLYGON_SQL, "point-in-polygon crossing-number filter (XYShape Intersects)"),
     "geo_knn": Pipeline(geo_knn, GEO_KNN_SQL, "planar nearest-neighbour top-k (XYPoint distance sort)"),
     "geo_heatmap": Pipeline(geo_heatmap, GEO_HEATMAP_SQL, "grid-cell count facet (SpatialHeatmapFacets)"),
 }

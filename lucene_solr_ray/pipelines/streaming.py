@@ -334,6 +334,85 @@ GROUP BY cohort, offset_d ORDER BY cohort, offset_d
 """
 
 
+# --------------------------------------------------------------------------
+# Funnel conversion (ordered event-sequence matching — the event-log analog
+# of a chained gatherNodes walk): per user, the first `view`, the first
+# `click` strictly after it, the first `purchase` strictly after that.
+# Users co-located by the fixed bucket hash → per-bucket step flags are
+# exact; the driver merges 3 ints per bucket.
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_conversion(sf_dir: str):
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["event_type"].isin(FUNNEL_STEPS)
+        out = batch.loc[m, ["user_id", "event_type"]].copy()
+        out["us"] = ts_us(batch.loc[m, "ts"])
+        out["bucket"] = out["user_id"] % 512
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(len(FUNNEL_STEPS), dtype=np.int64)
+        # vectorized per user: first step-0 ts, then first later step-1, …
+        piv = {
+            st: g[g["event_type"] == st].groupby("user_id")["us"] for st in FUNNEL_STEPS
+        }
+        cur: pd.Series | None = None
+        for i, st in enumerate(FUNNEL_STEPS):
+            if i == 0:
+                cur = piv[st].min()
+            else:
+                # first occurrence of this step strictly after the user's
+                # previous-step time: min over events with us > cur[user]
+                ev = g[g["event_type"] == st][["user_id", "us"]]
+                ev = ev.merge(cur.rename("prev"), left_on="user_id", right_index=True)
+                ev = ev[ev["us"] > ev["prev"]]
+                cur = ev.groupby("user_id")["us"].min()
+            counts[i] = len(cur)
+            if cur.empty:
+                break
+        return pd.DataFrame(
+            {"step": np.arange(len(FUNNEL_STEPS), dtype=np.int64), "n_users": counts}
+        )
+
+    parts = (
+        read(sf_dir, "events", ["user_id", "event_type", "ts"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("step", as_index=False)["n_users"].sum()
+    out["step_name"] = [FUNNEL_STEPS[i] for i in out["step"]]
+    out["n_users"] = out["n_users"].astype("int64")
+    return out[["step", "step_name", "n_users"]].sort_values("step").reset_index(drop=True)
+
+
+FUNNEL_SQL = f"""
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, MIN(ts) AS t1 FROM events e JOIN s0 USING (user_id)
+  WHERE event_type = '{FUNNEL_STEPS[1]}' AND ts > t0 GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE event_type = '{FUNNEL_STEPS[2]}' AND ts > t1 GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS step, '{FUNNEL_STEPS[0]}' AS step_name,
+         CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT 1, '{FUNNEL_STEPS[1]}', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+  UNION ALL
+  SELECT 2, '{FUNNEL_STEPS[2]}', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+) ORDER BY step
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "sessionize": Pipeline(sessionize, SESSIONIZE_SQL, "session windows over the event log"),
     "ttl_compact": Pipeline(ttl_compact, TTL_SQL, "TTL expiry compaction (DocExpiration URP)"),
@@ -344,5 +423,8 @@ PIPELINES: dict[str, Pipeline] = {
     "left_outer_enrich": Pipeline(left_outer_enrich, LEFT_OUTER_SQL, "left-outer enrichment join (OuterHashJoinStream)"),
     "cohort_retention": Pipeline(
         cohort_retention, COHORT_RETENTION_SQL, "cohort retention matrix: first-activity day × day offset distinct users (bucketed exact partials)"
+    ),
+    "funnel_conversion": Pipeline(
+        funnel_conversion, FUNNEL_SQL, "ordered event-sequence funnel: view → click → purchase first-occurrence chain per user"
     ),
 }
