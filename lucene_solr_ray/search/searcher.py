@@ -747,6 +747,17 @@ class Searcher:
             return []
         return self.search_node(node, k, similarity=similarity)
 
+    def query(
+        self, q: str, k: int = 10, similarity: str = "bm25", fq: str | None = None
+    ):
+        """Local-params front door (`{!parser k=v ...}body` — the
+        QParserPlugin registry dispatch, see search/qparser.py).  A plain
+        query string routes to the default `lucene` parser; `fq` accepts
+        `{!collapse field=f}` (Solr's collapse-as-filter contract)."""
+        from .qparser import dispatch
+
+        return dispatch(self, q, k=k, similarity=similarity, fq=fq)
+
     def search_boosted(
         self, query: str, boost_expr: str, k: int = 10, similarity: str = "bm25"
     ) -> list[tuple[int, float]]:

@@ -1,0 +1,59 @@
+"""Local-params QParser dispatch (`{!type k=v}body` — QParserPlugin
+registry + LocalParams syntax): parsing shapes, and every dispatched
+parser returns exactly what its direct method call returns."""
+
+import pytest
+
+from lucene_solr_ray.search.qparser import QParserError, parse_local_params
+
+from tests.test_build_search import corpus, index, oracle, searcher  # noqa: F401
+
+
+def test_parse_local_params_shapes():
+    assert parse_local_params("tool output") == ("lucene", {}, "tool output")
+    assert parse_local_params("{!surround}a 3w b") == ("surround", {}, "a 3w b")
+    n, p, b = parse_local_params("{!join from=f to=t score=max}+role:tool")
+    assert (n, b) == ("join", "+role:tool") and p == {"from": "f", "to": "t", "score": "max"}
+    n, p, b = parse_local_params("{!boost b='recip(turn_idx,1,10,10)'}error")
+    assert p["b"] == "recip(turn_idx,1,10,10)" and b == "error"
+    # v= overrides the trailing body (LocalParams convention)
+    n, p, b = parse_local_params('{!lucene v="tool output"}ignored')
+    assert b == "tool output"
+    # bare {!} defaults to lucene
+    assert parse_local_params("{!}x")[0] == "lucene"
+
+
+def test_dispatch_matches_direct_methods(searcher):  # noqa: F811
+    assert searcher.query("tool output", 10) == searcher.search("tool output", 10)
+    assert searcher.query('{!complexphrase}"to* output"', 10) == searcher.search_complex_phrase(
+        "to* output", 10
+    )
+    assert searcher.query('{!complexphrase}"to* output"~2', 10) == searcher.search_complex_phrase(
+        "to* output", 10, slop=2
+    )
+    assert searcher.query("{!surround}tool 2w output", 10) == searcher.search_surround(
+        "tool 2w output", 10
+    )
+    assert searcher.query(
+        "{!boost b=recip(turn_idx,1,10,10)}tool output", 10
+    ) == searcher.search_boosted("tool output", "recip(turn_idx,1,10,10)", 10)
+    assert searcher.query("{!join from=conv_id to=conv_id}+role:tool", 10) == searcher.join_search(
+        "conv_id", "conv_id", "+role:tool", 10
+    )
+    assert searcher.query(
+        "{!graph from=conv_id to=conv_id maxDepth=1}+role:tool", 10
+    ) == searcher.graph_search("conv_id", "conv_id", "+role:tool", max_depth=1, k=10)
+    assert searcher.query("error", 10, fq="{!collapse field=role}") == searcher.search_collapse(
+        "error", "role", 10
+    )
+
+
+def test_dispatch_errors(searcher):  # noqa: F811
+    with pytest.raises(QParserError):
+        searcher.query("{!nosuch}x")
+    with pytest.raises(QParserError):
+        searcher.query("{!boost}x")  # missing b=
+    with pytest.raises(QParserError):
+        searcher.query("{!join from=f}x")  # missing to=
+    with pytest.raises(QParserError):
+        searcher.query("x", fq="{!frange l=1}y")  # unsupported fq parser
