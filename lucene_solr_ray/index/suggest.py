@@ -295,6 +295,60 @@ class Suggester:
             t.sort_values(["cf", "token"], ascending=[False, True]).head(k).reset_index(drop=True)
         )
 
+    def lookup_blended(self, sub: str, k: int = 8, blender: str = "linear") -> pd.DataFrame:
+        """BlendedInfixSuggester (lucene/suggest/src/java/org/apache/lucene/
+        search/suggest/analyzing/BlendedInfixSuggester.java): infix
+        suggestions over the bigram phrase table, re-weighted by WHERE the
+        match sits in the suggestion — `linear`: cf × (1 − 0.10·pos),
+        `reciprocal`: cf × 1/(1 + pos), position of the FIRST matching
+        word.  Candidates come from the gram-pruned token lookup, then two
+        `in`-pushdown reads of bigrams.parquet (ctx side = pos 0, next
+        side = pos 1) — never a full-table scan.
+        → (suggestion, cf, position, score), score-desc."""
+        if blender not in ("linear", "reciprocal"):
+            raise ValueError(blender)
+        cand = self.lookup_infix(sub, k=1_000_000)["token"]
+        if not len(cand):
+            return pd.DataFrame(
+                {
+                    "suggestion": pd.Series([], dtype=object),
+                    "cf": pd.Series([], dtype="int64"),
+                    "position": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
+        cand_l = sorted(cand)
+        self.reads += 2
+        left = pq.read_table(
+            self.dir / "bigrams.parquet", filters=[("ctx", "in", cand_l)]
+        ).to_pandas()
+        right = pq.read_table(
+            self.dir / "bigrams.parquet", filters=[("next", "in", cand_l)]
+        ).to_pandas()
+        left["position"] = np.int64(0)
+        right["position"] = np.int64(1)
+        both = pd.concat([left, right], ignore_index=True)
+        # a bigram matching on both sides keeps its FIRST matching position
+        both = both.sort_values("position").drop_duplicates(["ctx", "next"], keep="first")
+        coef = (
+            1.0 - 0.10 * both["position"].to_numpy()
+            if blender == "linear"
+            else 1.0 / (1.0 + both["position"].to_numpy())
+        )
+        out = pd.DataFrame(
+            {
+                "suggestion": both["ctx"].astype(str) + " " + both["next"].astype(str),
+                "cf": both["cf"].astype("int64"),
+                "position": both["position"].astype("int64"),
+                "score": both["cf"].to_numpy(np.float64) * coef,
+            }
+        )
+        return (
+            out.sort_values(["score", "suggestion"], ascending=[False, True])
+            .head(k)
+            .reset_index(drop=True)
+        )
+
     def lookup_freetext(self, context: str, k: int = 8, backoff: bool = True) -> pd.DataFrame:
         """FreeTextSuggester.lookup: next-token predictions after `context`
         from the persisted bigram LM, ranked by pair count (ties by token)

@@ -212,3 +212,38 @@ def test_freetext_artifact_lookup_and_refusal(ray_session, tmp_path):
 
     with _pt.raises(ValueError, match="bigram"):
         Suggester(d).lookup_freetext(FREETEXT_CTX)
+
+
+def test_blended_infix_lookup(artifact, sf_dir):
+    """BlendedInfixSuggester: position-weighted bigram suggestions — the
+    blending duel recomputes scores from the artifact's own bigram table."""
+    from pathlib import Path
+
+    import pyarrow.parquet as _pq
+
+    s = Suggester(artifact)
+    sub = s.lookup_infix("a", 1)["token"].iloc[0][:3]  # a live substring
+    for blender, coef in (("linear", (1.0, 0.9)), ("reciprocal", (1.0, 0.5))):
+        got = s.lookup_blended(sub, 10, blender=blender)
+        big = _pq.read_table(Path(artifact) / "bigrams.parquet").to_pandas()
+        m0 = big["ctx"].str.contains(sub, regex=False)
+        m1 = big["next"].str.contains(sub, regex=False)
+        ref = big[m0 | m1].copy()
+        ref["position"] = np.where(m0[m0 | m1], 0, 1)
+        ref["score"] = ref["cf"].to_numpy(np.float64) * np.where(
+            ref["position"] == 0, coef[0], coef[1]
+        )
+        ref["suggestion"] = ref["ctx"].astype(str) + " " + ref["next"].astype(str)
+        ref = ref.sort_values(["score", "suggestion"], ascending=[False, True]).head(10)
+        assert list(got["suggestion"]) == list(ref["suggestion"]), blender
+        assert np.allclose(got["score"], ref["score"]) and (got["score"].to_numpy() == ref["score"].to_numpy()).all()
+    # a first-word match outranks the same-cf second-word match under linear
+    g = s.lookup_blended(sub, 50, blender="linear")
+    if (g["position"] == 0).any() and (g["position"] == 1).any():
+        p0 = g[g["position"] == 0].iloc[0]
+        same = g[(g["position"] == 1) & (g["cf"] == p0["cf"])]
+        if len(same):
+            assert p0["score"] > same.iloc[0]["score"]
+    # no match → empty frame with the contract columns
+    empty = s.lookup_blended("zzzzqqq", 5)
+    assert len(empty) == 0 and list(empty.columns) == ["suggestion", "cf", "position", "score"]
