@@ -1320,3 +1320,38 @@ class Searcher:
             "version": self.manifest.get("version"),
             "top_terms": self.terms(limit=top_terms),
         }
+
+
+class AliasSearcher:
+    """Collection alias spanning multiple Searchers (SolrCloud collection
+    aliases, solr/core/src/java/org/apache/solr/cloud/Aliases.java
+    routing): a query scatters to EVERY member collection and the
+    per-collection TopDocs merge by raw score — Solr's alias contract
+    scores each collection with its OWN stats (no cross-collection idf
+    normalization; ExactStatsCache is a per-collection concern), ties
+    broken (score desc, collection order, docID asc).
+    → [(collection_name, doc_id, score)]."""
+
+    def __init__(self, searchers: list["Searcher"], names: list[str] | None = None):
+        if not searchers:
+            raise ValueError("alias needs at least one collection")
+        self.searchers = list(searchers)
+        self.names = list(names) if names else [f"c{i}" for i in range(len(searchers))]
+        if len(self.names) != len(self.searchers):
+            raise ValueError("names/searchers length mismatch")
+
+    def search(self, query: str, k: int = 10, similarity: str = "bm25"):
+        hits = []
+        for ci, (name, s) in enumerate(zip(self.names, self.searchers)):
+            for doc, score in s.search(query, k, similarity=similarity):
+                hits.append((name, ci, doc, score))
+        hits.sort(key=lambda h: (-h[3], h[1], h[2]))
+        return [(n, d, sc) for n, _, d, sc in hits[:k]]
+
+    def count(self, query: str) -> int:
+        """numFound across the alias — per-collection counts summed."""
+        return sum(s.count(query) for s in self.searchers)
+
+    def close(self):
+        for s in self.searchers:
+            s.close()
