@@ -45,6 +45,7 @@ _KEYWORDS = {
     "and", "or", "not", "in", "between", "like", "as", "asc", "desc",
     "count", "sum", "avg", "min", "max", "is", "null", "distinct",
     "join", "on",
+    "case", "when", "then", "else", "end",
 }
 
 
@@ -123,6 +124,12 @@ class Like:
 class IsNull:
     expr: object
     negated: bool
+
+
+@dataclass
+class Case:
+    whens: list  # [(condition expr, value expr)]
+    default: object | None  # ELSE value (None = SQL NULL)
 
 
 @dataclass
@@ -255,6 +262,24 @@ class _Parser:
             return Lit(float(v) if "." in v else int(v))
         if k == "str":
             return Lit(v)
+        if k == "kw" and v == "case":
+            # searched: CASE WHEN c THEN v ... [ELSE d] END
+            # simple:   CASE base WHEN x THEN v ... [ELSE d] END
+            base = None
+            if self.peek() != ("kw", "when"):
+                base = self.expr()
+            whens = []
+            while self.accept("kw", "when"):
+                cond = self.expr()
+                if base is not None:
+                    cond = Bin("=", base, cond)
+                self.expect("kw", "then")
+                whens.append((cond, self.expr()))
+            if not whens:
+                raise ValueError("CASE needs at least one WHEN")
+            default = self.expr() if self.accept("kw", "else") else None
+            self.expect("kw", "end")
+            return Case(whens, default)
         if k == "kw" and v in ("count", "sum", "avg", "min", "max"):
             self.expect("op", "(")
             distinct = self.accept("kw", "distinct")
@@ -355,6 +380,12 @@ def _cols_of(e, out: set[str]):
         _cols_of(e.expr, out)
     elif isinstance(e, Agg) and e.arg is not None:
         _cols_of(e.arg, out)
+    elif isinstance(e, Case):
+        for c, v in e.whens:
+            _cols_of(c, out)
+            _cols_of(v, out)
+        if e.default is not None:
+            _cols_of(e.default, out)
 
 
 def _eval(e, df: pd.DataFrame):
@@ -409,6 +440,19 @@ def _eval(e, df: pd.DataFrame):
     if isinstance(e, IsNull):
         m = _eval(e.expr, df).isna()
         return ~m if e.negated else m
+    if isinstance(e, Case):
+        # first-match-wins: apply WHENs in reverse over the ELSE base
+        out = _eval(e.default, df) if e.default is not None else np.nan
+        out = np.broadcast_to(np.asarray(out, dtype=object), (len(df),)).copy() if np.ndim(out) == 0 else np.asarray(out, dtype=object)
+        for cond, val in reversed(e.whens):
+            c = np.asarray(_eval(cond, df), dtype=bool)
+            v = _eval(val, df)
+            out = np.where(c, v, out)
+        s = pd.Series(out, index=df.index)
+        try:
+            return pd.to_numeric(s)  # numeric CASEs stay numeric
+        except (ValueError, TypeError):
+            return s
     raise ValueError(f"cannot evaluate {e!r} outside aggregation")
 
 
@@ -420,6 +464,12 @@ def _find_aggs(e, out: list):
         _find_aggs(e.right, out)
     elif isinstance(e, Un):
         _find_aggs(e.arg, out)
+    elif isinstance(e, Case):
+        for c, v in e.whens:
+            _find_aggs(c, out)
+            _find_aggs(v, out)
+        if e.default is not None:
+            _find_aggs(e.default, out)
 
 
 def _agg_key(a: Agg) -> str:

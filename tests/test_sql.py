@@ -232,3 +232,35 @@ def test_limit_offset(ray_session):
         assert got.columns.tolist() == exp.columns.tolist(), q
         for c in got.columns:
             assert got[c].tolist() == exp[c].tolist(), (q, c)
+
+
+def test_case_when(ray_session):
+    """CASE expressions (searched + simple), standalone, in WHERE, and
+    inside aggregates — same statement through DuckDB."""
+    duel(
+        "SELECT o_orderkey, CASE WHEN o_totalprice > 100000 THEN 'big' "
+        "WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS bucket "
+        "FROM orders ORDER BY o_orderkey LIMIT 50"
+    )
+    duel(
+        "SELECT o_orderpriority, SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+    # simple form: CASE base WHEN v THEN ...
+    duel(
+        "SELECT o_orderkey, CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 ELSE 0 END AS st "
+        "FROM orders ORDER BY o_orderkey LIMIT 50"
+    )
+    # CASE in WHERE
+    duel(
+        "SELECT o_orderkey FROM orders "
+        "WHERE CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END > 100000 "
+        "ORDER BY o_orderkey LIMIT 30"
+    )
+
+
+def test_case_parse_errors():
+    with pytest.raises(ValueError):
+        parse_sql("SELECT CASE END FROM t")
+    with pytest.raises(ValueError):
+        parse_sql("SELECT CASE WHEN a THEN END FROM t")
