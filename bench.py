@@ -66,6 +66,10 @@ SUITE = [
     # distributed sequence packing
     "icu_multilingual_tokens", "cjk_top_bigrams", "highlight_unified",
     "sequence_pack", "substring_dup_spans", "domain_mix_report",
+    # round-4 late-session additions: importance resampling, perplexity
+    # mixing, diversity report, event-log analytics, polygon filter
+    "dsir_model", "ccnet_buckets", "distinct_ngrams", "cohort_retention",
+    "funnel_conversion", "geo_polygon", "group_facet",
 ]
 
 
