@@ -193,9 +193,16 @@ def test_fuzz_random_statements(ray_session):
 
     for trial in range(25):
         if rng.random() < 0.5:
-            # scan shape
+            # scan shape; ~1/3 of projections exercise a CASE expression
+            proj = "o_totalprice * 2 AS tp2"
+            if rng.random() < 0.35:
+                c1, c2 = rng.sample(cats, 2)
+                proj = (
+                    f"CASE WHEN {cat_col} = '{c1}' THEN 1 "
+                    f"WHEN {cat_col} = '{c2}' THEN 2 ELSE 0 END AS cw"
+                )
             sql = (
-                f"SELECT o_orderkey, {cat_col}, o_totalprice * 2 AS tp2 FROM orders "
+                f"SELECT o_orderkey, {cat_col}, {proj} FROM orders "
                 f"WHERE {where()} ORDER BY o_orderkey LIMIT {rng.randint(5, 60)}"
             )
         else:
@@ -205,6 +212,7 @@ def test_fuzz_random_statements(ray_session):
                     "MIN(o_totalprice) AS mn",
                     "MAX(o_totalprice) AS mx",
                     "SUM(o_orderkey) AS sk",
+                    "SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS so",
                 ],
                 rng.randint(1, 3),
             )
