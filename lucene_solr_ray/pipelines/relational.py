@@ -967,6 +967,54 @@ FROM lineitem
 """
 
 
+def percentile_cont(sf_dir: str):
+    """Interpolated (continuous) percentiles from the SAME distributed
+    value-count histogram as `percentile_disc`: the two neighbouring order
+    statistics at h = q·(n−1) are read from the histogram walk, then
+    blended with DuckDB's own interpolation `lo·(1−frac) + hi·frac`
+    (verified formula — `lo + frac·(hi−lo)` differs in the last ulp)."""
+    def vc(batch: pd.DataFrame) -> pd.DataFrame:
+        vals, counts = np.unique(batch["l_extendedprice"].to_numpy(), return_counts=True)
+        bucket = (vals.view(np.int64) >> np.int64(20)) % np.int64(512)
+        return pd.DataFrame({"bucket": bucket, "v": vals, "n": counts})
+
+    def merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("v", as_index=False)["n"].sum()
+
+    hist = (
+        read(sf_dir, "lineitem", ["l_extendedprice"])
+        .map_batches(vc, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(merge_counts, batch_format="pandas")
+        .to_pandas()
+        .sort_values("v")
+    )
+    v = hist["v"].to_numpy()
+    cum = np.cumsum(hist["n"].to_numpy())
+    total = int(cum[-1])
+
+    def order_stat(rank0: int) -> float:  # 0-based rank in the sorted stream
+        return float(v[int(np.searchsorted(cum, rank0 + 1))])
+
+    out = {}
+    for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+        h = q * (total - 1)
+        lo_i = int(np.floor(h))
+        hi_i = int(np.ceil(h))
+        lo, hi = order_stat(lo_i), order_stat(hi_i)
+        frac = h - np.floor(h)
+        out[name] = [lo * (1 - frac) + hi * frac]
+    return pd.DataFrame(out)
+
+
+PERCENTILE_CONT_SQL = """
+SELECT quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99
+FROM lineitem
+"""
+
+
 def percentile_tdigest(sf_dir: str):
     """Approximate percentiles via the mergeable t-digest AggregateFn
     (state/tdigest.py): one sketch per batch, merged on the driver — at
@@ -1516,5 +1564,6 @@ PIPELINES: dict[str, Pipeline] = {
         "range facet with REAL date-math bounds (DateMathParser NOW/MONTH±N) — twin derives the same instants via date_trunc+INTERVAL",
     ),
     "percentile_disc": Pipeline(percentile_disc, PERCENTILE_SQL, "exact discrete percentiles via distributed value counts (StatsComponent percentiles)"),
+    "percentile_cont": Pipeline(percentile_cont, PERCENTILE_CONT_SQL, "interpolated percentiles from the distributed value-count histogram (quantile_cont parity)"),
     "percentile_tdigest": Pipeline(percentile_tdigest, None, "mergeable t-digest percentile sketch (PercentileAgg); accuracy-tested in pytest"),
 }
