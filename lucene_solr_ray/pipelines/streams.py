@@ -136,7 +136,18 @@ class _Parser:
             while j < len(self.s) and self.s[j].isspace():
                 j += 1
             if j < len(self.s) and self.s[j] == "(":
-                parent.args.append(self._expr())
+                inner = self._expr()
+                # `expr as alias` (select-operation naming, StreamExpression
+                # value syntax): wrap as Expr("as", [inner, alias])
+                save = self.i
+                self._ws()
+                m_as = re.match(r"as\s+(\w+)", self.s[self.i :])
+                if m_as:
+                    self.i += m_as.end()
+                    inner = Expr("as", args=[inner, m_as.group(1)])
+                else:
+                    self.i = save
+                parent.args.append(inner)
                 return
             if j < len(self.s) and self.s[j] == "=":
                 key = m.group(0)
@@ -556,9 +567,25 @@ def _stats(ctx: Ctx, e: Expr) -> SRes:
     return SRes(df=df.reset_index(drop=True))
 
 
+def _to_scalar_expr(x):
+    """streams.Expr → functions.scalar Expr (select-operation evaluators:
+    add/sub/mul/div/if/eq/gt/... share the ValueSource kernel registry)."""
+    from ..functions import scalar as FS
+
+    if isinstance(x, Expr):
+        if x.params:
+            raise StreamExprError(f"evaluator {x.name} takes positional args only")
+        return FS.Expr("call", name=x.name, args=[_to_scalar_expr(a) for a in x.args])
+    try:
+        return FS.Expr("lit", value=float(x))
+    except (TypeError, ValueError):
+        return FS.Expr("field", name=str(x))
+
+
 def _select(ctx: Ctx, e: Expr) -> SRes:
     inner = _eval_stream_arg(ctx, _stream_args(e)[0])
     items: list[tuple[str, str]] = []
+    evals: list[tuple[object, str]] = []  # (scalar Expr, output name)
     for a in e.args:
         if isinstance(a, str):
             for part in a.split(","):
@@ -566,11 +593,24 @@ def _select(ctx: Ctx, e: Expr) -> SRes:
                 src = toks[0].strip()
                 dst = toks[1].strip() if len(toks) > 1 else src
                 items.append((src, dst))
-    if not items:
+        elif isinstance(a, Expr) and a.name == "as" and len(a.args) == 2:
+            target, alias = a.args
+            if isinstance(target, Expr) and target.name not in REGISTRY_STREAMS:
+                evals.append((_to_scalar_expr(target), str(alias)))
+        elif isinstance(a, Expr) and a.name not in REGISTRY_STREAMS:
+            raise StreamExprError(f"select operation {a.name}(...) needs `as <name>`")
+    if not items and not evals:
         raise StreamExprError("select needs field specs")
 
     def proj(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({dst: batch[src] for src, dst in items})
+        from ..functions.scalar import evaluate
+
+        out = {dst: batch[src] for src, dst in items}
+        cols = {c: batch[c].to_numpy() for c in batch.columns}
+        for sexpr, dst in evals:
+            v = np.asarray(evaluate(sexpr, cols))
+            out[dst] = np.broadcast_to(v, (len(batch),)) if v.ndim == 0 else v
+        return pd.DataFrame(out, index=batch.index)
 
     ren = dict(items)
     sort = [(ren.get(c, c), a) for c, a in inner.sort if c in ren]

@@ -789,3 +789,32 @@ def test_shuffle_stream(ray_session):
         run_expr('shuffle(region, fl="r_name")', SF)
     with pytest.raises(StreamExprError, match="rows"):
         run_expr('shuffle(region, fl="r_name", sort="r_name asc", rows="2")', SF)
+
+
+def test_select_evaluator_operations(ray_session):
+    """Select operations (`add(a,b) as c` — Solr stream evaluators inside
+    select): computed columns through the ValueSource kernel registry."""
+    duel(
+        'select(search(customer, q="c_mktsegment:BUILDING", fl="c_custkey,c_acctbal"),'
+        ' "c_custkey as id", add(c_acctbal, 10) as bal10, mul(c_custkey, 2) as dbl)',
+        "SELECT c_custkey AS id, c_acctbal + 10 AS bal10, c_custkey * 2 AS dbl"
+        " FROM customer WHERE c_mktsegment='BUILDING'",
+    )
+    # nested + conditional evaluators
+    duel(
+        'select(search(events, q="*:*", fl="event_id,value"),'
+        ' "event_id", if(gt(value, 50), value, 0) as big)',
+        "SELECT event_id, CASE WHEN value > 50 THEN value ELSE 0 END AS big FROM events",
+    )
+
+
+def test_select_operation_requires_alias(ray_session):
+    with pytest.raises(StreamExprError):
+        run_expr('select(search(events, fl="event_id,value"), add(value, 1))', SF)
+
+
+def test_parse_as_alias_shape():
+    e = parse_expr("select(echo(x), a, add(a,b) as c)")
+    named = [a for a in e.args if isinstance(a, Expr) and a.name == "as"]
+    assert len(named) == 1 and named[0].args[1] == "c"
+    assert named[0].args[0].name == "add"
