@@ -11,6 +11,7 @@ the engine's analog of the QParserPlugin registry:
     {!boost b=expr}query    → Searcher.search_boosted
     {!join from=f to=t score=m}subq        → Searcher.join_search
     {!graph from=f to=t maxDepth=N ...}q   → Searcher.graph_search
+    {!parent score=m}childq / {!child score=m}parentq → block joins
     {!payload_score func=max}term          → Searcher.payload_score
     {!collapse field=f} (as fq)            → Searcher.search_collapse
 
@@ -97,6 +98,13 @@ def dispatch(searcher, q: str, k: int = 10, similarity: str = "bm25", fq: str | 
             return_root=_bool(p.get("returnRoot"), True),
             traversal_filter=p.get("traversalFilter"),
         )
+    if name == "parent":
+        # {!parent score=m}childQuery → ToParentBlockJoin (the engine's
+        # block structure fixes `which=` to conversation parents)
+        return searcher.search_parents(body, k, score_mode=p.get("score", "max"))
+    if name == "child":
+        # {!child score=m}parentQuery → ToChildBlockJoin
+        return searcher.search_children(body, k, score_mode=p.get("score", "max"))
     if name == "payload_score":
         return searcher.payload_score(
             body,

@@ -57,3 +57,12 @@ def test_dispatch_errors(searcher):  # noqa: F811
         searcher.query("{!join from=f}x")  # missing to=
     with pytest.raises(QParserError):
         searcher.query("x", fq="{!frange l=1}y")  # unsupported fq parser
+
+
+def test_dispatch_block_joins(searcher):  # noqa: F811
+    assert searcher.query("{!parent score=sum}+role:tool output", 5) == searcher.search_parents(
+        "+role:tool output", 5, score_mode="sum"
+    )
+    assert searcher.query("{!child}+role:tool output", 5) == searcher.search_children(
+        "+role:tool output", 5
+    )
