@@ -71,3 +71,31 @@ def write_partitioned(ds, out_dir: str | Path, partition_col: str, values=None) 
             (out / f"_DONE_{v}").write_text("ok")
             written.append(v)
     return {"written": written, "skipped": sorted(done)}
+
+
+def write_arrow_ipc(ds, out_dir: str | Path) -> int:
+    """Arrow IPC (Feather V2) streaming sink — the modern zero-copy binary
+    wire format standing in for the reference's javabin response writer
+    (SURVEY §2.1 response writers; loaders.read_arrow_ipc_docs is the
+    matching source).  Each Ray block writes its own `.arrow` file inside
+    workers (no driver materialization); files land atomically via
+    tmp+rename.  Returns the number of files written."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        import os
+        import uuid
+
+        name = f"block-{uuid.uuid4().hex}.arrow"
+        tmp = out / f".{name}.tmp"
+        with ipc.new_file(str(tmp), t.schema) as w:
+            w.write_table(t)
+        os.replace(tmp, out / name)
+        return pa.table({"files": pa.array([1], pa.int64())})
+
+    marks = ds.map_batches(write_block, batch_format="pyarrow").to_pandas()
+    return int(marks["files"].sum())

@@ -116,3 +116,30 @@ def test_curate_flagship_into_partitioned_sink(ray_session, tmp_path):
         f"SELECT COUNT(*) FROM read_parquet('{out}/*/*.parquet', hive_partitioning=1)"
     ).fetchone()[0]
     assert got == len(survivors)
+
+
+def test_arrow_ipc_sink_round_trips(ray_session, tmp_path):
+    """write_arrow_ipc → read_arrow_ipc_docs round trip: every row comes
+    back, written block files are valid IPC, no driver materialization."""
+    import pandas as pd
+    import pyarrow.ipc as ipc
+    import ray.data as rd
+
+    from lucene_solr_ray.sources.sinks import write_arrow_ipc
+
+    df = pd.DataFrame({"id": range(500), "text": [f"doc {i} body" for i in range(500)]})
+    src = tmp_path / "in.parquet"
+    df.to_parquet(src)
+    out = tmp_path / "ipc"
+    n_files = write_arrow_ipc(rd.read_parquet(str(src)), out)
+    files = sorted(out.glob("*.arrow"))
+    assert n_files == len(files) >= 1
+    rows = 0
+    for f in files:
+        with ipc.open_file(str(f)) as r:
+            t = r.read_all()
+            rows += t.num_rows
+            assert t.schema.names == ["id", "text"]
+    assert rows == 500
+    # no stray tmp files
+    assert not list(out.glob(".*.tmp"))
