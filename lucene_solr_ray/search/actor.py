@@ -1003,6 +1003,22 @@ class IndexShard:
         order = np.lexsort((docs, -scores32))
         return docs[order], scores32[order]
 
+    def numeric_dv_of(self, fields: list[str], docs: list[int]) -> dict:
+        """{field: (owned docIDs, float64 values)} for the docs THIS actor
+        owns — the gather half of feature logging (each actor answers for
+        its doc ranges only)."""
+        d = np.asarray(docs, np.int64)
+        out: dict = {}
+        for f in fields:
+            dv = self._load_numeric_dv(f)
+            if dv is None:
+                continue
+            fd, fv = dv
+            pos = np.clip(np.searchsorted(fd, d), 0, max(fd.size - 1, 0))
+            ok = (fd[pos] == d) if fd.size else np.zeros(d.size, bool)
+            out[f] = (d[ok], fv[pos[ok]])
+        return out
+
     def _range_matching_terms(self, field: str, lo: str, hi: str):
         terms, dfs = self._term_dict()
         i = int(np.searchsorted(terms, f"{field}:{lo}"))

@@ -758,6 +758,57 @@ class Searcher:
 
         return dispatch(self, q, k=k, similarity=similarity, fq=fq)
 
+    def ltr_features(
+        self, query: str, k: int = 10, feature_exprs: dict[str, str] | None = None
+    ) -> list[tuple[int, float, dict[str, float]]]:
+        """LTR feature logging (`fl=[features]`, solr/contrib/ltr/.../
+        response/transform/LTRFeatureLoggerTransformerFactory.java): the
+        top-k hits each carry their feature vector — `original_score` plus
+        one value per entry of `feature_exprs` (function-query expressions
+        over the numeric doc-values columns, the SolrFeature/FieldValue
+        Feature analogs).  One extra bounded scatter gathers the dv values
+        for the k winners only."""
+        from ..functions.scalar import evaluate, expr_fields, parse_expr
+
+        feature_exprs = feature_exprs or {"dl": "dl", "turn_idx": "turn_idx"}
+        hits = self.search(query, k)
+        if not hits:
+            return []
+        docs = np.array([d for d, _ in hits], dtype=np.int64)
+        exprs = {name: parse_expr(src) for name, src in feature_exprs.items()}
+        fields = sorted({f for e in exprs.values() for f in expr_fields(e)})
+        cols = {f: np.full(docs.size, np.nan) for f in fields}
+        order = np.argsort(docs)  # hits are rank-ordered; gather by sorted pos
+        for part in self._scatter("numeric_dv_of", fields, docs[order].tolist()):
+            for f, (owned, vals) in part.items():
+                cols[f][order[np.searchsorted(docs[order], owned)]] = vals
+        feats = {name: np.asarray(evaluate(e, cols), np.float64) for name, e in exprs.items()}
+        out = []
+        for i, (d, s) in enumerate(hits):
+            row = {"original_score": float(s)}
+            for name in feature_exprs:
+                v = feats[name]
+                row[name] = float(v if v.ndim == 0 else v[i])
+            out.append((d, s, row))
+        return out
+
+    def rerank_ltr(
+        self, query: str, model, rerank_docs: int = 50, k: int = 10,
+        feature_exprs: dict[str, str] | None = None,
+    ) -> list[tuple[int, float]]:
+        """`{!ltr model=m reRankDocs=N}` (solr/contrib/ltr LTRQParserPlugin):
+        first-pass BM25 top-N, feature vectors logged, MODEL score reranks,
+        final (model score desc, docID asc) top-k."""
+        logged = self.ltr_features(query, rerank_docs, feature_exprs)
+        if not logged:
+            return []
+        names = list(logged[0][2].keys())
+        feats = {n: np.array([row[2][n] for row in logged], np.float64) for n in names}
+        scores = model.score(feats)
+        docs = np.array([d for d, _, _ in logged], dtype=np.int64)
+        order = np.lexsort((docs, -scores))[:k]
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
     def search_boosted(
         self, query: str, boost_expr: str, k: int = 10, similarity: str = "bm25"
     ) -> list[tuple[int, float]]:
