@@ -1544,6 +1544,57 @@ FROM g CROSS JOIN tot ORDER BY source, lang
 
 
 # --------------------------------------------------------------------------
+# Mixture-rate planning (the DoReMi/Pile-style data-mixing step made
+# deterministic): given a TARGET language mixture (uniform here), compute
+# the per-language keep rates that achieve the exact mixture on the
+# largest possible corpus — water-filling: the binding language keeps rate
+# 1.0, every other language downsamples to its quota.  Pure arithmetic on
+# bounded per-lang token totals → strict SQL twin.
+
+
+def mixture_rates(sf_dir: str):
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        g = pd.DataFrame(
+            {"lang": batch["lang"].fillna("__missing__"), "tokens": toks.map(len).to_numpy(np.int64)}
+        )
+        return g.groupby("lang", as_index=False).sum()
+
+    g = merge_partials(
+        read(sf_dir, "documents", ["lang", "text"]).map_batches(part, batch_format="pandas"),
+        ["lang"],
+        {"tokens": "sum"},
+    )
+    g["tokens"] = g["tokens"].astype("int64")
+    n_langs = len(g)
+    share = 1.0 / n_langs  # uniform target mixture
+    # largest total T* with exact shares: min over langs of tokens/share
+    t_star = (g["tokens"].astype("float64") / share).min()
+    g["share"] = share
+    g["quota"] = share * t_star
+    g["rate"] = (share * t_star) / g["tokens"].astype("float64")
+    return g[["lang", "tokens", "share", "quota", "rate"]].sort_values("lang").reset_index(drop=True)
+
+
+MIXTURE_RATES_SQL = f"""
+WITH d AS (
+  SELECT COALESCE(lang, '__missing__') AS lang,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n
+  FROM documents
+),
+g AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tokens FROM d GROUP BY lang),
+p AS (
+  SELECT lang, tokens, 1.0 / (SELECT COUNT(*) FROM g) AS share FROM g
+),
+t AS (SELECT MIN(CAST(tokens AS DOUBLE) / share) AS t_star FROM p)
+SELECT lang, tokens, share,
+       share * t_star AS quota,
+       (share * t_star) / CAST(tokens AS DOUBLE) AS rate
+FROM p CROSS JOIN t ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
 # Exact-substring duplicate spans (Lee et al. 2022 "Deduplicating Training
 # Data Makes Language Models Better", the ExactSubstr pass): token windows
 # of SUBSTR_W that occur MORE THAN ONCE anywhere in the corpus (cross-doc
@@ -2032,6 +2083,7 @@ PIPELINES: dict[str, Pipeline] = {
     "quality_signals": Pipeline(quality_signals, QUALITY_SQL, "quality scoring signals for training-data filtering"),
     "repetition_signals": Pipeline(repetition_signals, REPETITION_SQL, "Gopher/RefinedWeb repetition filters: top-2-gram / dup-3-gram / dup-token fractions per doc"),
     "distinct_ngrams": Pipeline(distinct_ngrams, DISTINCT_NGRAMS_SQL, "corpus diversity report: distinct-1/2/3 + type-token ratio per source (bucketed gram shuffle)"),
+    "mixture_rates": Pipeline(mixture_rates, MIXTURE_RATES_SQL, "data-mixing rate planner: per-lang keep rates for an exact uniform token mixture (water-filling)"),
     "lang_id": Pipeline(lang_id, LANG_ID_SQL, "stopword-heuristic language id (langid URP), actor pool"),
     "fingerprint": Pipeline(fingerprint, FINGERPRINT_SQL, "document fingerprint (FingerprintFilter)"),
     "terms_component": Pipeline(terms_component, TERMS_SQL, "term/df enumeration (TermsComponent)"),

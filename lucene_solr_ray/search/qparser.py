@@ -105,6 +105,16 @@ def dispatch(searcher, q: str, k: int = 10, similarity: str = "bm25", fq: str | 
     if name == "child":
         # {!child score=m}parentQuery → ToChildBlockJoin
         return searcher.search_children(body, k, score_mode=p.get("score", "max"))
+    if name == "ltr":
+        # {!ltr model=m reRankDocs=N}query — LTRQParserPlugin over the
+        # ManagedModelStore analog (Searcher.register_ltr_model)
+        models = getattr(searcher, "_ltr_models", {})
+        if p.get("model") not in models:
+            raise QParserError(f"unknown LTR model {p.get('model')!r}")
+        model, fx = models[p["model"]]
+        return searcher.rerank_ltr(
+            body, model, rerank_docs=int(p.get("reRankDocs", 50)), k=k, feature_exprs=fx
+        )
     if name == "payload_score":
         return searcher.payload_score(
             body,

@@ -483,6 +483,15 @@ class Searcher:
             g = g.sort_values(["df", "term"], ascending=[False, True], kind="mergesort").head(limit)
         return [(str(t), int(d)) for t, d in zip(g["term"], g["df"])]
 
+    def terms_list(self, terms: list[str], ttf: bool = False) -> list[tuple[str, int]]:
+        """terms.list (TermsComponent explicit-list mode): stats for the
+        GIVEN terms only, straight from the row-group-pruned global stats
+        reads (LazyBM25Stats) — no shard scatter, no dictionary scan.
+        `ttf=True` returns totalTermFreq (terms.ttf) instead of docFreq;
+        absent terms report 0 (the reference omits them; callers filter)."""
+        stat = self.stats.cf if ttf else self.stats.df
+        return [(t, int(stat(t))) for t in terms]
+
     def facet_field(self, field: str, limit: int = 10) -> list[tuple[str, int]]:
         """Keyword-field facet straight from the term dictionary (the
         fieldValueCache facet path — `field:value` term dfs ARE the facet
@@ -791,6 +800,13 @@ class Searcher:
                 row[name] = float(v if v.ndim == 0 else v[i])
             out.append((d, s, row))
         return out
+
+    def register_ltr_model(self, name: str, model, feature_exprs: dict[str, str] | None = None):
+        """ManagedModelStore analog (solr/contrib/ltr managed resources):
+        named models for `{!ltr model=name}` dispatch."""
+        if not hasattr(self, "_ltr_models"):
+            self._ltr_models: dict[str, tuple] = {}
+        self._ltr_models[name] = (model, feature_exprs)
 
     def rerank_ltr(
         self, query: str, model, rerank_docs: int = 50, k: int = 10,

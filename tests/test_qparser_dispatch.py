@@ -66,3 +66,26 @@ def test_dispatch_block_joins(searcher):  # noqa: F811
     assert searcher.query("{!child}+role:tool output", 5) == searcher.search_children(
         "+role:tool output", 5
     )
+
+
+def test_dispatch_ltr(searcher):  # noqa: F811
+    from lucene_solr_ray.search.ltr import LinearModel
+    from lucene_solr_ray.search.qparser import QParserError
+
+    model = LinearModel({"original_score": 1.0, "turn_idx": -0.05})
+    searcher.register_ltr_model("m1", model, {"turn_idx": "turn_idx"})
+    got = searcher.query("{!ltr model=m1 reRankDocs=30}assistant answer", 8)
+    assert got == searcher.rerank_ltr(
+        "assistant answer", model, rerank_docs=30, k=8, feature_exprs={"turn_idx": "turn_idx"}
+    )
+    with pytest.raises(QParserError):
+        searcher.query("{!ltr model=nope}x")
+
+
+def test_terms_list(searcher, oracle):  # noqa: F811
+    terms = ["tool", "output", "assistant", "zzznotaterm"]
+    got = dict(searcher.terms_list(terms))
+    for t in terms:
+        assert got[t] == oracle.df.get(t, 0)
+    ttf = dict(searcher.terms_list(["tool", "zzznotaterm"], ttf=True))
+    assert ttf["tool"] == oracle.cf("tool") and ttf["zzznotaterm"] == 0
