@@ -1003,6 +1003,18 @@ class IndexShard:
         order = np.lexsort((docs, -scores32))
         return docs[order], scores32[order]
 
+    def scores_of(self, node: QueryNode, idfs: dict[str, float], docs: list[int], sim: str = "bm25"):
+        """(owned matching docIDs, float64 scores) restricted to the GIVEN
+        doc list — the second-pass scorer of ReRankQParserPlugin (a doc
+        outside the rerank query's match set contributes nothing)."""
+        d, s = self._eval(node, idfs, sim)
+        if d.size == 0:
+            return _EMPTY_I64, _EMPTY_F64
+        req = np.asarray(sorted(docs), np.int64)
+        pos = np.clip(np.searchsorted(d, req), 0, d.size - 1)
+        ok = d[pos] == req
+        return req[ok], s[pos[ok]]
+
     def numeric_dv_of(self, fields: list[str], docs: list[int]) -> dict:
         """{field: (owned docIDs, float64 values)} for the docs THIS actor
         owns — the gather half of feature logging (each actor answers for

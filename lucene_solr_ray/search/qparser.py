@@ -105,6 +105,18 @@ def dispatch(searcher, q: str, k: int = 10, similarity: str = "bm25", fq: str | 
     if name == "child":
         # {!child score=m}parentQuery → ToChildBlockJoin
         return searcher.search_children(body, k, score_mode=p.get("score", "max"))
+    if name == "rerank":
+        # {!rerank reRankQuery='...' reRankDocs=N reRankWeight=w}mainQuery
+        if "reRankQuery" not in p:
+            raise QParserError("{!rerank} requires reRankQuery=")
+        return searcher.rerank_query(
+            body,
+            p["reRankQuery"],
+            k=k,
+            rerank_docs=int(p.get("reRankDocs", 200)),
+            weight=float(p.get("reRankWeight", 2.0)),
+            similarity=similarity,
+        )
     if name == "ltr":
         # {!ltr model=m reRankDocs=N}query — LTRQParserPlugin over the
         # ManagedModelStore analog (Searcher.register_ltr_model)

@@ -801,6 +801,42 @@ class Searcher:
             out.append((d, s, row))
         return out
 
+    def rerank_query(
+        self,
+        query: str,
+        rerank_query: str,
+        k: int = 10,
+        rerank_docs: int = 50,
+        weight: float = 2.0,
+        similarity: str = "bm25",
+    ) -> list[tuple[int, float]]:
+        """ReRankQParserPlugin (solr/core/.../search/ReRankQParserPlugin
+        .java): first-pass top-`rerank_docs` by the main query, then each
+        of those docs gains `weight × rerankQueryScore` (zero when the doc
+        doesn't match the rerank query) — final top-k by the combined
+        score, ties (score desc, docID asc).  The second pass ships only
+        the N winner docIDs to the shards."""
+        first = self.search(query, rerank_docs, similarity=similarity)
+        if not first:
+            return []
+        docs = np.array([d for d, _ in first], dtype=np.int64)
+        combined = np.array([s for _, s in first], dtype=np.float64)
+        node = self._parse(rerank_query)
+        if node is not None:
+            node = self._rewrite(node)
+        if node is not None:
+            idfs = self._weights_for(node, similarity)
+            order = np.argsort(docs)
+            for od, os_ in self._scatter("scores_of", node, idfs, docs[order].tolist(), similarity):
+                if len(od):
+                    at = order[np.searchsorted(docs[order], od)]
+                    # per-doc scores are float32 in the reference engine —
+                    # cast BEFORE combining so both passes share rounding
+                    combined[at] += weight * os_.astype(np.float32).astype(np.float64)
+        s32 = combined.astype(np.float32)
+        top = np.lexsort((docs, -s32))[:k]
+        return [(int(docs[i]), float(s32[i])) for i in top]
+
     def register_ltr_model(self, name: str, model, feature_exprs: dict[str, str] | None = None):
         """ManagedModelStore analog (solr/contrib/ltr managed resources):
         named models for `{!ltr model=name}` dispatch."""
