@@ -46,6 +46,7 @@ _KEYWORDS = {
     "count", "sum", "avg", "min", "max", "is", "null", "distinct",
     "join", "on",
     "case", "when", "then", "else", "end",
+    "union", "all",
 }
 
 
@@ -124,6 +125,17 @@ class Like:
 class IsNull:
     expr: object
     negated: bool
+
+
+@dataclass
+class Union:
+    """UNION ALL chain; ORDER BY/LIMIT/OFFSET (written after the LAST
+    branch) apply to the combined rows — the standard SQL contract."""
+
+    selects: list["Select"]
+    order_by: list[tuple[str, bool]]
+    limit: int | None
+    offset: int
 
 
 @dataclass
@@ -349,12 +361,29 @@ class _Parser:
             stmt.limit = int(self.expect("num"))
             if self.accept("kw", "offset"):
                 stmt.offset = int(self.expect("num"))
-        self.expect("eof")
         return stmt
 
+    def statement(self) -> "Select | Union":
+        first = self.select()
+        branches = [first]
+        while self.accept("kw", "union"):
+            self.expect("kw", "all")
+            branches.append(self.select())
+        if len(branches) == 1:
+            self.expect("eof")
+            return first
+        for b in branches[:-1]:
+            if b.order_by or b.limit is not None:
+                raise ValueError("ORDER BY/LIMIT belongs after the last UNION ALL branch")
+        last = branches[-1]
+        u = Union(branches, last.order_by, last.limit, last.offset)
+        last.order_by, last.limit, last.offset = [], None, 0
+        self.expect("eof")
+        return u
 
-def parse_sql(sql: str) -> Select:
-    return _Parser(tokenize(sql)).select()
+
+def parse_sql(sql: str) -> "Select | Union":
+    return _Parser(tokenize(sql)).statement()
 
 
 # --------------------------------------------------------------------------
@@ -499,6 +528,28 @@ def _eval_with_aggs(e, merged: pd.DataFrame, aggcol: dict):
 def execute_sql(sf_dir: str, sql: str) -> pd.DataFrame:
     """Parse + plan + run `sql` over the parquet tables in `sf_dir`."""
     stmt = parse_sql(sql)
+    if isinstance(stmt, Union):
+        parts = [_execute_select(sf_dir, b) for b in stmt.selects]
+        cols0 = list(parts[0].columns)
+        for p_ in parts[1:]:
+            if list(p_.columns) != cols0:
+                raise ValueError(f"UNION ALL branch schemas differ: {cols0} vs {list(p_.columns)}")
+        df = pd.concat(parts, ignore_index=True)
+        if stmt.order_by:
+            df = df.sort_values(
+                [c for c, _ in stmt.order_by],
+                ascending=[a for _, a in stmt.order_by],
+                kind="mergesort",
+            )
+        if stmt.limit is not None:
+            df = df.iloc[stmt.offset : stmt.offset + stmt.limit]
+        elif stmt.offset:
+            df = df.iloc[stmt.offset :]
+        return df.reset_index(drop=True)
+    return _execute_select(sf_dir, stmt)
+
+
+def _execute_select(sf_dir: str, stmt: Select) -> pd.DataFrame:
     need: set[str] = set()
     for e, _ in stmt.cols:
         _cols_of(e, need)
@@ -790,6 +841,20 @@ def sql_join(sf_dir: str) -> pd.DataFrame:
     return execute_sql(sf_dir, SQL_JOIN)
 
 
+SQL_UNION = (
+    "SELECT o_orderstatus AS g, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY o_orderstatus"
+    " UNION ALL "
+    "SELECT c_mktsegment AS g, CAST(COUNT(*) AS BIGINT) AS n FROM customer GROUP BY c_mktsegment"
+    " ORDER BY g"
+)
+
+
+def sql_union(sf_dir: str) -> pd.DataFrame:
+    out = execute_sql(sf_dir, SQL_UNION)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 PIPELINES: dict[str, Pipeline] = {
     "sql_distinct": Pipeline(
         sql_distinct,
@@ -807,6 +872,11 @@ PIPELINES: dict[str, Pipeline] = {
         " FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_acctbal > 0"
         " GROUP BY c_mktsegment, n_name HAVING COUNT(*) > 1 ORDER BY c_mktsegment, n_name",
         "Parallel SQL handler: broadcast equi-join + grouped aggregate over the joined stream",
+    ),
+    "sql_union": Pipeline(
+        sql_union,
+        SQL_UNION,
+        "Parallel SQL handler: UNION ALL with trailing ORDER BY over the combined branches",
     ),
     "sql_select": Pipeline(
         sql_select,

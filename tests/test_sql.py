@@ -272,3 +272,21 @@ def test_case_parse_errors():
         parse_sql("SELECT CASE END FROM t")
     with pytest.raises(ValueError):
         parse_sql("SELECT CASE WHEN a THEN END FROM t")
+
+
+def test_union_all(ray_session):
+    duel(
+        "SELECT c_custkey AS k, c_acctbal AS v FROM customer WHERE c_acctbal > 9500"
+        " UNION ALL SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_totalprice < 2000"
+        " ORDER BY k, v LIMIT 40"
+    )
+    # grouped branches
+    duel(
+        "SELECT o_orderstatus AS g, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
+        " UNION ALL SELECT c_mktsegment AS g, COUNT(*) AS n FROM customer GROUP BY c_mktsegment"
+        " ORDER BY g"
+    )
+    with pytest.raises(ValueError):
+        parse_sql("SELECT a FROM t ORDER BY a UNION ALL SELECT a FROM u")
+    with pytest.raises(ValueError):
+        execute_sql(SF, "SELECT c_custkey FROM customer UNION ALL SELECT o_orderkey AS x, 1 AS y FROM orders")
