@@ -842,9 +842,9 @@ def sql_join(sf_dir: str) -> pd.DataFrame:
 
 
 SQL_UNION = (
-    "SELECT o_orderstatus AS g, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY o_orderstatus"
+    "SELECT o_orderstatus AS g, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
     " UNION ALL "
-    "SELECT c_mktsegment AS g, CAST(COUNT(*) AS BIGINT) AS n FROM customer GROUP BY c_mktsegment"
+    "SELECT c_mktsegment AS g, COUNT(*) AS n FROM customer GROUP BY c_mktsegment"
     " ORDER BY g"
 )
 
