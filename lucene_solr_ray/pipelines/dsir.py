@@ -41,17 +41,16 @@ import pandas as pd
 
 from .common import Pipeline, read
 from .lm import LM_BUCKETS, LM_TOP_M
-from .text import TOKEN_RE, _token_bucket, _tokens
+from .text import TOKEN_RE, _explode_tokens, _token_bucket
 
 TARGET_LANG = "en"
 
 
 def _dsir_partials(batch: pd.DataFrame) -> pd.DataFrame:
-    toks = _tokens(batch["text"])
-    is_t = batch["lang"].to_numpy() == TARGET_LANG
-    lens = toks.str.len().to_numpy(dtype=np.int64) if len(toks) else np.array([], dtype=np.int64)
-    flat = np.concatenate(toks.to_numpy()) if len(toks) else np.array([], dtype=object)
-    if not flat.size:
+    # one shared token-explode kernel (text._explode_tokens) — the batch
+    # token stream factorized once, counts as bincounts over codes
+    doc_idx, codes, uniq, _counts = _explode_tokens(batch["text"])
+    if not codes.size:
         return pd.DataFrame(
             {
                 "key": pd.Series(dtype=object),
@@ -61,12 +60,10 @@ def _dsir_partials(batch: pd.DataFrame) -> pd.DataFrame:
                 "gb": pd.Series(dtype="int64"),
             }
         )
-    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-    tok_t = is_t[doc_idx]
-    u, codes = np.unique(flat, return_inverse=True)
-    cr = np.bincount(codes, minlength=u.size).astype(np.int64)
-    ct = np.bincount(codes[tok_t], minlength=u.size).astype(np.int64)
-    out = pd.DataFrame({"key": u, "ct": ct, "cr": cr})
+    tok_t = (batch["lang"].to_numpy() == TARGET_LANG)[doc_idx]
+    cr = np.bincount(codes, minlength=uniq.size).astype(np.int64)
+    ct = np.bincount(codes[tok_t], minlength=uniq.size).astype(np.int64)
+    out = pd.DataFrame({"key": uniq, "ct": ct, "cr": cr})
     out["kind"] = np.int64(0)
     out["gb"] = _token_bucket(out["key"].to_numpy()) % LM_BUCKETS
     return out
@@ -173,14 +170,13 @@ class _DsirScorer:
         )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens(batch["text"])
         n = len(batch)
-        lens = toks.str.len().to_numpy(dtype=np.int64) if n else np.array([], dtype=np.int64)
-        flat = np.concatenate(toks.to_numpy()) if n else np.array([], dtype=object)
+        _doc_idx, codes, uniq, lens = _explode_tokens(batch["text"])
         logw = np.zeros(n, dtype=np.float64)
-        if flat.size:
-            lr = pd.Series(flat.astype(object)).map(self.lr).to_numpy()
-            lr = np.where(np.isnan(lr), self.oov_lr, lr)
+        if codes.size:
+            # per-UNIQUE-token lookup, gathered back through the codes
+            lr_u = pd.Series(uniq.astype(object)).map(self.lr).to_numpy()
+            lr = np.where(np.isnan(lr_u), self.oov_lr, lr_u)[codes]
             starts = np.zeros(n, dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
             nz = lens > 0
@@ -246,16 +242,14 @@ def hashed_dsir_weights(sf_dir: str, hash_dim: int = 4096):
     import ray
 
     def hpartials(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens(batch["text"])
-        is_t = batch["lang"].to_numpy() == TARGET_LANG
-        lens = toks.str.len().to_numpy(dtype=np.int64) if len(toks) else np.array([], dtype=np.int64)
-        flat = np.concatenate(toks.to_numpy()) if len(toks) else np.array([], dtype=object)
-        if not flat.size:
+        doc_idx, codes, uniq, _ = _explode_tokens(batch["text"])
+        if not codes.size:
             return pd.DataFrame({"h": pd.Series(dtype="int64"), "ct": pd.Series(dtype="int64"), "cr": pd.Series(dtype="int64")})
-        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        h = (pd.util.hash_array(flat.astype(object)) % hash_dim).astype(np.int64)
+        # hash each UNIQUE token once, gather through the codes
+        h = (pd.util.hash_array(uniq.astype(object)) % hash_dim).astype(np.int64)[codes]
+        tok_t = (batch["lang"].to_numpy() == TARGET_LANG)[doc_idx]
         cr = np.bincount(h, minlength=hash_dim).astype(np.int64)
-        ct = np.bincount(h[is_t[doc_idx]], minlength=hash_dim).astype(np.int64)
+        ct = np.bincount(h[tok_t], minlength=hash_dim).astype(np.int64)
         return pd.DataFrame({"h": np.arange(hash_dim, dtype=np.int64), "ct": ct, "cr": cr})
 
     parts = (
@@ -273,13 +267,11 @@ def hashed_dsir_weights(sf_dir: str, hash_dim: int = 4096):
 
     def score(batch: pd.DataFrame, _ref=lr_ref, _dim=hash_dim) -> pd.DataFrame:
         table = __import__("ray").get(_ref)
-        toks = _tokens(batch["text"])
         n = len(batch)
-        lens = toks.str.len().to_numpy(dtype=np.int64) if n else np.array([], dtype=np.int64)
-        flat = np.concatenate(toks.to_numpy()) if n else np.array([], dtype=object)
+        _di, codes, uniq, lens = _explode_tokens(batch["text"])
         logw = np.zeros(n, dtype=np.float64)
-        if flat.size:
-            h = (pd.util.hash_array(flat.astype(object)) % _dim).astype(np.int64)
+        if codes.size:
+            h = (pd.util.hash_array(uniq.astype(object)) % _dim).astype(np.int64)[codes]
             starts = np.zeros(n, dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
             nz = lens > 0

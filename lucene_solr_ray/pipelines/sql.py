@@ -470,18 +470,34 @@ def _eval(e, df: pd.DataFrame):
         m = _eval(e.expr, df).isna()
         return ~m if e.negated else m
     if isinstance(e, Case):
-        # first-match-wins: apply WHENs in reverse over the ELSE base
-        out = _eval(e.default, df) if e.default is not None else np.nan
-        out = np.broadcast_to(np.asarray(out, dtype=object), (len(df),)).copy() if np.ndim(out) == 0 else np.asarray(out, dtype=object)
-        for cond, val in reversed(e.whens):
+        # first-match-wins: apply WHENs in reverse over the ELSE base.
+        # Result dtype follows the BRANCH VALUE types (never coerce a
+        # string branch like '1' to a number — DuckDB keeps it VARCHAR)
+        vals = [_eval(v, df) for _, v in e.whens]
+        dflt = _eval(e.default, df) if e.default is not None else np.nan
+
+        def _is_str(v) -> bool:
+            return isinstance(v, str) or (hasattr(v, "dtype") and np.asarray(v).dtype.kind in "OUS")
+
+        stringy = any(_is_str(v) for v in vals) or _is_str(dflt)
+        dt = object if stringy else np.float64
+        out = np.asarray(dflt, dtype=dt)
+        out = np.broadcast_to(out, (len(df),)).copy() if out.ndim == 0 else out
+        for (cond, _), v in zip(reversed(e.whens), reversed(vals)):
             c = np.asarray(_eval(cond, df), dtype=bool)
-            v = _eval(val, df)
             out = np.where(c, v, out)
         s = pd.Series(out, index=df.index)
-        try:
-            return pd.to_numeric(s)  # numeric CASEs stay numeric
-        except (ValueError, TypeError):
-            return s
+        if not stringy:
+            # all-integer CASEs export int64 like the twin (no NULL branch)
+            f = s.to_numpy(np.float64)
+            if e.default is not None and not np.isnan(f).any() and (f == np.rint(f)).all():
+                ints = all(
+                    isinstance(v, (int, np.integer)) or (hasattr(v, "dtype") and np.asarray(v).dtype.kind in "iu")
+                    for v in vals + [dflt]
+                )
+                if ints:
+                    return s.astype("int64")
+        return s
     raise ValueError(f"cannot evaluate {e!r} outside aggregation")
 
 

@@ -355,13 +355,10 @@ def funnel_conversion(sf_dir: str):
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         counts = np.zeros(len(FUNNEL_STEPS), dtype=np.int64)
         # vectorized per user: first step-0 ts, then first later step-1, …
-        piv = {
-            st: g[g["event_type"] == st].groupby("user_id")["us"] for st in FUNNEL_STEPS
-        }
         cur: pd.Series | None = None
         for i, st in enumerate(FUNNEL_STEPS):
             if i == 0:
-                cur = piv[st].min()
+                cur = g[g["event_type"] == st].groupby("user_id")["us"].min()
             else:
                 # first occurrence of this step strictly after the user's
                 # previous-step time: min over events with us > cur[user]

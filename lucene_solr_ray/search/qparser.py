@@ -65,7 +65,13 @@ def dispatch(searcher, q: str, k: int = 10, similarity: str = "bm25", fq: str | 
         fname, fparams, _ = parse_local_params(fq)
         if fname != "collapse" or "field" not in fparams:
             raise QParserError(f"unsupported fq parser: {fq!r}")
-        return searcher.search_collapse(q, fparams["field"], k, similarity=similarity)
+        qname, _, qbody = parse_local_params(q)
+        if qname != "lucene":
+            # search_collapse parses its query with the default parser —
+            # a {!surround}/{!complexphrase} main query would silently
+            # misparse as lucene term syntax, so reject the combination
+            raise QParserError(f"fq={{!collapse}} composes with the default parser only, not {{!{qname}}}")
+        return searcher.search_collapse(qbody, fparams["field"], k, similarity=similarity)
     name, p, body = parse_local_params(q)
     if name == "lucene":
         return searcher.search(body, k, similarity=similarity)

@@ -355,6 +355,10 @@ def _cp_slot_nodes(raw: str, analyzer) -> list[QueryNode]:
         if len(toks) == 1:
             edits = int(m.group(2)) if m.group(2) else 2
             return [QueryNode("fuzzy", pattern=toks[0], max_edits=min(edits, 2))]
+        # fuzzy base analyzed to 0 (stopword: slot collapses) or >1 tokens
+        # (fuzziness dropped, tokens become consecutive slots) — never
+        # re-analyze WITH the ~N suffix (the digits would become a slot)
+        return [QueryNode("term", terms=[t]) for t in toks]
     toks = [t for t, _ in analyzer(raw)]
     return [QueryNode("term", terms=[t]) for t in toks]
 
@@ -376,6 +380,10 @@ def complex_phrase(text: str, slop: int = 0, boost: float = 1.0, analyzer=None) 
     for m in _CP_ELEM_RE.finditer(text):
         group, word = m.group(1), m.group(3)
         if group is not None:
+            if m.group(2) is not None:
+                # per-group proximity isn't a ComplexPhrase feature either —
+                # reject loudly rather than silently ignoring the suffix
+                raise ValueError(f"per-group proximity (…)~{m.group(2)} is not supported")
             alts: list[QueryNode] = []
             for w in group.split():
                 alts.extend(_cp_slot_nodes(w, analyzer))

@@ -787,10 +787,17 @@ class Searcher:
         exprs = {name: parse_expr(src) for name, src in feature_exprs.items()}
         fields = sorted({f for e in exprs.values() for f in expr_fields(e)})
         cols = {f: np.full(docs.size, np.nan) for f in fields}
+        seen: set[str] = set()
         order = np.argsort(docs)  # hits are rank-ordered; gather by sorted pos
         for part in self._scatter("numeric_dv_of", fields, docs[order].tolist()):
             for f, (owned, vals) in part.items():
+                seen.add(f)
                 cols[f][order[np.searchsorted(docs[order], owned)]] = vals
+        missing = [f for f in fields if f not in seen]
+        if missing:
+            # fail loudly, like search_boosted — NaN features would rank
+            # every hit arbitrarily with NaN model scores
+            raise KeyError(f"unknown numeric doc-values field(s) {missing}")
         feats = {name: np.asarray(evaluate(e, cols), np.float64) for name, e in exprs.items()}
         out = []
         for i, (d, s) in enumerate(hits):

@@ -208,8 +208,13 @@ def multi_term_leaves(ast: SrndNode, in_dist: bool = False) -> list[QueryNode]:
     return out
 
 
-def _to_intervals(ast: SrndNode, expander) -> tuple[IntervalsNode, int]:
+def _to_intervals(ast: SrndNode, expander, root: bool = False) -> tuple[IntervalsNode, int]:
     """(interval tree, width bound) for a span-context subquery."""
+    if ast.boost != 1.0 and not root:
+        # the intervals algebra carries no per-leaf weights — reject a
+        # nested boost loudly instead of silently dropping it (the
+        # top-level distance op's own boost IS honored via surround_to_node)
+        raise SurroundParseError("boosts inside distance subqueries are not supported")
     if ast.kind == "term":
         mt = _truncation_node(ast.term)
         if mt is None:
@@ -239,7 +244,7 @@ def surround_to_node(ast: SrndNode, expander) -> QueryNode:
         n.boost = ast.boost
         return n
     if ast.kind == "dist":
-        tree, _ = _to_intervals(ast, expander)
+        tree, _ = _to_intervals(ast, expander, root=True)
         return QueryNode("intervals", tree=tree, boost=ast.boost)
     if ast.kind == "or":
         return QueryNode(

@@ -90,6 +90,8 @@ def write_arrow_ipc(ds, out_dir: str | Path) -> int:
         import os
         import uuid
 
+        if t.num_rows == 0:  # never emit (or count) empty block files
+            return pa.table({"files": pa.array([], pa.int64())})
         name = f"block-{uuid.uuid4().hex}.arrow"
         tmp = out / f".{name}.tmp"
         with ipc.new_file(str(tmp), t.schema) as w:
@@ -98,4 +100,6 @@ def write_arrow_ipc(ds, out_dir: str | Path) -> int:
         return pa.table({"files": pa.array([1], pa.int64())})
 
     marks = ds.map_batches(write_block, batch_format="pyarrow").to_pandas()
-    return int(marks["files"].sum())
+    # Ray drops the block schema when EVERY block is empty (CLAUDE.md
+    # gotcha) — an all-filtered input simply wrote zero files
+    return int(marks["files"].sum()) if "files" in marks.columns else 0

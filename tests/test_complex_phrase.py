@@ -74,3 +74,14 @@ def test_complex_phrase_boost(searcher):  # noqa: F811
     assert [d for d, _ in base] == [d for d, _ in boosted]
     for (_, s1), (_, s2) in zip(base, boosted):
         assert s2 == pytest.approx(2 * s1, rel=1e-6)
+
+
+def test_complex_phrase_fuzzy_stopword_and_group_slop():
+    # fuzzy base that analyzes away: slot collapses, digits never leak in
+    n = complex_phrase("the~1 output")
+    assert n is not None and n.kind == "term" and n.terms == ["output"]
+    # per-group proximity is rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        complex_phrase("(a1 b1)~2 c1")

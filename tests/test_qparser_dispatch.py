@@ -89,3 +89,12 @@ def test_terms_list(searcher, oracle):  # noqa: F811
         assert got[t] == oracle.df.get(t, 0)
     ttf = dict(searcher.terms_list(["tool", "zzznotaterm"], ttf=True))
     assert ttf["tool"] == oracle.cf("tool") and ttf["zzznotaterm"] == 0
+
+
+def test_fq_collapse_rejects_nondefault_main_parser(searcher):  # noqa: F811
+    with pytest.raises(QParserError):
+        searcher.query("{!surround}tool 2w output", fq="{!collapse field=role}")
+    # the default-parser main query still works through the fq path
+    assert searcher.query("{!lucene}error", 5, fq="{!collapse field=role}") == searcher.search_collapse(
+        "error", "role", 5
+    )

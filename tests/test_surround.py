@@ -109,3 +109,11 @@ def test_surround_multi_term_leaves_scope():
     ast = parse_surround("to* and (ba* 2w output)")
     leaves = multi_term_leaves(ast)
     assert [node_key(n) for n in leaves] == [("prefix", "ba", 2)]
+
+
+def test_surround_rejects_nested_boost_in_distance():
+    with pytest.raises(SurroundParseError):
+        surround_to_node(parse_surround("tool^3 2w output"), lambda n: [])
+    # the top-level distance op's own boost is honored, not rejected
+    n = surround_to_node(parse_surround("(tool 2w output)^2"), lambda n: [])
+    assert n.kind == "intervals" and n.boost == 2.0
