@@ -220,17 +220,74 @@ def dsir_weights(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+RESAMPLE_BINS = 1024
+
+
 def dsir_resample(sf_dir: str, frac: float = 0.25):
     """Top-`frac` documents by length-normalized importance weight
     (deterministic rank resampling; the paper's Gumbel-noise variant is a
-    seeded per-doc addend on the same path).  At scale this is the
-    sort_topk partition pattern: per-partition top-k → bounded merge."""
+    seeded per-doc addend on the same path).
+
+    EXACT selection without an O(corpus) driver sort: a bounded histogram
+    over avg_logw finds the cut bin; every doc in a strictly-higher bin is
+    in; only the BOUNDARY bin's rows (≈ N/bins) reach the driver for the
+    exact tie-broken cut (avg_logw desc, doc_id asc) — the same
+    histogram-threshold shape as ccnet_buckets, refined to exactness."""
     import ray
 
     model_ref = ray.put(train_dsir(sf_dir))
-    scored = _score_ds(sf_dir, model_ref).to_pandas()
-    k = max(1, int(len(scored) * frac))
-    top = scored.sort_values(["avg_logw", "doc_id"], ascending=[False, True]).head(k)
+    scored = _score_ds(sf_dir, model_ref).materialize()  # scanned 3×, bounded cols
+
+    def rng_part(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"lo": [], "hi": [], "n": []})
+        v = b["avg_logw"].to_numpy()
+        return pd.DataFrame({"lo": [v.min()], "hi": [v.max()], "n": [len(b)]})
+
+    r = scored.map_batches(rng_part, batch_format="pandas").to_pandas()
+    n_total = int(r["n"].sum())
+    if n_total == 0:
+        return pd.DataFrame({"doc_id": [], "n_tokens": [], "logw": [], "avg_logw": []})
+    k = max(1, int(n_total * frac))
+    lo, hi = float(r["lo"].min()), float(r["hi"].max())
+    edges = np.linspace(lo, hi if hi > lo else lo + 1.0, RESAMPLE_BINS + 1)
+    e_ref = ray.put(edges)
+
+    def bin_part(b: pd.DataFrame, _e=e_ref) -> pd.DataFrame:
+        e = ray.get(_e)
+        idx = np.clip(np.searchsorted(e, b["avg_logw"].to_numpy(), side="right") - 1, 0, RESAMPLE_BINS - 1)
+        c = np.bincount(idx, minlength=RESAMPLE_BINS).astype(np.int64)
+        return pd.DataFrame({"bin": np.arange(RESAMPLE_BINS, dtype=np.int64), "c": c})
+
+    hist = scored.map_batches(bin_part, batch_format="pandas").to_pandas()
+    hist = hist.groupby("bin")["c"].sum().reindex(range(RESAMPLE_BINS), fill_value=0)
+    # count from the TOP: cut bin = highest bin where the suffix sum ≥ k
+    suffix = hist[::-1].cumsum()[::-1].to_numpy()
+    # cut = HIGHEST bin whose suffix count still reaches k (suffix is
+    # non-increasing, so that's the last True)
+    ok = np.nonzero(suffix >= k)[0]
+    cut = int(ok[-1]) if ok.size else 0
+    cut_lo = float(edges[cut])
+    above_k = int(suffix[cut + 1]) if cut + 1 < RESAMPLE_BINS else 0
+
+    def split(b: pd.DataFrame, _lo=cut_lo, _hi=float(edges[min(cut + 1, RESAMPLE_BINS)])) -> pd.DataFrame:
+        v = b["avg_logw"].to_numpy()
+        # keep everything at or above the cut bin's lower edge; rows in
+        # HIGHER bins are definitely selected, boundary-bin rows compete
+        return b[v >= _lo]
+
+    cand = scored.map_batches(split, batch_format="pandas").to_pandas()
+    v = cand["avg_logw"].to_numpy()
+    boundary = cand[v < float(edges[min(cut + 1, RESAMPLE_BINS)])] if cut + 1 < RESAMPLE_BINS else cand
+    sure = cand[v >= float(edges[min(cut + 1, RESAMPLE_BINS)])] if cut + 1 < RESAMPLE_BINS else cand.head(0)
+    need = k - len(sure)
+    fill = (
+        boundary.sort_values(["avg_logw", "doc_id"], ascending=[False, True]).head(max(need, 0))
+        if need > 0
+        else boundary.head(0)
+    )
+    assert len(sure) == above_k, (len(sure), above_k)  # histogram/scan agree
+    top = pd.concat([sure, fill], ignore_index=True)
     return top.sort_values("doc_id").reset_index(drop=True)
 
 
