@@ -259,6 +259,9 @@ FROM documents ORDER BY doc_id
 # the n-gram vocabulary (unbounded) → per-batch dedup + fixed-bucket gram
 # shuffle with per-bucket distinct counts; token totals ride along as n=0
 # partial rows.  Only (source, n, count) partials ever reach the driver.
+# The shuffle ships gram STRINGS (the exact-distinct contract the SQL twin
+# checks); at 100 TB swap the shuffle key to a 128-bit gram hash (same
+# buckets, collision odds ≪ 1) and the strings never leave the mappers.
 
 
 def distinct_ngrams(sf_dir: str):
