@@ -104,6 +104,31 @@ def dispatch(searcher, q: str, k: int = 10, similarity: str = "bm25", fq: str | 
             return_root=_bool(p.get("returnRoot"), True),
             traversal_filter=p.get("traversalFilter"),
         )
+    if name == "edismax":
+        # {!edismax qf='text^1 role^2' mm=N tie=t pf='text^3' ps=S pf2= pf3=}
+        # — "text" names the analyzed default field (None key)
+        from .query import edismax
+
+        def fb(s: str | None) -> dict | None:
+            if s is None:
+                return None
+            out: dict = {}
+            for part in s.split():
+                f, _, b = part.partition("^")
+                out[None if f == "text" else f] = float(b) if b else 1.0
+            return out
+
+        node = edismax(
+            body,
+            fb(p.get("qf", "text")) or {None: 1.0},
+            tiebreak=float(p.get("tie", 0.0)),
+            min_should_match=int(p.get("mm", 0)),
+            pf=fb(p.get("pf")),
+            ps=int(p.get("ps", 0)),
+            pf2=fb(p.get("pf2")),
+            pf3=fb(p.get("pf3")),
+        )
+        return [] if node is None else searcher.search_node(node, k, similarity=similarity)
     if name == "parent":
         # {!parent score=m}childQuery → ToParentBlockJoin (the engine's
         # block structure fixes `which=` to conversation parents)

@@ -98,3 +98,18 @@ def test_fq_collapse_rejects_nondefault_main_parser(searcher):  # noqa: F811
     assert searcher.query("{!lucene}error", 5, fq="{!collapse field=role}") == searcher.search_collapse(
         "error", "role", 5
     )
+
+
+def test_dispatch_edismax(searcher):  # noqa: F811
+    from lucene_solr_ray.search.query import edismax
+
+    node = edismax(
+        "tool output", {None: 1.0, "role": 2.0}, tiebreak=0.1,
+        min_should_match=1, pf={None: 3.0}, ps=1,
+    )
+    exp = searcher.search_node(node, 10)
+    got = searcher.query(
+        "{!edismax qf='text role^2' tie=0.1 mm=1 pf='text^3' ps=1}tool output", 10
+    )
+    assert got == exp
+    assert searcher.query("{!edismax}the of", 10) == []  # all stopwords
