@@ -117,3 +117,47 @@ def test_surround_rejects_nested_boost_in_distance():
     # the top-level distance op's own boost is honored, not rejected
     n = surround_to_node(parse_surround("(tool 2w output)^2"), lambda n: [])
     assert n.kind == "intervals" and n.boost == 2.0
+
+
+def test_fuzz_surround_grammar(searcher, oracle):  # noqa: F811
+    """Seeded random surround queries (terms, truncation, OR groups,
+    nested W/N distance ops, infix booleans) — engine vs oracle, rank AND
+    float32 score identical."""
+    import random
+
+    rng = random.Random(4242)
+    terms = ["tool", "output", "assistant", "user", "error", "bash", "ok", "question"]
+
+    def leaf(depth):
+        r = rng.random()
+        if r < 0.15:
+            t = rng.choice(terms)
+            return t[: rng.randint(2, max(2, len(t) - 1))] + "*"
+        return rng.choice(terms)
+
+    def span(depth):
+        r = rng.random()
+        if depth >= 2 or r < 0.45:
+            return leaf(depth)
+        if r < 0.65:
+            return f"({span(depth + 1)} or {span(depth + 1)})"
+        d = rng.randint(1, 5)
+        op = rng.choice(["w", "n"])
+        args = ", ".join(span(depth + 1) for _ in range(rng.randint(2, 3)))
+        return f"{d}{op}({args})"
+
+    def query():
+        r = rng.random()
+        if r < 0.5:
+            d = rng.randint(1, 4)
+            op = rng.choice(["W", "N"])
+            return f"{span(1)} {d}{op} {span(1)}"
+        if r < 0.75:
+            return f"{span(1)} and {span(1)}"
+        return f"{span(1)} or ({span(1)} not {leaf(1)})"
+
+    for trial in range(40):
+        q = query()
+        got = searcher.search_surround(q, 10)
+        exp = [(d, float(s)) for d, s in oracle.search_node(_oracle_node(q, oracle), 10)]
+        assert got == exp, f"trial {trial}: {q!r}\n got {got[:4]}\n exp {exp[:4]}"
