@@ -54,6 +54,12 @@ def _anchor_terms(node: QueryNode) -> list[str]:
         return list(node.terms)
     if node.kind in ("phrase", "interval"):
         return node.terms[:1]
+    if node.kind == "multi_phrase":
+        # a match holds ONE alternative from every slot — slot 0's
+        # alternatives are a valid anchor set (any match contains one)
+        return list(node.slots[0]) if node.slots else []
+    if node.kind == "complex_phrase":
+        return []  # slots may hold multi-term leaves: unanchorable
     if node.kind in ("bool", "dismax"):
         musts = [c for occ, c in node.clauses if occ in ("MUST", "FILTER")]
         if musts:
@@ -79,7 +85,10 @@ class MonitorMatcher:
     """Actor-pool stage: compiled query library in __init__, vectorized
     batch matching in __call__ → (query_id, doc_id) pairs."""
 
-    _SUPPORTED = ("term", "phrase", "bool", "dismax", "prefix", "wildcard", "fuzzy", "regexp")
+    _SUPPORTED = (
+        "term", "phrase", "bool", "dismax", "prefix", "wildcard", "fuzzy",
+        "regexp", "multi_phrase", "complex_phrase",
+    )
 
     @classmethod
     def _validate(cls, node: QueryNode, qid: str) -> None:
@@ -88,7 +97,7 @@ class MonitorMatcher:
         running map_batches batch."""
         if node.kind not in cls._SUPPORTED:
             raise ValueError(f"monitor query {qid!r}: unsupported node kind {node.kind}")
-        if node.kind == "phrase" and node.slop:
+        if node.kind in ("phrase", "multi_phrase", "complex_phrase") and node.slop:
             raise ValueError(f"monitor query {qid!r}: sloppy phrases are not supported")
         for _, c in node.clauses:
             cls._validate(c, qid)
@@ -96,7 +105,9 @@ class MonitorMatcher:
     def __init__(self, queries: list[tuple[str, str]]):
         self.compiled: list[tuple[str, QueryNode, set[str]]] = []
         for qid, qstr in queries:
-            node = parse_query(qstr)
+            # API-level queries (MultiPhraseQuery, ComplexPhrase) register
+            # as QueryNodes directly — the MonitorQuery(Query) constructor
+            node = qstr if isinstance(qstr, QueryNode) else parse_query(qstr)
             if node is not None:
                 self._validate(node, qid)
                 self.compiled.append((qid, node, set(_anchor_terms(node))))
@@ -135,6 +146,21 @@ class MonitorMatcher:
             v[cand // stride] = True
             return v
 
+        def slot_keys(alts: list[str], j: int) -> np.ndarray:
+            parts = [key[codes == code_of[t]] - j for t in alts if t in code_of]
+            return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+        def multi_phrase_vec(slots: list[list[str]]) -> np.ndarray:
+            # per-slot alternative UNION on positions (MultiPhraseQuery)
+            v = np.zeros(n, dtype=bool)
+            cand = slot_keys(slots[0], 0) if slots else np.empty(0, np.int64)
+            for j, alts in enumerate(slots[1:], 1):
+                if not cand.size:
+                    return v
+                cand = cand[np.isin(cand, slot_keys(alts, j))]
+            v[cand // stride] = True
+            return v
+
         sorted_uniq: np.ndarray | None = None
 
         def match(node: QueryNode) -> np.ndarray:
@@ -143,6 +169,19 @@ class MonitorMatcher:
                 return term_vec(node.terms[0])
             if node.kind == "phrase":
                 return phrase_vec(node.terms)
+            if node.kind == "multi_phrase":
+                return multi_phrase_vec(node.slots)
+            if node.kind == "complex_phrase":
+                # rewrite the slots against the BATCH vocabulary (the
+                # ANYTOKEN presearcher path), then match as multi_phrase
+                from ..search.query import expand_multi_term, rewrite_with
+
+                if sorted_uniq is None:
+                    sorted_uniq = np.sort(uniq.astype(str))
+                rw = rewrite_with(node, lambda mt: expand_multi_term(mt, sorted_uniq))
+                if rw is None or (rw.kind == "bool" and not rw.clauses):
+                    return np.zeros(n, dtype=bool)
+                return match(rw)
             if node.kind in ("prefix", "wildcard", "fuzzy", "regexp"):
                 # multi-term leaf: expand against the BATCH vocabulary
                 # (the Monitor's ANYTOKEN presearcher path — unanchorable,

@@ -198,3 +198,24 @@ def test_presearcher_registration_scale_1k():
     # a second batch does not re-pay registration: compile count is fixed
     m(DOCS)
     assert m.evaluated == 4 and m.skipped == 2400
+
+
+def test_multi_phrase_and_complex_phrase_queries():
+    """MultiPhraseQuery / ComplexPhrase registration (API-level nodes):
+    per-slot alternative unions and batch-vocab slot expansion."""
+    from lucene_solr_ray.search.query import complex_phrase, multi_phrase
+
+    # ("hash"|"sort") followed by ("join"|"merge"): docs 0 ("hash join",
+    # "sort merge") only — doc 1 has the terms in the wrong order
+    mp = multi_phrase([["hash", "sort"], ["join", "merge"]])
+    assert _pairs([("mp", mp)]) == [("mp", 0)]
+    # complex phrase with an embedded wildcard, expanded per batch
+    cp = complex_phrase("ha* join")
+    assert _pairs([("cp", cp)]) == [("cp", 0)]
+    # dead slot → no matches anywhere
+    assert _pairs([("dead", complex_phrase("zz* join"))]) == []
+    # sloppy multi-phrase rejected at registration
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MonitorMatcher([("bad", multi_phrase([["hash"]], slop=1))])
