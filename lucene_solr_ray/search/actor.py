@@ -1015,6 +1015,21 @@ class IndexShard:
         ok = d[pos] == req
         return req[ok], s[pos[ok]]
 
+    def top_k_sorted(self, node: QueryNode, idfs: dict[str, float], field: str, asc: bool, k: int):
+        """Per-shard top-k of the match set ordered by a NUMERIC doc-values
+        field (the Solr `sort=field asc|desc` path — TopFieldCollector):
+        → (docs, sort values), each shard returning at most k rows."""
+        docs, _ = self._eval(node, idfs, "bm25")
+        if docs.size == 0:
+            return _EMPTY_I64, _EMPTY_F64
+        dv = self._load_numeric_dv(field)
+        if dv is None:
+            raise KeyError(f"unknown numeric doc-values field {field!r}")
+        fd, fv = dv
+        vals = fv[np.searchsorted(fd, docs)]
+        order = np.lexsort((docs, vals if asc else -vals))[:k]
+        return docs[order], vals[order]
+
     def numeric_dv_of(self, fields: list[str], docs: list[int]) -> dict:
         """{field: (owned docIDs, float64 values)} for the docs THIS actor
         owns — the gather half of feature logging (each actor answers for

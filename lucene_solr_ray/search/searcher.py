@@ -483,6 +483,29 @@ class Searcher:
             g = g.sort_values(["df", "term"], ascending=[False, True], kind="mergesort").head(limit)
         return [(str(t), int(d)) for t, d in zip(g["term"], g["df"])]
 
+    def search_sorted(
+        self, query: str, sort_field: str, k: int = 10, ascending: bool = True
+    ) -> list[tuple[int, float]]:
+        """Solr `sort=<field> asc|desc` (TopFieldCollector / TopDocs field
+        sort): the query's match set ordered by a numeric doc-values field
+        (turn_idx, dl), ties by docID asc.  Each shard returns at most k
+        (doc, value) rows; the driver merges k·P — never a global sort.
+        → [(doc_id, sort_value)]."""
+        node = self._parse(query)
+        if node is None:
+            return []
+        node = self._rewrite(node)
+        if node is None:
+            return []
+        idfs = self._weights_for(node)
+        parts = self._scatter("top_k_sorted", node, idfs, sort_field, ascending, k)
+        docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        vals = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
+        if docs.size == 0:
+            return []
+        order = np.lexsort((docs, vals if ascending else -vals))[:k]
+        return [(int(docs[i]), float(vals[i])) for i in order]
+
     def terms_list(self, terms: list[str], ttf: bool = False) -> list[tuple[str, int]]:
         """terms.list (TermsComponent explicit-list mode): stats for the
         GIVEN terms only, straight from the row-group-pruned global stats

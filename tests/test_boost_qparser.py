@@ -84,3 +84,23 @@ def test_boost_reranks(searcher):  # noqa: F811
     base = [d for d, _ in searcher.search("assistant answer", 50)]
     boosted = [d for d, _ in searcher.search_boosted("assistant answer", "recip(turn_idx,1,10,10)", 50)]
     assert base != boosted
+
+
+def test_search_sorted_by_field(searcher, oracle, corpus):  # noqa: F811
+    """sort=turn_idx asc|desc: match set ordered by the dv field, ties by
+    docID — engine shard top-k merge vs brute-force reference."""
+    _, full = corpus
+    turn = full.column("turn_idx").to_numpy()
+    for q in ("tool output", "+role:tool", "error"):
+        matches = [d for d, _ in oracle.search(q, 10**9)]
+        for asc in (True, False):
+            got = searcher.search_sorted(q, "turn_idx", 10, ascending=asc)
+            vals = np.array([turn[d] for d in matches], dtype=np.float64)
+            docs = np.array(matches, dtype=np.int64)
+            order = np.lexsort((docs, vals if asc else -vals))[:10]
+            exp = [(int(docs[i]), float(vals[i])) for i in order]
+            assert got == exp, (q, asc)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        searcher.search_sorted("tool", "nope_field", 5)
