@@ -57,10 +57,22 @@ def _bool(v: str | None, default: bool) -> bool:
     return v.lower() in ("true", "1", "yes", "on")
 
 
-def dispatch(searcher, q: str, k: int = 10, similarity: str = "bm25", fq: str | None = None):
+def dispatch(
+    searcher,
+    q: str,
+    k: int = 10,
+    similarity: str = "bm25",
+    fq: str | None = None,
+    start: int = 0,
+):
     """Execute `q` through the parser its local params name — the
     SearchHandler front door.  `fq={!collapse field=f}` applies query-time
-    collapse to the main query (Solr's collapse-as-filter contract)."""
+    collapse to the main query (Solr's collapse-as-filter contract);
+    `start` is offset paging (rows=k & start=N → fetch N+k, return the
+    page — use search_after for deep pages)."""
+    if start:
+        page = dispatch(searcher, q, k=start + k, similarity=similarity, fq=fq)
+        return page[start:]
     if fq is not None:
         fname, fparams, _ = parse_local_params(fq)
         if fname != "collapse" or "field" not in fparams:
@@ -75,6 +87,25 @@ def dispatch(searcher, q: str, k: int = 10, similarity: str = "bm25", fq: str | 
     name, p, body = parse_local_params(q)
     if name == "lucene":
         return searcher.search(body, k, similarity=similarity)
+    if name == "field":
+        # {!field f=role v=tool} / {!field f=role}tool — exact keyword term
+        # (FieldQParserPlugin; no analysis, no wildcard interpretation)
+        if "f" not in p:
+            raise QParserError("{!field} requires f=")
+        from .query import QueryNode
+
+        return searcher.search_node(
+            QueryNode("term", terms=[f"{p['f'].lower()}:{body.lower()}"]), k, similarity=similarity
+        )
+    if name == "prefix":
+        # {!prefix f=tool v=ba} — PrefixQParserPlugin (no escaping needed)
+        if "f" not in p:
+            raise QParserError("{!prefix} requires f=")
+        from .query import QueryNode
+
+        return searcher.search_node(
+            QueryNode("prefix", pattern=f"{p['f'].lower()}:{body.lower()}"), k, similarity=similarity
+        )
     if name == "complexphrase":
         pm = _PHRASE_RE.match(body)
         text = pm.group(1) if pm else body

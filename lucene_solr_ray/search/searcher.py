@@ -780,15 +780,17 @@ class Searcher:
         return self.search_node(node, k, similarity=similarity)
 
     def query(
-        self, q: str, k: int = 10, similarity: str = "bm25", fq: str | None = None
+        self, q: str, k: int = 10, similarity: str = "bm25", fq: str | None = None,
+        start: int = 0,
     ):
         """Local-params front door (`{!parser k=v ...}body` — the
         QParserPlugin registry dispatch, see search/qparser.py).  A plain
         query string routes to the default `lucene` parser; `fq` accepts
-        `{!collapse field=f}` (Solr's collapse-as-filter contract)."""
+        `{!collapse field=f}` (Solr's collapse-as-filter contract);
+        `start` pages by offset (rows/start semantics)."""
         from .qparser import dispatch
 
-        return dispatch(self, q, k=k, similarity=similarity, fq=fq)
+        return dispatch(self, q, k=k, similarity=similarity, fq=fq, start=start)
 
     def ltr_features(
         self, query: str, k: int = 10, feature_exprs: dict[str, str] | None = None

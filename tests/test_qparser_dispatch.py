@@ -113,3 +113,22 @@ def test_dispatch_edismax(searcher):  # noqa: F811
     )
     assert got == exp
     assert searcher.query("{!edismax}the of", 10) == []  # all stopwords
+
+
+def test_dispatch_field_prefix_and_start(searcher):  # noqa: F811
+    from lucene_solr_ray.search.query import QueryNode
+
+    assert searcher.query("{!field f=role}tool", 8) == searcher.search_node(
+        QueryNode("term", terms=["role:tool"]), 8
+    )
+    assert searcher.query("{!field f=role v=tool}ignored", 8) == searcher.query(
+        "{!field f=role}tool", 8
+    )
+    assert searcher.query("{!prefix f=tool}b", 8) == searcher.search_node(
+        QueryNode("prefix", pattern="tool:b"), 8
+    )
+    # start= pages by offset: page2 continues exactly where page1 ended
+    full = searcher.query("tool output", 20)
+    assert searcher.query("tool output", 10, start=10) == full[10:20]
+    with pytest.raises(QParserError):
+        searcher.query("{!field}x")
