@@ -1003,6 +1003,55 @@ class IndexShard:
         order = np.lexsort((docs, -scores32))
         return docs[order], scores32[order]
 
+    def top_k_franged(
+        self,
+        node: QueryNode,
+        k: int,
+        idfs: dict[str, float],
+        expr_src: str,
+        lo: float | None,
+        hi: float | None,
+        incl: bool,
+        incu: bool,
+        sim: str = "bm25",
+    ):
+        """`fq={!frange l= u=}expr` on the index path (solr/core/.../search/
+        FunctionRangeQuery + FunctionRangeQParserPlugin): keep only hits
+        whose per-doc function value lies in [l, u] (bounds optional,
+        incl/incu control closedness), then shard top-k by the UNCHANGED
+        query score.  Pruning is off — the filter can drop any prefix of
+        the score order, so WAND bounds don't hold."""
+        from ..functions.scalar import evaluate, expr_fields, parse_expr
+
+        expr = parse_expr(expr_src)
+        docs, scores = self._eval(node, idfs, sim)
+        if docs.size == 0:
+            return _EMPTY_I64, np.empty(0, np.float32)
+        cols = {}
+        for f in expr_fields(expr):
+            dv = self._load_numeric_dv(f)
+            if dv is None:
+                raise KeyError(f"unknown numeric doc-values field {f!r}")
+            fd, fv = dv
+            cols[f] = fv[np.searchsorted(fd, docs)]
+        vals = np.broadcast_to(
+            np.asarray(evaluate(expr, cols), np.float64), scores.shape
+        )
+        mask = np.ones(docs.size, dtype=bool)
+        if lo is not None:
+            mask &= (vals >= lo) if incl else (vals > lo)
+        if hi is not None:
+            mask &= (vals <= hi) if incu else (vals < hi)
+        docs, scores32 = docs[mask], scores[mask].astype(np.float32)
+        if docs.size > k:
+            thresh = scores32[np.argpartition(-scores32, k - 1)[k - 1]]
+            cand = np.flatnonzero(scores32 >= thresh)
+            order = np.lexsort((docs[cand], -scores32[cand]))[:k]
+            sel = cand[order]
+            return docs[sel], scores32[sel]
+        order = np.lexsort((docs, -scores32))
+        return docs[order], scores32[order]
+
     def scores_of(self, node: QueryNode, idfs: dict[str, float], docs: list[int], sim: str = "bm25"):
         """(owned matching docIDs, float64 scores) restricted to the GIVEN
         doc list — the second-pass scorer of ReRankQParserPlugin (a doc

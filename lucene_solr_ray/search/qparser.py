@@ -13,6 +13,12 @@ the engine's analog of the QParserPlugin registry:
     {!graph from=f to=t maxDepth=N ...}q   → Searcher.graph_search
     {!parent score=m}childq / {!child score=m}parentq → block joins
     {!payload_score func=max}term          → Searcher.payload_score
+    {!bool must= should= must_not= filter= mm=} → boolean composition
+    {!term f=}/{!raw f=}/{!terms f=}       → exact term / TermInSet
+    {!func}expr                            → Searcher.search_func
+    {!frange l= u=}expr (main or fq)       → Searcher.search_franged
+    {!mlt mintf= mindf= maxqt=}doc_id      → Searcher.more_like_this
+    {!dismax qf= mm= tie= pf= ps=}         → escaped-user-text dismax
     {!collapse field=f} (as fq)            → Searcher.search_collapse
 
 Param values may be bare, 'single-' or "double-quoted"; `v=` overrides the
@@ -51,10 +57,39 @@ def parse_local_params(q: str) -> tuple[str, dict[str, str], str]:
     return name.lower(), params, body
 
 
+def parse_local_params_multi(q: str) -> tuple[str, list[tuple[str, str]], str]:
+    """Like parse_local_params but preserves REPEATED params as an ordered
+    (key, value) list — `{!bool must=a must=b}` carries two must clauses
+    (BoolQParserPlugin accepts repeated clause params)."""
+    m = _LP_RE.match(q)
+    if not m:
+        return "lucene", [], q
+    name = m.group(1) or "lucene"
+    pairs: list[tuple[str, str]] = []
+    body = m.group(3).strip()
+    for pm in _PARAM_RE.finditer(m.group(2) or ""):
+        v = pm.group(2)
+        if v and v[0] in "'\"" and v[-1] == v[0]:
+            v = v[1:-1]
+        if pm.group(1) == "v":
+            body = v
+        else:
+            pairs.append((pm.group(1), v))
+    return name.lower(), pairs, body
+
+
 def _bool(v: str | None, default: bool) -> bool:
     if v is None:
         return default
     return v.lower() in ("true", "1", "yes", "on")
+
+
+def _subquery_node(searcher, s: str):
+    """Parse a clause body with the default lucene parser (nested local
+    params inside clause values are rejected — keep clause bodies plain)."""
+    if s.lstrip().startswith("{!"):
+        raise QParserError(f"nested local params unsupported in clause: {s!r}")
+    return searcher._parse(s)
 
 
 def dispatch(
@@ -74,16 +109,29 @@ def dispatch(
         page = dispatch(searcher, q, k=start + k, similarity=similarity, fq=fq)
         return page[start:]
     if fq is not None:
-        fname, fparams, _ = parse_local_params(fq)
-        if fname != "collapse" or "field" not in fparams:
-            raise QParserError(f"unsupported fq parser: {fq!r}")
+        fname, fparams, fbody = parse_local_params(fq)
         qname, _, qbody = parse_local_params(q)
         if qname != "lucene":
-            # search_collapse parses its query with the default parser —
-            # a {!surround}/{!complexphrase} main query would silently
-            # misparse as lucene term syntax, so reject the combination
-            raise QParserError(f"fq={{!collapse}} composes with the default parser only, not {{!{qname}}}")
-        return searcher.search_collapse(qbody, fparams["field"], k, similarity=similarity)
+            # collapse/frange parse their main query with the default
+            # parser — a {!surround}/{!complexphrase} main query would
+            # silently misparse as lucene term syntax, so reject the mix
+            raise QParserError(f"fq composes with the default parser only, not {{!{qname}}}")
+        if fname == "collapse" and "field" in fparams:
+            return searcher.search_collapse(qbody, fparams["field"], k, similarity=similarity)
+        if fname == "frange":
+            # fq={!frange l=0 u=10 incl=true incu=false}expr — Solr's
+            # FunctionRangeQParserPlugin filter contract
+            return searcher.search_franged(
+                qbody,
+                fbody,
+                lo=float(fparams["l"]) if "l" in fparams else None,
+                hi=float(fparams["u"]) if "u" in fparams else None,
+                k=k,
+                incl=_bool(fparams.get("incl"), True),
+                incu=_bool(fparams.get("incu"), True),
+                similarity=similarity,
+            )
+        raise QParserError(f"unsupported fq parser: {fq!r}")
     name, p, body = parse_local_params(q)
     if name == "lucene":
         return searcher.search(body, k, similarity=similarity)
@@ -106,6 +154,112 @@ def dispatch(
         return searcher.search_node(
             QueryNode("prefix", pattern=f"{p['f'].lower()}:{body.lower()}"), k, similarity=similarity
         )
+    if name == "bool":
+        # {!bool must='a b' should=c must_not=d filter=e mm=N} —
+        # BoolQParserPlugin; clause params may repeat, each value parses
+        # with the default lucene parser
+        from .query import QueryNode
+
+        _, pairs, _ = parse_local_params_multi(q)
+        occur = {"must": "MUST", "must_not": "MUST_NOT", "should": "SHOULD", "filter": "FILTER"}
+        clauses = []
+        mm = 0
+        for key, val in pairs:
+            if key == "mm":
+                mm = int(val)
+                continue
+            if key not in occur:
+                raise QParserError(f"{{!bool}} unknown param {key!r}")
+            sub = _subquery_node(searcher, val)
+            if sub is None:
+                if key in ("must", "filter"):
+                    return []  # an unmatchable required clause
+                continue
+            clauses.append((occur[key], sub))
+        if not clauses:
+            return []
+        return searcher.search_node(
+            QueryNode("bool", clauses=clauses, min_should_match=mm), k, similarity=similarity
+        )
+    if name in ("term", "raw"):
+        # {!term f=F}value / {!raw f=F}value — TermQParserPlugin /
+        # RawQParserPlugin: the body is ONE exact term, no analysis, no
+        # special-character interpretation (the index stores analyzed
+        # lowercase terms, so a mixed-case body simply matches nothing —
+        # the honest raw-bytes contract)
+        if "f" not in p:
+            raise QParserError(f"{{!{name}}} requires f=")
+        from .query import QueryNode
+
+        fld = p["f"].lower()
+        term = body if fld == "text" else f"{fld}:{body}"
+        return searcher.search_node(QueryNode("term", terms=[term]), k, similarity=similarity)
+    if name == "terms":
+        # {!terms f=F separator=,}v1,v2,... — TermsQParserPlugin →
+        # TermInSetQuery (constant-score union)
+        if "f" not in p:
+            raise QParserError("{!terms} requires f=")
+        from .query import QueryNode
+
+        fld = p["f"].lower()
+        sep = p.get("separator", ",")
+        vals = [v.strip() for v in body.split(sep) if v.strip()]
+        if not vals:
+            return []
+        terms = [v if fld == "text" else f"{fld}:{v}" for v in vals]
+        return searcher.search_node(QueryNode("term_set", terms=terms), k, similarity=similarity)
+    if name == "func":
+        # {!func}expr — FunctionQParserPlugin: all docs, score = expr
+        return searcher.search_func(body, k)
+    if name == "frange":
+        # {!frange l= u=}expr as the MAIN query: FunctionRangeQuery over
+        # MatchAllDocs (constant score 1.0 for in-range docs)
+        return searcher.search_franged(
+            "*:*",
+            body,
+            lo=float(p["l"]) if "l" in p else None,
+            hi=float(p["u"]) if "u" in p else None,
+            k=k,
+            incl=_bool(p.get("incl"), True),
+            incu=_bool(p.get("incu"), True),
+            similarity=similarity,
+        )
+    if name == "mlt":
+        # {!mlt mintf=1 mindf=1 maxqt=10}doc_id — MLTQParserPlugin (body
+        # is the seed document's uniqueKey)
+        return searcher.more_like_this(
+            int(body),
+            k=k,
+            max_query_terms=int(p.get("maxqt", 10)),
+            min_tf=int(p.get("mintf", 1)),
+            min_doc_freq=int(p.get("mindf", 1)),
+            similarity=similarity,
+        )
+    if name == "dismax":
+        # {!dismax qf= mm= tie= pf= ps=} — DisMaxQParser: user text is
+        # ESCAPED (no field:/boolean/phrase syntax), each term dismaxed
+        # across qf; pf2/pf3 are edismax-only
+        from .query import edismax
+
+        def fb2(s: str | None) -> dict | None:
+            if s is None:
+                return None
+            out: dict = {}
+            for part in s.split():
+                f, _, b = part.partition("^")
+                out[None if f == "text" else f] = float(b) if b else 1.0
+            return out
+
+        plain = re.sub(r'[+\-!(){}\[\]^"~*?:\\/]', " ", body)
+        node = edismax(
+            plain,
+            fb2(p.get("qf", "text")) or {None: 1.0},
+            tiebreak=float(p.get("tie", 0.0)),
+            min_should_match=int(p.get("mm", 0)),
+            pf=fb2(p.get("pf")),
+            ps=int(p.get("ps", 0)),
+        )
+        return [] if node is None else searcher.search_node(node, k, similarity=similarity)
     if name == "complexphrase":
         pm = _PHRASE_RE.match(body)
         text = pm.group(1) if pm else body

@@ -916,6 +916,54 @@ class Searcher:
         order = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]), float(scores[i])) for i in order]
 
+    def search_func(self, expr: str, k: int = 10) -> list[tuple[int, float]]:
+        """Solr `{!func}expr` (FunctionQParserPlugin → FunctionQuery): every
+        live doc matches, scored by a function over numeric doc-values
+        columns.  Rides the boosted path with a MatchAllDocs base (score
+        1.0 × expr = expr), so ranking IS the function value."""
+        from .query import QueryNode
+
+        node = QueryNode("match_all")
+        parts = self._scatter("top_k_boosted", node, k, {}, expr, "bm25")
+        docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float32)
+        if docs.size == 0:
+            return []
+        order = np.lexsort((docs, -scores))[:k]
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
+    def search_franged(
+        self,
+        query: str,
+        frange_expr: str,
+        lo: float | None = None,
+        hi: float | None = None,
+        k: int = 10,
+        incl: bool = True,
+        incu: bool = True,
+        similarity: str = "bm25",
+    ) -> list[tuple[int, float]]:
+        """`fq={!frange l= u=}expr` over a main query (solr/core/.../search/
+        FunctionRangeQParserPlugin): hits are masked SHARD-SIDE by the
+        per-doc function value before shard top-k, so the page is exact —
+        no driver over-fetch, no rerank."""
+        node = self._parse(query)
+        if node is None:
+            return []
+        node = self._rewrite(node)
+        if node is None:
+            return []
+        idfs = self._weights_for(node, similarity)
+        parts = self._scatter(
+            "top_k_franged", node, k, idfs, frange_expr, lo, hi, incl, incu, similarity
+        )
+        docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float32)
+        if docs.size == 0:
+            return []
+        order = np.lexsort((docs, -scores))[:k]
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
     def search_surround(
         self, query: str, k: int = 10, similarity: str = "bm25"
     ) -> list[tuple[int, float]]:

@@ -56,7 +56,7 @@ def test_dispatch_errors(searcher):  # noqa: F811
     with pytest.raises(QParserError):
         searcher.query("{!join from=f}x")  # missing to=
     with pytest.raises(QParserError):
-        searcher.query("x", fq="{!frange l=1}y")  # unsupported fq parser
+        searcher.query("x", fq="{!terms f=role}y")  # unsupported fq parser
 
 
 def test_dispatch_block_joins(searcher):  # noqa: F811

@@ -1,0 +1,133 @@
+"""QParser dispatch long tail ({!bool}/{!term}/{!raw}/{!terms}/{!func}/
+{!frange}/{!mlt}/{!dismax} — solr/core/src/java/org/apache/solr/search/
+BoolQParserPlugin, TermQParserPlugin, RawQParserPlugin, TermsQParserPlugin,
+FunctionQParserPlugin, FunctionRangeQParserPlugin, MLTQParserPlugin,
+DisMaxQParser): method equality, brute-force duels for the function-valued
+paths, and error shapes."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.search.qparser import QParserError, parse_local_params_multi
+from lucene_solr_ray.search.query import QueryNode, edismax
+
+from tests.test_build_search import corpus, index, oracle, searcher  # noqa: F401
+
+
+def test_parse_multi_preserves_repeats():
+    n, pairs, b = parse_local_params_multi("{!bool must=a must=b should=c mm=1}")
+    assert n == "bool" and b == ""
+    assert pairs == [("must", "a"), ("must", "b"), ("should", "c"), ("mm", "1")]
+    # v= still overrides the body
+    assert parse_local_params_multi("{!bool v=xx}yy")[2] == "xx"
+
+
+def test_bool_qparser(searcher):  # noqa: F811
+    got = searcher.query("{!bool must='tool output' must_not=error should=assistant}", 10)
+    sub_must = searcher._parse("tool output")
+    sub_not = searcher._parse("error")
+    sub_should = searcher._parse("assistant")
+    node = QueryNode(
+        "bool",
+        clauses=[("MUST", sub_must), ("MUST_NOT", sub_not), ("SHOULD", sub_should)],
+    )
+    assert got == searcher.search_node(node, 10)
+    # filter clause: same match set as must, no score contribution
+    f = searcher.query("{!bool filter=role:tool should='tool output'}", 10)
+    fn = QueryNode(
+        "bool",
+        clauses=[("FILTER", searcher._parse("role:tool")), ("SHOULD", sub_must)],
+    )
+    assert f == searcher.search_node(fn, 10)
+    # mm rides through
+    m = searcher.query("{!bool should=tool should=output should=error mm=2}", 10)
+    mn = QueryNode(
+        "bool",
+        clauses=[("SHOULD", searcher._parse(t)) for t in ("tool", "output", "error")],
+        min_should_match=2,
+    )
+    assert m == searcher.search_node(mn, 10)
+
+
+def test_bool_qparser_errors(searcher):  # noqa: F811
+    with pytest.raises(QParserError):
+        searcher.query("{!bool nosuch=x}")
+    with pytest.raises(QParserError):
+        searcher.query("{!bool must='{!term f=role}tool'}")  # nested local params
+    # a must clause that analyzes to nothing is unmatchable
+    assert searcher.query("{!bool must='the of and'}", 10) == []
+
+
+def test_term_raw_terms_qparsers(searcher):  # noqa: F811
+    t = searcher.query("{!term f=role}tool", 10)
+    assert t == searcher.search_node(QueryNode("term", terms=["role:tool"]), 10)
+    assert t == searcher.query("{!raw f=role}tool", 10)
+    assert len(t) > 0
+    # raw contract: no analysis, no lowercasing — mixed case matches nothing
+    assert searcher.query("{!term f=role}Tool", 10) == []
+    ts = searcher.query("{!terms f=role}tool,assistant", 10)
+    assert ts == searcher.search_node(
+        QueryNode("term_set", terms=["role:tool", "role:assistant"]), 10
+    )
+    # custom separator + whitespace trim
+    assert ts == searcher.query("{!terms f=role separator=;}tool ; assistant", 10)
+    assert searcher.query("{!terms f=role}", 10) == []
+
+
+def test_func_qparser_duel(searcher, corpus):  # noqa: F811
+    _, full = corpus
+    turn = full.column("turn_idx").to_numpy().astype(np.float64)
+    got = searcher.query("{!func}recip(turn_idx,1,10,10)", 10)
+    vals = (10.0 / (turn + 10.0)).astype(np.float32)
+    docs = np.arange(turn.size, dtype=np.int64)
+    order = np.lexsort((docs, -vals))[:10]
+    exp = [(int(docs[i]), float(vals[i])) for i in order]
+    assert got == exp
+
+
+def test_frange_fq_duel(searcher):  # noqa: F811
+    # frange filters BEFORE shard top-k with scores unchanged, so a full
+    # unfiltered search + post-filter is an exact reference
+    full = searcher.search("tool output", 100000)
+    got = searcher.query("tool output", 10, fq="{!frange l=1 u=3}turn_idx")
+    turn = {d: v for d, _, v in _with_turn(searcher, full)}
+    exp = [(d, s) for d, s in full if 1 <= turn[d] <= 3][:10]
+    assert got == exp
+    # exclusive bounds
+    got_ex = searcher.query("tool output", 10, fq="{!frange l=1 u=3 incl=false incu=false}turn_idx")
+    exp_ex = [(d, s) for d, s in full if 1 < turn[d] < 3][:10]
+    assert got_ex == exp_ex
+
+
+def _with_turn(searcher, hits):  # noqa: F811
+    docs = np.array(sorted(d for d, _ in hits), dtype=np.int64)
+    vals = {}
+    for part in searcher._scatter("numeric_dv_of", ["turn_idx"], docs.tolist()):
+        od, ov = part["turn_idx"]
+        for d, v in zip(od, ov):
+            vals[int(d)] = float(v)
+    return [(d, s, vals[d]) for d, s in hits]
+
+
+def test_frange_main_query(searcher, corpus):  # noqa: F811
+    _, full = corpus
+    turn = full.column("turn_idx").to_numpy()
+    got = searcher.query("{!frange l=0 u=1}turn_idx", 10000)
+    exp_docs = [int(d) for d in np.flatnonzero((turn >= 0) & (turn <= 1))]
+    assert [d for d, _ in got] == exp_docs
+    assert all(s == 1.0 for _, s in got)
+
+
+def test_mlt_dismax_equalities(searcher):  # noqa: F811
+    seed = searcher.search("tool output", 1)[0][0]
+    assert searcher.query(f"{{!mlt mintf=1 mindf=1 maxqt=5}}{seed}", 10) == (
+        searcher.more_like_this(seed, k=10, max_query_terms=5)
+    )
+    node = edismax("tool output", {None: 1.0, "role": 2.0}, tiebreak=0.1)
+    assert searcher.query("{!dismax qf='text role^2' tie=0.1}tool output", 10) == (
+        searcher.search_node(node, 10)
+    )
+    # dismax escapes query syntax: field:term and quotes are literal text
+    assert searcher.query("{!dismax}role:tool", 10) == searcher.query(
+        "{!dismax}role tool", 10
+    )
