@@ -1,0 +1,377 @@
+"""Training-data curation long tail: Gopher document-quality rules,
+MOSS winnowing fingerprints, per-doc tf-idf keywords, and fixed-n
+per-key sampling.
+
+All four are strict-gated (DuckDB twins recompute the identical values):
+floats are single-expression parities (one division / one ln·multiply on
+both sides), hashes are the shared multiply-xor kernel
+(`relational._sample_hash`) or a char-level polynomial the twin folds
+with `list_reduce`.
+
+Scale shapes: gopher/winnowing/keyword stage 1 are one vectorized pass
+per batch; the keyword df/top-k steps are fixed-bucket shuffles (token
+buckets then doc buckets — the vocabulary never lands on the driver);
+sample_per_key is combiner partials (≤ groups × n rows per block) with a
+bounded driver merge.
+
+Reference anchors (survey citations, SURVEY.md §0): quality rules follow
+Gopher (Rae et al. 2021 §A1.1) as the DocExpiration/Signature-URP-style
+per-record gate; winnowing is Schleimer, Wilkerson & Aiken (SIGMOD 2003)
+— the local fingerprinting the reference's MinHashFilter family
+approximates globally; tf-idf keyword selection mirrors
+MoreLikeThis.retrieveInterestingTerms (lucene/queries/.../mlt/
+MoreLikeThis.java) as a corpus-wide batch op."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from .common import Pipeline, read
+from .relational import _M32, _SAMPLE_C1, _SAMPLE_C2, _SAMPLE_SEED, _sample_hash
+from .text import STOP, STOP_SQL, TOKEN_RE, _explode_tokens, _token_bucket, _tokens
+
+# --------------------------------------------------------------------------
+# Gopher document-quality rules (word count / mean word length / stopword
+# floor / distinct-word fraction), thresholds tuned to be non-vacuous on
+# the synthetic corpus — every rule passes AND fails some documents.
+
+G_MIN_WORDS, G_MAX_WORDS = 20, 90
+G_MIN_WLEN, G_MAX_WLEN = 4.0, 5.0
+G_MIN_STOP = 1
+G_MIN_UNIQ_FRAC = 0.3
+
+
+def gopher_quality_filter(sf_dir: str):
+    stop_list = list(STOP)
+
+    def rules(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        doc_idx, codes, uniq, counts = _explode_tokens(batch["text"])
+        nw = counts.astype(np.int64)
+        if codes.size:
+            len_by_code = np.char.str_len(uniq.astype(str)).astype(np.int64)
+            tc = np.bincount(doc_idx, weights=len_by_code[codes], minlength=n).astype(np.int64)
+            stop_vocab = np.isin(uniq, stop_list)
+            ns = np.bincount(doc_idx[stop_vocab[codes]], minlength=n).astype(np.int64)
+            ud = np.unique(doc_idx * np.int64(max(uniq.size, 1)) + codes) // np.int64(max(uniq.size, 1))
+            nd = np.bincount(ud, minlength=n).astype(np.int64)
+        else:
+            tc = ns = nd = np.zeros(n, dtype=np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mwl = np.where(nw > 0, tc / nw, 0.0)
+            uf = np.where(nw > 0, nd / nw, 0.0)
+        ok_words = (nw >= G_MIN_WORDS) & (nw <= G_MAX_WORDS)
+        ok_wlen = (mwl >= G_MIN_WLEN) & (mwl <= G_MAX_WLEN)
+        ok_stop = ns >= G_MIN_STOP
+        ok_uniq = uf >= G_MIN_UNIQ_FRAC
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": nw,
+                "mean_wlen": mwl,
+                "n_stop": ns,
+                "uniq_frac": uf,
+                "ok_words": ok_words.astype(np.int64),
+                "ok_wlen": ok_wlen.astype(np.int64),
+                "ok_stop": ok_stop.astype(np.int64),
+                "ok_uniq": ok_uniq.astype(np.int64),
+                "keep": (ok_words & ok_wlen & ok_stop & ok_uniq).astype(np.int64),
+            }
+        )
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(rules, batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+GOPHER_SQL = f"""
+WITH s AS (
+  SELECT doc_id, len(toks) AS nw,
+         length(array_to_string(toks, '')) AS tc,
+         len(list_filter(toks, x -> x IN ({STOP_SQL}))) AS ns,
+         len(list_distinct(toks)) AS nd
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents)
+), m AS (
+  SELECT doc_id, nw, ns, nd,
+         CASE WHEN nw > 0 THEN tc / CAST(nw AS DOUBLE) ELSE 0.0 END AS mwl,
+         CASE WHEN nw > 0 THEN nd / CAST(nw AS DOUBLE) ELSE 0.0 END AS uf
+  FROM s
+)
+SELECT doc_id,
+       CAST(nw AS BIGINT) AS n_words,
+       mwl AS mean_wlen,
+       CAST(ns AS BIGINT) AS n_stop,
+       uf AS uniq_frac,
+       CAST(CASE WHEN nw >= {G_MIN_WORDS} AND nw <= {G_MAX_WORDS} THEN 1 ELSE 0 END AS BIGINT) AS ok_words,
+       CAST(CASE WHEN mwl >= {G_MIN_WLEN} AND mwl <= {G_MAX_WLEN} THEN 1 ELSE 0 END AS BIGINT) AS ok_wlen,
+       CAST(CASE WHEN ns >= {G_MIN_STOP} THEN 1 ELSE 0 END AS BIGINT) AS ok_stop,
+       CAST(CASE WHEN uf >= {G_MIN_UNIQ_FRAC} THEN 1 ELSE 0 END AS BIGINT) AS ok_uniq,
+       CAST(CASE WHEN nw >= {G_MIN_WORDS} AND nw <= {G_MAX_WORDS}
+                  AND mwl >= {G_MIN_WLEN} AND mwl <= {G_MAX_WLEN}
+                  AND ns >= {G_MIN_STOP} AND uf >= {G_MIN_UNIQ_FRAC}
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM m ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003): per doc, hash every
+# K-token gram, slide a W-gram window, keep each window's minimum —
+# rightmost on ties, encoded by minimizing the composite
+# h·2²¹ + (2²⁰ − pos) — and emit the DISTINCT selected (pos, hash) pairs.
+# Full windows only: a doc needs ≥ K+W−1 tokens to fingerprint.  Gram
+# hash = char polynomial (h·31 + codepoint) mod 2³¹, folded identically
+# by the twin's list_reduce.  pos is the 1-based gram start and must stay
+# < 2²⁰ (docs are token-capped far below that).
+
+W_GRAM = 3  # tokens per gram (K)
+W_WIN = 4  # grams per window (W)
+_W_POS_BITS = 21
+_W_POS_MAX = 1 << 20
+
+
+def _poly_hash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % 2147483648
+    return h
+
+
+def winnowing_fingerprint(sf_dir: str):
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "pos": pd.Series([], dtype="int64"),
+                "fp": pd.Series([], dtype="int64"),
+            }
+        )
+        toks = _tokens(batch["text"])
+        counts = toks.map(len).to_numpy(dtype=np.int64)
+        flat = np.asarray([t for ws in toks for t in ws], dtype=object)
+        if flat.size < W_GRAM:
+            return empty
+        doc_idx = np.repeat(np.arange(len(toks), dtype=np.int64), counts)
+        starts = np.concatenate(([0], np.cumsum(counts[:-1])))
+        pos = np.arange(flat.size, dtype=np.int64) - starts[doc_idx] + 1
+        u = flat.astype(str)
+        grams = np.char.add(np.char.add(np.char.add(np.char.add(u[:-2], " "), u[1:-1]), " "), u[2:])
+        valid = doc_idx[:-2] == doc_idx[2:]
+        gdoc, gpos, grams = doc_idx[:-2][valid], pos[:-2][valid], grams[valid]
+        if gpos.size and int(gpos.max()) >= _W_POS_MAX:
+            raise ValueError("winnowing position overflow: doc exceeds 2^20 grams")
+        if grams.size < W_WIN:
+            return empty
+        ug, inv = np.unique(grams, return_inverse=True)
+        hu = np.fromiter((_poly_hash(s) for s in ug), dtype=np.int64, count=ug.size)
+        comp = hu[inv] * np.int64(1 << _W_POS_BITS) + (np.int64(_W_POS_MAX) - gpos)
+        wmin = np.lib.stride_tricks.sliding_window_view(comp, W_WIN).min(axis=1)
+        full = gdoc[: -(W_WIN - 1)] == gdoc[W_WIN - 1 :]
+        sel_doc, sel = gdoc[: -(W_WIN - 1)][full], wmin[full]
+        if sel.size == 0:
+            return empty
+        pair = np.unique(sel_doc * np.int64(1 << 52) + sel)  # comp < 2^52
+        sdoc, scomp = pair >> np.int64(52), pair & np.int64((1 << 52) - 1)
+        doc_ids = batch["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids[sdoc],
+                "pos": np.int64(_W_POS_MAX) - (scomp % np.int64(1 << _W_POS_BITS)),
+                "fp": scomp >> np.int64(_W_POS_BITS),
+            }
+        )
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(fp, batch_format="pandas")
+    return out.to_pandas().sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+WINNOW_SQL = f"""
+WITH g AS (
+  SELECT doc_id, i AS pos,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents))
+), h AS (
+  SELECT doc_id, pos,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(range(1, length(gram) + 1),
+                                                 j -> CAST(unicode(gram[j]) AS BIGINT))),
+                     (a, c) -> (a * 31 + c) % 2147483648) AS hv,
+         COUNT(*) OVER (PARTITION BY doc_id) AS m
+  FROM g
+), w AS (
+  SELECT doc_id, pos, m,
+         MIN(hv * {1 << _W_POS_BITS} + ({_W_POS_MAX} - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {W_WIN - 1} FOLLOWING) AS wmin
+  FROM h
+), sel AS (SELECT doc_id, wmin FROM w WHERE pos <= m - {W_WIN - 1})
+SELECT DISTINCT doc_id,
+       CAST({_W_POS_MAX} - (wmin % {1 << _W_POS_BITS}) AS BIGINT) AS pos,
+       CAST(wmin // {1 << _W_POS_BITS} AS BIGINT) AS fp
+FROM sel ORDER BY doc_id, pos
+"""
+
+# --------------------------------------------------------------------------
+# Per-doc tf-idf keywords (MoreLikeThis interesting-terms as a corpus-wide
+# batch op): score(doc, token) = tf · ln(N / df), top KW_K per doc by
+# (score desc, token asc).  Two fixed-bucket shuffles — df by token
+# bucket, top-k by doc bucket — so neither the vocabulary nor any per-doc
+# ordering lands on the driver.
+
+KW_K = 3
+_DOC_BUCKETS = 64
+
+
+def tfidf_keywords(sf_dir: str):
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata count, no scan
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, codes, uniq, _ = _explode_tokens(batch["text"])
+        if codes.size == 0:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "token": pd.Series([], dtype=object),
+                    "tf": pd.Series([], dtype="int64"),
+                    "gb": pd.Series([], dtype="int64"),
+                }
+            )
+        V = np.int64(uniq.size)
+        comp, tf = np.unique(doc_idx * V + codes, return_counts=True)
+        d, c = comp // V, comp % V
+        doc_ids = batch["doc_id"].to_numpy()
+        tok = np.asarray(uniq, dtype=object)[c]
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids[d],
+                "token": tok,
+                "tf": tf.astype(np.int64),
+                "gb": _token_bucket(tok),
+            }
+        )
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # every (doc, token) row of a token lands in ONE bucket → df is
+        # exact within the group; ln computed once per distinct df
+        df_by_tok = g.groupby("token")["doc_id"].transform("size").to_numpy(np.int64)
+        udf = np.unique(df_by_tok)
+        logs = {int(v): math.log(n_docs / int(v)) for v in udf}
+        lg = np.fromiter((logs[int(v)] for v in df_by_tok), dtype=np.float64, count=df_by_tok.size)
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "token": g["token"],
+                "score": g["tf"].to_numpy(np.float64) * lg,
+            }
+        )
+        out["db"] = out["doc_id"].to_numpy(np.int64) % _DOC_BUCKETS
+        return out
+
+    def topk_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["token"].to_numpy(), -g["score"].to_numpy(), g["doc_id"].to_numpy()))
+        g = g.iloc[order]
+        r = g.groupby("doc_id").cumcount()
+        return g.loc[r < KW_K, ["doc_id", "token", "score"]]
+
+    out = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(score_bucket, batch_format="pandas")
+        .groupby("db")
+        .map_groups(topk_per_doc, batch_format="pandas")
+        .to_pandas()  # ≤ KW_K rows per doc
+    )
+    order = np.lexsort((out["token"].to_numpy(), -out["score"].to_numpy(), out["doc_id"].to_numpy()))
+    return out.iloc[order].reset_index(drop=True)
+
+
+TFIDF_KEYWORDS_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token FROM documents)
+  GROUP BY doc_id, token
+), dfv AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.token, tf.tf * ln(CAST(n.n AS DOUBLE) / dfv.df) AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / dfv.df) DESC, tf.token) AS r
+  FROM tf JOIN dfv USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, score FROM s WHERE r <= {KW_K}
+ORDER BY doc_id, score DESC, token
+"""
+
+# --------------------------------------------------------------------------
+# Fixed-n per-key sampling (reservoir-style but DETERMINISTIC: keep the n
+# lowest hash values per key — reruns, shards and the SQL twin agree
+# exactly).  Combiner shape: each block emits ≤ keys × n candidate rows,
+# the driver merges the bounded partials.
+
+SPK_N = 3
+
+
+def sample_per_key(sf_dir: str):
+    def cand(batch: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "h": _sample_hash(batch["doc_id"].to_numpy()),
+            }
+        )
+        b = b.sort_values(["h", "doc_id"], kind="mergesort")
+        return b.groupby(["lang", "source"], as_index=False, sort=False).head(SPK_N)
+
+    parts = (
+        read(sf_dir, "documents", ["doc_id", "lang", "source"])
+        .map_batches(cand, batch_format="pandas")
+        .to_pandas()  # ≤ keys × SPK_N per block
+    )
+    parts = parts.sort_values(["h", "doc_id"], kind="mergesort")
+    top = parts.groupby(["lang", "source"], as_index=False, sort=False).head(SPK_N)
+    return top.sort_values("doc_id").reset_index(drop=True)[["doc_id", "lang", "source"]]
+
+
+SAMPLE_PER_KEY_SQL = f"""
+WITH h1 AS (
+  SELECT doc_id, lang, source,
+         (CAST(doc_id % {_M32} + {_SAMPLE_SEED} AS HUGEINT) * {_SAMPLE_C1}) % {_M32} AS a
+  FROM documents
+), h2 AS (
+  SELECT doc_id, lang, source, (CAST(xor(a, a >> 15) AS HUGEINT) * {_SAMPLE_C2}) % {_M32} AS b FROM h1
+), r AS (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY xor(b, b >> 13), doc_id) AS r
+  FROM h2
+)
+SELECT doc_id, lang, source FROM r WHERE r <= {SPK_N} ORDER BY doc_id
+"""
+
+
+PIPELINES: dict[str, Pipeline] = {
+    "gopher_quality_filter": Pipeline(
+        gopher_quality_filter,
+        GOPHER_SQL,
+        "Gopher document-quality rules (word count / word length / stopword floor / distinct fraction)",
+    ),
+    "winnowing_fingerprint": Pipeline(
+        winnowing_fingerprint,
+        WINNOW_SQL,
+        "MOSS winnowing fingerprints (window-min of char-polynomial gram hashes, rightmost ties)",
+    ),
+    "tfidf_keywords": Pipeline(
+        tfidf_keywords,
+        TFIDF_KEYWORDS_SQL,
+        "per-doc top-k tf-idf keywords via token-bucket df + doc-bucket top-k shuffles",
+    ),
+    "sample_per_key": Pipeline(
+        sample_per_key,
+        SAMPLE_PER_KEY_SQL,
+        "deterministic fixed-n per-(lang,source) sample (lowest seeded hash wins)",
+    ),
+}
