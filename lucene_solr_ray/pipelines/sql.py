@@ -145,6 +145,12 @@ class Case:
 
 
 @dataclass
+class Func:
+    fn: str  # scalar: upper/lower/length/abs/round/coalesce/substr/concat
+    args: list
+
+
+@dataclass
 class Agg:
     fn: str  # count/sum/avg/min/max
     arg: object | None  # None = COUNT(*)
@@ -302,6 +308,19 @@ class _Parser:
             self.expect("op", ")")
             return Agg(v, arg, distinct)
         if k == "id":
+            if self.peek() == ("op", "("):
+                # scalar function call: name(arg, ...)
+                self.next()
+                args = []
+                if not self.accept("op", ")"):
+                    args.append(self.expr())
+                    while self.accept("op", ","):
+                        args.append(self.expr())
+                    self.expect("op", ")")
+                fn = v.lower()
+                if fn not in _SCALAR_FNS:
+                    raise ValueError(f"unknown scalar function {fn!r}")
+                return Func(fn, args)
             return Col(v)
         if k == "op" and v == "(":
             e = self.expr()
@@ -389,6 +408,55 @@ def parse_sql(sql: str) -> "Select | Union":
 # --------------------------------------------------------------------------
 # Vectorized evaluation + planning
 
+_SCALAR_FNS = frozenset(
+    ["upper", "lower", "length", "abs", "round", "coalesce", "substr", "substring", "concat"]
+)
+
+
+def _apply_func(fn: str, args: list):
+    """Apply a scalar function to evaluated args (Series or scalars) with
+    DuckDB semantics: 1-based substr, BIGINT length, round-half-away."""
+
+    if fn == "upper":
+        return args[0].str.upper() if isinstance(args[0], pd.Series) else str(args[0]).upper()
+    if fn == "lower":
+        return args[0].str.lower() if isinstance(args[0], pd.Series) else str(args[0]).lower()
+    if fn == "length":
+        v = args[0]
+        return v.str.len().astype("int64") if isinstance(v, pd.Series) else len(str(v))
+    if fn == "abs":
+        return np.abs(args[0])
+    if fn == "round":
+        nd = int(args[1]) if len(args) > 1 else 0
+        x = np.asarray(args[0], dtype=np.float64)
+        scale = 10.0**nd
+        # DuckDB rounds DOUBLE half AWAY from zero (C round), numpy rounds
+        # half to even — replicate the former exactly
+        r = np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+        return pd.Series(r, index=args[0].index) if isinstance(args[0], pd.Series) else float(r)
+    if fn == "coalesce":
+        out = args[0]
+        for nxt in args[1:]:
+            if isinstance(out, pd.Series):
+                out = out.where(~out.isna(), nxt)
+            elif out is None or (isinstance(out, float) and np.isnan(out)):
+                out = nxt
+        return out
+    if fn in ("substr", "substring"):
+        s = args[0]
+        start = int(args[1]) - 1  # SQL is 1-based
+        ln = int(args[2]) if len(args) > 2 else None
+        stop = None if ln is None else start + ln
+        return s.str.slice(start, stop) if isinstance(s, pd.Series) else str(s)[start:stop]
+    if fn == "concat":
+        out = None
+        for a in args:
+            part = a.astype(str) if isinstance(a, pd.Series) else str(a)
+            out = part if out is None else out + part  # Series/str broadcast
+        return out
+    raise ValueError(f"unknown scalar function {fn!r}")
+
+
 def _cols_of(e, out: set[str]):
     if isinstance(e, Col):
         out.add(e.name)
@@ -409,6 +477,9 @@ def _cols_of(e, out: set[str]):
         _cols_of(e.expr, out)
     elif isinstance(e, Agg) and e.arg is not None:
         _cols_of(e.arg, out)
+    elif isinstance(e, Func):
+        for a in e.args:
+            _cols_of(a, out)
     elif isinstance(e, Case):
         for c, v in e.whens:
             _cols_of(c, out)
@@ -469,6 +540,8 @@ def _eval(e, df: pd.DataFrame):
     if isinstance(e, IsNull):
         m = _eval(e.expr, df).isna()
         return ~m if e.negated else m
+    if isinstance(e, Func):
+        return _apply_func(e.fn, [_eval(a, df) for a in e.args])
     if isinstance(e, Case):
         # first-match-wins: apply WHENs in reverse over the ELSE base.
         # Result dtype follows the BRANCH VALUE types (never coerce a
@@ -509,6 +582,9 @@ def _find_aggs(e, out: list):
         _find_aggs(e.right, out)
     elif isinstance(e, Un):
         _find_aggs(e.arg, out)
+    elif isinstance(e, Func):
+        for a in e.args:
+            _find_aggs(a, out)
     elif isinstance(e, Case):
         for c, v in e.whens:
             _find_aggs(c, out)
@@ -538,6 +614,8 @@ def _eval_with_aggs(e, merged: pd.DataFrame, aggcol: dict):
     if isinstance(e, Un):
         v = _eval_with_aggs(e.arg, merged, aggcol)
         return ~v if e.op == "not" else -v
+    if isinstance(e, Func):
+        return _apply_func(e.fn, [_eval_with_aggs(a, merged, aggcol) for a in e.args])
     return _eval(e, merged)
 
 
@@ -815,6 +893,49 @@ def sql_groupby(sf_dir: str) -> pd.DataFrame:
     return execute_sql(sf_dir, SQL_GROUPBY)
 
 
+SQL_SCALAR_FNS = """
+SELECT upper(substr(o_orderpriority, 1, 3)) AS pri3,
+       lower(o_orderstatus) AS st,
+       length(o_orderpriority) AS plen,
+       round(o_totalprice, 1) AS price1,
+       abs(o_custkey - 500) AS dkey,
+       concat(o_orderstatus, '-', o_orderpriority) AS tag
+FROM orders
+WHERE length(o_orderpriority) >= 8 AND round(o_totalprice, 0) > 150000
+ORDER BY price1 DESC, dkey ASC, tag ASC, pri3 ASC, st ASC, plen ASC
+LIMIT 30
+"""
+
+SQL_SCALAR_AGG = """
+SELECT o_orderstatus, round(sum(o_custkey) / 7, 2) AS total,
+       concat(o_orderstatus, ':', o_orderstatus) AS tag2
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def sql_scalar_fns(sf_dir: str) -> pd.DataFrame:
+    a = execute_sql(sf_dir, SQL_SCALAR_FNS)
+    b = execute_sql(sf_dir, SQL_SCALAR_AGG)
+    # one gate, both shapes: row-wise scalar pipeline + scalar-over-agg
+    b.columns = [f"g_{c}" for c in b.columns]
+    a["k"] = 1
+    b["k"] = 1
+    return a.merge(b, on="k").drop(columns=["k"])
+
+
+def _scalar_twin() -> str:
+    return f"""
+WITH a AS ({SQL_SCALAR_FNS}), b AS (
+SELECT g_o_orderstatus, g_total, g_tag2 FROM (
+  SELECT o_orderstatus AS g_o_orderstatus, round(sum(o_custkey) / 7, 2) AS g_total,
+         concat(o_orderstatus, ':', o_orderstatus) AS g_tag2
+  FROM orders GROUP BY o_orderstatus) ORDER BY g_o_orderstatus)
+SELECT * FROM a CROSS JOIN b
+"""
+
+
 def _twin(sql: str) -> str:
     # DuckDB twin: identical statement, with BIGINT casts on the count-ish
     # outputs so both sides export int64 (DuckDB COUNT is already BIGINT;
@@ -893,6 +1014,11 @@ PIPELINES: dict[str, Pipeline] = {
         sql_union,
         SQL_UNION,
         "Parallel SQL handler: UNION ALL with trailing ORDER BY over the combined branches",
+    ),
+    "sql_scalar_fns": Pipeline(
+        sql_scalar_fns,
+        _scalar_twin(),
+        "Parallel SQL handler: scalar functions (upper/lower/length/abs/round/coalesce/substr/concat) in projections, WHERE, and over aggregates",
     ),
     "sql_select": Pipeline(
         sql_select,

@@ -290,3 +290,30 @@ def test_union_all(ray_session):
         parse_sql("SELECT a FROM t ORDER BY a UNION ALL SELECT a FROM u")
     with pytest.raises(ValueError):
         execute_sql(SF, "SELECT c_custkey FROM customer UNION ALL SELECT o_orderkey AS x, 1 AS y FROM orders")
+
+
+def test_scalar_functions(ray_session):
+    duel(
+        "SELECT upper(o_orderstatus) AS u, lower(o_orderpriority) AS l, "
+        "length(o_orderpriority) AS n, abs(o_custkey - 700) AS a, "
+        "round(o_totalprice, 1) AS r1, round(o_totalprice, 0) AS r0, "
+        "substr(o_orderpriority, 3, 4) AS s, concat(o_orderstatus, '/', o_orderpriority) AS t "
+        "FROM orders WHERE length(o_orderstatus) = 1 AND o_orderkey < 200"
+    )
+    # scalar over aggregates + in WHERE + in HAVING argument position
+    duel(
+        "SELECT o_orderstatus, round(sum(o_custkey) / 3, 2) AS q, "
+        "concat('g:', o_orderstatus) AS tag FROM orders "
+        "WHERE substr(o_orderpriority, 1, 1) IN ('1', '2', '5') "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+    # coalesce passthrough on non-null data + nested calls
+    duel(
+        "SELECT coalesce(o_orderstatus, 'x') AS c, upper(substr(lower(o_orderpriority), 1, 2)) AS u2 "
+        "FROM orders WHERE o_orderkey < 50"
+    )
+
+
+def test_scalar_function_errors():
+    with pytest.raises(ValueError):
+        parse_sql("SELECT nosuchfn(o_orderkey) FROM orders")
