@@ -569,6 +569,61 @@ QUALIFY row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_
 ORDER BY c_mktsegment, c_custkey
 """
 
+# group.query (solr/core/.../search/grouping/GroupingSpecification — query
+# groups: each group.query= names an arbitrary predicate and returns ITS
+# OWN top docs, unlike group.field's value partitions).  Shape: ONE scan,
+# each batch emits a ≤ k-row combiner partial PER query group, the driver
+# merges the bounded partials — groups may overlap, a doc can appear in
+# several (the Solr contract).
+
+GROUP_QUERIES = {
+    "high_value": lambda b: b["o_totalprice"] > 300000,
+    "urgent_open": lambda b: (b["o_orderpriority"] == "1-URGENT") & (b["o_orderstatus"] == "O"),
+}
+GROUP_QUERY_K = 3
+
+
+def group_query(sf_dir: str):
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for name, pred in GROUP_QUERIES.items():
+            g = batch[pred(batch)]
+            g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(
+                GROUP_QUERY_K
+            )
+            g = g[["o_orderkey", "o_totalprice"]].copy()
+            g["grp"] = name
+            outs.append(g)
+        return pd.concat(outs) if outs else batch.iloc[:0][["o_orderkey", "o_totalprice"]]
+
+    parts = (
+        read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"])
+        .map_batches(partials, batch_format="pandas")
+        .to_pandas()  # ≤ |groups| × k per block
+    )
+    parts = parts.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+    top = parts.groupby("grp", as_index=False, sort=False).head(GROUP_QUERY_K)
+    return (
+        top.sort_values(["grp", "o_orderkey"])
+        .reset_index(drop=True)[["grp", "o_orderkey", "o_totalprice"]]
+    )
+
+
+GROUP_QUERY_SQL = f"""
+SELECT grp, o_orderkey, o_totalprice FROM (
+  SELECT 'high_value' AS grp, o_orderkey, o_totalprice FROM orders
+  WHERE o_totalprice > 300000
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT {GROUP_QUERY_K}
+)
+UNION ALL
+SELECT grp, o_orderkey, o_totalprice FROM (
+  SELECT 'urgent_open' AS grp, o_orderkey, o_totalprice FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'O'
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT {GROUP_QUERY_K}
+)
+ORDER BY grp, o_orderkey
+"""
+
 # group.ngroups=true (solr/core/.../search/grouping/ GroupingSpecification /
 # TopGroupsResultTransformer): the grouped response carries the TOTAL
 # distinct group count alongside the returned page of groups.  Shape: the
@@ -1549,6 +1604,9 @@ PIPELINES: dict[str, Pipeline] = {
         group_ngroups, GROUP_NGROUPS_SQL, "grouped page + total distinct group count via per-bucket count partials (group.ngroups)"
     ),
     "group_topk": Pipeline(group_topk, GROUP_TOPK_SQL, "top-k docs per group (grouping collectors)"),
+    "group_query": Pipeline(
+        group_query, GROUP_QUERY_SQL, "group.query: per-predicate top-k via bounded combiner partials"
+    ),
     "collapse_best": Pipeline(collapse_best, COLLAPSE_SQL, "field collapse (CollapsingQParserPlugin)"),
     "collapse_expand": Pipeline(
         collapse_expand, COLLAPSE_EXPAND_SQL, "expand collapsed groups on the page (ExpandComponent)"

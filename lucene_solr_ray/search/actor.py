@@ -723,6 +723,32 @@ class IndexShard:
                 return _EMPTY_I64, _EMPTY_F64
             docs = np.unique(np.concatenate(parts))
             return docs, np.ones(docs.size, dtype=np.float64)
+        if node.kind == "covering":
+            # CoveringQuery (lucene/sandbox/.../search/CoveringQuery.java):
+            # doc matches iff #matching SHOULD children >= a PER-DOC long
+            # value (node.pattern names the numeric doc-values field);
+            # score = sum of the matching children's scores
+            results = [self._eval(c, idfs, sim) for _, c in node.clauses]
+            results = [r for r in results if r[0].size]
+            if not results:
+                return _EMPTY_I64, _EMPTY_F64
+            all_docs = np.concatenate([d for d, _ in results])
+            docs, inv_all = np.unique(all_docs, return_inverse=True)
+            sm = np.zeros(docs.size, dtype=np.float64)
+            cnt = np.zeros(docs.size, dtype=np.int64)
+            off = 0
+            for d, s in results:
+                idx = inv_all[off : off + d.size]
+                np.add.at(sm, idx, s)
+                np.add.at(cnt, idx, 1)
+                off += d.size
+            dv = self._load_numeric_dv(node.pattern)
+            if dv is None:
+                raise KeyError(f"unknown numeric doc-values field {node.pattern!r}")
+            fd, fv = dv
+            need = fv[np.searchsorted(fd, docs)]
+            keep = cnt >= need
+            return docs[keep], sm[keep]
         if node.kind == "dismax":
             # DisjunctionMaxQuery: max(child) + tiebreak·Σ(non-max children)
             results = [self._eval(c, idfs, sim) for _, c in node.clauses]

@@ -464,7 +464,7 @@ def multi_term_nodes(node: QueryNode) -> list[QueryNode]:
     distributed rewrite must expand before scoring)."""
     if node.kind in ("prefix", "wildcard", "fuzzy", "regexp"):
         return [node]
-    if node.kind in ("bool", "dismax", "complex_phrase"):
+    if node.kind in ("bool", "dismax", "complex_phrase", "covering"):
         out: list[QueryNode] = []
         for _, c in node.clauses:
             out.extend(multi_term_nodes(c))
@@ -509,11 +509,12 @@ def rewrite_with(node: QueryNode, expander) -> QueryNode | None:
                 return QueryNode("bool", clauses=[], boost=node.boost)  # matches nothing
             slots.append(alts)
         return QueryNode("multi_phrase", slots=slots, slop=node.slop, boost=node.boost)
-    if node.kind in ("bool", "dismax"):
+    if node.kind in ("bool", "dismax", "covering"):
         new = [(occ, rewrite_with(c, expander)) for occ, c in node.clauses]
         return QueryNode(
             node.kind,
             clauses=[(o, c) for o, c in new if c is not None],
+            pattern=node.pattern,  # covering: the min-match dv field
             boost=node.boost,
             min_should_match=node.min_should_match,
             tiebreak=node.tiebreak,

@@ -964,6 +964,25 @@ class Searcher:
         order = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]), float(scores[i])) for i in order]
 
+    def search_covering(
+        self, queries: list[str], min_match_field: str, k: int = 10, similarity: str = "bm25"
+    ) -> list[tuple[int, float]]:
+        """CoveringQuery (lucene/sandbox/.../search/CoveringQuery.java): a
+        doc matches when at least `dv[min_match_field]` of the sub-queries
+        match it — the per-doc dynamic minimumShouldMatch; score = sum of
+        the matching sub-query scores."""
+        from .query import QueryNode
+
+        clauses = []
+        for q in queries:
+            sub = self._parse(q)
+            if sub is not None:
+                clauses.append(("SHOULD", sub))
+        if not clauses:
+            return []
+        node = QueryNode("covering", clauses=clauses, pattern=min_match_field)
+        return self.search_node(node, k, similarity=similarity)
+
     def search_surround(
         self, query: str, k: int = 10, similarity: str = "bm25"
     ) -> list[tuple[int, float]]:
