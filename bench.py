@@ -70,6 +70,10 @@ SUITE = [
     # mixing, diversity report, event-log analytics, polygon filter
     "dsir_model", "ccnet_buckets", "distinct_ngrams", "cohort_retention",
     "funnel_conversion", "geo_polygon", "group_facet",
+    # round-4 third-session additions: curation quality rules, winnowing
+    # fingerprints, keyword extraction, per-key sampling, SQL scalar fns
+    "gopher_quality_filter", "winnowing_fingerprint", "tfidf_keywords",
+    "sample_per_key", "sql_scalar_fns", "group_query",
 ]
 
 

@@ -353,6 +353,64 @@ SELECT doc_id, lang, source FROM r WHERE r <= {SPK_N} ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Fixed-length chunking with overlap (the training-data windowing step:
+# split each doc's token stream into CHUNK-token windows every STRIDE
+# tokens — RoBERTa/FiD-style sliding contexts).  Deterministic rule: one
+# chunk per start s ∈ {1, 1+STRIDE, 1+2·STRIDE, …} ≤ n_tokens, length
+# min(CHUNK, n−s+1).  Chunk text is re-joined from the analyzed tokens so
+# the twin can rebuild it with list slicing + array_to_string.
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(sf_dir: str):
+    def chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        counts = toks.map(len).to_numpy(dtype=np.int64)
+        n_chunks = np.where(counts > 0, (counts - 1) // CHUNK_STRIDE + 1, 0)
+        doc_rep = np.repeat(np.arange(len(batch), dtype=np.int64), n_chunks)
+        # chunk ordinal within its doc: global position minus the doc's
+        # first-chunk offset (exclusive cumsum of per-doc chunk counts)
+        first = np.concatenate(([0], np.cumsum(n_chunks[:-1])))
+        k = np.arange(doc_rep.size, dtype=np.int64) - first[doc_rep]
+        start = k * CHUNK_STRIDE + 1  # 1-based token index
+        n_tok = np.minimum(CHUNK_TOKENS, counts[doc_rep] - start + 1)
+        tok_lists = toks.to_numpy()
+        text = [
+            " ".join(tok_lists[d][s - 1 : s - 1 + ln])
+            for d, s, ln in zip(doc_rep, start, n_tok)
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy()[doc_rep],
+                "chunk_idx": k + 1,
+                "start_tok": start,
+                "n_tok": n_tok,
+                "chunk_text": pd.Series(text, dtype=object),
+            }
+        )
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(chunks, batch_format="pandas")
+    return out.to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+CHUNK_SQL = f"""
+WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents),
+c AS (
+  SELECT doc_id, toks, s,
+         (s - 1) // {CHUNK_STRIDE} + 1 AS chunk_idx,
+         least({CHUNK_TOKENS}, len(toks) - s + 1) AS n_tok
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, {CHUNK_STRIDE})) AS s FROM d)
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, CAST(s AS BIGINT) AS start_tok,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       array_to_string(toks[s : s + n_tok - 1], ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_idx
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "gopher_quality_filter": Pipeline(
         gopher_quality_filter,
@@ -373,5 +431,10 @@ PIPELINES: dict[str, Pipeline] = {
         sample_per_key,
         SAMPLE_PER_KEY_SQL,
         "deterministic fixed-n per-(lang,source) sample (lowest seeded hash wins)",
+    ),
+    "chunk_documents": Pipeline(
+        chunk_documents,
+        CHUNK_SQL,
+        "fixed-length token chunking with stride overlap (training-data windowing)",
     ),
 }

@@ -119,6 +119,70 @@ def hll_distinct(sf_dir: str):
     return pd.DataFrame(out).sort_values("event_type").reset_index(drop=True)
 
 
+# --------------------------------------------------------------------------
+# SpaceSaving heavy hitters (Metwally et al. 2005 — the frequency sketch
+# next to HLL's cardinality and t-digest's quantiles).  Per-batch summary
+# of SS_CAPACITY counters; merged summaries stay a valid SpaceSaving
+# state: counts add where keys meet, a key absent from one side absorbs
+# that side's evicted-mass bound (its min count) into its error.  The
+# guarantee survives merging: true_count ≤ est ≤ true_count + err.
+
+SS_CAPACITY = 256
+SS_TOP = 10
+
+
+def _ss_batch(tokens: np.ndarray) -> pd.DataFrame:
+    """Exact counts if distinct ≤ capacity, else evict-min SpaceSaving."""
+    uniq, cnt = np.unique(tokens, return_counts=True)
+    if uniq.size <= SS_CAPACITY:
+        return pd.DataFrame({"token": uniq, "est": cnt.astype(np.int64), "err": 0})
+    order = np.argsort(-cnt, kind="stable")
+    keep, spill = order[: SS_CAPACITY], order[SS_CAPACITY :]
+    # evicting item i bumps the minimum counter: upper-bound the batch
+    # summary with min-count error on every kept slot (one-shot batch
+    # construction — a conservative, still-mergeable overapproximation)
+    err = int(cnt[spill].max()) if spill.size else 0
+    return pd.DataFrame(
+        {
+            "token": uniq[keep],
+            "est": (cnt[keep] + err).astype(np.int64),
+            "err": np.int64(err),
+        }
+    )
+
+
+def heavy_hitters(sf_dir: str):
+    """Top-SS_TOP tokens by estimated frequency.  Approximate by design
+    (rows-only check); on the fixture vocabulary (≪ capacity) every batch
+    summary is exact, so the pytest oracle can assert exact equality AND
+    the guarantee bound separately."""
+    from .text import TOKEN_RE, _tokens
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        flat = np.asarray([t for ws in toks for t in ws], dtype=object)
+        if flat.size == 0:
+            return pd.DataFrame({"token": pd.Series([], dtype=object), "est": pd.Series([], dtype="int64"), "err": pd.Series([], dtype="int64")})
+        return _ss_batch(flat)
+
+    parts = (
+        read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()  # ≤ capacity rows per block
+    )
+    g = parts.groupby("token", as_index=False).agg(est=("est", "sum"), err=("err", "sum"))
+    if len(g) > SS_CAPACITY:
+        # merge eviction: keys missing from the merged summary contribute
+        # at most the dropped slots' min estimate
+        g = g.sort_values(["est", "token"], ascending=[False, True], kind="mergesort")
+        dropped_min = int(g["est"].iloc[SS_CAPACITY:].max())
+        g = g.head(SS_CAPACITY)
+        g["est"] = g["est"] + dropped_min
+        g["err"] = g["err"] + dropped_min
+    g = g.sort_values(["est", "token"], ascending=[False, True], kind="mergesort")
+    return g.head(SS_TOP).reset_index(drop=True)
+
+
 def hash_join_native(sf_dir: str):
     """Both-sides-as-Datasets hash join via Ray's native Dataset.join."""
     import ray
@@ -173,4 +237,9 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 PIPELINES: dict[str, Pipeline] = {
     "hll_distinct": Pipeline(hll_distinct, None, "HyperLogLog approx distinct (HLLAgg); accuracy-tested in pytest"),
     "hash_join_native": Pipeline(hash_join_native, HASH_JOIN_SQL, "both-sides-large hash join (Dataset.join)"),
+    "heavy_hitters": Pipeline(
+        heavy_hitters,
+        None,
+        "SpaceSaving frequency sketch top-k (mergeable summaries; guarantee-tested in pytest)",
+    ),
 }

@@ -103,3 +103,21 @@ def test_sample_per_key_bounds_and_determinism(ray_session):
     assert a.equals(b)
     sizes = a.groupby(["lang", "source"]).size()
     assert (sizes <= SPK_N).all() and len(a) > 0
+
+
+def test_chunk_documents_invariants(ray_session):
+    from lucene_solr_ray.pipelines.quality import CHUNK_STRIDE, CHUNK_TOKENS, chunk_documents
+
+    out = chunk_documents(SF)
+    assert len(out) > 0
+    for doc_id, g in out.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        assert list(g["chunk_idx"]) == list(range(1, len(g) + 1))
+        assert list(g["start_tok"]) == [1 + (i * CHUNK_STRIDE) for i in range(len(g))]
+        # every chunk non-empty, capped at CHUNK_TOKENS, text token count matches
+        assert (g["n_tok"] >= 1).all() and (g["n_tok"] <= CHUNK_TOKENS).all()
+        assert (g["chunk_text"].str.split().str.len() == g["n_tok"]).all()
+        # full coverage: last chunk reaches the doc's final token
+        last = g.iloc[-1]
+        n_total = int(last["start_tok"] + last["n_tok"] - 1)
+        assert n_total >= int(g.iloc[0]["n_tok"])
