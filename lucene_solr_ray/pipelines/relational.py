@@ -1573,8 +1573,72 @@ ORDER BY c_custkey
 """
 
 
+# Atomic updates on MULTI-VALUED fields (AtomicUpdateDocumentMerger add /
+# add-distinct / remove ops — the other half of set/inc above): each
+# customer's `segments` field accumulates add-distinct of its event types
+# with 'view' removed.  Update side: per-batch distinct (user, type)
+# pairs (≤ users × |event types| rows), deduped once more on the driver —
+# the same small-update-side contract as atomic_update; the base-table
+# pass is a broadcast map.
+
+
+def atomic_update_multivalued(sf_dir: str):
+    import ray
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["event_type"] != "view"]  # the `remove` op
+        return b[["user_id", "event_type"]].drop_duplicates()
+
+    upd = (
+        read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()  # add-distinct across batches
+    )
+    g = upd.sort_values(["user_id", "event_type"]).groupby("user_id")["event_type"]
+    segs = g.agg(",".join).to_dict()
+    nvals = g.size().to_dict()
+    ref = ray.put((segs, nvals))
+
+    def apply(batch: pd.DataFrame) -> pd.DataFrame:
+        m, nv = ray.get(ref)
+        key = batch["c_custkey"]
+        return pd.DataFrame(
+            {
+                "c_custkey": key,
+                "segments": key.map(m).fillna("").astype(object),
+                "n_vals": key.map(nv).fillna(0).astype("int64"),
+            }
+        )
+
+    out = (
+        read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(apply, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+ATOMIC_MULTIVALUED_SQL = """
+WITH upd AS (
+  SELECT user_id,
+         array_to_string(list_sort(list_distinct(array_agg(event_type))), ',') AS segs,
+         CAST(len(list_distinct(array_agg(event_type))) AS BIGINT) AS nv
+  FROM events WHERE event_type <> 'view' GROUP BY user_id
+)
+SELECT c_custkey, COALESCE(segs, '') AS segments, COALESCE(nv, 0) AS n_vals
+FROM customer LEFT JOIN upd ON upd.user_id = c_custkey
+ORDER BY c_custkey
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "atomic_update": Pipeline(atomic_update, ATOMIC_UPDATE_SQL, "set/inc atomic document updates (AtomicUpdateDocumentMerger)"),
+    "atomic_update_multivalued": Pipeline(
+        atomic_update_multivalued,
+        ATOMIC_MULTIVALUED_SQL,
+        "add-distinct/remove atomic updates on a multi-valued field",
+    ),
     "rollup_cube": Pipeline(rollup_cube, ROLLUP_CUBE_SQL, "hierarchical GROUPING-SETS rollup (multi-level RollupStream)"),
     "group_percentile": Pipeline(group_percentile, GROUP_PERCENTILE_SQL, "exact percentiles inside facet buckets (facet.stats / PercentileAgg)"),
     "facet_field_params": Pipeline(
