@@ -919,35 +919,58 @@ class IndexShard:
     # column scan, cost ≈ maxDoc); pick by estimated cost.
     RANGE_SCAN_FRACTION = 8  # index wins when Σ df ≤ maxDoc / 8
 
-    def top_k_collapse(self, node: QueryNode, field: str, k: int, idfs: dict[str, float], sim: str = "bm25"):
+    def top_k_collapse(
+        self,
+        node: QueryNode,
+        field: str,
+        k: int,
+        idfs: dict[str, float],
+        sim: str = "bm25",
+        sel_op: str | None = None,
+        sel_field: str | None = None,
+    ):
         """Shard-local query-time collapse (solr/core/.../search/
         CollapsingQParserPlugin.java): evaluate ALL matching docs, keep the
-        best hit per `field` doc-value group (score desc, docID asc —
-        nullPolicy=ignore: docs without a value drop).  Returns at most one
-        (doc, score, group) per group PER SHARD — the driver merge is
+        group head per `field` doc-value group — by (score desc, docID asc)
+        by default, or by min/max of a NUMERIC doc-values field when
+        `sel_op`/`sel_field` are set (the plugin's min=/max= selectors; the
+        head still carries its QUERY score for ranking).  nullPolicy=ignore:
+        docs without a group value drop.  Returns at most one (doc, score,
+        group[, selector value]) per group PER SHARD — the driver merge is
         bounded by the group domain, never the hit count."""
         docs, scores = self._eval(node, idfs, sim)
+        empty = (_EMPTY_I64, _EMPTY_F64, np.empty(0, dtype=object), _EMPTY_F64)
         if not docs.size:
-            return _EMPTY_I64, _EMPTY_F64, np.empty(0, dtype=object)
+            return empty
         dv = self._load_docvalues(field)
         if dv is None:
-            return _EMPTY_I64, _EMPTY_F64, np.empty(0, dtype=object)
+            return empty
         fd, fv = dv
         vals = fv[np.searchsorted(fd, docs)]
         keep = np.array([v is not None for v in vals.tolist()], dtype=bool)
         docs, scores, vals = docs[keep], scores[keep].astype(np.float32), vals[keep]
         if not docs.size:
-            return _EMPTY_I64, _EMPTY_F64, np.empty(0, dtype=object)
-        # best per group: (score desc, doc asc) order, then first per value
-        order = np.lexsort((docs, -scores))
+            return empty
+        if sel_op is None:
+            # best per group: (score desc, doc asc) order, first per value
+            order = np.lexsort((docs, -scores))
+            selv_sorted = None
+        else:
+            ndv = self._load_numeric_dv(sel_field)
+            if ndv is None:
+                raise KeyError(f"unknown numeric doc-values field {sel_field!r}")
+            nd, nv = ndv
+            selv = nv[np.searchsorted(nd, docs)]
+            order = np.lexsort((docs, selv if sel_op == "min" else -selv))
+            selv_sorted = selv[order]
         docs, scores, vals = docs[order], scores[order], vals[order]
         codes, _ = __import__("pandas").factorize(vals)
         _, first_idx = np.unique(codes, return_index=True)  # first hit per
-        sel = np.sort(first_idx)  # group in rank order — vectorized
-        out_docs, out_scores, out_vals = docs[sel], scores[sel], vals[sel]
+        sel = np.sort(first_idx)  # group in head order — vectorized
+        out_sel = selv_sorted[sel] if selv_sorted is not None else np.zeros(sel.size)
         # shard-local top-k groups is NOT safe to cut (another shard may
         # beat a group's best) — return all group winners (domain-bounded)
-        return out_docs, out_scores, out_vals
+        return docs[sel], scores[sel], vals[sel], out_sel
 
     def _load_docvalues(self, field: str):
         """(doc_id, value) doc-values column for a keyword field, loaded

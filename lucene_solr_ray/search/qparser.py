@@ -117,7 +117,14 @@ def dispatch(
             # silently misparse as lucene term syntax, so reject the mix
             raise QParserError(f"fq composes with the default parser only, not {{!{qname}}}")
         if fname == "collapse" and "field" in fparams:
-            return searcher.search_collapse(qbody, fparams["field"], k, similarity=similarity)
+            return searcher.search_collapse(
+                qbody,
+                fparams["field"],
+                k,
+                similarity=similarity,
+                min_field=fparams.get("min"),
+                max_field=fparams.get("max"),
+            )
         if fname == "frange":
             # fq={!frange l=0 u=10 incl=true incu=false}expr — Solr's
             # FunctionRangeQParserPlugin filter contract

@@ -1096,15 +1096,28 @@ class Searcher:
         return [(int(docs[i]), float(scores[i])) for i in order]
 
     def search_collapse(
-        self, query: str, field: str, k: int = 10, similarity: str = "bm25"
+        self,
+        query: str,
+        field: str,
+        k: int = 10,
+        similarity: str = "bm25",
+        min_field: str | None = None,
+        max_field: str | None = None,
     ) -> list[tuple[int, float, str]]:
         """Query-time collapse on the index path ({!collapse field=...},
-        CollapsingQParserPlugin): one best hit per `field` doc-value group,
-        ranked (score desc, docID asc), top-k groups.  Each shard returns
-        at most one winner per group (shard-side doc-value gather), the
-        driver keeps the best per group across shards — merge traffic is
+        CollapsingQParserPlugin): one head per `field` doc-value group,
+        top-k groups by the heads' (score desc, docID asc).  The head is
+        the group's best hit by score, or by `min_field`/`max_field`
+        numeric doc-values (the plugin's min=/max= selectors — the head
+        keeps its QUERY score for ranking).  Each shard returns at most
+        one candidate per group (shard-side doc-value gather), the driver
+        keeps the winner per group across shards — merge traffic is
         group-domain-bounded, never hit-count-bounded.  nullPolicy=ignore:
         docs without the field drop.  → [(doc_id, score, group_value)]."""
+        if min_field and max_field:
+            raise ValueError("collapse takes min= or max=, not both")
+        sel_op = "min" if min_field else ("max" if max_field else None)
+        sel_field = min_field or max_field
         node = self._parse(query)
         if node is None:
             return []
@@ -1112,16 +1125,23 @@ class Searcher:
         if node is None:
             return []
         idfs = self._weights_for(node, similarity)
-        parts = self._scatter("top_k_collapse", node, field, k, idfs, similarity)
+        parts = self._scatter(
+            "top_k_collapse", node, field, k, idfs, similarity, sel_op, sel_field
+        )
         frames = [
-            pd.DataFrame({"doc": d, "score": s, "val": v.astype(object)})
-            for d, s, v in parts
+            pd.DataFrame({"doc": d, "score": s, "val": v.astype(object), "sel": sv})
+            for d, s, v, sv in parts
             if d.size
         ]
         if not frames:
             return []
-        g = pd.concat(frames).sort_values(["score", "doc"], ascending=[False, True], kind="mergesort")
-        g = g.drop_duplicates("val").head(k)
+        g = pd.concat(frames)
+        if sel_op is None:
+            g = g.sort_values(["score", "doc"], ascending=[False, True], kind="mergesort")
+        else:
+            g = g.sort_values(["sel", "doc"], ascending=[sel_op == "min", True], kind="mergesort")
+        g = g.drop_duplicates("val")
+        g = g.sort_values(["score", "doc"], ascending=[False, True], kind="mergesort").head(k)
         return [(int(d), float(s), str(v)) for d, s, v in zip(g["doc"], g["score"], g["val"])]
 
     def search_after(

@@ -131,3 +131,35 @@ def test_mlt_dismax_equalities(searcher):  # noqa: F811
     assert searcher.query("{!dismax}role:tool", 10) == searcher.query(
         "{!dismax}role tool", 10
     )
+
+
+def test_collapse_min_max_selectors(searcher, corpus):  # noqa: F811
+    _, full = corpus
+    turn = full.column("turn_idx").to_numpy()
+    role = np.asarray(full.column("role").to_pylist(), dtype=object)
+    for sel_op, kw in (("min", {"min_field": "turn_idx"}), ("max", {"max_field": "turn_idx"})):
+        got = searcher.search_collapse("tool output", "role", 10, **kw)
+        hits = searcher.search("tool output", 100000)
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "doc": [d for d, _ in hits],
+                "score": [s for _, s in hits],
+                "sel": turn[[d for d, _ in hits]],
+                "val": role[[d for d, _ in hits]],
+            }
+        )
+        df = df.sort_values(["sel", "doc"], ascending=[sel_op == "min", True], kind="mergesort")
+        df = df.drop_duplicates("val")
+        df = df.sort_values(["score", "doc"], ascending=[False, True], kind="mergesort").head(10)
+        exp = [(int(d), float(s), str(v)) for d, s, v in zip(df["doc"], df["score"], df["val"])]
+        assert got == exp, (sel_op, got[:3], exp[:3])
+    # dispatcher carries min=/max= through fq
+    assert searcher.query("tool output", 10, fq="{!collapse field=role max=turn_idx}") == (
+        searcher.search_collapse("tool output", "role", 10, max_field="turn_idx")
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        searcher.search_collapse("x", "role", min_field="turn_idx", max_field="dl")
