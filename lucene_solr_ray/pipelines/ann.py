@@ -689,6 +689,92 @@ def build_pq_index(sf_dir: str, force: bool = False) -> Path:
     return d
 
 
+# Scalar quantization to int8 (the Lucene99ScalarQuantizedVectorsFormat
+# analog — lucene/core/.../codecs/lucene99/, Lucene 9.7): one global scale
+# Δ from a sample quantile of |component| values, symmetric q(x) =
+# clip(round(x/Δ), ±127).  Integer dot products rank candidates (4× less
+# memory traffic than float32, SIMD-friendly), a bounded exact rerank
+# restores float ordering.
+
+SQ_RERANK = 50
+
+
+def build_sq8_index(sf_dir: str, force: bool = False) -> Path:
+    import shutil
+
+    d = _index_dir("sq8", sf_dir)
+    fp = _source_fingerprint(sf_dir)
+    if _index_is_fresh(d, fp) and not force:
+        return d
+    sample_df = read(sf_dir, "embeddings", ["embedding"]).limit(4000).to_pandas()
+    sample = np.stack(sample_df["embedding"].to_numpy()).astype(np.float64)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    dim = sample.shape[1]
+    delta = float(np.quantile(np.abs(sample), 0.999)) / 127.0
+
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        x = _embed_matrix(batch)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        q = np.clip(np.rint(x / delta), -127, 127).astype(np.int8)
+        return pd.DataFrame(
+            {
+                "vec_id": batch["vec_id"].to_numpy(),
+                "codes": [q[i].tobytes() for i in range(len(q))],
+            }
+        )
+
+    tmp = d.with_suffix(".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(d, ignore_errors=True)
+    read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        encode, batch_format="pandas"
+    ).write_parquet(str(tmp / "codes"))
+    (tmp / "manifest.json").write_text(
+        json.dumps({"dim": int(dim), "delta": delta, "source_fp": fp})
+    )
+    os.replace(tmp, d)
+    return d
+
+
+def ann_sq8_topk(sf_dir: str, k: int = 10):
+    import ray.data as rd
+
+    d = build_sq8_index(sf_dir)
+    meta = json.loads((d / "manifest.json").read_text())
+    dim, delta = meta["dim"], meta["delta"]
+    q = _query_vec(sf_dir)
+    qn = q / np.linalg.norm(q)
+    qq = np.clip(np.rint(qn / delta), -127, 127).astype(np.int32)
+    budget = max(SQ_RERANK, k)
+
+    def approx(batch: pd.DataFrame) -> pd.DataFrame:
+        codes = np.frombuffer(b"".join(batch["codes"]), dtype=np.int8).reshape(-1, dim)
+        s = codes.astype(np.int32) @ qq  # integer dot ≈ cos/Δ²
+        out = pd.DataFrame({"vec_id": batch["vec_id"], "approx": s})
+        return out.sort_values(["approx", "vec_id"], ascending=[False, True]).head(budget)
+
+    cand = (
+        rd.read_parquet(str(d / "codes"))
+        .map_batches(approx, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["approx", "vec_id"], ascending=[False, True])
+        .head(budget)
+    )
+    got = _fetch_candidates(sf_dir, cand["vec_id"].to_numpy(), ["vec_id", "embedding"])
+    gm = np.stack(got["embedding"].to_numpy()).astype(np.float64)
+    gm = gm / np.linalg.norm(gm, axis=1, keepdims=True)
+    sims = gm @ qn
+    top = (
+        pd.DataFrame({"vec_id": got["vec_id"].astype("int64"), "sim": sims})
+        .sort_values(["sim", "vec_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {"rank": np.arange(1, len(top) + 1, dtype=np.int64), "vec_id": top["vec_id"].astype("int64")}
+    )
+
+
 def ann_pq_topk(sf_dir: str, k: int = 10):
     import ray.data as rd
 
@@ -741,4 +827,5 @@ PIPELINES: dict[str, Pipeline] = {
     "knn_regress": Pipeline(knn_regress, KNN_REGRESS_SQL, "kNN mean-label regression (KnnRegressionEvaluator)"),
     "ann_lsh_topk": Pipeline(ann_lsh_topk, None, "persisted LSH signature index (signature-only scan + bounded exact rerank); recall-tested in pytest"),
     "ann_pq_topk": Pipeline(ann_pq_topk, None, "product-quantization ANN: 8-byte codes + asymmetric-distance LUT scan, bounded exact rerank; recall-tested in pytest"),
+    "ann_sq8_topk": Pipeline(ann_sq8_topk, None, "int8 scalar-quantized ANN (Lucene99ScalarQuantizedVectorsFormat analog): integer-dot scan + bounded exact rerank; recall-tested in pytest"),
 }

@@ -442,3 +442,26 @@ def test_star_components_long_chain(ray_session):
     assert (got["cluster_id"] == 0).all() and len(got) == n
     assert got.loc[got["doc_id"] == 0, "keep"].iloc[0]
     assert got["keep"].sum() == 1
+
+
+def test_ann_sq8_recall(ray_session):
+    """int8 scalar quantization: integer-dot scan + exact rerank — SQ8 is
+    a near-lossless ranking proxy, recall well above PQ's; codes really
+    are dim bytes/vector."""
+    import glob as _g
+    import json as _json
+
+    import pyarrow.parquet as apq
+
+    from lucene_solr_ray.pipelines.ann import ann_cosine_topk, ann_sq8_topk, build_sq8_index
+
+    exact = ann_cosine_topk(SF)
+    a = ann_sq8_topk(SF)
+    b = ann_sq8_topk(SF)
+    pd.testing.assert_frame_equal(a, b)
+    recall = len(set(a["vec_id"]) & set(exact["vec_id"])) / len(exact)
+    assert recall >= 0.9, recall
+    d = build_sq8_index(SF)
+    meta = _json.loads((d / "manifest.json").read_text())
+    t = apq.read_table(sorted(_g.glob(str(d / "codes" / "*.parquet")))[0])
+    assert len(t.column("codes")[0].as_py()) == meta["dim"]
