@@ -972,6 +972,26 @@ class IndexShard:
         # beat a group's best) — return all group winners (domain-bounded)
         return docs[sel], scores[sel], vals[sel], out_sel
 
+    def facet_counts(self, node: QueryNode, idfs: dict[str, float], field: str, sim: str = "bm25"):
+        """Per-shard facet partial over the MATCH SET of `node` (the
+        /select?q=...&facet.field=... path — SimpleFacets over a DocSet):
+        → (values, counts), bounded by the field's value domain.  Docs
+        without a value are skipped (facet.missing stays a pipeline-side
+        concern)."""
+        docs, _ = self._eval(node, idfs, sim)
+        if not docs.size:
+            return np.empty(0, dtype=object), _EMPTY_I64
+        dv = self._load_docvalues(field)
+        if dv is None:
+            return np.empty(0, dtype=object), _EMPTY_I64
+        fd, fv = dv
+        vals = fv[np.searchsorted(fd, docs)]
+        keep = np.array([v is not None for v in vals.tolist()], dtype=bool)
+        if not keep.any():
+            return np.empty(0, dtype=object), _EMPTY_I64
+        uniq, cnt = np.unique(vals[keep].astype(str), return_counts=True)
+        return uniq.astype(object), cnt.astype(np.int64)
+
     def _load_docvalues(self, field: str):
         """(doc_id, value) doc-values column for a keyword field, loaded
         once from the norms segments (the SortedDocValues analog)."""

@@ -525,6 +525,26 @@ class Searcher:
         out.sort(key=lambda p: (-p[1], p[0]))
         return out[:limit]
 
+    def facet_search(self, query: str, field: str, limit: int = 10) -> list[tuple[str, int]]:
+        """Query-scoped field facet (/select?q=...&facet.field=... —
+        SimpleFacets.getFacetFieldCounts over the query's DocSet): counts
+        per `field` value across the MATCH SET, ranked (count desc, value
+        asc).  Each shard returns its value→count partial (bounded by the
+        value domain); the driver sums — never hit-count traffic."""
+        node = self._parse(query)
+        if node is None:
+            return []
+        node = self._rewrite(node)
+        if node is None:
+            return []
+        idfs = self._weights_for(node, "bm25")
+        agg: dict[str, int] = {}
+        for vals, cnts in self._scatter("facet_counts", node, idfs, field):
+            for v, c in zip(vals.tolist(), cnts.tolist()):
+                agg[v] = agg.get(v, 0) + c
+        out = sorted(agg.items(), key=lambda p: (-p[1], p[0]))
+        return out[:limit]
+
     # -- query elevation ---------------------------------------------------
     def search_elevated(
         self, query: str, k: int = 10, elevations: dict[str, list[int]] | None = None

@@ -163,3 +163,15 @@ def test_collapse_min_max_selectors(searcher, corpus):  # noqa: F811
 
     with _pt.raises(ValueError):
         searcher.search_collapse("x", "role", min_field="turn_idx", max_field="dl")
+
+
+def test_facet_search_matches_brute_force(searcher, corpus):  # noqa: F811
+    _, full = corpus
+    role = np.asarray(full.column("role").to_pylist(), dtype=object)
+    for q in ("tool output", "error", "+role:tool output", "to*"):
+        got = searcher.facet_search(q, "role", limit=10)
+        hits = [d for d, _ in searcher.search(q, 100000)]
+        vals, cnts = np.unique(role[hits], return_counts=True)
+        exp = sorted(zip(vals.tolist(), cnts.tolist()), key=lambda p: (-p[1], p[0]))[:10]
+        assert got == [(str(v), int(c)) for v, c in exp], q
+    assert searcher.facet_search("zzzznosuch", "role") == []
