@@ -992,6 +992,39 @@ class IndexShard:
         uniq, cnt = np.unique(vals[keep].astype(str), return_counts=True)
         return uniq.astype(object), cnt.astype(np.int64)
 
+    def range_facet_counts(
+        self,
+        node: QueryNode,
+        idfs: dict[str, float],
+        field: str,
+        start: float,
+        end: float,
+        gap: float,
+        sim: str = "bm25",
+    ):
+        """Per-shard range-facet partial over the match set (facet.range /
+        RangeFacetProcessor): fixed [start, end) buckets of width `gap`,
+        plus before/after counts — a bounded (n_buckets+2) int64 vector."""
+        n_buckets = int(np.ceil((end - start) / gap))
+        counts = np.zeros(n_buckets + 2, dtype=np.int64)  # [before, buckets..., after]
+        docs, _ = self._eval(node, idfs, sim)
+        if not docs.size:
+            return counts
+        dv = self._load_numeric_dv(field)
+        if dv is None:
+            raise KeyError(f"unknown numeric doc-values field {field!r}")
+        fd, fv = dv
+        vals = fv[np.searchsorted(fd, docs)]
+        before = vals < start
+        after = vals >= start + n_buckets * gap
+        mid = ~(before | after)
+        counts[0] = int(before.sum())
+        counts[-1] = int(after.sum())
+        if mid.any():
+            idx = ((vals[mid] - start) // gap).astype(np.int64)
+            counts[1:-1] += np.bincount(idx, minlength=n_buckets)
+        return counts
+
     def _load_docvalues(self, field: str):
         """(doc_id, value) doc-values column for a keyword field, loaded
         once from the norms segments (the SortedDocValues analog)."""

@@ -545,6 +545,31 @@ class Searcher:
         out = sorted(agg.items(), key=lambda p: (-p[1], p[0]))
         return out[:limit]
 
+    def facet_range(
+        self, query: str, field: str, start: float, end: float, gap: float
+    ) -> dict:
+        """Query-scoped range facet (facet.range over the match set, with
+        facet.range.other=all): fixed [start, end) buckets of width `gap`
+        → {"counts": [(bucket_start, n), ...], "before": n, "after": n}.
+        Each shard returns one bounded count vector; the driver sums."""
+        node = self._parse(query)
+        if node is None:
+            return {"counts": [], "before": 0, "after": 0}
+        node = self._rewrite(node)
+        if node is None:
+            return {"counts": [], "before": 0, "after": 0}
+        idfs = self._weights_for(node, "bm25")
+        parts = self._scatter("range_facet_counts", node, idfs, field, start, end, gap)
+        total = np.sum(parts, axis=0)
+        n_buckets = total.size - 2
+        return {
+            "counts": [
+                (start + i * gap, int(total[1 + i])) for i in range(n_buckets)
+            ],
+            "before": int(total[0]),
+            "after": int(total[-1]),
+        }
+
     # -- query elevation ---------------------------------------------------
     def search_elevated(
         self, query: str, k: int = 10, elevations: dict[str, list[int]] | None = None

@@ -175,3 +175,26 @@ def test_facet_search_matches_brute_force(searcher, corpus):  # noqa: F811
         exp = sorted(zip(vals.tolist(), cnts.tolist()), key=lambda p: (-p[1], p[0]))[:10]
         assert got == [(str(v), int(c)) for v, c in exp], q
     assert searcher.facet_search("zzzznosuch", "role") == []
+
+
+def test_facet_range_matches_brute_force(searcher, corpus):  # noqa: F811
+    _, full = corpus
+    turn = full.column("turn_idx").to_numpy()
+    got = searcher.facet_range("tool output", "turn_idx", start=1, end=7, gap=2)
+    hits = np.array([d for d, _ in searcher.search("tool output", 100000)], dtype=np.int64)
+    v = turn[hits]
+    exp_counts = [
+        (float(s), int(((v >= s) & (v < s + 2)).sum())) for s in (1.0, 3.0, 5.0)
+    ]
+    assert got["counts"] == exp_counts
+    assert got["before"] == int((v < 1).sum())
+    assert got["after"] == int((v >= 7).sum())
+    assert got["before"] + got["after"] + sum(c for _, c in exp_counts) == len(hits)
+    # a no-match query still reports its (zero-count) buckets — the
+    # facet.range contract; only an EMPTY parse yields no buckets
+    assert searcher.facet_range("zzzznosuch", "turn_idx", 0, 4, 2) == {
+        "counts": [(0.0, 0), (2.0, 0)], "before": 0, "after": 0
+    }
+    assert searcher.facet_range("the of", "turn_idx", 0, 4, 2) == {
+        "counts": [], "before": 0, "after": 0
+    }
