@@ -1025,6 +1025,30 @@ class IndexShard:
             counts[1:-1] += np.bincount(idx, minlength=n_buckets)
         return counts
 
+    def stats_partial(self, node: QueryNode, idfs: dict[str, float], field: str, sim: str = "bm25"):
+        """Per-shard StatsComponent partial over the match set: (count,
+        Σx, Σx², min, max) with the sums in EXACT int64 arithmetic when the
+        doc-values column is integral (turn_idx, dl) — partials merge
+        exactly in any order, so the driver result is deterministic."""
+        docs, _ = self._eval(node, idfs, sim)
+        if not docs.size:
+            return (0, 0, 0, None, None)
+        dv = self._load_numeric_dv(field)
+        if dv is None:
+            raise KeyError(f"unknown numeric doc-values field {field!r}")
+        fd, fv = dv
+        vals = fv[np.searchsorted(fd, docs)]
+        iv = vals.astype(np.int64)
+        if not np.array_equal(iv.astype(np.float64), vals):
+            raise ValueError(f"stats over non-integral doc values field {field!r} unsupported")
+        return (
+            int(docs.size),
+            int(iv.sum(dtype=object)),
+            int((iv.astype(object) * iv.astype(object)).sum()),
+            int(iv.min()),
+            int(iv.max()),
+        )
+
     def _load_docvalues(self, field: str):
         """(doc_id, value) doc-values column for a keyword field, loaded
         once from the norms segments (the SortedDocValues analog)."""

@@ -570,6 +570,39 @@ class Searcher:
             "after": int(total[-1]),
         }
 
+    def stats_field(self, query: str, field: str) -> dict:
+        """Query-scoped StatsComponent (stats.field over the match set):
+        count / sum / mean / min / max / stddev from exact int64 shard
+        partials (order-independent merge; stddev uses the corrected
+        two-pass-equivalent moment formula, n−1 denominator like Solr)."""
+        import math
+
+        node = self._parse(query)
+        if node is None:
+            return {"count": 0}
+        node = self._rewrite(node)
+        if node is None:
+            return {"count": 0}
+        idfs = self._weights_for(node, "bm25")
+        parts = self._scatter("stats_partial", node, idfs, field)
+        n = sum(p[0] for p in parts)
+        if n == 0:
+            return {"count": 0}
+        s1 = sum(p[1] for p in parts)
+        s2 = sum(p[2] for p in parts)
+        mn = min(p[3] for p in parts if p[3] is not None)
+        mx = max(p[4] for p in parts if p[4] is not None)
+        mean = s1 / n
+        var = (s2 - s1 * s1 / n) / (n - 1) if n > 1 else 0.0
+        return {
+            "count": n,
+            "sum": s1,
+            "mean": mean,
+            "min": mn,
+            "max": mx,
+            "stddev": math.sqrt(max(var, 0.0)),
+        }
+
     # -- query elevation ---------------------------------------------------
     def search_elevated(
         self, query: str, k: int = 10, elevations: dict[str, list[int]] | None = None

@@ -198,3 +198,26 @@ def test_facet_range_matches_brute_force(searcher, corpus):  # noqa: F811
     assert searcher.facet_range("the of", "turn_idx", 0, 4, 2) == {
         "counts": [], "before": 0, "after": 0
     }
+
+
+def test_stats_field_matches_brute_force(searcher, corpus):  # noqa: F811
+    import math
+
+    _, full = corpus
+    turn = full.column("turn_idx").to_numpy().astype(np.int64)
+    got = searcher.stats_field("tool output", "turn_idx")
+    hits = np.array([d for d, _ in searcher.search("tool output", 100000)], dtype=np.int64)
+    v = turn[hits]
+    n, s1, s2 = int(v.size), int(v.sum()), int((v.astype(object) * v.astype(object)).sum())
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    assert got == {
+        "count": n,
+        "sum": s1,
+        "mean": s1 / n,
+        "min": int(v.min()),
+        "max": int(v.max()),
+        "stddev": math.sqrt(var),
+    }
+    assert searcher.stats_field("the of", "turn_idx") == {"count": 0}
+    with pytest.raises(KeyError):
+        searcher.stats_field("tool", "no_such_dv")
