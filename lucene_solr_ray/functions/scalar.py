@@ -195,13 +195,13 @@ def _lp_dist(cols, p=2.0, squared=False):
 
 @dataclass
 class Expr:
-    kind: str  # "call" | "field" | "lit"
+    kind: str  # "call" | "field" | "lit" | "str" (quoted literal, in name)
     name: str = ""
     value: float = 0.0
     args: list["Expr"] = None
 
 
-_TOKEN = re.compile(r"\s*([A-Za-z_][\w.]*|-?\d+\.?\d*(?:[eE][+-]?\d+)?|[(),])")
+_TOKEN = re.compile(r"\s*('[^']*'|[A-Za-z_][\w.]*|-?\d+\.?\d*(?:[eE][+-]?\d+)?|[(),])")
 
 
 def parse_expr(s: str) -> Expr:
@@ -219,6 +219,8 @@ def parse_expr(s: str) -> Expr:
 
     def expr() -> Expr:
         t = take()
+        if t.startswith("'"):
+            return Expr("str", name=t[1:-1])
         if re.fullmatch(r"-?\d+\.?\d*(?:[eE][+-]?\d+)?", t):
             return Expr("lit", value=float(t))
         if peek() == "(":
@@ -251,10 +253,41 @@ def expr_fields(node: Expr) -> list[str]:
     return list(dict.fromkeys(out))
 
 
+def transform_calls(node: Expr, fn) -> Expr:
+    """Depth-first call rewrite: `fn(call_node) -> Expr | None` (None =
+    keep).  The hook for materializing relevance value sources —
+    termfreq() in the shard actor, docfreq()/idf() constants on the
+    driver (Solr's ValueSource tree rewrite)."""
+    if node.kind == "call":
+        cand = Expr(
+            "call", name=node.name, args=[transform_calls(a, fn) for a in node.args or []]
+        )
+        out = fn(cand)
+        return out if out is not None else cand
+    return node
+
+
+def expr_to_src(node: Expr) -> str:
+    """Serialize an Expr back to parseable source (driver-side constant
+    substitution re-serializes before the scatter, which ships strings)."""
+    if node.kind == "lit":
+        return repr(float(node.value))
+    if node.kind == "str":
+        return f"'{node.name}'"
+    if node.kind == "field":
+        return node.name
+    return f"{node.name}({','.join(expr_to_src(a) for a in node.args or [])})"
+
+
 def evaluate(node: Expr, columns: dict[str, np.ndarray]) -> np.ndarray:
     """Vectorized evaluation over a batch's columns."""
     if node.kind == "lit":
         return np.float64(node.value)
+    if node.kind == "str":
+        raise ValueError(
+            "unresolved string literal — relevance value sources (termfreq/"
+            "docfreq/idf) must be materialized before evaluation"
+        )
     if node.kind == "field":
         if node.name not in columns:
             raise KeyError(f"unknown field {node.name!r}")

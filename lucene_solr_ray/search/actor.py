@@ -1099,25 +1099,55 @@ class IndexShard:
                 )
         return cache[field]
 
+    def _expr_columns(self, expr, docs: np.ndarray):
+        """Materialize an expression's inputs for the GIVEN doc vector:
+        termfreq('term') becomes a per-doc tf array from this shard's
+        postings (Solr's TermFreqValueSource — tombstone mask inherited
+        from the decode), every other field loads from numeric doc-values.
+        → (rewritten expr, columns dict)."""
+        from ..functions.scalar import Expr, expr_fields, transform_calls
+
+        cols: dict[str, np.ndarray] = {}
+        n = [0]
+
+        def repl(c):
+            if c.name == "termfreq" and len(c.args) == 1 and c.args[0].kind == "str":
+                key = f"__tf{n[0]}"
+                n[0] += 1
+                arr = np.zeros(docs.size, dtype=np.float64)
+                p = self._postings(c.args[0].name)
+                if p is not None and p[0].size:
+                    td, tf = p[0], p[1]
+                    pos = np.clip(np.searchsorted(td, docs), 0, td.size - 1)
+                    ok = td[pos] == docs
+                    arr[ok] = tf[pos[ok]]
+                cols[key] = arr
+                return Expr("field", name=key)
+            return None
+
+        expr = transform_calls(expr, repl)
+        for f in expr_fields(expr):
+            if f in cols:
+                continue
+            dv = self._load_numeric_dv(f)
+            if dv is None:
+                raise KeyError(f"unknown numeric doc-values field {f!r}")
+            fd, fv = dv
+            cols[f] = fv[np.searchsorted(fd, docs)]
+        return expr, cols
+
     def top_k_boosted(self, node: QueryNode, k: int, idfs: dict[str, float], expr_src: str, sim: str = "bm25"):
         """`{!boost b=expr}` (solr/core/.../search/BoostQParserPlugin.java
         → FunctionScoreQuery.boostByValue): score × per-doc function value,
         multiplied in float64 BEFORE the float32 cast.  Pruning stays off —
         WAND's score bounds don't survive a per-doc multiplier (Lucene
         routes function-scored queries outside WAND too)."""
-        from ..functions.scalar import evaluate, expr_fields, parse_expr
+        from ..functions.scalar import evaluate, parse_expr
 
-        expr = parse_expr(expr_src)
         docs, scores = self._eval(node, idfs, sim)
         if docs.size == 0:
             return _EMPTY_I64, np.empty(0, np.float32)
-        cols = {}
-        for f in expr_fields(expr):
-            dv = self._load_numeric_dv(f)
-            if dv is None:
-                raise KeyError(f"unknown numeric doc-values field {f!r}")
-            fd, fv = dv
-            cols[f] = fv[np.searchsorted(fd, docs)]
+        expr, cols = self._expr_columns(parse_expr(expr_src), docs)
         boosted = scores * np.broadcast_to(np.asarray(evaluate(expr, cols), np.float64), scores.shape)
         scores32 = boosted.astype(np.float32)
         if docs.size > k:
@@ -1147,19 +1177,12 @@ class IndexShard:
         incl/incu control closedness), then shard top-k by the UNCHANGED
         query score.  Pruning is off — the filter can drop any prefix of
         the score order, so WAND bounds don't hold."""
-        from ..functions.scalar import evaluate, expr_fields, parse_expr
+        from ..functions.scalar import evaluate, parse_expr
 
-        expr = parse_expr(expr_src)
         docs, scores = self._eval(node, idfs, sim)
         if docs.size == 0:
             return _EMPTY_I64, np.empty(0, np.float32)
-        cols = {}
-        for f in expr_fields(expr):
-            dv = self._load_numeric_dv(f)
-            if dv is None:
-                raise KeyError(f"unknown numeric doc-values field {f!r}")
-            fd, fv = dv
-            cols[f] = fv[np.searchsorted(fd, docs)]
+        expr, cols = self._expr_columns(parse_expr(expr_src), docs)
         vals = np.broadcast_to(
             np.asarray(evaluate(expr, cols), np.float64), scores.shape
         )

@@ -986,13 +986,44 @@ class Searcher:
         if node is None:
             return []
         idfs = self._weights_for(node, similarity)
-        parts = self._scatter("top_k_boosted", node, k, idfs, boost_expr, similarity)
+        parts = self._scatter(
+            "top_k_boosted", node, k, idfs, self._resolve_global_sources(boost_expr), similarity
+        )
         docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float32)
         if docs.size == 0:
             return []
         order = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]), float(scores[i])) for i in order]
+
+    def _resolve_global_sources(self, expr_src: str) -> str:
+        """Substitute GLOBAL-stat value sources with constants before the
+        scatter (Solr's ValueSource tree carries IndexSearcher stats the
+        shard actors don't hold): docfreq('t'), totaltermfreq('t'),
+        idf('t') (BM25 idf from global df), numdocs(), maxdoc().
+        termfreq('t') stays — it's per-doc and materializes shard-side."""
+        import math
+
+        from ..functions.scalar import Expr, expr_to_src, parse_expr, transform_calls
+
+        def repl(c):
+            if c.name in ("docfreq", "totaltermfreq", "idf"):
+                if len(c.args) != 1 or c.args[0].kind != "str":
+                    raise ValueError(f"{c.name}() takes one quoted term")
+                term = c.args[0].name
+                if c.name == "docfreq":
+                    return Expr("lit", value=float(self.stats.df(term)))
+                if c.name == "totaltermfreq":
+                    return Expr("lit", value=float(self.stats.cf(term)))
+                df = self.stats.df(term)
+                return Expr(
+                    "lit", value=math.log(1.0 + (self.stats.N - df + 0.5) / (df + 0.5))
+                )
+            if c.name in ("numdocs", "maxdoc"):
+                return Expr("lit", value=float(self.stats.N))
+            return None
+
+        return expr_to_src(transform_calls(parse_expr(expr_src), repl))
 
     def search_func(self, expr: str, k: int = 10) -> list[tuple[int, float]]:
         """Solr `{!func}expr` (FunctionQParserPlugin → FunctionQuery): every
@@ -1002,7 +1033,9 @@ class Searcher:
         from .query import QueryNode
 
         node = QueryNode("match_all")
-        parts = self._scatter("top_k_boosted", node, k, {}, expr, "bm25")
+        parts = self._scatter(
+            "top_k_boosted", node, k, {}, self._resolve_global_sources(expr), "bm25"
+        )
         docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float32)
         if docs.size == 0:
@@ -1033,7 +1066,7 @@ class Searcher:
             return []
         idfs = self._weights_for(node, similarity)
         parts = self._scatter(
-            "top_k_franged", node, k, idfs, frange_expr, lo, hi, incl, incu, similarity
+            "top_k_franged", node, k, idfs, self._resolve_global_sources(frange_expr), lo, hi, incl, incu, similarity
         )
         docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float32)
