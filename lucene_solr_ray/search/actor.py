@@ -1215,16 +1215,23 @@ class IndexShard:
 
     def top_k_sorted(self, node: QueryNode, idfs: dict[str, float], field: str, asc: bool, k: int):
         """Per-shard top-k of the match set ordered by a NUMERIC doc-values
-        field (the Solr `sort=field asc|desc` path — TopFieldCollector):
+        field or a FUNCTION expression over them (the Solr `sort=field|
+        func() asc|desc` path — TopFieldCollector / FunctionQuery sort):
         → (docs, sort values), each shard returning at most k rows."""
         docs, _ = self._eval(node, idfs, "bm25")
         if docs.size == 0:
             return _EMPTY_I64, _EMPTY_F64
-        dv = self._load_numeric_dv(field)
-        if dv is None:
-            raise KeyError(f"unknown numeric doc-values field {field!r}")
-        fd, fv = dv
-        vals = fv[np.searchsorted(fd, docs)]
+        dv = self._load_numeric_dv(field) if field.isidentifier() else None
+        if dv is not None:
+            fd, fv = dv
+            vals = fv[np.searchsorted(fd, docs)]
+        else:
+            from ..functions.scalar import evaluate, parse_expr
+
+            expr, cols = self._expr_columns(parse_expr(field), docs)
+            vals = np.broadcast_to(
+                np.asarray(evaluate(expr, cols), np.float64), docs.shape
+            ).astype(np.float64)
         order = np.lexsort((docs, vals if asc else -vals))[:k]
         return docs[order], vals[order]
 

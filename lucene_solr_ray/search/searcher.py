@@ -498,6 +498,8 @@ class Searcher:
         if node is None:
             return []
         idfs = self._weights_for(node)
+        if not sort_field.isidentifier():  # sort=func(...): resolve global
+            sort_field = self._resolve_global_sources(sort_field)  # stats first
         parts = self._scatter("top_k_sorted", node, idfs, sort_field, ascending, k)
         docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         vals = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)

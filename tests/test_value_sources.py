@@ -84,3 +84,20 @@ def test_unresolved_string_literal_raises():
 
     with pytest.raises(ValueError):
         evaluate(parse_expr("'oops'"), {})
+
+
+def test_sort_by_function_expression(searcher, corpus):  # noqa: F811
+    _, full = corpus
+    turn = full.column("turn_idx").to_numpy().astype(np.float64)
+    tf_err = _tf(corpus, "error")
+    # sort=sum(turn_idx, termfreq('error')) desc over the match set
+    got = searcher.search_sorted("tool output", "sum(turn_idx,termfreq('error'))", 10, ascending=False)
+    hits = np.array([d for d, _ in searcher.search("tool output", 100000)], dtype=np.int64)
+    vals = turn[hits] + tf_err[hits]
+    order = np.lexsort((hits, -vals))[:10]
+    assert got == [(int(hits[i]), float(vals[i])) for i in order]
+    # plain-field sort unchanged
+    got_f = searcher.search_sorted("tool output", "turn_idx", 5)
+    vals_f = turn[hits]
+    order_f = np.lexsort((hits, vals_f))[:5]
+    assert got_f == [(int(hits[i]), float(vals_f[i])) for i in order_f]
