@@ -1550,7 +1550,22 @@ def _list_stream(ctx: Ctx, e: Expr) -> SRes:
     return SRes(df=pd.concat(frames, ignore_index=True))
 
 
+def _sql_stream(ctx: Ctx, e: Expr) -> SRes:
+    """SqlStream / the stream-backed /sql handler (solr/solrj/.../io/
+    stream/SqlStream.java): `sql(collection, stmt="SELECT ...")` runs the
+    statement through the Parallel SQL planner (pipelines/sql.py) — the
+    collection operand is carried for API parity, the statement's FROM
+    names the table like the reference's dbVisitor."""
+    from .sql import execute_sql
+
+    stmt = e.params.get("stmt") or e.params.get("sql")
+    if not stmt:
+        raise StreamExprError("sql() needs stmt=\"SELECT ...\"")
+    return SRes(df=execute_sql(ctx.sf_dir, str(stmt)))
+
+
 REGISTRY_STREAMS: dict[str, Callable[[Ctx, Expr], SRes]] = {
+    "sql": _sql_stream,
     "search": _search,
     "shuffle": _shuffle,
     "top": _top,

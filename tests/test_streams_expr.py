@@ -818,3 +818,17 @@ def test_parse_as_alias_shape():
     named = [a for a in e.args if isinstance(a, Expr) and a.name == "as"]
     assert len(named) == 1 and named[0].args[1] == "c"
     assert named[0].args[0].name == "add"
+
+
+def test_sql_stream(ray_session):
+    """sql(collection, stmt=...) — the stream-backed /sql handler."""
+    stmt = (
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "WHERE o_totalprice > 100000 GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+    got = run_expr(f'sql(orders, stmt="{stmt}")', SF).reset_index(drop=True)
+    ref = duck(stmt)
+    assert list(got["o_orderstatus"]) == list(ref["o_orderstatus"])
+    assert [int(x) for x in got["n"]] == [int(x) for x in ref["n"]]
+    with pytest.raises(StreamExprError):
+        run_expr("sql(orders)", SF)
