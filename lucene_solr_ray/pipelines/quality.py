@@ -411,6 +411,101 @@ FROM c ORDER BY doc_id, chunk_idx
 """
 
 
+# --------------------------------------------------------------------------
+# Data-mixture diagnostics: per-(source, token) KL-divergence contribution
+# p_s(t)·ln(p_s(t)/p_corpus(t)) — the DoReMi-style mixture signal (which
+# sources skew which vocabulary).  Two passes: (A) per-source token totals
+# (one vectorized count, sources are a bounded domain), (B) per-batch
+# (source, token) count partials merged exactly inside a fixed token-
+# bucket shuffle, contributions computed per row with SCALAR math.log
+# (libm parity with the twin's ln — np.log differs in the last ulp).
+# The gate is the contribution TABLE (each row an identical double
+# expression both sides); the per-source KL scalar is a float SUM whose
+# order SQL and the engine can't share at scale, so it stays pytest-side.
+
+
+def source_token_kl(sf_dir: str):
+    def totals(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        return pd.DataFrame(
+            {"source": batch["source"], "n": toks.map(len).astype("int64")}
+        ).groupby("source", as_index=False)["n"].sum()
+
+    tot = (
+        read(sf_dir, "documents", ["text", "source"])
+        .map_batches(totals, batch_format="pandas")
+        .to_pandas()
+        .groupby("source")["n"]
+        .sum()
+        .to_dict()
+    )
+    n_total = int(sum(tot.values()))
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, codes, uniq, _ = _explode_tokens(batch["text"])
+        if codes.size == 0:
+            return pd.DataFrame(
+                {
+                    "source": pd.Series([], dtype=object),
+                    "token": pd.Series([], dtype=object),
+                    "c": pd.Series([], dtype="int64"),
+                    "gb": pd.Series([], dtype="int64"),
+                }
+            )
+        src = pd.factorize(batch["source"])
+        s_codes, s_uniq = src
+        V = np.int64(uniq.size)
+        comp, c = np.unique(s_codes[doc_idx] * V + codes, return_counts=True)
+        tokv = np.asarray(uniq, dtype=object)[comp % V]
+        return pd.DataFrame(
+            {
+                "source": np.asarray(s_uniq, dtype=object)[comp // V],
+                "token": tokv,
+                "c": c.astype(np.int64),
+                "gb": _token_bucket(tokv),
+            }
+        )
+
+    def contrib(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["source", "token"], as_index=False)["c"].sum()
+        ct = m.groupby("token")["c"].transform("sum").to_numpy(np.int64)
+        cs = m["c"].to_numpy(np.int64)
+        ns = m["source"].map(tot).to_numpy(np.int64)
+        p = cs / ns
+        q = ct / n_total
+        kl = np.fromiter(
+            (pi * math.log(pi / qi) for pi, qi in zip(p, q)), dtype=np.float64, count=p.size
+        )
+        out = m[["source", "token"]].copy()
+        out["cnt"] = cs
+        out["contrib"] = kl
+        return out
+
+    out = (
+        read(sf_dir, "documents", ["text", "source"])
+        .map_batches(partials, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(contrib, batch_format="pandas")
+        .to_pandas()  # ≤ sources × vocab rows
+    )
+    return out.sort_values(["source", "token"]).reset_index(drop=True)
+
+
+SOURCE_KL_SQL = f"""
+WITH cnt AS (
+  SELECT source, token, COUNT(*) AS c
+  FROM (SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token FROM documents)
+  GROUP BY source, token
+), ns AS (SELECT source, SUM(c) AS n FROM cnt GROUP BY source),
+ct AS (SELECT token, SUM(c) AS tc FROM cnt GROUP BY token),
+nt AS (SELECT SUM(c) AS total FROM cnt)
+SELECT source, token, CAST(c AS BIGINT) AS cnt,
+       (c / CAST(n AS DOUBLE)) * ln((c / CAST(n AS DOUBLE)) / (tc / CAST(total AS DOUBLE))) AS contrib
+FROM cnt JOIN ns USING (source) JOIN ct USING (token) CROSS JOIN nt
+ORDER BY source, token
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "gopher_quality_filter": Pipeline(
         gopher_quality_filter,
@@ -436,5 +531,10 @@ PIPELINES: dict[str, Pipeline] = {
         chunk_documents,
         CHUNK_SQL,
         "fixed-length token chunking with stride overlap (training-data windowing)",
+    ),
+    "source_token_kl": Pipeline(
+        source_token_kl,
+        SOURCE_KL_SQL,
+        "per-(source, token) KL-divergence contributions (data-mixture diagnostics)",
     ),
 }

@@ -121,3 +121,15 @@ def test_chunk_documents_invariants(ray_session):
         last = g.iloc[-1]
         n_total = int(last["start_tok"] + last["n_tok"] - 1)
         assert n_total >= int(g.iloc[0]["n_tok"])
+
+
+def test_source_token_kl_properties(ray_session):
+    from lucene_solr_ray.pipelines.quality import source_token_kl
+
+    out = source_token_kl(SF)
+    assert len(out) > 0 and (out["cnt"] > 0).all()
+    # Gibbs' inequality: per-source KL = Σ contrib ≥ 0 (tiny float slack)
+    for src, g in out.groupby("source"):
+        assert float(g["contrib"].sum()) >= -1e-12, src
+    # contributions are non-trivial (sources differ from the corpus mix)
+    assert out["contrib"].abs().max() > 0
