@@ -74,6 +74,8 @@ SUITE = [
     # fingerprints, keyword extraction, per-key sampling, SQL scalar fns
     "gopher_quality_filter", "winnowing_fingerprint", "tfidf_keywords",
     "sample_per_key", "sql_scalar_fns", "group_query",
+    "chunk_documents", "atomic_update_multivalued", "source_token_kl",
+    "heavy_hitters", "ann_sq8_topk",
 ]
 
 

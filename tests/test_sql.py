@@ -193,13 +193,24 @@ def test_fuzz_random_statements(ray_session):
 
     for trial in range(25):
         if rng.random() < 0.5:
-            # scan shape; ~1/3 of projections exercise a CASE expression
+            # scan shape; projections exercise CASE and scalar functions
             proj = "o_totalprice * 2 AS tp2"
-            if rng.random() < 0.35:
+            r = rng.random()
+            if r < 0.35:
                 c1, c2 = rng.sample(cats, 2)
                 proj = (
                     f"CASE WHEN {cat_col} = '{c1}' THEN 1 "
                     f"WHEN {cat_col} = '{c2}' THEN 2 ELSE 0 END AS cw"
+                )
+            elif r < 0.6:
+                proj = rng.choice(
+                    [
+                        f"upper(substr({cat_col}, 1, 4)) AS u4",
+                        f"length({cat_col}) AS ln4",
+                        "round(o_totalprice, 1) AS rp",
+                        f"abs(o_custkey - {rng.randint(0, 1000)}) AS ak",
+                        f"concat(o_orderstatus, '#', {cat_col}) AS cc",
+                    ]
                 )
             sql = (
                 f"SELECT o_orderkey, {cat_col}, {proj} FROM orders "
@@ -213,6 +224,7 @@ def test_fuzz_random_statements(ray_session):
                     "MAX(o_totalprice) AS mx",
                     "SUM(o_orderkey) AS sk",
                     "SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS so",
+                    "round(SUM(o_custkey) / 9, 2) AS rs",
                 ],
                 rng.randint(1, 3),
             )
