@@ -1049,6 +1049,36 @@ class IndexShard:
             int(iv.max()),
         )
 
+    def top_groups(self, node: QueryNode, idfs: dict[str, float], field: str, j: int, sim: str = "bm25"):
+        """Per-shard grouped-search partial (grouping collectors, SURVEY
+        §2.6: FirstPassGroupingCollector + TopGroupsCollector in one pass):
+        top-j hits per `field` doc-value group by (score desc, docID asc).
+        → (docs, float32 scores, group values), ≤ j rows per group per
+        shard — driver merge is (groups × j × shards)-bounded."""
+        docs, scores = self._eval(node, idfs, sim)
+        empty = (_EMPTY_I64, np.empty(0, np.float32), np.empty(0, dtype=object))
+        if not docs.size:
+            return empty
+        dv = self._load_docvalues(field)
+        if dv is None:
+            return empty
+        fd, fv = dv
+        vals = fv[np.searchsorted(fd, docs)]
+        keep = np.array([v is not None for v in vals.tolist()], dtype=bool)
+        docs, scores, vals = docs[keep], scores[keep].astype(np.float32), vals[keep]
+        if not docs.size:
+            return empty
+        order = np.lexsort((docs, -scores))
+        docs, scores, vals = docs[order], scores[order], vals[order]
+        codes, _ = __import__("pandas").factorize(vals)
+        # rank within group: stable-sort by group preserves the rank order
+        by_grp = np.argsort(codes, kind="stable")
+        grp_sorted = codes[by_grp]
+        starts = np.flatnonzero(np.concatenate(([True], grp_sorted[1:] != grp_sorted[:-1])))
+        width = np.arange(grp_sorted.size) - np.repeat(starts, np.diff(np.append(starts, grp_sorted.size)))
+        sel = np.sort(by_grp[width < j])  # back to global rank order
+        return docs[sel], scores[sel], vals[sel]
+
     def _load_docvalues(self, field: str):
         """(doc_id, value) doc-values column for a keyword field, loaded
         once from the norms segments (the SortedDocValues analog)."""

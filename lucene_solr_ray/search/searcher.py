@@ -605,6 +605,42 @@ class Searcher:
             "stddev": math.sqrt(max(var, 0.0)),
         }
 
+    def search_grouped(
+        self, query: str, field: str, k: int = 10, group_limit: int = 2, similarity: str = "bm25"
+    ) -> list[tuple[str, list[tuple[int, float]]]]:
+        """Result grouping (group=true&group.field=...&group.limit=j —
+        the two-pass grouping collectors in one distributed pass): top-k
+        GROUPS ranked by their best hit (score desc, docID asc), each with
+        its own top-j docs.  Shards return ≤ j rows per group; the driver
+        re-ranks within each group across shards.
+        → [(group_value, [(doc_id, score), ...]), ...]."""
+        node = self._parse(query)
+        if node is None:
+            return []
+        node = self._rewrite(node)
+        if node is None:
+            return []
+        idfs = self._weights_for(node, similarity)
+        parts = self._scatter("top_groups", node, idfs, field, group_limit, similarity)
+        frames = [
+            pd.DataFrame({"doc": d, "score": s, "val": v.astype(object)})
+            for d, s, v in parts
+            if d.size
+        ]
+        if not frames:
+            return []
+        g = pd.concat(frames).sort_values(
+            ["score", "doc"], ascending=[False, True], kind="mergesort"
+        )
+        g["rank_in_group"] = g.groupby("val").cumcount()
+        g = g[g["rank_in_group"] < group_limit]
+        heads = g.drop_duplicates("val").head(k)  # groups in best-hit order
+        out = []
+        for val in heads["val"]:
+            rows = g[g["val"] == val]
+            out.append((str(val), [(int(d), float(s)) for d, s in zip(rows["doc"], rows["score"])]))
+        return out
+
     # -- query elevation ---------------------------------------------------
     def search_elevated(
         self, query: str, k: int = 10, elevations: dict[str, list[int]] | None = None

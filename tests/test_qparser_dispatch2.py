@@ -221,3 +221,35 @@ def test_stats_field_matches_brute_force(searcher, corpus):  # noqa: F811
     assert searcher.stats_field("the of", "turn_idx") == {"count": 0}
     with pytest.raises(KeyError):
         searcher.stats_field("tool", "no_such_dv")
+
+
+def test_search_grouped_matches_brute_force(searcher, corpus):  # noqa: F811
+    import pandas as pd
+
+    _, full = corpus
+    role = np.asarray(full.column("role").to_pylist(), dtype=object)
+    for q, j in (("tool output", 2), ("error", 3), ("to*", 1)):
+        got = searcher.search_grouped(q, "role", k=10, group_limit=j)
+        hits = searcher.search(q, 100000)
+        df = pd.DataFrame(
+            {
+                "doc": [d for d, _ in hits],
+                "score": [s for _, s in hits],
+                "val": role[[d for d, _ in hits]],
+            }
+        )
+        df["r"] = df.groupby("val").cumcount()  # hits already rank-ordered
+        df = df[df["r"] < j]
+        heads = df.drop_duplicates("val").head(10)
+        exp = [
+            (
+                str(v),
+                [
+                    (int(d), float(s))
+                    for d, s in zip(df[df["val"] == v]["doc"], df[df["val"] == v]["score"])
+                ],
+            )
+            for v in heads["val"]
+        ]
+        assert got == exp, (q, j)
+    assert searcher.search_grouped("the of", "role") == []
