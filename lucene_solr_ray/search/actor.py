@@ -1079,6 +1079,45 @@ class IndexShard:
         sel = np.sort(by_grp[width < j])  # back to global rank order
         return docs[sel], scores[sel], vals[sel]
 
+    def facet_stats_partial(
+        self, node: QueryNode, idfs: dict[str, float], field: str, stat_field: str, sim: str = "bm25"
+    ):
+        """Per-shard terms-facet-with-sub-stats partial over the match set
+        (json.facet {type:terms, facet:{...}} on the index path): for each
+        `field` value, (count, Σx, min, max) of `stat_field` in exact
+        int64 — value-domain-bounded, order-independent merge."""
+        docs, _ = self._eval(node, idfs, sim)
+        if not docs.size:
+            return []
+        dv = self._load_docvalues(field)
+        ndv = self._load_numeric_dv(stat_field)
+        if dv is None:
+            return []
+        if ndv is None:
+            raise KeyError(f"unknown numeric doc-values field {stat_field!r}")
+        fd, fv = dv
+        vals = fv[np.searchsorted(fd, docs)]
+        nd, nv = ndv
+        x = nv[np.searchsorted(nd, docs)]
+        keep = np.array([v is not None for v in vals.tolist()], dtype=bool)
+        vals, x = vals[keep], x[keep]
+        if not vals.size:
+            return []
+        ix = x.astype(np.int64)
+        if not np.array_equal(ix.astype(np.float64), x):
+            raise ValueError(f"facet stats over non-integral field {stat_field!r} unsupported")
+        codes, uniq = __import__("pandas").factorize(vals)
+        cnt = np.bincount(codes)
+        s = np.bincount(codes, weights=ix).astype(np.int64)  # exact ≤ 2^53 per shard
+        mn = np.full(uniq.size, np.iinfo(np.int64).max)
+        mx = np.full(uniq.size, np.iinfo(np.int64).min)
+        np.minimum.at(mn, codes, ix)
+        np.maximum.at(mx, codes, ix)
+        return [
+            (str(uniq[i]), int(cnt[i]), int(s[i]), int(mn[i]), int(mx[i]))
+            for i in range(uniq.size)
+        ]
+
     def _load_docvalues(self, field: str):
         """(doc_id, value) doc-values column for a keyword field, loaded
         once from the norms segments (the SortedDocValues analog)."""

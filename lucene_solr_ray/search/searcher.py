@@ -641,6 +641,44 @@ class Searcher:
             out.append((str(val), [(int(d), float(s)) for d, s in zip(rows["doc"], rows["score"])]))
         return out
 
+    def facet_stats(
+        self, query: str, field: str, stat_field: str, limit: int = 10
+    ) -> list[dict]:
+        """Terms facet with per-bucket sub-stats over the match set
+        (json.facet {type:terms, field, facet:{sum,min,max,avg}} on the
+        index path): buckets ranked (count desc, value asc), each carrying
+        exact count/sum/min/max and the derived mean of `stat_field`."""
+        node = self._parse(query)
+        if node is None:
+            return []
+        node = self._rewrite(node)
+        if node is None:
+            return []
+        idfs = self._weights_for(node, "bm25")
+        agg: dict[str, list] = {}
+        for part in self._scatter("facet_stats_partial", node, idfs, field, stat_field):
+            for val, cnt, s, mn, mx in part:
+                cur = agg.get(val)
+                if cur is None:
+                    agg[val] = [cnt, s, mn, mx]
+                else:
+                    cur[0] += cnt
+                    cur[1] += s
+                    cur[2] = min(cur[2], mn)
+                    cur[3] = max(cur[3], mx)
+        order = sorted(agg.items(), key=lambda p: (-p[1][0], p[0]))[:limit]
+        return [
+            {
+                "val": v,
+                "count": c,
+                "sum": s,
+                "min": mn,
+                "max": mx,
+                "mean": s / c,
+            }
+            for v, (c, s, mn, mx) in order
+        ]
+
     # -- query elevation ---------------------------------------------------
     def search_elevated(
         self, query: str, k: int = 10, elevations: dict[str, list[int]] | None = None

@@ -253,3 +253,27 @@ def test_search_grouped_matches_brute_force(searcher, corpus):  # noqa: F811
         ]
         assert got == exp, (q, j)
     assert searcher.search_grouped("the of", "role") == []
+
+
+def test_facet_stats_matches_brute_force(searcher, corpus):  # noqa: F811
+    _, full = corpus
+    role = np.asarray(full.column("role").to_pylist(), dtype=object)
+    turn = full.column("turn_idx").to_numpy().astype(np.int64)
+    got = searcher.facet_stats("tool output", "role", "turn_idx", limit=10)
+    hits = np.array([d for d, _ in searcher.search("tool output", 100000)], dtype=np.int64)
+    exp = []
+    for v in np.unique(role[hits].astype(str)):
+        x = turn[hits[role[hits].astype(str) == v]]
+        exp.append(
+            {
+                "val": str(v),
+                "count": int(x.size),
+                "sum": int(x.sum()),
+                "min": int(x.min()),
+                "max": int(x.max()),
+                "mean": int(x.sum()) / int(x.size),
+            }
+        )
+    exp.sort(key=lambda d: (-d["count"], d["val"]))
+    assert got == exp[:10]
+    assert searcher.facet_stats("the of", "role", "turn_idx") == []
