@@ -816,6 +816,49 @@ def ann_pq_topk(sf_dir: str, k: int = 10):
     )
 
 
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public semantic-dedup
+# recipe): k-means-cluster the embedding space, then within each cluster
+# drop every vector whose cosine similarity to an EARLIER (lower vec_id)
+# cluster member exceeds τ.  Pairwise work is confined to one cluster at a
+# time — O(Σ gᵢ²) instead of O(n²) — and the cluster count scales with the
+# corpus, so per-group frames stay bounded.  Reuses the persisted IVF cell
+# partition (build_ivf_index): the cluster assignment is already on disk,
+# cell-partitioned, so this is ONE groupby over the index — no re-scan of
+# the raw table and no driver-side similarity work.
+
+SEMDEDUP_TAU = 0.95
+
+
+def semantic_dedup(sf_dir: str, tau: float = SEMDEDUP_TAU) -> pd.DataFrame:
+    import ray.data as rd
+
+    d = build_ivf_index(sf_dir)
+
+    def dedup_cluster(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values("vec_id").reset_index(drop=True)
+        m = _embed_matrix(grp)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ mn.T
+        # drop i if ∃ j < i with sim > τ  (strict upper triangle, one pass)
+        dup = (np.triu(sims, k=1) > tau).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": grp["vec_id"].astype("int64"),
+                "cell": grp["cell"].astype("int64"),
+                "keep": ~dup,
+            }
+        )
+
+    out = (
+        rd.read_parquet(str(d / "data"))
+        .groupby("cell")
+        .map_groups(dedup_cluster, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 PIPELINES: dict[str, Pipeline] = {
     "ann_cosine_topk": Pipeline(ann_cosine_topk, ANN_COSINE_SQL, "brute-force cosine top-k (similarity baseline)"),
     "ann_filtered_topk": Pipeline(
@@ -828,4 +871,5 @@ PIPELINES: dict[str, Pipeline] = {
     "ann_lsh_topk": Pipeline(ann_lsh_topk, None, "persisted LSH signature index (signature-only scan + bounded exact rerank); recall-tested in pytest"),
     "ann_pq_topk": Pipeline(ann_pq_topk, None, "product-quantization ANN: 8-byte codes + asymmetric-distance LUT scan, bounded exact rerank; recall-tested in pytest"),
     "ann_sq8_topk": Pipeline(ann_sq8_topk, None, "int8 scalar-quantized ANN (Lucene99ScalarQuantizedVectorsFormat analog): integer-dot scan + bounded exact rerank; recall-tested in pytest"),
+    "semantic_dedup": Pipeline(semantic_dedup, None, "SemDeDup embedding near-dedup: per-kmeans-cluster cosine dropout over the persisted IVF partition; exact-duel pytest"),
 }
