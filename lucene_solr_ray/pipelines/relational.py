@@ -166,6 +166,58 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
 FROM lineitem
 """
 
+
+def stats_string(sf_dir: str):
+    """StatsComponent over a STRING field (solr/core/.../component/
+    StatsValuesFactory.java StringStatsValues: min/max are lexicographic,
+    plus count/missing/countDistinct).  The field is a nullable projection
+    (NULLIF(event_type,'error')) so the missing counter is non-vacuous on
+    the fixture.  Combiner shape: per-batch partials carry min/max/counts
+    and the batch-local distinct set — the value domain is BOUNDED (an
+    enum-like field; unbounded domains route through the bucketed distinct
+    machinery instead, see sql.py COUNT(DISTINCT))."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        f = batch["event_type"].where(batch["event_type"] != "error")
+        vals = f.dropna()
+        return pd.DataFrame(
+            {
+                "count_vals": [np.int64(len(vals))],
+                "missing": [np.int64(f.isna().sum())],
+                "min_val": [vals.min() if len(vals) else None],
+                "max_val": [vals.max() if len(vals) else None],
+                "distinct": [sorted(vals.unique())],
+            }
+        )
+
+    parts = (
+        read(sf_dir, "events", ["event_type"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    uniq = sorted({v for lst in parts["distinct"] for v in lst})
+    mins = parts["min_val"].dropna()
+    maxs = parts["max_val"].dropna()
+    return pd.DataFrame(
+        {
+            "count_vals": [np.int64(parts["count_vals"].sum())],
+            "missing": [np.int64(parts["missing"].sum())],
+            "min_val": [mins.min() if len(mins) else None],
+            "max_val": [maxs.max() if len(maxs) else None],
+            "count_distinct": [np.int64(len(uniq))],
+        }
+    )
+
+
+STATS_STRING_SQL = """
+SELECT CAST(COUNT(f) AS BIGINT) AS count_vals,
+       CAST(SUM(CASE WHEN f IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing,
+       MIN(f) AS min_val,
+       MAX(f) AS max_val,
+       CAST(COUNT(DISTINCT f) AS BIGINT) AS count_distinct
+FROM (SELECT NULLIF(event_type, 'error') AS f FROM events)
+"""
+
 # --------------------------------------------------------------------------
 # §2.6 streaming rollup (RollupStream) — the TPC-H Q1 shape: multi-metric
 # grouped aggregate with a range predicate, pre-aggregated per batch.
@@ -1656,6 +1708,7 @@ PIPELINES: dict[str, Pipeline] = {
     "frange_filter": Pipeline(frange_filter, FRANGE_SQL, "{!frange}: filter by ValueSource expression range (FunctionRangeQuery)"),
     "time_series_rollup": Pipeline(time_series_rollup, TIME_SERIES_SQL, "calendar-window rollup (TimeSeriesStream)"),
     "stats_numeric": Pipeline(stats_numeric, STATS_SQL, "global field stats (StatsComponent)"),
+    "stats_string": Pipeline(stats_string, STATS_STRING_SQL, "string-field stats (StringStatsValues: lexicographic min/max, count/missing/countDistinct over a nullable projection)"),
     "rollup_pricing": Pipeline(rollup_pricing, ROLLUP_SQL, "multi-metric grouped rollup (RollupStream / TPC-H Q1 shape)"),
     "join_facet": Pipeline(join_facet, JOIN_FACET_SQL, "broadcast hash join + facet (HashJoinStream)"),
     "join_multi_region": Pipeline(join_multi_region, JOIN_MULTI_SQL, "multi-way dim join"),

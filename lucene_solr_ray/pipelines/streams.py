@@ -1564,6 +1564,84 @@ def _sql_stream(ctx: Ctx, e: Expr) -> SRes:
     return SRes(df=execute_sql(ctx.sf_dir, str(stmt)))
 
 
+def _cell(ctx: Ctx, e: Expr) -> SRes:
+    """CellStream (solr/solrj/.../io/stream/CellStream.java): evaluate the
+    wrapped stream and emit ONE tuple whose single field (the cell name)
+    holds the full tuple list — the bridge that lets a bounded result ride
+    inside let()/math expressions as a value."""
+    name = next((a for a in e.args if isinstance(a, str)), None)
+    streams = _stream_args(e)
+    if name is None or not streams:
+        raise StreamExprError("cell(name, stream) needs a name and a stream")
+    df = _to_df(_eval_stream_arg(ctx, streams[0]))
+    return SRes(df=pd.DataFrame([{name: df.to_dict("records")}]))
+
+
+def _col(ctx: Ctx, e: Expr) -> SRes:
+    """ColumnEvaluator (`col(a, field)` in math expressions): extract one
+    field from a let-bound stream (or an inline stream) as a single
+    array-valued tuple.  A bare first operand resolves through get(), so
+    `let(a=search(...), col(a, price))` works like the reference."""
+    strs = [a for a in e.args if isinstance(a, str)]
+    exprs = _stream_args(e)
+    if exprs:
+        src, field = _eval_stream_arg(ctx, exprs[0]), (strs[0] if strs else None)
+    elif len(strs) >= 2:
+        src = _eval_stream_arg(ctx, Expr("get", args=[strs[0]]))
+        field = strs[1]
+    else:
+        src, field = None, None
+    if src is None or field is None:
+        raise StreamExprError("col(binding|stream, field) needs a source and a field")
+    df = _to_df(src)
+    if field not in df.columns:
+        raise StreamExprError(f"col: unknown field {field!r}")
+    return SRes(df=pd.DataFrame([{field: df[field].tolist()}]))
+
+
+def _eval_stream(ctx: Ctx, e: Expr) -> SRes:
+    """EvalStream (solr/solrj/.../io/stream/EvalStream.java): read the
+    FIRST tuple of the wrapped stream and evaluate its `expr_s` field as a
+    new streaming expression — the stored-query indirection."""
+    streams = _stream_args(e)
+    if not streams:
+        raise StreamExprError("eval(stream) needs a wrapped stream")
+    inner = _to_df(_eval_stream_arg(ctx, streams[0]))
+    if not len(inner) or "expr_s" not in inner.columns:
+        raise StreamExprError("eval(stream): first tuple needs an expr_s field")
+    return _eval_stream_arg(ctx, parse_expr(str(inner.iloc[0]["expr_s"])))
+
+
+def _model(ctx: Ctx, e: Expr) -> SRes:
+    """ModelStream (solr/solrj/.../io/stream/ModelStream.java): fetch a
+    stored model tuple by id from a model collection (an update()-written
+    /tmp parquet directory) — the newest matching tuple wins, mirroring
+    the reference's highest-iteration cache semantics."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    dest = next((a for a in e.args if isinstance(a, str)), None)
+    model_id = e.params.get("id")
+    if dest is None or not dest.startswith("/tmp/") or model_id is None:
+        raise StreamExprError("model(dir, id=...): needs a /tmp/... collection and id=")
+    parts = sorted(_glob.glob(f"{dest}/*.parquet"))
+    if not parts:
+        raise StreamExprError(f"model: empty collection {dest!r}")
+    frames = [_pq.read_table(p).to_pandas() for p in parts]
+    df = pd.concat(frames, ignore_index=True)
+    id_col = next((c for c in ("name_s", "id") if c in df.columns), None)
+    if id_col is None:
+        raise StreamExprError("model: collection tuples need a name_s or id field")
+    hit = df[df[id_col].astype(str) == str(model_id)]
+    if not len(hit):
+        raise StreamExprError(f"model: no tuple with {id_col}={model_id!r}")
+    if "iteration_i" in hit.columns:
+        it = pd.to_numeric(hit["iteration_i"], errors="coerce")
+        hit = hit.iloc[np.argsort(it.to_numpy(), kind="mergesort")]
+    return SRes(df=hit.tail(1).reset_index(drop=True))
+
+
 REGISTRY_STREAMS: dict[str, Callable[[Ctx, Expr], SRes]] = {
     "sql": _sql_stream,
     "search": _search,
@@ -1616,6 +1694,10 @@ REGISTRY_STREAMS: dict[str, Callable[[Ctx, Expr], SRes]] = {
     "priority": _priority,
     "delete": _delete,
     "knn": _knn_mlt,
+    "cell": _cell,
+    "col": _col,
+    "eval": _eval_stream,
+    "model": _model,
 }
 
 

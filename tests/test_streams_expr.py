@@ -832,3 +832,58 @@ def test_sql_stream(ray_session):
     assert [int(x) for x in got["n"]] == [int(x) for x in ref["n"]]
     with pytest.raises(StreamExprError):
         run_expr("sql(orders)", SF)
+
+
+# --------------------------------------------------------------------------
+# round-4c additions: cell / col / eval / model
+
+
+def test_cell_wraps_tuples(ray_session):
+    out = run_expr('cell(rows, search(region, fl="r_regionkey,r_name"))', SF)
+    assert list(out.columns) == ["rows"]
+    recs = out.iloc[0]["rows"]
+    ref = duck("SELECT r_regionkey, r_name FROM region")
+    assert len(recs) == len(ref)
+    assert {r["r_name"] for r in recs} == set(ref["r_name"])
+
+
+def test_col_extracts_array_from_let_binding(ray_session):
+    out = run_expr(
+        'let(a=sort(search(region, fl="r_regionkey"), by="r_regionkey asc"),'
+        " col(a, r_regionkey))",
+        SF,
+    )
+    ref = duck("SELECT r_regionkey FROM region ORDER BY r_regionkey")
+    assert out.iloc[0]["r_regionkey"] == ref["r_regionkey"].tolist()
+
+
+def test_col_inline_stream_and_errors(ray_session):
+    out = run_expr('col(search(region, fl="r_name"), r_name)', SF)
+    assert sorted(out.iloc[0]["r_name"]) == sorted(duck("SELECT r_name FROM region")["r_name"])
+    with pytest.raises(StreamExprError):
+        run_expr('col(search(region, fl="r_name"), nope)', SF)
+    with pytest.raises(StreamExprError):
+        run_expr("col(onlyonearg)", SF)
+
+
+def test_eval_runs_expr_s(ray_session):
+    out = run_expr('eval(tuple(expr_s="search(region, fl=\\"r_regionkey,r_name\\")"))', SF)
+    ref = duck("SELECT r_regionkey, r_name FROM region")
+    assert sorted(out["r_name"]) == sorted(ref["r_name"])
+    with pytest.raises(StreamExprError):
+        run_expr("eval(tuple(other=1))", SF)
+
+
+def test_model_fetches_newest_by_id(ray_session, tmp_path):
+    import shutil
+
+    dest = "/tmp/lsr_test_models"
+    shutil.rmtree(dest, ignore_errors=True)
+    run_expr(f'update({dest}, tuple(name_s=m1, iteration_i=1, w=0.5))', SF)
+    run_expr(f'update({dest}, tuple(name_s=m1, iteration_i=2, w=0.9))', SF)
+    run_expr(f'update({dest}, tuple(name_s=m2, iteration_i=1, w=0.1))', SF)
+    out = run_expr(f"model({dest}, id=m1)", SF)
+    assert len(out) == 1
+    assert str(out.iloc[0]["iteration_i"]) == "2" and float(out.iloc[0]["w"]) == 0.9
+    with pytest.raises(StreamExprError):
+        run_expr(f"model({dest}, id=missing)", SF)
