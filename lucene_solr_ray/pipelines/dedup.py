@@ -70,6 +70,113 @@ FROM documents GROUP BY md5(text) ORDER BY doc_id
 """
 
 # --------------------------------------------------------------------------
+# Corpus-level exact line dedup (the RefinedWeb / FineWeb "line-dedup"
+# stage; C4's duplicated-span removal at line granularity): a line that
+# appears >= min_count times ANYWHERE in the corpus is dropped from every
+# document, and the surviving lines are re-joined in order.
+#
+# Scale shape (100 TB): pass 1 counts lines with per-batch np.unique
+# partials routed through a FIXED 512-bucket shuffle (never keyed by the
+# unbounded line space); each bucket group emits ONLY its duplicated lines,
+# so the driver sees just the dup set, never the corpus vocabulary.  The
+# dup set ships as sorted uint64 hashes via one ray.put (at 10^11 docs
+# you'd swap the exact set for a Bloom filter at the same seam — the
+# membership test is the only contact point).  Pass 2 re-splits each batch,
+# masks members, and reassembles per-doc text with a grouped join.
+
+
+def line_dedup(sf_dir: str, sep: str = " a ", min_count: int = 2):
+    """Line-level exact dedup across the whole corpus.
+
+    `sep` delimits "lines" (real corpora: "\\n"; the fixtures are
+    single-line token streams, so the gate uses a frequent token as the
+    separator to exercise the operator non-vacuously).  Split semantics are
+    leftmost non-overlapping on BOTH sides (str.split == string_split).
+    → (doc_id, text_clean, n_lines, n_removed) sorted by doc_id."""
+    import ray
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def line_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        lines = batch["text"].str.split(sep, regex=False)
+        flat = (
+            np.concatenate(lines.to_numpy()) if len(lines) else np.empty(0, object)
+        ).astype(object)
+        uniq, cnt = np.unique(flat, return_counts=True)
+        return pd.DataFrame(
+            {
+                "ln": uniq,
+                "cnt": cnt.astype("int64"),
+                "bucket": (pd.util.hash_array(uniq) % 512).astype("int64"),
+            }
+        )
+
+    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("ln", as_index=False)["cnt"].sum()
+        m = m[m["cnt"] >= min_count]
+        return pd.DataFrame(
+            {"h": pd.util.hash_array(m["ln"].to_numpy(dtype=object)).astype("uint64")}
+        )
+
+    dups = (
+        docs.map_batches(line_counts, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_dups, batch_format="pandas")
+        .to_pandas()
+    )
+    # all-groups-empty loses the pandas schema (known Ray gotcha)
+    dup_h = (
+        np.sort(dups["h"].to_numpy(dtype=np.uint64))
+        if "h" in dups.columns
+        else np.empty(0, np.uint64)
+    )
+    dup_ref = ray.put(dup_h)
+
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        dh = ray.get(dup_ref)
+        lines = batch["text"].str.split(sep, regex=False).to_numpy()
+        lens = np.fromiter((len(x) for x in lines), np.int64, len(lines))
+        flat = (np.concatenate(lines) if lens.sum() else np.empty(0, object)).astype(object)
+        doc_idx = np.repeat(np.arange(len(lines)), lens)
+        keep = ~np.isin(pd.util.hash_array(flat).astype(np.uint64), dh)
+        joined = (
+            pd.Series(flat[keep]).groupby(doc_idx[keep]).agg(sep.join)
+            if keep.any()
+            else pd.Series(dtype=object)
+        )
+        kept_n = np.bincount(doc_idx[keep], minlength=len(lines))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "text_clean": joined.reindex(np.arange(len(lines)), fill_value="").to_numpy(),
+                "n_lines": lens,
+                "n_removed": lens - kept_n,
+            }
+        )
+
+    out = docs.map_batches(scrub, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+LINE_DEDUP_SQL = """
+WITH l AS (
+  SELECT doc_id, unnest(string_split(text, ' a ')) AS ln,
+         unnest(generate_series(1, len(string_split(text, ' a ')))) AS ord
+  FROM documents
+),
+c AS (SELECT ln, COUNT(*) AS cnt FROM l GROUP BY ln),
+k AS (SELECT doc_id, ln, ord FROM l JOIN c USING (ln) WHERE cnt < 2),
+t AS (SELECT doc_id, COUNT(*) AS n FROM l GROUP BY doc_id),
+s AS (SELECT doc_id, string_agg(ln, ' a ' ORDER BY ord) AS txt, COUNT(*) AS kept
+      FROM k GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(s.txt, '') AS text_clean,
+       CAST(t.n AS BIGINT) AS n_lines,
+       CAST(t.n - COALESCE(s.kept, 0) AS BIGINT) AS n_removed
+FROM documents d JOIN t USING (doc_id) LEFT JOIN s USING (doc_id)
+ORDER BY doc_id
+"""
+
+# --------------------------------------------------------------------------
 # First-event-per-key dedup (the updateDocument/upsert "first wins" pattern
 # over an event stream): hash-partition by key, keep earliest (ts, event_id).
 
@@ -627,6 +734,11 @@ PIPELINES: dict[str, Pipeline] = {
         dedup_clusters, None, "near-dup connected components + keep-one-per-cluster (LSH pairs → union-find); rows-only, oracled in pytest"
     ),
     "dedup_exact": Pipeline(dedup_exact, DEDUP_EXACT_SQL, "exact content dedup (SignatureUpdateProcessor)"),
+    "line_dedup": Pipeline(
+        line_dedup,
+        LINE_DEDUP_SQL,
+        "corpus-level exact line dedup (RefinedWeb line-dedup stage): bucketed line counts, broadcast dup set, in-order reassembly",
+    ),
     "dedup_first_per_key": Pipeline(dedup_first_per_key, DEDUP_FIRST_SQL, "first-wins upsert dedup (updateDocument)"),
     "dedup_minhash": Pipeline(dedup_minhash, None, "MinHash+LSH near-dup (MinHashFilter); rows-only, oracled in pytest"),
     "simhash": Pipeline(simhash, None, "SimHash fuzzy signature (TextProfileSignature analog); rows-only"),

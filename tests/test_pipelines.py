@@ -126,6 +126,41 @@ def test_simhash_locality(ray_session):
     assert a["simhash"].nunique() > 400  # distinct docs spread out
 
 
+def test_line_dedup_invariants(ray_session, tmp_path):
+    """Planted corpus-duplicated line vanishes from EVERY doc; docs made
+    only of unique lines round-trip byte-identically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.dedup import line_dedup
+
+    docs = [
+        "alpha beta\nshared line\ngamma",
+        "delta\nshared line\nepsilon zeta",
+        "all unique here\nanother one",
+        "shared line",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": list(range(4)), "text": docs}), tmp_path / "documents.parquet"
+    )
+    out = line_dedup(str(tmp_path), sep="\n", min_count=2)
+    assert out["text_clean"].tolist() == [
+        "alpha beta\ngamma",
+        "delta\nepsilon zeta",
+        "all unique here\nanother one",
+        "",
+    ]
+    assert out["n_removed"].tolist() == [1, 1, 0, 1]
+    assert out["n_lines"].tolist() == [3, 3, 2, 1]
+    # idempotent: a second pass over already-clean text removes nothing
+    pq.write_table(
+        pa.table({"doc_id": list(range(4)), "text": out["text_clean"].tolist()}),
+        tmp_path / "documents.parquet",
+    )
+    again = line_dedup(str(tmp_path), sep="\n", min_count=2)
+    assert (again["n_removed"].to_numpy() == 0).all()
+
+
 def test_media_features_stub(ray_session, duck):
     import zlib
 
