@@ -1282,27 +1282,51 @@ class IndexShard:
         ok = d[pos] == req
         return req[ok], s[pos[ok]]
 
-    def top_k_sorted(self, node: QueryNode, idfs: dict[str, float], field: str, asc: bool, k: int):
-        """Per-shard top-k of the match set ordered by a NUMERIC doc-values
-        field or a FUNCTION expression over them (the Solr `sort=field|
-        func() asc|desc` path — TopFieldCollector / FunctionQuery sort):
-        → (docs, sort values), each shard returning at most k rows."""
+    def top_k_sorted(self, node: QueryNode, idfs: dict[str, float], spec: list, k: int):
+        """Per-shard top-k of the match set ordered by a COMPOUND sort spec
+        (the Solr `sort=f1 asc, f2 desc` path — TopFieldCollector over a
+        SortField list).  Each (field, asc) entry resolves, in order, to a
+        numeric doc-values column, a STRING doc-values column
+        (SortedDocValues ordinal sort — we ship the bounded k values
+        instead of ordinals, the cross-segment merge-by-value analog), or
+        a function expression.  Ties break by docID asc; missing values
+        sort LAST on either direction (sortMissingLast=true, applied
+        identically at the driver merge).  → pandas frame of at most k
+        rows (s0..sN sort columns + doc), or None on an empty match set."""
+        import pandas as pd
+
         docs, _ = self._eval(node, idfs, "bm25")
         if docs.size == 0:
-            return _EMPTY_I64, _EMPTY_F64
-        dv = self._load_numeric_dv(field) if field.isidentifier() else None
-        if dv is not None:
-            fd, fv = dv
-            vals = fv[np.searchsorted(fd, docs)]
-        else:
-            from ..functions.scalar import evaluate, parse_expr
+            return None
+        cols = {}
+        for i, (field, _asc) in enumerate(spec):
+            if field.isidentifier():
+                ndv = self._load_numeric_dv(field)
+                if ndv is not None:
+                    fd, fv = ndv
+                    vals = fv[np.searchsorted(fd, docs)]
+                else:
+                    sdv = self._load_docvalues(field)
+                    if sdv is None:
+                        raise KeyError(f"unknown sort field {field!r}")
+                    fd, fv = sdv
+                    vals = fv[np.searchsorted(fd, docs)]
+            else:
+                from ..functions.scalar import evaluate, parse_expr
 
-            expr, cols = self._expr_columns(parse_expr(field), docs)
-            vals = np.broadcast_to(
-                np.asarray(evaluate(expr, cols), np.float64), docs.shape
-            ).astype(np.float64)
-        order = np.lexsort((docs, vals if asc else -vals))[:k]
-        return docs[order], vals[order]
+                expr, ecols = self._expr_columns(parse_expr(field), docs)
+                vals = np.broadcast_to(
+                    np.asarray(evaluate(expr, ecols), np.float64), docs.shape
+                ).astype(np.float64)
+            cols[f"s{i}"] = vals
+        df = pd.DataFrame(cols)
+        df["doc"] = docs
+        return df.sort_values(
+            [f"s{i}" for i in range(len(spec))] + ["doc"],
+            ascending=[asc for _, asc in spec] + [True],
+            kind="mergesort",
+            na_position="last",
+        ).head(k)
 
     def numeric_dv_of(self, fields: list[str], docs: list[int]) -> dict:
         """{field: (owned docIDs, float64 values)} for the docs THIS actor

@@ -25,6 +25,7 @@ session — the caller must have Ray initialized.
 from __future__ import annotations
 
 import json
+import re
 from pathlib import Path
 
 import numpy as np
@@ -483,14 +484,43 @@ class Searcher:
             g = g.sort_values(["df", "term"], ascending=[False, True], kind="mergesort").head(limit)
         return [(str(t), int(d)) for t, d in zip(g["term"], g["df"])]
 
+    @staticmethod
+    def _parse_sort_spec(sort_spec: str, ascending: bool) -> list[tuple[str, bool]]:
+        """`"f1 asc, f2 desc"` → [(field_or_expr, asc)].  Commas inside
+        function expressions (`sum(a,b) desc`) are NOT separators; a part
+        without a direction keyword inherits `ascending`."""
+        parts, depth, cur = [], 0, []
+        for ch in sort_spec:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        spec = []
+        for p in parts:
+            p = p.strip()
+            if not p:
+                continue
+            m = re.match(r"^(.*?)(?:\s+(asc|desc))?$", p, re.I | re.S)
+            spec.append((m.group(1).strip(), ascending if m.group(2) is None else m.group(2).lower() == "asc"))
+        return spec
+
     def search_sorted(
         self, query: str, sort_field: str, k: int = 10, ascending: bool = True
-    ) -> list[tuple[int, float]]:
-        """Solr `sort=<field> asc|desc` (TopFieldCollector / TopDocs field
-        sort): the query's match set ordered by a numeric doc-values field
-        (turn_idx, dl), ties by docID asc.  Each shard returns at most k
-        (doc, value) rows; the driver merges k·P — never a global sort.
-        → [(doc_id, sort_value)]."""
+    ) -> list:
+        """Solr `sort=<spec>` (TopFieldCollector / TopDocs field sort): the
+        query's match set ordered by a COMPOUND sort spec — numeric or
+        STRING doc-values fields and function expressions, each with its
+        own `asc|desc` (`sort="role desc, turn_idx asc"`), ties by docID
+        asc, missing values last.  Each shard returns at most k rows; the
+        driver merges k·P with the identical comparator — never a global
+        sort.  → [(doc_id, sort_value)] for a single-field spec,
+        [(doc_id, (v0, v1, ...))] for a compound one."""
         node = self._parse(query)
         if node is None:
             return []
@@ -498,15 +528,36 @@ class Searcher:
         if node is None:
             return []
         idfs = self._weights_for(node)
-        if not sort_field.isidentifier():  # sort=func(...): resolve global
-            sort_field = self._resolve_global_sources(sort_field)  # stats first
-        parts = self._scatter("top_k_sorted", node, idfs, sort_field, ascending, k)
-        docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
-        vals = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
-        if docs.size == 0:
+        spec = [
+            (f if f.isidentifier() else self._resolve_global_sources(f), asc)
+            for f, asc in self._parse_sort_spec(sort_field, ascending)
+        ]
+        if not spec:
+            raise ValueError(f"empty sort spec: {sort_field!r}")
+        import pandas as pd
+
+        parts = [p for p in self._scatter("top_k_sorted", node, idfs, spec, k) if p is not None]
+        if not parts:
             return []
-        order = np.lexsort((docs, vals if ascending else -vals))[:k]
-        return [(int(docs[i]), float(vals[i])) for i in order]
+        merged = pd.concat(parts, ignore_index=True).sort_values(
+            [f"s{i}" for i in range(len(spec))] + ["doc"],
+            ascending=[asc for _, asc in spec] + [True],
+            kind="mergesort",
+            na_position="last",
+        ).head(k)
+
+        def _py(v):
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                return None
+            return float(v) if isinstance(v, (np.floating, float)) else str(v) if isinstance(v, (np.str_,)) else v
+
+        docs = merged["doc"].to_numpy()
+        if len(spec) == 1:
+            return [(int(d), _py(v)) for d, v in zip(docs, merged["s0"].tolist())]
+        cols = [merged[f"s{i}"].tolist() for i in range(len(spec))]
+        return [
+            (int(docs[j]), tuple(_py(c[j]) for c in cols)) for j in range(len(docs))
+        ]
 
     def terms_list(self, terms: list[str], ttf: bool = False) -> list[tuple[str, int]]:
         """terms.list (TermsComponent explicit-list mode): stats for the

@@ -104,3 +104,49 @@ def test_search_sorted_by_field(searcher, oracle, corpus):  # noqa: F811
 
     with _pytest.raises(Exception):
         searcher.search_sorted("tool", "nope_field", 5)
+
+
+def test_search_sorted_string_and_compound(searcher, oracle, corpus):  # noqa: F811
+    """sort=<string dv field> and compound `f1 desc, f2 asc` specs
+    (SortField.STRING + SortField lists): engine shard-top-k merge vs a
+    pandas reference over the raw corpus columns.  `tool` is mostly null →
+    exercises the missing-last contract on both directions."""
+    import pandas as pd
+
+    _, full = corpus
+    ref = pd.DataFrame(
+        {
+            "role": full.column("role").to_pylist(),
+            "tool": full.column("tool").to_pylist(),
+            "turn_idx": full.column("turn_idx").to_numpy().astype(np.float64),
+        }
+    )
+    for q, spec, by, asc in [
+        ("tool output", "role asc", ["role"], [True]),
+        ("tool output", "role desc", ["role"], [False]),
+        ("assistant answer", "role desc, turn_idx asc", ["role", "turn_idx"], [False, True]),
+        ("error", "turn_idx desc, role asc", ["turn_idx", "role"], [True, True]),  # dirs from spec
+        ("+role:tool", "tool asc, turn_idx desc", ["tool", "turn_idx"], [True, False]),
+        ("output", "tool desc", ["tool"], [False]),  # nulls last even on desc
+    ]:
+        if q == "error":
+            asc = [False, True]
+        matches = [d for d, _ in oracle.search(q, 10**9)]
+        sub = ref.iloc[matches].copy()
+        sub["doc"] = matches
+        exp_rows = sub.sort_values(
+            by + ["doc"], ascending=asc + [True], kind="mergesort", na_position="last"
+        ).head(10)
+        got = searcher.search_sorted(q, spec, 10)
+        assert [d for d, _ in got] == exp_rows["doc"].tolist(), (q, spec)
+        # values echo the sort key(s)
+        for (d, v), (_, row) in zip(got, exp_rows.iterrows()):
+            vals = (v,) if len(by) == 1 else v
+            for col, vv in zip(by, vals):
+                rv = row[col]
+                if rv is None or (isinstance(rv, float) and np.isnan(rv)):
+                    assert vv is None
+                elif isinstance(rv, float):
+                    assert vv == rv
+                else:
+                    assert vv == rv
