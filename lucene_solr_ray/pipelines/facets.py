@@ -955,6 +955,104 @@ ORDER BY bucket
 """
 
 
+def range_facet_include(
+    sf_dir: str,
+    start: float = 50000.0,
+    end: float = 330000.0,
+    gap: float = 100000.0,
+    include: frozenset = frozenset({"upper", "edge", "outer"}),
+    hardend: bool = True,
+):
+    """Classic range facet `facet.range.include` + `facet.range.hardend`
+    (RangeFacetProcessor / FacetRangeInclude): per-flag boundary ownership
+    for the gap buckets AND the before/after/between sections.
+
+    Solr semantics implemented exactly:
+      - bucket i spans [lo, lo+gap) by default; `upper` → (lo, hi],
+        `lower` → include lo, `edge` → first bucket includes its lower
+        edge and last bucket its upper edge regardless of lower/upper;
+        `all` = every flag.  (lower+upper legitimately double-counts
+        boundary values — kept.)
+      - `hardend=true` clamps the LAST bucket at `end` (possibly
+        narrower than gap); false extends it a full gap past end.
+      - before = v < start, inclusive of start iff `outer` or neither
+        lower nor edge; after = v > (hard) end, inclusive iff `outer`
+        or neither upper nor edge; between spans [start, end] with each
+        edge owned iff (lower|edge) / (upper|edge).
+
+    One combiner pass (bucket domain is request-sized); default args are
+    the gate's (end NOT gap-aligned so hardend is non-vacuous)."""
+    from .common import merge_partials
+
+    if "all" in include:
+        include = frozenset({"lower", "upper", "edge", "outer"})
+    n_buckets = int(np.ceil((end - start) / gap))
+    hard_end = end if hardend else start + n_buckets * gap
+
+    def bounds(i: int):
+        lo = start + i * gap
+        hi = min(lo + gap, hard_end) if hardend else lo + gap
+        inc_lo = "lower" in include or ("edge" in include and i == 0)
+        inc_hi = "upper" in include or ("edge" in include and i == n_buckets - 1)
+        return lo, hi, inc_lo, inc_hi
+
+    inc_before = "outer" in include or not ({"lower", "edge"} & include)
+    inc_after = "outer" in include or not ({"upper", "edge"} & include)
+    bw_lo = bool({"lower", "edge"} & include)
+    bw_hi = bool({"upper", "edge"} & include)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["o_totalprice"].to_numpy()
+        rows, counts = [], []
+        for i in range(n_buckets):
+            lo, hi, inc_lo, inc_hi = bounds(i)
+            m = (v >= lo if inc_lo else v > lo) & (v <= hi if inc_hi else v < hi)
+            rows.append(f"{lo:.1f}")
+            counts.append(int(m.sum()))
+        rows.append("__before__")
+        counts.append(int(((v <= start) if inc_before else (v < start)).sum()))
+        rows.append("__after__")
+        counts.append(int(((v >= hard_end) if inc_after else (v > hard_end)).sum()))
+        rows.append("__between__")
+        mb = (v >= start if bw_lo else v > start) & (v <= hard_end if bw_hi else v < hard_end)
+        counts.append(int(mb.sum()))
+        return pd.DataFrame({"bucket": rows, "n": np.asarray(counts, dtype="int64")})
+
+    out = merge_partials(
+        read(sf_dir, "orders", ["o_totalprice"]).map_batches(partial, batch_format="pandas"),
+        ["bucket"],
+        {"n": "sum"},
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+# gate params: include=upper,edge,outer + hardend=true over
+# start=50000 end=330000 gap=100000 → buckets [50000,150000], (150000,250000],
+# (250000,330000] (last clamped + upper), before = v<=50000... wait: edge sets
+# the FIRST bucket's lower inclusive, so before excludes start only if
+# outer is unset — outer IS set, so before = v <= 50000 (overlapping the
+# first bucket's lower edge, exactly Solr's documented outer behavior).
+RANGE_FACET_INCLUDE_SQL = """
+SELECT '150000.0' AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM orders
+  WHERE o_totalprice > 150000 AND o_totalprice <= 250000
+UNION ALL
+SELECT '250000.0', CAST(COUNT(*) AS BIGINT) FROM orders
+  WHERE o_totalprice > 250000 AND o_totalprice <= 330000
+UNION ALL
+SELECT '50000.0', CAST(COUNT(*) AS BIGINT) FROM orders
+  WHERE o_totalprice >= 50000 AND o_totalprice <= 150000
+UNION ALL
+SELECT '__after__', CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_totalprice >= 330000
+UNION ALL
+SELECT '__before__', CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_totalprice <= 50000
+UNION ALL
+SELECT '__between__', CAST(COUNT(*) AS BIGINT) FROM orders
+  WHERE o_totalprice >= 50000 AND o_totalprice <= 330000
+ORDER BY bucket
+"""
+
+
 def json_facet_unique(sf_dir: str):
     """unique() agg (UniqueAgg.java): EXACT distinct count per bucket via
     mergeable sorted value-set partials — bounded-cardinality fields only
@@ -1373,6 +1471,11 @@ PIPELINES: dict[str, Pipeline] = {
         json_facet_percentile_exact,
         JSON_FACET_PERCENTILE_EXACT_SQL,
         "EXACT per-bucket percentile via value-count partials (quantile_disc parity)",
+    ),
+    "range_facet_include": Pipeline(
+        range_facet_include,
+        RANGE_FACET_INCLUDE_SQL,
+        "facet.range.include flags (lower/upper/edge/outer) + hardend clamping, one combiner pass",
     ),
     "range_facet_other": Pipeline(
         range_facet_other,

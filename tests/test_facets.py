@@ -249,3 +249,30 @@ def test_pivot_facet_levels_and_mincount(ray_session):
     pruned = pivot_facet(SF, "orders", ["o_orderpriority", "o_orderstatus"], None, mincount=mc)
     assert len(pruned) == int((lvl2 >= mc).sum())
     assert "cents" not in pruned.columns
+
+
+def test_range_facet_include_flag_combinations(ray_session):
+    """Flag semantics vs a direct numpy reference: lower+upper double-counts
+    boundaries, hardend=False extends the last bucket a full gap, neither
+    lower nor edge makes before inclusive of start."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.facets import range_facet_include
+
+    sf = "/root/testdata/sf0.001"
+    v = pq.read_table(f"{sf}/orders.parquet", columns=["o_totalprice"]).column(0).to_numpy()
+    start, end, gap = 50000.0, 330000.0, 100000.0
+
+    # all flags: every bucket [lo, hi] → boundary values may count twice
+    out = range_facet_include(sf, include=frozenset({"all"}), hardend=True)
+    got = dict(zip(out["bucket"], out["n"]))
+    assert got["50000.0"] == int(((v >= 50000) & (v <= 150000)).sum())
+    assert got["150000.0"] == int(((v >= 150000) & (v <= 250000)).sum())
+    assert got["__before__"] == int((v <= start).sum())  # outer ⊂ all
+    # soft end: last bucket runs to start+3*gap=350000, after starts there
+    soft = range_facet_include(sf, include=frozenset(), hardend=False)
+    gs = dict(zip(soft["bucket"], soft["n"]))
+    assert gs["250000.0"] == int(((v >= 250000) & (v < 350000)).sum())
+    assert gs["__after__"] == int((v >= 350000).sum())  # neither upper nor edge → inclusive
+    assert gs["__before__"] == int((v <= start).sum())  # neither lower nor edge → inclusive
+    assert gs["__between__"] == int(((v > start) & (v < 350000)).sum())
