@@ -889,6 +889,21 @@ class IndexShard:
         docs, _ = self._eval(node, idfs, sim)
         return int(docs.size)
 
+    def facet_query_counts(self, node: QueryNode, idfs: dict[str, float], subs: list) -> list:
+        """facet.query (SimpleFacets.getFacetQueryCounts): hit count of
+        each sub-query INTERSECTED with the base query's DocSet — the base
+        evaluates once per shard, each sub once, and only the counts cross
+        the wire."""
+        base, _ = self._eval(node, idfs, "bm25")
+        out = []
+        for sn, sidfs in subs:
+            if sn is None or base.size == 0:
+                out.append(0)
+                continue
+            sd, _ = self._eval(sn, sidfs, "bm25")
+            out.append(int(np.intersect1d(base, sd, assume_unique=True).size))
+        return out
+
     def explain(self, node: QueryNode, doc: int, idfs: dict[str, float], sim: str = "bm25"):
         """Score explanation for one doc (Lucene's IndexSearcher.explain /
         Solr debugQuery): per-leaf-term contribution + the node total, or

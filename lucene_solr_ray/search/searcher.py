@@ -456,6 +456,27 @@ class Searcher:
         idfs = self._weights_for(node)
         return int(sum(self._scatter("count_matches", node, idfs)))
 
+    def facet_query(self, query: str, facet_queries: dict[str, str]) -> dict[str, int]:
+        """Classic `facet.query` (SimpleFacets.getFacetQueryCounts): hit
+        counts of arbitrary sub-queries over the BASE query's match set,
+        one distributed pass — each shard intersects DocSets locally and
+        returns counts only.  Unparseable/empty sub-queries count 0 (the
+        reference omits them; callers filter).  → {key: count}."""
+        node = self._parse(query)
+        if node is None:
+            return {k: 0 for k in facet_queries}
+        node = self._rewrite(node)
+        idfs = self._weights_for(node)
+        keys, subs = list(facet_queries), []
+        for k in keys:
+            sn = self._parse(facet_queries[k])
+            if sn is not None:
+                sn = self._rewrite(sn)
+            subs.append((sn, self._weights_for(sn) if sn is not None else {}))
+        parts = self._scatter("facet_query_counts", node, idfs, subs)
+        totals = np.sum(np.asarray(parts, dtype=np.int64), axis=0) if parts else np.zeros(len(keys), np.int64)
+        return {k: int(t) for k, t in zip(keys, totals)}
+
     # -- terms / facets over the index ------------------------------------
     def terms(
         self, prefix: str = "", limit: int = 10, regex: str | None = None,
