@@ -158,6 +158,105 @@ def line_dedup(sf_dir: str, sep: str = " a ", min_count: int = 2):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+# --------------------------------------------------------------------------
+# SoftDeDup reweighting (He et al. 2024, "SoftDedup: an Efficient Data
+# Reweighting Method for Speeding Up Language Model Pre-training"): instead
+# of DROPPING near-duplicates, every document gets a sampling weight that is
+# low when its n-grams are corpus-common and high when they are rare.
+# Commonness here is the mean corpus frequency of the doc's 2-grams —
+# exact integer sums (Σ global gram counts, gram multiplicity included)
+# divided once at the end, so the strict gate holds bit-exactly.
+#
+# Scale shape: stage 1 aggregates (doc, gram) multiplicities per batch;
+# stage 2 shuffles grams into 512 fixed buckets, resolves each gram's
+# global count INSIDE its bucket, and emits per-(doc) partial sums; stage 3
+# shuffles those doc partials into 512 fixed doc buckets and merges.  The
+# gram vocabulary never lands on the driver; output is one row per doc.
+
+
+def soft_dedup_weights(sf_dir: str):
+    """→ (doc_id, n_grams, sum_cnt, commonness, weight) sorted by doc_id;
+    weight = n_grams / Σ count(gram) ∈ (0, 1], 1.0 for gram-less docs."""
+    from .text import _explode_tokens
+
+    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, codes, uniq, _ = _explode_tokens(batch["text"])
+        dids = batch["doc_id"].to_numpy()
+        if codes.size < 2:
+            return pd.DataFrame(
+                {"gram": np.empty(0, object), "doc_id": np.empty(0, np.int64),
+                 "m": np.empty(0, np.int64), "bucket": np.empty(0, np.int64)}
+            )
+        toks = uniq[codes]
+        same = doc_idx[:-1] == doc_idx[1:]
+        grams = (toks[:-1] + " " + toks[1:])[same]
+        gdoc = dids[doc_idx[:-1][same]]
+        g = (
+            pd.DataFrame({"gram": grams, "doc_id": gdoc, "m": np.int64(1)})
+            .groupby(["gram", "doc_id"], as_index=False)["m"]
+            .sum()
+        )
+        g["bucket"] = (pd.util.hash_array(g["gram"].to_numpy(dtype=object)) % 512).astype("int64")
+        return g
+
+    def bucket_doc_partials(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["gram", "doc_id"], as_index=False)["m"].sum()
+        cnt = m.groupby("gram")["m"].sum()
+        m["mc"] = m["m"].to_numpy() * cnt.loc[m["gram"]].to_numpy()
+        p = m.groupby("doc_id", as_index=False).agg(n=("m", "sum"), sc=("mc", "sum"))
+        p["db"] = p["doc_id"] % 512
+        return p
+
+    def merge_doc(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("doc_id", as_index=False).agg(n=("n", "sum"), sc=("sc", "sum"))
+
+    parts = (
+        read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(gram_rows, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_doc_partials, batch_format="pandas")
+        .groupby("db")
+        .map_groups(merge_doc, batch_format="pandas")
+        .to_pandas()
+    )
+    ids = read(sf_dir, "documents", ["doc_id"]).to_pandas()
+    if "doc_id" not in parts.columns:  # all-empty schema loss (Ray gotcha)
+        parts = pd.DataFrame({"doc_id": [], "n": [], "sc": []})
+    out = ids.merge(parts, on="doc_id", how="left").fillna({"n": 0, "sc": 0})
+    n = out["n"].to_numpy(dtype=np.int64)
+    sc = out["sc"].to_numpy(dtype=np.int64)
+    out["n_grams"] = n
+    out["sum_cnt"] = sc
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out["commonness"] = np.where(n > 0, sc.astype(np.float64) / n, 0.0)
+        out["weight"] = np.where(n > 0, n.astype(np.float64) / sc, 1.0)
+    return (
+        out[["doc_id", "n_grams", "sum_cnt", "commonness", "weight"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+SOFT_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS gram
+  FROM d
+),
+c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram),
+p AS (SELECT doc_id, COUNT(*) AS n_grams, SUM(cnt) AS sum_cnt
+      FROM g JOIN c USING (gram) GROUP BY doc_id)
+SELECT d0.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.sum_cnt, 0) AS BIGINT) AS sum_cnt,
+       CASE WHEN p.n_grams > 0 THEN CAST(p.sum_cnt AS DOUBLE) / p.n_grams ELSE 0.0 END AS commonness,
+       CASE WHEN p.n_grams > 0 THEN CAST(p.n_grams AS DOUBLE) / p.sum_cnt ELSE 1.0 END AS weight
+FROM (SELECT doc_id FROM documents) d0 LEFT JOIN p USING (doc_id)
+ORDER BY doc_id
+"""
+
 LINE_DEDUP_SQL = """
 WITH l AS (
   SELECT doc_id, unnest(string_split(text, ' a ')) AS ln,
@@ -734,6 +833,11 @@ PIPELINES: dict[str, Pipeline] = {
         dedup_clusters, None, "near-dup connected components + keep-one-per-cluster (LSH pairs → union-find); rows-only, oracled in pytest"
     ),
     "dedup_exact": Pipeline(dedup_exact, DEDUP_EXACT_SQL, "exact content dedup (SignatureUpdateProcessor)"),
+    "soft_dedup_weights": Pipeline(
+        soft_dedup_weights,
+        SOFT_DEDUP_SQL,
+        "SoftDeDup reweighting: per-doc 2-gram corpus-commonness and sampling weight from exact integer sums",
+    ),
     "line_dedup": Pipeline(
         line_dedup,
         LINE_DEDUP_SQL,
