@@ -163,6 +163,9 @@ class Select:
     table: str = ""
     where: object | None = None
     group_by: list[str] = field(default_factory=list)
+    # GROUP BY <expression>: synthetic key name -> expr (plain columns stay
+    # bare names in group_by; expressions group by a computed column)
+    group_exprs: dict[str, object] = field(default_factory=dict)
     having: object | None = None
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (name, asc)
     limit: int | None = None
@@ -359,9 +362,16 @@ class _Parser:
             stmt.where = self.expr()
         if self.accept("kw", "group"):
             self.expect("kw", "by")
-            stmt.group_by.append(self.expect("id"))
-            while self.accept("op", ","):
-                stmt.group_by.append(self.expect("id"))
+            while True:
+                ge = self.expr()
+                if isinstance(ge, Col):
+                    stmt.group_by.append(ge.name)
+                else:  # GROUP BY substr(col, 1, 5) etc: computed group key
+                    name = f"__g{len(stmt.group_exprs)}"
+                    stmt.group_exprs[name] = ge
+                    stmt.group_by.append(name)
+                if not self.accept("op", ","):
+                    break
         if self.accept("kw", "having"):
             stmt.having = self.expr()
         if self.accept("kw", "order"):
@@ -650,7 +660,10 @@ def _execute_select(sf_dir: str, stmt: Select) -> pd.DataFrame:
     if stmt.where is not None:
         _cols_of(stmt.where, need)
     for g in stmt.group_by:
-        need.add(g)
+        if g in stmt.group_exprs:
+            _cols_of(stmt.group_exprs[g], need)
+        else:
+            need.add(g)
     if stmt.having is not None:
         _cols_of(stmt.having, need)
     aggs: list[Agg] = []
@@ -756,7 +769,7 @@ def _execute_select(sf_dir: str, stmt: Select) -> pd.DataFrame:
                 batch = batch[np.asarray(_eval(stmt.where, batch), dtype=bool)]
             g = pd.DataFrame(index=batch.index)
             for k in gb:
-                g[k] = batch[k]
+                g[k] = np.asarray(_eval(stmt.group_exprs[k], batch)) if k in stmt.group_exprs else batch[k]
             vals: dict[str, tuple[str, object]] = {}
             for (op, key), colname in plan.items():
                 a = by_key[key]
@@ -801,7 +814,7 @@ def _execute_select(sf_dir: str, stmt: Select) -> pd.DataFrame:
                     batch = batch[np.asarray(_eval(stmt.where, batch), dtype=bool)]
                 g = pd.DataFrame(index=batch.index)
                 for k in gb:
-                    g[k] = batch[k]
+                    g[k] = np.asarray(_eval(stmt.group_exprs[k], batch)) if k in stmt.group_exprs else batch[k]
                 g["_v"] = _eval(_a.arg, batch)
                 g = g.dropna(subset=["_v"]).drop_duplicates()
                 g["__gb"] = (
@@ -842,11 +855,30 @@ def _execute_select(sf_dir: str, stmt: Select) -> pd.DataFrame:
                     merged[colname] = n_uni
             aggcol[("count", dkey)] = colname
         assert merged is not None
+
+        def sub_g(e):
+            """A select/HAVING expression structurally equal to a GROUP BY
+            expression reads the computed group-key column (its inputs no
+            longer exist after the merge)."""
+            for synth, ge in stmt.group_exprs.items():
+                if e == ge:
+                    return Col(synth)
+            if isinstance(e, Bin):
+                return Bin(e.op, sub_g(e.left), sub_g(e.right))
+            if isinstance(e, Un):
+                return Un(e.op, sub_g(e.arg))
+            if isinstance(e, Func):
+                return Func(e.fn, [sub_g(a) for a in e.args])
+            if isinstance(e, Case):
+                return Case([(sub_g(c), sub_g(v)) for c, v in e.whens],
+                            None if e.default is None else sub_g(e.default))
+            return e
+
         if stmt.having is not None:
-            merged = merged[np.asarray(_eval_with_aggs(stmt.having, merged, aggcol), dtype=bool)]
+            merged = merged[np.asarray(_eval_with_aggs(sub_g(stmt.having), merged, aggcol), dtype=bool)]
         res = pd.DataFrame(index=merged.index)
         for e, name in stmt.cols:
-            res[name] = _eval_with_aggs(e, merged, aggcol)
+            res[name] = _eval_with_aggs(sub_g(e), merged, aggcol)
 
     if stmt.order_by:
         keys = [k for k, _ in stmt.order_by]
@@ -986,6 +1018,19 @@ SQL_UNION = (
 )
 
 
+SQL_GROUP_EXPR = """
+SELECT substr(p_type, 1, 5) AS type5, COUNT(*) AS n, SUM(p_size) AS total_size
+FROM part
+GROUP BY substr(p_type, 1, 5)
+HAVING COUNT(*) > 1
+ORDER BY type5
+"""
+
+
+def sql_group_expr(sf_dir: str) -> pd.DataFrame:
+    return execute_sql(sf_dir, SQL_GROUP_EXPR)
+
+
 def sql_union(sf_dir: str) -> pd.DataFrame:
     out = execute_sql(sf_dir, SQL_UNION)
     out["n"] = out["n"].astype("int64")
@@ -1024,6 +1069,11 @@ PIPELINES: dict[str, Pipeline] = {
         sql_select,
         _twin(SQL_SELECT),
         "Parallel SQL handler: scan query (WHERE/IN/BETWEEN, ORDER BY, LIMIT) parsed + planned onto per-batch top-k",
+    ),
+    "sql_group_expr": Pipeline(
+        sql_group_expr,
+        _twin(SQL_GROUP_EXPR),
+        "Parallel SQL handler: GROUP BY <expression> (computed group keys through the combiner partials)",
     ),
     "sql_groupby": Pipeline(
         sql_groupby,

@@ -329,3 +329,31 @@ def test_scalar_functions(ray_session):
 def test_scalar_function_errors():
     with pytest.raises(ValueError):
         parse_sql("SELECT nosuchfn(o_orderkey) FROM orders")
+
+
+def test_group_by_expression(ray_session):
+    duel(
+        "SELECT substr(o_orderpriority, 1, 1) AS pri, COUNT(*) AS n,"
+        " CAST(SUM(o_custkey) AS BIGINT) AS sk FROM orders"
+        " GROUP BY substr(o_orderpriority, 1, 1) ORDER BY pri",
+        "SELECT substr(o_orderpriority, 1, 1) AS pri, COUNT(*) AS n,"
+        " SUM(o_custkey) AS sk FROM orders"
+        " GROUP BY substr(o_orderpriority, 1, 1) ORDER BY pri",
+    )
+    # CASE group key + WHERE + HAVING referencing the same expression
+    case = "CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END"
+    duel(
+        f"SELECT {case} AS band, COUNT(*) AS n FROM orders"
+        f" WHERE o_orderstatus != 'X' GROUP BY {case} HAVING COUNT(*) > 0 ORDER BY band"
+    )
+
+
+def test_group_by_expression_count_distinct(ray_session):
+    duel(
+        "SELECT length(o_orderpriority) AS plen,"
+        " CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS ds FROM orders"
+        " GROUP BY length(o_orderpriority) ORDER BY plen",
+        "SELECT length(o_orderpriority) AS plen,"
+        " COUNT(DISTINCT o_orderstatus) AS ds FROM orders"
+        " GROUP BY length(o_orderpriority) ORDER BY plen",
+    )
