@@ -987,6 +987,41 @@ class IndexShard:
         # beat a group's best) — return all group winners (domain-bounded)
         return docs[sel], scores[sel], vals[sel], out_sel
 
+    def expand_members(
+        self,
+        node: QueryNode,
+        idfs: dict[str, float],
+        sim: str,
+        field: str,
+        group_vals: list,
+        exclude: list,
+        limit: int,
+    ):
+        """ExpandComponent (solr/core/.../handler/component/ExpandComponent
+        .java): for the GIVEN collapsed head groups, this shard's top
+        `limit` OTHER matching members per group by (score desc, docID
+        asc).  Bounded: at most |groups|·limit rows leave the shard."""
+        docs, scores = self._eval(node, idfs, sim)
+        if not docs.size:
+            return None
+        dv = self._load_docvalues(field)
+        if dv is None:
+            return None
+        fd, fv = dv
+        vals = fv[np.searchsorted(fd, docs)]
+        want = set(group_vals)
+        keep = np.array([v in want for v in vals.tolist()], dtype=bool)
+        if exclude:
+            keep &= ~np.isin(docs, np.asarray(exclude, dtype=np.int64))
+        if not keep.any():
+            return None
+        docs, scores, vals = docs[keep], scores[keep].astype(np.float32), vals[keep]
+        import pandas as pd
+
+        df = pd.DataFrame({"doc": docs, "score": scores, "val": vals})
+        df = df.sort_values(["score", "doc"], ascending=[False, True], kind="mergesort")
+        return df.groupby("val", sort=False).head(limit)
+
     def facet_counts(self, node: QueryNode, idfs: dict[str, float], field: str, sim: str = "bm25"):
         """Per-shard facet partial over the MATCH SET of `node` (the
         /select?q=...&facet.field=... path — SimpleFacets over a DocSet):

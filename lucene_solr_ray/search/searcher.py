@@ -1403,6 +1403,47 @@ class Searcher:
         g = g.sort_values(["score", "doc"], ascending=[False, True], kind="mergesort").head(k)
         return [(int(d), float(s), str(v)) for d, s, v in zip(g["doc"], g["score"], g["val"])]
 
+    def search_collapse_expand(
+        self,
+        query: str,
+        field: str,
+        k: int = 10,
+        expand_rows: int = 5,
+        similarity: str = "bm25",
+    ):
+        """`{!collapse field=}` + `expand=true` (ExpandComponent): the
+        collapsed top-k heads PLUS, per head group, up to `expand.rows`
+        other matching members ranked by (score desc, docID asc).  Two
+        bounded scatters: the collapse pass (group-domain-bounded), then a
+        members pass restricted to the k winning group values with the
+        heads excluded (≤ k·rows·P rows move).  → (heads, {group_value:
+        [(doc_id, score), ...]})."""
+        heads = self.search_collapse(query, field, k, similarity)
+        if not heads:
+            return [], {}
+        node = self._rewrite(self._parse(query))
+        idfs = self._weights_for(node, similarity)
+        group_vals = [v for _, _, v in heads]
+        exclude = [d for d, _, _ in heads]
+        parts = [
+            p
+            for p in self._scatter(
+                "expand_members", node, idfs, similarity, field, group_vals, exclude, expand_rows
+            )
+            if p is not None
+        ]
+        expanded: dict[str, list] = {v: [] for v in group_vals}
+        if parts:
+            g = (
+                pd.concat(parts, ignore_index=True)
+                .sort_values(["score", "doc"], ascending=[False, True], kind="mergesort")
+                .groupby("val", sort=False)
+                .head(expand_rows)
+            )
+            for doc, score, val in zip(g["doc"], g["score"], g["val"]):
+                expanded[str(val)].append((int(doc), float(score)))
+        return heads, expanded
+
     def search_after(
         self,
         query: str,

@@ -1070,3 +1070,27 @@ def test_search_collapse_duel(searcher, oracle, corpus):
         assert got == exp[:10], (fld, q)
     # unknown field ⇒ no dv column ⇒ empty, not an error
     assert searcher.search_collapse("error", "nosuchfield", 5) == []
+
+
+def test_search_collapse_expand_duel(searcher, oracle, corpus):
+    """ExpandComponent on the index path: collapsed heads + per-group top
+    expand.rows OTHER members, dueled vs brute force over the full
+    ranking (rank AND float32-score identical)."""
+    _, full = corpus
+    for fld, q, rows in [("role", "error ok", 3), ("tool", "+error bash", 2), ("role", '"tool output"', 5)]:
+        vals = full.column(fld).to_pylist()
+        ranked = oracle.search(q, 10**6)
+        heads, expanded = searcher.search_collapse_expand(q, fld, k=10, expand_rows=rows)
+        assert heads == searcher.search_collapse(q, fld, k=10)
+        head_docs = {d for d, _, _ in heads}
+        head_vals = [v for _, _, v in heads]
+        assert set(expanded) == set(head_vals)
+        for gv in head_vals:
+            exp = [
+                (d, float(s))
+                for d, s in ranked
+                if vals[d] is not None and str(vals[d]) == gv and d not in head_docs
+            ][:rows]
+            assert expanded[gv] == exp, (fld, q, gv)
+    # empty query → ([], {})
+    assert searcher.search_collapse_expand("zzzzqqq", "role", 5) == ([], {})
