@@ -1099,6 +1099,22 @@ class IndexShard:
             int(iv.max()),
         )
 
+    def stats_tdigest_partial(self, node: QueryNode, idfs: dict[str, float], field: str, sim: str = "bm25"):
+        """Per-shard t-digest sketch of a numeric doc-values field over the
+        match set (StatsComponent `percentiles` — Solr uses t-digest too):
+        → (means, weights) centroid arrays, mergeable on the driver."""
+        docs, _ = self._eval(node, idfs, sim)
+        if not docs.size:
+            return None
+        dv = self._load_numeric_dv(field)
+        if dv is None:
+            raise KeyError(f"unknown numeric doc-values field {field!r}")
+        fd, fv = dv
+        from ..state.tdigest import TDigest
+
+        td = TDigest.of(fv[np.searchsorted(fd, docs)])
+        return td.means, td.weights
+
     def top_groups(self, node: QueryNode, idfs: dict[str, float], field: str, j: int, sim: str = "bm25"):
         """Per-shard grouped-search partial (grouping collectors, SURVEY
         §2.6: FirstPassGroupingCollector + TopGroupsCollector in one pass):

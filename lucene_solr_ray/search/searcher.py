@@ -644,11 +644,15 @@ class Searcher:
             "after": int(total[-1]),
         }
 
-    def stats_field(self, query: str, field: str) -> dict:
+    def stats_field(self, query: str, field: str, percentiles: list[float] | None = None) -> dict:
         """Query-scoped StatsComponent (stats.field over the match set):
         count / sum / mean / min / max / stddev from exact int64 shard
         partials (order-independent merge; stddev uses the corrected
-        two-pass-equivalent moment formula, n−1 denominator like Solr)."""
+        two-pass-equivalent moment formula, n−1 denominator like Solr).
+        `percentiles=[50, 90]` adds the stats.percentiles output via
+        mergeable per-shard t-digest sketches — approximate, exactly like
+        the reference's AVL t-digest (solr/core/.../stats/
+        StatsValuesFactory.java percentiles)."""
         import math
 
         node = self._parse(query)
@@ -668,7 +672,7 @@ class Searcher:
         mx = max(p[4] for p in parts if p[4] is not None)
         mean = s1 / n
         var = (s2 - s1 * s1 / n) / (n - 1) if n > 1 else 0.0
-        return {
+        out = {
             "count": n,
             "sum": s1,
             "mean": mean,
@@ -676,6 +680,15 @@ class Searcher:
             "max": mx,
             "stddev": math.sqrt(max(var, 0.0)),
         }
+        if percentiles:
+            from ..state.tdigest import TDigest
+
+            td = TDigest()
+            for p in self._scatter("stats_tdigest_partial", node, idfs, field):
+                if p is not None:
+                    td = td.merge(TDigest(p[0], p[1]))
+            out["percentiles"] = {float(p): float(td.quantile(p / 100.0)) for p in percentiles}
+        return out
 
     def search_grouped(
         self, query: str, field: str, k: int = 10, group_limit: int = 2, similarity: str = "bm25"

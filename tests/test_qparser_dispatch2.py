@@ -277,3 +277,21 @@ def test_facet_stats_matches_brute_force(searcher, corpus):  # noqa: F811
     exp.sort(key=lambda d: (-d["count"], d["val"]))
     assert got == exp[:10]
     assert searcher.facet_stats("the of", "role", "turn_idx") == []
+
+
+def test_stats_field_percentiles(searcher, corpus):  # noqa: F811
+    """stats.percentiles via mergeable per-shard t-digests: within digest
+    tolerance of the exact match-set percentiles, exact at the extremes."""
+    _, full = corpus
+    turn = full.column("turn_idx").to_numpy().astype(np.float64)
+    got = searcher.stats_field("tool output", "turn_idx", percentiles=[0, 25, 50, 90, 100])
+    hits = np.array([d for d, _ in searcher.search("tool output", 100000)], dtype=np.int64)
+    v = np.sort(turn[hits])
+    assert got["percentiles"][0.0] == v[0] and got["percentiles"][100.0] == v[-1]
+    spread = v[-1] - v[0]
+    for p in (25, 50, 90):
+        exact = np.percentile(v, p)
+        assert abs(got["percentiles"][float(p)] - exact) <= max(0.05 * spread, 1.0), p
+    # plain stats keys still present and unchanged by the percentile path
+    base = searcher.stats_field("tool output", "turn_idx")
+    assert {k: got[k] for k in base} == base
