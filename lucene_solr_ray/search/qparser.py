@@ -99,12 +99,21 @@ def dispatch(
     similarity: str = "bm25",
     fq: str | None = None,
     start: int = 0,
+    sort: str | None = None,
 ):
     """Execute `q` through the parser its local params name — the
     SearchHandler front door.  `fq={!collapse field=f}` applies query-time
     collapse to the main query (Solr's collapse-as-filter contract);
     `start` is offset paging (rows=k & start=N → fetch N+k, return the
-    page — use search_after for deep pages)."""
+    page — use search_after for deep pages); `sort="f1 asc, f2 desc"`
+    replaces score ranking with the compound field sort (search_sorted —
+    default-parser main queries only)."""
+    if sort is not None:
+        qname, _, qbody = parse_local_params(q)
+        if qname != "lucene" or fq is not None:
+            raise QParserError("sort= composes with the default parser only (no fq)")
+        page = searcher.search_sorted(qbody, sort, k=start + k)
+        return page[start:]
     if start:
         page = dispatch(searcher, q, k=start + k, similarity=similarity, fq=fq)
         return page[start:]

@@ -1020,16 +1020,17 @@ class Searcher:
 
     def query(
         self, q: str, k: int = 10, similarity: str = "bm25", fq: str | None = None,
-        start: int = 0,
+        start: int = 0, sort: str | None = None,
     ):
         """Local-params front door (`{!parser k=v ...}body` — the
         QParserPlugin registry dispatch, see search/qparser.py).  A plain
         query string routes to the default `lucene` parser; `fq` accepts
         `{!collapse field=f}` (Solr's collapse-as-filter contract);
-        `start` pages by offset (rows/start semantics)."""
+        `start` pages by offset (rows/start semantics); `sort=` replaces
+        score ranking with a compound field sort."""
         from .qparser import dispatch
 
-        return dispatch(self, q, k=k, similarity=similarity, fq=fq, start=start)
+        return dispatch(self, q, k=k, similarity=similarity, fq=fq, start=start, sort=sort)
 
     def ltr_features(
         self, query: str, k: int = 10, feature_exprs: dict[str, str] | None = None
@@ -1518,6 +1519,69 @@ class Searcher:
             mask = np.isin(t.column("doc_id").to_numpy(), want)
             out.append(t.filter(pa.array(mask)))
         return pa.concat_tables(out) if out else None
+
+    def fetch_fields(self, doc_ids: list[int], fields: list[str]) -> pd.DataFrame:
+        """fl= projection for SPECIFIC docs: numeric stored columns and
+        keyword doc-values (`role` reads `dv_role`) from the pid-pruned
+        norms segments, `text` from the manifest-lineage source files
+        (fetch_text).  → frame indexed by doc_id, one column per field;
+        unknown fields raise KeyError (Solr returns 400 for bad fl)."""
+        want = sorted(set(int(d) for d in doc_ids))
+        out = pd.DataFrame(index=pd.Index(want, name="doc_id"))
+        seg_fields = [f for f in fields if f != "text"]
+        if seg_fields:
+            inputs = self.manifest["config"]["inputs"]
+            bases = np.asarray([b for _, _, b in inputs], dtype=np.int64)
+            w = np.asarray(want, dtype=np.int64)
+            pids = np.searchsorted(bases, w, side="right") - 1
+            frames = []
+            for pid in np.unique(pids):
+                seg = self.index_dir / "segments" / f"pid={int(pid):05d}" / "norms.parquet"
+                names = pq.read_schema(seg).names
+                cols = {}
+                for f in seg_fields:
+                    if f in names:
+                        cols[f] = f
+                    elif f"dv_{f}" in names:
+                        cols[f] = f"dv_{f}"
+                    else:
+                        raise KeyError(f"unknown fl field {f!r}")
+                t = pq.read_table(seg, columns=["doc_id"] + sorted(set(cols.values())))
+                mask = np.isin(t.column("doc_id").to_numpy(), w)
+                t = t.filter(pa.array(mask))
+                df = pd.DataFrame({f: t.column(c).to_numpy(zero_copy_only=False) for f, c in cols.items()},
+                                  index=t.column("doc_id").to_numpy())
+                frames.append(df)
+            seg_df = pd.concat(frames) if frames else pd.DataFrame(columns=seg_fields)
+            for f in seg_fields:
+                out[f] = seg_df[f].reindex(want)
+        if "text" in fields:
+            txt = self.fetch_text(want)
+            out["text"] = [txt.get(d) for d in want]
+        return out[fields]
+
+    def select(self, q: str, k: int = 10, fl: list[str] | None = None, **kw) -> pd.DataFrame:
+        """/select with a field list (the SearchHandler fl= contract):
+        run `q` through the QParser front door, then ONE bounded
+        fetch_fields scatter projects the requested stored/doc-values
+        fields for the k winners only.  `score` is the ranking score;
+        other names resolve like fetch_fields.  → frame in rank order."""
+        fl = list(fl) if fl else ["score"]
+        hits = self.query(q, k, **kw)
+        rows = [(h[0], h[1]) for h in hits]  # collapse triples carry (doc, score, val)
+        docs = [d for d, _ in rows]
+        out = pd.DataFrame({"doc_id": np.asarray(docs, dtype=np.int64)})
+        fields = [f for f in fl if f != "score"]
+        if fields and docs:
+            proj = self.fetch_fields(docs, fields)
+            for f in fields:
+                out[f] = proj[f].reindex(docs).to_numpy()
+        elif fields:
+            for f in fields:
+                out[f] = pd.Series([], dtype=object)
+        if "score" in fl:
+            out["score"] = np.asarray([s for _, s in rows], dtype=np.float32)
+        return out[["doc_id"] + fl]
 
     def fetch_text(self, doc_ids: list[int]) -> dict[int, str]:
         """Stored-field text for specific docs, read from the SOURCE files

@@ -1,0 +1,48 @@
+"""fl= field-list projection (SearchHandler / RetrieveFieldsOptimizer:
+stored + doc-values projection for the winners only)."""
+
+import numpy as np
+import pytest
+
+from tests.test_build_search import corpus, index, oracle, searcher  # noqa: F401
+
+
+def test_select_fl_projection(searcher, corpus):  # noqa: F811
+    _, full = corpus
+    conv = full.column("conv_id").to_numpy()
+    turn = full.column("turn_idx").to_numpy()
+    role = full.column("role").to_pylist()
+    text = full.column("text").to_pylist()
+
+    hits = searcher.search("tool output", 7)
+    df = searcher.select("tool output", 7, fl=["conv_id", "turn_idx", "role", "score", "text"])
+    assert df["doc_id"].tolist() == [d for d, _ in hits]
+    assert df["score"].tolist() == [np.float32(s) for _, s in hits]
+    for _, r in df.iterrows():
+        d = int(r["doc_id"])
+        assert r["conv_id"] == conv[d] and r["turn_idx"] == turn[d]
+        assert r["role"] == role[d] and r["text"] == text[d]
+
+
+def test_select_fl_through_dispatcher_and_errors(searcher):  # noqa: F811
+    # fl with a {!parser} main query rides the same front door
+    df = searcher.select("{!prefix f=role}too", 5, fl=["role", "score"])
+    assert set(df["role"]) <= {"tool"}
+    # empty result keeps the schema
+    empty = searcher.select("zzzzqqq", 5, fl=["conv_id", "score"])
+    assert list(empty.columns) == ["doc_id", "conv_id", "score"] and len(empty) == 0
+    with pytest.raises(KeyError):
+        searcher.select("tool", 3, fl=["no_such_field"])
+
+
+def test_query_sort_param(searcher):  # noqa: F811
+    """sort= through the front door == search_sorted, incl. start paging."""
+    assert searcher.query("tool output", 10, sort="turn_idx desc") == searcher.search_sorted(
+        "tool output", "turn_idx desc", 10
+    )
+    full = searcher.query("tool output", 10, sort="turn_idx asc")
+    assert searcher.query("tool output", 4, sort="turn_idx asc", start=3) == full[3:7]
+    with pytest.raises(Exception):
+        searcher.query("{!surround}a 3w b", 5, sort="turn_idx")
+    with pytest.raises(Exception):
+        searcher.query("x", 5, fq="{!collapse field=role}", sort="turn_idx")
