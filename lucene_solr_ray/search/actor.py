@@ -1348,7 +1348,35 @@ class IndexShard:
         ok = d[pos] == req
         return req[ok], s[pos[ok]]
 
-    def top_k_sorted(self, node: QueryNode, idfs: dict[str, float], spec: list, k: int):
+    @staticmethod
+    def _strict_after_mask(cols: dict, spec: list, docs: np.ndarray, after: tuple) -> np.ndarray:
+        """cursorMark on a field sort: rows STRICTLY after `after`
+        (= (v0, v1, ..., last_doc)) in the compound order — lexicographic
+        walk with missing-last semantics on every key, docID asc tiebreak."""
+        import pandas as pd
+
+        n = docs.size
+        after_m = np.zeros(n, bool)
+        eq = np.ones(n, bool)
+        for i, (_f, asc) in enumerate(spec):
+            v = pd.Series(cols[f"s{i}"])
+            a = after[i]
+            vna = v.isna().to_numpy()
+            if a is None or (isinstance(a, float) and np.isnan(a)):
+                gt = np.zeros(n, bool)  # nothing sorts after a missing key (na last)
+                eqi = vna
+            else:
+                cmp = (v > a) if asc else (v < a)
+                gt = np.where(vna, True, cmp.fillna(False).to_numpy(dtype=bool))
+                eqi = np.where(vna, False, (v == a).fillna(False).to_numpy(dtype=bool))
+            after_m |= eq & gt
+            eq &= eqi
+        after_m |= eq & (docs > int(after[-1]))
+        return after_m
+
+    def top_k_sorted(
+        self, node: QueryNode, idfs: dict[str, float], spec: list, k: int, after: tuple | None = None
+    ):
         """Per-shard top-k of the match set ordered by a COMPOUND sort spec
         (the Solr `sort=f1 asc, f2 desc` path — TopFieldCollector over a
         SortField list).  Each (field, asc) entry resolves, in order, to a
@@ -1385,6 +1413,12 @@ class IndexShard:
                     np.asarray(evaluate(expr, ecols), np.float64), docs.shape
                 ).astype(np.float64)
             cols[f"s{i}"] = vals
+        if after is not None:
+            m = self._strict_after_mask(cols, spec, docs, after)
+            if not m.any():
+                return None
+            docs = docs[m]
+            cols = {c: v[m] for c, v in cols.items()}
         df = pd.DataFrame(cols)
         df["doc"] = docs
         return df.sort_values(

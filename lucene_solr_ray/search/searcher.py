@@ -532,7 +532,8 @@ class Searcher:
         return spec
 
     def search_sorted(
-        self, query: str, sort_field: str, k: int = 10, ascending: bool = True
+        self, query: str, sort_field: str, k: int = 10, ascending: bool = True,
+        after: tuple | None = None,
     ) -> list:
         """Solr `sort=<spec>` (TopFieldCollector / TopDocs field sort): the
         query's match set ordered by a COMPOUND sort spec — numeric or
@@ -541,7 +542,12 @@ class Searcher:
         asc, missing values last.  Each shard returns at most k rows; the
         driver merges k·P with the identical comparator — never a global
         sort.  → [(doc_id, sort_value)] for a single-field spec,
-        [(doc_id, (v0, v1, ...))] for a compound one."""
+        [(doc_id, (v0, v1, ...))] for a compound one.
+
+        `after` = the previous page's LAST element (cursorMark on a field
+        sort — CursorMarkParams with the docID tiebreak as the required
+        uniqueKey clause): shards apply the strict-after bound BEFORE
+        their top-k cut, so deep pages never over-fetch."""
         node = self._parse(query)
         if node is None:
             return []
@@ -555,9 +561,16 @@ class Searcher:
         ]
         if not spec:
             raise ValueError(f"empty sort spec: {sort_field!r}")
+        aft = None
+        if after is not None:
+            doc, vals = after
+            vals = vals if isinstance(vals, tuple) else (vals,)
+            if len(vals) != len(spec):
+                raise ValueError("cursor arity != sort spec arity")
+            aft = tuple(vals) + (int(doc),)
         import pandas as pd
 
-        parts = [p for p in self._scatter("top_k_sorted", node, idfs, spec, k) if p is not None]
+        parts = [p for p in self._scatter("top_k_sorted", node, idfs, spec, k, aft) if p is not None]
         if not parts:
             return []
         merged = pd.concat(parts, ignore_index=True).sort_values(

@@ -46,3 +46,24 @@ def test_query_sort_param(searcher):  # noqa: F811
         searcher.query("{!surround}a 3w b", 5, sort="turn_idx")
     with pytest.raises(Exception):
         searcher.query("x", 5, fq="{!collapse field=role}", sort="turn_idx")
+
+
+def test_sorted_cursor_paging(searcher, oracle, corpus):  # noqa: F811
+    """cursorMark on field sorts: pages chain without gaps/overlaps and
+    concatenate to the full sorted result — numeric, string (mostly-null),
+    and compound specs."""
+    for q, spec in [
+        ("tool output", "turn_idx asc"),
+        ("tool output", "turn_idx desc"),
+        ("assistant answer", "role desc, turn_idx asc"),
+        ("output", "tool asc"),  # null-heavy string key
+    ]:
+        full = searcher.search_sorted(q, spec, 10**6)
+        pages, after = [], None
+        while True:
+            page = searcher.search_sorted(q, spec, 7, after=after)
+            if not page:
+                break
+            pages.extend(page)
+            after = page[-1]
+        assert pages == full, (q, spec)
