@@ -44,7 +44,7 @@ _KEYWORDS = {
     "select", "from", "where", "group", "by", "having", "order", "limit", "offset",
     "and", "or", "not", "in", "between", "like", "as", "asc", "desc",
     "count", "sum", "avg", "min", "max", "is", "null", "distinct",
-    "join", "on",
+    "join", "on", "left", "outer",
     "case", "when", "then", "else", "end",
     "union", "all",
 }
@@ -103,6 +103,26 @@ class Un:
 class InList:
     expr: object
     items: list
+    negated: bool
+
+
+@dataclass
+class InSubquery:
+    """`expr IN (SELECT ...)` — resolved to a ResolvedIn before planning:
+    the sub-select executes first (its own pruned/partialed plan) and its
+    first column's values broadcast into the outer WHERE mask.  NULLs in
+    the subquery result are ignored (the gate/duel statements keep the
+    standard-SQL NOT IN null trap out of scope)."""
+
+    expr: object
+    select: object
+    negated: bool
+
+
+@dataclass
+class ResolvedIn:
+    expr: object
+    values: object  # np.ndarray of the subquery's first column
     negated: bool
 
 
@@ -228,6 +248,10 @@ class _Parser:
                 neg = True
         if self.accept("kw", "in"):
             self.expect("op", "(")
+            if self.peek() == ("kw", "select"):
+                sub = self.select()  # single SELECT (no UNION inside IN)
+                self.expect("op", ")")
+                return InSubquery(e, sub, neg)
             items = [self.add()]
             while self.accept("op", ","):
                 items.append(self.add())
@@ -350,14 +374,22 @@ class _Parser:
         stmt.distinct = is_distinct
         self.expect("kw", "from")
         stmt.table = self.expect("id")
-        while self.accept("kw", "join"):
-            # INNER equi-join, one column each side: JOIN t ON a = b
+        while True:
+            # equi-joins, one column each side: [LEFT [OUTER]] JOIN t ON a = b
+            if self.accept("kw", "left"):
+                self.accept("kw", "outer")
+                self.expect("kw", "join")
+                how = "left"
+            elif self.accept("kw", "join"):
+                how = "inner"
+            else:
+                break
             jt = self.expect("id")
             self.expect("kw", "on")
             lcol = self.expect("id")
             self.expect("op", "=")
             rcol = self.expect("id")
-            stmt.joins.append((jt, lcol, rcol))
+            stmt.joins.append((jt, lcol, rcol, how))
         if self.accept("kw", "where"):
             stmt.where = self.expr()
         if self.accept("kw", "group"):
@@ -483,7 +515,7 @@ def _cols_of(e, out: set[str]):
         _cols_of(e.expr, out)
         _cols_of(e.lo, out)
         _cols_of(e.hi, out)
-    elif isinstance(e, (Like, IsNull)):
+    elif isinstance(e, (Like, IsNull, ResolvedIn)):
         _cols_of(e.expr, out)
     elif isinstance(e, Agg) and e.arg is not None:
         _cols_of(e.arg, out)
@@ -538,6 +570,10 @@ def _eval(e, df: pd.DataFrame):
     if isinstance(e, InList):
         v = _eval(e.expr, df)
         m = v.isin([_eval(it, df) for it in e.items])
+        return ~m if e.negated else m
+    if isinstance(e, ResolvedIn):
+        v = _eval(e.expr, df)
+        m = (v if isinstance(v, pd.Series) else pd.Series(v, index=df.index)).isin(e.values)
         return ~m if e.negated else m
     if isinstance(e, Between):
         v = _eval(e.expr, df)
@@ -653,7 +689,59 @@ def execute_sql(sf_dir: str, sql: str) -> pd.DataFrame:
     return _execute_select(sf_dir, stmt)
 
 
+def _walk_replace(e, fn):
+    """Bottom-up structural rewrite over the boolean/scalar expression
+    tree (Agg arguments included — they evaluate over raw batches too)."""
+    if isinstance(e, Bin):
+        e = Bin(e.op, _walk_replace(e.left, fn), _walk_replace(e.right, fn))
+    elif isinstance(e, Un):
+        e = Un(e.op, _walk_replace(e.arg, fn))
+    elif isinstance(e, Func):
+        e = Func(e.fn, [_walk_replace(a, fn) for a in e.args])
+    elif isinstance(e, Case):
+        e = Case(
+            [(_walk_replace(c, fn), _walk_replace(v, fn)) for c, v in e.whens],
+            None if e.default is None else _walk_replace(e.default, fn),
+        )
+    elif isinstance(e, InList):
+        e = InList(_walk_replace(e.expr, fn), [_walk_replace(i, fn) for i in e.items], e.negated)
+    elif isinstance(e, Between):
+        e = Between(_walk_replace(e.expr, fn), _walk_replace(e.lo, fn), _walk_replace(e.hi, fn), e.negated)
+    elif isinstance(e, Like):
+        e = Like(_walk_replace(e.expr, fn), e.pattern, e.negated)
+    elif isinstance(e, IsNull):
+        e = IsNull(_walk_replace(e.expr, fn), e.negated)
+    elif isinstance(e, Agg) and e.arg is not None:
+        e = Agg(e.fn, _walk_replace(e.arg, fn), e.distinct)
+    elif isinstance(e, InSubquery):
+        e = InSubquery(_walk_replace(e.expr, fn), e.select, e.negated)
+    return fn(e)
+
+
 def _execute_select(sf_dir: str, stmt: Select) -> pd.DataFrame:
+    if stmt.where is not None:
+        # resolve IN (SELECT ...): run the sub-select first, broadcast its
+        # first column into the outer mask
+        def res(e):
+            if isinstance(e, InSubquery):
+                sub = _execute_select(sf_dir, e.select)
+                return ResolvedIn(e.expr, pd.Series(sub.iloc[:, 0]).dropna().unique(), e.negated)
+            return e
+
+        stmt.where = _walk_replace(stmt.where, res)
+    if stmt.having is not None:
+        # HAVING may reference output aliases (the DuckDB extension):
+        # substitute the aliased expression unless the name is a real
+        # group-by column
+        alias = {
+            name: e
+            for e, name in stmt.cols
+            if not (isinstance(e, Col) and e.name == name) and name not in stmt.group_by
+        }
+        if alias:
+            stmt.having = _walk_replace(
+                stmt.having, lambda e: alias.get(e.name, e) if isinstance(e, Col) else e
+            )
     need: set[str] = set()
     for e, _ in stmt.cols:
         _cols_of(e, need)
@@ -682,8 +770,8 @@ def _execute_select(sf_dir: str, stmt: Select) -> pd.DataFrame:
 
         root_names = set(pq.read_schema(f"{sf_dir}/{stmt.table}.parquet").names)
         avail = set(root_names)
-        join_plan: list[tuple[str, str, str, set[str], set[str]]] = []
-        for jt, a, b in stmt.joins:
+        join_plan: list[tuple[str, str, str, set[str], set[str], str]] = []
+        for jt, a, b, how in stmt.joins:
             jnames = set(pq.read_schema(f"{sf_dir}/{jt}.parquet").names)
             if b in jnames and a in avail:
                 lk, rk = a, b
@@ -694,22 +782,22 @@ def _execute_select(sf_dir: str, stmt: Select) -> pd.DataFrame:
             rcols = ({c for c in need if c in jnames} - avail) | {rk}
             # a LATER join's left key may be provided by THIS table
             if lk not in root_names:
-                for _, _, _, rcols2, jnames2 in join_plan:
+                for _, _, _, rcols2, jnames2, _ in join_plan:
                     if lk in jnames2:
                         rcols2.add(lk)
                         break
-            join_plan.append((jt, lk, rk, rcols, jnames))
+            join_plan.append((jt, lk, rk, rcols, jnames, how))
             avail |= jnames
-        root_need = sorted((need | {lk for _, lk, _, _, _ in join_plan}) & root_names)
+        root_need = sorted((need | {lk for _, lk, _, _, _, _ in join_plan}) & root_names)
         ds = read(sf_dir, stmt.table, root_need or None)
         refs = [
-            (lk, rk, ray.put(read(sf_dir, jt, sorted(rcols)).to_pandas()))
-            for jt, lk, rk, rcols, _ in join_plan
+            (lk, rk, how, ray.put(read(sf_dir, jt, sorted(rcols)).to_pandas()))
+            for jt, lk, rk, rcols, _, how in join_plan
         ]
 
         def joiner(batch: pd.DataFrame) -> pd.DataFrame:
-            for lk, rk, ref in refs:
-                batch = batch.merge(ray.get(ref), left_on=lk, right_on=rk, how="inner")
+            for lk, rk, how, ref in refs:
+                batch = batch.merge(ray.get(ref), left_on=lk, right_on=rk, how=how)
             return batch
 
         ds = ds.map_batches(joiner, batch_format="pandas")
@@ -1018,6 +1106,31 @@ SQL_UNION = (
 )
 
 
+SQL_LEFT_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def sql_left_join(sf_dir: str) -> pd.DataFrame:
+    return execute_sql(sf_dir, SQL_LEFT_JOIN)
+
+
+SQL_IN_SUBQUERY = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+  AND o_totalprice > 150000
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def sql_in_subquery(sf_dir: str) -> pd.DataFrame:
+    return execute_sql(sf_dir, SQL_IN_SUBQUERY)
+
+
 SQL_GROUP_EXPR = """
 SELECT substr(p_type, 1, 5) AS type5, COUNT(*) AS n, SUM(p_size) AS total_size
 FROM part
@@ -1069,6 +1182,16 @@ PIPELINES: dict[str, Pipeline] = {
         sql_select,
         _twin(SQL_SELECT),
         "Parallel SQL handler: scan query (WHERE/IN/BETWEEN, ORDER BY, LIMIT) parsed + planned onto per-batch top-k",
+    ),
+    "sql_left_join": Pipeline(
+        sql_left_join,
+        SQL_LEFT_JOIN,
+        "Parallel SQL handler: LEFT OUTER equi-join (broadcast right side, how='left' merge) + grouped aggregate",
+    ),
+    "sql_in_subquery": Pipeline(
+        sql_in_subquery,
+        SQL_IN_SUBQUERY,
+        "Parallel SQL handler: IN (SELECT ...) — sub-select runs first, first column broadcast into the outer mask",
     ),
     "sql_group_expr": Pipeline(
         sql_group_expr,

@@ -357,3 +357,29 @@ def test_group_by_expression_count_distinct(ray_session):
         " COUNT(DISTINCT o_orderstatus) AS ds FROM orders"
         " GROUP BY length(o_orderpriority) ORDER BY plen",
     )
+
+
+def test_left_join_and_having_alias(ray_session):
+    duel(
+        "SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_orders"
+        " FROM customer LEFT JOIN orders ON o_custkey = c_custkey"
+        " GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
+    # HAVING referencing an output alias (DuckDB extension, both engines)
+    duel(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders"
+        " GROUP BY o_orderstatus HAVING n > 5 ORDER BY o_orderstatus"
+    )
+
+
+def test_in_subquery(ray_session):
+    duel(
+        "SELECT o_orderkey, o_custkey FROM orders"
+        " WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)"
+        " ORDER BY o_orderkey LIMIT 30"
+    )
+    duel(
+        "SELECT c_custkey, c_mktsegment FROM customer"
+        " WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        " ORDER BY c_custkey LIMIT 30"
+    )
