@@ -1145,6 +1145,44 @@ class IndexShard:
         sel = np.sort(by_grp[width < j])  # back to global rank order
         return docs[sel], scores[sel], vals[sel]
 
+    def top_groups_sorted(
+        self, node: QueryNode, idfs: dict[str, float], field: str, j: int,
+        sort_field: str, sort_asc: bool, sim: str = "bm25",
+    ):
+        """group.sort=<numeric dv field> asc|desc (TopGroupsCollector with
+        withinGroupSort ≠ main sort): per group this shard returns its top-j
+        docs BY THE GROUP SORT plus the group's best (score, doc) for group
+        ranking (groups still rank by their best hit under the main score
+        sort).  → (docs, scores, group vals, sort vals, gmax, gdoc)."""
+        docs, scores = self._eval(node, idfs, sim)
+        if not docs.size:
+            return None
+        dv = self._load_docvalues(field)
+        ndv = self._load_numeric_dv(sort_field)
+        if dv is None:
+            return None
+        if ndv is None:
+            raise KeyError(f"unknown numeric doc-values field {sort_field!r}")
+        fd, fv = dv
+        vals = fv[np.searchsorted(fd, docs)]
+        keep = np.array([v is not None for v in vals.tolist()], dtype=bool)
+        if not keep.any():
+            return None
+        docs, scores, vals = docs[keep], scores[keep].astype(np.float32), vals[keep]
+        nd, nv = ndv
+        sv = nv[np.searchsorted(nd, docs)]
+        import pandas as pd
+
+        df = pd.DataFrame({"doc": docs, "score": scores, "val": vals, "sv": sv})
+        best = df.sort_values(["score", "doc"], ascending=[False, True], kind="mergesort").drop_duplicates("val")
+        gmax = dict(zip(best["val"], best["score"]))
+        gdoc = dict(zip(best["val"], best["doc"]))
+        df = df.sort_values(["sv", "doc"], ascending=[sort_asc, True], kind="mergesort")
+        df = df.groupby("val", sort=False).head(j)
+        df["gmax"] = df["val"].map(gmax).astype(np.float32)
+        df["gdoc"] = df["val"].map(gdoc).astype(np.int64)
+        return df
+
     def facet_stats_partial(
         self, node: QueryNode, idfs: dict[str, float], field: str, stat_field: str, sim: str = "bm25"
     ):

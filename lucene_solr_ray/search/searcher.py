@@ -704,14 +704,20 @@ class Searcher:
         return out
 
     def search_grouped(
-        self, query: str, field: str, k: int = 10, group_limit: int = 2, similarity: str = "bm25"
+        self, query: str, field: str, k: int = 10, group_limit: int = 2, similarity: str = "bm25",
+        group_sort: str | None = None,
     ) -> list[tuple[str, list[tuple[int, float]]]]:
         """Result grouping (group=true&group.field=...&group.limit=j —
         the two-pass grouping collectors in one distributed pass): top-k
         GROUPS ranked by their best hit (score desc, docID asc), each with
         its own top-j docs.  Shards return ≤ j rows per group; the driver
         re-ranks within each group across shards.
-        → [(group_value, [(doc_id, score), ...]), ...]."""
+        → [(group_value, [(doc_id, score), ...]), ...].
+
+        `group_sort="turn_idx asc"` (group.sort — withinGroupSort): members
+        order by a numeric doc-values field instead of score; groups STILL
+        rank by their best hit under the score sort (each shard ships the
+        group's best (score, doc) alongside its group-sorted members)."""
         node = self._parse(query)
         if node is None:
             return []
@@ -719,6 +725,30 @@ class Searcher:
         if node is None:
             return []
         idfs = self._weights_for(node, similarity)
+        if group_sort is not None:
+            spec = self._parse_sort_spec(group_sort, True)
+            if len(spec) != 1:
+                raise ValueError("group.sort takes a single numeric field")
+            sfield, sasc = spec[0]
+            parts = [
+                p for p in self._scatter(
+                    "top_groups_sorted", node, idfs, field, group_limit, sfield, sasc, similarity
+                ) if p is not None
+            ]
+            if not parts:
+                return []
+            g = pd.concat(parts, ignore_index=True)
+            best = (
+                g.sort_values(["gmax", "gdoc"], ascending=[False, True], kind="mergesort")
+                .drop_duplicates("val")
+                .head(k)
+            )
+            g = g.sort_values(["sv", "doc"], ascending=[sasc, True], kind="mergesort")
+            out = []
+            for val in best["val"]:
+                rows = g[g["val"] == val].head(group_limit)
+                out.append((str(val), [(int(d), float(s)) for d, s in zip(rows["doc"], rows["score"])]))
+            return out
         parts = self._scatter("top_groups", node, idfs, field, group_limit, similarity)
         frames = [
             pd.DataFrame({"doc": d, "score": s, "val": v.astype(object)})

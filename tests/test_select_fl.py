@@ -67,3 +67,25 @@ def test_sorted_cursor_paging(searcher, oracle, corpus):  # noqa: F811
             pages.extend(page)
             after = page[-1]
         assert pages == full, (q, spec)
+
+
+def test_search_grouped_group_sort(searcher, oracle, corpus):  # noqa: F811
+    """group.sort=turn_idx asc|desc: groups still rank by best score hit;
+    members re-rank by the dv field — dueled vs brute force."""
+    _, full = corpus
+    role = full.column("role").to_pylist()
+    turn = full.column("turn_idx").to_numpy()
+    for q, asc in [("tool output", True), ("error ok", False)]:
+        ranked = oracle.search(q, 10**6)
+        groups = {}
+        for d, s in ranked:  # best-score order
+            v = role[d]
+            if v is not None:
+                groups.setdefault(v, []).append(d)
+        exp = []
+        for v in list(groups)[:5]:  # insertion order == best-hit order
+            members = sorted(groups[v], key=lambda d: (turn[d] if asc else -turn[d], d))[:3]
+            sc = dict(ranked)
+            exp.append((v, [(d, float(sc[d])) for d in members]))
+        got = searcher.search_grouped(q, "role", k=5, group_limit=3, group_sort=f"turn_idx {'asc' if asc else 'desc'}")
+        assert got == exp, (q, asc)
