@@ -1042,6 +1042,33 @@ class IndexShard:
         uniq, cnt = np.unique(vals[keep].astype(str), return_counts=True)
         return uniq.astype(object), cnt.astype(np.int64)
 
+    def facet_pair_counts(
+        self, node: QueryNode, idfs: dict[str, float], field1: str, field2: str, sim: str = "bm25"
+    ):
+        """Nested-terms facet partial over the match set (json.facet
+        {type:terms, field: f1, facet:{sub:{type:terms, field: f2}}} on
+        the /select path): per-shard (v1, v2) → count, bounded by the
+        value-domain product.  Docs missing EITHER field drop (the nested
+        bucket only counts docs that have a sub value; parent totals come
+        from facet_counts)."""
+        docs, _ = self._eval(node, idfs, sim)
+        if not docs.size:
+            return None
+        dv1, dv2 = self._load_docvalues(field1), self._load_docvalues(field2)
+        if dv1 is None or dv2 is None:
+            return None
+        v1 = dv1[1][np.searchsorted(dv1[0], docs)]
+        v2 = dv2[1][np.searchsorted(dv2[0], docs)]
+        keep = np.array(
+            [a is not None and b is not None for a, b in zip(v1.tolist(), v2.tolist())], dtype=bool
+        )
+        if not keep.any():
+            return None
+        import pandas as pd
+
+        df = pd.DataFrame({"v1": v1[keep].astype(str), "v2": v2[keep].astype(str)})
+        return df.groupby(["v1", "v2"], as_index=False).size().rename(columns={"size": "n"})
+
     def range_facet_counts(
         self,
         node: QueryNode,

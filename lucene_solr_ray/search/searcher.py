@@ -769,6 +769,40 @@ class Searcher:
             out.append((str(val), [(int(d), float(s)) for d, s in zip(rows["doc"], rows["score"])]))
         return out
 
+    def facet_nested(
+        self, query: str, field1: str, field2: str, limit1: int = 10, limit2: int = 10
+    ) -> list[tuple[str, int, list[tuple[str, int]]]]:
+        """Two-level nested terms facet over the match set (json.facet
+        {type:terms × type:terms} on the index path — FacetFieldProcessor
+        nesting): top parent buckets by (count desc, value asc), each with
+        its sub-field buckets in the same order.  One scatter: per-shard
+        (v1, v2) count partials summed on the driver (domain-product
+        bounded); parent counts are the sub-bucket sums, so parents count
+        only docs carrying BOTH fields (uniqueBlock-style nesting — use
+        facet_search for single-field totals)."""
+        node = self._parse(query)
+        if node is None:
+            return []
+        node = self._rewrite(node)
+        if node is None:
+            return []
+        idfs = self._weights_for(node)
+        parts = [
+            p for p in self._scatter("facet_pair_counts", node, idfs, field1, field2)
+            if p is not None
+        ]
+        if not parts:
+            return []
+        g = pd.concat(parts, ignore_index=True).groupby(["v1", "v2"], as_index=False)["n"].sum()
+        tot = g.groupby("v1", as_index=False)["n"].sum().sort_values(
+            ["n", "v1"], ascending=[False, True], kind="mergesort"
+        ).head(limit1)
+        out = []
+        for v1, n1 in zip(tot["v1"], tot["n"]):
+            sub = g[g["v1"] == v1].sort_values(["n", "v2"], ascending=[False, True], kind="mergesort").head(limit2)
+            out.append((str(v1), int(n1), [(str(v), int(c)) for v, c in zip(sub["v2"], sub["n"])]))
+        return out
+
     def facet_stats(
         self, query: str, field: str, stat_field: str, limit: int = 10
     ) -> list[dict]:

@@ -31,3 +31,32 @@ def test_facet_query_counts(searcher, oracle):  # noqa: F811
     assert all(v <= total for v in got.values())
     # empty base → all zero
     assert set(searcher.facet_query("zzzzqqq", fqs).values()) == {0}
+
+
+def test_facet_nested_duel(searcher, oracle, corpus):  # noqa: F811
+    """Nested terms×terms facet over the match set vs brute force: only
+    docs carrying BOTH fields count; bucket order (count desc, value asc)."""
+    import pyarrow as pa  # noqa: F401
+
+    _, full = corpus
+    role = full.column("role").to_pylist()
+    tool = full.column("tool").to_pylist()
+    for q in ("output", "error", "+role:tool bash"):
+        matches = [d for d, _ in oracle.search(q, 10**9)]
+        pairs = {}
+        for d in matches:
+            if role[d] is not None and tool[d] is not None:
+                pairs[(role[d], tool[d])] = pairs.get((role[d], tool[d]), 0) + 1
+        tots = {}
+        for (v1, _), c in pairs.items():
+            tots[v1] = tots.get(v1, 0) + c
+        exp = []
+        for v1 in sorted(tots, key=lambda v: (-tots[v], v))[:10]:
+            subs = sorted(
+                ((v2, c) for (p1, v2), c in pairs.items() if p1 == v1),
+                key=lambda t: (-t[1], t[0]),
+            )[:10]
+            exp.append((v1, tots[v1], subs))
+        assert searcher.facet_nested(q, "role", "tool") == exp, q
+    assert searcher.facet_nested("zzzznope", "role", "tool") == []
+    assert searcher.facet_nested("output", "role", "nosuchfield") == []
