@@ -1277,27 +1277,62 @@ class IndexShard:
         """(doc_id, float64 values) for a NUMERIC per-doc column (turn_idx,
         dl, norm_byte) from the norms segments — the DoubleValuesSource a
         FunctionScoreQuery reads (lucene/core/.../search/DoubleValues
-        Source.java)."""
+        Source.java).  Per-pid `dv_updates.parquet` sidecars (in-place
+        numeric doc-values updates, Lucene updateNumericDocValue) overlay
+        the base column at load."""
         cache = getattr(self, "_ndv_cache", None)
         if cache is None:
             cache = self._ndv_cache = {}
         if field not in cache:
+            import os
+
             import pyarrow as pa
 
             tables = []
+            overlays = []
             for p in self._docmap_paths:
                 sch = pq.read_schema(p)
                 if field in sch.names and sch.field(field).type.id not in (13, 14):  # not string/binary
                     tables.append(pq.read_table(p, columns=["doc_id", field]))
+                    side = os.path.join(os.path.dirname(p), "dv_updates.parquet")
+                    if os.path.exists(side):
+                        u = pq.read_table(side)
+                        m = np.asarray(u.column("field").to_pylist(), dtype=object) == field
+                        if m.any():
+                            overlays.append(
+                                (
+                                    u.column("doc_id").to_numpy()[m],
+                                    u.column("value").to_numpy()[m].astype(np.float64),
+                                )
+                            )
             if not tables:
                 cache[field] = None
             else:
                 t = pa.concat_tables(tables).sort_by("doc_id")
-                cache[field] = (
-                    t.column("doc_id").to_numpy(),
-                    t.column(field).to_numpy().astype(np.float64),
-                )
+                dd = t.column("doc_id").to_numpy()
+                vv = t.column(field).to_numpy().astype(np.float64).copy()
+                for ud, uv in overlays:
+                    pos = np.searchsorted(dd, ud)
+                    ok = (pos < dd.size) & (dd[np.minimum(pos, dd.size - 1)] == ud)
+                    vv[pos[ok]] = uv[ok]
+                cache[field] = (dd, vv)
         return cache[field]
+
+    def apply_dv_updates(self, field: str, docs: list[int], vals: list[float]) -> int:
+        """Live half of the in-place numeric doc-values update: patch the
+        loaded cache for `field` (a cold cache loads THROUGH the sidecar
+        the Searcher just wrote, so the patch is idempotent either way).
+        Returns the number of docs this actor owns."""
+        dv = self._load_numeric_dv(field)
+        if dv is None:
+            return 0
+        dd, vv = dv
+        ud = np.asarray(docs, dtype=np.int64)
+        uv = np.asarray(vals, dtype=np.float64)
+        pos = np.searchsorted(dd, ud)
+        ok = (pos < dd.size) & (dd[np.minimum(pos, dd.size - 1)] == ud)
+        vv[pos[ok]] = uv[ok]
+        return int(ok.sum())
 
     def _expr_columns(self, expr, docs: np.ndarray):
         """Materialize an expression's inputs for the GIVEN doc vector:

@@ -1597,6 +1597,41 @@ class Searcher:
             out.append(t.filter(pa.array(mask)))
         return pa.concat_tables(out) if out else None
 
+    def update_numeric_docvalues(self, field: str, updates: dict[int, float]) -> int:
+        """In-place numeric doc-values update (Lucene IndexWriter.
+        updateNumericDocValue / Solr in-place atomic updates on non-stored
+        numeric dv fields): no reindex — per-pid `dv_updates.parquet`
+        sidecars get the new values (tmp+rename commit, last-write-wins
+        merge with prior updates), and live actors patch their loaded
+        caches in place.  Scoring norms are untouched, exactly like the
+        reference (dv updates change sort/function/stats views only).
+        Returns the number of docs patched on live actors."""
+        if not updates:
+            return 0
+        inputs = self.manifest["config"]["inputs"]
+        bases = np.asarray([b for _, _, b in inputs], dtype=np.int64)
+        docs = np.asarray(sorted(updates), dtype=np.int64)
+        vals = np.asarray([float(updates[int(d)]) for d in docs], dtype=np.float64)
+        # validate: numeric stored column (not a dv_ keyword field)
+        seg0 = self.index_dir / "segments" / "pid=00000" / "norms.parquet"
+        sch = pq.read_schema(seg0)
+        if field not in sch.names or sch.field(field).type.id in (13, 14):
+            raise KeyError(f"not an updatable numeric doc-values field: {field!r}")
+        pids = np.searchsorted(bases, docs, side="right") - 1
+        for pid in np.unique(pids):
+            seg_dir = self.index_dir / "segments" / f"pid={int(pid):05d}"
+            side = seg_dir / "dv_updates.parquet"
+            m = pids == pid
+            new = pd.DataFrame({"doc_id": docs[m], "field": field, "value": vals[m]})
+            if side.exists():
+                old = pq.read_table(side).to_pandas()
+                old = old[~((old["field"] == field) & old["doc_id"].isin(new["doc_id"]))]
+                new = pd.concat([old, new], ignore_index=True)
+            tmp = seg_dir / ".dv_updates.parquet.tmp"
+            pq.write_table(pa.Table.from_pandas(new, preserve_index=False), tmp)
+            tmp.replace(side)
+        return int(sum(self._scatter("apply_dv_updates", field, docs.tolist(), vals.tolist())))
+
     def fetch_fields(self, doc_ids: list[int], fields: list[str]) -> pd.DataFrame:
         """fl= projection for SPECIFIC docs: numeric stored columns and
         keyword doc-values (`role` reads `dv_role`) from the pid-pruned
@@ -1628,6 +1663,13 @@ class Searcher:
                 t = t.filter(pa.array(mask))
                 df = pd.DataFrame({f: t.column(c).to_numpy(zero_copy_only=False) for f, c in cols.items()},
                                   index=t.column("doc_id").to_numpy())
+                side = seg.parent / "dv_updates.parquet"
+                if side.exists():  # in-place dv updates overlay stored reads too
+                    u = pq.read_table(side).to_pandas()
+                    for f in cols:
+                        uf = u[(u["field"] == f) & u["doc_id"].isin(df.index)]
+                        if len(uf):
+                            df.loc[uf["doc_id"].to_numpy(), f] = uf["value"].to_numpy()
                 frames.append(df)
             seg_df = pd.concat(frames) if frames else pd.DataFrame(columns=seg_fields)
             for f in seg_fields:

@@ -1,0 +1,50 @@
+"""In-place numeric doc-values updates (lucene/core IndexWriter.update
+NumericDocValue; Solr in-place atomic updates): sidecar overlay + live
+cache patch — sort/function/stats/fl views update, scoring norms don't."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.search import Searcher
+from tests.test_build_search import INDEX_DIR, corpus, index, oracle, searcher  # noqa: F401
+
+
+def test_dv_update_views_and_persistence(ray_session, index, corpus, tmp_path):
+    import shutil
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(INDEX_DIR, idx)
+    s = Searcher(idx)
+    try:
+        hits = s.search("tool output", 5)
+        docs = [d for d, _ in hits]
+        before = s.select("tool output", 5, fl=["turn_idx"])
+        # push every winner's turn_idx to a large sentinel
+        patched = s.update_numeric_docvalues("turn_idx", {d: 900 + i for i, d in enumerate(docs)})
+        assert patched == len(docs)
+        after = s.select("tool output", 5, fl=["turn_idx"])
+        assert after["turn_idx"].tolist() == [900 + i for i in range(len(docs))]
+        assert before["turn_idx"].tolist() != after["turn_idx"].tolist()
+        # sort view sees the update: the winners now have the LARGEST turn_idx
+        top = s.search_sorted("tool output", "turn_idx desc", len(docs))
+        assert sorted(d for d, _ in top) == sorted(docs)
+        # stats view
+        st = s.stats_field("tool output", "turn_idx")
+        assert st["max"] == 900 + len(docs) - 1
+        # scores (norms) unchanged by a dv update
+        assert s.search("tool output", 5) == hits
+        # second update overwrites (last-write-wins)
+        s.update_numeric_docvalues("turn_idx", {docs[0]: 5000})
+        assert s.stats_field("tool output", "turn_idx")["max"] == 5000
+        with pytest.raises(KeyError):
+            s.update_numeric_docvalues("role", {docs[0]: 1})  # keyword dv: not in-place-updatable
+    finally:
+        s.close()
+    # persistence: a FRESH Searcher (cold caches) reads the sidecars
+    s2 = Searcher(idx)
+    try:
+        assert s2.stats_field("tool output", "turn_idx")["max"] == 5000
+        t = s2.search_sorted("tool output", "turn_idx desc", 1)
+        assert t[0][1] == 5000.0
+    finally:
+        s2.close()
