@@ -76,6 +76,10 @@ SUITE = [
     "sample_per_key", "sql_scalar_fns", "group_query",
     "chunk_documents", "atomic_update_multivalued", "source_token_kl",
     "heavy_hitters", "ann_sq8_topk",
+    # round-4 fifth-session additions: line dedup, soft dedup reweighting,
+    # range-facet boundary flags, SQL join/subquery/group-expression
+    "line_dedup", "soft_dedup_weights", "range_facet_include",
+    "sql_left_join", "sql_in_subquery", "sql_group_expr",
 ]
 
 

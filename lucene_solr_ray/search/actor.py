@@ -943,16 +943,20 @@ class IndexShard:
         sim: str = "bm25",
         sel_op: str | None = None,
         sel_field: str | None = None,
+        null_policy: str = "ignore",
     ):
         """Shard-local query-time collapse (solr/core/.../search/
         CollapsingQParserPlugin.java): evaluate ALL matching docs, keep the
         group head per `field` doc-value group — by (score desc, docID asc)
         by default, or by min/max of a NUMERIC doc-values field when
         `sel_op`/`sel_field` are set (the plugin's min=/max= selectors; the
-        head still carries its QUERY score for ranking).  nullPolicy=ignore:
-        docs without a group value drop.  Returns at most one (doc, score,
-        group[, selector value]) per group PER SHARD — the driver merge is
-        bounded by the group domain, never the hit count."""
+        head still carries its QUERY score for ranking).  `null_policy`:
+        ignore drops field-less docs, expand lets each compete as its own
+        group (top-k cut per shard is safe — singleton groups), collapse
+        folds them into ONE null group (one head per shard).  Returns at
+        most one (doc, score, group[, selector value]) per group PER SHARD
+        — the driver merge is bounded by the group domain (+k for expand),
+        never the hit count."""
         docs, scores = self._eval(node, idfs, sim)
         empty = (_EMPTY_I64, _EMPTY_F64, np.empty(0, dtype=object), _EMPTY_F64)
         if not docs.size:
@@ -963,9 +967,23 @@ class IndexShard:
         fd, fv = dv
         vals = fv[np.searchsorted(fd, docs)]
         keep = np.array([v is not None for v in vals.tolist()], dtype=bool)
+        nd_, ns_ = docs[~keep], scores[~keep].astype(np.float32)  # null-group docs
         docs, scores, vals = docs[keep], scores[keep].astype(np.float32), vals[keep]
+
+        def with_nulls(res):
+            if null_policy == "ignore" or not nd_.size:
+                return res
+            order = np.lexsort((nd_, -ns_))
+            order = order[:1] if null_policy == "collapse" else order[:k]
+            return (
+                np.concatenate([res[0], nd_[order]]),
+                np.concatenate([res[1], ns_[order]]),
+                np.concatenate([res[2], np.full(order.size, None, dtype=object)]),
+                np.concatenate([res[3], np.zeros(order.size)]),
+            )
+
         if not docs.size:
-            return empty
+            return with_nulls(empty)
         if sel_op is None:
             # best per group: (score desc, doc asc) order, first per value
             order = np.lexsort((docs, -scores))
@@ -985,7 +1003,7 @@ class IndexShard:
         out_sel = selv_sorted[sel] if selv_sorted is not None else np.zeros(sel.size)
         # shard-local top-k groups is NOT safe to cut (another shard may
         # beat a group's best) — return all group winners (domain-bounded)
-        return docs[sel], scores[sel], vals[sel], out_sel
+        return with_nulls((docs[sel], scores[sel], vals[sel], out_sel))
 
     def expand_members(
         self,

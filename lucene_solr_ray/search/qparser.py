@@ -133,6 +133,7 @@ def dispatch(
                 similarity=similarity,
                 min_field=fparams.get("min"),
                 max_field=fparams.get("max"),
+                null_policy=fparams.get("nullPolicy", "ignore"),
             )
         if fname == "frange":
             # fq={!frange l=0 u=10 incl=true incu=false}expr — Solr's

@@ -1453,6 +1453,7 @@ class Searcher:
         similarity: str = "bm25",
         min_field: str | None = None,
         max_field: str | None = None,
+        null_policy: str = "ignore",
     ) -> list[tuple[int, float, str]]:
         """Query-time collapse on the index path ({!collapse field=...},
         CollapsingQParserPlugin): one head per `field` doc-value group,
@@ -1462,10 +1463,17 @@ class Searcher:
         keeps its QUERY score for ranking).  Each shard returns at most
         one candidate per group (shard-side doc-value gather), the driver
         keeps the winner per group across shards — merge traffic is
-        group-domain-bounded, never hit-count-bounded.  nullPolicy=ignore:
-        docs without the field drop.  → [(doc_id, score, group_value)]."""
+        group-domain-bounded, never hit-count-bounded.  `null_policy`
+        (the plugin's nullPolicy): ignore drops field-less docs, expand
+        keeps each as its own singleton group (group_value None), collapse
+        folds them into ONE null group.  → [(doc_id, score, group_value)].
+        """
         if min_field and max_field:
             raise ValueError("collapse takes min= or max=, not both")
+        if null_policy not in ("ignore", "expand", "collapse"):
+            raise ValueError(f"unknown nullPolicy {null_policy!r}")
+        if null_policy != "ignore" and (min_field or max_field):
+            raise ValueError("nullPolicy=expand|collapse composes with the score selector only")
         sel_op = "min" if min_field else ("max" if max_field else None)
         sel_field = min_field or max_field
         node = self._parse(query)
@@ -1476,7 +1484,7 @@ class Searcher:
             return []
         idfs = self._weights_for(node, similarity)
         parts = self._scatter(
-            "top_k_collapse", node, field, k, idfs, similarity, sel_op, sel_field
+            "top_k_collapse", node, field, k, idfs, similarity, sel_op, sel_field, null_policy
         )
         frames = [
             pd.DataFrame({"doc": d, "score": s, "val": v.astype(object), "sel": sv})
@@ -1486,13 +1494,22 @@ class Searcher:
         if not frames:
             return []
         g = pd.concat(frames)
+        # dedup key: null-group rows are singletons under expand, one
+        # group under collapse ("\x00" can't collide — dv values are text)
+        g["key"] = [
+            (f"\x00{d}" if null_policy == "expand" else "\x00") if v is None else v
+            for v, d in zip(g["val"], g["doc"])
+        ]
         if sel_op is None:
             g = g.sort_values(["score", "doc"], ascending=[False, True], kind="mergesort")
         else:
             g = g.sort_values(["sel", "doc"], ascending=[sel_op == "min", True], kind="mergesort")
-        g = g.drop_duplicates("val")
+        g = g.drop_duplicates("key")
         g = g.sort_values(["score", "doc"], ascending=[False, True], kind="mergesort").head(k)
-        return [(int(d), float(s), str(v)) for d, s, v in zip(g["doc"], g["score"], g["val"])]
+        return [
+            (int(d), float(s), None if v is None else str(v))
+            for d, s, v in zip(g["doc"], g["score"], g["val"])
+        ]
 
     def search_collapse_expand(
         self,

@@ -295,3 +295,44 @@ def test_stats_field_percentiles(searcher, corpus):  # noqa: F811
     # plain stats keys still present and unchanged by the percentile path
     base = searcher.stats_field("tool output", "turn_idx")
     assert {k: got[k] for k in base} == base
+
+
+def test_collapse_null_policy(searcher, oracle, corpus):  # noqa: F811
+    """nullPolicy=expand|collapse on the tool field (mostly null): expand
+    keeps each field-less doc as a singleton group; collapse folds them
+    into one — dueled vs brute force."""
+    _, full = corpus
+    tool = full.column("tool").to_pylist()
+    for q in ("output", "error ok"):
+        ranked = oracle.search(q, 10**6)
+        # --- expand: normal collapse heads + every null doc competes solo
+        seen, exp = set(), []
+        for d, s in ranked:
+            v = tool[d]
+            if v is None:
+                exp.append((d, float(s), None))
+            elif v not in seen:
+                seen.add(v)
+                exp.append((d, float(s), str(v)))
+        got = searcher.search_collapse(q, "tool", k=10, null_policy="expand")
+        assert got == exp[:10], q
+        # --- collapse: all nulls form ONE group headed by their best hit
+        seen, exp, null_done = set(), [], False
+        for d, s in ranked:
+            v = tool[d]
+            if v is None:
+                if not null_done:
+                    exp.append((d, float(s), None))
+                    null_done = True
+            elif v not in seen:
+                seen.add(v)
+                exp.append((d, float(s), str(v)))
+        got = searcher.search_collapse(q, "tool", k=10, null_policy="collapse")
+        assert got == exp[:10], q
+    # dispatcher carries the param
+    assert searcher.query("output", 10, fq="{!collapse field=tool nullPolicy=expand}") == \
+        searcher.search_collapse("output", "tool", 10, null_policy="expand")
+    with pytest.raises(ValueError):
+        searcher.search_collapse("output", "tool", 5, null_policy="expand", min_field="turn_idx")
+    with pytest.raises(ValueError):
+        searcher.search_collapse("output", "tool", 5, null_policy="bogus")
