@@ -336,3 +336,13 @@ def test_collapse_null_policy(searcher, oracle, corpus):  # noqa: F811
         searcher.search_collapse("output", "tool", 5, null_policy="expand", min_field="turn_idx")
     with pytest.raises(ValueError):
         searcher.search_collapse("output", "tool", 5, null_policy="bogus")
+
+
+def test_lucene_q_op_and(searcher):  # noqa: F811
+    """{!lucene q.op=AND}: unsigned clauses become MUST (QueryParser
+    default-operator contract); explicit signs keep their occur."""
+    assert searcher.query("{!lucene q.op=AND}error ok", 10) == searcher.search("+error +ok", 10)
+    assert searcher.query("{!lucene q.op=AND}error -ok", 10) == searcher.search("+error -ok", 10)
+    assert searcher.query("{!lucene q.op=AND}error", 10) == searcher.search("error", 10)
+    # default stays OR
+    assert searcher.query("{!lucene}error ok", 10) == searcher.search("error ok", 10)
