@@ -118,6 +118,30 @@ def dispatch(
         page = dispatch(searcher, q, k=start + k, similarity=similarity, fq=fq)
         return page[start:]
     if fq is not None:
+        fqs = fq if isinstance(fq, list) else [fq]
+        if all(not f.lstrip().startswith("{!") for f in fqs):
+            # plain filter queries (the everyday `fq=field:value` contract):
+            # each becomes a FILTER clause — must match, contributes no
+            # score (BooleanClause.Occur.FILTER); scores stay the main
+            # query's alone.  An fq that analyzes to nothing matches
+            # nothing (empty result, like a filter on a stopword).
+            qname, _, qbody = parse_local_params(q)
+            if qname != "lucene":
+                raise QParserError(f"plain fq composes with the default parser only, not {{!{qname}}}")
+            main = searcher._parse(qbody)
+            if main is None:
+                return []
+            from .query import QueryNode
+
+            clauses = [("MUST", main)]
+            for f in fqs:
+                fn = searcher._parse(f)
+                if fn is None:
+                    return []
+                clauses.append(("FILTER", fn))
+            return searcher.search_node(QueryNode("bool", clauses=clauses), k, similarity=similarity)
+        if len(fqs) > 1:
+            raise QParserError("only one {!...} local-params fq is supported per request")
         fname, fparams, fbody = parse_local_params(fq)
         qname, _, qbody = parse_local_params(q)
         if qname != "lucene":

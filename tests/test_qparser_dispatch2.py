@@ -346,3 +346,19 @@ def test_lucene_q_op_and(searcher):  # noqa: F811
     assert searcher.query("{!lucene q.op=AND}error", 10) == searcher.search("error", 10)
     # default stays OR
     assert searcher.query("{!lucene}error ok", 10) == searcher.search("error ok", 10)
+
+
+def test_plain_fq_filter_clauses(searcher, oracle, corpus):  # noqa: F811
+    """Plain fq=field:value (FILTER occur: must match, no score) — single
+    and repeated fq, dueled vs post-filtering the full main ranking."""
+    _, full = corpus
+    role = full.column("role").to_pylist()
+    tool = full.column("tool").to_pylist()
+    ranked = oracle.search("error output", 10**6)
+    exp1 = [(d, float(s)) for d, s in ranked if role[d] == "tool"][:10]
+    assert searcher.query("error output", 10, fq="role:tool") == exp1
+    exp2 = [(d, float(s)) for d, s in ranked if role[d] == "tool" and tool[d] == "bash"][:10]
+    assert searcher.query("error output", 10, fq=["role:tool", "tool:bash"]) == exp2
+    # fq matching nothing → empty; stopword-only fq → empty
+    assert searcher.query("error", 10, fq="role:nosuchrole") == []
+    assert searcher.query("error", 10, fq="the") == []
