@@ -506,7 +506,115 @@ ORDER BY source, token
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic curriculum interleave: the training-order schedule that
+# round-robins sources (doc with per-source rank r from source s trains at
+# global position = |{(r', s') < (r, s)}| — the standard "interleave
+# datasets by example index" mixing used by multi-corpus loaders).
+#
+# Scale shape — NO global sort: per-batch (source, range-bucket) count
+# partials (bounded: sources × buckets rows) → the driver exclusive-scans
+# per source over bucket totals and broadcasts base ranks + the per-source
+# size table → each range-bucket group computes local ranks, and positions
+# come from the CLOSED FORM over the size table:
+#   pos(r, s) = Σ_{s'} min(n_{s'}, r)  +  |{s' < s : n_{s'} > r}|
+# (docs with smaller rank, plus same-rank docs from earlier sources) —
+# integer-exact, O(sources) driver state, never O(docs).
+
+
+def interleave_order(sf_dir: str, nbuckets: int = 512):
+    """→ (doc_id, source, rnk, position) sorted by doc_id; `rnk` is the
+    doc's 0-based rank within its source (doc_id order), `position` its
+    0-based slot in the interleaved global schedule."""
+    import ray
+
+    docs = read(sf_dir, "documents", ["doc_id", "source"])
+
+    mx_df = docs.map_batches(
+        lambda b: pd.DataFrame({"m": np.asarray([b["doc_id"].max()] if len(b) else [], dtype=np.int64)}),
+        batch_format="pandas",
+    ).to_pandas()
+    if not len(mx_df):
+        return pd.DataFrame({"doc_id": [], "source": [], "rnk": [], "position": []})
+    width = int(mx_df["m"].max()) // nbuckets + 1
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"source": b["source"], "rb": b["doc_id"].to_numpy() // width, "cnt": 1})
+        return g.groupby(["source", "rb"], as_index=False)["cnt"].sum()
+
+    part = (
+        docs.map_batches(counts, batch_format="pandas")
+        .to_pandas()
+        .groupby(["source", "rb"], as_index=False)["cnt"]
+        .sum()
+    )
+    # per-source exclusive scan over the ≤ nbuckets bucket totals
+    part = part.sort_values(["source", "rb"], kind="mergesort")
+    part["base"] = part.groupby("source")["cnt"].cumsum() - part["cnt"]
+    bases = {(s, int(rb)): int(b) for s, rb, b in zip(part["source"], part["rb"], part["base"])}
+    sizes = part.groupby("source")["cnt"].sum().sort_index()
+    src_names = np.asarray(sizes.index, dtype=object)
+    src_sizes = sizes.to_numpy(dtype=np.int64)
+    n_sorted = np.sort(src_sizes)
+    n_prefix = np.concatenate([[0], np.cumsum(n_sorted)])
+    # prefix structures for |{s' < s : n_{s'} > r}|, per source index
+    prefix_sorted = [np.sort(src_sizes[:i]) for i in range(len(src_names))]
+    ref = ray.put((bases, {s: i for i, s in enumerate(src_names)}, src_sizes, n_sorted, n_prefix, prefix_sorted))
+
+    def rank_and_place(g: pd.DataFrame) -> pd.DataFrame:
+        bases, sidx, sizes_, nsort, npref, presort = ray.get(ref)
+        g = g.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        rb = g["doc_id"].to_numpy() // width
+        src = g["source"].to_numpy()
+        rnk = g.groupby("source").cumcount().to_numpy(dtype=np.int64)
+        rnk += np.asarray([bases[(s, int(b))] for s, b in zip(src, rb)], dtype=np.int64)
+        # term1: Σ min(n_s', r) = prefix_sum(n < r) + r · #(n ≥ r)
+        j = np.searchsorted(nsort, rnk, side="left")
+        term1 = npref[j] + rnk * (nsort.size - j)
+        # term2: earlier sources with n > r — vectorized per source group
+        term2 = np.zeros(len(g), dtype=np.int64)
+        for s in pd.unique(src):
+            m = src == s
+            pre = presort[sidx[s]]
+            term2[m] = pre.size - np.searchsorted(pre, rnk[m], side="right")
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"], "source": src, "rnk": rnk, "position": term1 + term2}
+        )
+
+    def add_rb(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rb"] = b["doc_id"].to_numpy() // width
+        return b
+
+    out = (
+        docs.map_batches(add_rb, batch_format="pandas")
+        .groupby("rb")
+        .map_groups(rank_and_place, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("doc_id", "rnk", "position"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+INTERLEAVE_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rnk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk,
+       CAST(ROW_NUMBER() OVER (ORDER BY rnk, source, doc_id) - 1 AS BIGINT) AS position
+FROM r ORDER BY doc_id
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "interleave_order": Pipeline(
+        interleave_order,
+        INTERLEAVE_SQL,
+        "deterministic curriculum interleave (round-robin sources by per-source rank) — closed-form positions, no global sort",
+    ),
     "gopher_quality_filter": Pipeline(
         gopher_quality_filter,
         GOPHER_SQL,

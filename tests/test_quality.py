@@ -133,3 +133,20 @@ def test_source_token_kl_properties(ray_session):
         assert float(g["contrib"].sum()) >= -1e-12, src
     # contributions are non-trivial (sources differ from the corpus mix)
     assert out["contrib"].abs().max() > 0
+
+
+def test_interleave_order_properties(ray_session):
+    """position is a permutation; round-robin property: the first
+    |sources| positions are rank-0 docs, one per source, in source order."""
+    from lucene_solr_ray.pipelines.quality import interleave_order
+
+    out = interleave_order("/root/testdata/sf0.001")
+    pos = out["position"].to_numpy()
+    assert sorted(pos.tolist()) == list(range(len(out)))
+    head = out.sort_values("position").head(out["source"].nunique())
+    assert (head["rnk"].to_numpy() == 0).all()
+    assert head["source"].tolist() == sorted(out["source"].unique())
+    # within a source, schedule order == doc_id order
+    for s, g in out.groupby("source"):
+        gg = g.sort_values("position")
+        assert gg["doc_id"].is_monotonic_increasing
