@@ -859,7 +859,211 @@ def semantic_dedup(sf_dir: str, tau: float = SEMDEDUP_TAU) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+# --------------------------------------------------------------------------
+# HNSW (lucene/core/.../codecs/lucene99/Lucene99HnswVectorsFormat +
+# util/hnsw/HnswGraphBuilder): the reference's ACTUAL kNN vector
+# structure.  Faithful to Lucene's deployment model: graphs are built PER
+# SEGMENT (here: per contiguous vec_id shard, one parallel Ray task each —
+# at 10^12 vectors each shard builds independently where its vectors
+# live), queries fan out to every shard graph and merge top-k, exactly
+# like per-segment HNSW search + TopDocs.merge.  Insertion is the
+# standard algorithm: exponential level assignment (mL = 1/ln M), greedy
+# descent above the node's level, ef-beam search + top-M neighbor cut at
+# each level at or below it (Lucene adds a diversity heuristic on the
+# cut; plain top-M holds recall at these sizes and keeps the kernel
+# simple).  Vectors are L2-normalized float32 at build → cosine = dot.
+
+_HNSW_M = 16
+_HNSW_EFC = 100
+
+
+def _hnsw_search_layer(vecs: np.ndarray, layer: dict, entries: list[int], q: np.ndarray, ef: int):
+    """ef-beam search of one layer → candidate ids sorted by sim desc."""
+    import heapq
+
+    visited = set(entries)
+    best: list[tuple[float, int]] = []  # min-heap of the ef best
+    cand: list[tuple[float, int]] = []  # max-heap via negation
+    for e in entries:
+        s = float(vecs[e] @ q)
+        heapq.heappush(best, (s, e))
+        heapq.heappush(cand, (-s, e))
+    while cand:
+        negs, c = heapq.heappop(cand)
+        if len(best) >= ef and -negs < best[0][0]:
+            break
+        for nb in layer.get(c, ()):
+            if nb in visited:
+                continue
+            visited.add(nb)
+            s = float(vecs[nb] @ q)
+            if len(best) < ef or s > best[0][0]:
+                heapq.heappush(best, (s, int(nb)))
+                heapq.heappush(cand, (-s, int(nb)))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    return [i for _, i in sorted(best, key=lambda t: (-t[0], t[1]))]
+
+
+def _hnsw_build_shard(vecs: np.ndarray, m: int = _HNSW_M, efc: int = _HNSW_EFC, seed: int = 0):
+    """→ (levels, [{node: neighbor array} per layer], entry node)."""
+    import math as _math
+
+    n = vecs.shape[0]
+    rng = np.random.default_rng([seed, n])
+    mL = 1.0 / _math.log(m)
+    levels = np.minimum((-np.log(1.0 - rng.random(n)) * mL).astype(np.int64), 8)
+    adj: list[dict] = [dict() for _ in range(int(levels.max()) + 1 if n else 1)]
+    if not n:
+        return levels, adj, -1
+    entry, entry_level = 0, int(levels[0])
+    for l in range(entry_level + 1):
+        adj[l][0] = np.empty(0, np.int64)
+    for i in range(1, n):
+        li = int(levels[i])
+        cur = [entry]
+        for l in range(entry_level, li, -1):  # greedy descent above li
+            cur = _hnsw_search_layer(vecs, adj[l], cur, vecs[i], 1)[:1]
+        for l in range(min(li, entry_level), -1, -1):
+            cand = _hnsw_search_layer(vecs, adj[l], cur, vecs[i], efc)
+            nbrs = np.asarray(cand[:m], np.int64)
+            adj[l][i] = nbrs
+            for nb in nbrs:  # back-links, pruned to the best m by sim
+                cur_n = np.append(adj[l].get(int(nb), np.empty(0, np.int64)), i)
+                if cur_n.size > m:
+                    sims = vecs[cur_n] @ vecs[nb]
+                    cur_n = cur_n[np.argsort(-sims, kind="stable")[:m]]
+                adj[l][int(nb)] = cur_n
+            cur = cand[:1] or cur
+        for l in range(entry_level + 1, li + 1):
+            adj[l][i] = np.empty(0, np.int64)
+        if li > entry_level:
+            entry, entry_level = i, li
+    return levels, adj, entry
+
+
+def build_hnsw_index(sf_dir: str, shards: int = 4, force: bool = False) -> Path:
+    """Per-shard HNSW graphs persisted like Lucene segments: each shard
+    holds its normalized float32 vectors (.npy), its edge list parquet
+    (level, src, dst — local indices), ids, and entry point.  Shard builds
+    run as PARALLEL Ray tasks (per-segment graph construction)."""
+    import shutil
+
+    import ray
+
+    d = _index_dir("hnsw", sf_dir)
+    fp = _source_fingerprint(sf_dir)
+    if _index_is_fresh(d, fp) and not force:
+        return d
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids_all = t.column("vec_id").to_numpy()
+    vecs_all = np.stack(t.column("embedding").to_pylist()).astype(np.float32)
+    vecs_all /= np.linalg.norm(vecs_all, axis=1, keepdims=True)
+    bounds = np.linspace(0, len(ids_all), shards + 1).astype(int)
+
+    @ray.remote
+    def build_one(ids: np.ndarray, vecs: np.ndarray, si: int):
+        levels, adj, entry = _hnsw_build_shard(vecs, seed=si)
+        rows = [
+            (l, src, int(dst))
+            for l, layer in enumerate(adj)
+            for src, nbrs in layer.items()
+            for dst in nbrs
+        ]
+        edges = pd.DataFrame(rows, columns=["level", "src", "dst"]) if rows else pd.DataFrame(
+            {"level": pd.Series([], dtype="int64"), "src": pd.Series([], dtype="int64"),
+             "dst": pd.Series([], dtype="int64")}
+        )
+        return ids, vecs, edges, entry
+
+    parts = ray.get(
+        [
+            build_one.remote(ids_all[a:b], vecs_all[a:b], si)
+            for si, (a, b) in enumerate(zip(bounds[:-1], bounds[1:]))
+            if b > a
+        ]
+    )
+    tmp = d.with_suffix(".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(d, ignore_errors=True)
+    tmp.mkdir(parents=True)
+    for si, (ids, vecs, edges, entry) in enumerate(parts):
+        sd = tmp / f"shard={si:03d}"
+        sd.mkdir()
+        np.save(sd / "vectors.npy", vecs)
+        np.save(sd / "ids.npy", ids)
+        import pyarrow as pa
+
+        pq.write_table(pa.Table.from_pandas(edges, preserve_index=False), sd / "edges.parquet")
+        (sd / "meta.json").write_text(json.dumps({"entry": int(entry)}))
+    (tmp / "manifest.json").write_text(
+        json.dumps({"source_fp": fp, "shards": len(parts), "m": _HNSW_M, "efc": _HNSW_EFC})
+    )
+    os.replace(tmp, d)
+    return d
+
+
+def _hnsw_load_shard(sd: Path):
+    vecs = np.load(sd / "vectors.npy")
+    ids = np.load(sd / "ids.npy")
+    e = pq.read_table(sd / "edges.parquet").to_pandas()
+    n_levels = int(e["level"].max()) + 1 if len(e) else 1
+    adj: list[dict] = [dict() for _ in range(n_levels)]
+    for l, g in e.groupby("level"):
+        gg = g.sort_values("src", kind="mergesort")
+        srcs = gg["src"].to_numpy()
+        dsts = gg["dst"].to_numpy()
+        cut = np.flatnonzero(np.concatenate(([True], srcs[1:] != srcs[:-1])))
+        for s0, a, b in zip(srcs[cut], cut, np.append(cut[1:], srcs.size)):
+            adj[int(l)][int(s0)] = dsts[a:b]
+        # nodes with no out-edges at this level still exist as entries
+    entry = json.loads((sd / "meta.json").read_text())["entry"]
+    return ids, vecs, adj, entry
+
+
+def ann_hnsw_topk(sf_dir: str, k: int = 10, ef: int = 64):
+    """Per-shard HNSW beam search fanned out as Ray tasks, driver merges
+    k·shards candidates (per-segment search + TopDocs.merge).  → one row
+    per hit (vec_id, sim) by (sim desc, vec_id)."""
+    import ray
+
+    d = build_hnsw_index(sf_dir)
+    q = _query_vec(sf_dir)
+    qn = (q / np.linalg.norm(q)).astype(np.float32)
+    qref = ray.put(qn)
+
+    @ray.remote
+    def search_one(sd: str, k: int, ef: int):
+        ids, vecs, adj, entry = _hnsw_load_shard(Path(sd))
+        if entry < 0 or not len(ids):
+            return pd.DataFrame({"vec_id": [], "sim": []})
+        qv = ray.get(qref)
+        cur = [entry]
+        for l in range(len(adj) - 1, 0, -1):
+            cur = _hnsw_search_layer(vecs, adj[l], cur, qv, 1)[:1]
+        cand = _hnsw_search_layer(vecs, adj[0], cur, qv, max(ef, k))
+        top = cand[:k]
+        return pd.DataFrame(
+            {"vec_id": ids[top], "sim": (vecs[top] @ qv).astype(np.float64)}
+        )
+
+    shard_dirs = sorted(str(p) for p in d.glob("shard=*"))
+    parts = ray.get([search_one.remote(sd, k, ef) for sd in shard_dirs])
+    out = pd.concat(parts, ignore_index=True)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return (
+        out.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "ann_hnsw_topk": Pipeline(
+        ann_hnsw_topk,
+        None,
+        "per-shard HNSW graphs (Lucene99HnswVectorsFormat / per-segment model): parallel builds, fan-out beam search, TopDocs-style merge; recall-tested in pytest",
+    ),
     "ann_cosine_topk": Pipeline(ann_cosine_topk, ANN_COSINE_SQL, "brute-force cosine top-k (similarity baseline)"),
     "ann_filtered_topk": Pipeline(
         ann_filtered_topk, ANN_FILTERED_SQL, "metadata-filtered vector search (KnnFloatVectorQuery + filter): predicate pushed into the read"
