@@ -1005,6 +1005,51 @@ class IndexShard:
         # beat a group's best) — return all group winners (domain-bounded)
         return with_nulls((docs[sel], scores[sel], vals[sel], out_sel))
 
+    def export_shard_sorted(
+        self,
+        node: QueryNode,
+        idfs: dict[str, float],
+        sort_field: str,
+        asc: bool,
+        fl: list[str],
+        out_dir: str,
+    ):
+        """/export handler shard half (solr/core/.../handler/export/
+        ExportWriter.java): this shard's FULL match set sorted by a
+        numeric dv field, written straight to a parquet part — rows never
+        cross the wire; only the part path returns.  `fl` adds numeric dv
+        columns."""
+        import os
+
+        docs, _ = self._eval(node, idfs, "bm25")
+        if not docs.size:
+            return None
+        ndv = self._load_numeric_dv(sort_field)
+        if ndv is None:
+            raise KeyError(f"unknown numeric doc-values field {sort_field!r}")
+        fd, fv = ndv
+        vals = fv[np.searchsorted(fd, docs)]
+        order = np.lexsort((docs, vals if asc else -vals))
+        cols = {"doc_id": docs[order], sort_field: vals[order]}
+        for f in fl:
+            if f == sort_field:
+                continue
+            xdv = self._load_numeric_dv(f)
+            if xdv is None:
+                raise KeyError(f"unknown fl field {f!r}")
+            cols[f] = xdv[1][np.searchsorted(xdv[0], docs)][order]
+        import uuid
+
+        import pyarrow as pa
+
+        os.makedirs(out_dir, exist_ok=True)
+        tag = uuid.uuid4().hex[:12]
+        path = os.path.join(out_dir, f"part-{tag}.parquet")
+        tmp = os.path.join(out_dir, f".part-{tag}.tmp")
+        pq.write_table(pa.table(cols), tmp)
+        os.replace(tmp, path)
+        return path
+
     def expand_members(
         self,
         node: QueryNode,

@@ -1614,6 +1614,100 @@ class Searcher:
             out.append(t.filter(pa.array(mask)))
         return pa.concat_tables(out) if out else None
 
+    def export(
+        self,
+        query: str,
+        sort_field: str,
+        out_path: str,
+        fl: list[str] | None = None,
+        ascending: bool = True,
+        batch_rows: int = 8192,
+    ) -> int:
+        """/export handler (ExportWriter): the FULL match set globally
+        sorted by a numeric dv field, streamed to ONE parquet file.  Each
+        shard writes its sorted part locally (rows never transit the
+        driver scatter); the driver runs a chunked k-way merge — per-part
+        buffers of `batch_rows`, safe-emit bound = min over unexhausted
+        parts of their last buffered key — so driver memory is
+        O(parts × batch_rows), never O(result).  Returns the row count."""
+        node = self._parse(query)
+        if node is None:
+            node_parts: list = []
+        else:
+            node = self._rewrite(node)
+            node_parts = [node] if node is not None else []
+        import shutil
+        import tempfile
+
+        tmp_dir = tempfile.mkdtemp(prefix="lsr_export_")
+        writer = None
+        total = 0
+        try:
+            paths = []
+            if node_parts:
+                idfs = self._weights_for(node)
+                paths = [
+                    p
+                    for p in self._scatter(
+                        "export_shard_sorted",
+                        node,
+                        idfs,
+                        sort_field,
+                        ascending,
+                        list(fl or []),
+                        tmp_dir,
+                    )
+                    if p is not None
+                ]
+            readers = [pq.ParquetFile(p).iter_batches(batch_size=batch_rows) for p in paths]
+            bufs: list[pd.DataFrame | None] = []
+            for r in readers:
+                try:
+                    bufs.append(next(r).to_pandas())
+                except StopIteration:
+                    bufs.append(None)
+            sgn = 1.0 if ascending else -1.0
+
+            def key_last(df):
+                return (sgn * df[sort_field].iloc[-1], df["doc_id"].iloc[-1])
+
+            while any(b is not None for b in bufs):
+                bound = min(key_last(b) for b in bufs if b is not None)
+                emit, keep = [], []
+                for i, b in enumerate(bufs):
+                    if b is None:
+                        continue
+                    kv = sgn * b[sort_field].to_numpy()
+                    kd = b["doc_id"].to_numpy()
+                    mask = (kv < bound[0]) | ((kv == bound[0]) & (kd <= bound[1]))
+                    emit.append(b[mask])
+                    rest = b[~mask]
+                    if len(rest):
+                        bufs[i] = rest.reset_index(drop=True)
+                    else:
+                        try:
+                            bufs[i] = next(readers[i]).to_pandas()
+                        except StopIteration:
+                            bufs[i] = None
+                chunk = pd.concat(emit, ignore_index=True)
+                chunk["_k"] = sgn * chunk[sort_field].to_numpy()
+                chunk = chunk.sort_values(["_k", "doc_id"], kind="mergesort").drop(columns="_k")
+                tbl = pa.Table.from_pandas(chunk, preserve_index=False)
+                if writer is None:
+                    writer = pq.ParquetWriter(out_path, tbl.schema)
+                writer.write_table(tbl)
+                total += len(chunk)
+        finally:
+            if writer is not None:
+                writer.close()
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+        if writer is None:  # empty result: still produce a valid file
+            pq.write_table(
+                pa.table({"doc_id": pa.array([], pa.int64()), sort_field: pa.array([], pa.float64())}),
+                out_path,
+            )
+        return total
+
     def update_numeric_docvalues(self, field: str, updates: dict[int, float]) -> int:
         """In-place numeric doc-values update (Lucene IndexWriter.
         updateNumericDocValue / Solr in-place atomic updates on non-stored

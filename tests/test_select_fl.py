@@ -89,3 +89,28 @@ def test_search_grouped_group_sort(searcher, oracle, corpus):  # noqa: F811
             exp.append((v, [(d, float(sc[d])) for d in members]))
         got = searcher.search_grouped(q, "role", k=5, group_limit=3, group_sort=f"turn_idx {'asc' if asc else 'desc'}")
         assert got == exp, (q, asc)
+
+
+def test_export_streamed_sorted(searcher, oracle, corpus, tmp_path):  # noqa: F811
+    """/export: full match set globally sorted, streamed through the
+    chunked k-way merge (tiny batch_rows forces many merge rounds) —
+    byte-identical to the brute-force ordering, asc and desc."""
+    import pyarrow.parquet as pq
+
+    _, full = corpus
+    turn = full.column("turn_idx").to_numpy().astype(np.float64)
+    dl_like = None
+    for asc in (True, False):
+        out = str(tmp_path / f"exp_{asc}.parquet")
+        n = searcher.export("tool output", "turn_idx", out, fl=["dl"], ascending=asc, batch_rows=64)
+        t = pq.read_table(out).to_pandas()
+        matches = [d for d, _ in oracle.search("tool output", 10**9)]
+        order = sorted(matches, key=lambda d: ((turn[d] if asc else -turn[d]), d))
+        assert n == len(order) == len(t)
+        assert t["doc_id"].tolist() == order
+        assert t["turn_idx"].tolist() == [turn[d] for d in order]
+        assert "dl" in t.columns
+    # empty result still writes a valid file
+    out0 = str(tmp_path / "empty.parquet")
+    assert searcher.export("zzzznope", "turn_idx", out0) == 0
+    assert len(pq.read_table(out0)) == 0
