@@ -1022,14 +1022,18 @@ def _hnsw_load_shard(sd: Path):
 
 
 def ann_hnsw_topk(sf_dir: str, k: int = 10, ef: int = 64):
+    """Gate wrapper: HNSW top-k for the standard query vector (vec 0)."""
+    return hnsw_search(sf_dir, _query_vec(sf_dir), k, ef)
+
+
+def hnsw_search(sf_dir: str, q: np.ndarray, k: int = 10, ef: int = 64):
     """Per-shard HNSW beam search fanned out as Ray tasks, driver merges
     k·shards candidates (per-segment search + TopDocs.merge).  → one row
     per hit (vec_id, sim) by (sim desc, vec_id)."""
     import ray
 
     d = build_hnsw_index(sf_dir)
-    q = _query_vec(sf_dir)
-    qn = (q / np.linalg.norm(q)).astype(np.float32)
+    qn = (np.asarray(q, dtype=np.float64) / np.linalg.norm(q)).astype(np.float32)
     qref = ray.put(qn)
 
     @ray.remote

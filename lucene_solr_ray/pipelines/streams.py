@@ -959,6 +959,11 @@ def _knn_search(ctx: Ctx, e: Expr) -> SRes:
     qid = int(str(e.params["id"]))
     field_name = str(e.params.get("field", "embedding"))
     k = int(str(e.params.get("k", 10)))
+    use_hnsw = str(e.params.get("method", "")).lower() == "hnsw"
+    if use_hnsw and (table != "embeddings" or field_name != "embedding"):
+        # route through the persisted per-shard HNSW graphs (Solr 9 {!knn}
+        # runs on Lucene's HNSW format); approximate — exact path below
+        raise StreamExprError("knnSearch method=hnsw serves the embeddings.embedding index only")
     qrow = pq.read_table(
         f"{ctx.sf_dir}/{table}.parquet",
         columns=["vec_id", field_name],
@@ -968,6 +973,19 @@ def _knn_search(ctx: Ctx, e: Expr) -> SRes:
         raise StreamExprError(f"knnSearch: vec_id {qid} not found")
     q = np.asarray(list(qrow[field_name].iloc[0]), dtype=np.float64)
     qn = q / np.linalg.norm(q)
+    if use_hnsw:
+        from .ann import hnsw_search
+
+        top = hnsw_search(ctx.sf_dir, q, k).copy()
+        top["sim"] = top["sim"].astype(np.float64)
+        df = pd.DataFrame(
+            {
+                "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+                "vec_id": top["vec_id"].astype("int64"),
+                "sim": top["sim"],
+            }
+        )
+        return SRes(df=df, sort=[("rank", True)])
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         m = np.stack(batch[field_name].to_numpy()).astype(np.float64)

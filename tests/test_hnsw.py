@@ -46,3 +46,19 @@ def test_hnsw_pipeline_and_persistence(ray_session):
     # idempotent reuse: same manifest, identical results
     assert build_hnsw_index(SF) == d
     pd.testing.assert_frame_equal(ann_hnsw_topk(SF, 10), got)
+
+
+def test_knnsearch_stream_hnsw_route(ray_session):
+    """knnSearch(..., method=hnsw) routes through the persisted graphs and
+    agrees with the exact stream on this corpus (self-hit first)."""
+    import pytest
+
+    from lucene_solr_ray.pipelines.streams import StreamExprError, run_expr
+
+    exact = run_expr("knnSearch(embeddings, id=0, k=5)", SF)
+    approx = run_expr("knnSearch(embeddings, id=0, k=5, method=hnsw)", SF)
+    assert list(approx.columns) == list(exact.columns)
+    assert approx["vec_id"].iloc[0] == 0 and approx["rank"].tolist() == [1, 2, 3, 4, 5]
+    assert len(set(approx["vec_id"]) & set(exact["vec_id"])) >= 4
+    with pytest.raises(StreamExprError):
+        run_expr("knnSearch(events, id=0, k=5, method=hnsw)", SF)
