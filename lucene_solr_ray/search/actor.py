@@ -1093,17 +1093,19 @@ class IndexShard:
         concern)."""
         docs, _ = self._eval(node, idfs, sim)
         if not docs.size:
-            return np.empty(0, dtype=object), _EMPTY_I64
+            return np.empty(0, dtype=object), _EMPTY_I64, 0
         dv = self._load_docvalues(field)
         if dv is None:
-            return np.empty(0, dtype=object), _EMPTY_I64
+            # no dv column at all: every match counts as missing
+            return np.empty(0, dtype=object), _EMPTY_I64, int(docs.size)
         fd, fv = dv
         vals = fv[np.searchsorted(fd, docs)]
         keep = np.array([v is not None for v in vals.tolist()], dtype=bool)
+        n_missing = int((~keep).sum())
         if not keep.any():
-            return np.empty(0, dtype=object), _EMPTY_I64
+            return np.empty(0, dtype=object), _EMPTY_I64, n_missing
         uniq, cnt = np.unique(vals[keep].astype(str), return_counts=True)
-        return uniq.astype(object), cnt.astype(np.int64)
+        return uniq.astype(object), cnt.astype(np.int64), n_missing
 
     def facet_pair_counts(
         self, node: QueryNode, idfs: dict[str, float], field1: str, field2: str, sim: str = "bm25"

@@ -612,12 +612,16 @@ class Searcher:
         out.sort(key=lambda p: (-p[1], p[0]))
         return out[:limit]
 
-    def facet_search(self, query: str, field: str, limit: int = 10) -> list[tuple[str, int]]:
+    def facet_search(
+        self, query: str, field: str, limit: int = 10, missing: bool = False
+    ) -> list[tuple[str | None, int]]:
         """Query-scoped field facet (/select?q=...&facet.field=... —
         SimpleFacets.getFacetFieldCounts over the query's DocSet): counts
         per `field` value across the MATCH SET, ranked (count desc, value
         asc).  Each shard returns its value→count partial (bounded by the
-        value domain); the driver sums — never hit-count traffic."""
+        value domain); the driver sums — never hit-count traffic.
+        `missing=True` appends the facet.missing bucket (value None) after
+        the limit cut, like the reference."""
         node = self._parse(query)
         if node is None:
             return []
@@ -626,11 +630,15 @@ class Searcher:
             return []
         idfs = self._weights_for(node, "bm25")
         agg: dict[str, int] = {}
-        for vals, cnts in self._scatter("facet_counts", node, idfs, field):
+        n_missing = 0
+        for vals, cnts, nm in self._scatter("facet_counts", node, idfs, field):
+            n_missing += nm
             for v, c in zip(vals.tolist(), cnts.tolist()):
                 agg[v] = agg.get(v, 0) + c
-        out = sorted(agg.items(), key=lambda p: (-p[1], p[0]))
-        return out[:limit]
+        out = sorted(agg.items(), key=lambda p: (-p[1], p[0]))[:limit]
+        if missing:
+            out.append((None, n_missing))
+        return out
 
     def facet_range(
         self, query: str, field: str, start: float, end: float, gap: float

@@ -362,3 +362,18 @@ def test_plain_fq_filter_clauses(searcher, oracle, corpus):  # noqa: F811
     # fq matching nothing → empty; stopword-only fq → empty
     assert searcher.query("error", 10, fq="role:nosuchrole") == []
     assert searcher.query("error", 10, fq="the") == []
+
+
+def test_facet_search_missing_bucket(searcher, corpus):  # noqa: F811
+    """facet.missing: the None bucket counts match-set docs WITHOUT the
+    field (tool is mostly null) — appended after the limit cut."""
+    _, full = corpus
+    tool = full.column("tool").to_pylist()
+    hits = [d for d, _ in searcher.search("output", 10**6)]
+    out = searcher.facet_search("output", "tool", limit=3, missing=True)
+    assert out[-1][0] is None
+    assert out[-1][1] == sum(1 for d in hits if tool[d] is None)
+    assert len(out) <= 4
+    # unknown field: everything missing
+    allmiss = searcher.facet_search("output", "nosuchfield", missing=True)
+    assert allmiss == [(None, len(hits))]
