@@ -689,32 +689,40 @@ def execute_sql(sf_dir: str, sql: str) -> pd.DataFrame:
     return _execute_select(sf_dir, stmt)
 
 
-def _walk_replace(e, fn):
+def _walk_replace(e, fn, into_aggs: bool = True):
     """Bottom-up structural rewrite over the boolean/scalar expression
-    tree (Agg arguments included — they evaluate over raw batches too)."""
+    tree.  `into_aggs=False` leaves Agg subtrees untouched — required for
+    POST-plan substitutions, where a rewritten Agg would no longer match
+    its partial-column key."""
+    def w(x):
+        return _walk_replace(x, fn, into_aggs)
+
     if isinstance(e, Bin):
-        e = Bin(e.op, _walk_replace(e.left, fn), _walk_replace(e.right, fn))
+        e = Bin(e.op, w(e.left), w(e.right))
     elif isinstance(e, Un):
-        e = Un(e.op, _walk_replace(e.arg, fn))
+        e = Un(e.op, w(e.arg))
     elif isinstance(e, Func):
-        e = Func(e.fn, [_walk_replace(a, fn) for a in e.args])
+        e = Func(e.fn, [w(a) for a in e.args])
     elif isinstance(e, Case):
         e = Case(
-            [(_walk_replace(c, fn), _walk_replace(v, fn)) for c, v in e.whens],
-            None if e.default is None else _walk_replace(e.default, fn),
+            [(w(c), w(v)) for c, v in e.whens],
+            None if e.default is None else w(e.default),
         )
     elif isinstance(e, InList):
-        e = InList(_walk_replace(e.expr, fn), [_walk_replace(i, fn) for i in e.items], e.negated)
+        e = InList(w(e.expr), [w(i) for i in e.items], e.negated)
     elif isinstance(e, Between):
-        e = Between(_walk_replace(e.expr, fn), _walk_replace(e.lo, fn), _walk_replace(e.hi, fn), e.negated)
+        e = Between(w(e.expr), w(e.lo), w(e.hi), e.negated)
     elif isinstance(e, Like):
-        e = Like(_walk_replace(e.expr, fn), e.pattern, e.negated)
+        e = Like(w(e.expr), e.pattern, e.negated)
     elif isinstance(e, IsNull):
-        e = IsNull(_walk_replace(e.expr, fn), e.negated)
-    elif isinstance(e, Agg) and e.arg is not None:
-        e = Agg(e.fn, _walk_replace(e.arg, fn), e.distinct)
+        e = IsNull(w(e.expr), e.negated)
+    elif isinstance(e, Agg):
+        if not into_aggs:
+            return e
+        if e.arg is not None:
+            e = Agg(e.fn, w(e.arg), e.distinct)
     elif isinstance(e, InSubquery):
-        e = InSubquery(_walk_replace(e.expr, fn), e.select, e.negated)
+        e = InSubquery(w(e.expr), e.select, e.negated)
     return fn(e)
 
 
@@ -944,23 +952,18 @@ def _execute_select(sf_dir: str, stmt: Select) -> pd.DataFrame:
             aggcol[("count", dkey)] = colname
         assert merged is not None
 
-        def sub_g(e):
-            """A select/HAVING expression structurally equal to a GROUP BY
-            expression reads the computed group-key column (its inputs no
-            longer exist after the merge)."""
+        def _map_group_expr(e):
             for synth, ge in stmt.group_exprs.items():
                 if e == ge:
                     return Col(synth)
-            if isinstance(e, Bin):
-                return Bin(e.op, sub_g(e.left), sub_g(e.right))
-            if isinstance(e, Un):
-                return Un(e.op, sub_g(e.arg))
-            if isinstance(e, Func):
-                return Func(e.fn, [sub_g(a) for a in e.args])
-            if isinstance(e, Case):
-                return Case([(sub_g(c), sub_g(v)) for c, v in e.whens],
-                            None if e.default is None else sub_g(e.default))
             return e
+
+        def sub_g(e):
+            """A select/HAVING expression structurally equal to a GROUP BY
+            expression reads the computed group-key column (its inputs no
+            longer exist after the merge) — full-tree rewrite, predicates
+            (IN/BETWEEN/LIKE/IS NULL) included."""
+            return _walk_replace(e, _map_group_expr, into_aggs=False)
 
         if stmt.having is not None:
             merged = merged[np.asarray(_eval_with_aggs(sub_g(stmt.having), merged, aggcol), dtype=bool)]

@@ -1167,14 +1167,20 @@ class IndexShard:
             counts[1:-1] += np.bincount(idx, minlength=n_buckets)
         return counts
 
-    def stats_partial(self, node: QueryNode, idfs: dict[str, float], field: str, sim: str = "bm25"):
+    def stats_partial(
+        self, node: QueryNode, idfs: dict[str, float], field: str, sim: str = "bm25",
+        with_digest: bool = False,
+    ):
         """Per-shard StatsComponent partial over the match set: (count,
         Σx, Σx², min, max) with the sums in EXACT int64 arithmetic when the
         doc-values column is integral (turn_idx, dl) — partials merge
-        exactly in any order, so the driver result is deterministic."""
+        exactly in any order, so the driver result is deterministic.
+        `with_digest=True` appends the t-digest centroid arrays (stats.
+        percentiles) so ONE scatter carries both — the query evaluates
+        once."""
         docs, _ = self._eval(node, idfs, sim)
         if not docs.size:
-            return (0, 0, 0, None, None)
+            return (0, 0, 0, None, None) + ((None,) if with_digest else ())
         dv = self._load_numeric_dv(field)
         if dv is None:
             raise KeyError(f"unknown numeric doc-values field {field!r}")
@@ -1183,29 +1189,19 @@ class IndexShard:
         iv = vals.astype(np.int64)
         if not np.array_equal(iv.astype(np.float64), vals):
             raise ValueError(f"stats over non-integral doc values field {field!r} unsupported")
-        return (
+        out = (
             int(docs.size),
             int(iv.sum(dtype=object)),
             int((iv.astype(object) * iv.astype(object)).sum()),
             int(iv.min()),
             int(iv.max()),
         )
+        if with_digest:
+            from ..state.tdigest import TDigest
 
-    def stats_tdigest_partial(self, node: QueryNode, idfs: dict[str, float], field: str, sim: str = "bm25"):
-        """Per-shard t-digest sketch of a numeric doc-values field over the
-        match set (StatsComponent `percentiles` — Solr uses t-digest too):
-        → (means, weights) centroid arrays, mergeable on the driver."""
-        docs, _ = self._eval(node, idfs, sim)
-        if not docs.size:
-            return None
-        dv = self._load_numeric_dv(field)
-        if dv is None:
-            raise KeyError(f"unknown numeric doc-values field {field!r}")
-        fd, fv = dv
-        from ..state.tdigest import TDigest
-
-        td = TDigest.of(fv[np.searchsorted(fd, docs)])
-        return td.means, td.weights
+            td = TDigest.of(vals)
+            out = out + ((td.means, td.weights),)
+        return out
 
     def top_groups(self, node: QueryNode, idfs: dict[str, float], field: str, j: int, sim: str = "bm25"):
         """Per-shard grouped-search partial (grouping collectors, SURVEY

@@ -92,6 +92,21 @@ def _subquery_node(searcher, s: str):
     return searcher._parse(s)
 
 
+def _lucene_main_node(searcher, params: dict, body: str):
+    """Parse a default-parser main query honoring `q.op=AND` (unsigned
+    SHOULD clauses become MUST) — shared by the plain-fq and sort paths so
+    the local param is never silently dropped."""
+    node = searcher._parse(body)
+    if node is not None and params.get("q.op", "").upper() == "AND" and node.kind == "bool":
+        from .query import QueryNode
+
+        node = QueryNode(
+            "bool",
+            clauses=[("MUST" if occ == "SHOULD" else occ, c) for occ, c in node.clauses],
+        )
+    return node
+
+
 def dispatch(
     searcher,
     q: str,
@@ -109,10 +124,13 @@ def dispatch(
     replaces score ranking with the compound field sort (search_sorted —
     default-parser main queries only)."""
     if sort is not None:
-        qname, _, qbody = parse_local_params(q)
+        qname, qp, qbody = parse_local_params(q)
         if qname != "lucene" or fq is not None:
             raise QParserError("sort= composes with the default parser only (no fq)")
-        page = searcher.search_sorted(qbody, sort, k=start + k)
+        node = _lucene_main_node(searcher, qp, qbody)
+        if node is None:
+            return []
+        page = searcher.search_sorted(node, sort, k=start + k)
         return page[start:]
     if start:
         page = dispatch(searcher, q, k=start + k, similarity=similarity, fq=fq)
@@ -125,10 +143,10 @@ def dispatch(
             # score (BooleanClause.Occur.FILTER); scores stay the main
             # query's alone.  An fq that analyzes to nothing matches
             # nothing (empty result, like a filter on a stopword).
-            qname, _, qbody = parse_local_params(q)
+            qname, qp, qbody = parse_local_params(q)
             if qname != "lucene":
                 raise QParserError(f"plain fq composes with the default parser only, not {{!{qname}}}")
-            main = searcher._parse(qbody)
+            main = _lucene_main_node(searcher, qp, qbody)
             if main is None:
                 return []
             from .query import QueryNode

@@ -532,7 +532,7 @@ class Searcher:
         return spec
 
     def search_sorted(
-        self, query: str, sort_field: str, k: int = 10, ascending: bool = True,
+        self, query, sort_field: str, k: int = 10, ascending: bool = True,
         after: tuple | None = None,
     ) -> list:
         """Solr `sort=<spec>` (TopFieldCollector / TopDocs field sort): the
@@ -547,8 +547,11 @@ class Searcher:
         `after` = the previous page's LAST element (cursorMark on a field
         sort — CursorMarkParams with the docID tiebreak as the required
         uniqueKey clause): shards apply the strict-after bound BEFORE
-        their top-k cut, so deep pages never over-fetch."""
-        node = self._parse(query)
+        their top-k cut, so deep pages never over-fetch.
+
+        `query` may be a pre-parsed QueryNode (the dispatcher passes one
+        so local params like q.op survive)."""
+        node = self._parse(query) if isinstance(query, str) else query
         if node is None:
             return []
         node = self._rewrite(node)
@@ -683,7 +686,7 @@ class Searcher:
         if node is None:
             return {"count": 0}
         idfs = self._weights_for(node, "bm25")
-        parts = self._scatter("stats_partial", node, idfs, field)
+        parts = self._scatter("stats_partial", node, idfs, field, "bm25", bool(percentiles))
         n = sum(p[0] for p in parts)
         if n == 0:
             return {"count": 0}
@@ -705,9 +708,9 @@ class Searcher:
             from ..state.tdigest import TDigest
 
             td = TDigest()
-            for p in self._scatter("stats_tdigest_partial", node, idfs, field):
-                if p is not None:
-                    td = td.merge(TDigest(p[0], p[1]))
+            for p in parts:
+                if p[5] is not None:
+                    td = td.merge(TDigest(p[5][0], p[5][1]))
             out["percentiles"] = {float(p): float(td.quantile(p / 100.0)) for p in percentiles}
         return out
 
@@ -1709,11 +1712,12 @@ class Searcher:
             if writer is not None:
                 writer.close()
             shutil.rmtree(tmp_dir, ignore_errors=True)
-        if writer is None:  # empty result: still produce a valid file
-            pq.write_table(
-                pa.table({"doc_id": pa.array([], pa.int64()), sort_field: pa.array([], pa.float64())}),
-                out_path,
-            )
+        if writer is None:  # empty result: same schema as a non-empty export
+            cols = {"doc_id": pa.array([], pa.int64()), sort_field: pa.array([], pa.float64())}
+            for f in fl or []:
+                if f != sort_field:
+                    cols[f] = pa.array([], pa.float64())
+            pq.write_table(pa.table(cols), out_path)
         return total
 
     def update_numeric_docvalues(self, field: str, updates: dict[int, float]) -> int:
@@ -1805,6 +1809,10 @@ class Searcher:
         fields for the k winners only.  `score` is the ranking score;
         other names resolve like fetch_fields.  → frame in rank order."""
         fl = list(fl) if fl else ["score"]
+        if kw.get("sort") is not None and "score" in fl:
+            # a field sort doesn't score (search_sorted returns sort keys,
+            # not scores) — refuse rather than mislabel sort values
+            raise ValueError("fl=score is unavailable with sort= (field sorts do not score)")
         hits = self.query(q, k, **kw)
         rows = [(h[0], h[1]) for h in hits]  # collapse triples carry (doc, score, val)
         docs = [d for d, _ in rows]

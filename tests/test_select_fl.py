@@ -114,3 +114,24 @@ def test_export_streamed_sorted(searcher, oracle, corpus, tmp_path):  # noqa: F8
     out0 = str(tmp_path / "empty.parquet")
     assert searcher.export("zzzznope", "turn_idx", out0) == 0
     assert len(pq.read_table(out0)) == 0
+
+
+def test_select_fl_score_with_sort_refused(searcher):  # noqa: F811
+    """Review fix: field sorts don't score — fl=score with sort= raises
+    instead of mislabeling sort keys; non-score fl works with sort."""
+    with pytest.raises(ValueError):
+        searcher.select("tool output", 5, fl=["score"], sort="turn_idx asc")
+    df = searcher.select("tool output", 5, fl=["turn_idx"], sort="turn_idx desc")
+    vals = df["turn_idx"].to_numpy()
+    assert (vals[:-1] >= vals[1:]).all()
+
+
+def test_q_op_survives_fq_and_sort(searcher):  # noqa: F811
+    """Review fix: q.op=AND is honored when combined with fq= / sort=."""
+    strict = {d for d, _ in searcher.search("+error +ok", 10**6)}
+    got = searcher.query("{!lucene q.op=AND}error ok", 10**6, fq="role:assistant")
+    assert {d for d, _ in got} <= strict
+    loose = searcher.query("{!lucene}error ok", 10**6, fq="role:assistant")
+    assert {d for d, _ in got} < {d for d, _ in loose}
+    s1 = searcher.query("{!lucene q.op=AND}error ok", 10**6, sort="turn_idx asc")
+    assert {d for d, _ in s1} == strict

@@ -383,3 +383,17 @@ def test_in_subquery(ray_session):
         " WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
         " ORDER BY c_custkey LIMIT 30"
     )
+
+
+def test_group_expr_in_having_predicates(ray_session):
+    # group expression inside LIKE / IN predicates in HAVING (review fix)
+    duel(
+        "SELECT substr(p_type, 1, 5) AS t5, COUNT(*) AS n FROM part"
+        " GROUP BY substr(p_type, 1, 5)"
+        " HAVING substr(p_type, 1, 5) LIKE 'PRO%' ORDER BY t5"
+    )
+    duel(
+        "SELECT substr(o_orderpriority, 1, 1) AS pri, COUNT(*) AS n FROM orders"
+        " GROUP BY substr(o_orderpriority, 1, 1)"
+        " HAVING substr(o_orderpriority, 1, 1) IN ('1', '3') ORDER BY pri"
+    )
