@@ -446,13 +446,24 @@ class Searcher:
         hits = self.search_node(union, k)
         return [(d, 1.0) for d, _ in hits]
 
-    def count(self, query: str) -> int:
+    def count(self, query: str, fq: str | list[str] | None = None) -> int:
         """Total hit count of a query (numFound / rows=0) — each shard
-        returns only its hit COUNT; no doc ids or scores cross the wire."""
+        returns only its hit COUNT; no doc ids or scores cross the wire.
+        `fq` composes plain filter queries as FILTER clauses (rows=0 with
+        filters, the numFound contract)."""
         node = self._parse(query)
         if node is None:
             return 0
+        for f in [fq] if isinstance(fq, str) else (fq or []):
+            fn = self._parse(f)
+            if fn is None:
+                return 0
+            from .query import QueryNode
+
+            node = QueryNode("bool", clauses=[("MUST", node), ("FILTER", fn)])
         node = self._rewrite(node)
+        if node is None:
+            return 0
         idfs = self._weights_for(node)
         return int(sum(self._scatter("count_matches", node, idfs)))
 
@@ -1119,6 +1130,63 @@ class Searcher:
         from .qparser import dispatch
 
         return dispatch(self, q, k=k, similarity=similarity, fq=fq, start=start, sort=sort)
+
+    def handle_select(self, params: dict) -> dict:
+        """The /select request handler envelope (SearchHandler +
+        ResponseBuilder): one params dict in, one Solr-shaped response
+        dict out — q / fq (str or list) / rows / start / sort / fl /
+        facet.field (str or list, facet.missing) / facet.query (dict) /
+        stats.field (+stats.percentiles) / hl.  Each section delegates to
+        the corresponding component method (same distributed plans); the
+        envelope mirrors Solr's JSON layout so a reference client's
+        response-parsing code ports directly."""
+        q = params["q"]
+        rows = int(params.get("rows", 10))
+        start = int(params.get("start", 0))
+        fq = params.get("fq")
+        sort = params.get("sort")
+        fl = params.get("fl")
+        if isinstance(fl, str):
+            fl = [f.strip() for f in fl.split(",") if f.strip()]
+        resp: dict = {"responseHeader": {"status": 0, "params": {"q": q, "rows": rows, "start": start}}}
+        plain_fq = fq is not None and all(
+            not f.lstrip().startswith("{!") for f in ([fq] if isinstance(fq, str) else fq)
+        )
+        num_found = self.count(q, fq=fq) if (fq is None or plain_fq) else None
+        if fl:
+            page = self.select(q, start + rows, fl=fl, fq=fq, sort=sort).iloc[start:]
+            docs = page.to_dict(orient="records")
+        else:
+            hits = self.query(q, rows, fq=fq, start=start, sort=sort)
+            docs = [
+                {"doc_id": int(h[0]), ("sort" if sort else "score"): h[1], **({"group": h[2]} if len(h) > 2 else {})}
+                for h in hits
+            ]
+        resp["response"] = {
+            "numFound": int(num_found) if num_found is not None else len(docs),
+            "start": start,
+            "docs": docs,
+        }
+        ff = params.get("facet.field")
+        fquery = params.get("facet.query")
+        if ff or fquery:
+            fc: dict = {"facet_fields": {}, "facet_queries": {}}
+            missing = str(params.get("facet.missing", "false")).lower() == "true"
+            limit = int(params.get("facet.limit", 10))
+            for f in [ff] if isinstance(ff, str) else (ff or []):
+                fc["facet_fields"][f] = self.facet_search(q, f, limit=limit, missing=missing)
+            if fquery:
+                fc["facet_queries"] = self.facet_query(q, dict(fquery))
+            resp["facet_counts"] = fc
+        sf = params.get("stats.field")
+        if sf:
+            pct = params.get("stats.percentiles")
+            resp["stats"] = {"stats_fields": {sf: self.stats_field(q, sf, percentiles=pct)}}
+        if str(params.get("hl", "false")).lower() == "true":
+            resp["highlighting"] = {
+                int(d): frags for d, _, frags in self.highlight(q, rows)
+            }
+        return resp
 
     def ltr_features(
         self, query: str, k: int = 10, feature_exprs: dict[str, str] | None = None
