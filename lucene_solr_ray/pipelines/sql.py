@@ -386,10 +386,15 @@ class _Parser:
                 break
             jt = self.expect("id")
             self.expect("kw", "on")
-            lcol = self.expect("id")
-            self.expect("op", "=")
-            rcol = self.expect("id")
-            stmt.joins.append((jt, lcol, rcol, how))
+            pairs = []
+            while True:  # ON a = b [AND c = d ...] — multi-column equi-join
+                lcol = self.expect("id")
+                self.expect("op", "=")
+                rcol = self.expect("id")
+                pairs.append((lcol, rcol))
+                if not self.accept("kw", "and"):
+                    break
+            stmt.joins.append((jt, pairs, how))
         if self.accept("kw", "where"):
             stmt.where = self.expr()
         if self.accept("kw", "group"):
@@ -778,34 +783,41 @@ def _execute_select(sf_dir: str, stmt: Select) -> pd.DataFrame:
 
         root_names = set(pq.read_schema(f"{sf_dir}/{stmt.table}.parquet").names)
         avail = set(root_names)
-        join_plan: list[tuple[str, str, str, set[str], set[str], str]] = []
-        for jt, a, b, how in stmt.joins:
+        join_plan: list[tuple[str, list, list, set[str], set[str], str]] = []
+        for jt, pairs, how in stmt.joins:
             jnames = set(pq.read_schema(f"{sf_dir}/{jt}.parquet").names)
-            if b in jnames and a in avail:
-                lk, rk = a, b
-            elif a in jnames and b in avail:
-                lk, rk = b, a
-            else:
-                raise ValueError(f"cannot resolve join keys {a} = {b} against {jt}")
-            rcols = ({c for c in need if c in jnames} - avail) | {rk}
-            # a LATER join's left key may be provided by THIS table
-            if lk not in root_names:
-                for _, _, _, rcols2, jnames2, _ in join_plan:
-                    if lk in jnames2:
-                        rcols2.add(lk)
-                        break
-            join_plan.append((jt, lk, rk, rcols, jnames, how))
+            lks, rks = [], []
+            for a, b in pairs:
+                if b in jnames and a in avail:
+                    lk, rk = a, b
+                elif a in jnames and b in avail:
+                    lk, rk = b, a
+                else:
+                    raise ValueError(f"cannot resolve join keys {a} = {b} against {jt}")
+                lks.append(lk)
+                rks.append(rk)
+            rcols = ({c for c in need if c in jnames} - avail) | set(rks)
+            # a LATER join's left key may be provided by an EARLIER table
+            for lk in lks:
+                if lk not in root_names:
+                    for _, _, _, rcols2, jnames2, _ in join_plan:
+                        if lk in jnames2:
+                            rcols2.add(lk)
+                            break
+            join_plan.append((jt, lks, rks, rcols, jnames, how))
             avail |= jnames
-        root_need = sorted((need | {lk for _, lk, _, _, _, _ in join_plan}) & root_names)
+        root_need = sorted(
+            (need | {lk for _, lks, _, _, _, _ in join_plan for lk in lks}) & root_names
+        )
         ds = read(sf_dir, stmt.table, root_need or None)
         refs = [
-            (lk, rk, how, ray.put(read(sf_dir, jt, sorted(rcols)).to_pandas()))
-            for jt, lk, rk, rcols, _, how in join_plan
+            (lks, rks, how, ray.put(read(sf_dir, jt, sorted(rcols)).to_pandas()))
+            for jt, lks, rks, rcols, _, how in join_plan
         ]
 
         def joiner(batch: pd.DataFrame) -> pd.DataFrame:
-            for lk, rk, how, ref in refs:
-                batch = batch.merge(ray.get(ref), left_on=lk, right_on=rk, how=how)
+            for lks, rks, how, ref in refs:
+                batch = batch.merge(ray.get(ref), left_on=lks, right_on=rks, how=how)
             return batch
 
         ds = ds.map_batches(joiner, batch_format="pandas")

@@ -397,3 +397,18 @@ def test_group_expr_in_having_predicates(ray_session):
         " GROUP BY substr(o_orderpriority, 1, 1)"
         " HAVING substr(o_orderpriority, 1, 1) IN ('1', '3') ORDER BY pri"
     )
+
+
+def test_multi_column_join(ray_session):
+    # two-key equi-join: lineitem rows back to orders on key + a derived
+    # match of linestatus/orderstatus (both 'O'/'F'-coded in TPC-H)
+    duel(
+        "SELECT l_orderkey, l_linenumber, o_totalprice FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey AND l_linestatus = o_orderstatus"
+        " ORDER BY l_orderkey, l_linenumber LIMIT 40"
+    )
+    duel(
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer"
+        " LEFT JOIN orders ON o_custkey = c_custkey"
+        " GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
