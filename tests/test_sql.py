@@ -412,3 +412,51 @@ def test_multi_column_join(ray_session):
         " LEFT JOIN orders ON o_custkey = c_custkey"
         " GROUP BY c_mktsegment ORDER BY c_mktsegment"
     )
+
+
+def test_fuzz_joins_and_subqueries(ray_session):
+    """Seeded fuzz over the NEW planner paths: LEFT/INNER joins (single
+    and multi-column), IN/NOT IN subqueries, and GROUP BY expressions —
+    every statement dueled against DuckDB verbatim."""
+    import random
+
+    rng = random.Random(777)
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    for trial in range(20):
+        r = rng.random()
+        if r < 0.3:
+            how = rng.choice(["JOIN", "LEFT JOIN", "LEFT OUTER JOIN"])
+            agg = rng.choice(["COUNT(*) AS n", "COUNT(o_orderkey) AS n", "MIN(o_totalprice) AS mn"])
+            sql = (
+                f"SELECT c_mktsegment, {agg} FROM customer"
+                f" {how} orders ON o_custkey = c_custkey"
+                f" WHERE c_acctbal > {rng.randint(-500, 5000)}"
+                f" GROUP BY c_mktsegment ORDER BY c_mktsegment"
+            )
+        elif r < 0.5:
+            sql = (
+                "SELECT l_orderkey, l_linenumber FROM lineitem"
+                " JOIN orders ON l_orderkey = o_orderkey AND l_linestatus = o_orderstatus"
+                f" WHERE l_quantity > {rng.randint(1, 40)}"
+                f" ORDER BY l_orderkey, l_linenumber LIMIT {rng.randint(5, 50)}"
+            )
+        elif r < 0.75:
+            neg = rng.choice(["", "NOT "])
+            sql = (
+                "SELECT o_orderkey, o_custkey FROM orders"
+                f" WHERE o_custkey {neg}IN (SELECT c_custkey FROM customer"
+                f" WHERE c_mktsegment = '{rng.choice(segs)}')"
+                f" ORDER BY o_orderkey LIMIT {rng.randint(10, 60)}"
+            )
+        else:
+            n = rng.randint(1, 4)
+            sql = (
+                f"SELECT substr(o_orderpriority, 1, {n}) AS gk, COUNT(*) AS n"
+                f" FROM orders GROUP BY substr(o_orderpriority, 1, {n})"
+                + (" HAVING COUNT(*) > 1" if rng.random() < 0.5 else "")
+                + " ORDER BY gk"
+            )
+        try:
+            duel(sql)
+        except AssertionError as e:
+            raise AssertionError(f"trial {trial}: {sql}") from e
