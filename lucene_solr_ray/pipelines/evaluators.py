@@ -427,6 +427,49 @@ QUALIFY row_number() OVER (ORDER BY month) >= 2
 ORDER BY month
 """
 
+def derivative_series(sf_dir: str):
+    """DerivativeEvaluator analog (solr/solrj/.../io/eval/DerivativeEvaluator
+    .java — Solr differentiates a fitted spline; this is the documented
+    finite-difference variant): central differences on the interior,
+    one-sided at the ends, over the exact integer monthly cents.  Every
+    derived float is (int − int) / 2.0 — exactly representable, so the
+    gate is strict."""
+    monthly = _monthly_cents(sf_dir)
+    c = monthly["cents"].to_numpy(np.int64)
+    d = np.empty(c.size, dtype=np.float64)
+    if c.size >= 2:
+        d[0] = float(c[1] - c[0])
+        d[-1] = float(c[-1] - c[-2])
+        d[1:-1] = (c[2:] - c[:-2]).astype(np.float64) / 2.0
+    elif c.size:
+        d[0] = 0.0
+    out = monthly.copy().reset_index(drop=True)
+    out["cents"] = out["cents"].astype("int64")
+    out["deriv"] = d
+    return out[["month", "cents", "deriv"]]
+
+
+DERIVATIVE_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY month
+),
+w AS (
+  SELECT month, cents,
+         lag(cents)  OVER (ORDER BY month) AS prv,
+         lead(cents) OVER (ORDER BY month) AS nxt
+  FROM monthly
+)
+SELECT month, cents,
+       CASE WHEN prv IS NULL AND nxt IS NULL THEN 0.0
+            WHEN prv IS NULL THEN CAST(nxt - cents AS DOUBLE)
+            WHEN nxt IS NULL THEN CAST(cents - prv AS DOUBLE)
+            ELSE CAST(nxt - prv AS DOUBLE) / 2.0 END AS deriv
+FROM w ORDER BY month
+"""
+
+
 MM_WINDOW = 3
 
 
@@ -1340,6 +1383,9 @@ PIPELINES: dict[str, Pipeline] = {
         convolve_series, CONVOLVE_SQL, "discrete convolution of two daily series from exact integer cents (ConvolutionEvaluator)"
     ),
     "series_diff": Pipeline(series_diff, SERIES_DIFF_SQL, "time-series differencing (DiffEvaluator), integer-exact"),
+    "derivative_series": Pipeline(
+        derivative_series, DERIVATIVE_SQL, "finite-difference derivative (DerivativeEvaluator analog), exact halves"
+    ),
     "moving_median": Pipeline(moving_median_monthly, MOVING_MEDIAN_SQL, "trailing moving median (MovingMedianEvaluator)"),
     "mode_value": Pipeline(mode_value, MODE_SQL, "modal value per group (ModeEvaluator), deterministic tiebreak"),
     "chi_square": Pipeline(chi_square, CHI_SQUARE_SQL, "chi-square contingency cells (ChiSquareDataSetEvaluator)"),
