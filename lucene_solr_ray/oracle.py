@@ -141,7 +141,7 @@ class BruteForceIndex:
     # F2EXP / Boolean) — identical scalar formulas to the engine's
     # vectorized kernels in search/bm25.py (np scalar ufuncs == the
     # vectorized elementwise kernels, the lm-score precedent).
-    _NEW_SIMS = ("lmjm", "ib", "axiomatic", "bool")
+    _NEW_SIMS = ("lmjm", "ib", "axiomatic", "bool", "dfi", "dfi_standardized", "dfi_saturated")
 
     def _w(self, term: str) -> float:
         """Per-term weight under the current similarity (new sims only)."""
@@ -149,7 +149,7 @@ class BruteForceIndex:
 
         sim = getattr(self, "similarity", "bm25")
         df = self.df.get(term, 0)
-        if sim == "lmjm":
+        if sim == "lmjm" or sim.startswith("dfi"):
             return self.cf(term) / self.sum_ttf
         if sim == "ib":
             return ib_lambda(df, self.N)
@@ -163,7 +163,7 @@ class BruteForceIndex:
         from .search.bm25 import axiomatic_idf, ib_lambda
 
         sim = getattr(self, "similarity", "bm25")
-        if sim == "lmjm":
+        if sim == "lmjm" or sim.startswith("dfi"):
             # engine order: integer cfs summed FIRST, one division
             # (searcher._weights_for) — per-term quotients summed differ in
             # the last ulp on ~quarter of random triples
@@ -179,6 +179,17 @@ class BruteForceIndex:
 
         if sim == "bool":
             return float(w)
+        if sim.startswith("dfi"):
+            from .search.bm25 import DFI_MEASURES
+
+            if w <= 0 or tf == 0:
+                return 0.0
+            dl = max(float(self._dl(doc, field)), 1.0)
+            e = np.float64(w) * np.float64(dl)
+            f = np.float64(tf)
+            if not f > e:
+                return 0.0
+            return float(np.log2(DFI_MEASURES[sim](f, e) + 1.0))
         if sim == "lmjm":
             if w <= 0 or tf == 0:
                 return 0.0
@@ -274,7 +285,14 @@ class BruteForceIndex:
             w_sum = sum(dfr_weight(self.df.get(t, 0), self.N) for t in terms)
             return self._dfr_score(pf, w_sum, doc, field)
         if sim in self._NEW_SIMS:
-            return self._new_sim_score(sim, pf, sum(self._w(t) for t in terms), doc, field)
+            # dfi follows the lm-family blended rule: integer cfs summed
+            # BEFORE the one division (engine _weights_for order)
+            w = (
+                sum(self.cf(t) for t in terms) / self.sum_ttf
+                if sim.startswith("dfi")
+                else sum(self._w(t) for t in terms)
+            )
+            return self._new_sim_score(sim, pf, w, doc, field)
         idf_sum = sum(self.idf(t) for t in terms)
         if sim == "classic":
             return math.sqrt(pf) * idf_sum * idf_sum / math.sqrt(max(self._dl(doc, field), 1))

@@ -371,6 +371,10 @@ class IndexShard:
             return score_postings_axiomatic(freqs, norm_b, w, self._axio_table_for(lead))
         if sim == "bool":
             return score_postings_bool(freqs, w)
+        if sim.startswith("dfi"):
+            from .bm25 import score_postings_dfi
+
+            return score_postings_dfi(freqs, norm_b, w, sim)
         return score_postings(freqs, norm_b, w, self._cache_for(lead))
 
     def _score_term(self, term: str, idfs: dict[str, float], sim: str = "bm25"):

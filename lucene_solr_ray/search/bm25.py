@@ -281,6 +281,36 @@ def score_postings_bool(freqs: np.ndarray, w: float) -> np.ndarray:
     return np.full(freqs.size, w, dtype=np.float64)
 
 
+# DFI (lucene/core/.../search/similarities/DFISimilarity.java + the three
+# Independence measures): expected freq under independence
+# e = cf·dl/sum_ttf (w = cf/sum_ttf ships as the per-term weight, integer
+# cfs summed BEFORE the one division for blended weights — the lm-family
+# rule); freq ≤ e scores 0; otherwise score = log2(measure(f, e) + 1).
+# np.log2 is the PINNED kernel on both engine and oracle (dfi never feeds
+# the driver's value-hash; duels compare engine vs oracle, same ufunc).
+_LEN_F = LENGTH_TABLE.astype(np.float64)
+
+DFI_MEASURES = {
+    "dfi": lambda f, e: (f - e) * (f - e) / e,  # ChiSquared (the Solr default)
+    "dfi_standardized": lambda f, e: (f - e) / np.sqrt(e),
+    "dfi_saturated": lambda f, e: (f - e) / e,
+}
+
+
+def score_postings_dfi(
+    freqs: np.ndarray, norm_bytes: np.ndarray, w: float, measure: str = "dfi"
+) -> np.ndarray:
+    if w <= 0:
+        return np.zeros(freqs.size, dtype=np.float64)
+    dl = np.maximum(_LEN_F[norm_bytes], 1.0)
+    f = freqs.astype(np.float64)
+    e = w * dl
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = DFI_MEASURES[measure](f, e)
+        s = np.log2(m + 1.0)
+    return np.where(f > e, s, 0.0)
+
+
 def block_upper_bound(
     max_freq: np.ndarray, min_norm: np.ndarray, idf: float, norm_cache: np.ndarray
 ) -> np.ndarray:

@@ -1453,7 +1453,7 @@ class Searcher:
                     idfs[key] = sum(self.stats.cf(t) for t in n.terms) / st["sum_ttf"]
                 elif similarity == "dfr":
                     idfs[key] = dfr_weight(df_max, self.stats.N)
-                elif similarity == "lmjm":
+                elif similarity == "lmjm" or similarity.startswith("dfi"):
                     st = self.manifest["stats"]
                     idfs[key] = sum(self.stats.cf(t) for t in n.terms) / st["sum_ttf"]
                 elif similarity == "ib":
@@ -1479,7 +1479,7 @@ class Searcher:
     def _term_weights(self, terms, similarity: str) -> dict:
         if similarity == "classic":
             return {t: classic_idf(self.stats.df(t), self.stats.N) for t in set(terms)}
-        if similarity in ("lm", "lmjm"):
+        if similarity in ("lm", "lmjm") or similarity.startswith("dfi"):
             st = self.manifest["stats"]
             return {t: self.stats.cf(t) / st["sum_ttf"] for t in set(terms)}
         if similarity == "dfr":
