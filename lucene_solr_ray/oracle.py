@@ -223,6 +223,11 @@ class BruteForceIndex:
             from .search.bm25 import dfr_weight
 
             return self._dfr_score(tf, dfr_weight(self.df.get(term, 0), self.N), doc, field)
+        if sim in ("dfr_if", "dfr_ine"):
+            from .search.bm25 import dfr_if_weight, dfr_ine_weight
+
+            wf = dfr_if_weight if sim == "dfr_if" else dfr_ine_weight
+            return self._dfr_score(tf, wf(self.cf(term), self.N), doc, field)
         if sim in self._NEW_SIMS:
             return self._new_sim_score(sim, tf, self._w(term), doc, field)
         return self.idf(term) * tf / (tf + self._norm_k(doc, field))
@@ -284,6 +289,13 @@ class BruteForceIndex:
 
             w_sum = sum(dfr_weight(self.df.get(t, 0), self.N) for t in terms)
             return self._dfr_score(pf, w_sum, doc, field)
+        if sim in ("dfr_if", "dfr_ine"):
+            # phrase weight = Σ per-term weights (engine sums _term_weights
+            # leaves inside _score_phrase, like base dfr)
+            from .search.bm25 import dfr_if_weight, dfr_ine_weight
+
+            wf = dfr_if_weight if sim == "dfr_if" else dfr_ine_weight
+            return self._dfr_score(pf, sum(wf(self.cf(t), self.N) for t in terms), doc, field)
         if sim in self._NEW_SIMS:
             # dfi follows the lm-family blended rule: integer cfs summed
             # BEFORE the one division (engine _weights_for order)
@@ -360,6 +372,12 @@ class BruteForceIndex:
                 from .search.bm25 import dfr_weight
 
                 return (True, self._dfr_score(tf, dfr_weight(df_max, self.N), doc, field))
+            if sim in ("dfr_if", "dfr_ine"):
+                # blended: integer cfs summed FIRST, one weight evaluation
+                from .search.bm25 import dfr_if_weight, dfr_ine_weight
+
+                wf = dfr_if_weight if sim == "dfr_if" else dfr_ine_weight
+                return (True, self._dfr_score(tf, wf(sum(self.cf(t) for t in node.terms), self.N), doc, field))
             if sim in self._NEW_SIMS:
                 return (True, self._new_sim_score(sim, tf, self._w_blended(df_max, node.terms), doc, field))
             w = math.log(1.0 + (self.N - df_max + 0.5) / (df_max + 0.5))

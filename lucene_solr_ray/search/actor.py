@@ -363,7 +363,7 @@ class IndexShard:
             return score_postings_lm(freqs, norm_b, w)
         if sim == "lmjm":
             return score_postings_lmjm(freqs, norm_b, w)
-        if sim == "dfr":
+        if sim.startswith("dfr"):  # dfr / dfr_if / dfr_ine share the L+H2 kernel
             return score_postings_dfr(freqs, norm_b, w, self._dfr_table_for(lead))
         if sim == "ib":
             return score_postings_ib(freqs, norm_b, w, self._dfr_table_for(lead))

@@ -204,6 +204,21 @@ def dfr_weight(df: int, n_docs: int) -> float:
     return math.log2((n_docs + 1.0) / (df + 0.5))
 
 
+# DFR basic-model variants on the same L (after-effect) + H2 kernel
+# (DFRSimilarity.java with BasicModelIF / BasicModelIne, c=1): only the
+# driver-side gain changes — IF: log2(1 + (N+1)/(F+0.5)) over the corpus
+# frequency F; Ine: log2((N+1)/(ne+0.5)) with ne = N·(1 − ((N−1)/N)^F).
+def dfr_if_weight(cf: int, n_docs: int) -> float:
+    return math.log2(1.0 + (n_docs + 1.0) / (cf + 0.5))
+
+
+def dfr_ine_weight(cf: int, n_docs: int) -> float:
+    if n_docs <= 0:
+        return 0.0
+    ne = n_docs * (1.0 - ((n_docs - 1.0) / n_docs) ** cf)
+    return math.log2((n_docs + 1.0) / (ne + 0.5))
+
+
 def score_postings_dfr(
     freqs: np.ndarray, norm_bytes: np.ndarray, weight: float, tfn_table: np.ndarray
 ) -> np.ndarray:

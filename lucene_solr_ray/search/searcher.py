@@ -1453,6 +1453,12 @@ class Searcher:
                     idfs[key] = sum(self.stats.cf(t) for t in n.terms) / st["sum_ttf"]
                 elif similarity == "dfr":
                     idfs[key] = dfr_weight(df_max, self.stats.N)
+                elif similarity in ("dfr_if", "dfr_ine"):
+                    from .bm25 import dfr_if_weight, dfr_ine_weight
+
+                    cf_sum = sum(self.stats.cf(t) for t in n.terms)
+                    wf = dfr_if_weight if similarity == "dfr_if" else dfr_ine_weight
+                    idfs[key] = wf(cf_sum, self.stats.N)
                 elif similarity == "lmjm" or similarity.startswith("dfi"):
                     st = self.manifest["stats"]
                     idfs[key] = sum(self.stats.cf(t) for t in n.terms) / st["sum_ttf"]
@@ -1484,6 +1490,11 @@ class Searcher:
             return {t: self.stats.cf(t) / st["sum_ttf"] for t in set(terms)}
         if similarity == "dfr":
             return {t: dfr_weight(self.stats.df(t), self.stats.N) for t in set(terms)}
+        if similarity in ("dfr_if", "dfr_ine"):
+            from .bm25 import dfr_if_weight, dfr_ine_weight
+
+            wf = dfr_if_weight if similarity == "dfr_if" else dfr_ine_weight
+            return {t: wf(self.stats.cf(t), self.stats.N) for t in set(terms)}
         if similarity == "ib":
             from .bm25 import ib_lambda
 

@@ -869,7 +869,7 @@ def test_index_info(searcher, oracle, index):
     assert info["top_terms"] == searcher.terms(limit=5)
 
 
-@pytest.mark.parametrize("sim", ["lmjm", "ib", "axiomatic", "bool", "dfi", "dfi_standardized", "dfi_saturated"])
+@pytest.mark.parametrize("sim", ["lmjm", "ib", "axiomatic", "bool", "dfi", "dfi_standardized", "dfi_saturated", "dfr_if", "dfr_ine"])
 def test_duel_similarity_long_tail(searcher, oracle, sim):
     """r4 similarity long tail (SURVEY §2.11 search/similarities/):
     LMJelinekMercer (λ=0.1), IB LL/DF/H2, Axiomatic F2EXP (s=0.5, k=0.35),
@@ -946,7 +946,7 @@ def test_passage_scorer_ranking_properties():
     assert len(score_passages(toks, ("a",), ttf, fragsize=4, snippets=1)) == 1
 
 
-@pytest.mark.parametrize("sim", ["lm", "lmjm", "ib", "axiomatic", "dfr", "dfi"])
+@pytest.mark.parametrize("sim", ["lm", "lmjm", "ib", "axiomatic", "dfr", "dfi", "dfr_if", "dfr_ine"])
 def test_duel_synonym_blended_weight_all_sims(searcher, oracle, sim):
     """SynonymQuery blended weights per similarity — the engine sums
     member cfs BEFORE the division for the lm family; the oracle must use
