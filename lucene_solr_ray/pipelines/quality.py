@@ -609,7 +609,143 @@ FROM r ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus datacard (the "datasheets for datasets" summary a training-data
+# pipeline publishes with every corpus drop): per-language document/token/
+# char totals, EXACT distinct-token counts, and exact-duplicate document
+# counts — one strict row per language.
+#
+# Scale shape: totals are combiner partials (merge_partials); distinct
+# tokens ride the fixed 512-bucket token shuffle (per-bucket distinct
+# (lang, token) counts sum exactly because buckets partition the token
+# space); duplicate docs come from md5-signature partials through the same
+# bucketed merge (distinct signatures per lang).  Driver traffic is
+# O(langs × buckets); the vocabulary never lands on one node.
+
+
+def corpus_datacard(sf_dir: str):
+    """→ (lang, n_docs, n_tokens, n_chars, distinct_tokens, dup_docs,
+    mean_doc_tokens) sorted by lang; mean is the one derived float
+    (exact-int division, identical on both sides)."""
+    import hashlib
+
+    from .common import merge_partials
+
+    def totals(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(batch["text"])
+        g = pd.DataFrame(
+            {
+                "lang": batch["lang"],
+                "n_docs": np.int64(1),
+                "n_tokens": toks.map(len).to_numpy(dtype=np.int64),
+                "n_chars": batch["n_chars"].to_numpy(dtype=np.int64),
+            }
+        )
+        return g.groupby("lang", as_index=False).sum()
+
+    tot = merge_partials(
+        read(sf_dir, "documents", ["lang", "text", "n_chars"]).map_batches(
+            totals, batch_format="pandas"
+        ),
+        ["lang"],
+        {"n_docs": "sum", "n_tokens": "sum", "n_chars": "sum"},
+    )
+
+    def tok_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, codes, uniq, _ = _explode_tokens(batch["text"])
+        langs = batch["lang"].to_numpy()
+        if not codes.size:
+            return pd.DataFrame(
+                {"lang": np.empty(0, object), "token": np.empty(0, object),
+                 "bucket": np.empty(0, np.int64)}
+            )
+        g = pd.DataFrame({"lang": langs[doc_idx], "token": uniq[codes]}).drop_duplicates()
+        g["bucket"] = _token_bucket(g["token"].to_numpy(dtype=object))
+        return g
+
+    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["lang", "token"])
+        return d.groupby("lang", as_index=False).agg(dt=("token", "size"))
+
+    dt = (
+        read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(tok_rows, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_distinct, batch_format="pandas")
+        .to_pandas()
+    )
+    dt = (
+        dt.groupby("lang", as_index=False)["dt"].sum()
+        if "lang" in dt.columns
+        else pd.DataFrame({"lang": [], "dt": []})
+    )
+
+    def sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = batch["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+        g = pd.DataFrame({"lang": batch["lang"], "sig": sigs}).drop_duplicates()
+        g["bucket"] = (g["sig"].str.slice(0, 4).apply(int, base=16) % 512).astype("int64")
+        return g
+
+    def bucket_sigs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["lang", "sig"])
+        return d.groupby("lang", as_index=False).agg(ds=("sig", "size"))
+
+    ds = (
+        read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(sig_rows, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_sigs, batch_format="pandas")
+        .to_pandas()
+    )
+    ds = (
+        ds.groupby("lang", as_index=False)["ds"].sum()
+        if "lang" in ds.columns
+        else pd.DataFrame({"lang": [], "ds": []})
+    )
+
+    out = tot.merge(dt, on="lang", how="left").merge(ds, on="lang", how="left")
+    for c in ("n_docs", "n_tokens", "n_chars"):
+        out[c] = out[c].astype("int64")
+    out["distinct_tokens"] = out["dt"].fillna(0).astype("int64")
+    out["dup_docs"] = (out["n_docs"] - out["ds"].fillna(0)).astype("int64")
+    out["mean_doc_tokens"] = out["n_tokens"].to_numpy(np.int64) / out["n_docs"].to_numpy(np.int64)
+    return (
+        out[["lang", "n_docs", "n_tokens", "n_chars", "distinct_tokens", "dup_docs", "mean_doc_tokens"]]
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+
+
+DATACARD_SQL = f"""
+WITH d AS (
+  SELECT lang, doc_id, text, n_chars,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+),
+tot AS (
+  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS dup_docs
+  FROM d GROUP BY lang
+),
+dt AS (
+  SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_tokens
+  FROM (SELECT lang, unnest(toks) AS tok FROM d) GROUP BY lang
+)
+SELECT tot.lang, n_docs, n_tokens, n_chars,
+       COALESCE(distinct_tokens, 0) AS distinct_tokens, dup_docs,
+       CAST(n_tokens AS DOUBLE) / n_docs AS mean_doc_tokens
+FROM tot LEFT JOIN dt USING (lang)
+ORDER BY tot.lang
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "corpus_datacard": Pipeline(
+        corpus_datacard,
+        DATACARD_SQL,
+        "per-language corpus datacard: exact totals, bucketed distinct tokens, md5 dup-doc counts",
+    ),
     "interleave_order": Pipeline(
         interleave_order,
         INTERLEAVE_SQL,
