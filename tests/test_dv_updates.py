@@ -48,3 +48,32 @@ def test_dv_update_views_and_persistence(ray_session, index, corpus, tmp_path):
         assert t[0][1] == 5000.0
     finally:
         s2.close()
+
+
+def test_dv_updates_survive_compaction(ray_session, tmp_path):
+    """Compaction rewrites postings shards only — the per-pid dv_updates
+    sidecars (and therefore every dv view) survive a generation flip.
+    NOTE: sidecars are commit-INDEPENDENT (a snapshot restore keeps newer
+    dv updates) — documented divergence from Lucene's per-commit dv-update
+    files."""
+    from lucene_solr_ray.fixtures import write_transcripts
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.index.compact import compact_index
+
+    paths = write_transcripts(str(tmp_path / "corpus"), 120, 6)
+    idx = str(tmp_path / "idx")
+    build_index(paths, idx, files_per_shard=1)  # 6 shards → compactable
+    s = Searcher(idx)
+    try:
+        docs = [d for d, _ in s.search("assistant", 3)]
+        s.update_numeric_docvalues("turn_idx", {d: 700 + i for i, d in enumerate(docs)})
+        before = s.search_sorted("assistant", "turn_idx desc", 3)
+    finally:
+        s.close()
+    compact_index(idx, max_shards=2)
+    s2 = Searcher(idx)
+    try:
+        assert s2.search_sorted("assistant", "turn_idx desc", 3) == before
+        assert s2.stats_field("assistant", "turn_idx")["max"] == 700 + len(docs) - 1
+    finally:
+        s2.close()
