@@ -84,6 +84,19 @@ SUITE = [
 ]
 
 
+def _hw_probe_1() -> float:
+    """Single-proc run of the Ray-free hardware probe; 0.0 if unavailable."""
+    try:
+        import sys as _s
+
+        _s.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from hw_probe import run as _probe_run
+
+        return round(_probe_run([1], 2)[1], 3)
+    except Exception:
+        return 0.0
+
+
 def ensure_corpus(ray) -> list[str]:
     """Parallel, cached corpus generation (untimed)."""
     from lucene_solr_ray.fixtures import gen_conv_range
@@ -228,6 +241,10 @@ def main() -> None:
         "queries": suite_times,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "num_cpus": NUM_CPUS,
+        # Ray-free host-health probe (tools/hw_probe.py single-proc kernel,
+        # units/s; quiet-host baseline ≈ 0.59 — see BASELINE.md): lets any
+        # reader tell a hypervisor-steal window from an engine regression
+        "hw_probe_1proc": _hw_probe_1(),
         "build": {
             "n_turns": n_turns,
             "build_sec": round(build_s, 3),

@@ -1178,6 +1178,29 @@ class Searcher:
             if fquery:
                 fc["facet_queries"] = self.facet_query(q, dict(fquery))
             resp["facet_counts"] = fc
+        rf = params.get("facet.range")
+        if rf:
+            fc = resp.setdefault("facet_counts", {})
+            fc["facet_ranges"] = {
+                rf: self.facet_range(
+                    q,
+                    rf,
+                    float(params["facet.range.start"]),
+                    float(params["facet.range.end"]),
+                    float(params["facet.range.gap"]),
+                )
+            }
+        gf = params.get("group.field")
+        if gf:
+            resp["grouped"] = {
+                gf: self.search_grouped(
+                    q,
+                    gf,
+                    k=rows,
+                    group_limit=int(params.get("group.limit", 2)),
+                    group_sort=params.get("group.sort"),
+                )
+            }
         sf = params.get("stats.field")
         if sf:
             pct = params.get("stats.percentiles")

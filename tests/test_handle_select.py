@@ -35,3 +35,25 @@ def test_handle_select_fl_sort_paging(searcher):  # noqa: F811
     # hl section present and doc-keyed
     rh = searcher.handle_select({"q": "assistant", "rows": 2, "hl": "true"})
     assert set(rh["highlighting"]) == {d["doc_id"] for d in rh["response"]["docs"]}
+
+
+def test_handle_select_range_and_grouping(searcher):  # noqa: F811
+    r = searcher.handle_select(
+        {
+            "q": "tool output",
+            "rows": 3,
+            "facet.range": "turn_idx",
+            "facet.range.start": 0,
+            "facet.range.end": 12,
+            "facet.range.gap": 4,
+            "group.field": "role",
+            "group.limit": 2,
+            "group.sort": "turn_idx asc",
+        }
+    )
+    assert r["facet_counts"]["facet_ranges"]["turn_idx"] == searcher.facet_range(
+        "tool output", "turn_idx", 0, 12, 4
+    )
+    assert r["grouped"]["role"] == searcher.search_grouped(
+        "tool output", "role", k=3, group_limit=2, group_sort="turn_idx asc"
+    )
