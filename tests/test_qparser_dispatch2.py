@@ -377,3 +377,18 @@ def test_facet_search_missing_bucket(searcher, corpus):  # noqa: F811
     # unknown field: everything missing
     allmiss = searcher.facet_search("output", "nosuchfield", missing=True)
     assert allmiss == [(None, len(hits))]
+
+
+def test_fq_paging_and_composition_consistency(searcher):  # noqa: F811
+    """QueryUtils.check-style consistency over the new front-door params:
+    start paging slices the same filtered ranking; repeated fq order is
+    irrelevant; fq composes with q.op and start together."""
+    full = searcher.query("error output", 10**6, fq="role:tool")
+    assert searcher.query("error output", 5, fq="role:tool", start=3) == full[3:8]
+    a = searcher.query("output", 20, fq=["role:tool", "tool:bash"])
+    b = searcher.query("output", 20, fq=["tool:bash", "role:tool"])
+    assert a == b
+    strict = searcher.query("{!lucene q.op=AND}error ok", 10**6, fq="role:assistant")
+    assert searcher.query("{!lucene q.op=AND}error ok", 4, fq="role:assistant", start=2) == strict[2:6]
+    # count agrees with the materialized filtered ranking
+    assert searcher.count("error output", fq="role:tool") == len(full)
