@@ -1120,23 +1120,34 @@ class IndexShard:
         value-domain product.  Docs missing EITHER field drop (the nested
         bucket only counts docs that have a sub value; parent totals come
         from facet_counts)."""
+        return self.facet_tuple_counts(node, idfs, [field1, field2], sim)
+
+    def facet_tuple_counts(
+        self, node: QueryNode, idfs: dict[str, float], fields: list[str], sim: str = "bm25"
+    ):
+        """N-level pivot partial (facet.pivot over the query DocSet —
+        PivotFacetProcessor on the index path): per-shard value-tuple →
+        count over docs carrying EVERY field, bounded by the domain
+        product.  → frame (v0..vN-1, n) or None."""
         docs, _ = self._eval(node, idfs, sim)
         if not docs.size:
             return None
-        dv1, dv2 = self._load_docvalues(field1), self._load_docvalues(field2)
-        if dv1 is None or dv2 is None:
-            return None
-        v1 = dv1[1][np.searchsorted(dv1[0], docs)]
-        v2 = dv2[1][np.searchsorted(dv2[0], docs)]
-        keep = np.array(
-            [a is not None and b is not None for a, b in zip(v1.tolist(), v2.tolist())], dtype=bool
-        )
+        cols = {}
+        for i, f in enumerate(fields):
+            dv = self._load_docvalues(f)
+            if dv is None:
+                return None
+            cols[f"v{i}"] = dv[1][np.searchsorted(dv[0], docs)]
+        keep = np.ones(docs.size, dtype=bool)
+        for v in cols.values():
+            keep &= np.array([x is not None for x in v.tolist()], dtype=bool)
         if not keep.any():
             return None
         import pandas as pd
 
-        df = pd.DataFrame({"v1": v1[keep].astype(str), "v2": v2[keep].astype(str)})
-        return df.groupby(["v1", "v2"], as_index=False).size().rename(columns={"size": "n"})
+        df = pd.DataFrame({k: v[keep].astype(str) for k, v in cols.items()})
+        keys = [f"v{i}" for i in range(len(fields))]
+        return df.groupby(keys, as_index=False).size().rename(columns={"size": "n"})
 
     def range_facet_counts(
         self,

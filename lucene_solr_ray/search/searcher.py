@@ -815,15 +815,54 @@ class Searcher:
         ]
         if not parts:
             return []
-        g = pd.concat(parts, ignore_index=True).groupby(["v1", "v2"], as_index=False)["n"].sum()
-        tot = g.groupby("v1", as_index=False)["n"].sum().sort_values(
-            ["n", "v1"], ascending=[False, True], kind="mergesort"
+        g = pd.concat(parts, ignore_index=True).groupby(["v0", "v1"], as_index=False)["n"].sum()
+        tot = g.groupby("v0", as_index=False)["n"].sum().sort_values(
+            ["n", "v0"], ascending=[False, True], kind="mergesort"
         ).head(limit1)
         out = []
-        for v1, n1 in zip(tot["v1"], tot["n"]):
-            sub = g[g["v1"] == v1].sort_values(["n", "v2"], ascending=[False, True], kind="mergesort").head(limit2)
-            out.append((str(v1), int(n1), [(str(v), int(c)) for v, c in zip(sub["v2"], sub["n"])]))
+        for v1, n1 in zip(tot["v0"], tot["n"]):
+            sub = g[g["v0"] == v1].sort_values(["n", "v1"], ascending=[False, True], kind="mergesort").head(limit2)
+            out.append((str(v1), int(n1), [(str(v), int(c)) for v, c in zip(sub["v1"], sub["n"])]))
         return out
+
+    def facet_pivot_search(self, query: str, fields: list[str], limit: int = 5) -> list[dict]:
+        """facet.pivot over the MATCH SET (PivotFacetProcessor on the index
+        path): arbitrary-depth nested value buckets, (count desc, value
+        asc) at every level, `limit` per level.  One scatter of value-tuple
+        count partials (domain-product bounded); the driver derives every
+        level's counts from the same tuple frame.  → Solr-shaped
+        [{"field", "value", "count", "pivot": [...]}]."""
+        node = self._parse(query)
+        if node is None:
+            return []
+        node = self._rewrite(node)
+        if node is None:
+            return []
+        idfs = self._weights_for(node)
+        parts = [
+            p for p in self._scatter("facet_tuple_counts", node, idfs, list(fields))
+            if p is not None
+        ]
+        if not parts:
+            return []
+        keys = [f"v{i}" for i in range(len(fields))]
+        g = pd.concat(parts, ignore_index=True).groupby(keys, as_index=False)["n"].sum()
+
+        def nest(sub: pd.DataFrame, depth: int) -> list[dict]:
+            lvl = (
+                sub.groupby(keys[depth], as_index=False)["n"].sum()
+                .sort_values(["n", keys[depth]], ascending=[False, True], kind="mergesort")
+                .head(limit)
+            )
+            out = []
+            for v, c in zip(lvl[keys[depth]], lvl["n"]):
+                entry = {"field": fields[depth], "value": str(v), "count": int(c)}
+                if depth + 1 < len(fields):
+                    entry["pivot"] = nest(sub[sub[keys[depth]] == v], depth + 1)
+                out.append(entry)
+            return out
+
+        return nest(g, 0)
 
     def facet_stats(
         self, query: str, field: str, stat_field: str, limit: int = 10

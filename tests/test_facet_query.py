@@ -60,3 +60,32 @@ def test_facet_nested_duel(searcher, oracle, corpus):  # noqa: F811
         assert searcher.facet_nested(q, "role", "tool") == exp, q
     assert searcher.facet_nested("zzzznope", "role", "tool") == []
     assert searcher.facet_nested("output", "role", "nosuchfield") == []
+
+
+def test_facet_pivot_search_duel(searcher, oracle, corpus):  # noqa: F811
+    """facet.pivot over the match set (role → tool), dueled vs brute
+    force; 2-level pivot agrees with facet_nested."""
+    _, full = corpus
+    role = full.column("role").to_pylist()
+    tool = full.column("tool").to_pylist()
+    q = "output"
+    matches = [d for d, _ in oracle.search(q, 10**9)]
+    pairs = {}
+    for d in matches:
+        if role[d] is not None and tool[d] is not None:
+            pairs[(role[d], tool[d])] = pairs.get((role[d], tool[d]), 0) + 1
+    got = searcher.facet_pivot_search(q, ["role", "tool"], limit=10)
+    nested = searcher.facet_nested(q, "role", "tool", 10, 10)
+    assert [(e["value"], e["count"], [(s["value"], s["count"]) for s in e["pivot"]]) for e in got] == nested
+    for e in got:
+        assert e["field"] == "role"
+        for s in e["pivot"]:
+            assert s["count"] == pairs[(e["value"], s["value"])]
+    # single-level pivot == facet over both-fields-present docs
+    one = searcher.facet_pivot_search(q, ["role"], limit=10)
+    tots = {}
+    for d in matches:
+        if role[d] is not None:
+            tots[role[d]] = tots.get(role[d], 0) + 1
+    assert {e["value"]: e["count"] for e in one} == tots
+    assert searcher.facet_pivot_search("zzzznope", ["role", "tool"]) == []
