@@ -1229,6 +1229,13 @@ class Searcher:
                     float(params["facet.range.gap"]),
                 )
             }
+        fp = params.get("facet.pivot")
+        if fp:
+            fc = resp.setdefault("facet_counts", {})
+            flds = [f.strip() for f in fp.split(",")] if isinstance(fp, str) else list(fp)
+            fc["facet_pivot"] = {
+                ",".join(flds): self.facet_pivot_search(q, flds, limit=int(params.get("facet.limit", 5)))
+            }
         gf = params.get("group.field")
         if gf:
             resp["grouped"] = {

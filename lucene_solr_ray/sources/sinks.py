@@ -103,3 +103,35 @@ def write_arrow_ipc(ds, out_dir: str | Path) -> int:
     # Ray drops the block schema when EVERY block is empty (CLAUDE.md
     # gotcha) — an all-filtered input simply wrote zero files
     return int(marks["files"].sum()) if "files" in marks.columns else 0
+
+
+def write_jsonl(ds, out_dir: str | Path) -> int:
+    """JSON-lines streaming sink — the de-facto interchange format of LLM
+    training-data pipelines (and the reference's JSON response writer,
+    SURVEY §2.1; loaders.read_json_docs round-trips it).  Each Ray block
+    writes its own `.jsonl` file inside workers with tmp+rename commits;
+    nothing materializes on the driver.  Returns the number of files."""
+    import pyarrow as pa
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        import json
+        import os
+        import uuid
+
+        if t.num_rows == 0:
+            return pa.table({"files": pa.array([], pa.int64())})
+        name = f"block-{uuid.uuid4().hex}.jsonl"
+        tmp = out / f".{name}.tmp"
+        cols = t.column_names
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in zip(*(t.column(c).to_pylist() for c in cols)):
+                f.write(json.dumps(dict(zip(cols, row)), ensure_ascii=False, default=str))
+                f.write("\n")
+        os.replace(tmp, out / name)
+        return pa.table({"files": pa.array([1], pa.int64())})
+
+    marks = ds.map_batches(write_block, batch_format="pyarrow").to_pandas()
+    return int(marks["files"].sum()) if "files" in marks.columns else 0

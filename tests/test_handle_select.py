@@ -57,3 +57,10 @@ def test_handle_select_range_and_grouping(searcher):  # noqa: F811
     assert r["grouped"]["role"] == searcher.search_grouped(
         "tool output", "role", k=3, group_limit=2, group_sort="turn_idx asc"
     )
+
+
+def test_handle_select_pivot(searcher):  # noqa: F811
+    r = searcher.handle_select({"q": "output", "rows": 2, "facet.pivot": "role,tool", "facet.limit": 4})
+    assert r["facet_counts"]["facet_pivot"]["role,tool"] == searcher.facet_pivot_search(
+        "output", ["role", "tool"], limit=4
+    )

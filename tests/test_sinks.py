@@ -143,3 +143,23 @@ def test_arrow_ipc_sink_round_trips(ray_session, tmp_path):
     assert rows == 500
     # no stray tmp files
     assert not list(out.glob(".*.tmp"))
+
+
+def test_write_jsonl_roundtrip(ray_session, tmp_path):
+    """JSONL sink ↔ read_json_docs round trip; atomic per-block files."""
+    import glob
+
+    import ray.data as rd
+
+    from lucene_solr_ray.sources.loaders import read_json_docs
+    from lucene_solr_ray.sources.sinks import write_jsonl
+
+    rows = [{"doc_id": i, "text": f"doc {i} näme", "lang": "en"} for i in range(57)]
+    n = write_jsonl(rd.from_items(rows), tmp_path / "out")
+    files = glob.glob(str(tmp_path / "out" / "*.jsonl"))
+    assert n == len(files) >= 1 and not glob.glob(str(tmp_path / "out" / ".*tmp"))
+    back = read_json_docs(files).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back["doc_id"].tolist() == list(range(57))
+    assert back["text"].iloc[3] == "doc 3 näme"  # unicode survives (ensure_ascii=False)
+    # empty dataset → zero files, no error
+    assert write_jsonl(rd.from_items(rows).filter(lambda r: False), tmp_path / "empty") == 0
