@@ -297,14 +297,10 @@ class BruteForceIndex:
             wf = dfr_if_weight if sim == "dfr_if" else dfr_ine_weight
             return self._dfr_score(pf, sum(wf(self.cf(t), self.N) for t in terms), doc, field)
         if sim in self._NEW_SIMS:
-            # dfi follows the lm-family blended rule: integer cfs summed
-            # BEFORE the one division (engine _weights_for order)
-            w = (
-                sum(self.cf(t) for t in terms) / self.sum_ttf
-                if sim.startswith("dfi")
-                else sum(self._w(t) for t in terms)
-            )
-            return self._new_sim_score(sim, pf, w, doc, field)
+            # phrase weight = Σ per-term weights (the engine sums
+            # _term_weights leaves — for dfi that is Σ cf_t/sum_ttf
+            # per-term QUOTIENTS; only synonym blends sum cfs first)
+            return self._new_sim_score(sim, pf, sum(self._w(t) for t in terms), doc, field)
         idf_sum = sum(self.idf(t) for t in terms)
         if sim == "classic":
             return math.sqrt(pf) * idf_sum * idf_sum / math.sqrt(max(self._dl(doc, field), 1))
@@ -332,6 +328,11 @@ class BruteForceIndex:
 
             w_sum = sum(dfr_weight(self.df.get(t, 0), self.N) for t in terms)
             return (True, self._dfr_score(pf, w_sum, doc, field))
+        if sim in ("dfr_if", "dfr_ine"):
+            from .search.bm25 import dfr_if_weight, dfr_ine_weight
+
+            wf = dfr_if_weight if sim == "dfr_if" else dfr_ine_weight
+            return (True, self._dfr_score(pf, sum(wf(self.cf(t), self.N) for t in terms), doc, field))
         if sim in self._NEW_SIMS:
             return (True, self._new_sim_score(sim, pf, sum(self._w(t) for t in terms), doc, field))
         if sim == "classic":

@@ -1094,3 +1094,24 @@ def test_search_collapse_expand_duel(searcher, oracle, corpus):
             assert expanded[gv] == exp, (fld, q, gv)
     # empty query → ([], {})
     assert searcher.search_collapse_expand("zzzzqqq", "role", 5) == ([], {})
+
+
+@pytest.mark.parametrize("sim", ["dfr_if", "dfr_ine", "dfi", "lmjm"])
+def test_duel_intervals_under_new_sims(searcher, oracle, sim):
+    """Interval/surround queries under the similarity long tail — the
+    oracle's interval-tree scoring must carry every sim branch (review
+    fix: dfr variants fell through to BM25)."""
+    from lucene_solr_ray.search.query import expand_multi_term
+    from lucene_solr_ray.search.surround import parse_surround, surround_to_node
+
+    if not hasattr(oracle, "_vocab"):
+        oracle._vocab = np.array(sorted(oracle.df), dtype=object)
+    for q in ("error 3w ok", "tool 2n output"):
+        got = searcher.search_surround(q, 10, similarity=sim)
+        node = surround_to_node(parse_surround(q), lambda n: expand_multi_term(n, oracle._vocab))
+        oracle.similarity = sim
+        try:
+            exp = [(d, float(s)) for d, s in oracle.search_node(node, 10)]
+        finally:
+            oracle.similarity = "bm25"
+        assert got == exp, (sim, q)
