@@ -615,7 +615,8 @@ FROM r ORDER BY doc_id
 # char totals, EXACT distinct-token counts, and exact-duplicate document
 # counts — one strict row per language.
 #
-# Scale shape: totals are combiner partials (merge_partials); distinct
+# Scale shape: ONE corpus read + one tokenizer pass; totals are combiner
+# partials riding bucket -1 of the same shuffle; distinct
 # tokens ride the fixed 512-bucket token shuffle (per-bucket distinct
 # (lang, token) counts sum exactly because buckets partition the token
 # space); duplicate docs come from md5-signature partials through the same
@@ -629,80 +630,72 @@ def corpus_datacard(sf_dir: str):
     (exact-int division, identical on both sides)."""
     import hashlib
 
-    from .common import merge_partials
-
-    def totals(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens(batch["text"])
-        g = pd.DataFrame(
+    # ONE read + ONE tokenizer run: each batch emits three row kinds into
+    # the same bucketed frame — "z" totals partials (bucket −1, summed),
+    # "t" distinct (lang, token) rows, "s" distinct (lang, md5) rows (the
+    # shared _token_bucket vectorized bucketer partitions both key spaces)
+    def rows(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_idx, codes, uniq, counts = _explode_tokens(batch["text"])
+        langs = batch["lang"].to_numpy()
+        tot = pd.DataFrame(
             {
-                "lang": batch["lang"],
+                "lang": langs,
                 "n_docs": np.int64(1),
-                "n_tokens": toks.map(len).to_numpy(dtype=np.int64),
+                "n_tokens": counts,
                 "n_chars": batch["n_chars"].to_numpy(dtype=np.int64),
             }
+        ).groupby("lang", as_index=False).sum()
+        tot["kind"] = "z"
+        tot["key"] = ""
+        tot["bucket"] = np.int64(-1)
+        frames = [tot]
+        if codes.size:
+            t = pd.DataFrame({"lang": langs[doc_idx], "key": uniq[codes]}).drop_duplicates()
+            t["kind"] = "t"
+            t["bucket"] = _token_bucket(t["key"].to_numpy(dtype=object))
+            for c in ("n_docs", "n_tokens", "n_chars"):
+                t[c] = np.int64(0)
+            frames.append(t)
+        sigs = batch["text"].map(lambda x: hashlib.md5(x.encode()).hexdigest())
+        sg = pd.DataFrame({"lang": langs, "key": sigs}).drop_duplicates()
+        sg["kind"] = "s"
+        sg["bucket"] = _token_bucket(sg["key"].to_numpy(dtype=object))
+        for c in ("n_docs", "n_tokens", "n_chars"):
+            sg[c] = np.int64(0)
+        frames.append(sg)
+        cols = ["kind", "lang", "key", "bucket", "n_docs", "n_tokens", "n_chars"]
+        return pd.concat([f[cols] for f in frames], ignore_index=True)
+
+    def bucket_merge(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["kind"] == "z").any():  # bucket −1: totals partials
+            t = g.groupby("lang", as_index=False)[["n_docs", "n_tokens", "n_chars"]].sum()
+            t["kind"] = "z"
+            t["cnt"] = np.int64(0)
+            return t[["kind", "lang", "n_docs", "n_tokens", "n_chars", "cnt"]]
+        d = g.drop_duplicates(["kind", "lang", "key"])
+        out = d.groupby(["kind", "lang"], as_index=False).agg(cnt=("key", "size"))
+        for c in ("n_docs", "n_tokens", "n_chars"):
+            out[c] = np.int64(0)
+        return out[["kind", "lang", "n_docs", "n_tokens", "n_chars", "cnt"]]
+
+    parts = (
+        read(sf_dir, "documents", ["lang", "text", "n_chars"])
+        .map_batches(rows, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    if "kind" not in parts.columns:
+        return pd.DataFrame(
+            {c: [] for c in ("lang", "n_docs", "n_tokens", "n_chars", "distinct_tokens", "dup_docs", "mean_doc_tokens")}
         )
-        return g.groupby("lang", as_index=False).sum()
-
-    tot = merge_partials(
-        read(sf_dir, "documents", ["lang", "text", "n_chars"]).map_batches(
-            totals, batch_format="pandas"
-        ),
-        ["lang"],
-        {"n_docs": "sum", "n_tokens": "sum", "n_chars": "sum"},
+    tot = (
+        parts[parts["kind"] == "z"]
+        .groupby("lang", as_index=False)[["n_docs", "n_tokens", "n_chars"]]
+        .sum()
     )
-
-    def tok_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        doc_idx, codes, uniq, _ = _explode_tokens(batch["text"])
-        langs = batch["lang"].to_numpy()
-        if not codes.size:
-            return pd.DataFrame(
-                {"lang": np.empty(0, object), "token": np.empty(0, object),
-                 "bucket": np.empty(0, np.int64)}
-            )
-        g = pd.DataFrame({"lang": langs[doc_idx], "token": uniq[codes]}).drop_duplicates()
-        g["bucket"] = _token_bucket(g["token"].to_numpy(dtype=object))
-        return g
-
-    def bucket_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(["lang", "token"])
-        return d.groupby("lang", as_index=False).agg(dt=("token", "size"))
-
-    dt = (
-        read(sf_dir, "documents", ["lang", "text"])
-        .map_batches(tok_rows, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(bucket_distinct, batch_format="pandas")
-        .to_pandas()
-    )
-    dt = (
-        dt.groupby("lang", as_index=False)["dt"].sum()
-        if "lang" in dt.columns
-        else pd.DataFrame({"lang": [], "dt": []})
-    )
-
-    def sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = batch["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
-        g = pd.DataFrame({"lang": batch["lang"], "sig": sigs}).drop_duplicates()
-        g["bucket"] = (g["sig"].str.slice(0, 4).apply(int, base=16) % 512).astype("int64")
-        return g
-
-    def bucket_sigs(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(["lang", "sig"])
-        return d.groupby("lang", as_index=False).agg(ds=("sig", "size"))
-
-    ds = (
-        read(sf_dir, "documents", ["lang", "text"])
-        .map_batches(sig_rows, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(bucket_sigs, batch_format="pandas")
-        .to_pandas()
-    )
-    ds = (
-        ds.groupby("lang", as_index=False)["ds"].sum()
-        if "lang" in ds.columns
-        else pd.DataFrame({"lang": [], "ds": []})
-    )
-
+    dt = parts[parts["kind"] == "t"].groupby("lang", as_index=False)["cnt"].sum().rename(columns={"cnt": "dt"})
+    ds = parts[parts["kind"] == "s"].groupby("lang", as_index=False)["cnt"].sum().rename(columns={"cnt": "ds"})
     out = tot.merge(dt, on="lang", how="left").merge(ds, on="lang", how="left")
     for c in ("n_docs", "n_tokens", "n_chars"):
         out[c] = out[c].astype("int64")
