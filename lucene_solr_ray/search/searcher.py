@@ -446,34 +446,46 @@ class Searcher:
         hits = self.search_node(union, k)
         return [(d, 1.0) for d, _ in hits]
 
-    def count(self, query: str, fq: str | list[str] | None = None) -> int:
-        """Total hit count of a query (numFound / rows=0) — each shard
-        returns only its hit COUNT; no doc ids or scores cross the wire.
-        `fq` composes plain filter queries as FILTER clauses (rows=0 with
-        filters, the numFound contract)."""
-        node = self._parse(query)
+    def _compose_fq(self, node, fq):
+        """Attach plain filter queries as FILTER clauses (match required,
+        no score).  Returns None when any fq analyzes to nothing (a filter
+        on a stopword matches nothing)."""
         if node is None:
-            return 0
+            return None
         for f in [fq] if isinstance(fq, str) else (fq or []):
             fn = self._parse(f)
             if fn is None:
-                return 0
+                return None
             from .query import QueryNode
 
             node = QueryNode("bool", clauses=[("MUST", node), ("FILTER", fn)])
+        return node
+
+    def count(self, query, fq: str | list[str] | None = None) -> int:
+        """Total hit count of a query (numFound / rows=0) — each shard
+        returns only its hit COUNT; no doc ids or scores cross the wire.
+        `fq` composes plain filter queries as FILTER clauses (rows=0 with
+        filters, the numFound contract).  `query` may be a pre-parsed
+        node (the request handler passes one so q.op survives)."""
+        node = self._compose_fq(self._parse(query) if isinstance(query, str) else query, fq)
+        if node is None:
+            return 0
         node = self._rewrite(node)
         if node is None:
             return 0
         idfs = self._weights_for(node)
         return int(sum(self._scatter("count_matches", node, idfs)))
 
-    def facet_query(self, query: str, facet_queries: dict[str, str]) -> dict[str, int]:
+    def facet_query(
+        self, query: str, facet_queries: dict[str, str], fq: str | list[str] | None = None
+    ) -> dict[str, int]:
         """Classic `facet.query` (SimpleFacets.getFacetQueryCounts): hit
         counts of arbitrary sub-queries over the BASE query's match set,
         one distributed pass — each shard intersects DocSets locally and
         returns counts only.  Unparseable/empty sub-queries count 0 (the
-        reference omits them; callers filter).  → {key: count}."""
-        node = self._parse(query)
+        reference omits them; callers filter); `fq` narrows the base
+        DocSet.  → {key: count}."""
+        node = self._compose_fq(self._parse(query), fq)
         if node is None:
             return {k: 0 for k in facet_queries}
         node = self._rewrite(node)
@@ -627,7 +639,8 @@ class Searcher:
         return out[:limit]
 
     def facet_search(
-        self, query: str, field: str, limit: int = 10, missing: bool = False
+        self, query: str, field: str, limit: int = 10, missing: bool = False,
+        fq: str | list[str] | None = None,
     ) -> list[tuple[str | None, int]]:
         """Query-scoped field facet (/select?q=...&facet.field=... —
         SimpleFacets.getFacetFieldCounts over the query's DocSet): counts
@@ -635,8 +648,9 @@ class Searcher:
         asc).  Each shard returns its value→count partial (bounded by the
         value domain); the driver sums — never hit-count traffic.
         `missing=True` appends the facet.missing bucket (value None) after
-        the limit cut, like the reference."""
-        node = self._parse(query)
+        the limit cut, like the reference; `fq` narrows the DocSet with
+        plain filter queries (the q∩fq domain every component uses)."""
+        node = self._compose_fq(self._parse(query), fq)
         if node is None:
             return []
         node = self._rewrite(node)
@@ -655,13 +669,15 @@ class Searcher:
         return out
 
     def facet_range(
-        self, query: str, field: str, start: float, end: float, gap: float
+        self, query: str, field: str, start: float, end: float, gap: float,
+        fq: str | list[str] | None = None,
     ) -> dict:
         """Query-scoped range facet (facet.range over the match set, with
         facet.range.other=all): fixed [start, end) buckets of width `gap`
         → {"counts": [(bucket_start, n), ...], "before": n, "after": n}.
-        Each shard returns one bounded count vector; the driver sums."""
-        node = self._parse(query)
+        Each shard returns one bounded count vector; the driver sums.
+        `fq` narrows the DocSet with plain filter queries."""
+        node = self._compose_fq(self._parse(query), fq)
         if node is None:
             return {"counts": [], "before": 0, "after": 0}
         node = self._rewrite(node)
@@ -679,7 +695,10 @@ class Searcher:
             "after": int(total[-1]),
         }
 
-    def stats_field(self, query: str, field: str, percentiles: list[float] | None = None) -> dict:
+    def stats_field(
+        self, query: str, field: str, percentiles: list[float] | None = None,
+        fq: str | list[str] | None = None,
+    ) -> dict:
         """Query-scoped StatsComponent (stats.field over the match set):
         count / sum / mean / min / max / stddev from exact int64 shard
         partials (order-independent merge; stddev uses the corrected
@@ -687,10 +706,10 @@ class Searcher:
         `percentiles=[50, 90]` adds the stats.percentiles output via
         mergeable per-shard t-digest sketches — approximate, exactly like
         the reference's AVL t-digest (solr/core/.../stats/
-        StatsValuesFactory.java percentiles)."""
+        StatsValuesFactory.java percentiles).  `fq` narrows the DocSet."""
         import math
 
-        node = self._parse(query)
+        node = self._compose_fq(self._parse(query), fq)
         if node is None:
             return {"count": 0}
         node = self._rewrite(node)
@@ -727,7 +746,7 @@ class Searcher:
 
     def search_grouped(
         self, query: str, field: str, k: int = 10, group_limit: int = 2, similarity: str = "bm25",
-        group_sort: str | None = None,
+        group_sort: str | None = None, fq: str | list[str] | None = None,
     ) -> list[tuple[str, list[tuple[int, float]]]]:
         """Result grouping (group=true&group.field=...&group.limit=j —
         the two-pass grouping collectors in one distributed pass): top-k
@@ -739,8 +758,9 @@ class Searcher:
         `group_sort="turn_idx asc"` (group.sort — withinGroupSort): members
         order by a numeric doc-values field instead of score; groups STILL
         rank by their best hit under the score sort (each shard ships the
-        group's best (score, doc) alongside its group-sorted members)."""
-        node = self._parse(query)
+        group's best (score, doc) alongside its group-sorted members).
+        `fq` narrows the DocSet with plain filter queries."""
+        node = self._compose_fq(self._parse(query), fq)
         if node is None:
             return []
         node = self._rewrite(node)
@@ -825,14 +845,17 @@ class Searcher:
             out.append((str(v1), int(n1), [(str(v), int(c)) for v, c in zip(sub["v1"], sub["n"])]))
         return out
 
-    def facet_pivot_search(self, query: str, fields: list[str], limit: int = 5) -> list[dict]:
+    def facet_pivot_search(
+        self, query: str, fields: list[str], limit: int = 5,
+        fq: str | list[str] | None = None,
+    ) -> list[dict]:
         """facet.pivot over the MATCH SET (PivotFacetProcessor on the index
         path): arbitrary-depth nested value buckets, (count desc, value
         asc) at every level, `limit` per level.  One scatter of value-tuple
         count partials (domain-product bounded); the driver derives every
         level's counts from the same tuple frame.  → Solr-shaped
         [{"field", "value", "count", "pivot": [...]}]."""
-        node = self._parse(query)
+        node = self._compose_fq(self._parse(query), fq)
         if node is None:
             return []
         node = self._rewrite(node)
@@ -1176,9 +1199,20 @@ class Searcher:
         dict out — q / fq (str or list) / rows / start / sort / fl /
         facet.field (str or list, facet.missing) / facet.query (dict) /
         stats.field (+stats.percentiles) / hl.  Each section delegates to
-        the corresponding component method (same distributed plans); the
-        envelope mirrors Solr's JSON layout so a reference client's
-        response-parsing code ports directly."""
+        the corresponding component method over the SAME q∩fq DocSet
+        (Solr's ResponseBuilder contract — facets/stats/groups are
+        filtered); the envelope mirrors Solr's JSON layout so a reference
+        client's response-parsing code ports directly.
+
+        numFound is exact: counts-only scatters for default-parser
+        queries (q.op honored); exotic `{!parser}` main queries or
+        local-params fq fall back to materializing the matching ids once
+        (the reference holds a DocSet bitset per request too).  Section
+        params require a default-parser q and plain fq (QParserError
+        otherwise — Solr computes facets over the same DocSet, which the
+        exotic parsers here don't expose)."""
+        from .qparser import QParserError, _lucene_main_node, parse_local_params
+
         q = params["q"]
         rows = int(params.get("rows", 10))
         start = int(params.get("start", 0))
@@ -1188,10 +1222,24 @@ class Searcher:
         if isinstance(fl, str):
             fl = [f.strip() for f in fl.split(",") if f.strip()]
         resp: dict = {"responseHeader": {"status": 0, "params": {"q": q, "rows": rows, "start": start}}}
-        plain_fq = fq is not None and all(
+        plain_fq = fq is None or all(
             not f.lstrip().startswith("{!") for f in ([fq] if isinstance(fq, str) else fq)
         )
-        num_found = self.count(q, fq=fq) if (fq is None or plain_fq) else None
+        qname, qp, qbody = parse_local_params(q)
+        section_keys = (
+            "facet.field", "facet.query", "facet.range", "facet.pivot", "group.field", "stats.field",
+        )
+        wants_sections = any(params.get(k) for k in section_keys) or str(
+            params.get("hl", "false")
+        ).lower() == "true"
+        if wants_sections and (qname != "lucene" or not plain_fq or qp.get("q.op")):
+            raise QParserError(
+                "facet/stats/group/hl sections require a plain default-parser q (no q.op) and plain fq"
+            )
+        if qname == "lucene" and plain_fq:
+            num_found = self.count(_lucene_main_node(self, qp, qbody), fq=fq)
+        else:
+            num_found = len(self.query(q, 1 << 30, fq=fq))
         if fl:
             page = self.select(q, start + rows, fl=fl, fq=fq, sort=sort).iloc[start:]
             docs = page.to_dict(orient="records")
@@ -1201,11 +1249,7 @@ class Searcher:
                 {"doc_id": int(h[0]), ("sort" if sort else "score"): h[1], **({"group": h[2]} if len(h) > 2 else {})}
                 for h in hits
             ]
-        resp["response"] = {
-            "numFound": int(num_found) if num_found is not None else len(docs),
-            "start": start,
-            "docs": docs,
-        }
+        resp["response"] = {"numFound": int(num_found), "start": start, "docs": docs}
         ff = params.get("facet.field")
         fquery = params.get("facet.query")
         if ff or fquery:
@@ -1213,20 +1257,21 @@ class Searcher:
             missing = str(params.get("facet.missing", "false")).lower() == "true"
             limit = int(params.get("facet.limit", 10))
             for f in [ff] if isinstance(ff, str) else (ff or []):
-                fc["facet_fields"][f] = self.facet_search(q, f, limit=limit, missing=missing)
+                fc["facet_fields"][f] = self.facet_search(qbody, f, limit=limit, missing=missing, fq=fq)
             if fquery:
-                fc["facet_queries"] = self.facet_query(q, dict(fquery))
+                fc["facet_queries"] = self.facet_query(qbody, dict(fquery), fq=fq)
             resp["facet_counts"] = fc
         rf = params.get("facet.range")
         if rf:
             fc = resp.setdefault("facet_counts", {})
             fc["facet_ranges"] = {
                 rf: self.facet_range(
-                    q,
+                    qbody,
                     rf,
                     float(params["facet.range.start"]),
                     float(params["facet.range.end"]),
                     float(params["facet.range.gap"]),
+                    fq=fq,
                 )
             }
         fp = params.get("facet.pivot")
@@ -1234,26 +1279,30 @@ class Searcher:
             fc = resp.setdefault("facet_counts", {})
             flds = [f.strip() for f in fp.split(",")] if isinstance(fp, str) else list(fp)
             fc["facet_pivot"] = {
-                ",".join(flds): self.facet_pivot_search(q, flds, limit=int(params.get("facet.limit", 5)))
+                ",".join(flds): self.facet_pivot_search(
+                    qbody, flds, limit=int(params.get("facet.limit", 5)), fq=fq
+                )
             }
         gf = params.get("group.field")
         if gf:
             resp["grouped"] = {
                 gf: self.search_grouped(
-                    q,
+                    qbody,
                     gf,
                     k=rows,
                     group_limit=int(params.get("group.limit", 2)),
                     group_sort=params.get("group.sort"),
+                    fq=fq,
                 )
             }
         sf = params.get("stats.field")
         if sf:
             pct = params.get("stats.percentiles")
-            resp["stats"] = {"stats_fields": {sf: self.stats_field(q, sf, percentiles=pct)}}
+            resp["stats"] = {"stats_fields": {sf: self.stats_field(qbody, sf, percentiles=pct, fq=fq)}}
         if str(params.get("hl", "false")).lower() == "true":
+            page_hits = [(d["doc_id"], d.get("score", 0.0)) for d in docs]
             resp["highlighting"] = {
-                int(d): frags for d, _, frags in self.highlight(q, rows)
+                int(d): frags for d, _, frags in self.highlight(qbody, rows, hits=page_hits)
             }
         return resp
 
@@ -2006,6 +2055,7 @@ class Searcher:
     def highlight(
         self, query: str, k: int = 10, fragsize: int = 20, snippets: int = 2,
         tag_pre: str = "<em>", tag_post: str = "</em>",
+        hits: list[tuple[int, float]] | None = None,
     ) -> list[tuple[int, float, list[tuple[int, float, str]]]]:
         """UnifiedHighlighter over the top-k hits (lucene/highlighter/.../
         uhighlight/UnifiedHighlighter.java): search, fetch the winners'
@@ -2013,7 +2063,9 @@ class Searcher:
         token-window passages with the PassageScorer arithmetic against the
         query's positive terms — weights from COLLECTION ttf (global
         stats), the reference's TermsEnum.totalTermFreq.  → [(doc_id,
-        hit_score, [(passage_idx, passage_score, marked_snippet), ...])]."""
+        hit_score, [(passage_idx, passage_score, marked_snippet), ...])].
+        `hits` highlights a GIVEN result page (the request handler passes
+        its filtered/paged docs) instead of re-searching."""
         from ..analysis import tokenize
         from ..pipelines.highlight import score_passages
 
@@ -2022,7 +2074,8 @@ class Searcher:
         if node is None:
             return []
         terms = tuple(sorted(t for t in set(node.all_terms()) if ":" not in t))
-        hits = self.search_node(node, k)
+        if hits is None:
+            hits = self.search_node(node, k)
         if not hits or not terms:
             return [(d, s, []) for d, s in hits]
         ttf = {t: self.stats.cf(t) for t in terms}

@@ -20,9 +20,26 @@ def test_handle_select_envelope(searcher):  # noqa: F811
     assert r["response"]["numFound"] == searcher.count("tool output", fq="role:tool")
     hits = searcher.query("tool output", 5, fq="role:tool")
     assert [d["doc_id"] for d in r["response"]["docs"]] == [d for d, _ in hits]
-    assert r["facet_counts"]["facet_fields"]["role"] == searcher.facet_search("tool output", "role", limit=10)
-    assert r["facet_counts"]["facet_queries"] == searcher.facet_query("tool output", {"errors": "error"})
-    assert r["stats"]["stats_fields"]["turn_idx"] == searcher.stats_field("tool output", "turn_idx")
+    # sections compute over q∩fq (the ResponseBuilder DocSet contract)
+    assert r["facet_counts"]["facet_fields"]["role"] == searcher.facet_search(
+        "tool output", "role", limit=10, fq="role:tool"
+    )
+    assert r["facet_counts"]["facet_queries"] == searcher.facet_query(
+        "tool output", {"errors": "error"}, fq="role:tool"
+    )
+    assert r["stats"]["stats_fields"]["turn_idx"] == searcher.stats_field(
+        "tool output", "turn_idx", fq="role:tool"
+    )
+    # the filter actually bites: only role=tool buckets remain, and their
+    # counts sum to numFound
+    ff = r["facet_counts"]["facet_fields"]["role"]
+    assert [v for v, _ in ff] == ["tool"]
+    assert sum(c for _, c in ff) == r["response"]["numFound"]
+    # non-vacuous bite check on a broader q: filtered facet differs from
+    # the unfiltered one
+    rb = searcher.handle_select({"q": "error", "rows": 2, "fq": "role:assistant", "facet.field": "role"})
+    assert rb["facet_counts"]["facet_fields"]["role"] != searcher.facet_search("error", "role", limit=10)
+    assert [v for v, _ in rb["facet_counts"]["facet_fields"]["role"]] == ["assistant"]
 
 
 def test_handle_select_fl_sort_paging(searcher):  # noqa: F811
@@ -64,3 +81,29 @@ def test_handle_select_pivot(searcher):  # noqa: F811
     assert r["facet_counts"]["facet_pivot"]["role,tool"] == searcher.facet_pivot_search(
         "output", ["role", "tool"], limit=4
     )
+
+
+def test_handle_select_consistency_review_fixes(searcher):  # noqa: F811
+    """Review fixes: numFound with local-params q/fq; hl keys follow the
+    returned page; section params with exotic parsers are refused."""
+    import pytest
+
+    from lucene_solr_ray.search.qparser import QParserError
+
+    # q.op main query: numFound matches the AND semantics of the docs
+    r = searcher.handle_select({"q": "{!lucene q.op=AND}error ok", "rows": 10**6})
+    assert r["response"]["numFound"] == len(r["response"]["docs"]) == len(
+        searcher.search("+error +ok", 10**6)
+    )
+    # local-params fq: numFound is the filtered total, not the page size
+    r2 = searcher.handle_select({"q": "output", "rows": 3, "fq": "{!frange l=0 u=3}turn_idx"})
+    full = searcher.query("output", 10**6, fq="{!frange l=0 u=3}turn_idx")
+    assert r2["response"]["numFound"] == len(full) > 3 == len(r2["response"]["docs"])
+    # hl keys == the returned (paged) docs
+    rh = searcher.handle_select({"q": "assistant", "rows": 3, "start": 4, "hl": "true"})
+    assert set(rh["highlighting"]) == {d["doc_id"] for d in rh["response"]["docs"]}
+    # sections with an exotic parser or local-params fq refuse loudly
+    with pytest.raises(QParserError):
+        searcher.handle_select({"q": "{!surround}a 3w b", "facet.field": "role"})
+    with pytest.raises(QParserError):
+        searcher.handle_select({"q": "output", "fq": "{!frange l=0 u=3}turn_idx", "stats.field": "turn_idx"})
