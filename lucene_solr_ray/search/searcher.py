@@ -640,7 +640,7 @@ class Searcher:
 
     def facet_search(
         self, query: str, field: str, limit: int = 10, missing: bool = False,
-        fq: str | list[str] | None = None,
+        fq: str | list[str] | None = None, sort: str = "count",
     ) -> list[tuple[str | None, int]]:
         """Query-scoped field facet (/select?q=...&facet.field=... —
         SimpleFacets.getFacetFieldCounts over the query's DocSet): counts
@@ -663,7 +663,8 @@ class Searcher:
             n_missing += nm
             for v, c in zip(vals.tolist(), cnts.tolist()):
                 agg[v] = agg.get(v, 0) + c
-        out = sorted(agg.items(), key=lambda p: (-p[1], p[0]))[:limit]
+        key = (lambda p: p[0]) if sort == "index" else (lambda p: (-p[1], p[0]))
+        out = sorted(agg.items(), key=key)[:limit]  # facet.sort=count|index
         if missing:
             out.append((None, n_missing))
         return out
@@ -1240,7 +1241,9 @@ class Searcher:
             num_found = self.count(_lucene_main_node(self, qp, qbody), fq=fq)
         else:
             num_found = len(self.query(q, 1 << 30, fq=fq))
-        if fl:
+        if rows == 0:  # counts-only request (rows=0): no docs query at all
+            docs = []
+        elif fl:
             page = self.select(q, start + rows, fl=fl, fq=fq, sort=sort).iloc[start:]
             docs = page.to_dict(orient="records")
         else:
@@ -1256,8 +1259,11 @@ class Searcher:
             fc: dict = {"facet_fields": {}, "facet_queries": {}}
             missing = str(params.get("facet.missing", "false")).lower() == "true"
             limit = int(params.get("facet.limit", 10))
+            fsort = params.get("facet.sort", "count")
             for f in [ff] if isinstance(ff, str) else (ff or []):
-                fc["facet_fields"][f] = self.facet_search(qbody, f, limit=limit, missing=missing, fq=fq)
+                fc["facet_fields"][f] = self.facet_search(
+                    qbody, f, limit=limit, missing=missing, fq=fq, sort=fsort
+                )
             if fquery:
                 fc["facet_queries"] = self.facet_query(qbody, dict(fquery), fq=fq)
             resp["facet_counts"] = fc

@@ -107,3 +107,11 @@ def test_handle_select_consistency_review_fixes(searcher):  # noqa: F811
         searcher.handle_select({"q": "{!surround}a 3w b", "facet.field": "role"})
     with pytest.raises(QParserError):
         searcher.handle_select({"q": "output", "fq": "{!frange l=0 u=3}turn_idx", "stats.field": "turn_idx"})
+
+
+def test_rows_zero_and_facet_sort_index(searcher):  # noqa: F811
+    r = searcher.handle_select({"q": "error", "rows": 0, "facet.field": "role", "facet.sort": "index"})
+    assert r["response"]["docs"] == [] and r["response"]["numFound"] == searcher.count("error")
+    ff = r["facet_counts"]["facet_fields"]["role"]
+    assert [v for v, _ in ff] == sorted(v for v, _ in ff)  # index order
+    assert dict(ff) == dict(searcher.facet_search("error", "role", limit=10))
