@@ -160,7 +160,108 @@ FROM s ORDER BY doc_id
 
 CURATE_SQL = _curate_sql()
 
+# --------------------------------------------------------------------------
+# curate_corpus_v2 — the round-4c composition: the SAME flagship idea over
+# the session's new primitives, each stage reusing the standalone op's
+# Dataset-shaped core:
+#
+#   1. corpus line dedup      (line_dedup_over — RefinedWeb line stage)
+#   2. quality filter         (word count of the CLEANED text in bounds)
+#   3. SoftDedup reweighting  (soft_dedup_over — 2-gram commonness weight)
+#   4. curriculum interleave  (interleave_over — round-robin source order)
+#
+# Scale shape: stage 1 is the bucketed line-count shuffle + broadcast dup
+# set; stage 2 one vectorized pass; stage 3 the gram+doc double bucket
+# shuffle; stage 4 range-bucket partials with closed-form positions.  The
+# survivor Dataset materializes ONCE and feeds stages 3 and 4.  The twin
+# chains the identical stages as CTEs — strict end to end.
+
+CUR2_MIN_WORDS, CUR2_MAX_WORDS = 20, 80
+
+
+def curate_corpus_v2(sf_dir: str):
+    """→ (doc_id, source, n_words, n_removed, weight, rnk, position)
+    for the surviving docs, sorted by doc_id."""
+    from .dedup import line_dedup_over, soft_dedup_over
+    from .quality import interleave_over
+
+    docs = read(sf_dir, "documents", ["doc_id", "source", "text"])
+    cleaned = line_dedup_over(docs)
+
+    def word_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        nw = _tokens(batch["text_clean"]).map(len).to_numpy(dtype=np.int64)
+        batch = batch.assign(n_words=nw)
+        return batch[(nw >= CUR2_MIN_WORDS) & (nw <= CUR2_MAX_WORDS)]
+
+    surv = cleaned.map_batches(word_filter, batch_format="pandas").materialize()
+    base = surv.select_columns(["doc_id", "source", "n_words", "n_removed"]).to_pandas()
+    weights = soft_dedup_over(
+        surv.select_columns(["doc_id", "text_clean"]), base[["doc_id"]], text_col="text_clean"
+    )[["doc_id", "weight"]]
+    order = interleave_over(surv.select_columns(["doc_id", "source"]))[
+        ["doc_id", "rnk", "position"]
+    ]
+    out = base.merge(weights, on="doc_id").merge(order, on="doc_id")
+    out["n_words"] = out["n_words"].astype("int64")
+    out["n_removed"] = out["n_removed"].astype("int64")
+    return (
+        out[["doc_id", "source", "n_words", "n_removed", "weight", "rnk", "position"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+CURATE_V2_SQL = f"""
+WITH l AS (
+  SELECT doc_id, unnest(string_split(text, ' a ')) AS ln,
+         unnest(generate_series(1, len(string_split(text, ' a ')))) AS ord
+  FROM documents
+),
+c AS (SELECT ln, COUNT(*) AS cnt FROM l GROUP BY ln),
+k AS (SELECT doc_id, ln, ord FROM l JOIN c USING (ln) WHERE cnt < 2),
+t AS (SELECT doc_id, COUNT(*) AS n FROM l GROUP BY doc_id),
+s AS (SELECT doc_id, string_agg(ln, ' a ' ORDER BY ord) AS txt, COUNT(*) AS kept
+      FROM k GROUP BY doc_id),
+cleaned AS (
+  SELECT d.doc_id, d.source, COALESCE(s.txt, '') AS text_clean,
+         CAST(t.n - COALESCE(s.kept, 0) AS BIGINT) AS n_removed
+  FROM documents d JOIN t USING (doc_id) LEFT JOIN s USING (doc_id)
+),
+tok AS (
+  SELECT doc_id, source, n_removed,
+         regexp_extract_all(lower(text_clean), '{TOKEN_RE}') AS toks
+  FROM cleaned
+),
+surv AS (
+  SELECT doc_id, source, n_removed, toks, len(toks) AS n_words FROM tok
+  WHERE len(toks) BETWEEN {CUR2_MIN_WORDS} AND {CUR2_MAX_WORDS}
+),
+g AS (
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS gram
+  FROM surv
+),
+cg AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram),
+p AS (SELECT doc_id, COUNT(*) AS n_grams, SUM(cnt) AS sum_cnt
+      FROM g JOIN cg USING (gram) GROUP BY doc_id),
+r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rnk
+  FROM surv
+)
+SELECT surv.doc_id, surv.source, CAST(surv.n_words AS BIGINT) AS n_words, surv.n_removed,
+       CASE WHEN p.n_grams > 0 THEN CAST(p.n_grams AS DOUBLE) / p.sum_cnt ELSE 1.0 END AS weight,
+       CAST(r.rnk AS BIGINT) AS rnk,
+       CAST(ROW_NUMBER() OVER (ORDER BY r.rnk, surv.source, surv.doc_id) - 1 AS BIGINT) AS position
+FROM surv LEFT JOIN p USING (doc_id) JOIN r USING (doc_id)
+ORDER BY surv.doc_id
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "curate_corpus_v2": Pipeline(
+        curate_corpus_v2,
+        CURATE_V2_SQL,
+        "round-4c composed flagship: line dedup -> cleaned-text quality filter -> SoftDedup weights -> curriculum interleave, strict end to end",
+    ),
     "curate_corpus": Pipeline(
         curate_corpus,
         CURATE_SQL,

@@ -93,9 +93,20 @@ def line_dedup(sf_dir: str, sep: str = " a ", min_count: int = 2):
     separator to exercise the operator non-vacuously).  Split semantics are
     leftmost non-overlapping on BOTH sides (str.split == string_split).
     → (doc_id, text_clean, n_lines, n_removed) sorted by doc_id."""
-    import ray
-
     docs = read(sf_dir, "documents", ["doc_id", "text"])
+    out = line_dedup_over(docs, sep=sep, min_count=min_count).to_pandas()
+    return (
+        out[["doc_id", "text_clean", "n_lines", "n_removed"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def line_dedup_over(docs, sep: str = " a ", min_count: int = 2):
+    """Dataset-shaped core of line_dedup (the curate-flagship stage form):
+    `docs` carries at least (doc_id, text); → Dataset with text_clean /
+    n_lines / n_removed appended (other columns pass through)."""
+    import ray
 
     def line_counts(batch: pd.DataFrame) -> pd.DataFrame:
         lines = batch["text"].str.split(sep, regex=False)
@@ -145,17 +156,13 @@ def line_dedup(sf_dir: str, sep: str = " a ", min_count: int = 2):
             else pd.Series(dtype=object)
         )
         kept_n = np.bincount(doc_idx[keep], minlength=len(lines))
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"].to_numpy(),
-                "text_clean": joined.reindex(np.arange(len(lines)), fill_value="").to_numpy(),
-                "n_lines": lens,
-                "n_removed": lens - kept_n,
-            }
-        )
+        out = batch.copy()
+        out["text_clean"] = joined.reindex(np.arange(len(lines)), fill_value="").to_numpy()
+        out["n_lines"] = lens
+        out["n_removed"] = lens - kept_n
+        return out
 
-    out = docs.map_batches(scrub, batch_format="pandas").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return docs.map_batches(scrub, batch_format="pandas")
 
 
 # --------------------------------------------------------------------------
@@ -177,10 +184,19 @@ def line_dedup(sf_dir: str, sep: str = " a ", min_count: int = 2):
 def soft_dedup_weights(sf_dir: str):
     """→ (doc_id, n_grams, sum_cnt, commonness, weight) sorted by doc_id;
     weight = n_grams / Σ count(gram) ∈ (0, 1], 1.0 for gram-less docs."""
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    ids = read(sf_dir, "documents", ["doc_id"]).to_pandas()
+    return soft_dedup_over(docs, ids)
+
+
+def soft_dedup_over(docs, ids: pd.DataFrame, text_col: str = "text"):
+    """Dataset-shaped core of soft_dedup_weights: `docs` carries (doc_id,
+    <text_col>); `ids` is the doc universe frame (gram-less docs still get
+    weight 1.0)."""
     from .text import _explode_tokens
 
     def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        doc_idx, codes, uniq, _ = _explode_tokens(batch["text"])
+        doc_idx, codes, uniq, _ = _explode_tokens(batch[text_col])
         dids = batch["doc_id"].to_numpy()
         if codes.size < 2:
             return pd.DataFrame(
@@ -211,15 +227,14 @@ def soft_dedup_weights(sf_dir: str):
         return g.groupby("doc_id", as_index=False).agg(n=("n", "sum"), sc=("sc", "sum"))
 
     parts = (
-        read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(gram_rows, batch_format="pandas")
+        docs.map_batches(gram_rows, batch_format="pandas")
         .groupby("bucket")
         .map_groups(bucket_doc_partials, batch_format="pandas")
         .groupby("db")
         .map_groups(merge_doc, batch_format="pandas")
         .to_pandas()
     )
-    ids = read(sf_dir, "documents", ["doc_id"]).to_pandas()
+    ids = ids[["doc_id"]]
     if "doc_id" not in parts.columns:  # all-empty schema loss (Ray gotcha)
         parts = pd.DataFrame({"doc_id": [], "n": [], "sc": []})
     out = ids.merge(parts, on="doc_id", how="left").fillna({"n": 0, "sc": 0})

@@ -526,9 +526,13 @@ def interleave_order(sf_dir: str, nbuckets: int = 512):
     """→ (doc_id, source, rnk, position) sorted by doc_id; `rnk` is the
     doc's 0-based rank within its source (doc_id order), `position` its
     0-based slot in the interleaved global schedule."""
-    import ray
+    return interleave_over(read(sf_dir, "documents", ["doc_id", "source"]), nbuckets)
 
-    docs = read(sf_dir, "documents", ["doc_id", "source"])
+
+def interleave_over(docs, nbuckets: int = 512):
+    """Dataset-shaped core of interleave_order (the curate-flagship stage
+    form): `docs` carries (doc_id, source)."""
+    import ray
 
     mx_df = docs.map_batches(
         lambda b: pd.DataFrame({"m": np.asarray([b["doc_id"].max()] if len(b) else [], dtype=np.int64)}),
