@@ -80,7 +80,7 @@ SUITE = [
     # range-facet boundary flags, SQL join/subquery/group-expression
     "line_dedup", "soft_dedup_weights", "range_facet_include",
     "sql_left_join", "sql_in_subquery", "sql_group_expr",
-    "interleave_order", "ann_hnsw_topk",
+    "interleave_order", "ann_hnsw_topk", "corpus_datacard", "curate_corpus_v2",
 ]
 
 
