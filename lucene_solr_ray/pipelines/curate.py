@@ -189,14 +189,21 @@ def curate_corpus_v2(sf_dir: str):
     cleaned = line_dedup_over(docs)
 
     def word_filter(batch: pd.DataFrame) -> pd.DataFrame:
-        nw = _tokens(batch["text_clean"]).map(len).to_numpy(dtype=np.int64)
-        batch = batch.assign(n_words=nw)
+        # tokenize the cleaned text ONCE; the token lists ride along so
+        # the SoftDedup gram stage never re-runs the regex (the curate-v1
+        # tokenize-once rule)
+        toks = _tokens(batch["text_clean"])
+        nw = toks.map(len).to_numpy(dtype=np.int64)
+        batch = batch.assign(n_words=nw, toks=toks)
         return batch[(nw >= CUR2_MIN_WORDS) & (nw <= CUR2_MAX_WORDS)]
 
     surv = cleaned.map_batches(word_filter, batch_format="pandas").materialize()
+    out_cols = ["doc_id", "source", "n_words", "n_removed", "weight", "rnk", "position"]
+    if surv.count() == 0:  # all filtered: Ray drops the block schema
+        return pd.DataFrame({c: [] for c in out_cols})
     base = surv.select_columns(["doc_id", "source", "n_words", "n_removed"]).to_pandas()
     weights = soft_dedup_over(
-        surv.select_columns(["doc_id", "text_clean"]), base[["doc_id"]], text_col="text_clean"
+        surv.select_columns(["doc_id", "toks"]), base[["doc_id"]], toks_col="toks"
     )[["doc_id", "weight"]]
     order = interleave_over(surv.select_columns(["doc_id", "source"]))[
         ["doc_id", "rnk", "position"]

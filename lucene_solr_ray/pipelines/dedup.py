@@ -189,14 +189,19 @@ def soft_dedup_weights(sf_dir: str):
     return soft_dedup_over(docs, ids)
 
 
-def soft_dedup_over(docs, ids: pd.DataFrame, text_col: str = "text"):
+def soft_dedup_over(docs, ids: pd.DataFrame, text_col: str = "text", toks_col: str | None = None):
     """Dataset-shaped core of soft_dedup_weights: `docs` carries (doc_id,
     <text_col>); `ids` is the doc universe frame (gram-less docs still get
-    weight 1.0)."""
+    weight 1.0).  `toks_col` supplies PRE-tokenized lists (a composing
+    pipeline's tokenize-once path) — the regex never re-runs then."""
     from .text import _explode_tokens
 
     def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        doc_idx, codes, uniq, _ = _explode_tokens(batch[text_col])
+        if toks_col is not None:
+            toks = batch[toks_col].map(list)
+            doc_idx, codes, uniq, _ = _explode_tokens(None, toks=toks)
+        else:
+            doc_idx, codes, uniq, _ = _explode_tokens(batch[text_col])
         dids = batch["doc_id"].to_numpy()
         if codes.size < 2:
             return pd.DataFrame(

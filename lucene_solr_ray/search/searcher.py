@@ -485,7 +485,7 @@ class Searcher:
         returns counts only.  Unparseable/empty sub-queries count 0 (the
         reference omits them; callers filter); `fq` narrows the base
         DocSet.  → {key: count}."""
-        node = self._compose_fq(self._parse(query), fq)
+        node = self._compose_fq(self._parse(query) if isinstance(query, str) else query, fq)
         if node is None:
             return {k: 0 for k in facet_queries}
         node = self._rewrite(node)
@@ -650,7 +650,7 @@ class Searcher:
         `missing=True` appends the facet.missing bucket (value None) after
         the limit cut, like the reference; `fq` narrows the DocSet with
         plain filter queries (the q∩fq domain every component uses)."""
-        node = self._compose_fq(self._parse(query), fq)
+        node = self._compose_fq(self._parse(query) if isinstance(query, str) else query, fq)
         if node is None:
             return []
         node = self._rewrite(node)
@@ -678,7 +678,7 @@ class Searcher:
         → {"counts": [(bucket_start, n), ...], "before": n, "after": n}.
         Each shard returns one bounded count vector; the driver sums.
         `fq` narrows the DocSet with plain filter queries."""
-        node = self._compose_fq(self._parse(query), fq)
+        node = self._compose_fq(self._parse(query) if isinstance(query, str) else query, fq)
         if node is None:
             return {"counts": [], "before": 0, "after": 0}
         node = self._rewrite(node)
@@ -710,7 +710,7 @@ class Searcher:
         StatsValuesFactory.java percentiles).  `fq` narrows the DocSet."""
         import math
 
-        node = self._compose_fq(self._parse(query), fq)
+        node = self._compose_fq(self._parse(query) if isinstance(query, str) else query, fq)
         if node is None:
             return {"count": 0}
         node = self._rewrite(node)
@@ -761,7 +761,7 @@ class Searcher:
         rank by their best hit under the score sort (each shard ships the
         group's best (score, doc) alongside its group-sorted members).
         `fq` narrows the DocSet with plain filter queries."""
-        node = self._compose_fq(self._parse(query), fq)
+        node = self._compose_fq(self._parse(query) if isinstance(query, str) else query, fq)
         if node is None:
             return []
         node = self._rewrite(node)
@@ -856,7 +856,7 @@ class Searcher:
         count partials (domain-product bounded); the driver derives every
         level's counts from the same tuple frame.  → Solr-shaped
         [{"field", "value", "count", "pivot": [...]}]."""
-        node = self._compose_fq(self._parse(query), fq)
+        node = self._compose_fq(self._parse(query) if isinstance(query, str) else query, fq)
         if node is None:
             return []
         node = self._rewrite(node)
@@ -1233,21 +1233,29 @@ class Searcher:
         wants_sections = any(params.get(k) for k in section_keys) or str(
             params.get("hl", "false")
         ).lower() == "true"
-        if wants_sections and (qname != "lucene" or not plain_fq or qp.get("q.op")):
-            raise QParserError(
-                "facet/stats/group/hl sections require a plain default-parser q (no q.op) and plain fq"
-            )
+        if wants_sections and (qname != "lucene" or not plain_fq):
+            raise QParserError("facet/stats/group/hl sections require a default-parser q and plain fq")
+        # sections take the PRE-PARSED main node (q.op survives — every
+        # component funnels through _compose_fq, which accepts nodes)
+        qnode = _lucene_main_node(self, qp, qbody) if qname == "lucene" else None
         if qname == "lucene" and plain_fq:
-            num_found = self.count(_lucene_main_node(self, qp, qbody), fq=fq)
+            num_found = self.count(qnode, fq=fq)
+            full = None
         else:
-            num_found = len(self.query(q, 1 << 30, fq=fq))
+            # exotic parser / local-params fq: ONE full evaluation serves
+            # both numFound and the page (the reference holds a DocSet per
+            # request too — the id list is that bitset's analog)
+            full = self.query(q, 1 << 30, fq=fq)
+            num_found = len(full)
         if rows == 0:  # counts-only request (rows=0): no docs query at all
             docs = []
         elif fl:
             page = self.select(q, start + rows, fl=fl, fq=fq, sort=sort).iloc[start:]
             docs = page.to_dict(orient="records")
         else:
-            hits = self.query(q, rows, fq=fq, start=start, sort=sort)
+            hits = full[start : start + rows] if full is not None else self.query(
+                q, rows, fq=fq, start=start, sort=sort
+            )
             docs = [
                 {"doc_id": int(h[0]), ("sort" if sort else "score"): h[1], **({"group": h[2]} if len(h) > 2 else {})}
                 for h in hits
@@ -1262,17 +1270,17 @@ class Searcher:
             fsort = params.get("facet.sort", "count")
             for f in [ff] if isinstance(ff, str) else (ff or []):
                 fc["facet_fields"][f] = self.facet_search(
-                    qbody, f, limit=limit, missing=missing, fq=fq, sort=fsort
+                    qnode, f, limit=limit, missing=missing, fq=fq, sort=fsort
                 )
             if fquery:
-                fc["facet_queries"] = self.facet_query(qbody, dict(fquery), fq=fq)
+                fc["facet_queries"] = self.facet_query(qnode, dict(fquery), fq=fq)
             resp["facet_counts"] = fc
         rf = params.get("facet.range")
         if rf:
             fc = resp.setdefault("facet_counts", {})
             fc["facet_ranges"] = {
                 rf: self.facet_range(
-                    qbody,
+                    qnode,
                     rf,
                     float(params["facet.range.start"]),
                     float(params["facet.range.end"]),
@@ -1286,14 +1294,14 @@ class Searcher:
             flds = [f.strip() for f in fp.split(",")] if isinstance(fp, str) else list(fp)
             fc["facet_pivot"] = {
                 ",".join(flds): self.facet_pivot_search(
-                    qbody, flds, limit=int(params.get("facet.limit", 5)), fq=fq
+                    qnode, flds, limit=int(params.get("facet.limit", 10)), fq=fq
                 )
             }
         gf = params.get("group.field")
         if gf:
             resp["grouped"] = {
                 gf: self.search_grouped(
-                    qbody,
+                    qnode,
                     gf,
                     k=rows,
                     group_limit=int(params.get("group.limit", 2)),
@@ -1304,7 +1312,7 @@ class Searcher:
         sf = params.get("stats.field")
         if sf:
             pct = params.get("stats.percentiles")
-            resp["stats"] = {"stats_fields": {sf: self.stats_field(qbody, sf, percentiles=pct, fq=fq)}}
+            resp["stats"] = {"stats_fields": {sf: self.stats_field(qnode, sf, percentiles=pct, fq=fq)}}
         if str(params.get("hl", "false")).lower() == "true":
             page_hits = [(d["doc_id"], d.get("score", 0.0)) for d in docs]
             resp["highlighting"] = {

@@ -126,9 +126,25 @@ def write_jsonl(ds, out_dir: str | Path) -> int:
         name = f"block-{uuid.uuid4().hex}.jsonl"
         tmp = out / f".{name}.tmp"
         cols = t.column_names
+
+        def clean(v):
+            # NaN/±inf are NOT JSON (json.dumps would emit bare NaN tokens
+            # pyarrow refuses to read back) — map to null like Solr's JSON
+            # writer does for missing values
+            if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+                return None
+            return v
+
         with open(tmp, "w", encoding="utf-8") as f:
             for row in zip(*(t.column(c).to_pylist() for c in cols)):
-                f.write(json.dumps(dict(zip(cols, row)), ensure_ascii=False, default=str))
+                f.write(
+                    json.dumps(
+                        {k: clean(v) for k, v in zip(cols, row)},
+                        ensure_ascii=False,
+                        default=str,
+                        allow_nan=False,
+                    )
+                )
                 f.write("\n")
         os.replace(tmp, out / name)
         return pa.table({"files": pa.array([1], pa.int64())})

@@ -115,3 +115,27 @@ def test_rows_zero_and_facet_sort_index(searcher):  # noqa: F811
     ff = r["facet_counts"]["facet_fields"]["role"]
     assert [v for v, _ in ff] == sorted(v for v, _ in ff)  # index order
     assert dict(ff) == dict(searcher.facet_search("error", "role", limit=10))
+
+
+def test_third_review_fixes(searcher, tmp_path):  # noqa: F811
+    """Third review pass: q.op faceted requests serve (node threaded to
+    sections); facet.limit shared default; NaN-safe JSONL."""
+    import math
+
+    import ray.data as rd
+
+    from lucene_solr_ray.sources.loaders import read_json_docs
+    from lucene_solr_ray.sources.sinks import write_jsonl
+
+    r = searcher.handle_select({"q": "{!lucene q.op=AND}error ok", "rows": 2, "facet.field": "role"})
+    strict = {d for d, _ in searcher.search("+error +ok", 10**6)}
+    assert r["response"]["numFound"] == len(strict)
+    assert sum(c for _, c in r["facet_counts"]["facet_fields"]["role"]) == len(strict)
+    # NaN/inf round-trip as nulls
+    rows = [{"i": 0, "x": float("nan")}, {"i": 1, "x": float("inf")}, {"i": 2, "x": 1.5}]
+    write_jsonl(rd.from_items(rows), tmp_path / "j")
+    import glob
+
+    back = read_json_docs(glob.glob(str(tmp_path / "j" / "*.jsonl"))).to_pandas().sort_values("i")
+    assert math.isnan(back["x"].iloc[0]) or back["x"].iloc[0] is None  # null → NaN in pandas
+    assert back["x"].iloc[2] == 1.5
