@@ -170,20 +170,26 @@ CURATE_SQL = _curate_sql()
 #   3. SoftDedup reweighting  (soft_dedup_over — 2-gram commonness weight)
 #   4. curriculum interleave  (interleave_over — round-robin source order)
 #
-# Scale shape: stage 1 is the bucketed line-count shuffle + broadcast dup
-# set; stage 2 one vectorized pass; stage 3 the gram+doc double bucket
-# shuffle; stage 4 range-bucket partials with closed-form positions.  The
-# survivor Dataset materializes ONCE and feeds stages 3 and 4.  The twin
-# chains the identical stages as CTEs — strict end to end.
+# Scale shape: stage 1 is the broadcast-free bucketed line anti-join;
+# stage 2 one vectorized pass; stage 3 the gram+doc double bucket shuffle;
+# stage 4 range-bucket partials with closed-form positions.  The survivor
+# Dataset materializes ONCE and feeds stages 3 and 4; the three per-doc
+# outputs compose with DATASET joins on doc_id (never a driver-side pandas
+# merge — r4 verdict #4 closed), collected only in the gate wrapper.
 
 CUR2_MIN_WORDS, CUR2_MAX_WORDS = 20, 80
+CUR2_COLS = ["doc_id", "source", "n_words", "n_removed", "weight", "rnk", "position"]
 
 
-def curate_corpus_v2(sf_dir: str):
-    """→ (doc_id, source, n_words, n_removed, weight, rnk, position)
-    for the surviving docs, sorted by doc_id."""
-    from .dedup import line_dedup_over, soft_dedup_over
-    from .quality import interleave_over
+def curate_corpus_v2_ds(sf_dir: str):
+    """LAZY Dataset form of the v2 flagship → (doc_id, source, n_words,
+    n_removed, weight, rnk, position), unsorted; None when nothing
+    survives.  Only bounded objects touch the driver: interleave's
+    range-bucket partials and the survivor count."""
+    import ray
+
+    from .dedup import line_dedup_over, soft_dedup_parts
+    from .quality import interleave_over_ds
 
     docs = read(sf_dir, "documents", ["doc_id", "source", "text"])
     cleaned = line_dedup_over(docs)
@@ -198,24 +204,50 @@ def curate_corpus_v2(sf_dir: str):
         return batch[(nw >= CUR2_MIN_WORDS) & (nw <= CUR2_MAX_WORDS)]
 
     surv = cleaned.map_batches(word_filter, batch_format="pandas").materialize()
-    out_cols = ["doc_id", "source", "n_words", "n_removed", "weight", "rnk", "position"]
     if surv.count() == 0:  # all filtered: Ray drops the block schema
-        return pd.DataFrame({c: [] for c in out_cols})
-    base = surv.select_columns(["doc_id", "source", "n_words", "n_removed"]).to_pandas()
-    weights = soft_dedup_over(
-        surv.select_columns(["doc_id", "toks"]), base[["doc_id"]], toks_col="toks"
-    )[["doc_id", "weight"]]
-    order = interleave_over(surv.select_columns(["doc_id", "source"]))[
+        return None
+    base = surv.select_columns(["doc_id", "source", "n_words", "n_removed"])
+
+    def finish_weight(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(dtype=np.int64)
+        sc = b["sc"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].to_numpy(dtype=np.int64),
+             "weight": np.where(n > 0, n.astype(np.float64) / sc, 1.0)}
+        )
+
+    weights = soft_dedup_parts(
+        surv.select_columns(["doc_id", "toks"]), toks_col="toks"
+    ).map_batches(finish_weight, batch_format="pandas")
+    order = interleave_over_ds(surv.select_columns(["doc_id", "source"])).select_columns(
         ["doc_id", "rnk", "position"]
-    ]
-    out = base.merge(weights, on="doc_id").merge(order, on="doc_id")
-    out["n_words"] = out["n_words"].astype("int64")
-    out["n_removed"] = out["n_removed"].astype("int64")
-    return (
-        out[["doc_id", "source", "n_words", "n_removed", "weight", "rnk", "position"]]
-        .sort_values("doc_id")
-        .reset_index(drop=True)
     )
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nparts = max(2, cpus // 8)
+    out = base.join(
+        # left_outer: gram-less docs (n_words < 2 can't happen here, but the
+        # contract is weight=1.0 when SoftDedup emits no partial)
+        weights, join_type="left_outer", num_partitions=nparts, on=("doc_id",)
+    ).join(order, join_type="inner", num_partitions=nparts, on=("doc_id",))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["weight"] = b["weight"].astype("float64").fillna(1.0)
+        for c in ("doc_id", "n_words", "n_removed", "rnk", "position"):
+            b[c] = b[c].astype("int64")
+        return b[CUR2_COLS]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def curate_corpus_v2(sf_dir: str):
+    """→ (doc_id, source, n_words, n_removed, weight, rnk, position)
+    for the surviving docs, sorted by doc_id (the gate wrapper — the only
+    place the composition collects to pandas)."""
+    ds = curate_corpus_v2_ds(sf_dir)
+    if ds is None:
+        return pd.DataFrame({c: [] for c in CUR2_COLS})
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 CURATE_V2_SQL = f"""

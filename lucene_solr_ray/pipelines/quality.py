@@ -530,8 +530,21 @@ def interleave_order(sf_dir: str, nbuckets: int = 512):
 
 
 def interleave_over(docs, nbuckets: int = 512):
-    """Dataset-shaped core of interleave_order (the curate-flagship stage
-    form): `docs` carries (doc_id, source)."""
+    """Pandas-collected form of the interleave core (the standalone gate):
+    `docs` carries (doc_id, source)."""
+    ds = interleave_over_ds(docs, nbuckets)
+    if ds is None:
+        return pd.DataFrame({"doc_id": [], "source": [], "rnk": [], "position": []})
+    out = ds.to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def interleave_over_ds(docs, nbuckets: int = 512):
+    """LAZY Dataset core of interleave_order: → (doc_id, source, rnk,
+    position), unsorted.  Returns None on an empty input (Ray drops the
+    block schema there).  Driver traffic is bounded: the only collects are
+    the max-doc-id scalar and the ≤ sources×nbuckets range-bucket count
+    partials — never a per-doc frame."""
     import ray
 
     mx_df = docs.map_batches(
@@ -539,7 +552,7 @@ def interleave_over(docs, nbuckets: int = 512):
         batch_format="pandas",
     ).to_pandas()
     if not len(mx_df):
-        return pd.DataFrame({"doc_id": [], "source": [], "rnk": [], "position": []})
+        return None
     width = int(mx_df["m"].max()) // nbuckets + 1
 
     def counts(b: pd.DataFrame) -> pd.DataFrame:
@@ -582,7 +595,12 @@ def interleave_over(docs, nbuckets: int = 512):
             pre = presort[sidx[s]]
             term2[m] = pre.size - np.searchsorted(pre, rnk[m], side="right")
         return pd.DataFrame(
-            {"doc_id": g["doc_id"], "source": src, "rnk": rnk, "position": term1 + term2}
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "source": src,
+                "rnk": rnk,
+                "position": (term1 + term2).astype(np.int64),
+            }
         )
 
     def add_rb(b: pd.DataFrame) -> pd.DataFrame:
@@ -590,15 +608,11 @@ def interleave_over(docs, nbuckets: int = 512):
         b["rb"] = b["doc_id"].to_numpy() // width
         return b
 
-    out = (
+    return (
         docs.map_batches(add_rb, batch_format="pandas")
         .groupby("rb")
         .map_groups(rank_and_place, batch_format="pandas")
-        .to_pandas()
     )
-    for c in ("doc_id", "rnk", "position"):
-        out[c] = out[c].astype("int64")
-    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 INTERLEAVE_SQL = """

@@ -161,6 +161,61 @@ def test_line_dedup_invariants(ray_session, tmp_path):
     assert (again["n_removed"].to_numpy() == 0).all()
 
 
+def test_line_dedup_broadcast_free(ray_session, tmp_path, monkeypatch):
+    """Scale shape (r4 verdict #1): the bucketed anti-join never ray.puts
+    an O(dup-lines) object — with 300 docs sharing 60 hot lines, no
+    driver-side put carries a container anywhere near the dup-set size."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray as ray_mod
+
+    from lucene_solr_ray.pipelines.dedup import line_dedup
+
+    hot = [f"hot shared line number {i}" for i in range(60)]
+    docs = ["\n".join([f"unique {d} {j}" for j in range(3)] + hot) for d in range(300)]
+    pq.write_table(
+        pa.table({"doc_id": list(range(300)), "text": docs}), tmp_path / "documents.parquet"
+    )
+
+    put_sizes = []
+    real_put = ray_mod.put
+
+    def spy_put(obj, *a, **k):
+        if isinstance(obj, (np.ndarray, set, frozenset, list, tuple, pd.Series)):
+            put_sizes.append(len(obj))
+        return real_put(obj, *a, **k)
+
+    monkeypatch.setattr(ray_mod, "put", spy_put)
+    out = line_dedup(str(tmp_path), sep="\n", min_count=2)
+    assert (out["n_removed"].to_numpy() == 60).all()
+    assert all(s < 60 for s in put_sizes), put_sizes
+
+
+def test_curate_v2_composition_dataset_native(ray_session, monkeypatch):
+    """Scale shape (r4 verdict #4): composing the v2 flagship never
+    collects a per-doc frame to the driver — every to_pandas during plan
+    construction is a bounded partial (no doc_id column crosses), and the
+    composition itself is a lazy Dataset."""
+    import ray.data
+
+    from lucene_solr_ray.pipelines.curate import curate_corpus_v2_ds
+
+    collected = []
+    real = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        df = real(self, *a, **k)
+        collected.append(list(df.columns))
+        return df
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    ds = curate_corpus_v2_ds("/root/testdata/sf0.001")
+    assert isinstance(ds, ray.data.Dataset)
+    assert collected, "expected bounded partial collects (interleave counts)"
+    assert all("doc_id" not in cols for cols in collected), collected
+
+
 def test_media_features_stub(ray_session, duck):
     import zlib
 
