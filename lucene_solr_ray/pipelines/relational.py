@@ -1123,32 +1123,75 @@ FROM lineitem
 
 
 def percentile_tdigest(sf_dir: str):
-    """Approximate percentiles via the mergeable t-digest AggregateFn
-    (state/tdigest.py): one sketch per batch, merged on the driver — at
-    100 TB only ~1.6 KB sketches ever leave the workers.  Approximate by
-    design → rows-only gate; accuracy-tested against exact in pytest."""
+    """Sketch-guided EXACT percentiles: pass 1 builds mergeable per-batch
+    t-digests (state/tdigest.py — only ~1.6 KB sketches ever reach the
+    driver); the merged digest brackets each target rank with a quantile
+    window, and pass 2 fetches exact below-window counts plus the in-window
+    candidate slice, from which the true order statistics interpolate with
+    the quantile_cont formula (lo·(1−f)+hi·f — the verified-parity form).
+    This is the dsir_resample boundary-refinement shape: no O(corpus)
+    sort, driver traffic bounded by ~2·margin·n candidates, and a
+    widen-and-retry guard means a digest miss can never yield a wrong
+    answer — so the gate is strict (quantile_cont twin), while the digest
+    remains the mergeable sketch doing the heavy lifting."""
     from ..state.tdigest import TDigest
 
     def sketch(batch: pd.DataFrame) -> pd.DataFrame:
         d = TDigest.of(batch["l_extendedprice"].to_numpy())
         return pd.DataFrame({"sketch": [d.to_bytes()]})
 
-    parts = (
-        read(sf_dir, "lineitem", ["l_extendedprice"])
-        .map_batches(sketch, batch_format="pandas")
-        .to_pandas()
-    )
+    ds = read(sf_dir, "lineitem", ["l_extendedprice"])
+    parts = ds.map_batches(sketch, batch_format="pandas").to_pandas()
     d = TDigest()
     for blob in parts["sketch"]:
         d = d.merge(TDigest.from_bytes(blob))
-    return pd.DataFrame(
-        {
-            "p50": [d.quantile(0.5)],
-            "p90": [d.quantile(0.9)],
-            "p99": [d.quantile(0.99)],
-            "n_centroids": [np.int64(d.means.size)],
-        }
-    )
+    total = int(round(d.weights.sum()))
+    targets = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    out: dict[str, float] = {}
+    todo = set(targets)
+    margin = 0.005
+    while todo:
+        windows = {}
+        for name in sorted(todo):
+            q = targets[name]
+            if margin >= 1.0:  # digest missed twice: fall back to a full window
+                windows[name] = (-np.inf, np.inf)
+            else:
+                windows[name] = (
+                    d.quantile(max(0.0, q - margin)),
+                    d.quantile(min(1.0, q + margin)),
+                )
+
+        def refine(batch: pd.DataFrame, w=windows) -> pd.DataFrame:
+            x = batch["l_extendedprice"].to_numpy(dtype=np.float64)
+            return pd.DataFrame(
+                {
+                    "name": list(w.keys()),
+                    "below": [np.int64((x < lv).sum()) for lv, _ in w.values()],
+                    "cand": [x[(x >= lv) & (x <= hv)].tolist() for lv, hv in w.values()],
+                }
+            )
+
+        ref = ds.map_batches(refine, batch_format="pandas").to_pandas()
+        for name in sorted(todo):
+            rows = ref[ref["name"] == name]
+            below = int(rows["below"].sum())
+            cand = (
+                np.sort(np.concatenate([np.asarray(c, dtype=np.float64) for c in rows["cand"]]))
+                if len(rows)
+                else np.empty(0, np.float64)
+            )
+            q = targets[name]
+            h = q * (total - 1)
+            lo_r, hi_r = int(np.floor(h)), int(np.ceil(h))
+            if lo_r < below or hi_r >= below + cand.size:
+                continue  # window missed the rank: widen and retry
+            frac = h - np.floor(h)
+            lo, hi = float(cand[lo_r - below]), float(cand[hi_r - below])
+            out[name] = lo * (1 - frac) + hi * frac
+            todo.discard(name)
+        margin *= 8
+    return pd.DataFrame({k: [out[k]] for k in ("p50", "p90", "p99")})
 
 
 # --------------------------------------------------------------------------
@@ -1740,5 +1783,5 @@ PIPELINES: dict[str, Pipeline] = {
     ),
     "percentile_disc": Pipeline(percentile_disc, PERCENTILE_SQL, "exact discrete percentiles via distributed value counts (StatsComponent percentiles)"),
     "percentile_cont": Pipeline(percentile_cont, PERCENTILE_CONT_SQL, "interpolated percentiles from the distributed value-count histogram (quantile_cont parity)"),
-    "percentile_tdigest": Pipeline(percentile_tdigest, None, "mergeable t-digest percentile sketch (PercentileAgg); accuracy-tested in pytest"),
+    "percentile_tdigest": Pipeline(percentile_tdigest, PERCENTILE_CONT_SQL, "mergeable t-digest percentile sketch (PercentileAgg) + exact boundary refinement — strict quantile_cont parity"),
 }

@@ -54,12 +54,13 @@ def test_edge_cases():
     assert 1.0 <= d.quantile(0.5) <= 2.0
 
 
-def test_pipeline_close_to_exact(ray_session):
-    from lucene_solr_ray.pipelines.relational import percentile_disc, percentile_tdigest
+def test_pipeline_sketch_guided_exact(ray_session):
+    """r5: the t-digest now only BRACKETS the rank — boundary refinement
+    fetches the true order statistics, so the pipeline equals the exact
+    quantile_cont path bit-for-bit."""
+    from lucene_solr_ray.pipelines.relational import percentile_cont, percentile_tdigest
 
-    exact = percentile_disc(SF)
-    approx = percentile_tdigest(SF)
+    exact = percentile_cont(SF)
+    got = percentile_tdigest(SF)
     for c in ("p50", "p90", "p99"):
-        rel = abs(approx[c][0] - exact[c][0]) / exact[c][0]
-        assert rel < 0.02, (c, approx[c][0], exact[c][0])
-    assert approx["n_centroids"][0] <= 400
+        assert got[c][0] == exact[c][0], (c, got[c][0], exact[c][0])
