@@ -1512,6 +1512,34 @@ class IndexShard:
         order = np.lexsort((docs, -scores32))
         return docs[order], scores32[order]
 
+    def count_franged(
+        self,
+        node: QueryNode,
+        idfs: dict[str, float],
+        expr_src: str,
+        lo: float | None,
+        hi: float | None,
+        incl: bool,
+        incu: bool,
+        sim: str = "bm25",
+    ) -> int:
+        """numFound for a {!frange}-filtered query: the top_k_franged mask
+        evaluated shard-side, only the COUNT crosses the wire (the
+        handle_select exotic-fq path no longer materializes ids)."""
+        from ..functions.scalar import evaluate, parse_expr
+
+        docs, scores = self._eval(node, idfs, sim)
+        if docs.size == 0:
+            return 0
+        expr, cols = self._expr_columns(parse_expr(expr_src), docs)
+        vals = np.broadcast_to(np.asarray(evaluate(expr, cols), np.float64), scores.shape)
+        mask = np.ones(docs.size, dtype=bool)
+        if lo is not None:
+            mask &= (vals >= lo) if incl else (vals > lo)
+        if hi is not None:
+            mask &= (vals <= hi) if incu else (vals < hi)
+        return int(mask.sum())
+
     def scores_of(self, node: QueryNode, idfs: dict[str, float], docs: list[int], sim: str = "bm25"):
         """(owned matching docIDs, float64 scores) restricted to the GIVEN
         doc list — the second-pass scorer of ReRankQParserPlugin (a doc

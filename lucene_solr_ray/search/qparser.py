@@ -95,7 +95,14 @@ def _subquery_node(searcher, s: str):
 def _lucene_main_node(searcher, params: dict, body: str):
     """Parse a default-parser main query honoring `q.op=AND` (unsigned
     SHOULD clauses become MUST) — shared by the plain-fq and sort paths so
-    the local param is never silently dropped."""
+    the local param is never silently dropped.
+
+    The rewrite is deliberately TOP-LEVEL ONLY: this grammar has no
+    parenthesized sub-queries, so any nested bool in the parse tree is an
+    analyzer expansion (synonym/graph alternatives) whose SHOULD means
+    "one of these interchangeable terms" — Lucene's setDefaultOperator
+    does not AND-ify analysis alternatives either.  Recursing would turn
+    `wifi` (→ wi OR fi OR wifi) into an unmatchable conjunction."""
     node = searcher._parse(body)
     if node is not None and params.get("q.op", "").upper() == "AND" and node.kind == "bool":
         from .query import QueryNode

@@ -1235,18 +1235,44 @@ class Searcher:
         ).lower() == "true"
         if wants_sections and (qname != "lucene" or not plain_fq):
             raise QParserError("facet/stats/group/hl sections require a default-parser q and plain fq")
+        if sort is not None and (qname != "lucene" or not plain_fq):
+            # the full-evaluation fallback is score-ranked — silently
+            # paging it as a field sort would mis-order the response AND
+            # label a BM25 score as the sort value
+            raise QParserError("sort= requires a default-parser q and plain fq")
         # sections take the PRE-PARSED main node (q.op survives — every
         # component funnels through _compose_fq, which accepts nodes)
         qnode = _lucene_main_node(self, qp, qbody) if qname == "lucene" else None
+        num_found_exact = True
         if qname == "lucene" and plain_fq:
             num_found = self.count(qnode, fq=fq)
             full = None
         else:
-            # exotic parser / local-params fq: ONE full evaluation serves
-            # both numFound and the page (the reference holds a DocSet per
-            # request too — the id list is that bitset's analog)
-            full = self.query(q, 1 << 30, fq=fq)
-            num_found = len(full)
+            full = None
+            fname = fparams = fbody = None
+            if qname == "lucene" and not plain_fq:
+                fname, fparams, fbody = parse_local_params(fq if isinstance(fq, str) else fq[0])
+            if fname == "frange":
+                # counts-only scatter — only per-shard hit counts cross;
+                # the page itself comes from the bounded dispatch below
+                num_found = self.count_franged(
+                    qbody,
+                    fbody,
+                    lo=float(fparams["l"]) if "l" in fparams else None,
+                    hi=float(fparams["u"]) if "u" in fparams else None,
+                    incl=fparams.get("incl", "true").lower() != "false",
+                    incu=fparams.get("incu", "true").lower() != "false",
+                )
+            else:
+                # exotic parser / collapse fq: ONE bounded full evaluation
+                # serves both numFound and the page.  numFound is exact up
+                # to numFoundCap (default 100k; collapse results are
+                # group-domain-bounded anyway); a truncated count reports
+                # numFoundExact=false — Solr 8.6's numFoundExact contract.
+                cap = max(start + rows, int(params.get("numFoundCap", 100_000)))
+                full = self.query(q, cap, fq=fq)
+                num_found = len(full)
+                num_found_exact = num_found < cap
         if rows == 0:  # counts-only request (rows=0): no docs query at all
             docs = []
         elif fl:
@@ -1260,7 +1286,12 @@ class Searcher:
                 {"doc_id": int(h[0]), ("sort" if sort else "score"): h[1], **({"group": h[2]} if len(h) > 2 else {})}
                 for h in hits
             ]
-        resp["response"] = {"numFound": int(num_found), "start": start, "docs": docs}
+        resp["response"] = {
+            "numFound": int(num_found),
+            "numFoundExact": num_found_exact,
+            "start": start,
+            "docs": docs,
+        }
         ff = params.get("facet.field")
         fquery = params.get("facet.query")
         if ff or fquery:
@@ -1314,7 +1345,15 @@ class Searcher:
             pct = params.get("stats.percentiles")
             resp["stats"] = {"stats_fields": {sf: self.stats_field(qnode, sf, percentiles=pct, fq=fq)}}
         if str(params.get("hl", "false")).lower() == "true":
-            page_hits = [(d["doc_id"], d.get("score", 0.0)) for d in docs]
+            if docs and not all("score" in d for d in docs):
+                # fl=/sort= pages carry no score — fetch the real scores
+                # for the page ids (one bounded scores_of scatter) instead
+                # of labeling the hits 0.0
+                ids = [int(d["doc_id"]) for d in docs]
+                smap = self._scores_for_ids(qnode, ids)
+                page_hits = [(i, smap.get(i, 0.0)) for i in ids]
+            else:
+                page_hits = [(d["doc_id"], d["score"]) for d in docs]
             resp["highlighting"] = {
                 int(d): frags for d, _, frags in self.highlight(qbody, rows, hits=page_hits)
             }
@@ -1524,6 +1563,52 @@ class Searcher:
             return []
         order = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]), float(scores[i])) for i in order]
+
+    def count_franged(
+        self,
+        query: str,
+        frange_expr: str,
+        lo: float | None = None,
+        hi: float | None = None,
+        incl: bool = True,
+        incu: bool = True,
+        similarity: str = "bm25",
+    ) -> int:
+        """Exact numFound for `q` ∩ `{!frange}` — a counts-only scatter
+        (the search_franged mask, but only per-shard hit counts cross)."""
+        node = self._parse(query)
+        if node is None:
+            return 0
+        node = self._rewrite(node)
+        if node is None:
+            return 0
+        idfs = self._weights_for(node, similarity)
+        return int(
+            sum(
+                self._scatter(
+                    "count_franged", node, idfs, self._resolve_global_sources(frange_expr),
+                    lo, hi, incl, incu, similarity,
+                )
+            )
+        )
+
+    def _scores_for_ids(self, node, ids: list[int], similarity: str = "bm25") -> dict[int, float]:
+        """Bounded score-by-id lookup (the rerank second-pass shape): one
+        scores_of scatter over just these docIDs, float32 parity.  Feeds
+        hit_score for fl=/sort= highlight pages, whose docs carry no
+        score."""
+        if node is None or not ids:
+            return {}
+        n = self._rewrite(node)
+        if n is None:
+            return {}
+        idfs = self._weights_for(n, similarity)
+        docs = np.unique(np.asarray(ids, dtype=np.int64))
+        out: dict[int, float] = {}
+        for od, os_ in self._scatter("scores_of", n, idfs, docs.tolist(), similarity):
+            for d, s in zip(od, os_.astype(np.float32)):
+                out[int(d)] = float(s)
+        return out
 
     def search_covering(
         self, queries: list[str], min_match_field: str, k: int = 10, similarity: str = "bm25"

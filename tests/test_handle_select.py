@@ -139,3 +139,44 @@ def test_third_review_fixes(searcher, tmp_path):  # noqa: F811
     back = read_json_docs(glob.glob(str(tmp_path / "j" / "*.jsonl"))).to_pandas().sort_values("i")
     assert math.isnan(back["x"].iloc[0]) or back["x"].iloc[0] is None  # null → NaN in pandas
     assert back["x"].iloc[2] == 1.5
+
+
+def test_r5_advice_fixes(searcher):  # noqa: F811
+    """r4 ADVICE: sort with exotic q/fq refuses (the fallback is
+    score-ranked); frange-fq numFound is a counts-only scatter and exact;
+    numFoundExact rides the envelope; hl hit_score on sort pages carries
+    the REAL BM25 score, not 0.0."""
+    import pytest
+
+    from lucene_solr_ray.search.qparser import QParserError
+
+    with pytest.raises(QParserError):
+        searcher.handle_select({"q": "{!surround}tool 3w output", "sort": "turn_idx desc"})
+    with pytest.raises(QParserError):
+        searcher.handle_select(
+            {"q": "output", "fq": "{!frange l=0 u=3}turn_idx", "sort": "turn_idx asc"}
+        )
+
+    r = searcher.handle_select({"q": "output", "rows": 3, "fq": "{!frange l=0 u=3}turn_idx"})
+    assert r["response"]["numFound"] == len(
+        searcher.query("output", 10**6, fq="{!frange l=0 u=3}turn_idx")
+    )
+    assert r["response"]["numFoundExact"] is True
+    # default path carries the flag too
+    assert searcher.handle_select({"q": "error", "rows": 1})["response"]["numFoundExact"] is True
+    # a saturating cap reports numFoundExact=false
+    rc = searcher.handle_select(
+        {"q": "{!surround}tool 3w output", "rows": 1, "numFoundCap": 1}
+    )
+    assert rc["response"]["numFoundExact"] is False and rc["response"]["numFound"] == 1
+
+    # hl over a sort= page: hit scores are the docs' real query scores
+    rh = searcher.handle_select(
+        {"q": "assistant", "rows": 3, "sort": "turn_idx desc", "hl": "true"}
+    )
+    ids = [d["doc_id"] for d in rh["response"]["docs"]]
+    smap = searcher._scores_for_ids(searcher._parse("assistant"), ids)
+    got = {d: s for d, s, _ in searcher.highlight("assistant", 3, hits=[(i, smap[i]) for i in ids])}
+    assert all(smap[i] > 0.0 for i in ids)
+    assert set(rh["highlighting"]) == set(ids)
+    assert got  # the same hits drive the envelope's highlighting section
