@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from .common import Pipeline
 from . import ann, audio, bpe, curate, dedup, dsir, evaluators, facets, fulltext, geo, graph, highlight, hybrid, images, lm, ml, monitor, multilingual, multimodal, quality, relational, sketches, sql, streaming, streams, text
-from ..sources import dih
+from ..sources import dih, loaders
 
 REGISTRY: dict[str, Pipeline] = {}
 for _mod in (relational, text, dedup, ann, streaming, multimodal, fulltext, graph, sketches, facets, evaluators, geo, ml, sql, streams, lm, images, audio, monitor, curate, multilingual, highlight, dsir, quality, hybrid, bpe):
@@ -13,9 +13,10 @@ for _mod in (relational, text, dedup, ann, streaming, multimodal, fulltext, grap
         if _name in REGISTRY:
             raise ValueError(f"duplicate pipeline name {_name}")
         REGISTRY[_name] = _p
-for _name, _p in dih.pipelines().items():  # sources registry hook (deferred
-    if _name in REGISTRY:  # to avoid a pipelines<->sources import cycle)
-        raise ValueError(f"duplicate pipeline name {_name}")
-    REGISTRY[_name] = _p
+for _src in (dih, loaders):  # sources registry hook (deferred to avoid a
+    for _name, _p in _src.pipelines().items():  # pipelines<->sources cycle)
+        if _name in REGISTRY:
+            raise ValueError(f"duplicate pipeline name {_name}")
+        REGISTRY[_name] = _p
 
 __all__ = ["REGISTRY", "Pipeline"]
