@@ -21,14 +21,19 @@ from .common import Pipeline, pool, read
 
 def decode_image(payload: bytes):
     """Real-decoder integration point.  PNG (stdlib zlib, 8-bit RGB/RGBA,
-    all five scanline filters — pipelines/images.decode_png) and the
-    uncompressed BMP/PPM codecs are REAL; JPEG/WebP/video remain
-    unimplemented in this container — see FakeDecoder for the deterministic
-    stand-in those tests use."""
+    all five scanline filters — pipelines/images.decode_png), baseline
+    JPEG (pure-numpy JFIF: Huffman + dequant + IDCT — pipelines/jpeg.py)
+    and the uncompressed BMP/PPM codecs are REAL; WebP/video and
+    progressive/subsampled JPEG remain unimplemented in this container —
+    see FakeDecoder for the deterministic stand-in those tests use."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from .images import decode_png
 
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:2] == b"BM":
         from .images import decode_bmp
 
@@ -37,7 +42,7 @@ def decode_image(payload: bytes):
         from .images import decode_ppm
 
         return decode_ppm(payload)
-    raise NotImplementedError("only PNG/BMP/PPM decode in this environment (no JPEG libs)")
+    raise NotImplementedError("only PNG/JPEG/BMP/PPM decode in this environment")
 
 
 class FakeDecoder:

@@ -1,0 +1,94 @@
+"""Baseline JPEG codec (pipelines/jpeg.py) — the compressed-media seam
+behind multimodal.decode_image, proved the same way the PNG codec was:
+round-trips, spec boundaries, planted-dup aHash through the lossy cycle."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_ray.pipelines.jpeg import decode_jpeg, encode_jpeg
+
+
+def _mae(a, b):
+    return float(np.abs(a.astype(int) - b.astype(int)).mean())
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    q=st.integers(80, 100),
+    seed=st.integers(0, 2**31),
+    gray=st.booleans(),
+)
+def test_roundtrip_tolerance(h, w, q, seed, gray):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=q))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert _mae(out, img) < 24  # lossy, but bounded even on pure noise
+
+
+def test_smooth_images_near_exact():
+    x, y = np.meshgrid(np.linspace(0, 255, 64), np.linspace(255, 0, 48))
+    img = np.stack([x, y, (x + y) / 2], axis=-1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert _mae(out, img) < 1.5
+    solid = np.full((24, 24, 3), 77, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(solid, 95)), solid)
+
+
+def test_determinism_and_restart_markers():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (33, 50, 3), dtype=np.uint8)
+    b = encode_jpeg(img, quality=92)
+    assert b == encode_jpeg(img, quality=92)  # byte-stable
+    base = decode_jpeg(b)
+    for ri in (1, 2, 5):
+        br = encode_jpeg(img, quality=92, restart_interval=ri)
+        assert b"\xff\xdd" in br  # DRI emitted
+        # identical quantized coefficients -> identical pixels
+        assert np.array_equal(decode_jpeg(br), base)
+
+
+def test_spec_boundaries_raise():
+    img = np.full((8, 8, 3), 99, np.uint8)
+    b = encode_jpeg(img)
+    with pytest.raises(NotImplementedError):  # progressive
+        decode_jpeg(b.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    # subsampled: patch the Y component's sampling byte inside SOF0
+    sof = b.index(b"\xff\xc0")
+    bad = bytearray(b)
+    assert bad[sof + 11] == 0x11  # comp 0: (id, hv, tq) at sof+10..12
+    bad[sof + 11] = 0x22
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_decode_image_dispatch_and_ahash_dedup():
+    """A JPEG payload flows through the multimodal seam, and near-dup
+    aHash survives the lossy cycle (the planted-dup contract)."""
+    from lucene_solr_ray.pipelines.images import ahash64, synth_image
+    from lucene_solr_ray.pipelines.multimodal import decode_image
+
+    for doc_id in (0, 7, 14):
+        img = synth_image(doc_id)
+        out = decode_image(encode_jpeg(img, quality=95))
+        assert out.shape == img.shape
+        a, b = ahash64(img), ahash64(out)
+        assert bin(a ^ b).count("1") <= 4  # hamming-near through the codec
+
+
+def test_external_table_parse_path():
+    """Decoder reads DQT/DHT from the FILE: re-encode with a non-default
+    quality (different quant tables) and confirm the parsed tables drive
+    dequantization — wrong tables would blow the error way past bound."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    lo = decode_jpeg(encode_jpeg(img, quality=30))
+    hi = decode_jpeg(encode_jpeg(img, quality=98))
+    assert _mae(hi, img) < _mae(lo, img)  # quality knob flows end to end
