@@ -1568,6 +1568,63 @@ def _list_stream(ctx: Ctx, e: Expr) -> SRes:
     return SRes(df=pd.concat(frames, ignore_index=True))
 
 
+def _num(v):
+    s = str(v)
+    try:
+        return int(s)
+    except ValueError:
+        try:
+            return float(s)
+        except ValueError:
+            return v
+
+
+def _array_stream(ctx: Ctx, e: Expr) -> SRes:
+    # ArrayEvaluator surfaced as a stream: one tuple holding the list
+    return SRes(df=pd.DataFrame([{"array": [_num(a) for a in e.args if not isinstance(a, Expr)]}]))
+
+
+def _zplot(ctx: Ctx, e: Expr) -> SRes:
+    """ZplotStream (solr/solrj/.../io/stream/ZplotStream.java): pair named
+    array operands positionally into one plottable tuple per index.  Each
+    param value is an array-valued single-cell stream (col(...)/array(...)
+    or a get(name) let binding); scalars broadcast across the arrays.
+    `table=` instead explodes a matrix (list-of-rows cell) into col0..colN
+    columns — the reference's heatmap shape."""
+    series: dict[str, Any] = {}
+    for k, v in e.params.items():
+        if isinstance(v, Expr):
+            df = _to_df(_eval_stream_arg(ctx, v))
+            if len(df) == 1 and len(df.columns) == 1:
+                series[k] = df.iloc[0, 0]
+            else:
+                raise StreamExprError(f"zplot: {k} must evaluate to one array/scalar cell")
+        else:
+            series[k] = _num(v)
+    if "table" in series:
+        m = series.pop("table")
+        if series:
+            raise StreamExprError("zplot: table= composes alone")
+        rows = [list(r) if isinstance(r, (list, tuple, np.ndarray)) else [r] for r in m]
+        w = max((len(r) for r in rows), default=0)
+        return SRes(df=pd.DataFrame(rows, columns=[f"col{i}" for i in range(w)]))
+    if not series:
+        raise StreamExprError("zplot needs named array operands")
+    n = max(
+        (len(v) for v in series.values() if isinstance(v, (list, tuple, np.ndarray))),
+        default=1,
+    )
+    out = {}
+    for k, v in series.items():
+        if isinstance(v, (list, tuple, np.ndarray)):
+            if len(v) != n:
+                raise StreamExprError("zplot: arrays must share one length")
+            out[k] = list(v)
+        else:
+            out[k] = [v] * n
+    return SRes(df=pd.DataFrame(out))
+
+
 def _sql_stream(ctx: Ctx, e: Expr) -> SRes:
     """SqlStream / the stream-backed /sql handler (solr/solrj/.../io/
     stream/SqlStream.java): `sql(collection, stmt="SELECT ...")` runs the
@@ -1714,6 +1771,8 @@ REGISTRY_STREAMS: dict[str, Callable[[Ctx, Expr], SRes]] = {
     "knn": _knn_mlt,
     "cell": _cell,
     "col": _col,
+    "array": _array_stream,
+    "zplot": _zplot,
     "eval": _eval_stream,
     "model": _model,
 }

@@ -887,3 +887,43 @@ def test_model_fetches_newest_by_id(ray_session, tmp_path):
     assert str(out.iloc[0]["iteration_i"]) == "2" and float(out.iloc[0]["w"]) == 0.9
     with pytest.raises(StreamExprError):
         run_expr(f"model({dest}, id=missing)", SF)
+
+
+def test_zplot_and_array(ray_session):
+    """ZplotStream: named arrays pair positionally; scalars broadcast;
+    table= explodes a matrix; let/col bindings feed it like the reference."""
+    z = run_expr("zplot(x=array(1, 2, 3), y=array(10, 20, 30), tag=s)", SF)
+    assert z["x"].tolist() == [1, 2, 3] and z["y"].tolist() == [10, 20, 30]
+    assert z["tag"].tolist() == ["s", "s", "s"]
+    # col() over a let binding as the array source
+    z2 = run_expr(
+        'let(a=sort(search(region, fl="r_regionkey"), by="r_regionkey asc"),'
+        " zplot(k=col(a, r_regionkey)))",
+        SF,
+    )
+    assert z2["k"].tolist() == [0, 1, 2, 3, 4]
+    # table= matrix → col0..colN (array-of-arrays isn't parseable inline,
+    # so drive the constructor with a pre-evaluated matrix cell)
+    import pytest as _pytest
+
+    from lucene_solr_ray.pipelines.streams import Ctx, Expr, SRes, StreamExprError, _zplot
+
+    matrix_cell = Expr("get", args=["m"])
+    from lucene_solr_ray.pipelines import streams as _st
+
+    _st.REGISTRY_STREAMS["get"] = lambda c, e: SRes(
+        df=pd.DataFrame([{"m": [[1, 2], [3, 4], [5, 6]]}])
+    )
+    try:
+        zt = _zplot(Ctx(SF), Expr("zplot", params={"table": matrix_cell}))
+        assert zt.df.columns.tolist() == ["col0", "col1"]
+        assert zt.df["col1"].tolist() == [2, 4, 6]
+        with _pytest.raises(StreamExprError):  # table= composes alone
+            _zplot(Ctx(SF), Expr("zplot", params={"table": matrix_cell, "x": "1"}))
+    finally:
+        _st.REGISTRY_STREAMS.pop("get", None)
+
+    with _pytest.raises(StreamExprError):
+        run_expr("zplot(x=array(1, 2), y=array(1, 2, 3))", SF)
+    with _pytest.raises(StreamExprError):
+        run_expr("zplot()", SF)
