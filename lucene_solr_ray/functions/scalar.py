@@ -158,6 +158,12 @@ FUNCTIONS: dict[str, tuple[int, int, callable]] = {
     "dist": (3, 99, lambda p, *a: _lp_dist(a, p=float(np.asarray(p).flat[0]))),
     "strdist": (2, 3, _strdist),
     "jarowinkler": (2, 2, _strdist_jw),
+    # RawCurrencyValueSource (solr/.../schema/CurrencyFieldType.java):
+    # pre-resolved by functions.currency.resolve_currency_codes to
+    # (minor-unit column, rate literal); the truncating multiply is
+    # CurrencyValue.convertTo's (long)(amount * rate), returned as a
+    # double of TARGET MINOR UNITS (RawCurrencyValueSource.longVal).
+    "currency": (2, 2, lambda c, r: np.trunc(c * r)),
     "hsin": (5, 5, lambda r, y1, x1, y2, x2: _haversine(y1, x1, y2, x2, r)),
     "geodist": (4, 4, lambda y1, x1, y2, x2: _haversine(y1, x1, y2, x2, EARTH_MEAN_RADIUS_KM)),
 }

@@ -1280,6 +1280,81 @@ ORDER BY o_orderkey
 
 
 # --------------------------------------------------------------------------
+# §2.9 CurrencyFieldType (solr/.../schema/CurrencyFieldType.java): a
+# "amount,CODE" currency column is synthesized deterministically from
+# orders (code = o_orderkey % 3), round-tripped through the REAL exact
+# string parse (functions/currency.py, BigDecimal-style digits-only), then
+# converted with CurrencyValue.convertTo's truncating long multiply via
+# the pre-resolved currency() ValueSource.  The SQL twin computes the same
+# minor units directly — strict because trunc(CAST(c AS DOUBLE)*rate) is
+# the identical IEEE op on both sides.
+
+
+def currency_convert(sf_dir: str):
+    from ..functions import evaluate, parse_expr
+    from ..functions.currency import (
+        ExchangeRateProvider,
+        convert_cents,
+        format_currency,
+        parse_currency,
+        resolve_currency_codes,
+    )
+    from .common import cents as _cents
+
+    provider = ExchangeRateProvider()
+    codes3 = np.array(["USD", "EUR", "JPY"], dtype=object)
+    # the function-query form, pre-resolved per source code at plan time
+    ast = parse_expr("currency(price, USD)")
+
+    def conv(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = batch["o_orderkey"].to_numpy()
+        src = codes3[keys % 3]
+        raw = format_currency(_cents(batch["o_totalprice"].to_numpy()), src)
+        c, parsed_codes = parse_currency(raw)  # exact round-trip, no floats
+        usd_minor = convert_cents(c, parsed_codes, "USD", provider)
+        # ValueSource path over the same batch (one code at a time, as the
+        # resolver binds a single source code per column)
+        vs = np.empty(c.size, dtype=np.float64)
+        for code in codes3:
+            m = parsed_codes == code
+            if not m.any():
+                continue
+            node = resolve_currency_codes(ast, provider, {"price": str(code)})
+            vs[m] = evaluate(node, {"price_cents": c[m].astype(np.float64)})
+        assert np.array_equal(vs, usd_minor.astype(np.float64))
+        out = pd.DataFrame(
+            {"o_orderkey": keys, "code": src, "usd": usd_minor / 100.0}
+        )
+        return out.sort_values(["usd", "o_orderkey"], ascending=[False, True]).head(10)
+
+    parts = (
+        read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(conv, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        parts.sort_values(["usd", "o_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+CURRENCY_SQL = """
+WITH c AS (
+  SELECT o_orderkey,
+         CASE o_orderkey % 3 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR' ELSE 'JPY' END AS code,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT o_orderkey, code,
+       trunc(CAST(cents AS DOUBLE) *
+             CASE code WHEN 'USD' THEN 1.0 WHEN 'EUR' THEN 1.08 ELSE 0.0092 END) / 100.0 AS usd
+FROM c
+ORDER BY usd DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 # §2.1 /export: full sorted dump via distributed sort → partitioned parquet
 # sink, then read back (resumable layout: one directory per run).
 
@@ -1749,6 +1824,7 @@ PIPELINES: dict[str, Pipeline] = {
     "export_sorted": Pipeline(export_sorted, EXPORT_SQL, "full sorted export via ds.sort → parquet sink (/export)"),
     "function_query": Pipeline(function_query, FUNCTION_QUERY_SQL, "ValueSource expression scoring (FunctionScoreQuery)"),
     "frange_filter": Pipeline(frange_filter, FRANGE_SQL, "{!frange}: filter by ValueSource expression range (FunctionRangeQuery)"),
+    "currency_convert": Pipeline(currency_convert, CURRENCY_SQL, "CurrencyFieldType: exact-cents parse + truncating-multiply conversion (currency() ValueSource)"),
     "time_series_rollup": Pipeline(time_series_rollup, TIME_SERIES_SQL, "calendar-window rollup (TimeSeriesStream)"),
     "stats_numeric": Pipeline(stats_numeric, STATS_SQL, "global field stats (StatsComponent)"),
     "stats_string": Pipeline(stats_string, STATS_STRING_SQL, "string-field stats (StringStatsValues: lexicographic min/max, count/missing/countDistinct over a nullable projection)"),

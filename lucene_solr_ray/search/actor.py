@@ -1749,6 +1749,45 @@ class IndexShard:
             agg = np.add.reduceat(s64, starts) / lens
         return convs[starts], agg.astype(np.float32)
 
+    def match_parents_childfield(
+        self,
+        node: QueryNode,
+        idfs: dict[str, float],
+        field: str,
+        sel: str = "max",
+        sim: str = "bm25",
+    ):
+        """ToParentBlockJoinSortField (lucene/join/.../BlockJoinSelector
+        .java Type_min/Type_max): the parent's sort value is min|max of its
+        MATCHING children's numeric doc-values, aggregated shard-locally
+        per conv block — only (conv_id, value) pairs cross the wire
+        (childfield(f, $q) in Solr sort syntax)."""
+        docs, _ = self._eval(node, idfs, sim)
+        empty = (np.empty(0, dtype=object), np.empty(0, np.float64))
+        if docs.size == 0:
+            return empty
+        ndv = self._load_numeric_dv(field)
+        if ndv is None:
+            return empty
+        dd, vv = ndv
+        docs = np.sort(docs)
+        pos = np.searchsorted(dd, docs)
+        ok = (pos < dd.size) & (dd[np.minimum(pos, dd.size - 1)] == docs)
+        docs = docs[ok]
+        if docs.size == 0:
+            return empty
+        v = vv[pos[ok]]
+        fd, fc = self._load_docmap()
+        convs = fc[np.searchsorted(fd, docs)]
+        new = np.empty(convs.size, dtype=bool)
+        new[0] = True
+        new[1:] = convs[1:] != convs[:-1]
+        starts = np.flatnonzero(new)
+        agg = (
+            np.maximum.reduceat(v, starts) if sel == "max" else np.minimum.reduceat(v, starts)
+        )
+        return convs[starts], agg.astype(np.float64)
+
     def match_children(
         self,
         node: QueryNode,

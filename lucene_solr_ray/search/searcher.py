@@ -1015,6 +1015,30 @@ class Searcher:
         top = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]), float(scores[i])) for i in top]
 
+    def search_parents_childfield(
+        self, query: str, field: str, k: int = 10, order: str = "desc"
+    ) -> list[tuple[str, float]]:
+        """`sort=childfield(field,$q) asc|desc` (solr/core/.../search/
+        ChildFieldValueSourceParser.java onto lucene/join/.../
+        ToParentBlockJoinSortField + BlockJoinSelector): rank parent convs
+        by the min (asc) / max (desc) of `field` over their MATCHING
+        children.  Aggregation is shard-local (conv blocks never span
+        shards); only (conv, value) pairs reach the driver.  Ties break
+        conv_id ascending, like every parent path here."""
+        node = self._parse(query)
+        if node is None:
+            return []
+        node = self._rewrite(node)
+        idfs = self._weights_for(node)
+        sel = "min" if order == "asc" else "max"
+        parts = self._scatter("match_parents_childfield", node, idfs, field, sel, "bm25")
+        convs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, object)
+        vals = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
+        if convs.size == 0:
+            return []
+        top = np.lexsort((convs, vals if order == "asc" else -vals))[:k]
+        return [(str(convs[i]), float(vals[i])) for i in top]
+
     def _conv_of(self, docs: np.ndarray) -> np.ndarray:
         """Vectorized docID → conv_id via the fetched docmap rows."""
         ft = self.fetch(docs.tolist()).sort_by("doc_id")

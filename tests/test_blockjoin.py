@@ -111,6 +111,39 @@ def test_child_block_join_masks_deletes(ctx):
     assert s.search_children("error", 20) == before
 
 
+@pytest.mark.parametrize("order", ["asc", "desc"])
+def test_childfield_sort(ctx, order):
+    """childfield(turn_idx,$q): parents ranked by min (asc) / max (desc)
+    turn_idx over their MATCHING children — dueled against a per-hit
+    dict aggregation over the brute-force oracle."""
+    s, oracle, convs = ctx
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    full = pa.concat_tables(
+        pq.read_table(p, columns=["conv_id", "turn_idx"])
+        for p in sorted(__import__("glob").glob("/tmp/lsr_bj_corpus/*.parquet"))
+    )
+    import pyarrow.compute as pc
+
+    full = full.take(
+        pc.sort_indices(full, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])
+    )
+    tix = full.column("turn_idx").to_pylist()
+    for q in ["error", "bash ok", '"tool output"']:
+        got = s.search_parents_childfield(q, "turn_idx", 6, order=order)
+        agg = {}
+        for d, _ in oracle.search(q, oracle.N):
+            c = convs[d]
+            v = float(tix[d])
+            if c not in agg:
+                agg[c] = v
+            else:
+                agg[c] = min(agg[c], v) if order == "asc" else max(agg[c], v)
+        exp = sorted(agg.items(), key=lambda p: (p[1] if order == "asc" else -p[1], p[0]))[:6]
+        assert got == [(c, v) for c, v in exp], (q, order, got[:3], exp[:3])
+
+
 def test_child_doc_transformer(ctx):
     """[child limit=N]: top-k parents each carry their first N child
     docIDs, straight from the fixture's conv → docID blocks."""
