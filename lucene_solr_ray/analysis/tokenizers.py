@@ -137,6 +137,12 @@ def _cjk_entry() -> Tokenizer:
     return cjk_tokenizer()
 
 
+def _ja_entry() -> Tokenizer:
+    from .ja import ja_tokenizer
+
+    return ja_tokenizer()
+
+
 TOKENIZER_REGISTRY: dict[str, Callable[..., Tokenizer]] = {
     "whitespace": whitespace_tokenizer,
     "letter": letter_tokenizer,
@@ -147,6 +153,8 @@ TOKENIZER_REGISTRY: dict[str, Callable[..., Tokenizer]] = {
     # ICU-lite multilingual word-break + CJK bigramming (analysis/icu.py)
     "icu": _icu_entry,
     "cjk": _cjk_entry,
+    # kuromoji-lite Japanese lattice segmentation (analysis/ja.py)
+    "ja": _ja_entry,
 }
 
 CHAR_FILTER_REGISTRY: dict[str, Callable[..., CharFilter]] = {

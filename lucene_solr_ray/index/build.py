@@ -162,7 +162,11 @@ def _batch_analyzer(tokenizer: str):
         from ..analysis.icu import icu_analyze_batch  # the same chain
 
         return icu_analyze_batch
-    raise ValueError(f"unknown tokenizer {tokenizer!r} (standard|icu|cjk)")
+    if tokenizer == "ja":  # kuromoji-lite lattice (analysis/ja.py)
+        from ..analysis.ja import ja_analyze_batch
+
+        return ja_analyze_batch
+    raise ValueError(f"unknown tokenizer {tokenizer!r} (standard|icu|cjk|ja)")
 
 
 def _apply_token_filter(tok: dict, flt, n_rows: int) -> dict:

@@ -174,6 +174,75 @@ ORDER BY cnt DESC, bigram LIMIT {TOP_BIGRAMS}
 """
 
 
+# --------------------------------------------------------------------------
+# kuromoji-lite (analysis/ja.py).  The ja slice is DERIVED like the zh one:
+# each ASCII token maps — by the SQL-replicable formula
+# (len(w) + ascii(first char)) % 8 — onto one of eight dictionary words
+# chosen to be concatenation-unambiguous (no dict word spans a boundary of
+# any concatenation; asserted exhaustively in tests/test_ja.py), and the
+# doc becomes their UNSEGMENTED concatenation.  The lattice must therefore
+# recover exactly the mapped word sequence, so global per-term counts have
+# a closed-form strict twin: count the source tokens per mapped word.
+
+_JA8 = ["私", "勉強", "検索", "東京", "電車", "仕事", "猫", "犬"]
+
+
+def ja_segment_terms(sf_dir: str):
+    """Strict gate for the Japanese lattice on the index-analysis path:
+    derive → segment (real Viterbi, per-doc loop = the documented
+    configurable-analysis slow path) → bounded per-batch term partials
+    (8-key domain → driver merge per the CLAUDE.md combiner rule)."""
+    import re as _re
+
+    from ..analysis.ja import ja_tokenize
+
+    word_re = _re.compile(WORD_RE)
+    ja8 = np.array(_JA8, dtype=object)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(word_re)
+        flat = toks.explode().dropna()
+        if not len(flat):
+            return pd.DataFrame(
+                {"term": pd.Series([], dtype=object), "cnt": pd.Series([], dtype="int64")}
+            )
+        w = flat.to_numpy(dtype=object)
+        idx = (flat.str.len().to_numpy() + np.frombuffer(
+            "".join(x[0] for x in w).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)) % 8
+        mapped = pd.Series(ja8[idx], index=flat.index)
+        derived = mapped.groupby(level=0).agg("".join)
+        terms: list[str] = []
+        for t in derived:
+            terms.extend(tok for tok, _ in ja_tokenize(t))
+        u, c = np.unique(np.asarray(terms, dtype=object), return_counts=True)
+        return pd.DataFrame({"term": u, "cnt": c.astype(np.int64)})
+
+    parts = (
+        read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(parts):
+        return pd.DataFrame(
+            {"term": pd.Series([], dtype=object), "cnt": pd.Series([], dtype="int64")}
+        )
+    out = parts.groupby("term", as_index=False)["cnt"].sum()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values("term").reset_index(drop=True)
+
+
+JA_SEGMENT_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS w FROM documents
+)
+SELECT ['私','勉強','検索','東京','電車','仕事','猫','犬']
+       [(len(w) + ascii(substr(w, 1, 1))) % 8 + 1] AS term,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
     "icu_multilingual_tokens": Pipeline(
         icu_multilingual_tokens,
@@ -184,5 +253,10 @@ PIPELINES: dict[str, Pipeline] = {
         cjk_top_bigrams,
         CJK_TOP_BIGRAMS_SQL,
         "top CJK bigrams over the derived zh slice — bucketed vocabulary shuffle, composite codepoint keys",
+    ),
+    "ja_segment_terms": Pipeline(
+        ja_segment_terms,
+        JA_SEGMENT_SQL,
+        "kuromoji-lite lattice segmentation over the derived unsegmented ja slice — closed-form strict twin",
     ),
 }

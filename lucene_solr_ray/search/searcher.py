@@ -118,6 +118,10 @@ class Searcher:
             from ..analysis.icu import icu_index_tokenize
 
             self._analyzer = icu_index_tokenize
+        elif tk == "ja":
+            from ..analysis.ja import ja_index_tokenize
+
+            self._analyzer = ja_index_tokenize
         else:
             self._analyzer = None  # standard chain (parse_query default)
         # shards.tolerant: skip dead shards instead of failing the request
