@@ -196,6 +196,10 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -
     parallel/fault-tolerant decoder shards on)."""
     img = np.asarray(img)
     gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        # match the BMP/PPM codecs' convention: wrong channel count is
+        # rejected, never silently dropped (RGBA must be flattened first)
+        raise ValueError("expected (H, W, 3) RGB or (H, W) grayscale")
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -367,8 +371,15 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
-        m = b[pos + 1]
-        pos += 2
+        pos += 1
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip padding so the length read never desyncs
+        while pos < len(b) and b[pos] == 0xFF:
+            pos += 1
+        if pos >= len(b):
+            break
+        m = b[pos]
+        pos += 1
         if m == 0xD9:  # EOI
             break
         if m in (0x01,) or 0xD0 <= m <= 0xD7:

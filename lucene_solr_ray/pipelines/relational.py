@@ -1143,10 +1143,16 @@ def percentile_tdigest(sf_dir: str):
     ds = read(sf_dir, "lineitem", ["l_extendedprice"])
     parts = ds.map_batches(sketch, batch_format="pandas").to_pandas()
     d = TDigest()
-    for blob in parts["sketch"]:
-        d = d.merge(TDigest.from_bytes(blob))
+    # an all-empty read yields zero blocks and Ray drops the pandas schema
+    # (the streams._to_df gotcha) — treat a missing column as no sketches
+    if "sketch" in parts.columns:
+        for blob in parts["sketch"]:
+            d = d.merge(TDigest.from_bytes(blob))
     total = int(round(d.weights.sum()))
     targets = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    if total == 0:  # empty table: quantile_cont is NULL — and the widen
+        # loop could never resolve a rank that doesn't exist
+        return pd.DataFrame({k: [np.nan] for k in ("p50", "p90", "p99")})
     out: dict[str, float] = {}
     todo = set(targets)
     margin = 0.005

@@ -1580,8 +1580,13 @@ def _num(v):
 
 
 def _array_stream(ctx: Ctx, e: Expr) -> SRes:
-    # ArrayEvaluator surfaced as a stream: one tuple holding the list
-    return SRes(df=pd.DataFrame([{"array": [_num(a) for a in e.args if not isinstance(a, Expr)]}]))
+    # ArrayEvaluator surfaced as a stream: one tuple holding the list.
+    # Only literal members are supported — nested evaluator calls are
+    # rejected loudly (silently dropping them would shift the pairing
+    # zplot does positionally).
+    if any(isinstance(a, Expr) for a in e.args):
+        raise StreamExprError("array(...) takes literal values, not nested expressions")
+    return SRes(df=pd.DataFrame([{"array": [_num(a) for a in e.args]}]))
 
 
 def _zplot(ctx: Ctx, e: Expr) -> SRes:

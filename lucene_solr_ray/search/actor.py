@@ -1488,21 +1488,10 @@ class IndexShard:
         incl/incu control closedness), then shard top-k by the UNCHANGED
         query score.  Pruning is off — the filter can drop any prefix of
         the score order, so WAND bounds don't hold."""
-        from ..functions.scalar import evaluate, parse_expr
-
-        docs, scores = self._eval(node, idfs, sim)
+        docs, scores = self._franged_hits(node, idfs, expr_src, lo, hi, incl, incu, sim)
         if docs.size == 0:
             return _EMPTY_I64, np.empty(0, np.float32)
-        expr, cols = self._expr_columns(parse_expr(expr_src), docs)
-        vals = np.broadcast_to(
-            np.asarray(evaluate(expr, cols), np.float64), scores.shape
-        )
-        mask = np.ones(docs.size, dtype=bool)
-        if lo is not None:
-            mask &= (vals >= lo) if incl else (vals > lo)
-        if hi is not None:
-            mask &= (vals <= hi) if incu else (vals < hi)
-        docs, scores32 = docs[mask], scores[mask].astype(np.float32)
+        scores32 = scores.astype(np.float32)
         if docs.size > k:
             thresh = scores32[np.argpartition(-scores32, k - 1)[k - 1]]
             cand = np.flatnonzero(scores32 >= thresh)
@@ -1526,11 +1515,30 @@ class IndexShard:
         """numFound for a {!frange}-filtered query: the top_k_franged mask
         evaluated shard-side, only the COUNT crosses the wire (the
         handle_select exotic-fq path no longer materializes ids)."""
+        docs, _ = self._franged_hits(node, idfs, expr_src, lo, hi, incl, incu, sim)
+        return int(docs.size)
+
+    def _franged_hits(
+        self,
+        node: QueryNode,
+        idfs: dict[str, float],
+        expr_src: str,
+        lo: float | None,
+        hi: float | None,
+        incl: bool,
+        incu: bool,
+        sim: str,
+    ):
+        """The ONE frange mask kernel (FunctionRangeQuery): evaluate the
+        query, compute the per-doc function value, keep hits in the
+        [l, u] window — shared by top_k_franged (page) and count_franged
+        (numFound) so closedness/column-resolution semantics can never
+        diverge between count and page."""
         from ..functions.scalar import evaluate, parse_expr
 
         docs, scores = self._eval(node, idfs, sim)
         if docs.size == 0:
-            return 0
+            return _EMPTY_I64, _EMPTY_F64
         expr, cols = self._expr_columns(parse_expr(expr_src), docs)
         vals = np.broadcast_to(np.asarray(evaluate(expr, cols), np.float64), scores.shape)
         mask = np.ones(docs.size, dtype=bool)
@@ -1538,7 +1546,7 @@ class IndexShard:
             mask &= (vals >= lo) if incl else (vals > lo)
         if hi is not None:
             mask &= (vals <= hi) if incu else (vals < hi)
-        return int(mask.sum())
+        return docs[mask], scores[mask]
 
     def scores_of(self, node: QueryNode, idfs: dict[str, float], docs: list[int], sim: str = "bm25"):
         """(owned matching docIDs, float64 scores) restricted to the GIVEN

@@ -168,7 +168,7 @@ def dispatch(
         if len(fqs) > 1:
             raise QParserError("only one {!...} local-params fq is supported per request")
         fname, fparams, fbody = parse_local_params(fq)
-        qname, _, qbody = parse_local_params(q)
+        qname, qp, qbody = parse_local_params(q)
         if qname != "lucene":
             # collapse/frange parse their main query with the default
             # parser — a {!surround}/{!complexphrase} main query would
@@ -186,9 +186,11 @@ def dispatch(
             )
         if fname == "frange":
             # fq={!frange l=0 u=10 incl=true incu=false}expr — Solr's
-            # FunctionRangeQParserPlugin filter contract
+            # FunctionRangeQParserPlugin filter contract; the main node is
+            # built through _lucene_main_node so q.op=AND survives (and
+            # count_franged in handle_select sees the SAME node)
             return searcher.search_franged(
-                qbody,
+                _lucene_main_node(searcher, qp, qbody),
                 fbody,
                 lo=float(fparams["l"]) if "l" in fparams else None,
                 hi=float(fparams["u"]) if "u" in fparams else None,

@@ -1278,18 +1278,28 @@ class Searcher:
         else:
             full = None
             fname = fparams = fbody = None
-            if qname == "lucene" and not plain_fq:
-                fname, fparams, fbody = parse_local_params(fq if isinstance(fq, str) else fq[0])
+            fq_list = [fq] if isinstance(fq, str) else list(fq or [])
+            if qname == "lucene" and not plain_fq and len(fq_list) == 1:
+                # the shortcut applies ONLY to a single frange fq — a list
+                # with more filters must fall through so the full
+                # evaluation raises the same QParserError the page would
+                # (never a silent count over a subset of the filters)
+                fname, fparams, fbody = parse_local_params(fq_list[0])
             if fname == "frange":
                 # counts-only scatter — only per-shard hit counts cross;
-                # the page itself comes from the bounded dispatch below
+                # the page itself comes from the bounded dispatch below.
+                # qnode is the q.op-applied main node and _bool is the
+                # dispatcher's own flag parser, so count and page agree
+                # on both the query semantics and window closedness.
+                from .qparser import _bool
+
                 num_found = self.count_franged(
-                    qbody,
+                    qnode,
                     fbody,
                     lo=float(fparams["l"]) if "l" in fparams else None,
                     hi=float(fparams["u"]) if "u" in fparams else None,
-                    incl=fparams.get("incl", "true").lower() != "false",
-                    incu=fparams.get("incu", "true").lower() != "false",
+                    incl=_bool(fparams.get("incl"), True),
+                    incu=_bool(fparams.get("incu"), True),
                 )
             else:
                 # exotic parser / collapse fq: ONE bounded full evaluation
@@ -1562,7 +1572,7 @@ class Searcher:
 
     def search_franged(
         self,
-        query: str,
+        query: "str | QueryNode",
         frange_expr: str,
         lo: float | None = None,
         hi: float | None = None,
@@ -1574,8 +1584,10 @@ class Searcher:
         """`fq={!frange l= u=}expr` over a main query (solr/core/.../search/
         FunctionRangeQParserPlugin): hits are masked SHARD-SIDE by the
         per-doc function value before shard top-k, so the page is exact —
-        no driver over-fetch, no rerank."""
-        node = self._parse(query)
+        no driver over-fetch, no rerank.  `query` may be a pre-parsed
+        QueryNode (the dispatch/handle_select paths pass the q.op-applied
+        main node so count and page agree)."""
+        node = self._parse(query) if isinstance(query, str) else query
         if node is None:
             return []
         node = self._rewrite(node)
@@ -1594,7 +1606,7 @@ class Searcher:
 
     def count_franged(
         self,
-        query: str,
+        query: "str | QueryNode",
         frange_expr: str,
         lo: float | None = None,
         hi: float | None = None,
@@ -1603,8 +1615,9 @@ class Searcher:
         similarity: str = "bm25",
     ) -> int:
         """Exact numFound for `q` ∩ `{!frange}` — a counts-only scatter
-        (the search_franged mask, but only per-shard hit counts cross)."""
-        node = self._parse(query)
+        (the search_franged mask, but only per-shard hit counts cross).
+        `query` may be a pre-parsed QueryNode, like search_franged."""
+        node = self._parse(query) if isinstance(query, str) else query
         if node is None:
             return 0
         node = self._rewrite(node)

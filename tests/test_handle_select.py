@@ -180,3 +180,63 @@ def test_r5_advice_fixes(searcher):  # noqa: F811
     assert all(smap[i] > 0.0 for i in ids)
     assert set(rh["highlighting"]) == set(ids)
     assert got  # the same hits drive the envelope's highlighting section
+
+
+def test_r5_review_fixes(searcher):  # noqa: F811
+    """r5 review pass: frange count and page share flag parsing (_bool),
+    the q.op-applied main node, and refuse multi-filter lists identically."""
+    import pytest
+
+    from lucene_solr_ray.search.qparser import QParserError
+
+    # incl=no parses as False on BOTH count and page paths
+    fq = "{!frange l=0 u=3 incl=no}turn_idx"
+    r = searcher.handle_select({"q": "output", "rows": 5, "fq": fq})
+    full = searcher.query("output", 10**6, fq=fq)
+    assert r["response"]["numFound"] == len(full)
+    assert [d["doc_id"] for d in r["response"]["docs"]] == [d for d, _ in full[:5]]
+    # incl flips the boundary exactly: (0,3] = [0,3] minus the turn_idx==0
+    # slice (an identity, so the check can't go vacuous on corpus luck)
+    incl = searcher.handle_select({"q": "output", "rows": 0, "fq": "{!frange l=0 u=3}turn_idx"})
+    zero = len(searcher.query("output", 10**6, fq="{!frange l=0 u=0}turn_idx"))
+    assert r["response"]["numFound"] == incl["response"]["numFound"] - zero
+    # and the boundary DOES bite somewhere: a query with turn-0 matches
+    q0 = "user input"
+    z0 = len(searcher.query(q0, 10**6, fq="{!frange l=0 u=0}turn_idx"))
+    if z0:
+        lo = searcher.handle_select({"q": q0, "rows": 0, "fq": "{!frange l=0 u=3 incl=no}turn_idx"})
+        hi = searcher.handle_select({"q": q0, "rows": 0, "fq": "{!frange l=0 u=3}turn_idx"})
+        assert lo["response"]["numFound"] == hi["response"]["numFound"] - z0 < hi["response"]["numFound"]
+
+    # a frange fq in a multi-filter list refuses loudly even at rows=0
+    with pytest.raises(QParserError):
+        searcher.handle_select(
+            {"q": "output", "rows": 0, "fq": ["{!frange l=0 u=3}turn_idx", "role:user"]}
+        )
+
+    # q.op=AND survives into BOTH the frange count and the frange page
+    fq2 = "{!frange l=0 u=30}turn_idx"
+    rand = searcher.handle_select({"q": "{!lucene q.op=AND}error ok", "rows": 10**6, "fq": fq2})
+    assert rand["response"]["numFound"] == len(rand["response"]["docs"])
+    ror = searcher.handle_select({"q": "error ok", "rows": 0, "fq": fq2})
+    assert rand["response"]["numFound"] < ror["response"]["numFound"]  # AND bites
+    strict = {d for d, _ in searcher.search("+error +ok", 10**6)}
+    assert {d["doc_id"] for d in rand["response"]["docs"]} <= strict
+
+
+def test_percentile_tdigest_empty_input(tmp_path):
+    """r5 review: an empty lineitem must return NaNs, not loop forever."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.relational import percentile_tdigest
+
+    pq.write_table(
+        pa.table({"l_extendedprice": pa.array([], type=pa.float64())}),
+        tmp_path / "lineitem.parquet",
+    )
+    out = percentile_tdigest(str(tmp_path))
+    assert list(out.columns) == ["p50", "p90", "p99"]
+    assert out.isna().all().all()

@@ -92,3 +92,28 @@ def test_external_table_parse_path():
     lo = decode_jpeg(encode_jpeg(img, quality=30))
     hi = decode_jpeg(encode_jpeg(img, quality=98))
     assert _mae(hi, img) < _mae(lo, img)  # quality knob flows end to end
+
+
+def test_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker —
+    the segment walk must skip them, not read padding as a length."""
+    img = synth_like = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    raw = encode_jpeg(img, quality=90)
+    # inject extra FF pads before the first few markers after SOI
+    padded = bytearray(raw[:2])
+    rest = raw[2:]
+    padded += b"\xff" + rest  # one pad before the first marker
+    out = decode_jpeg(bytes(padded))
+    assert np.array_equal(out, decode_jpeg(raw))
+
+
+def test_encode_rejects_wrong_channels():
+    """RGBA (or any non-3 channel count) is rejected, matching the
+    BMP/PPM convention — never silently dropped."""
+    import pytest
+
+    rgba = np.zeros((8, 8, 4), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        encode_jpeg(rgba)
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((8, 8, 1), dtype=np.uint8))

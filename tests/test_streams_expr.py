@@ -927,3 +927,10 @@ def test_zplot_and_array(ray_session):
         run_expr("zplot(x=array(1, 2), y=array(1, 2, 3))", SF)
     with _pytest.raises(StreamExprError):
         run_expr("zplot()", SF)
+
+
+def test_array_rejects_nested_expressions(ray_session):
+    """r5 review: array() members must be literals — a nested call must
+    raise, not silently vanish (which would shift zplot's pairing)."""
+    with pytest.raises(StreamExprError):
+        run_expr("zplot(x=array(1, add(1,2), 3), y=array(10, 20, 30))", SF)
