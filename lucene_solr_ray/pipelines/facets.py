@@ -45,10 +45,13 @@ def _digest_of(s: pd.Series) -> bytes:
 
 
 def _digest_merge(s: pd.Series) -> bytes:
-    """Pandas agg kernel: serialized t-digests → merged serialized digest."""
+    """Pandas agg kernel: serialized t-digests → merged serialized digest.
+    t-digest merges are ORDER-SENSITIVE and Ray's streaming executor does
+    not preserve block order — merge in sorted-blob order so the result is
+    a pure function of the partial multiset, not of arrival order."""
     from ..state.tdigest import TDigest
 
-    it = iter(s)
+    it = iter(sorted(s))
     acc = TDigest.from_bytes(next(it))
     for b in it:
         acc = acc.merge(TDigest.from_bytes(b))
@@ -281,7 +284,14 @@ def compute_json_facet(sf_dir: str, table: str, spec: dict) -> pd.DataFrame:
             ops[mcol(i, name)] = SKETCH_METRICS[m["type"]][1] if m["type"] in SKETCH_METRICS else {"sum": "sum", "avg": "sum", "min": "min", "max": "max", "relatedness": "sum", "countvals": "sum", "missing": "sum", "sumsq": "sum", "variance": "sum", "stddev": "sum"}[m["type"]]
             if m["type"] in ("variance", "stddev"):
                 ops[mcol(i, name) + "__s1"] = "sum"
-    parts_df = read(sf_dir, table, need).map_batches(partial, batch_format="pandas").to_pandas()
+    # batch_size=None → one batch per BLOCK: batches never straddle block
+    # boundaries, so the partial multiset (incl. per-batch t-digests) is
+    # deterministic even though the executor delivers blocks out of order
+    parts_df = (
+        read(sf_dir, table, need)
+        .map_batches(partial, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
     lattice = parts_df.groupby(bucket_cols, as_index=False).agg(ops)
 
     # -- driver-side tree assembly over the (small) lattice ----------------
