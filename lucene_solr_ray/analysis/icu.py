@@ -204,10 +204,12 @@ def icu_index_tokenize(text: str) -> list[tuple[str, int]]:
     return [(t, p) for t, p in icu_tokenize(text) if t not in ENGLISH_STOP_WORDS]
 
 
-def icu_analyze_batch(texts) -> dict:
+def tokenized_analyze_batch(texts, index_tokenize) -> dict:
     """Batch analysis in the `analyze_batch` output shape (row/term/pos/dl)
     — the configurable-analysis slow path (per-row loop; the default
-    standard chain stays fully vectorized).  Accepts a pyarrow Array."""
+    standard chain stays fully vectorized).  Accepts a pyarrow Array.
+    `index_tokenize(text) -> [(term, pos)]` supplies the chain — shared by
+    the icu and ja index paths so the accumulation contract can't diverge."""
     import pyarrow as pa
 
     if isinstance(texts, pa.ChunkedArray):
@@ -217,7 +219,7 @@ def icu_analyze_batch(texts) -> dict:
     poss: list[int] = []
     dl = np.zeros(len(texts), dtype=np.int64)
     for r, v in enumerate(texts):
-        toks = icu_index_tokenize(v.as_py() or "")
+        toks = index_tokenize(v.as_py() or "")
         dl[r] = len(toks)
         for t, p in toks:
             rows.append(r)
@@ -229,6 +231,11 @@ def icu_analyze_batch(texts) -> dict:
         "pos": np.asarray(poss, dtype=np.int64),
         "dl": dl,
     }
+
+
+def icu_analyze_batch(texts) -> dict:
+    """`analyze_batch` over the ICU chain (see tokenized_analyze_batch)."""
+    return tokenized_analyze_batch(texts, icu_index_tokenize)
 
 
 def icu_tokenizer():

@@ -182,31 +182,11 @@ def ja_index_tokenize(text: str) -> list[tuple[str, int]]:
 
 
 def ja_analyze_batch(texts) -> dict:
-    """Batch analysis in the `analyze_batch` output shape (row/term/pos/
-    dl) — the configurable-analysis slow path, same contract as
-    `icu_analyze_batch`."""
-    import numpy as np
-    import pyarrow as pa
+    """`analyze_batch` over the ja chain — delegates to the shared ICU
+    accumulation kernel so the output contract can't diverge."""
+    from .icu import tokenized_analyze_batch
 
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    rows: list[int] = []
-    terms: list[str] = []
-    poss: list[int] = []
-    dl = np.zeros(len(texts), dtype=np.int64)
-    for r, v in enumerate(texts):
-        toks = ja_index_tokenize(v.as_py() or "")
-        dl[r] = len(toks)
-        for t, p in toks:
-            rows.append(r)
-            terms.append(t)
-            poss.append(p)
-    return {
-        "row": np.asarray(rows, dtype=np.int64),
-        "term": np.asarray(terms, dtype=object),
-        "pos": np.asarray(poss, dtype=np.int64),
-        "dl": dl,
-    }
+    return tokenized_analyze_batch(texts, ja_index_tokenize)
 
 
 def ja_tokenizer():

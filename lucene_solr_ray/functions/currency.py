@@ -70,8 +70,16 @@ def parse_currency(values, fraction_digits: int = 2):
     amt, _, code = (p := s.str.partition(","))[0], p[1], p[2]
     if (code == "").any():
         raise ValueError("currency value without ',CODE' suffix")
+    # BigDecimal-strict: one optional sign, digits with at most one point,
+    # at least one digit somewhere — "--5", "-", "" all raise like
+    # NumberFormatException (exponent forms are rejected too: stricter
+    # than BigDecimal, but no currency source emits them)
+    ok = amt.str.fullmatch(r"[+-]?(?:\d+(?:\.\d*)?|\.\d+)")
+    if not ok.all():
+        bad = amt[~ok.fillna(False)].iloc[0] if len(amt) else ""
+        raise ValueError(f"malformed currency amount {bad!r}")
     neg = amt.str.startswith("-")
-    amt = amt.str.lstrip("-")
+    amt = amt.str.lstrip("+-")
     whole, _, frac = (q := amt.str.partition("."))[0], q[1], q[2]
     if (frac.str.len() > fraction_digits).any():
         raise ValueError(f"more than {fraction_digits} fraction digits")

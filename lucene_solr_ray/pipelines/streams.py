@@ -1610,6 +1610,9 @@ def _zplot(ctx: Ctx, e: Expr) -> SRes:
         m = series.pop("table")
         if series:
             raise StreamExprError("zplot: table= composes alone")
+        if not isinstance(m, (list, tuple, np.ndarray)):
+            # a scalar binding is a misuse, not a TypeError escape hatch
+            raise StreamExprError("zplot: table= needs a matrix (list of rows)")
         rows = [list(r) if isinstance(r, (list, tuple, np.ndarray)) else [r] for r in m]
         w = max((len(r) for r in rows), default=0)
         return SRes(df=pd.DataFrame(rows, columns=[f"col{i}" for i in range(w)]))

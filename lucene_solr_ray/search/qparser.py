@@ -175,8 +175,10 @@ def dispatch(
             # silently misparse as lucene term syntax, so reject the mix
             raise QParserError(f"fq composes with the default parser only, not {{!{qname}}}")
         if fname == "collapse" and "field" in fparams:
+            # the main node goes through _lucene_main_node like the frange
+            # and plain-fq branches, so q.op=AND is never silently dropped
             return searcher.search_collapse(
-                qbody,
+                _lucene_main_node(searcher, qp, qbody),
                 fparams["field"],
                 k,
                 similarity=similarity,

@@ -1795,7 +1795,7 @@ class Searcher:
 
     def search_collapse(
         self,
-        query: str,
+        query: "str | QueryNode",
         field: str,
         k: int = 10,
         similarity: str = "bm25",
@@ -1815,6 +1815,8 @@ class Searcher:
         (the plugin's nullPolicy): ignore drops field-less docs, expand
         keeps each as its own singleton group (group_value None), collapse
         folds them into ONE null group.  → [(doc_id, score, group_value)].
+        `query` may be a pre-parsed QueryNode (the dispatch path passes the
+        q.op-applied main node, like search_franged).
         """
         if min_field and max_field:
             raise ValueError("collapse takes min= or max=, not both")
@@ -1824,7 +1826,7 @@ class Searcher:
             raise ValueError("nullPolicy=expand|collapse composes with the score selector only")
         sel_op = "min" if min_field else ("max" if max_field else None)
         sel_field = min_field or max_field
-        node = self._parse(query)
+        node = self._parse(query) if isinstance(query, str) else query
         if node is None:
             return []
         node = self._rewrite(node)

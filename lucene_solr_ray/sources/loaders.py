@@ -321,6 +321,12 @@ def infer_column_types(ds, cols: list[str]) -> pd.DataFrame:
     parts = ds.map_batches(
         lambda b: _infer_partial(b, cols), batch_format="pandas"
     ).to_pandas()
+    if "col" not in parts.columns:
+        # all-empty input loses the pandas block schema (known Ray gotcha):
+        # zero rows seen → every predicate vacuously true → bool wins
+        return pd.DataFrame(
+            {"col": cols, "inferred": "bool", "n_nonnull": 0, "checksum": 0}
+        )
     g = parts.groupby("col").agg(
         n=("n", "sum"),
         all_bool=("all_bool", "all"),
@@ -363,7 +369,12 @@ def add_schema_fields(types: dict[str, str]) -> Step:
     def f(b):
         for c, t in types.items():
             if t == "bool":
-                b[c] = b[c].map(lambda v: None if v is None else str(v).strip().lower() in _TRUE)
+                # pd.isna (not `is None`) so NaN nulls stay null instead of
+                # stringifying to "nan" → False, matching _infer_partial's
+                # notna() null accounting
+                b[c] = b[c].map(
+                    lambda v: None if pd.isna(v) else str(v).strip().lower() in _TRUE
+                )
             elif t == "long":
                 b[c] = pd.to_numeric(b[c], errors="coerce").astype("Int64")
             elif t == "double":

@@ -75,3 +75,16 @@ def test_valuesource_preresolution():
     got = evaluate(node, {"price_cents": np.array([1250.0, 99.0])})
     exp = np.trunc(np.array([1250.0, 99.0]) * 1.08) / 100.0
     assert np.array_equal(got, exp)
+
+
+def test_parse_rejects_malformed_amounts():
+    """r5 review: BigDecimal-strict parse — double signs, bare signs,
+    empty amounts, and garbage all raise instead of folding to 0/-N."""
+    import pytest
+
+    for bad in ["--5,USD", "-,USD", ",USD", "+,USD", "5-,USD", "1.2.3,USD", "abc,USD"]:
+        with pytest.raises(ValueError):
+            parse_currency([bad])
+    # the valid edge shapes still parse exactly
+    cents, codes = parse_currency(["+5,USD", ".5,USD", "5.,USD", "-0.01,USD"])
+    assert cents.tolist() == [500, 50, 500, -1]

@@ -132,3 +132,14 @@ def test_dispatch_field_prefix_and_start(searcher):  # noqa: F811
     assert searcher.query("tool output", 10, start=10) == full[10:20]
     with pytest.raises(QParserError):
         searcher.query("{!field}x")
+
+
+def test_fq_collapse_honors_qop(searcher):  # noqa: F811
+    """r5 review: {!collapse} fq no longer drops q.op=AND from the main
+    query — heads come only from docs matching EVERY term."""
+    strict = {d for d, _ in searcher.search("+error +ok", 10**6)}
+    got = searcher.query("{!lucene q.op=AND}error ok", 50, fq="{!collapse field=role}")
+    assert got and all(d in strict for d, _, _ in got)
+    loose = searcher.query("error ok", 50, fq="{!collapse field=role}")
+    # OR semantics must still differ somewhere (non-vacuous)
+    assert {d for d, _, _ in loose} != {d for d, _, _ in got} or len(loose) != len(got)

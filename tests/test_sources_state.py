@@ -235,3 +235,23 @@ def test_r5_add_schema_fields_cast():
     assert out["x"].dtype == "float64" and out["x"][2] == 300.0
     assert str(out["d"].dtype).startswith("datetime64") and out["d"][2].hour == 5
     assert out["t"].tolist() == ["a", "b", "c", "d"]
+
+
+def test_r5_review_nan_bool_and_empty_infer(ray_session):
+    """r5 review: NaN nulls survive the bool cast as None (never False),
+    and inference over an all-empty dataset returns the vacuous default
+    instead of crashing on the dropped pandas schema."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from lucene_solr_ray.sources.loaders import add_schema_fields, infer_column_types
+
+    b = pd.DataFrame({"flag": ["true", np.nan, None, "no"]})
+    out = add_schema_fields({"flag": "bool"})(b)
+    assert out["flag"].tolist() == [True, None, None, False]
+
+    empty = rd.from_pandas(pd.DataFrame({"a": ["1"], "b": ["x"]})).filter(lambda r: False)
+    inf = infer_column_types(empty, ["a", "b"])
+    assert inf["col"].tolist() == ["a", "b"]
+    assert (inf["n_nonnull"] == 0).all()

@@ -934,3 +934,13 @@ def test_array_rejects_nested_expressions(ray_session):
     raise, not silently vanish (which would shift zplot's pairing)."""
     with pytest.raises(StreamExprError):
         run_expr("zplot(x=array(1, add(1,2), 3), y=array(10, 20, 30))", SF)
+
+
+def test_zplot_table_scalar_cell_raises(ray_session):
+    """r5 review: a scalar single cell fed to table= raises the stream
+    error, not a raw TypeError; a vector cell still explodes row-wise."""
+    ok = run_expr("zplot(table=array(1, 2, 3))", SF)
+    assert ok["col0"].tolist() == [1, 2, 3]
+    # genuinely scalar single cell: tuple() produces one scalar cell
+    with pytest.raises(StreamExprError):
+        run_expr("zplot(table=tuple(v=1))", SF)
