@@ -81,6 +81,9 @@ SUITE = [
     "line_dedup", "soft_dedup_weights", "range_facet_include",
     "sql_left_join", "sql_in_subquery", "sql_group_expr",
     "interleave_order", "ann_hnsw_topk", "corpus_datacard", "curate_corpus_v2",
+    # round-5 additions: currency conversion, Japanese lattice
+    # segmentation, schemaless type inference
+    "currency_convert", "ja_segment_terms", "schemaless_infer",
 ]
 
 
