@@ -95,44 +95,25 @@ JA_STOP_WORDS = frozenset(
 )
 
 
-def _viterbi(run: str) -> list[tuple[int, int]]:
-    """Min-cost lattice walk → [(start, end)] token spans covering `run`."""
+def _unk_edge(run: str, i: int) -> tuple[int, float]:
+    """Unknown-word edge by character class: katakana runs group into one
+    edge (incl. ー), everything else is per-char."""
     n = len(run)
-    INF = float("inf")
-    best = [INF] * (n + 1)
-    best[0] = 0.0
-    back = [0] * (n + 1)
-    for i in range(n):
-        if best[i] == INF:
-            continue
-        # dictionary edges, longest first (tie-break: first relaxation wins)
-        for w, c in _BY_FIRST.get(run[i], ()):
-            j = i + len(w)
-            if j <= n and run.startswith(w, i):
-                nc = best[i] + c
-                if nc < best[j]:
-                    best[j], back[j] = nc, i
-        # unknown-word edge by character class
-        cls = _jclass(run[i])
-        if cls == _KATA:
-            j = i + 1
-            while j < n and _jclass(run[j]) == _KATA:
-                j += 1
-            cost = _UNK_KATA
-        else:
-            j = i + 1
-            cost = _UNK_HIRA if cls == _HIRA else _UNK_KANJI
-        nc = best[i] + cost
-        if nc < best[j]:
-            best[j], back[j] = nc, i
-    spans: list[tuple[int, int]] = []
-    j = n
-    while j > 0:
-        i = back[j]
-        spans.append((i, j))
-        j = i
-    spans.reverse()
-    return spans
+    cls = _jclass(run[i])
+    if cls == _KATA:
+        j = i + 1
+        while j < n and _jclass(run[j]) == _KATA:
+            j += 1
+        return j, _UNK_KATA
+    return i + 1, _UNK_HIRA if cls == _HIRA else _UNK_KANJI
+
+
+def _viterbi(run: str) -> list[tuple[int, int]]:
+    """Min-cost lattice walk → [(start, end)] token spans covering `run`
+    (the shared kernel in analysis/lattice.py with the ja dictionary)."""
+    from .lattice import viterbi_spans
+
+    return viterbi_spans(run, _BY_FIRST, _unk_edge)
 
 
 def ja_tokenize_offsets(text: str) -> list[tuple[str, int, int, int]]:

@@ -143,6 +143,18 @@ def _ja_entry() -> Tokenizer:
     return ja_tokenizer()
 
 
+def _ko_entry() -> Tokenizer:
+    from .ko import ko_tokenizer
+
+    return ko_tokenizer()
+
+
+def _zh_entry() -> Tokenizer:
+    from .zh import zh_tokenizer
+
+    return zh_tokenizer()
+
+
 TOKENIZER_REGISTRY: dict[str, Callable[..., Tokenizer]] = {
     "whitespace": whitespace_tokenizer,
     "letter": letter_tokenizer,
@@ -155,6 +167,10 @@ TOKENIZER_REGISTRY: dict[str, Callable[..., Tokenizer]] = {
     "cjk": _cjk_entry,
     # kuromoji-lite Japanese lattice segmentation (analysis/ja.py)
     "ja": _ja_entry,
+    # nori-lite Korean suffix strip (analysis/ko.py)
+    "ko": _ko_entry,
+    # smartcn-lite Chinese lattice segmentation (analysis/zh.py)
+    "zh": _zh_entry,
 }
 
 CHAR_FILTER_REGISTRY: dict[str, Callable[..., CharFilter]] = {

@@ -166,7 +166,15 @@ def _batch_analyzer(tokenizer: str):
         from ..analysis.ja import ja_analyze_batch
 
         return ja_analyze_batch
-    raise ValueError(f"unknown tokenizer {tokenizer!r} (standard|icu|cjk|ja)")
+    if tokenizer == "ko":  # nori-lite suffix strip (analysis/ko.py)
+        from ..analysis.ko import ko_analyze_batch
+
+        return ko_analyze_batch
+    if tokenizer == "zh":  # smartcn-lite lattice (analysis/zh.py)
+        from ..analysis.zh import zh_analyze_batch
+
+        return zh_analyze_batch
+    raise ValueError(f"unknown tokenizer {tokenizer!r} (standard|icu|cjk|ja|ko|zh)")
 
 
 def _apply_token_filter(tok: dict, flt, n_rows: int) -> dict:

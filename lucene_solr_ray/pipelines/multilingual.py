@@ -192,12 +192,43 @@ def ja_segment_terms(sf_dir: str):
     derive → segment (real Viterbi, per-doc loop = the documented
     configurable-analysis slow path) → bounded per-batch term partials
     (8-key domain → driver merge per the CLAUDE.md combiner rule)."""
-    import re as _re
-
     from ..analysis.ja import ja_tokenize
 
+    return _mapped_terms(sf_dir, _JA8, ja_tokenize, "")
+
+
+JA_SEGMENT_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS w FROM documents
+)
+SELECT ['私','勉強','検索','東京','電車','仕事','猫','犬']
+       [(len(w) + ascii(substr(w, 1, 1))) % 8 + 1] AS term,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
+# --------------------------------------------------------------------------
+# smartcn-lite (analysis/zh.py) and nori-lite (analysis/ko.py) gates, the
+# same derived-slice construction as ja_segment_terms: ASCII tokens map by
+# a SQL-replicable formula onto dictionary words chosen to re-segment (or
+# suffix-strip) unambiguously — asserted exhaustively in tests/test_ko_zh.py
+# — so global per-term counts have closed-form strict twins.
+
+_ZH8 = ["中国", "时间", "工作", "学习", "电脑", "音乐", "朋友", "天气"]
+_KO8 = ["학교", "사람", "나라", "시간", "음악", "친구", "가족", "날씨"]
+_KO4 = ["은", "가", "를", "에서"]
+
+
+def _mapped_terms(sf_dir: str, words8, tokenize, joiner: str):
+    """Shared gate body: derive per-doc text from the ASCII tokens via the
+    (len + ascii(first)) % 8 word map, run the REAL analysis chain per doc
+    (the documented configurable-analysis slow path), and return bounded
+    per-batch term partials merged on the driver (8-key domain)."""
+    import re as _re
+
     word_re = _re.compile(WORD_RE)
-    ja8 = np.array(_JA8, dtype=object)
+    w8 = np.array(words8, dtype=object)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch["text"].str.lower().str.findall(word_re)
@@ -210,11 +241,17 @@ def ja_segment_terms(sf_dir: str):
         idx = (flat.str.len().to_numpy() + np.frombuffer(
             "".join(x[0] for x in w).encode("utf-32-le"), dtype=np.uint32
         ).astype(np.int64)) % 8
-        mapped = pd.Series(ja8[idx], index=flat.index)
-        derived = mapped.groupby(level=0).agg("".join)
+        mapped = pd.Series(w8[idx], index=flat.index)
+        if joiner == " ":
+            # Korean eojeol additionally carry a deterministic particle
+            lens = flat.str.len().to_numpy() % 4
+            mapped = pd.Series(
+                [m + _KO4[i] for m, i in zip(mapped.to_numpy(), lens)], index=flat.index
+            )
+        derived = mapped.groupby(level=0).agg(joiner.join)
         terms: list[str] = []
         for t in derived:
-            terms.extend(tok for tok, _ in ja_tokenize(t))
+            terms.extend(tok for tok, _ in tokenize(t))
         u, c = np.unique(np.asarray(terms, dtype=object), return_counts=True)
         return pd.DataFrame({"term": u, "cnt": c.astype(np.int64)})
 
@@ -232,11 +269,40 @@ def ja_segment_terms(sf_dir: str):
     return out.sort_values("term").reset_index(drop=True)
 
 
-JA_SEGMENT_SQL = f"""
+def zh_segment_terms(sf_dir: str):
+    """Strict gate for the smartcn-lite lattice: derive unsegmented Han
+    concatenations → real Viterbi segmentation → bounded term partials."""
+    from ..analysis.zh import zh_tokenize
+
+    return _mapped_terms(sf_dir, _ZH8, zh_tokenize, "")
+
+
+ZH_SEGMENT_SQL = f"""
 WITH toks AS (
   SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS w FROM documents
 )
-SELECT ['私','勉強','検索','東京','電車','仕事','猫','犬']
+SELECT ['中国','时间','工作','学习','电脑','音乐','朋友','天气']
+       [(len(w) + ascii(substr(w, 1, 1))) % 8 + 1] AS term,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks GROUP BY term ORDER BY term
+"""
+
+
+def ko_strip_particles(sf_dir: str):
+    """Strict gate for the nori-lite chain: derive space-separated eojeol
+    (noun + deterministic josa) → real suffix-strip analysis → bounded
+    stem partials; the twin counts the nouns by the same formula (the
+    josa must vanish EXACTLY for the hash to match)."""
+    from ..analysis.ko import ko_tokenize
+
+    return _mapped_terms(sf_dir, _KO8, ko_tokenize, " ")
+
+
+KO_STRIP_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS w FROM documents
+)
+SELECT ['학교','사람','나라','시간','음악','친구','가족','날씨']
        [(len(w) + ascii(substr(w, 1, 1))) % 8 + 1] AS term,
        CAST(COUNT(*) AS BIGINT) AS cnt
 FROM toks GROUP BY term ORDER BY term
@@ -258,5 +324,15 @@ PIPELINES: dict[str, Pipeline] = {
         ja_segment_terms,
         JA_SEGMENT_SQL,
         "kuromoji-lite lattice segmentation over the derived unsegmented ja slice — closed-form strict twin",
+    ),
+    "zh_segment_terms": Pipeline(
+        zh_segment_terms,
+        ZH_SEGMENT_SQL,
+        "smartcn-lite lattice segmentation over the derived unsegmented zh slice — closed-form strict twin",
+    ),
+    "ko_strip_particles": Pipeline(
+        ko_strip_particles,
+        KO_STRIP_SQL,
+        "nori-lite josa/eomi suffix strip over derived Korean eojeol — closed-form strict twin",
     ),
 }

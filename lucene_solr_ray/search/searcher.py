@@ -122,6 +122,14 @@ class Searcher:
             from ..analysis.ja import ja_index_tokenize
 
             self._analyzer = ja_index_tokenize
+        elif tk == "ko":
+            from ..analysis.ko import ko_index_tokenize
+
+            self._analyzer = ko_index_tokenize
+        elif tk == "zh":
+            from ..analysis.zh import zh_index_tokenize
+
+            self._analyzer = zh_index_tokenize
         else:
             self._analyzer = None  # standard chain (parse_query default)
         # shards.tolerant: skip dead shards instead of failing the request
