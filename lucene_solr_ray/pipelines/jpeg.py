@@ -8,13 +8,15 @@ Huffman entropy coding:
 - encoder: RGB→YCbCr (JFIF), 8×8 forward DCT (matrix form), Annex-K
   quantization tables scaled by the libjpeg quality curve, zigzag, DC
   differential + AC run-length, Annex-K Huffman tables, byte stuffing.
-  4:4:4 only (no subsampling) — every MCU is one block per component.
+  4:4:4 by default; `subsample=True` writes 4:2:0 (2×2 luma per MCU,
+  box-averaged chroma — the shape real web corpora ship).
 - decoder: full marker walk (APPn/COM skipped, DQT/DHT/DRI honored —
   tables come from the FILE, not from our constants), baseline SOF0 with
-  1×1 sampling, restart-marker handling, Huffman decode, dequant, inverse
-  DCT, YCbCr→RGB.  Progressive (SOF2), 12-bit, arithmetic coding and
-  subsampled scans raise NotImplementedError — honest boundaries, same as
-  the other codecs here.
+  GENERAL sampling factors (4:4:4 / 4:2:0 / 4:2:2 / anything with
+  integral ratios; nearest-neighbor chroma upsample), restart-marker
+  handling, Huffman decode, dequant, inverse DCT, YCbCr→RGB.
+  Progressive (SOF2), 12-bit and arithmetic coding raise
+  NotImplementedError — honest boundaries, same as the other codecs here.
 
 Everything is deterministic; encode(img) is byte-stable across runs.
 """
@@ -189,11 +191,49 @@ def _blockify(plane: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -> bytes:
+def _encode_block(bw, zz, dct_t, act_t, pred_dc: int) -> int:
+    """DC differential + AC run-length for one zigzagged block; → new DC."""
+    diff = int(zz[0]) - pred_dc
+    s = _category(diff)
+    code, ln = dct_t[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    nz = np.flatnonzero(zz[1:])
+    last = nz[-1] + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = act_t[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = act_t[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = act_t[0x00]  # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 85,
+    restart_interval: int = 0,
+    subsample: bool = False,
+) -> bytes:
     """uint8 (H, W, 3) RGB (or (H, W) grayscale) → baseline JFIF bytes,
-    4:4:4, Annex-K Huffman tables.  Deterministic.  `restart_interval`
-    emits DRI + RSTn markers every N MCUs (resync points — what a
-    parallel/fault-tolerant decoder shards on)."""
+    Annex-K Huffman tables.  Deterministic.  `restart_interval` emits
+    DRI + RSTn markers every N MCUs (resync points — what a parallel/
+    fault-tolerant decoder shards on).  `subsample=True` writes 4:2:0
+    (2×2 luma per MCU, box-averaged chroma — the shape real web corpora
+    ship); default stays 4:4:4."""
     img = np.asarray(img)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
@@ -204,23 +244,34 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -
     if h == 0 or w == 0:
         raise ValueError("empty image")
     lt, ct = _quality_tables(quality)
-    # pad to block multiples by edge replication
-    ph, pw = -h % 8, -w % 8
+    sub = bool(subsample) and not gray
+    # pad to MCU multiples by edge replication (16 under 4:2:0, else 8)
+    mcu = 16 if sub else 8
+    ph, pw = -h % mcu, -w % mcu
     if gray:
         planes = [np.pad(img.astype(np.float64), ((0, ph), (0, pw)), mode="edge")]
         tables = [lt]
+        samp = [(1, 1)]
     else:
         ycc = _rgb_to_ycbcr(img)
         ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
         planes = [ycc[..., i] for i in range(3)]
         tables = [lt, ct, ct]
-    # forward DCT + quantize, all blocks at once per component
-    comp_blocks = []
+        samp = [(1, 1)] * 3
+        if sub:
+            samp = [(2, 2), (1, 1), (1, 1)]
+            for i in (1, 2):  # 2×2 box average (JFIF downsample)
+                p = planes[i]
+                planes[i] = 0.25 * (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
+    # forward DCT + quantize; blocks kept as per-component GRIDS so the
+    # MCU walk can interleave h×v luma blocks against single chroma blocks
+    comp_grids = []
     for plane, tbl in zip(planes, tables):
+        gh, gw = plane.shape[0] // 8, plane.shape[1] // 8
         blocks = _blockify(plane) - 128.0
         coef = np.einsum("kn,bnm,ml->bkl", _DCT_C, blocks, _DCT_C.T)
         q = np.round(coef / tbl).astype(np.int64)
-        comp_blocks.append(q.reshape(-1, 64)[:, ZIGZAG])
+        comp_grids.append((q.reshape(-1, 64)[:, ZIGZAG], gw))
 
     dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
     ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
@@ -228,44 +279,27 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -
     ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
     huff = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (0 if gray else 2)
 
+    hmax = max(sh for sh, _ in samp)
+    vmax = max(sv for _, sv in samp)
+    # luma always carries the max factors, and its plane is padded to MCU
+    # multiples above, so the MCU grid falls straight out of its shape
+    nmx = planes[0].shape[1] // (8 * hmax)
+    nmy = planes[0].shape[0] // (8 * vmax)
+    nmcu = nmx * nmy
     bw = _BitWriter()
     pred = [0] * len(planes)
-    nblocks = comp_blocks[0].shape[0]
-    for bi in range(nblocks):  # MCU raster order, one block per component
-        if restart_interval and bi and bi % restart_interval == 0:
+    for mi in range(nmcu):
+        if restart_interval and mi and mi % restart_interval == 0:
             bw.flush()  # pad to byte, then the (unstuffed) restart marker
-            bw.buf += bytes([0xFF, 0xD0 + ((bi // restart_interval - 1) % 8)])
+            bw.buf += bytes([0xFF, 0xD0 + ((mi // restart_interval - 1) % 8)])
             pred = [0] * len(planes)
-        for ci in range(len(planes)):
-            zz = comp_blocks[ci][bi]
+        my, mx = divmod(mi, nmx)
+        for ci, ((zzs, gw), (sh, sv)) in enumerate(zip(comp_grids, samp)):
             dct_t, act_t = huff[ci]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            s = _category(diff)
-            code, ln = dct_t[s]
-            bw.write(code, ln)
-            if s:
-                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-            run = 0
-            nz = np.flatnonzero(zz[1:])
-            last = nz[-1] + 1 if nz.size else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = act_t[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                s = _category(v)
-                code, ln = act_t[(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last < 63:
-                code, ln = act_t[0x00]  # EOB
-                bw.write(code, ln)
+            for blk_i in range(sh * sv):
+                r, c = divmod(blk_i, sh)
+                bi = (my * sv + r) * gw + (mx * sh + c)
+                pred[ci] = _encode_block(bw, zzs[bi], dct_t, act_t, pred[ci])
     bw.flush()
 
     # -- headers
@@ -278,7 +312,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, restart_interval: int = 0) -
     out += b"\xff\xc0" + (8 + 3 * nc).to_bytes(2, "big") + bytes([8])
     out += h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
     for ci in range(nc):
-        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        sh, sv = samp[ci]
+        out += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
     for tc, th, bits, vals in (
         [(0, 0, DC_LUMA_BITS, DC_LUMA_VALS), (1, 0, AC_LUMA_BITS, AC_LUMA_VALS)]
         + ([] if gray else [(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS), (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)])
@@ -416,9 +451,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
-                if hv != 0x11:
-                    raise NotImplementedError("subsampled scans (only 4:4:4 / 1x1)")
-                comps.append((cid, tq))
+                ch, cv = hv >> 4, hv & 0xF
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(f"bad sampling factors {hv:#x}")
+                comps.append((cid, ch, cv, tq))
             frame = (fh, fw, comps)
         elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("only baseline sequential DCT (SOF0)")
@@ -458,9 +494,18 @@ def _decode_scan(b, pos, frame, scan, qt, hts, restart):
         i += 1
     br = _BitReader(bytes(data))
     cid_to_scan = {cs: (dc, ac) for cs, dc, ac in scan}
-    nbx, nby = (fw + 7) // 8, (fh + 7) // 8
-    nmcu = nbx * nby
-    planes = [np.zeros((nby * 8, nbx * 8), dtype=np.float64) for _ in comps]
+    # general sampling factors (T.81 A.2.3): an MCU is h×v blocks per
+    # component; the 4:2:0 / 4:2:2 shapes real corpora ship are just
+    # (2,2)/(2,1) luma against (1,1) chroma here
+    hmax = max(ch for _, ch, _, _ in comps)
+    vmax = max(cv for _, _, cv, _ in comps)
+    nmx = (fw + 8 * hmax - 1) // (8 * hmax)
+    nmy = (fh + 8 * vmax - 1) // (8 * vmax)
+    nmcu = nmx * nmy
+    planes = [
+        np.zeros((nmy * cv * 8, nmx * ch * 8), dtype=np.float64)
+        for _, ch, cv, _ in comps
+    ]
     pred = [0] * len(comps)
     rst_i = 0
     for mi in range(nmcu):
@@ -471,34 +516,45 @@ def _decode_scan(b, pos, frame, scan, qt, hts, restart):
                 br.pos = max(br.pos, rst_at[rst_i])
                 rst_i += 1
             pred = [0] * len(comps)
-        by, bx = divmod(mi, nbx)
-        for ci, (cid, tq) in enumerate(comps):
+        my, mx = divmod(mi, nmx)
+        for ci, (cid, ch, cv, tq) in enumerate(comps):
             dc_t, ac_t = cid_to_scan[cid]
             dct = hts[(0, dc_t)]
             act = hts[(1, ac_t)]
-            zz = np.zeros(64, dtype=np.int64)
-            s = dct.decode(br)
-            diff = _extend(br.read(s), s) if s else 0
-            pred[ci] += diff
-            zz[0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = act.decode(br)
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:
-                        k += 16  # ZRL
-                        continue
-                    break  # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("AC run overflow")
-                zz[k] = _extend(br.read(s), s)
-                k += 1
-            coef = (zz * qt[tq].reshape(64)[ZIGZAG]).astype(np.float64)[_UNZIG].reshape(8, 8)
-            blk = _DCT_C.T @ coef @ _DCT_C + 128.0
-            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
-    planes = [p[:fh, :fw] for p in planes]
-    if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+            for blk_i in range(ch * cv):
+                r, c = divmod(blk_i, ch)
+                zz = np.zeros(64, dtype=np.int64)
+                s = dct.decode(br)
+                diff = _extend(br.read(s), s) if s else 0
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = act.decode(br)
+                    run, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if run == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run overflow")
+                    zz[k] = _extend(br.read(s), s)
+                    k += 1
+                coef = (zz * qt[tq].reshape(64)[ZIGZAG]).astype(np.float64)[_UNZIG].reshape(8, 8)
+                blk = _DCT_C.T @ coef @ _DCT_C + 128.0
+                by, bx = my * cv + r, mx * ch + c
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    # upsample each component to full resolution (nearest, the JFIF
+    # box-filter inverse) and crop to the frame
+    full = []
+    for (cid, ch, cv, tq), p in zip(comps, planes):
+        if ch != hmax or cv != vmax:
+            if hmax % ch or vmax % cv:
+                raise NotImplementedError("non-integral subsampling ratio")
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(p[:fh, :fw])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(np.stack(full, axis=-1))

@@ -58,11 +58,12 @@ def test_spec_boundaries_raise():
     b = encode_jpeg(img)
     with pytest.raises(NotImplementedError):  # progressive
         decode_jpeg(b.replace(b"\xff\xc0", b"\xff\xc2", 1))
-    # subsampled: patch the Y component's sampling byte inside SOF0
+    # 12-bit precision: patch the SOF0 precision byte (subsampled scans
+    # decode for real since r5 — test_420_subsampled_roundtrip covers them)
     sof = b.index(b"\xff\xc0")
     bad = bytearray(b)
-    assert bad[sof + 11] == 0x11  # comp 0: (id, hv, tq) at sof+10..12
-    bad[sof + 11] = 0x22
+    assert bad[sof + 4] == 8  # SOF0: marker(2) len(2) precision(1)
+    bad[sof + 4] = 12
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bad))
     with pytest.raises(ValueError):
@@ -117,3 +118,33 @@ def test_encode_rejects_wrong_channels():
         encode_jpeg(rgba)
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((8, 8, 1), dtype=np.uint8))
+
+
+def test_420_subsampled_roundtrip():
+    """4:2:0 encode → decode: shapes survive odd dims, luma is untouched
+    by the chroma subsample (chroma-flat images round-trip identically to
+    4:4:4), and smooth chroma stays close."""
+    rng = np.random.default_rng(5)
+    for shape in [(16, 16, 3), (17, 23, 3), (8, 8, 3), (33, 31, 3), (40, 24, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsample=True))
+        assert out.shape == img.shape
+    g = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    flat = np.stack([g, g, g], -1)  # constant chroma
+    d444 = decode_jpeg(encode_jpeg(flat, quality=90))
+    d420 = decode_jpeg(encode_jpeg(flat, quality=90, subsample=True))
+    assert np.array_equal(d444, d420)  # the MCU interleave changes nothing
+    x = np.linspace(0, 255, 64)
+    grad = np.stack(np.meshgrid(x, x), -1).sum(-1) / 2
+    img = np.stack([grad, grad * 0.8, grad * 0.5], -1).astype(np.uint8)
+    assert _mae(img, decode_jpeg(encode_jpeg(img, quality=92, subsample=True))) < 2.0
+
+
+def test_420_restart_intervals():
+    """DRI/RSTn resync under 4:2:0 MCUs (16×16 tiles)."""
+    x = np.linspace(0, 255, 48)
+    g = np.stack(np.meshgrid(x, x), -1).sum(-1) / 2
+    img = np.stack([g, g * 0.7, g * 0.4], -1).astype(np.uint8)
+    a = decode_jpeg(encode_jpeg(img, quality=85, subsample=True))
+    b = decode_jpeg(encode_jpeg(img, quality=85, subsample=True, restart_interval=2))
+    assert np.array_equal(a, b)  # restarts change framing, not pixels
