@@ -32,25 +32,65 @@ import pyarrow as pa
 from .common import Pipeline, pool, read
 
 # --------------------------------------------------------------------------
-# Codec (RIFF WAVE, PCM16)
+# Codec (RIFF WAVE: PCM16 + G.711 µ-law / A-law — the telephony formats
+# call-center corpora actually ship)
 
 
-def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
-    """int16 array (n,) mono or (n, 2) stereo → RIFF/WAVE PCM16 bytes."""
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry code→int16 decode tables per ITU-T G.711 (the public
+    CCITT/Sun reference expansion): µ-law ±32124, A-law ±32256."""
+    u = np.arange(256, dtype=np.int64)
+    cu = ~u & 0xFF
+    mag = (((cu & 0xF) << 3) + 0x84) << ((cu >> 4) & 7)
+    ulaw = np.where(cu & 0x80, -(mag - 0x84), mag - 0x84).astype(np.int16)
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    seg = (a >> 4) & 7
+    t = (a & 0xF) << 4
+    mag = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    alaw = np.where(a & 0x80, mag, -mag).astype(np.int16)
+    return ulaw, alaw
+
+
+ULAW_TABLE, ALAW_TABLE = _g711_tables()
+_WAV_CODECS = {"pcm16": 1, "alaw": 6, "ulaw": 7}
+
+
+def _g711_encode(samples: np.ndarray, table: np.ndarray) -> bytes:
+    """int16 → G.711 codes via nearest-decode-value quantization (the
+    optimal quantizer against the STANDARD decode table — external files
+    decode through the exact ITU expansion; our own round-trips are
+    fixed points of decode∘encode by construction)."""
+    order = np.argsort(table, kind="stable")
+    vals = table[order].astype(np.int64)
+    mids = (vals[:-1] + vals[1:]) / 2.0
+    idx = np.searchsorted(mids, samples.astype(np.int64))
+    return order[idx].astype(np.uint8).tobytes()
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000, codec: str = "pcm16") -> bytes:
+    """int16 array (n,) mono or (n, 2) stereo → RIFF/WAVE bytes.
+    `codec`: pcm16 (default), ulaw or alaw (G.711, 8 bits/sample)."""
     if samples.dtype != np.int16:
         raise ValueError("encode_wav wants int16 samples")
+    if codec not in _WAV_CODECS:
+        raise ValueError(f"unknown codec {codec!r} (pcm16|ulaw|alaw)")
     ch = 1 if samples.ndim == 1 else samples.shape[1]
-    data = samples.astype("<i2").tobytes()
-    block = 2 * ch
-    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, 16)
+    if codec == "pcm16":
+        data, bits = samples.astype("<i2").tobytes(), 16
+    else:
+        tbl = ULAW_TABLE if codec == "ulaw" else ALAW_TABLE
+        data, bits = _g711_encode(samples.reshape(-1), tbl), 8
+    block = (bits // 8) * ch
+    fmt = struct.pack("<HHIIHH", _WAV_CODECS[codec], ch, rate, rate * block, block, bits)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM16 bytes → (int16 samples [n] or [n, ch], rate).
-    Walks the chunk list (fmt may be followed by LIST/fact before data)."""
+    """RIFF/WAVE bytes → (int16 samples [n] or [n, ch], rate).  PCM16 and
+    G.711 µ-law/A-law (decoded through the ITU expansion tables).  Walks
+    the chunk list (fmt may be followed by LIST/fact before data)."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     i, fmt, data = 12, None, None
@@ -65,9 +105,13 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     codec, ch, rate, _, _, bits = fmt
-    if codec != 1 or bits != 16:
-        raise NotImplementedError("only PCM16 WAV is decoded here")
-    s = np.frombuffer(data, dtype="<i2").astype(np.int16)
+    if codec == 1 and bits == 16:
+        s = np.frombuffer(data, dtype="<i2").astype(np.int16)
+    elif codec in (6, 7) and bits == 8:
+        tbl = ALAW_TABLE if codec == 6 else ULAW_TABLE
+        s = tbl[np.frombuffer(data, dtype=np.uint8)]
+    else:
+        raise NotImplementedError("only PCM16 / G.711 ulaw / alaw WAV is decoded here")
     if ch > 1:
         s = s.reshape(-1, ch)
     return s, rate

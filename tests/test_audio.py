@@ -6,8 +6,10 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from lucene_solr_ray.pipelines.audio import (
+    ALAW_TABLE,
     FRAME,
     RATE,
+    ULAW_TABLE,
     audio_features,
     audio_fingerprint32,
     audio_fp_dedup,
@@ -51,6 +53,43 @@ def test_wav_rejects_and_chunk_walk():
     bad[j + 8] = 3  # IEEE float codec id
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(bad))
+
+
+def test_g711_tables_itu_vectors():
+    # Spot values from the public CCITT/Sun G.711 reference expansion
+    assert ULAW_TABLE[0x00] == -32124 and ULAW_TABLE[0x80] == 32124
+    assert ULAW_TABLE[0xFF] == 0 and ULAW_TABLE[0x7F] == 0  # ±zero codes
+    assert ALAW_TABLE[0x55] == -8 and ALAW_TABLE[0xD5] == 8
+    assert ALAW_TABLE[0x2A] == -32256 and ALAW_TABLE[0xAA] == 32256
+    # Decode tables are sign-symmetric over the code sign bit
+    for tbl in (ULAW_TABLE, ALAW_TABLE):
+        mags = np.sort(np.abs(tbl[tbl < 0]))
+        assert np.array_equal(mags, np.sort(tbl[tbl > 0])[: mags.size])
+
+
+@pytest.mark.parametrize("codec", ["ulaw", "alaw"])
+def test_g711_round_trip_fixed_point(codec):
+    tbl = ULAW_TABLE if codec == "ulaw" else ALAW_TABLE
+    # every decodable value is a fixed point of decode∘encode
+    x = np.unique(tbl).astype(np.int16)
+    y, rate = decode_wav(encode_wav(x, 8000, codec=codec))
+    assert rate == 8000
+    assert np.array_equal(x, y)
+    # encode picks the nearest decode value for arbitrary samples
+    rng = np.random.default_rng(7)
+    s = rng.integers(-32768, 32768, size=500, dtype=np.int16)
+    dec, _ = decode_wav(encode_wav(s, 8000, codec=codec))
+    err = np.abs(dec.astype(np.int64) - s.astype(np.int64))
+    best = np.abs(tbl.astype(np.int64)[None, :] - s.astype(np.int64)[:, None]).min(axis=1)
+    assert np.array_equal(err, best)
+    # stereo interleave survives the 8-bit path
+    st2 = rng.integers(-30000, 30000, size=(64, 2), dtype=np.int16)
+    d2, _ = decode_wav(encode_wav(st2, 16000, codec=codec))
+    assert d2.shape == (64, 2)
+    ref, _ = decode_wav(encode_wav(st2.reshape(-1), 16000, codec=codec))
+    assert np.array_equal(d2.reshape(-1), ref)
+    with pytest.raises(ValueError):
+        encode_wav(s, 8000, codec="gsm")
 
 
 def test_feature_scalar_reference():
