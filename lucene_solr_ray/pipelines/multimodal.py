@@ -22,10 +22,11 @@ from .common import Pipeline, pool, read
 def decode_image(payload: bytes):
     """Real-decoder integration point.  PNG (stdlib zlib, 8-bit RGB/RGBA,
     all five scanline filters — pipelines/images.decode_png), baseline
-    JPEG (pure-numpy JFIF: Huffman + dequant + IDCT — pipelines/jpeg.py)
-    and the uncompressed BMP/PPM codecs are REAL; WebP/video and
-    progressive/subsampled JPEG remain unimplemented in this container —
-    see FakeDecoder for the deterministic stand-in those tests use."""
+    JPEG (pure-numpy JFIF: Huffman + dequant + IDCT — pipelines/jpeg.py),
+    lossless WebP (VP8L — pipelines/webp.py) and the uncompressed BMP/PPM
+    codecs are REAL; lossy-VP8 WebP, video and progressive JPEG remain
+    unimplemented in this container — see FakeDecoder for the
+    deterministic stand-in those tests use."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from .images import decode_png
 
@@ -34,6 +35,10 @@ def decode_image(payload: bytes):
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(payload)
     if payload[:2] == b"BM":
         from .images import decode_bmp
 
@@ -42,7 +47,7 @@ def decode_image(payload: bytes):
         from .images import decode_ppm
 
         return decode_ppm(payload)
-    raise NotImplementedError("only PNG/JPEG/BMP/PPM decode in this environment")
+    raise NotImplementedError("only PNG/JPEG/WebP-lossless/BMP/PPM decode in this environment")
 
 
 class FakeDecoder:

@@ -39,13 +39,15 @@ def test_codec_round_trip(h, w, seed):
 def test_decode_rejects_and_dispatches():
     with pytest.raises(ValueError):
         decode_bmp(b"XXnot a bmp")
-    # JPEG now decodes for real (pipelines/jpeg.py); WebP stays the
-    # codec integration point
+    # JPEG and lossless WebP now decode for real (pipelines/jpeg.py,
+    # pipelines/webp.py); lossy VP8 stays the codec integration point
     from lucene_solr_ray.pipelines.jpeg import encode_jpeg
+    from lucene_solr_ray.pipelines.webp import encode_webp
 
     assert decode_image_bytes(encode_jpeg(np.full((8, 8, 3), 9, np.uint8))).shape == (8, 8, 3)
+    assert decode_image_bytes(encode_webp(np.full((8, 8, 3), 9, np.uint8))).shape == (8, 8, 3)
     with pytest.raises(NotImplementedError):
-        decode_image_bytes(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+        decode_image_bytes(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd")
     # wrong bpp rejected, not garbage-decoded
     img = np.zeros((2, 2, 3), np.uint8)
     b = bytearray(encode_bmp(img))
@@ -152,4 +154,5 @@ def test_png_spec_vector_and_rejections():
     with pytest.raises(NotImplementedError):
         decode_png(png16)
     with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # WebP: still a seam
+        # lossy-VP8 WebP: still a seam (lossless VP8L decodes for real)
+        decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd")
