@@ -326,16 +326,27 @@ def _payloads(sf_dir: str):
     def to_payload(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
 
-        # rotate codecs so ALL THREE decode paths run in production; PNG
-        # payloads additionally rotate through the five scanline filters
+        # rotate codecs so ALL FOUR exact decode paths run in production;
+        # PNG payloads additionally rotate through the five scanline
+        # filters, WebP through its transforms (all lossless — planted
+        # duplicate pairs keep identical pixels across codecs)
         def enc(d: int) -> bytes:
             img = synth_image(d)
-            m = d % 3
+            m = d % 4
             if m == 0:
                 return encode_bmp(img)
             if m == 1:
                 return encode_ppm(img)
-            return encode_png(img, filter_type=d % 5)
+            if m == 2:
+                return encode_png(img, filter_type=d % 5)
+            from .webp import encode_webp
+
+            v = d % 3
+            if v == 0:
+                return encode_webp(img)
+            if v == 1:
+                return encode_webp(img, subtract_green=True, cache_bits=4)
+            return encode_webp(img, predictor=d % 14)
 
         pays = [enc(d) for d in ids]
         return pa.table(
