@@ -84,7 +84,7 @@ SUITE = [
     # round-5 additions: currency conversion, Japanese lattice
     # segmentation, schemaless type inference
     "currency_convert", "ja_segment_terms", "schemaless_infer",
-    "zh_segment_terms", "ko_strip_particles",
+    "zh_segment_terms", "ko_strip_particles", "gif_frame_sample",
 ]
 
 

@@ -39,6 +39,10 @@ def decode_image(payload: bytes):
         from .webp import decode_webp
 
         return decode_webp(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     if payload[:2] == b"BM":
         from .images import decode_bmp
 
@@ -47,7 +51,7 @@ def decode_image(payload: bytes):
         from .images import decode_ppm
 
         return decode_ppm(payload)
-    raise NotImplementedError("only PNG/JPEG/WebP-lossless/BMP/PPM decode in this environment")
+    raise NotImplementedError("only PNG/JPEG/WebP-lossless/GIF/BMP/PPM decode in this environment")
 
 
 class FakeDecoder:
