@@ -131,3 +131,76 @@ def test_audio_pipelines(ray_session):
     planted = {audio_fingerprint32(synth_audio(d)) for d in range(9, n_docs, 9)}
     assert planted <= set(dups["fp32"])
     assert (dups["n"] >= 2).all()
+
+
+# --------------------------------------------------------------------------
+# IMA ADPCM (WAV format 0x11)
+
+
+def _ima_decode_scalar(data: bytes, block_align: int, n: int) -> np.ndarray:
+    """Per-sample reference straight off the IMA spec pseudocode."""
+    from lucene_solr_ray.pipelines.audio import _IMA_INDEX, _IMA_STEPS
+
+    out = []
+    for b0 in range(0, (len(data) // block_align) * block_align, block_align):
+        blk = data[b0 : b0 + block_align]
+        pred = int(np.frombuffer(blk[:2], dtype="<i2")[0])
+        idx = min(max(blk[2], 0), 88)
+        out.append(pred)
+        for byte in blk[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                step = int(_IMA_STEPS[idx])
+                vpdiff = step >> 3
+                if nib & 4:
+                    vpdiff += step
+                if nib & 2:
+                    vpdiff += step >> 1
+                if nib & 1:
+                    vpdiff += step >> 2
+                pred = pred - vpdiff if nib & 8 else pred + vpdiff
+                pred = min(max(pred, -32768), 32767)
+                idx = min(max(idx + int(_IMA_INDEX[nib]), 0), 88)
+                out.append(pred)
+    return np.array(out[:n], dtype=np.int16)
+
+
+def test_adpcm_vectorized_matches_scalar_reference():
+    from lucene_solr_ray.pipelines.audio import _ADPCM_BLOCK, _adpcm_decode
+
+    rng = np.random.default_rng(0)
+    # random VALID blocks: arbitrary nibbles, arbitrary header pred/index
+    nb = 5
+    blocks = rng.integers(0, 256, nb * _ADPCM_BLOCK, dtype=np.uint8)
+    blocks = blocks.reshape(nb, _ADPCM_BLOCK)
+    blocks[:, 2] = rng.integers(0, 89, nb)  # valid step index
+    blocks[:, 3] = 0
+    data = blocks.tobytes()
+    n = nb * ((_ADPCM_BLOCK - 4) * 2 + 1) - 7
+    got = _adpcm_decode(data, _ADPCM_BLOCK, n)
+    want = _ima_decode_scalar(data, _ADPCM_BLOCK, n)
+    assert np.array_equal(got, want)
+
+
+def test_adpcm_wav_round_trip_quality_and_length():
+    t = np.arange(4000) / RATE
+    x = (9000 * np.sin(2 * np.pi * 440 * t) + 2500 * np.sin(2 * np.pi * 97 * t)).astype(np.int16)
+    b = encode_wav(x, codec="adpcm")
+    y, rate = decode_wav(b)
+    assert rate == RATE and y.dtype == np.int16
+    assert y.shape == x.shape  # fact chunk trims block padding exactly
+    err = (x.astype(np.float64) - y) ** 2
+    snr = 10 * np.log10(x.astype(np.float64).var() / max(err.mean(), 1e-9))
+    assert snr > 20.0, snr
+    assert np.array_equal(decode_wav(encode_wav(x, codec="adpcm"))[0], y)  # deterministic
+
+
+def test_adpcm_rejects_and_first_sample_exact():
+    x = np.zeros((100, 2), dtype=np.int16)
+    with pytest.raises(ValueError):
+        encode_wav(x, codec="adpcm")  # stereo
+    mono = (np.linspace(-20000, 20000, 1200)).astype(np.int16)
+    y, _ = decode_wav(encode_wav(mono, codec="adpcm"))
+    spb = (256 - 4) * 2 + 1
+    assert y[0] == mono[0]  # block header carries sample 0 verbatim
+    if mono.size > spb:
+        assert y[spb] == mono[spb]
