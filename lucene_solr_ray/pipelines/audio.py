@@ -171,6 +171,7 @@ def encode_wav(samples: np.ndarray, rate: int = 8000, codec: str = "pcm16") -> b
         body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         body += b"fact" + struct.pack("<II", 4, samples.size)
         body += b"data" + struct.pack("<I", len(data)) + data
+        body += b"\x00" * (len(data) & 1)  # RIFF word alignment
         return b"RIFF" + struct.pack("<I", len(body)) + body
     if codec == "pcm16":
         data, bits = samples.astype("<i2").tobytes(), 16
@@ -181,6 +182,7 @@ def encode_wav(samples: np.ndarray, rate: int = 8000, codec: str = "pcm16") -> b
     fmt = struct.pack("<HHIIHH", _WAV_CODECS[codec], ch, rate, rate * block, block, bits)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
+    body += b"\x00" * (len(data) & 1)  # RIFF word alignment (8-bit G.711)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 

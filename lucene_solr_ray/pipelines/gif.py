@@ -236,16 +236,21 @@ def decode_gif_frames(b: bytes) -> list[np.ndarray]:
         rgba = np.concatenate(
             [pal[idx], np.full((idx.size, 1), 255, dtype=np.uint8)], axis=1
         ).reshape(h, w, 4)
-        saved = canvas[top : top + h, left : left + w].copy()
+        # Renderers clip frame rects that overhang the logical screen
+        # (common in the wild); keep only the visible window.
+        vh = max(0, min(h, canvas.shape[0] - top))
+        vw = max(0, min(w, canvas.shape[1] - left))
+        win = (slice(top, top + vh), slice(left, left + vw))
+        saved = canvas[win].copy()
         if transparent is not None:
-            keep = (idx.reshape(h, w) == transparent)
-            rgba[keep] = canvas[top : top + h, left : left + w][keep]
-        canvas[top : top + h, left : left + w] = rgba
+            keep = (idx.reshape(h, w) == transparent)[:vh, :vw]
+            rgba[:vh, :vw][keep] = canvas[win][keep]
+        canvas[win] = rgba[:vh, :vw]
         frames.append(canvas.copy())
         if disposal == 2:
-            canvas[top : top + h, left : left + w] = 0
+            canvas[win] = 0
         elif disposal == 3:
-            canvas[top : top + h, left : left + w] = saved
+            canvas[win] = saved
         disposal = 0
         transparent = None
     if not frames:

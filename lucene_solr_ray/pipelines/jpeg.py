@@ -508,7 +508,32 @@ def _decode_scan(b, pos, frame, scan, qt, hts, restart):
     ]
     pred = [0] * len(comps)
     rst_i = 0
-    for mi in range(nmcu):
+
+    def decode_block(ci: int, dct, act, tq) -> np.ndarray:
+        zz = np.zeros(64, dtype=np.int64)
+        s = dct.decode(br)
+        diff = _extend(br.read(s), s) if s else 0
+        pred[ci] += diff
+        zz[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = act.decode(br)
+            run, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if run == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC run overflow")
+            zz[k] = _extend(br.read(s), s)
+            k += 1
+        coef = (zz * qt[tq].reshape(64)[ZIGZAG]).astype(np.float64)[_UNZIG].reshape(8, 8)
+        return _DCT_C.T @ coef @ _DCT_C + 128.0
+
+    def at_restart(mi: int):
+        nonlocal rst_i, pred
         if restart and mi and mi % restart == 0:
             br.align()
             # skip to the recorded restart boundary (byte-aligned stream)
@@ -516,36 +541,37 @@ def _decode_scan(b, pos, frame, scan, qt, hts, restart):
                 br.pos = max(br.pos, rst_at[rst_i])
                 rst_i += 1
             pred = [0] * len(comps)
-        my, mx = divmod(mi, nmx)
-        for ci, (cid, ch, cv, tq) in enumerate(comps):
-            dc_t, ac_t = cid_to_scan[cid]
-            dct = hts[(0, dc_t)]
-            act = hts[(1, ac_t)]
-            for blk_i in range(ch * cv):
-                r, c = divmod(blk_i, ch)
-                zz = np.zeros(64, dtype=np.int64)
-                s = dct.decode(br)
-                diff = _extend(br.read(s), s) if s else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = act.decode(br)
-                    run, s = rs >> 4, rs & 0xF
-                    if s == 0:
-                        if run == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run overflow")
-                    zz[k] = _extend(br.read(s), s)
-                    k += 1
-                coef = (zz * qt[tq].reshape(64)[ZIGZAG]).astype(np.float64)[_UNZIG].reshape(8, 8)
-                blk = _DCT_C.T @ coef @ _DCT_C + 128.0
-                by, bx = my * cv + r, mx * ch + c
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+
+    if len(scan) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — the MCU
+        # is one 8×8 block in plain raster order over the component's own
+        # scaled dimensions; sampling factors do not shape the block walk.
+        cid0 = scan[0][0]
+        ci = next(i for i, (cid, _, _, _) in enumerate(comps) if cid == cid0)
+        _, ch, cv, tq = comps[ci]
+        dc_t, ac_t = cid_to_scan[cid0]
+        dct, act = hts[(0, dc_t)], hts[(1, ac_t)]
+        cw = (fw * ch + hmax - 1) // hmax
+        chh = (fh * cv + vmax - 1) // vmax
+        bxn, byn = (cw + 7) // 8, (chh + 7) // 8
+        for bi in range(bxn * byn):
+            at_restart(bi)
+            by, bx = divmod(bi, bxn)
+            blk = decode_block(ci, dct, act, tq)
+            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    else:
+        for mi in range(nmcu):
+            at_restart(mi)
+            my, mx = divmod(mi, nmx)
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                dc_t, ac_t = cid_to_scan[cid]
+                dct = hts[(0, dc_t)]
+                act = hts[(1, ac_t)]
+                for blk_i in range(ch * cv):
+                    r, c = divmod(blk_i, ch)
+                    blk = decode_block(ci, dct, act, tq)
+                    by, bx = my * cv + r, mx * ch + c
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
     # upsample each component to full resolution (nearest, the JFIF
     # box-filter inverse) and crop to the frame
     full = []

@@ -186,12 +186,16 @@ def _read_prefix_code(r: _BitReader, alphabet: int) -> _Huff:
     if r.read(1):  # simple code: 1–2 symbols listed explicitly
         nsym = r.read(1) + 1
         s0 = r.read(8) if r.read(1) else r.read(1)
+        if s0 >= alphabet:
+            raise ValueError("simple prefix-code symbol exceeds alphabet")
         lengths = [0] * alphabet
         lengths[s0] = 1
         if nsym == 2:
             s1 = r.read(8)
             if s1 == s0:
                 raise ValueError("duplicate symbol in simple prefix code")
+            if s1 >= alphabet:
+                raise ValueError("simple prefix-code symbol exceeds alphabet")
             lengths[s1] = 1
         else:
             return _Huff([0] * s0 + [1])  # single-symbol: zero-bit reads
@@ -218,6 +222,8 @@ def _read_prefix_code(r: _BitReader, alphabet: int) -> _Huff:
                 prev = c
         elif c == 16:
             rep = 3 + r.read(2)
+            if i + rep > alphabet:
+                raise ValueError("prefix-code repeat run exceeds alphabet")
             lengths[i : i + rep] = [prev] * rep
             i += rep
         elif c == 17:
@@ -371,7 +377,6 @@ def _inv_predictor(px: np.ndarray, w: int, h: int, bits: int, modes: np.ndarray)
     column wraps to the leftmost pixel of the current row via flat i−w+1)."""
     bw = -(-w >> bits)
     ch = _unpack_argb(px)
-    z = np.zeros(4, dtype=np.int64)
     for i in range(w * h):
         y, x = divmod(i, w)
         if i == 0:
@@ -383,7 +388,7 @@ def _inv_predictor(px: np.ndarray, w: int, h: int, bits: int, modes: np.ndarray)
         else:
             mode = int((modes[(y >> bits) * bw + (x >> bits)] >> 8) & 0xFF)
             L, T, TL = ch[i - 1], ch[i - w], ch[i - w - 1]
-            TR = ch[i - w + 1] if True else z  # flat index handles x==w−1 wrap
+            TR = ch[i - w + 1]  # flat index handles x==w−1 wrap
             pred = _predict(mode, L, T, TL, TR)
         ch[i] = (ch[i] + pred) & 0xFF
     return _pack_argb(ch)
@@ -578,7 +583,7 @@ def _fwd_color_transform(px: np.ndarray, cte: tuple[int, int, int]) -> np.ndarra
     return (px & 0xFF00FF00) | (new_r.astype(np.uint32) << 16) | new_b.astype(np.uint32)
 
 
-def _emit_pixels(bw: _BitWriter, px: np.ndarray, w: int, cache_bits: int, rle: bool):
+def _emit_pixels(bw: _BitWriter, px: np.ndarray, cache_bits: int, rle: bool):
     """Tokenize (literals / dist-1 runs / cache hits), then huffman-code."""
     tokens: list[tuple] = []  # ("lit", px) | ("run", length) | ("hit", idx)
     cache = [None] * (1 << cache_bits) if cache_bits else None
@@ -590,7 +595,13 @@ def _emit_pixels(bw: _BitWriter, px: np.ndarray, w: int, cache_bits: int, rle: b
             j = i
             while j < n and int(arr[j]) == v:
                 j += 1
-            tokens.append(("run", j - i))
+            # The length-prefix alphabet tops out at 4096 (24 prefix codes);
+            # longer runs must be emitted as multiple back-reference tokens.
+            run = j - i
+            while run > 4096:
+                tokens.append(("run", 4096))
+                run -= 4096
+            tokens.append(("run", run))
             if cache is not None:
                 cache[_cache_key(v, cache_bits)] = v
             i = j
@@ -775,4 +786,4 @@ def _write_image_stream(
         bw.write(0, 1)
     if level0:
         bw.write(0, 1)  # no meta prefix codes
-    _emit_pixels(bw, px, w, cache_bits, rle)
+    _emit_pixels(bw, px, cache_bits, rle)

@@ -204,3 +204,15 @@ def test_adpcm_rejects_and_first_sample_exact():
     assert y[0] == mono[0]  # block header carries sample 0 verbatim
     if mono.size > spb:
         assert y[spb] == mono[spb]
+
+
+def test_odd_g711_data_chunk_gets_riff_pad_byte():
+    import struct
+
+    x = (np.sin(np.arange(501) / 5.0) * 8000).astype(np.int16)
+    w = encode_wav(x, codec="ulaw")
+    assert len(w) % 2 == 0  # RIFF word alignment
+    # a chunk appended after data must still be walkable
+    w2 = w + b"LIST" + struct.pack("<I", 4) + b"INFO"
+    y, rate = decode_wav(w2)
+    assert rate == 8000 and y.shape == (501,)

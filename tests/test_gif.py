@@ -156,3 +156,25 @@ def test_multimodal_route_and_magic():
     b = encode_gif(img)
     assert b[:6] == b"GIF89a"
     assert np.array_equal(decode_image(b), img)
+
+
+def test_frame_rect_overhanging_screen_is_clipped():
+    import struct
+
+    img = np.zeros((6, 6, 3), np.uint8)
+    img[:, :, 0] = 200
+    raw = bytearray(encode_gif([img]))
+    i = 13
+    if raw[10] & 0x80:
+        i += 3 * (2 << (raw[10] & 7))
+    while raw[i] != 0x2C:
+        assert raw[i] == 0x21
+        i += 2
+        while raw[i]:
+            i += 1 + raw[i]
+        i += 1
+    struct.pack_into("<H", raw, i + 1, 5)  # left=5, w stays 6 → overhangs
+    f = decode_gif_frames(bytes(raw))[0]
+    assert f.shape[:2] == (6, 6)
+    # visible 1-px strip painted, rest of canvas untouched (background 0)
+    assert (f[:, 5, 0] == 200).all()

@@ -152,3 +152,23 @@ def test_420_restart_intervals():
     a = decode_jpeg(encode_jpeg(img, quality=85, subsample=True))
     b = decode_jpeg(encode_jpeg(img, quality=85, subsample=True, restart_interval=2))
     assert np.array_equal(a, b)  # restarts change framing, not pixels
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    # T.81 A.2.2: Ns=1 scans are non-interleaved — a grayscale file whose
+    # SOF declares 2x2 sampling must decode identically to the 1x1 file.
+    import struct
+
+    rng = np.random.default_rng(7)
+    gray = (rng.integers(0, 64, (24, 16)) + 96).astype(np.uint8)
+    b = encode_jpeg(gray)
+    patched = bytearray(b)
+    i = 2
+    while i < len(b):
+        m, ln = b[i + 1], struct.unpack_from(">H", b, i + 2)[0]
+        if m == 0xC0:
+            assert patched[i + 9] == 1  # grayscale SOF
+            patched[i + 10 + 1] = 0x22
+            break
+        i += 2 + ln
+    assert np.array_equal(decode_jpeg(bytes(patched)), decode_jpeg(b))

@@ -166,3 +166,23 @@ def test_roundtrip_fuzz_transform_combos(seed, mode, cb):
     h, w = int(rng.integers(1, 33)), int(rng.integers(1, 33))
     img = rng.integers(0, 256, (h, w, int(rng.choice([3, 4]))), dtype=np.uint8)
     _rt(img, predictor=mode, subtract_green=bool(seed & 1), cache_bits=cb, rle=bool(seed & 2))
+
+
+def test_rle_runs_longer_than_4096_are_chunked():
+    # The VP8L length-prefix alphabet tops out at 4096; a 4900-pixel
+    # constant run must round-trip via multiple back-reference tokens.
+    img = np.full((70, 70, 3), 5, np.uint8)
+    for cb in (0, 4):
+        assert np.array_equal(decode_webp(encode_webp(img, rle=True, cache_bits=cb)), img)
+
+
+def test_malformed_prefix_codes_raise_valueerror():
+    from lucene_solr_ray.pipelines.webp import _BitReader, _read_prefix_code
+    import pytest
+
+    # simple 1-symbol code naming a symbol past a tiny alphabet:
+    # bits (LSB-first per write order): simple=1, nsym-1=0, 8bit-flag=1, symbol=8 bits
+    val = 1 | (0 << 1) | (1 << 2) | (200 << 3)
+    raw = val.to_bytes(3, "little")
+    with pytest.raises(ValueError):
+        _read_prefix_code(_BitReader(raw), alphabet=40)
