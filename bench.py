@@ -85,6 +85,8 @@ SUITE = [
     # segmentation, schemaless type inference
     "currency_convert", "ja_segment_terms", "schemaless_infer",
     "zh_segment_terms", "ko_strip_particles", "gif_frame_sample",
+    # media actor-pool stages (synthetic payloads through the real codecs)
+    "image_ahash_dedup", "audio_fp_dedup",
 ]
 
 

@@ -1579,6 +1579,65 @@ def _num(v):
             return v
 
 
+def _cat(ctx: Ctx, e: Expr) -> SRes:
+    # CatStream: read text files under the data root (Solr's userfiles
+    # chroot analog is ctx.sf_dir), emitting {file, line} tuples in file
+    # order.  Lines stream through ray.data.read_text — the file contents
+    # never sit on the driver.  maxLines bounds the TOTAL emitted lines.
+    import os
+
+    import ray.data as rd
+
+    if not e.args or isinstance(e.args[0], Expr):
+        raise StreamExprError("cat(...) needs a comma-separated file list")
+    max_lines = int(str(e.params.get("maxLines", -1)))
+    rels = [p.strip() for p in str(e.args[0]).split(",") if p.strip()]
+    if not rels:
+        raise StreamExprError("cat: empty file list")
+    root = os.path.realpath(ctx.sf_dir)
+    fulls, rel_of = [], {}
+    for rel in rels:
+        full = os.path.realpath(os.path.join(root, rel))
+        if full != root and not full.startswith(root + os.sep):
+            raise StreamExprError(f"cat: path escapes the data root: {rel}")
+        if not os.path.isfile(full):
+            raise StreamExprError(f"cat: no such file: {rel}")
+        fulls.append(full)
+        rel_of[full] = rel
+    # One Ray task per FILE (file contents never touch the driver); the
+    # streaming executor does not preserve block order, so each line is
+    # stamped with (file_seq, line_no) and a keyed sort restores the
+    # file-then-line order CatStream promises.
+    def read_one(row: dict) -> pd.DataFrame:
+        with open(row["full"], "r", encoding="utf-8", errors="replace") as f:
+            lines = f.read().split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
+        return pd.DataFrame(
+            {
+                "file": row["rel"],
+                "line": lines,
+                "_fseq": int(row["seq"]),
+                "_lno": np.arange(len(lines), dtype=np.int64),
+            }
+        )
+
+    items = [{"seq": i, "full": f, "rel": rel_of[f]} for i, f in enumerate(fulls)]
+    out = (
+        rd.from_items(items)
+        .map_batches(
+            lambda df: pd.concat([read_one(r) for _, r in df.iterrows()], ignore_index=True),
+            batch_format="pandas",
+            batch_size=1,
+        )
+        .sort(["_fseq", "_lno"])
+        .map_batches(lambda df: df[["file", "line"]], batch_format="pandas")
+    )
+    if max_lines >= 0:
+        out = out.limit(max_lines)
+    return SRes(ds=out)
+
+
 def _array_stream(ctx: Ctx, e: Expr) -> SRes:
     # ArrayEvaluator surfaced as a stream: one tuple holding the list.
     # Only literal members are supported — nested evaluator calls are
@@ -1777,6 +1836,7 @@ REGISTRY_STREAMS: dict[str, Callable[[Ctx, Expr], SRes]] = {
     "priority": _priority,
     "delete": _delete,
     "knn": _knn_mlt,
+    "cat": _cat,
     "cell": _cell,
     "col": _col,
     "array": _array_stream,

@@ -944,3 +944,26 @@ def test_zplot_table_scalar_cell_raises(ray_session):
     # genuinely scalar single cell: tuple() produces one scalar cell
     with pytest.raises(StreamExprError):
         run_expr("zplot(table=tuple(v=1))", SF)
+
+
+def test_cat_stream_reads_files_in_order(ray_session, tmp_path):
+    (tmp_path / "a.txt").write_text("alpha\nbeta\n")
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "b.txt").write_text("gamma\n")
+    df = run_expr('cat("a.txt,sub/b.txt")', str(tmp_path))
+    assert list(df.columns) == ["file", "line"]
+    assert df["line"].tolist() == ["alpha", "beta", "gamma"]
+    assert df["file"].tolist() == ["a.txt", "a.txt", "sub/b.txt"]
+    # maxLines bounds the TOTAL emitted lines
+    df2 = run_expr('cat("a.txt,sub/b.txt", maxLines=2)', str(tmp_path))
+    assert df2["line"].tolist() == ["alpha", "beta"]
+
+
+def test_cat_stream_rejects_escapes_and_missing(ray_session, tmp_path):
+    (tmp_path / "a.txt").write_text("x\n")
+    with pytest.raises(StreamExprError):
+        run_expr('cat("../outside.txt")', str(tmp_path))
+    with pytest.raises(StreamExprError):
+        run_expr('cat("nope.txt")', str(tmp_path))
+    with pytest.raises(StreamExprError):
+        run_expr('cat("")', str(tmp_path))
