@@ -1,0 +1,613 @@
+"""Rich-document text extraction — the Tika position (SURVEY §2.1).
+
+Reference: solr/contrib/extraction ExtractingRequestHandler (Tika): rich
+binary documents in, plain indexable text out.  Tika itself is a JVM
+dependency forest; what a data pipeline actually needs from it is text
+extraction for the handful of formats web corpora ship.  Here: pure
+stdlib extractors for PDF (1.4, Flate content streams), DOCX (OOXML
+zip), RTF and HTML — plus matching writers so fixtures and the gated
+pipeline exercise every extractor bit-exactly (the same
+encoder-proves-decoder pattern as the PNG/JPEG/WebP/GIF codecs).
+
+Documented limits (each raises or degrades loudly, never silently):
+PDF — 1.x non-encrypted, Flate or plain content streams, standard-font
+text operators (Tj ' " TJ, T*/Td/TD line breaks), Latin-1 string
+literals; no CMap-subsetted font decoding.  DOCX — main document part
+paragraphs/runs (w:t, w:tab, w:br/w:cr).  RTF — ANSI with \\'hh and
+\\uN? escapes, destination groups skipped.  HTML — script/style dropped,
+block tags break lines, entities decoded by html.parser.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+import zlib
+from html.parser import HTMLParser
+from xml.etree import ElementTree as ET
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .common import Pipeline, pool, read
+
+# --------------------------------------------------------------------------
+# PDF
+
+_PDF_ESC = {ord("\\"): b"\\\\", ord("("): b"\\(", ord(")"): b"\\)"}
+
+
+def _pdf_literal(s: str) -> bytes:
+    out = bytearray(b"(")
+    for ch in s:
+        o = ord(ch)
+        if o > 255:
+            raise ValueError("PDF writer here is Latin-1 only")
+        if o in _PDF_ESC:
+            out += _PDF_ESC[o]
+        elif 32 <= o <= 126:
+            out.append(o)
+        else:
+            out += b"\\%03o" % o
+    out += b")"
+    return bytes(out)
+
+
+def encode_pdf(pages: list[str], compress: bool = True) -> bytes:
+    """Minimal valid PDF 1.4: one Helvetica text column per page, one
+    line per T*; correct xref table (byte-exact offsets)."""
+    if not pages:
+        raise ValueError("encode_pdf needs at least one page")
+    n_pages = len(pages)
+    objs: dict[int, bytes] = {}
+    kid_ids = [4 + 2 * i for i in range(n_pages)]
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    kids = b" ".join(b"%d 0 R" % k for k in kid_ids)
+    objs[2] = b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    streams: dict[int, bytes] = {}
+    for i, page in enumerate(pages):
+        pid, cid = kid_ids[i], kid_ids[i] + 1
+        objs[pid] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>" % cid
+        )
+        lines = page.split("\n")
+        content = bytearray(b"BT /F1 12 Tf 14 TL 72 720 Td ")
+        for j, ln in enumerate(lines):
+            if j:
+                content += b"T* "
+            content += _pdf_literal(ln) + b" Tj "
+        content += b"ET"
+        data = zlib.compress(bytes(content)) if compress else bytes(content)
+        filt = b"/Filter /FlateDecode " if compress else b""
+        streams[cid] = (
+            b"<< " + filt + b"/Length %d >>\nstream\n" % len(data) + data + b"\nendstream"
+        )
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    max_id = max(max(objs), max(streams))
+    offsets = [0] * (max_id + 1)
+    for oid in range(1, max_id + 1):
+        body = objs.get(oid) or streams.get(oid)
+        if body is None:
+            continue
+        offsets[oid] = len(buf)
+        buf += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n" % (max_id + 1)
+    buf += b"0000000000 65535 f \n"
+    for oid in range(1, max_id + 1):
+        buf += b"%010d 00000 n \n" % offsets[oid]
+    buf += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max_id + 1, xref_at)
+    )
+    return bytes(buf)
+
+
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
+
+
+def _pdf_streams(b: bytes):
+    """Yield decoded stream payloads (Flate or plain)."""
+    for m in _STREAM_RE.finditer(b):
+        d, start = m.group(1), m.end()
+        lm = re.search(rb"/Length\s+(\d+)(?!\s+0\s+R)", d)
+        if lm:
+            data = b[start : start + int(lm.group(1))]
+        else:  # indirect /Length: fall back to the endstream keyword
+            end = b.find(b"endstream", start)
+            if end < 0:
+                continue
+            data = b[start:end].rstrip(b"\r\n")
+        if b"/FlateDecode" in d:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(f"bad Flate stream in PDF: {exc}") from exc
+        yield data
+
+
+def _pdf_string(data: bytes, i: int) -> tuple[str, int]:
+    """Parse a ( ) literal at data[i] (after the paren); returns (text, next)."""
+    out, depth = bytearray(), 1
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            if e in b"nrtbf":
+                out += {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b", 0x66: b"\f"}[e]
+                i += 1
+            elif e in b"()\\":
+                out.append(e)
+                i += 1
+            elif 0x30 <= e <= 0x37:  # octal, 1-3 digits
+                oct_s, k = "", 0
+                while k < 3 and i < n and 0x30 <= data[i] <= 0x37:
+                    oct_s += chr(data[i])
+                    i += 1
+                    k += 1
+                out.append(int(oct_s, 8) & 0xFF)
+            elif e in b"\r\n":  # line continuation
+                i += 1
+                if e == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:
+                out.append(e)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return out.decode("latin-1"), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    raise ValueError("unterminated PDF string literal")
+
+
+def _pdf_text_from_content(data: bytes) -> list[str]:
+    """Walk one content stream's text operators; returns emitted chunks
+    (strings and '\n' markers) in order."""
+    out: list[str] = []
+    strings: list[str] = []  # operand stack of string values
+    in_array: list[str] | None = None
+    emitted_in_block = False
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x28:  # (
+            s, i = _pdf_string(data, i + 1)
+            (in_array if in_array is not None else strings).append(s)
+            continue
+        if c == 0x3C and i + 1 < n and data[i + 1] != 0x3C:  # hex string
+            j = data.find(b">", i)
+            if j < 0:
+                raise ValueError("unterminated PDF hex string")
+            hx = re.sub(rb"\s", b"", data[i + 1 : j])
+            if len(hx) % 2:
+                hx += b"0"
+            s = bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+            (in_array if in_array is not None else strings).append(s)
+            i = j + 1
+            continue
+        if c == 0x5B:  # [
+            in_array = []
+            i += 1
+            continue
+        if c == 0x5D:  # ]
+            if in_array is not None:
+                strings.append("".join(in_array))
+                in_array = None
+            i += 1
+            continue
+        if c == 0x25:  # % comment to EOL
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        m = re.match(rb"[A-Za-z'\"*]+", data[i:])
+        if m:
+            op = m.group(0)
+            i += len(op)
+            if op == b"BT":
+                emitted_in_block = False
+                strings.clear()
+            elif op == b"Tj" or op == b"TJ":
+                if strings:
+                    out.append(strings[-1])
+                    emitted_in_block = True
+                strings.clear()
+            elif op == b"'" or op == b'"':
+                out.append("\n")
+                if strings:
+                    out.append(strings[-1])
+                emitted_in_block = True
+                strings.clear()
+            elif op in (b"T*", b"Td", b"TD"):
+                if emitted_in_block:
+                    out.append("\n")
+                strings.clear()
+            elif op == b"BI":  # inline image: skip to EI
+                j = data.find(b"EI", i)
+                i = n if j < 0 else j + 2
+            continue
+        i += 1
+    return out
+
+
+def extract_pdf(b: bytes) -> str:
+    if not b.startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload")
+    pages = []
+    for data in _pdf_streams(b):
+        if b"BT" not in data:
+            continue
+        chunks = _pdf_text_from_content(data)
+        if chunks:
+            pages.append("".join(chunks))
+    return "\n".join(pages)
+
+
+# --------------------------------------------------------------------------
+# DOCX (OOXML main document part)
+
+_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+
+_DOCX_CT = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+    "</Types>"
+)
+_DOCX_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>'
+    "</Relationships>"
+)
+
+
+_XML_INVALID = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff￾￿]")
+
+
+def _xml_escape(s: str) -> str:
+    if _XML_INVALID.search(s):
+        raise ValueError("control characters are not representable in OOXML")
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def encode_docx(paragraphs: list[str]) -> bytes:
+    runs = []
+    for p in paragraphs:
+        parts = []
+        for seg_i, seg in enumerate(p.split("\t")):
+            if seg_i:
+                parts.append("<w:tab/>")
+            if seg:
+                parts.append(f'<w:t xml:space="preserve">{_xml_escape(seg)}</w:t>')
+        runs.append(f"<w:p><w:r>{''.join(parts)}</w:r></w:p>")
+    doc = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{_W}"><w:body>{"".join(runs)}</w:body></w:document>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _DOCX_CT)
+        z.writestr("_rels/.rels", _DOCX_RELS)
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def extract_docx(b: bytes) -> str:
+    with zipfile.ZipFile(io.BytesIO(b)) as z:
+        xml = z.read("word/document.xml")
+    root = ET.fromstring(xml)
+    body = root.find(f"{{{_W}}}body")
+    if body is None:
+        raise ValueError("DOCX without a document body")
+    paras = []
+    for p in body.iter(f"{{{_W}}}p"):
+        parts = []
+        for el in p.iter():
+            tag = el.tag.rsplit("}", 1)[-1]
+            if tag == "t" and el.text:
+                parts.append(el.text)
+            elif tag == "tab":
+                parts.append("\t")
+            elif tag in ("br", "cr"):
+                parts.append("\n")
+        paras.append("".join(parts))
+    return "\n".join(paras)
+
+
+# --------------------------------------------------------------------------
+# RTF
+
+def encode_rtf(text: str) -> bytes:
+    body = []
+    for ch in text:
+        o = ord(ch)
+        if ch in "\\{}":
+            body.append("\\" + ch)
+        elif ch == "\n":
+            body.append("\\par\n")
+        elif ch == "\t":
+            body.append("\\tab ")
+        elif o < 128:
+            body.append(ch)
+        elif o < 256:
+            body.append(f"\\'{o:02x}")
+        else:
+            body.append(f"\\u{o}?")
+    return (
+        "{\\rtf1\\ansi\\ansicpg1252{\\fonttbl{\\f0\\fswiss Helvetica;}}\\f0\\fs24 "
+        + "".join(body)
+        + "}"
+    ).encode("latin-1")
+
+
+_RTF_DESTS = {
+    "fonttbl", "colortbl", "stylesheet", "info", "pict", "themedata",
+    "header", "footer", "generator", "filetbl", "listtable",
+}
+
+
+def extract_rtf(b: bytes) -> str:
+    s = b.decode("latin-1")
+    if not s.startswith("{\\rtf"):
+        raise ValueError("not an RTF payload")
+    out: list[str] = []
+    skip_depth = 0  # >0 while inside a skipped destination group
+    depth = 0
+    uc_skip = 1
+    i, n = 0, len(s)
+    pending_star = False
+    while i < n:
+        c = s[i]
+        if c == "{":
+            depth += 1
+            if skip_depth:
+                skip_depth += 1
+            i += 1
+            pending_star = False
+            continue
+        if c == "}":
+            depth -= 1
+            if skip_depth:
+                skip_depth -= 1
+            i += 1
+            continue
+        if c == "\\":
+            i += 1
+            if i >= n:
+                break
+            e = s[i]
+            if e == "*":
+                # {\* ...}: unknown destination — skip the whole group
+                if not skip_depth:
+                    skip_depth = 1
+                i += 1
+                pending_star = False
+                continue
+            if e in "\\{}":
+                if not skip_depth:
+                    out.append(e)
+                i += 1
+                continue
+            if e == "'":
+                hx = s[i + 1 : i + 3]
+                if not skip_depth:
+                    out.append(chr(int(hx, 16)))
+                i += 3
+                continue
+            if e == "~":
+                if not skip_depth:
+                    out.append(" ")
+                i += 1
+                continue
+            m = re.match(r"[a-zA-Z]+(-?\d+)?", s[i:])
+            if not m:
+                i += 1
+                continue
+            word = re.match(r"[a-zA-Z]+", m.group(0)).group(0)
+            param = m.group(1)
+            i += len(m.group(0))
+            if i < n and s[i] == " ":  # control-word delimiter
+                i += 1
+            if word in _RTF_DESTS:
+                if not skip_depth:
+                    skip_depth = 1
+                continue
+            if skip_depth:
+                continue
+            if word in ("par", "line"):
+                out.append("\n")
+            elif word == "tab":
+                out.append("\t")
+            elif word == "uc" and param is not None:
+                uc_skip = int(param)
+            elif word == "u" and param is not None:
+                cp = int(param)
+                out.append(chr(cp + 65536 if cp < 0 else cp))
+                i += uc_skip  # skip the ANSI fallback chars
+            continue
+        if c in "\r\n":
+            i += 1
+            continue
+        if not skip_depth:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+# --------------------------------------------------------------------------
+# HTML
+
+class _HTMLText(HTMLParser):
+    _BLOCK = {"p", "br", "div", "li", "tr", "h1", "h2", "h3", "h4", "h5", "h6"}
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.chunks: list[str] = []
+        self._skip = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style", "head", "title"):
+            self._skip += 1
+        elif tag in self._BLOCK and self.chunks:
+            self.chunks.append("\n")
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style", "head", "title") and self._skip:
+            self._skip -= 1
+
+    def handle_data(self, data):
+        if not self._skip and data:
+            self.chunks.append(data)
+
+
+def encode_html(text: str) -> bytes:
+    paras = "".join(f"<p>{_xml_escape(p)}</p>" for p in text.split("\n"))
+    return f"<html><head><title>doc</title></head><body>{paras}</body></html>".encode("utf-8")
+
+
+def extract_html(b: bytes) -> str:
+    p = _HTMLText()
+    p.feed(b.decode("utf-8", errors="replace"))
+    p.close()
+    # collapse the writer's structural whitespace, keep block breaks
+    text = "".join(p.chunks)
+    return "\n".join(ln.strip() for ln in text.split("\n") if ln.strip())
+
+
+# --------------------------------------------------------------------------
+# Dispatch
+
+def detect_doc_format(b: bytes) -> str:
+    if b.startswith(b"%PDF-"):
+        return "pdf"
+    if b.startswith(b"PK\x03\x04"):
+        return "docx"
+    if b.startswith(b"{\\rtf"):
+        return "rtf"
+    head = b[:256].lstrip().lower()
+    if head.startswith(b"<!doctype html") or head.startswith(b"<html"):
+        return "html"
+    return "txt"
+
+
+def extract_text(b: bytes) -> str:
+    fmt = detect_doc_format(b)
+    if fmt == "pdf":
+        return extract_pdf(b)
+    if fmt == "docx":
+        return extract_docx(b)
+    if fmt == "rtf":
+        return extract_rtf(b)
+    if fmt == "html":
+        return extract_html(b)
+    return b.decode("utf-8")
+
+
+# --------------------------------------------------------------------------
+# Pipeline: documents → rotated rich-doc payloads → extract → verify
+
+_FMT_OF_MOD = ["pdf", "docx", "rtf", "html"]
+
+
+def _payloads(sf_dir: str):
+    def to_payload(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        pays = []
+        for d, t in zip(ids, texts):
+            m = d % 4
+            if m == 0:
+                pays.append(encode_pdf([t], compress=bool(d % 8 == 0)))
+            elif m == 1:
+                pays.append(encode_docx([t]))
+            elif m == 2:
+                pays.append(encode_rtf(t))
+            else:
+                pays.append(encode_html(t))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "payload": pa.array(pays, type=pa.binary()),
+                "src_text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_payload, batch_format="pyarrow", batch_size=512
+    )
+
+
+class RichDocExtractor:
+    """Actor-pool stage: sniff format, extract text, verify against the
+    shipped source text (an extractor regression fails the JOB, loudly,
+    not a hash check three stages later)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fmts, chars = [], [], []
+        for did, payload, src in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("src_text").to_pylist(),
+        ):
+            fmt = detect_doc_format(payload)
+            text = extract_text(payload)
+            if text != src:
+                raise ValueError(f"rich-doc extraction mismatch for doc {did} ({fmt})")
+            ids.append(did)
+            fmts.append(fmt)
+            chars.append(len(text))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "format": pa.array(fmts, type=pa.string()),
+                "n_chars_extracted": pa.array(chars, type=pa.int64()),
+            }
+        )
+
+
+def rich_doc_extract(sf_dir: str):
+    out = (
+        _payloads(sf_dir)
+        .map_batches(RichDocExtractor, batch_format="pyarrow", batch_size=128, concurrency=pool())
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+RICH_DOC_SQL = """
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INTEGER)
+            WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'rtf'
+            ELSE 'html' END AS format,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_extracted
+FROM documents
+ORDER BY doc_id
+"""
+
+PIPELINES: dict[str, Pipeline] = {
+    "rich_doc_extract": Pipeline(
+        rich_doc_extract,
+        RICH_DOC_SQL,
+        "Tika-position rich-doc extraction: PDF/DOCX/RTF/HTML payloads → sniff + extract "
+        "+ per-doc round-trip verification (actor pool over opaque binary columns)",
+    ),
+}

@@ -1,0 +1,148 @@
+"""Rich-doc extraction (the Tika position): writer↔extractor round-trips
+per format, hostile-input behavior, and the gated pipeline vs DuckDB."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_ray.pipelines.richdoc import (
+    RICH_DOC_SQL,
+    detect_doc_format,
+    encode_docx,
+    encode_html,
+    encode_pdf,
+    encode_rtf,
+    extract_docx,
+    extract_html,
+    extract_pdf,
+    extract_rtf,
+    extract_text,
+    rich_doc_extract,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ----------------------------------------------------------------- PDF
+
+def test_pdf_roundtrip_multiline_and_pages():
+    pages = ["first line\nsecond (with parens)\nthird \\ backslash", "page two"]
+    for compress in (True, False):
+        b = encode_pdf(pages, compress=compress)
+        assert b.startswith(b"%PDF-1.4")
+        assert extract_pdf(b) == "first line\nsecond (with parens)\nthird \\ backslash\npage two"
+
+
+def test_pdf_escapes_and_controls():
+    t = 'quotes "x" \t tab and high byte: caf\xe9'
+    assert extract_pdf(encode_pdf([t])) == t
+
+
+def test_pdf_writer_is_latin1_only():
+    with pytest.raises(ValueError):
+        encode_pdf(["中文"])
+
+
+def test_pdf_xref_offsets_are_exact():
+    b = encode_pdf(["hello"])
+    # every xref entry must point at "N 0 obj"
+    xref_at = int(b.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    lines = b[xref_at:].split(b"\n")
+    n = int(lines[1].split()[1])
+    for oid in range(1, n):
+        off = int(lines[2 + oid].split()[0])
+        assert b[off:].startswith(b"%d 0 obj" % oid)
+
+
+def test_pdf_rejects_garbage():
+    with pytest.raises(ValueError):
+        extract_pdf(b"not a pdf")
+    # truncated string literal
+    bad = b"%PDF-1.4\n<< /Length 20 >>\nstream\nBT (unterminated Tj\nendstream"
+    with pytest.raises(ValueError):
+        extract_pdf(bad)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=9, max_codepoint=255, blacklist_characters="\r\x0b\x0c\x85"), max_size=120))
+def test_pdf_roundtrip_fuzz(t):
+    assert extract_pdf(encode_pdf([t])) == t
+
+
+# ----------------------------------------------------------------- DOCX
+
+def test_docx_roundtrip_paragraphs_tabs():
+    paras = ["alpha", "tab\there", "x & <y> entities", ""]
+    assert extract_docx(encode_docx(paras)) == "alpha\ntab\there\nx & <y> entities\n"
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FFF, blacklist_characters="\u2028\u2029"), max_size=120))
+def test_docx_roundtrip_fuzz(t):
+    assert extract_docx(encode_docx([t + "\tt"])) == t + "\tt"
+
+
+def test_docx_writer_rejects_xml_invalid_controls():
+    with pytest.raises(ValueError):
+        encode_docx(["bad \x1f char"])
+
+
+# ----------------------------------------------------------------- RTF
+
+def test_rtf_roundtrip_escapes_unicode():
+    t = "braces {x} backslash \\ caf\xe9 中文 tab\tnl\nend"
+    assert extract_rtf(encode_rtf(t)) == t
+
+
+def test_rtf_skips_destination_groups():
+    b = b"{\\rtf1\\ansi{\\fonttbl{\\f0 Helvetica;}}{\\*\\generator Acme 1.0;}\\f0 body text}"
+    assert extract_rtf(b) == "body text"
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=9, max_codepoint=0x2FFF, blacklist_characters="\r\x0b\x0c\x85  "), max_size=120))
+def test_rtf_roundtrip_fuzz(t):
+    assert extract_rtf(encode_rtf(t)) == t
+
+
+# ----------------------------------------------------------------- HTML
+
+def test_html_drops_script_style_head():
+    b = (b"<html><head><title>T</title><style>p{}</style></head>"
+         b"<body><script>var x=1;</script><p>keep this</p><p>and this</p></body></html>")
+    assert extract_html(b) == "keep this\nand this"
+
+
+def test_html_entities_decoded():
+    assert extract_html(b"<html><body><p>a &amp; b &lt;c&gt;</p></body></html>") == "a & b <c>"
+
+
+# ----------------------------------------------------------------- dispatch
+
+def test_detect_and_extract_text_dispatch():
+    cases = {
+        "pdf": encode_pdf(["x y"]),
+        "docx": encode_docx(["x y"]),
+        "rtf": encode_rtf("x y"),
+        "html": encode_html("x y"),
+    }
+    for fmt, payload in cases.items():
+        assert detect_doc_format(payload) == fmt
+        assert extract_text(payload) == "x y"
+    assert extract_text(b"plain utf-8 text") == "plain utf-8 text"
+
+
+# ----------------------------------------------------------------- pipeline
+
+def test_rich_doc_extract_matches_duckdb(ray_session):
+    got = rich_doc_extract(SF)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.execute(RICH_DOC_SQL).df()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=True
+    )
