@@ -334,6 +334,188 @@ def extract_docx(b: bytes) -> str:
 
 
 # --------------------------------------------------------------------------
+# XLSX (SpreadsheetML): inline-string cells; rows → lines, cells → tabs
+
+_XLSX_CT = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    "</Types>"
+)
+_XLSX_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+    "</Relationships>"
+)
+_XLSX_WB_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+    "</Relationships>"
+)
+_S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+
+def _col_name(j: int) -> str:
+    s = ""
+    j += 1
+    while j:
+        j, r = divmod(j - 1, 26)
+        s = chr(65 + r) + s
+    return s
+
+
+def encode_xlsx(rows: list[list[str]]) -> bytes:
+    body = []
+    for i, row in enumerate(rows):
+        cells = []
+        for j, v in enumerate(row):
+            ref = f"{_col_name(j)}{i + 1}"
+            cells.append(
+                f'<c r="{ref}" t="inlineStr"><is>'
+                f'<t xml:space="preserve">{_xml_escape(str(v))}</t></is></c>'
+            )
+        body.append(f'<row r="{i + 1}">{"".join(cells)}</row>')
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{_S}"><sheetData>{"".join(body)}</sheetData></worksheet>'
+    )
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_S}" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", _XLSX_CT)
+        z.writestr("_rels/.rels", _XLSX_RELS)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
+
+
+def extract_xlsx(b: bytes) -> str:
+    with zipfile.ZipFile(io.BytesIO(b)) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.iter(f"{{{_S}}}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{{{_S}}}t")))
+        sheets = sorted(n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
+        lines = []
+        for name in sheets:
+            root = ET.fromstring(z.read(name))
+            for row in root.iter(f"{{{_S}}}row"):
+                cells = []
+                for c in row.iter(f"{{{_S}}}c"):
+                    typ = c.get("t", "n")
+                    if typ == "inlineStr":
+                        is_el = c.find(f"{{{_S}}}is")
+                        cells.append(
+                            "".join(t.text or "" for t in is_el.iter(f"{{{_S}}}t"))
+                            if is_el is not None
+                            else ""
+                        )
+                    else:
+                        v = c.find(f"{{{_S}}}v")
+                        val = v.text if v is not None and v.text else ""
+                        cells.append(shared[int(val)] if typ == "s" and val else val)
+                lines.append("\t".join(cells))
+        return "\n".join(lines)
+
+
+# --------------------------------------------------------------------------
+# PPTX (PresentationML): a:t runs per a:p paragraph, slides in order
+
+_A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+_P = "http://schemas.openxmlformats.org/presentationml/2006/main"
+
+
+def encode_pptx(slides: list[str]) -> bytes:
+    n = len(slides)
+    if not n:
+        raise ValueError("encode_pptx needs at least one slide")
+    overrides = "".join(
+        f'<Override PartName="/ppt/slides/slide{i + 1}.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.presentationml.slide+xml"/>'
+        for i in range(n)
+    )
+    ct = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>'
+        + overrides
+        + "</Types>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="ppt/presentation.xml"/>'
+        "</Relationships>"
+    )
+    slide_rels = "".join(
+        f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/slide" Target="slides/slide{i + 1}.xml"/>'
+        for i in range(n)
+    )
+    pres_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + slide_rels
+        + "</Relationships>"
+    )
+    sld_ids = "".join(
+        f'<p:sldId id="{256 + i}" r:id="rId{i + 1}"/>' for i in range(n)
+    )
+    pres = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<p:presentation xmlns:p="{_P}" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<p:sldIdLst>{sld_ids}</p:sldIdLst></p:presentation>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
+        z.writestr("ppt/presentation.xml", pres)
+        z.writestr("ppt/_rels/presentation.xml.rels", pres_rels)
+        for i, text in enumerate(slides):
+            paras = "".join(
+                f'<a:p><a:r><a:t>{_xml_escape(p)}</a:t></a:r></a:p>'
+                for p in text.split("\n")
+            )
+            sld = (
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                f'<p:sld xmlns:p="{_P}" xmlns:a="{_A}"><p:cSld><p:spTree>'
+                f"<p:sp><p:txBody>{paras}</p:txBody></p:sp>"
+                "</p:spTree></p:cSld></p:sld>"
+            )
+            z.writestr(f"ppt/slides/slide{i + 1}.xml", sld)
+    return buf.getvalue()
+
+
+def extract_pptx(b: bytes) -> str:
+    with zipfile.ZipFile(io.BytesIO(b)) as z:
+        names = sorted(
+            (n for n in z.namelist() if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1]).group(0)),
+        )
+        slides = []
+        for name in names:
+            root = ET.fromstring(z.read(name))
+            paras = []
+            for p in root.iter(f"{{{_A}}}p"):
+                paras.append("".join(t.text or "" for t in p.iter(f"{{{_A}}}t")))
+            slides.append("\n".join(paras))
+    return "\n".join(slides)
+
+
+# --------------------------------------------------------------------------
 # RTF
 
 def encode_rtf(text: str) -> bytes:
@@ -499,8 +681,19 @@ def extract_html(b: bytes) -> str:
 def detect_doc_format(b: bytes) -> str:
     if b.startswith(b"%PDF-"):
         return "pdf"
-    if b.startswith(b"PK\x03\x04"):
-        return "docx"
+    if b.startswith(b"PK\x03\x04"):  # OOXML family: dispatch on the main part
+        try:
+            with zipfile.ZipFile(io.BytesIO(b)) as z:
+                names = set(z.namelist())
+        except zipfile.BadZipFile:
+            return "zip"
+        if "word/document.xml" in names:
+            return "docx"
+        if "xl/workbook.xml" in names:
+            return "xlsx"
+        if "ppt/presentation.xml" in names:
+            return "pptx"
+        return "zip"
     if b.startswith(b"{\\rtf"):
         return "rtf"
     head = b[:256].lstrip().lower()
@@ -509,23 +702,30 @@ def detect_doc_format(b: bytes) -> str:
     return "txt"
 
 
+_EXTRACTORS = {
+    "pdf": extract_pdf,
+    "docx": extract_docx,
+    "xlsx": extract_xlsx,
+    "pptx": extract_pptx,
+    "rtf": extract_rtf,
+    "html": extract_html,
+}
+
+
 def extract_text(b: bytes) -> str:
     fmt = detect_doc_format(b)
-    if fmt == "pdf":
-        return extract_pdf(b)
-    if fmt == "docx":
-        return extract_docx(b)
-    if fmt == "rtf":
-        return extract_rtf(b)
-    if fmt == "html":
-        return extract_html(b)
+    fn = _EXTRACTORS.get(fmt)
+    if fn is not None:
+        return fn(b)
+    if fmt == "zip":
+        raise ValueError("zip container without a known OOXML main part")
     return b.decode("utf-8")
 
 
 # --------------------------------------------------------------------------
 # Pipeline: documents → rotated rich-doc payloads → extract → verify
 
-_FMT_OF_MOD = ["pdf", "docx", "rtf", "html"]
+_FMT_OF_MOD = ["pdf", "docx", "rtf", "html", "xlsx", "pptx"]
 
 
 def _payloads(sf_dir: str):
@@ -534,15 +734,19 @@ def _payloads(sf_dir: str):
         texts = batch.column("text").to_pylist()
         pays = []
         for d, t in zip(ids, texts):
-            m = d % 4
+            m = d % 6
             if m == 0:
-                pays.append(encode_pdf([t], compress=bool(d % 8 == 0)))
+                pays.append(encode_pdf([t], compress=bool(d % 12 == 0)))
             elif m == 1:
                 pays.append(encode_docx([t]))
             elif m == 2:
                 pays.append(encode_rtf(t))
-            else:
+            elif m == 3:
                 pays.append(encode_html(t))
+            elif m == 4:
+                pays.append(encode_xlsx([[t]]))
+            else:
+                pays.append(encode_pptx([t]))
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -595,9 +799,10 @@ def rich_doc_extract(sf_dir: str):
 
 RICH_DOC_SQL = """
 SELECT doc_id,
-       CASE CAST(doc_id % 4 AS INTEGER)
+       CASE CAST(doc_id % 6 AS INTEGER)
             WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'rtf'
-            ELSE 'html' END AS format,
+            WHEN 3 THEN 'html' WHEN 4 THEN 'xlsx'
+            ELSE 'pptx' END AS format,
        CAST(LENGTH(text) AS BIGINT) AS n_chars_extracted
 FROM documents
 ORDER BY doc_id
@@ -607,7 +812,7 @@ PIPELINES: dict[str, Pipeline] = {
     "rich_doc_extract": Pipeline(
         rich_doc_extract,
         RICH_DOC_SQL,
-        "Tika-position rich-doc extraction: PDF/DOCX/RTF/HTML payloads → sniff + extract "
-        "+ per-doc round-trip verification (actor pool over opaque binary columns)",
+        "Tika-position rich-doc extraction: PDF/DOCX/XLSX/PPTX/RTF/HTML payloads → sniff "
+        "+ extract + per-doc round-trip verification (actor pool over opaque binary columns)",
     ),
 }

@@ -146,3 +146,55 @@ def test_rich_doc_extract_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=True
     )
+
+
+# ----------------------------------------------------------------- XLSX/PPTX
+
+def test_xlsx_roundtrip_rows_cells():
+    from lucene_solr_ray.pipelines.richdoc import encode_xlsx, extract_xlsx
+
+    rows = [["a1", "b1 & <x>"], ["a2"], [""]]
+    assert extract_xlsx(encode_xlsx(rows)) == "a1\tb1 & <x>\na2\n"
+
+
+def test_xlsx_shared_strings_and_numbers():
+    from lucene_solr_ray.pipelines.richdoc import extract_xlsx
+    import io, zipfile
+
+    # hand-built sheet using the sharedStrings + numeric cell paths
+    S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    ss = (f'<sst xmlns="{S}"><si><t>hello</t></si><si><t>world</t></si></sst>')
+    sheet = (
+        f'<worksheet xmlns="{S}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1"><v>42</v></c></row></sheetData></worksheet>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", f'<workbook xmlns="{S}"/>')
+        z.writestr("xl/sharedStrings.xml", ss)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    assert extract_xlsx(buf.getvalue()) == "hello\tworld\t42"
+
+
+def test_pptx_roundtrip_slides_in_order():
+    from lucene_solr_ray.pipelines.richdoc import encode_pptx, extract_pptx
+
+    slides = [f"slide {i}\nsecond line {i}" for i in range(12)]
+    assert extract_pptx(encode_pptx(slides)) == "\n".join(slides)
+
+
+def test_detect_ooxml_members_not_magic():
+    from lucene_solr_ray.pipelines.richdoc import encode_pptx, encode_xlsx
+
+    assert detect_doc_format(encode_xlsx([["x"]])) == "xlsx"
+    assert detect_doc_format(encode_pptx(["x"])) == "pptx"
+    assert extract_text(encode_xlsx([["x y"]])) == "x y"
+    assert extract_text(encode_pptx(["x y"])) == "x y"
+    # a zip that is none of the three OOXML kinds is rejected loudly
+    import io, zipfile
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("random.txt", "hi")
+    with pytest.raises(ValueError):
+        extract_text(buf.getvalue())
