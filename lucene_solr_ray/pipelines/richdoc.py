@@ -713,13 +713,25 @@ _EXTRACTORS = {
 
 
 def extract_text(b: bytes) -> str:
+    """Sniff + extract.  Error contract: EVERY malformed payload raises
+    ValueError (an extraction stage over wild corpora needs ONE catchable
+    type, not whatever zipfile/ElementTree/zlib happened to throw)."""
     fmt = detect_doc_format(b)
     fn = _EXTRACTORS.get(fmt)
     if fn is not None:
-        return fn(b)
+        try:
+            return fn(b)
+        except ValueError:
+            raise
+        except (zipfile.BadZipFile, ET.ParseError, KeyError, IndexError,
+                zlib.error, UnicodeDecodeError, OverflowError) as exc:
+            raise ValueError(f"malformed {fmt} payload: {exc}") from exc
     if fmt == "zip":
         raise ValueError("zip container without a known OOXML main part")
-    return b.decode("utf-8")
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"undecodable text payload: {exc}") from exc
 
 
 # --------------------------------------------------------------------------

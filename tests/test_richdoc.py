@@ -198,3 +198,20 @@ def test_detect_ooxml_members_not_magic():
         z.writestr("random.txt", "hi")
     with pytest.raises(ValueError):
         extract_text(buf.getvalue())
+
+
+# ------------------------------------------------------- hostile payloads
+
+@settings(max_examples=60, deadline=None)
+@given(
+    prefix=st.sampled_from([b"%PDF-1.4\n", b"PK\x03\x04", b"{\\rtf1", b"<html>", b""]),
+    junk=st.binary(max_size=300),
+)
+def test_extract_text_error_contract(prefix, junk):
+    # wild-corpus contract: returns str or raises ValueError — never a
+    # stray zipfile/XML/zlib/index error out of an actor-pool stage
+    try:
+        out = extract_text(prefix + junk)
+        assert isinstance(out, str)
+    except ValueError:
+        pass
