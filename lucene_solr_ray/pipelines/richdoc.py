@@ -55,9 +55,15 @@ def _pdf_literal(s: str) -> bytes:
     return bytes(out)
 
 
-def encode_pdf(pages: list[str], compress: bool = True) -> bytes:
+def encode_pdf(
+    pages: list[str],
+    compress: bool = True,
+    title: str | None = None,
+    author: str | None = None,
+) -> bytes:
     """Minimal valid PDF 1.4: one Helvetica text column per page, one
-    line per T*; correct xref table (byte-exact offsets)."""
+    line per T*; correct xref table (byte-exact offsets); optional
+    document-information dictionary (/Info in the trailer)."""
     if not pages:
         raise ValueError("encode_pdf needs at least one page")
     n_pages = len(pages)
@@ -67,6 +73,15 @@ def encode_pdf(pages: list[str], compress: bool = True) -> bytes:
     kids = b" ".join(b"%d 0 R" % k for k in kid_ids)
     objs[2] = b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % n_pages
     objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    info_id = None
+    if title is not None or author is not None:
+        info_id = kid_ids[-1] + 2
+        info = b"<< "
+        if title is not None:
+            info += b"/Title " + _pdf_literal(title) + b" "
+        if author is not None:
+            info += b"/Author " + _pdf_literal(author) + b" "
+        objs[info_id] = info + b">>"
     streams: dict[int, bytes] = {}
     for i, page in enumerate(pages):
         pid, cid = kid_ids[i], kid_ids[i] + 1
@@ -100,9 +115,11 @@ def encode_pdf(pages: list[str], compress: bool = True) -> bytes:
     buf += b"0000000000 65535 f \n"
     for oid in range(1, max_id + 1):
         buf += b"%010d 00000 n \n" % offsets[oid]
+    info_ref = b" /Info %d 0 R" % info_id if info_id else b""
     buf += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (max_id + 1, xref_at)
+        b"trailer\n<< /Size %d /Root 1 0 R" % (max_id + 1)
+        + info_ref
+        + b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_at
     )
     return bytes(buf)
 
@@ -259,6 +276,42 @@ def extract_pdf(b: bytes) -> str:
     return "\n".join(pages)
 
 
+def _pdf_dict_string(obj: bytes, key: bytes) -> str | None:
+    m = re.search(rb"/" + key + rb"\s*", obj)
+    if not m:
+        return None
+    i = m.end()
+    if obj[i : i + 1] == b"(":
+        s, _ = _pdf_string(obj, i + 1)
+        return s
+    if obj[i : i + 1] == b"<":
+        j = obj.find(b">", i)
+        if j < 0:
+            raise ValueError("unterminated PDF hex string in Info")
+        hx = re.sub(rb"\s", b"", obj[i + 1 : j])
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+    return None
+
+
+def extract_pdf_metadata(b: bytes) -> dict:
+    if not b.startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload")
+    refs = re.findall(rb"/Info\s+(\d+)\s+0\s+R", b)
+    if not refs:
+        return {"title": None, "author": None}
+    oid = int(refs[-1])
+    m = re.search(rb"(?:^|[\r\n])%d 0 obj(.*?)endobj" % oid, b, re.DOTALL)
+    if not m:
+        raise ValueError("PDF /Info points at a missing object")
+    obj = m.group(1)
+    return {
+        "title": _pdf_dict_string(obj, b"Title"),
+        "author": _pdf_dict_string(obj, b"Author"),
+    }
+
+
 # --------------------------------------------------------------------------
 # DOCX (OOXML main document part)
 
@@ -289,7 +342,61 @@ def _xml_escape(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
-def encode_docx(paragraphs: list[str]) -> bytes:
+_CP = "http://schemas.openxmlformats.org/package/2006/metadata/core-properties"
+_DC = "http://purl.org/dc/elements/1.1/"
+_CORE_CT_OVERRIDE = (
+    '<Override PartName="/docProps/core.xml" '
+    'ContentType="application/vnd.openxmlformats-package.core-properties+xml"/>'
+)
+_CORE_REL = (
+    '<Relationship Id="rIdCore" '
+    'Type="http://schemas.openxmlformats.org/package/2006/relationships/metadata/core-properties" '
+    'Target="docProps/core.xml"/>'
+)
+
+
+def _core_xml(title: str | None, author: str | None) -> str:
+    parts = []
+    if title is not None:
+        parts.append(f"<dc:title>{_xml_escape(title)}</dc:title>")
+    if author is not None:
+        parts.append(f"<dc:creator>{_xml_escape(author)}</dc:creator>")
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<cp:coreProperties xmlns:cp="{_CP}" xmlns:dc="{_DC}">'
+        f'{"".join(parts)}</cp:coreProperties>'
+    )
+
+
+def _write_core(z: zipfile.ZipFile, title: str | None, author: str | None) -> None:
+    if title is not None or author is not None:
+        z.writestr("docProps/core.xml", _core_xml(title, author))
+
+
+def _with_core(ct: str, rels: str, has_meta: bool) -> tuple[str, str]:
+    if not has_meta:
+        return ct, rels
+    return (
+        ct.replace("</Types>", _CORE_CT_OVERRIDE + "</Types>"),
+        rels.replace("</Relationships>", _CORE_REL + "</Relationships>"),
+    )
+
+
+def _core_from_zip(z: zipfile.ZipFile) -> dict:
+    if "docProps/core.xml" not in z.namelist():
+        return {"title": None, "author": None}
+    root = ET.fromstring(z.read("docProps/core.xml"))
+    t = root.find(f"{{{_DC}}}title")
+    a = root.find(f"{{{_DC}}}creator")
+    return {
+        "title": t.text if t is not None else None,
+        "author": a.text if a is not None else None,
+    }
+
+
+def encode_docx(
+    paragraphs: list[str], title: str | None = None, author: str | None = None
+) -> bytes:
     runs = []
     for p in paragraphs:
         parts = []
@@ -303,12 +410,24 @@ def encode_docx(paragraphs: list[str]) -> bytes:
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<w:document xmlns:w="{_W}"><w:body>{"".join(runs)}</w:body></w:document>'
     )
+    ct, rels = _with_core(_DOCX_CT, _DOCX_RELS, title is not None or author is not None)
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
-        z.writestr("[Content_Types].xml", _DOCX_CT)
-        z.writestr("_rels/.rels", _DOCX_RELS)
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
         z.writestr("word/document.xml", doc)
+        _write_core(z, title, author)
     return buf.getvalue()
+
+
+def _zip_core_metadata(b: bytes) -> dict:
+    with zipfile.ZipFile(io.BytesIO(b)) as z:
+        return _core_from_zip(z)
+
+
+extract_docx_metadata = _zip_core_metadata
+extract_xlsx_metadata = _zip_core_metadata
+extract_pptx_metadata = _zip_core_metadata
 
 
 def extract_docx(b: bytes) -> str:
@@ -369,7 +488,9 @@ def _col_name(j: int) -> str:
     return s
 
 
-def encode_xlsx(rows: list[list[str]]) -> bytes:
+def encode_xlsx(
+    rows: list[list[str]], title: str | None = None, author: str | None = None
+) -> bytes:
     body = []
     for i, row in enumerate(rows):
         cells = []
@@ -389,13 +510,15 @@ def encode_xlsx(rows: list[list[str]]) -> bytes:
         f'<workbook xmlns="{_S}" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
         '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
     )
+    ct, rels = _with_core(_XLSX_CT, _XLSX_RELS, title is not None or author is not None)
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
-        z.writestr("[Content_Types].xml", _XLSX_CT)
-        z.writestr("_rels/.rels", _XLSX_RELS)
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", rels)
         z.writestr("xl/workbook.xml", wb)
         z.writestr("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS)
         z.writestr("xl/worksheets/sheet1.xml", sheet)
+        _write_core(z, title, author)
     return buf.getvalue()
 
 
@@ -436,7 +559,9 @@ _A = "http://schemas.openxmlformats.org/drawingml/2006/main"
 _P = "http://schemas.openxmlformats.org/presentationml/2006/main"
 
 
-def encode_pptx(slides: list[str]) -> bytes:
+def encode_pptx(
+    slides: list[str], title: str | None = None, author: str | None = None
+) -> bytes:
     n = len(slides)
     if not n:
         raise ValueError("encode_pptx needs at least one slide")
@@ -478,12 +603,14 @@ def encode_pptx(slides: list[str]) -> bytes:
         f'<p:presentation xmlns:p="{_P}" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
         f"<p:sldIdLst>{sld_ids}</p:sldIdLst></p:presentation>"
     )
+    ct, rels = _with_core(ct, rels, title is not None or author is not None)
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr("[Content_Types].xml", ct)
         z.writestr("_rels/.rels", rels)
         z.writestr("ppt/presentation.xml", pres)
         z.writestr("ppt/_rels/presentation.xml.rels", pres_rels)
+        _write_core(z, title, author)
         for i, text in enumerate(slides):
             paras = "".join(
                 f'<a:p><a:r><a:t>{_xml_escape(p)}</a:t></a:r></a:p>'
@@ -518,7 +645,7 @@ def extract_pptx(b: bytes) -> str:
 # --------------------------------------------------------------------------
 # RTF
 
-def encode_rtf(text: str) -> bytes:
+def _rtf_escape(text: str) -> str:
     body = []
     for ch in text:
         o = ord(ch)
@@ -534,9 +661,23 @@ def encode_rtf(text: str) -> bytes:
             body.append(f"\\'{o:02x}")
         else:
             body.append(f"\\u{o}?")
+    return "".join(body)
+
+
+def encode_rtf(text: str, title: str | None = None, author: str | None = None) -> bytes:
+    info = ""
+    if title is not None or author is not None:
+        groups = ""
+        if title is not None:
+            groups += "{\\title " + _rtf_escape(title) + "}"
+        if author is not None:
+            groups += "{\\author " + _rtf_escape(author) + "}"
+        info = "{\\info" + groups + "}"
     return (
-        "{\\rtf1\\ansi\\ansicpg1252{\\fonttbl{\\f0\\fswiss Helvetica;}}\\f0\\fs24 "
-        + "".join(body)
+        "{\\rtf1\\ansi\\ansicpg1252{\\fonttbl{\\f0\\fswiss Helvetica;}}"
+        + info
+        + "\\f0\\fs24 "
+        + _rtf_escape(text)
         + "}"
     ).encode("latin-1")
 
@@ -635,6 +776,99 @@ def extract_rtf(b: bytes) -> str:
     return "".join(out)
 
 
+def _rtf_balanced(s: str, i: int) -> tuple[str, int]:
+    """Body of the group opening at s[i]=='{' (escape-aware); returns
+    (body, index past the closing brace)."""
+    if s[i] != "{":
+        raise ValueError("expected an RTF group")
+    depth, j = 1, i + 1
+    n = len(s)
+    while j < n:
+        c = s[j]
+        if c == "\\" and j + 1 < n:
+            j += 2
+            continue
+        if c == "{":
+            depth += 1
+        elif c == "}":
+            depth -= 1
+            if depth == 0:
+                return s[i + 1 : j], j + 1
+        j += 1
+    raise ValueError("unterminated RTF group")
+
+
+def _rtf_unescape(body: str) -> str:
+    """Interpret escapes in a destination-free group body; control words
+    other than par/line/tab are dropped (the group's own destination word
+    included)."""
+    out: list[str] = []
+    i, n = 0, len(body)
+    uc_skip = 1
+    while i < n:
+        c = body[i]
+        if c == "\\":
+            i += 1
+            if i >= n:
+                break
+            e = body[i]
+            if e in "\\{}":
+                out.append(e)
+                i += 1
+                continue
+            if e == "'":
+                out.append(chr(int(body[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            if e == "~":
+                out.append(" ")
+                i += 1
+                continue
+            m = re.match(r"[a-zA-Z]+(-?\d+)?", body[i:])
+            if not m:
+                i += 1
+                continue
+            word = re.match(r"[a-zA-Z]+", m.group(0)).group(0)
+            param = m.group(1)
+            i += len(m.group(0))
+            if i < n and body[i] == " ":
+                i += 1
+            if word in ("par", "line"):
+                out.append("\n")
+            elif word == "tab":
+                out.append("\t")
+            elif word == "uc" and param is not None:
+                uc_skip = int(param)
+            elif word == "u" and param is not None:
+                cp = int(param)
+                out.append(chr(cp + 65536 if cp < 0 else cp))
+                i += uc_skip
+            continue
+        if c in "{}\r\n":
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def extract_rtf_metadata(b: bytes) -> dict:
+    s = b.decode("latin-1")
+    if not s.startswith("{\\rtf"):
+        raise ValueError("not an RTF payload")
+    meta = {"title": None, "author": None}
+    at = s.find("{\\info")
+    if at < 0:
+        return meta
+    info, _ = _rtf_balanced(s, at)
+    for key in ("title", "author"):
+        m = re.search(r"\{\\" + key + r"[ \r\n]", info)
+        if m:
+            body, _ = _rtf_balanced(info, m.start())
+            meta[key] = _rtf_unescape(body)
+    return meta
+
+
 # --------------------------------------------------------------------------
 # HTML
 
@@ -644,26 +878,45 @@ class _HTMLText(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.chunks: list[str] = []
+        self.title_chunks: list[str] = []
+        self.author: str | None = None
         self._skip = 0
+        self._in_title = 0
 
     def handle_starttag(self, tag, attrs):
-        if tag in ("script", "style", "head", "title"):
+        if tag == "title":
+            self._in_title += 1
             self._skip += 1
+        elif tag in ("script", "style", "head"):
+            self._skip += 1
+        elif tag == "meta":
+            d = dict(attrs)
+            if d.get("name", "").lower() == "author" and d.get("content") is not None:
+                self.author = d["content"]
         elif tag in self._BLOCK and self.chunks:
             self.chunks.append("\n")
 
     def handle_endtag(self, tag):
-        if tag in ("script", "style", "head", "title") and self._skip:
+        if tag == "title" and self._in_title:
+            self._in_title -= 1
+            self._skip -= 1
+        elif tag in ("script", "style", "head") and self._skip:
             self._skip -= 1
 
     def handle_data(self, data):
-        if not self._skip and data:
+        if self._in_title:
+            self.title_chunks.append(data)
+        elif not self._skip and data:
             self.chunks.append(data)
 
 
-def encode_html(text: str) -> bytes:
+def encode_html(text: str, title: str | None = None, author: str | None = None) -> bytes:
+    head = f"<title>{_xml_escape(title if title is not None else 'doc')}</title>"
+    if author is not None:
+        q = author.replace("&", "&amp;").replace('"', "&quot;").replace("<", "&lt;")
+        head += f'<meta name="author" content="{q}">'
     paras = "".join(f"<p>{_xml_escape(p)}</p>" for p in text.split("\n"))
-    return f"<html><head><title>doc</title></head><body>{paras}</body></html>".encode("utf-8")
+    return f"<html><head>{head}</head><body>{paras}</body></html>".encode("utf-8")
 
 
 def extract_html(b: bytes) -> str:
@@ -673,6 +926,14 @@ def extract_html(b: bytes) -> str:
     # collapse the writer's structural whitespace, keep block breaks
     text = "".join(p.chunks)
     return "\n".join(ln.strip() for ln in text.split("\n") if ln.strip())
+
+
+def extract_html_metadata(b: bytes) -> dict:
+    p = _HTMLText()
+    p.feed(b.decode("utf-8", errors="replace"))
+    p.close()
+    title = "".join(p.title_chunks).strip()
+    return {"title": title or None, "author": p.author}
 
 
 # --------------------------------------------------------------------------
@@ -734,31 +995,62 @@ def extract_text(b: bytes) -> str:
         raise ValueError(f"undecodable text payload: {exc}") from exc
 
 
+_META_EXTRACTORS = {
+    "pdf": extract_pdf_metadata,
+    "docx": _zip_core_metadata,
+    "xlsx": _zip_core_metadata,
+    "pptx": _zip_core_metadata,
+    "rtf": extract_rtf_metadata,
+    "html": extract_html_metadata,
+}
+
+
+def extract_metadata(b: bytes) -> dict:
+    """{'title': str|None, 'author': str|None} — same error contract as
+    extract_text (ValueError for every malformed payload)."""
+    fmt = detect_doc_format(b)
+    fn = _META_EXTRACTORS.get(fmt)
+    if fn is None:
+        return {"title": None, "author": None}
+    try:
+        return fn(b)
+    except ValueError:
+        raise
+    except (zipfile.BadZipFile, ET.ParseError, KeyError, IndexError,
+            zlib.error, UnicodeDecodeError, OverflowError) as exc:
+        raise ValueError(f"malformed {fmt} metadata: {exc}") from exc
+
+
 # --------------------------------------------------------------------------
 # Pipeline: documents → rotated rich-doc payloads → extract → verify
 
 _FMT_OF_MOD = ["pdf", "docx", "rtf", "html", "xlsx", "pptx"]
 
 
-def _payloads(sf_dir: str):
+def _payloads(sf_dir: str, with_meta: bool = False):
     def to_payload(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
+        srcs = batch.column("source").to_pylist() if with_meta else [None] * len(ids)
         pays = []
-        for d, t in zip(ids, texts):
+        for d, t, src in zip(ids, texts, srcs):
+            title = f"Doc {d}" if with_meta else None
+            author = src if with_meta else None
             m = d % 6
             if m == 0:
-                pays.append(encode_pdf([t], compress=bool(d % 12 == 0)))
+                pays.append(
+                    encode_pdf([t], compress=bool(d % 12 == 0), title=title, author=author)
+                )
             elif m == 1:
-                pays.append(encode_docx([t]))
+                pays.append(encode_docx([t], title=title, author=author))
             elif m == 2:
-                pays.append(encode_rtf(t))
+                pays.append(encode_rtf(t, title=title, author=author))
             elif m == 3:
-                pays.append(encode_html(t))
+                pays.append(encode_html(t, title=title, author=author))
             elif m == 4:
-                pays.append(encode_xlsx([[t]]))
+                pays.append(encode_xlsx([[t]], title=title, author=author))
             else:
-                pays.append(encode_pptx([t]))
+                pays.append(encode_pptx([t], title=title, author=author))
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -767,7 +1059,8 @@ def _payloads(sf_dir: str):
             }
         )
 
-    return read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    cols = ["doc_id", "text"] + (["source"] if with_meta else [])
+    return read(sf_dir, "documents", cols).map_batches(
         to_payload, batch_format="pyarrow", batch_size=512
     )
 
@@ -809,6 +1102,48 @@ def rich_doc_extract(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _meta_batch(batch: pa.Table) -> pa.Table:
+    ids, fmts, titles, authors = [], [], [], []
+    for did, payload in zip(
+        batch.column("doc_id").to_pylist(), batch.column("payload").to_pylist()
+    ):
+        md = extract_metadata(payload)
+        ids.append(did)
+        fmts.append(detect_doc_format(payload))
+        titles.append(md["title"])
+        authors.append(md["author"])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "format": pa.array(fmts, type=pa.string()),
+            "title": pa.array(titles, type=pa.string()),
+            "author": pa.array(authors, type=pa.string()),
+        }
+    )
+
+
+def rich_doc_metadata(sf_dir: str):
+    out = (
+        _payloads(sf_dir, with_meta=True)
+        .map_batches(_meta_batch, batch_format="pyarrow", batch_size=256)
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+RICH_DOC_META_SQL = """
+SELECT doc_id,
+       CASE CAST(doc_id % 6 AS INTEGER)
+            WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'rtf'
+            WHEN 3 THEN 'html' WHEN 4 THEN 'xlsx'
+            ELSE 'pptx' END AS format,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       source AS author
+FROM documents
+ORDER BY doc_id
+"""
+
+
 RICH_DOC_SQL = """
 SELECT doc_id,
        CASE CAST(doc_id % 6 AS INTEGER)
@@ -826,5 +1161,11 @@ PIPELINES: dict[str, Pipeline] = {
         RICH_DOC_SQL,
         "Tika-position rich-doc extraction: PDF/DOCX/XLSX/PPTX/RTF/HTML payloads → sniff "
         "+ extract + per-doc round-trip verification (actor pool over opaque binary columns)",
+    ),
+    "rich_doc_metadata": Pipeline(
+        rich_doc_metadata,
+        RICH_DOC_META_SQL,
+        "Tika-position metadata extraction: PDF /Info, OOXML docProps/core.xml, RTF "
+        "{\\info}, HTML <title>/<meta author> → (doc_id, format, title, author)",
     ),
 }

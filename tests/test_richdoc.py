@@ -215,3 +215,50 @@ def test_extract_text_error_contract(prefix, junk):
         assert isinstance(out, str)
     except ValueError:
         pass
+
+
+# ------------------------------------------------------------- metadata
+
+def test_metadata_roundtrip_all_formats():
+    from lucene_solr_ray.pipelines.richdoc import (
+        encode_pptx, encode_xlsx, extract_metadata,
+    )
+
+    t, a = "My Title (v2) \\ special", "Ann O'Nymous caf\xe9"
+    for b in [
+        encode_pdf(["body"], title=t, author=a),
+        encode_docx(["body"], title=t, author=a),
+        encode_xlsx([["body"]], title=t, author=a),
+        encode_pptx(["body"], title=t, author=a),
+        encode_rtf("body", title=t, author=a),
+        encode_html("body", title=t, author=a),
+    ]:
+        assert extract_metadata(b) == {"title": t, "author": a}
+        assert extract_text(b) == "body"  # info/core parts must not leak
+
+
+def test_metadata_absent_is_none():
+    from lucene_solr_ray.pipelines.richdoc import extract_metadata
+
+    assert extract_metadata(encode_pdf(["x"])) == {"title": None, "author": None}
+    assert extract_metadata(encode_docx(["x"])) == {"title": None, "author": None}
+    assert extract_metadata(encode_rtf("x")) == {"title": None, "author": None}
+
+
+def test_rtf_unicode_metadata():
+    from lucene_solr_ray.pipelines.richdoc import extract_metadata
+
+    md = extract_metadata(encode_rtf("x", title="中文 T", author="\xfc"))
+    assert md == {"title": "中文 T", "author": "\xfc"}
+
+
+def test_rich_doc_metadata_matches_duckdb(ray_session):
+    from lucene_solr_ray.pipelines.richdoc import RICH_DOC_META_SQL, rich_doc_metadata
+
+    got = rich_doc_metadata(SF)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.execute(RICH_DOC_META_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=True
+    )
