@@ -262,3 +262,53 @@ def test_rich_doc_metadata_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=True
     )
+
+
+def test_rich_docs_feed_the_index_path(ray_session, tmp_path):
+    """Composability: binary rich-doc payloads → extract_text → the real
+    inverted-index build → BM25 search must equal an index built straight
+    from the source text (extraction is exact, so the indexes are
+    identical)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.fixtures import write_transcripts
+    from lucene_solr_ray.index import build_index
+    from lucene_solr_ray.search import Searcher
+    from lucene_solr_ray.pipelines.richdoc import (
+        encode_pptx, encode_xlsx, extract_text as _extract,
+    )
+
+    src_dir = tmp_path / "src"
+    paths = write_transcripts(str(src_dir), 120, 4)
+    enc = [
+        lambda t: encode_pdf([t]),
+        lambda t: encode_docx([t]),
+        lambda t: encode_rtf(t),
+        lambda t: encode_xlsx([[t]]),
+    ]
+    rich_dir = tmp_path / "rich"
+    rich_dir.mkdir()
+    rich_paths = []
+    for p in paths:
+        t = pq.read_table(p)
+        texts = t.column("text").to_pylist()
+        payloads = [enc[i % 4](x) for i, x in enumerate(texts)]
+        extracted = [_extract(b) for b in payloads]
+        assert extracted == texts
+        t = t.set_column(t.schema.get_field_index("text"), "text", pa.array(extracted))
+        out = rich_dir / p.split("/")[-1]
+        pq.write_table(t, out)
+        rich_paths.append(str(out))
+
+    idx_a = tmp_path / "idx_a"
+    idx_b = tmp_path / "idx_b"
+    build_index(paths, idx_a, files_per_shard=2)
+    build_index(rich_paths, idx_b, files_per_shard=2)
+    sa, sb = Searcher(str(idx_a)), Searcher(str(idx_b))
+    try:
+        for q in ["assistant", '"tool output"', "spark query +batch"]:
+            assert sa.search(q, 10) == sb.search(q, 10)
+    finally:
+        sa.close()
+        sb.close()
