@@ -86,7 +86,7 @@ SUITE = [
     "currency_convert", "ja_segment_terms", "schemaless_infer",
     "zh_segment_terms", "ko_strip_particles", "gif_frame_sample",
     # media actor-pool stages (synthetic payloads through the real codecs)
-    "image_ahash_dedup", "audio_fp_dedup", "rich_doc_extract",
+    "image_ahash_dedup", "audio_fp_dedup", "rich_doc_extract", "rich_doc_metadata",
 ]
 
 

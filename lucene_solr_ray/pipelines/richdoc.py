@@ -194,6 +194,27 @@ def _pdf_string(data: bytes, i: int) -> tuple[str, int]:
     raise ValueError("unterminated PDF string literal")
 
 
+def _pdf_hex_string(data: bytes, i: int) -> tuple[str, int]:
+    """Parse a <...> hex string with data[i] at the '<'; returns (latin-1
+    text, index past '>')."""
+    j = data.find(b">", i)
+    if j < 0:
+        raise ValueError("unterminated PDF hex string")
+    hx = re.sub(rb"\s", b"", data[i + 1 : j])
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii")).decode("latin-1"), j + 1
+
+
+def _pdf_text_string(s: str) -> str:
+    """PDF text-string semantics: UTF-16BE when the bytes open with the
+    FEFF BOM (the common wild-PDF /Info encoding), PDFDocEncoding≈Latin-1
+    otherwise.  `s` is the raw bytes latin-1-lifted."""
+    if s.startswith("\xfe\xff"):
+        return s.encode("latin-1").decode("utf-16-be")[1:]  # drop the BOM char
+    return s
+
+
 def _pdf_text_from_content(data: bytes) -> list[str]:
     """Walk one content stream's text operators; returns emitted chunks
     (strings and '\n' markers) in order."""
@@ -209,15 +230,8 @@ def _pdf_text_from_content(data: bytes) -> list[str]:
             (in_array if in_array is not None else strings).append(s)
             continue
         if c == 0x3C and i + 1 < n and data[i + 1] != 0x3C:  # hex string
-            j = data.find(b">", i)
-            if j < 0:
-                raise ValueError("unterminated PDF hex string")
-            hx = re.sub(rb"\s", b"", data[i + 1 : j])
-            if len(hx) % 2:
-                hx += b"0"
-            s = bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+            s, i = _pdf_hex_string(data, i)
             (in_array if in_array is not None else strings).append(s)
-            i = j + 1
             continue
         if c == 0x5B:  # [
             in_array = []
@@ -283,22 +297,20 @@ def _pdf_dict_string(obj: bytes, key: bytes) -> str | None:
     i = m.end()
     if obj[i : i + 1] == b"(":
         s, _ = _pdf_string(obj, i + 1)
-        return s
+        return _pdf_text_string(s)
     if obj[i : i + 1] == b"<":
-        j = obj.find(b">", i)
-        if j < 0:
-            raise ValueError("unterminated PDF hex string in Info")
-        hx = re.sub(rb"\s", b"", obj[i + 1 : j])
-        if len(hx) % 2:
-            hx += b"0"
-        return bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+        s, _ = _pdf_hex_string(obj, i)
+        return _pdf_text_string(s)
     return None
 
 
 def extract_pdf_metadata(b: bytes) -> dict:
     if not b.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
-    refs = re.findall(rb"/Info\s+(\d+)\s+0\s+R", b)
+    # only the trailer dictionary may name /Info — scanning the whole file
+    # would match bytes inside compressed stream bodies
+    t_at = b.rfind(b"trailer")
+    refs = re.findall(rb"/Info\s+(\d+)\s+0\s+R", b[t_at:]) if t_at >= 0 else []
     if not refs:
         return {"title": None, "author": None}
     oid = int(refs[-1])
@@ -388,9 +400,10 @@ def _core_from_zip(z: zipfile.ZipFile) -> dict:
     root = ET.fromstring(z.read("docProps/core.xml"))
     t = root.find(f"{{{_DC}}}title")
     a = root.find(f"{{{_DC}}}creator")
+    # element present but empty → '' (ET gives .text None), absent → None
     return {
-        "title": t.text if t is not None else None,
-        "author": a.text if a is not None else None,
+        "title": (t.text or "") if t is not None else None,
+        "author": (a.text or "") if a is not None else None,
     }
 
 
@@ -529,7 +542,10 @@ def extract_xlsx(b: bytes) -> str:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.iter(f"{{{_S}}}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{{{_S}}}t")))
-        sheets = sorted(n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n))
+        sheets = sorted(
+            (n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)),
+            key=lambda n: int(re.search(r"\d+", n.rsplit("/", 1)[1]).group(0)),
+        )
         lines = []
         for name in sheets:
             root = ET.fromstring(z.read(name))
@@ -761,7 +777,7 @@ def extract_rtf(b: bytes) -> str:
             elif word == "tab":
                 out.append("\t")
             elif word == "uc" and param is not None:
-                uc_skip = int(param)
+                uc_skip = max(0, int(param))  # negative \\ucN must not walk backwards (hang)
             elif word == "u" and param is not None:
                 cp = int(param)
                 out.append(chr(cp + 65536 if cp < 0 else cp))
@@ -838,7 +854,7 @@ def _rtf_unescape(body: str) -> str:
             elif word == "tab":
                 out.append("\t")
             elif word == "uc" and param is not None:
-                uc_skip = int(param)
+                uc_skip = max(0, int(param))  # negative \\ucN must not walk backwards (hang)
             elif word == "u" and param is not None:
                 cp = int(param)
                 out.append(chr(cp + 65536 if cp < 0 else cp))
@@ -880,18 +896,21 @@ class _HTMLText(HTMLParser):
         self.chunks: list[str] = []
         self.title_chunks: list[str] = []
         self.author: str | None = None
+        self.saw_title = False
         self._skip = 0
         self._in_title = 0
 
     def handle_starttag(self, tag, attrs):
         if tag == "title":
+            self.saw_title = True
             self._in_title += 1
             self._skip += 1
         elif tag in ("script", "style", "head"):
             self._skip += 1
         elif tag == "meta":
             d = dict(attrs)
-            if d.get("name", "").lower() == "author" and d.get("content") is not None:
+            # valueless attributes parse as ('name', None) — never .lower() them
+            if (d.get("name") or "").lower() == "author" and d.get("content") is not None:
                 self.author = d["content"]
         elif tag in self._BLOCK and self.chunks:
             self.chunks.append("\n")
@@ -911,7 +930,8 @@ class _HTMLText(HTMLParser):
 
 
 def encode_html(text: str, title: str | None = None, author: str | None = None) -> bytes:
-    head = f"<title>{_xml_escape(title if title is not None else 'doc')}</title>"
+    # no fabricated placeholder title: absent metadata must extract as None
+    head = f"<title>{_xml_escape(title)}</title>" if title is not None else ""
     if author is not None:
         q = author.replace("&", "&amp;").replace('"', "&quot;").replace("<", "&lt;")
         head += f'<meta name="author" content="{q}">'
@@ -932,8 +952,8 @@ def extract_html_metadata(b: bytes) -> dict:
     p = _HTMLText()
     p.feed(b.decode("utf-8", errors="replace"))
     p.close()
-    title = "".join(p.title_chunks).strip()
-    return {"title": title or None, "author": p.author}
+    title = "".join(p.title_chunks).strip() if p.saw_title else None
+    return {"title": title, "author": p.author}
 
 
 # --------------------------------------------------------------------------
@@ -1005,12 +1025,20 @@ _META_EXTRACTORS = {
 }
 
 
-def extract_metadata(b: bytes) -> dict:
+def extract_metadata(b: bytes, fmt: str | None = None) -> dict:
     """{'title': str|None, 'author': str|None} — same error contract as
-    extract_text (ValueError for every malformed payload)."""
-    fmt = detect_doc_format(b)
+    extract_text (ValueError for every malformed payload).  Pass `fmt`
+    when the caller already sniffed it (saves a zip open per payload)."""
+    if fmt is None:
+        fmt = detect_doc_format(b)
+    if fmt == "zip":
+        raise ValueError("zip container without a known OOXML main part")
     fn = _META_EXTRACTORS.get(fmt)
     if fn is None:
+        try:
+            b.decode("utf-8")
+        except UnicodeDecodeError as exc:
+            raise ValueError(f"undecodable text payload: {exc}") from exc
         return {"title": None, "author": None}
     try:
         return fn(b)
@@ -1023,9 +1051,6 @@ def extract_metadata(b: bytes) -> dict:
 
 # --------------------------------------------------------------------------
 # Pipeline: documents → rotated rich-doc payloads → extract → verify
-
-_FMT_OF_MOD = ["pdf", "docx", "rtf", "html", "xlsx", "pptx"]
-
 
 def _payloads(sf_dir: str, with_meta: bool = False):
     def to_payload(batch: pa.Table) -> pa.Table:
@@ -1107,9 +1132,10 @@ def _meta_batch(batch: pa.Table) -> pa.Table:
     for did, payload in zip(
         batch.column("doc_id").to_pylist(), batch.column("payload").to_pylist()
     ):
-        md = extract_metadata(payload)
+        fmt = detect_doc_format(payload)  # sniff ONCE, reuse for extraction
+        md = extract_metadata(payload, fmt=fmt)
         ids.append(did)
-        fmts.append(detect_doc_format(payload))
+        fmts.append(fmt)
         titles.append(md["title"])
         authors.append(md["author"])
     return pa.table(

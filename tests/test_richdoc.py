@@ -312,3 +312,77 @@ def test_rich_docs_feed_the_index_path(ray_session, tmp_path):
     finally:
         sa.close()
         sb.close()
+
+
+# ----------------------------------------------------- review-pass regressions
+
+def test_valueless_meta_attribute_does_not_crash():
+    assert extract_text(b"<html><head><meta name></head><body><p>x</p></body></html>") == "x"
+
+
+def test_negative_ucN_terminates():
+    from lucene_solr_ray.pipelines.richdoc import extract_metadata
+
+    # negative \ucN used to walk the scanner backwards forever
+    md = extract_metadata(b"{\\rtf1{\\info{\\title A\\uc-40 \\u65 B}}body}")
+    assert md["title"] == "AAB"
+    assert extract_text(b"{\\rtf1 pre\\uc-40 \\u65 Bpost}") == "preABpost"
+
+
+def test_xlsx_sheets_sort_numerically():
+    import io, zipfile
+    from lucene_solr_ray.pipelines.richdoc import extract_xlsx
+
+    S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", f'<workbook xmlns="{S}"/>')
+        for i in (1, 2, 10):
+            z.writestr(
+                f"xl/worksheets/sheet{i}.xml",
+                f'<worksheet xmlns="{S}"><sheetData><row r="1">'
+                f'<c r="A1" t="inlineStr"><is><t>s{i}</t></is></c></row></sheetData></worksheet>',
+            )
+    assert extract_xlsx(buf.getvalue()) == "s1\ns2\ns10"
+
+
+def test_pdf_utf16be_info_strings():
+    from lucene_solr_ray.pipelines.richdoc import extract_metadata
+
+    pdf = encode_pdf(["body"], title="ignored")
+    raw = pdf.replace(b"/Title (ignored) ", b"/Title <FEFF004D0079> ")
+    assert extract_metadata(raw)["title"] == "My"
+
+
+def test_info_grep_scoped_to_trailer():
+    from lucene_solr_ray.pipelines.richdoc import extract_metadata
+
+    pdf = encode_pdf(["see /Info 99 0 R inside text"], compress=False)
+    assert extract_metadata(pdf) == {"title": None, "author": None}
+
+
+def test_metadata_error_contract_matches_extract_text():
+    from lucene_solr_ray.pipelines.richdoc import extract_metadata
+
+    for bad in [b"PK\x03\x04garbage", b"\xff\xfe\xfd not utf8 \xc3"]:
+        with pytest.raises(ValueError):
+            extract_metadata(bad)
+
+
+def test_empty_string_metadata_is_not_none():
+    from lucene_solr_ray.pipelines.richdoc import extract_metadata
+
+    for b in [
+        encode_docx(["x"], title="", author=""),
+        encode_rtf("x", title="", author=""),
+        encode_pdf(["x"], title="", author=""),
+        encode_html("x", title="", author=""),
+    ]:
+        assert extract_metadata(b) == {"title": "", "author": ""}
+
+
+def test_html_absent_title_is_none():
+    from lucene_solr_ray.pipelines.richdoc import extract_metadata
+
+    assert extract_metadata(encode_html("x")) == {"title": None, "author": None}
+    assert extract_text(encode_html("x")) == "x"
