@@ -4,18 +4,24 @@ Reference: solr/contrib/extraction ExtractingRequestHandler (Tika): rich
 binary documents in, plain indexable text out.  Tika itself is a JVM
 dependency forest; what a data pipeline actually needs from it is text
 extraction for the handful of formats web corpora ship.  Here: pure
-stdlib extractors for PDF (1.4, Flate content streams), DOCX (OOXML
-zip), RTF and HTML — plus matching writers so fixtures and the gated
-pipeline exercise every extractor bit-exactly (the same
-encoder-proves-decoder pattern as the PNG/JPEG/WebP/GIF codecs).
+stdlib extractors for PDF (1.4, Flate content streams), the OOXML
+family (DOCX/XLSX/PPTX via zipfile+ElementTree, dispatched on the zip's
+main part), EPUB (OCF container → OPF spine → XHTML chapters), RTF and
+HTML — plus matching writers so fixtures and the gated pipeline
+exercise every extractor bit-exactly (the same encoder-proves-decoder
+pattern as the PNG/JPEG/WebP/GIF codecs).  Both text (`extract_text`)
+and metadata (`extract_metadata`: title/author from PDF /Info, OOXML
+docProps/core.xml, EPUB dc:, RTF {\\info}, HTML <title>/<meta>).
 
 Documented limits (each raises or degrades loudly, never silently):
 PDF — 1.x non-encrypted, Flate or plain content streams, standard-font
 text operators (Tj ' " TJ, T*/Td/TD line breaks), Latin-1 string
-literals; no CMap-subsetted font decoding.  DOCX — main document part
-paragraphs/runs (w:t, w:tab, w:br/w:cr).  RTF — ANSI with \\'hh and
-\\uN? escapes, destination groups skipped.  HTML — script/style dropped,
-block tags break lines, entities decoded by html.parser.
+literals (UTF-16BE recognized in /Info strings); no CMap-subsetted
+font decoding.  DOCX — main document part paragraphs/runs (w:t, w:tab,
+w:br/w:cr).  RTF — ANSI with \\'hh and \\uN? escapes, destination
+groups skipped.  HTML — script/style dropped, block tags break lines,
+entities decoded by html.parser.  Error contract: every malformed
+payload raises ValueError (hostile-input fuzz in tests).
 """
 
 from __future__ import annotations
@@ -957,6 +963,91 @@ def extract_html_metadata(b: bytes) -> dict:
 
 
 # --------------------------------------------------------------------------
+# EPUB (OCF zip: container.xml → OPF manifest/spine → XHTML chapters)
+
+_EPUB_CONTAINER = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    '<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+    '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+    'media-type="application/oebps-package+xml"/></rootfiles></container>'
+)
+_OPF = "http://www.idpf.org/2007/opf"
+_CNT = "urn:oasis:names:tc:opendocument:xmlns:container"
+
+
+def encode_epub(
+    chapters: list[str], title: str | None = None, author: str | None = None
+) -> bytes:
+    if not chapters:
+        raise ValueError("encode_epub needs at least one chapter")
+    items = "".join(
+        f'<item id="c{i}" href="ch{i}.xhtml" media-type="application/xhtml+xml"/>'
+        for i in range(len(chapters))
+    )
+    spine = "".join(f'<itemref idref="c{i}"/>' for i in range(len(chapters)))
+    meta = ""
+    if title is not None:
+        meta += f"<dc:title>{_xml_escape(title)}</dc:title>"
+    if author is not None:
+        meta += f"<dc:creator>{_xml_escape(author)}</dc:creator>"
+    opf = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<package xmlns="{_OPF}" xmlns:dc="{_DC}" version="3.0" unique-identifier="id">'
+        f"<metadata>{meta}</metadata><manifest>{items}</manifest>"
+        f"<spine>{spine}</spine></package>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        # OCF: the mimetype member comes first and is STORED uncompressed
+        z.writestr(
+            zipfile.ZipInfo("mimetype"), "application/epub+zip",
+            compress_type=zipfile.ZIP_STORED,
+        )
+        z.writestr("META-INF/container.xml", _EPUB_CONTAINER)
+        z.writestr("OEBPS/content.opf", opf)
+        for i, ch in enumerate(chapters):
+            z.writestr(f"OEBPS/ch{i}.xhtml", encode_html(ch).decode("utf-8"))
+    return buf.getvalue()
+
+
+def extract_epub(b: bytes) -> str:
+    with zipfile.ZipFile(io.BytesIO(b)) as z:
+        croot = ET.fromstring(z.read("META-INF/container.xml"))
+        rf = croot.find(f".//{{{_CNT}}}rootfile")
+        if rf is None or not rf.get("full-path"):
+            raise ValueError("EPUB container without a rootfile")
+        opf_path = rf.get("full-path")
+        base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+        opf = ET.fromstring(z.read(opf_path))
+        hrefs = {
+            it.get("id"): it.get("href")
+            for it in opf.iter(f"{{{_OPF}}}item")
+            if (it.get("media-type") or "").startswith("application/xhtml")
+        }
+        chapters = []
+        for ref in opf.iter(f"{{{_OPF}}}itemref"):
+            href = hrefs.get(ref.get("idref"))
+            if href:
+                chapters.append(extract_html(z.read(base + href)))
+    return "\n".join(chapters)
+
+
+def extract_epub_metadata(b: bytes) -> dict:
+    with zipfile.ZipFile(io.BytesIO(b)) as z:
+        croot = ET.fromstring(z.read("META-INF/container.xml"))
+        rf = croot.find(f".//{{{_CNT}}}rootfile")
+        if rf is None or not rf.get("full-path"):
+            raise ValueError("EPUB container without a rootfile")
+        opf = ET.fromstring(z.read(rf.get("full-path")))
+        t = opf.find(f".//{{{_DC}}}title")
+        a = opf.find(f".//{{{_DC}}}creator")
+        return {
+            "title": (t.text or "") if t is not None else None,
+            "author": (a.text or "") if a is not None else None,
+        }
+
+
+# --------------------------------------------------------------------------
 # Dispatch
 
 def detect_doc_format(b: bytes) -> str:
@@ -974,6 +1065,8 @@ def detect_doc_format(b: bytes) -> str:
             return "xlsx"
         if "ppt/presentation.xml" in names:
             return "pptx"
+        if "META-INF/container.xml" in names:
+            return "epub"
         return "zip"
     if b.startswith(b"{\\rtf"):
         return "rtf"
@@ -988,6 +1081,7 @@ _EXTRACTORS = {
     "docx": extract_docx,
     "xlsx": extract_xlsx,
     "pptx": extract_pptx,
+    "epub": extract_epub,
     "rtf": extract_rtf,
     "html": extract_html,
 }
@@ -1020,6 +1114,7 @@ _META_EXTRACTORS = {
     "docx": _zip_core_metadata,
     "xlsx": _zip_core_metadata,
     "pptx": _zip_core_metadata,
+    "epub": extract_epub_metadata,
     "rtf": extract_rtf_metadata,
     "html": extract_html_metadata,
 }
@@ -1061,10 +1156,10 @@ def _payloads(sf_dir: str, with_meta: bool = False):
         for d, t, src in zip(ids, texts, srcs):
             title = f"Doc {d}" if with_meta else None
             author = src if with_meta else None
-            m = d % 6
+            m = d % 7
             if m == 0:
                 pays.append(
-                    encode_pdf([t], compress=bool(d % 12 == 0), title=title, author=author)
+                    encode_pdf([t], compress=bool(d % 14 == 0), title=title, author=author)
                 )
             elif m == 1:
                 pays.append(encode_docx([t], title=title, author=author))
@@ -1074,8 +1169,10 @@ def _payloads(sf_dir: str, with_meta: bool = False):
                 pays.append(encode_html(t, title=title, author=author))
             elif m == 4:
                 pays.append(encode_xlsx([[t]], title=title, author=author))
-            else:
+            elif m == 5:
                 pays.append(encode_pptx([t], title=title, author=author))
+            else:
+                pays.append(encode_epub([t], title=title, author=author))
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -1159,10 +1256,10 @@ def rich_doc_metadata(sf_dir: str):
 
 RICH_DOC_META_SQL = """
 SELECT doc_id,
-       CASE CAST(doc_id % 6 AS INTEGER)
+       CASE CAST(doc_id % 7 AS INTEGER)
             WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'rtf'
-            WHEN 3 THEN 'html' WHEN 4 THEN 'xlsx'
-            ELSE 'pptx' END AS format,
+            WHEN 3 THEN 'html' WHEN 4 THEN 'xlsx' WHEN 5 THEN 'pptx'
+            ELSE 'epub' END AS format,
        'Doc ' || CAST(doc_id AS VARCHAR) AS title,
        source AS author
 FROM documents
@@ -1172,10 +1269,10 @@ ORDER BY doc_id
 
 RICH_DOC_SQL = """
 SELECT doc_id,
-       CASE CAST(doc_id % 6 AS INTEGER)
+       CASE CAST(doc_id % 7 AS INTEGER)
             WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'rtf'
-            WHEN 3 THEN 'html' WHEN 4 THEN 'xlsx'
-            ELSE 'pptx' END AS format,
+            WHEN 3 THEN 'html' WHEN 4 THEN 'xlsx' WHEN 5 THEN 'pptx'
+            ELSE 'epub' END AS format,
        CAST(LENGTH(text) AS BIGINT) AS n_chars_extracted
 FROM documents
 ORDER BY doc_id

@@ -386,3 +386,22 @@ def test_html_absent_title_is_none():
 
     assert extract_metadata(encode_html("x")) == {"title": None, "author": None}
     assert extract_text(encode_html("x")) == "x"
+
+
+# ----------------------------------------------------------------- EPUB
+
+def test_epub_roundtrip_chapters_and_metadata():
+    from lucene_solr_ray.pipelines.richdoc import (
+        encode_epub, extract_epub, extract_metadata,
+    )
+    import io, zipfile
+
+    b = encode_epub(["ch one\nline two", "ch two"], title="Book", author="A. Writer")
+    assert detect_doc_format(b) == "epub"
+    assert extract_text(b) == "ch one\nline two\nch two"
+    assert extract_metadata(b) == {"title": "Book", "author": "A. Writer"}
+    assert extract_metadata(encode_epub(["x"])) == {"title": None, "author": None}
+    # OCF: mimetype first, stored uncompressed
+    z = zipfile.ZipFile(io.BytesIO(b))
+    assert z.infolist()[0].filename == "mimetype"
+    assert z.infolist()[0].compress_type == zipfile.ZIP_STORED
