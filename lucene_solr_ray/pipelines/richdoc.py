@@ -6,12 +6,14 @@ dependency forest; what a data pipeline actually needs from it is text
 extraction for the handful of formats web corpora ship.  Here: pure
 stdlib extractors for PDF (1.4, Flate content streams), the OOXML
 family (DOCX/XLSX/PPTX via zipfile+ElementTree, dispatched on the zip's
-main part), EPUB (OCF container → OPF spine → XHTML chapters), RTF and
-HTML — plus matching writers so fixtures and the gated pipeline
+main part), EPUB (OCF container → OPF spine → XHTML chapters), the
+OpenDocument family (ODT/ODS/ODP via the OCF `mimetype` member,
+element-encoded whitespace: text:tab / text:line-break / text:s), RTF
+and HTML — plus matching writers so fixtures and the gated pipeline
 exercise every extractor bit-exactly (the same encoder-proves-decoder
 pattern as the PNG/JPEG/WebP/GIF codecs).  Both text (`extract_text`)
 and metadata (`extract_metadata`: title/author from PDF /Info, OOXML
-docProps/core.xml, EPUB dc:, RTF {\\info}, HTML <title>/<meta>).
+docProps/core.xml, EPUB/ODF dc:, RTF {\\info}, HTML <title>/<meta>).
 
 Documented limits (each raises or degrades loudly, never silently):
 PDF — 1.x non-encrypted, Flate or plain content streams, standard-font
@@ -1048,6 +1050,228 @@ def extract_epub_metadata(b: bytes) -> dict:
 
 
 # --------------------------------------------------------------------------
+# OpenDocument (ODF: ODT text / ODS spreadsheet / ODP presentation).
+# OCF-style zip: STORED `mimetype` member first, META-INF/manifest.xml,
+# content.xml body, meta.xml Dublin-Core metadata.  Whitespace is
+# element-encoded per the spec: <text:tab/>, <text:line-break/>, and
+# space runs >=2 as one literal space + <text:s text:c="n-1"/>.
+
+_ODF_OFFICE = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+_ODF_TEXT = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+_ODF_TABLE = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+_ODF_DRAW = "urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"
+_ODF_MANIFEST = "urn:oasis:names:tc:opendocument:xmlns:manifest:1.0"
+_ODF_MIMES = {
+    "application/vnd.oasis.opendocument.text": "odt",
+    "application/vnd.oasis.opendocument.spreadsheet": "ods",
+    "application/vnd.oasis.opendocument.presentation": "odp",
+}
+_ODF_FMT_MIME = {v: k for k, v in _ODF_MIMES.items()}
+_ODT_WS = re.compile(r"\t|\n| {2,}")
+# cap on <text:s text:c=N> expansion — hostile N must not allocate GBs
+_ODF_SPACE_CAP = 1 << 20
+
+
+def _odt_runs(p: str) -> str:
+    parts, pos = [], 0
+    for m in _ODT_WS.finditer(p):
+        if m.start() > pos:
+            parts.append(_xml_escape(p[pos : m.start()]))
+        tok = m.group()
+        if tok == "\t":
+            parts.append("<text:tab/>")
+        elif tok == "\n":
+            parts.append("<text:line-break/>")
+        else:
+            parts.append(f' <text:s text:c="{len(tok) - 1}"/>')
+        pos = m.end()
+    if pos < len(p):
+        parts.append(_xml_escape(p[pos:]))
+    return "".join(parts)
+
+
+def _odf_package(
+    fmt: str, body: str, title: str | None, author: str | None
+) -> bytes:
+    mime = _ODF_FMT_MIME[fmt]
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content xmlns:office="{_ODF_OFFICE}" '
+        f'xmlns:text="{_ODF_TEXT}" xmlns:table="{_ODF_TABLE}" '
+        f'xmlns:draw="{_ODF_DRAW}" office:version="1.2">'
+        f"<office:body>{body}</office:body></office:document-content>"
+    )
+    has_meta = title is not None or author is not None
+    entries = [
+        f'<manifest:file-entry manifest:full-path="/" manifest:media-type="{mime}"/>',
+        '<manifest:file-entry manifest:full-path="content.xml" manifest:media-type="text/xml"/>',
+    ]
+    if has_meta:
+        entries.append(
+            '<manifest:file-entry manifest:full-path="meta.xml" manifest:media-type="text/xml"/>'
+        )
+    manifest = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<manifest:manifest xmlns:manifest="{_ODF_MANIFEST}" manifest:version="1.2">'
+        f'{"".join(entries)}</manifest:manifest>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        # OCF contract (same as EPUB): mimetype first, STORED uncompressed
+        z.writestr(zipfile.ZipInfo("mimetype"), mime, compress_type=zipfile.ZIP_STORED)
+        z.writestr("META-INF/manifest.xml", manifest)
+        z.writestr("content.xml", content)
+        if has_meta:
+            meta_parts = []
+            if title is not None:
+                meta_parts.append(f"<dc:title>{_xml_escape(title)}</dc:title>")
+            if author is not None:
+                meta_parts.append(f"<dc:creator>{_xml_escape(author)}</dc:creator>")
+            meta = (
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                f'<office:document-meta xmlns:office="{_ODF_OFFICE}" '
+                f'xmlns:dc="{_DC}" office:version="1.2">'
+                f'<office:meta>{"".join(meta_parts)}</office:meta>'
+                "</office:document-meta>"
+            )
+            z.writestr("meta.xml", meta)
+    return buf.getvalue()
+
+
+def encode_odt(
+    paragraphs: list[str], title: str | None = None, author: str | None = None
+) -> bytes:
+    paras = "".join(f"<text:p>{_odt_runs(p)}</text:p>" for p in paragraphs)
+    return _odf_package("odt", f"<office:text>{paras}</office:text>", title, author)
+
+
+def encode_ods(
+    rows: list[list[str]], title: str | None = None, author: str | None = None
+) -> bytes:
+    body_rows = []
+    for row in rows:
+        cells = "".join(
+            '<table:table-cell office:value-type="string">'
+            f"<text:p>{_odt_runs(str(v))}</text:p></table:table-cell>"
+            for v in row
+        )
+        body_rows.append(f"<table:table-row>{cells}</table:table-row>")
+    body = (
+        '<office:spreadsheet><table:table table:name="Sheet1">'
+        f'{"".join(body_rows)}</table:table></office:spreadsheet>'
+    )
+    return _odf_package("ods", body, title, author)
+
+
+def encode_odp(
+    slides: list[str], title: str | None = None, author: str | None = None
+) -> bytes:
+    if not slides:
+        raise ValueError("encode_odp needs at least one slide")
+    pages = []
+    for i, text in enumerate(slides):
+        paras = "".join(f"<text:p>{_odt_runs(p)}</text:p>" for p in text.split("\n"))
+        pages.append(
+            f'<draw:page draw:name="page{i + 1}"><draw:frame>'
+            f"<draw:text-box>{paras}</draw:text-box></draw:frame></draw:page>"
+        )
+    body = f'<office:presentation>{"".join(pages)}</office:presentation>'
+    return _odf_package("odp", body, title, author)
+
+
+def _odf_para_text(el) -> str:
+    """Flatten one text:p / text:h: literal text + element-encoded
+    whitespace (+ nested spans), in document order."""
+    parts = [el.text or ""]
+    for child in el:
+        tag = child.tag.rsplit("}", 1)[-1]
+        if tag == "tab":
+            parts.append("\t")
+        elif tag == "line-break":
+            parts.append("\n")
+        elif tag == "s":
+            n = int(child.get(f"{{{_ODF_TEXT}}}c", "1") or "1")
+            if n < 0 or n > _ODF_SPACE_CAP:
+                raise ValueError(f"text:s count out of range: {n}")
+            parts.append(" " * n)
+        else:
+            parts.append(_odf_para_text(child))
+        parts.append(child.tail or "")
+    return "".join(parts)
+
+
+def _odf_body(b: bytes):
+    with zipfile.ZipFile(io.BytesIO(b)) as z:
+        root = ET.fromstring(z.read("content.xml"))
+    body = root.find(f"{{{_ODF_OFFICE}}}body")
+    if body is None:
+        raise ValueError("ODF content.xml without an office:body")
+    return body
+
+
+def extract_odt(b: bytes) -> str:
+    txt = _odf_body(b).find(f"{{{_ODF_OFFICE}}}text")
+    if txt is None:
+        raise ValueError("ODT without an office:text body")
+    paras = [
+        _odf_para_text(el)
+        for el in txt.iter()
+        if el.tag in (f"{{{_ODF_TEXT}}}p", f"{{{_ODF_TEXT}}}h")
+    ]
+    return "\n".join(paras)
+
+
+def extract_ods(b: bytes) -> str:
+    ss = _odf_body(b).find(f"{{{_ODF_OFFICE}}}spreadsheet")
+    if ss is None:
+        raise ValueError("ODS without an office:spreadsheet body")
+    lines = []
+    for row in ss.iter(f"{{{_ODF_TABLE}}}table-row"):
+        cells: list[str] = []
+        fillers: list[bool] = []
+        for cell in row.iter(f"{{{_ODF_TABLE}}}table-cell"):
+            paras = [_odf_para_text(p) for p in cell.iter(f"{{{_ODF_TEXT}}}p")]
+            text = "\n".join(paras)
+            rep = int(cell.get(f"{{{_ODF_TABLE}}}number-columns-repeated", "1") or "1")
+            if rep < 0 or rep > _ODF_SPACE_CAP:
+                raise ValueError(f"number-columns-repeated out of range: {rep}")
+            cells.extend([text] * rep)
+            # office suites pad rows to the column count with repeated
+            # contentless cells — layout filler, not data
+            fillers.extend([rep > 1 and not paras] * rep)
+        while cells and fillers[-1]:
+            cells.pop()
+            fillers.pop()
+        lines.append("\t".join(cells))
+    return "\n".join(lines)
+
+
+def extract_odp(b: bytes) -> str:
+    pres = _odf_body(b).find(f"{{{_ODF_OFFICE}}}presentation")
+    if pres is None:
+        raise ValueError("ODP without an office:presentation body")
+    slides = []
+    for page in pres.iter(f"{{{_ODF_DRAW}}}page"):
+        paras = [_odf_para_text(p) for p in page.iter(f"{{{_ODF_TEXT}}}p")]
+        slides.append("\n".join(paras))
+    return "\n".join(slides)
+
+
+def extract_odf_metadata(b: bytes) -> dict:
+    with zipfile.ZipFile(io.BytesIO(b)) as z:
+        if "meta.xml" not in z.namelist():
+            return {"title": None, "author": None}
+        root = ET.fromstring(z.read("meta.xml"))
+    t = root.find(f".//{{{_DC}}}title")
+    a = root.find(f".//{{{_DC}}}creator")
+    # element present but empty → '' (ET gives .text None), absent → None
+    return {
+        "title": (t.text or "") if t is not None else None,
+        "author": (a.text or "") if a is not None else None,
+    }
+
+
+# --------------------------------------------------------------------------
 # Dispatch
 
 def detect_doc_format(b: bytes) -> str:
@@ -1057,6 +1281,11 @@ def detect_doc_format(b: bytes) -> str:
         try:
             with zipfile.ZipFile(io.BytesIO(b)) as z:
                 names = set(z.namelist())
+                mime = (
+                    z.read("mimetype").decode("ascii", "replace").strip()
+                    if "mimetype" in names
+                    else ""
+                )
         except zipfile.BadZipFile:
             return "zip"
         if "word/document.xml" in names:
@@ -1065,6 +1294,8 @@ def detect_doc_format(b: bytes) -> str:
             return "xlsx"
         if "ppt/presentation.xml" in names:
             return "pptx"
+        if mime in _ODF_MIMES:
+            return _ODF_MIMES[mime]
         if "META-INF/container.xml" in names:
             return "epub"
         return "zip"
@@ -1082,6 +1313,9 @@ _EXTRACTORS = {
     "xlsx": extract_xlsx,
     "pptx": extract_pptx,
     "epub": extract_epub,
+    "odt": extract_odt,
+    "ods": extract_ods,
+    "odp": extract_odp,
     "rtf": extract_rtf,
     "html": extract_html,
 }
@@ -1115,6 +1349,9 @@ _META_EXTRACTORS = {
     "xlsx": _zip_core_metadata,
     "pptx": _zip_core_metadata,
     "epub": extract_epub_metadata,
+    "odt": extract_odf_metadata,
+    "ods": extract_odf_metadata,
+    "odp": extract_odf_metadata,
     "rtf": extract_rtf_metadata,
     "html": extract_html_metadata,
 }
@@ -1156,7 +1393,7 @@ def _payloads(sf_dir: str, with_meta: bool = False):
         for d, t, src in zip(ids, texts, srcs):
             title = f"Doc {d}" if with_meta else None
             author = src if with_meta else None
-            m = d % 7
+            m = d % 8
             if m == 0:
                 pays.append(
                     encode_pdf([t], compress=bool(d % 14 == 0), title=title, author=author)
@@ -1171,8 +1408,10 @@ def _payloads(sf_dir: str, with_meta: bool = False):
                 pays.append(encode_xlsx([[t]], title=title, author=author))
             elif m == 5:
                 pays.append(encode_pptx([t], title=title, author=author))
-            else:
+            elif m == 6:
                 pays.append(encode_epub([t], title=title, author=author))
+            else:
+                pays.append(encode_odt([t], title=title, author=author))
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -1256,10 +1495,10 @@ def rich_doc_metadata(sf_dir: str):
 
 RICH_DOC_META_SQL = """
 SELECT doc_id,
-       CASE CAST(doc_id % 7 AS INTEGER)
+       CASE CAST(doc_id % 8 AS INTEGER)
             WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'rtf'
             WHEN 3 THEN 'html' WHEN 4 THEN 'xlsx' WHEN 5 THEN 'pptx'
-            ELSE 'epub' END AS format,
+            WHEN 6 THEN 'epub' ELSE 'odt' END AS format,
        'Doc ' || CAST(doc_id AS VARCHAR) AS title,
        source AS author
 FROM documents
@@ -1269,10 +1508,10 @@ ORDER BY doc_id
 
 RICH_DOC_SQL = """
 SELECT doc_id,
-       CASE CAST(doc_id % 7 AS INTEGER)
+       CASE CAST(doc_id % 8 AS INTEGER)
             WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' WHEN 2 THEN 'rtf'
             WHEN 3 THEN 'html' WHEN 4 THEN 'xlsx' WHEN 5 THEN 'pptx'
-            ELSE 'epub' END AS format,
+            WHEN 6 THEN 'epub' ELSE 'odt' END AS format,
        CAST(LENGTH(text) AS BIGINT) AS n_chars_extracted
 FROM documents
 ORDER BY doc_id
@@ -1282,8 +1521,8 @@ PIPELINES: dict[str, Pipeline] = {
     "rich_doc_extract": Pipeline(
         rich_doc_extract,
         RICH_DOC_SQL,
-        "Tika-position rich-doc extraction: PDF/DOCX/XLSX/PPTX/RTF/HTML payloads → sniff "
-        "+ extract + per-doc round-trip verification (actor pool over opaque binary columns)",
+        "Tika-position rich-doc extraction: PDF/DOCX/XLSX/PPTX/EPUB/ODT/RTF/HTML payloads "
+        "→ sniff + extract + per-doc round-trip verification (actor pool over opaque binary columns)",
     ),
     "rich_doc_metadata": Pipeline(
         rich_doc_metadata,

@@ -405,3 +405,98 @@ def test_epub_roundtrip_chapters_and_metadata():
     z = zipfile.ZipFile(io.BytesIO(b))
     assert z.infolist()[0].filename == "mimetype"
     assert z.infolist()[0].compress_type == zipfile.ZIP_STORED
+
+# ----------------------------------------------------- OpenDocument (ODF)
+
+def test_odt_roundtrip_whitespace_elements():
+    from lucene_solr_ray.pipelines.richdoc import encode_odt, extract_odt
+    import io, zipfile
+
+    t = "one\ttab  double   triple\nnext line"
+    b = encode_odt([t, "second para"])
+    assert detect_doc_format(b) == "odt"
+    assert extract_odt(b) == t + "\nsecond para"
+    assert extract_text(b) == t + "\nsecond para"
+    # spec whitespace: runs >=2 must be element-encoded, not literal
+    with zipfile.ZipFile(io.BytesIO(b)) as z:
+        content = z.read("content.xml").decode()
+    assert "<text:s text:c=" in content and "<text:tab/>" in content
+    assert z.infolist()[0].filename == "mimetype"
+    assert z.infolist()[0].compress_type == zipfile.ZIP_STORED
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs", "Cc")), max_size=120))
+def test_odt_roundtrip_fuzz(t):
+    from lucene_solr_ray.pipelines.richdoc import encode_odt, extract_odt
+
+    assert extract_odt(encode_odt([t])) == t
+
+
+def test_ods_roundtrip_rows_cells():
+    from lucene_solr_ray.pipelines.richdoc import encode_ods, extract_ods
+
+    b = encode_ods([["a", "b  c"], ["d"]])
+    assert detect_doc_format(b) == "ods"
+    assert extract_ods(b) == "a\tb  c\nd"
+    assert extract_text(b) == "a\tb  c\nd"
+
+
+def test_ods_repeated_filler_cells_stripped_but_data_kept():
+    from lucene_solr_ray.pipelines.richdoc import extract_ods, _odf_package
+
+    # an office-suite-shaped row: data, then 1013 repeated empty filler cells
+    body = (
+        '<office:spreadsheet><table:table table:name="S">'
+        "<table:table-row>"
+        '<table:table-cell office:value-type="string"><text:p>x</text:p></table:table-cell>'
+        '<table:table-cell table:number-columns-repeated="1013"/>'
+        "</table:table-row>"
+        '<table:table-row>'
+        '<table:table-cell office:value-type="string"><text:p>a</text:p></table:table-cell>'
+        '<table:table-cell table:number-columns-repeated="3">'
+        "<text:p>r</text:p></table:table-cell>"
+        "</table:table-row>"
+        "</table:table></office:spreadsheet>"
+    )
+    b = _odf_package("ods", body, None, None)
+    assert extract_ods(b) == "x\na\tr\tr\tr"
+
+
+def test_odp_roundtrip_slides():
+    from lucene_solr_ray.pipelines.richdoc import encode_odp, extract_odp
+
+    b = encode_odp(["slide one\nbullet", "slide two"])
+    assert detect_doc_format(b) == "odp"
+    assert extract_odp(b) == "slide one\nbullet\nslide two"
+    with pytest.raises(ValueError):
+        encode_odp([])
+
+
+def test_odf_metadata_contract():
+    from lucene_solr_ray.pipelines.richdoc import (
+        encode_odt, encode_ods, encode_odp, extract_metadata,
+    )
+
+    b = encode_odt(["x"], title="T", author="A")
+    assert extract_metadata(b) == {"title": "T", "author": "A"}
+    # element present but empty -> '', meta.xml absent -> None
+    assert extract_metadata(encode_ods([["x"]], title="", author="")) == {
+        "title": "", "author": "",
+    }
+    assert extract_metadata(encode_odp(["x"])) == {"title": None, "author": None}
+
+
+def test_odf_hostile_space_count_and_errors():
+    from lucene_solr_ray.pipelines.richdoc import extract_odt, _odf_package
+
+    # hostile text:s count must raise, not allocate gigabytes
+    body = '<office:text><text:p>a<text:s text:c="99999999"/>b</text:p></office:text>'
+    with pytest.raises(ValueError):
+        extract_odt(_odf_package("odt", body, None, None))
+    # truncated zip and wrong body both raise ValueError via extract_text
+    good = _odf_package("odt", "<office:text><text:p>x</text:p></office:text>", None, None)
+    with pytest.raises(ValueError):
+        extract_text(good[: len(good) // 2])
+    with pytest.raises(ValueError):
+        extract_odt(_odf_package("odt", "<office:spreadsheet/>", None, None))
