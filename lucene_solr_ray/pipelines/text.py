@@ -2060,6 +2060,70 @@ FROM events ORDER BY event_id
 """
 
 
+# Typed PII pass over the documents table (the BigScience/RedPajama-v2
+# "pii" signals shape: per-type regex redaction + per-type counts).  The
+# synthetic fixture text carries no PII, so the pipeline injects a
+# deterministic email/phone/IP per doc — making the gate non-vacuous on
+# EVERY row — and the SQL twin injects the identical string.  Patterns
+# are written to the RE2 ∩ Python-re common dialect (no backrefs, no
+# lookaround) so engine and oracle scrub identically.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_scrub_documents(sf_dir: str):
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].astype("int64")
+        aug = (
+            batch["text"].astype(str)
+            + " contact user" + did.astype(str) + "@example.com"
+            + " or call 555-" + (did % 10000).astype(str).str.zfill(4)
+            + " from 10." + (did % 256).astype(str) + ".0.1"
+        )
+        # counts per type on the pre-scrub text (order-independent);
+        # replacement chained email -> ip -> phone, mirrored in the twin
+        clean = (
+            aug.str.replace(PII_EMAIL, "<EMAIL>", regex=True)
+            .str.replace(PII_IP, "<IP>", regex=True)
+            .str.replace(PII_PHONE, "<PHONE>", regex=True)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": did,
+                "clean": clean,
+                "n_emails": aug.str.count(PII_EMAIL).astype("int64"),
+                "n_phones": aug.str.count(PII_PHONE).astype("int64"),
+                "n_ips": aug.str.count(PII_IP).astype("int64"),
+            }
+        )
+
+    out = read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pandas"
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+PII_DOCS_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS t
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+           t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+              '{PII_IP}', '<IP>', 'g'),
+              '{PII_PHONE}', '<PHONE>', 'g') AS clean,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{PII_IP}')) AS BIGINT) AS n_ips
+FROM aug ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # strdist(.., 'jw') value source — Jaro-Winkler, DuckDB-exact (see
 # functions/scalar.jaro_winkler).  Computed once per DISTINCT value of the
@@ -2094,6 +2158,12 @@ PIPELINES: dict[str, Pipeline] = {
     ),
     "pii_scrub": Pipeline(
         pii_scrub, PII_SCRUB_SQL, "PII scrubbing: pseudonymize ids, redact digit runs, coarsen timestamps (RegexReplaceProcessor at corpus scale)"
+    ),
+    "pii_scrub_documents": Pipeline(
+        pii_scrub_documents,
+        PII_DOCS_SQL,
+        "typed PII pass over documents: email/phone/IP redaction + per-type counts "
+        "(BigScience/RedPajama-v2 pii signals; deterministic injection keeps the gate non-vacuous)",
     ),
     "decontaminate": Pipeline(
         decontaminate, DECON_SQL, "benchmark decontamination: W-gram overlap vs a broadcast held-out set (GPT-3/Gopher test-set filter)"

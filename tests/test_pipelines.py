@@ -555,3 +555,18 @@ def test_ann_sq8_recall(ray_session):
     meta = _json.loads((d / "manifest.json").read_text())
     t = apq.read_table(sorted(_g.glob(str(d / "codes" / "*.parquet")))[0])
     assert len(t.column("codes")[0].as_py()) == meta["dim"]
+
+
+def test_pii_scrub_documents_nonvacuous(ray_session):
+    from lucene_solr_ray.pipelines.text import pii_scrub_documents
+
+    out = pii_scrub_documents(SF)
+    # every row carries (at least) the injected email/phone/IP — and each
+    # is gone from the scrubbed text
+    assert (out["n_emails"] >= 1).all()
+    assert (out["n_phones"] >= 1).all()
+    assert (out["n_ips"] >= 1).all()
+    assert out["clean"].str.contains("<EMAIL>", regex=False).all()
+    assert out["clean"].str.contains("<PHONE>", regex=False).all()
+    assert out["clean"].str.contains("<IP>", regex=False).all()
+    assert not out["clean"].str.contains("@example.com", regex=False).any()
