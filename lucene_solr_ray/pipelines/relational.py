@@ -1808,7 +1808,151 @@ ORDER BY c_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# As-of (temporal) join — the classic "latest dimension row at-or-before
+# the fact timestamp" join (DuckDB/kdb ASOF JOIN; Solr-side analog is the
+# fetch/rollup stream over time-ordered collections).  Distributed shape:
+# co-partition BOTH sides by key hash into fixed buckets (one union'd
+# Dataset with a side tag — one shuffle, no broadcast), then a per-bucket
+# pandas merge_asof.  Partitioning assumption: all rows of one key land in
+# one bucket; time order is restored inside the bucket, never globally.
+# Ties on (key, time) in the right side are broken deterministically
+# (highest order key wins) so engine and oracle agree row-for-row.
+
+_ASOF_BUCKETS = 64
+
+
+def asof_join(sf_dir: str):
+    left = read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "key": b["user_id"].astype("int64"),
+                "t": ts_us(b["ts"]),
+                "event_id": b["event_id"].astype("int64"),
+                "o_orderkey": np.int64(-1),
+                "o_totalprice": np.nan,
+                "side": np.int8(0),
+            }
+        ),
+        batch_format="pandas",
+    )
+    right = read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "key": b["o_custkey"].astype("int64"),
+                "t": ts_us(b["o_orderdate"]),
+                "event_id": np.int64(-1),
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "o_totalprice": b["o_totalprice"].astype("float64"),
+                "side": np.int8(1),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["bucket"] = (b["key"] % _ASOF_BUCKETS).astype("int32")
+        return b
+
+    both = left.union(right).map_batches(add_bucket, batch_format="pandas")
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0][["key", "t", "event_id"]].sort_values("t", kind="mergesort")
+        r = (
+            g[g["side"] == 1][["key", "t", "o_orderkey", "o_totalprice"]]
+            .sort_values(["key", "t", "o_orderkey"], kind="mergesort")
+            .drop_duplicates(["key", "t"], keep="last")
+            .sort_values("t", kind="mergesort")
+        )
+        if l.empty or r.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "order_key": pd.Series(dtype="int64"),
+                    "order_price": pd.Series(dtype="float64"),
+                }
+            )
+        m = pd.merge_asof(l, r, on="t", by="key", direction="backward")
+        m = m.dropna(subset=["o_orderkey"])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64").to_numpy(),
+                "order_key": m["o_orderkey"].astype("int64").to_numpy(),
+                "order_price": m["o_totalprice"].to_numpy(),
+            }
+        )
+
+    out = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ASOF_JOIN_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate,
+         MAX(o_orderkey) AS order_key,
+         ARG_MAX(o_totalprice, o_orderkey) AS order_price
+  FROM orders GROUP BY o_custkey, o_orderdate)
+SELECT e.event_id, r.order_key, r.order_price
+FROM events e ASOF JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Range (interval-containment) join — fact rows joined to every band whose
+# [lo, hi] interval contains the value; bands OVERLAP, so this is a real
+# one-to-many join, not a bucketing CASE.  Shape: the band table is tiny →
+# broadcast once per batch closure; per-batch vectorized containment masks
+# feed combiner partials (no shuffle at all).  Partitioning assumption:
+# the band side fits in memory; a large band side would interval-partition
+# both sides by range instead.
+
+_QTY_BANDS = [("low", 1, 25), ("mid", 10, 40), ("high", 30, 50)]
+
+
+def range_join(sf_dir: str):
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        q = batch["l_quantity"].to_numpy()
+        qi = q.astype("int64")
+        rows = []
+        for band, lo, hi in _QTY_BANDS:
+            mask = (q >= lo) & (q <= hi)
+            rows.append((band, int(mask.sum()), int(qi[mask].sum())))
+        return pd.DataFrame(rows, columns=["band", "n", "sum_qty"])
+
+    parts = read(sf_dir, "lineitem", ["l_quantity"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    out = merge_partials(parts, ["band"], {"n": "sum", "sum_qty": "sum"})
+    out["n"] = out["n"].astype("int64")
+    out["sum_qty"] = out["sum_qty"].astype("int64")
+    return out.sort_values("band").reset_index(drop=True)
+
+
+RANGE_JOIN_SQL = """
+WITH bands(band, lo, hi) AS (VALUES ('low',1,25),('mid',10,40),('high',30,50))
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN bands ON l_quantity BETWEEN lo AND hi
+GROUP BY band ORDER BY band
+"""
+
+
 PIPELINES: dict[str, Pipeline] = {
+    "asof_join": Pipeline(
+        asof_join,
+        ASOF_JOIN_SQL,
+        "as-of temporal join: each event matched to the latest order of its key "
+        "at-or-before its timestamp (co-partitioned bucketed shuffle + per-bucket backward merge)",
+    ),
+    "range_join": Pipeline(
+        range_join,
+        RANGE_JOIN_SQL,
+        "interval-containment range join against overlapping bands "
+        "(broadcast small side + vectorized masks + combiner partials)",
+    ),
     "atomic_update": Pipeline(atomic_update, ATOMIC_UPDATE_SQL, "set/inc atomic document updates (AtomicUpdateDocumentMerger)"),
     "atomic_update_multivalued": Pipeline(
         atomic_update_multivalued,
