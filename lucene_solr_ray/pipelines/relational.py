@@ -1860,11 +1860,14 @@ def asof_join(sf_dir: str):
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["side"] == 0][["key", "t", "event_id"]].sort_values("t", kind="mergesort")
+        # one sort suffices: ordered by (t, o_orderkey), same-(key,t) rows
+        # appear in ascending o_orderkey order (drop_duplicates keeps the
+        # last OCCURRENCE — adjacency not required), and the frame is
+        # already t-sorted for merge_asof
         r = (
             g[g["side"] == 1][["key", "t", "o_orderkey", "o_totalprice"]]
-            .sort_values(["key", "t", "o_orderkey"], kind="mergesort")
+            .sort_values(["t", "o_orderkey"], kind="mergesort")
             .drop_duplicates(["key", "t"], keep="last")
-            .sort_values("t", kind="mergesort")
         )
         if l.empty or r.empty:
             return pd.DataFrame(
@@ -1915,7 +1918,9 @@ _QTY_BANDS = [("low", 1, 25), ("mid", 10, 40), ("high", 30, 50)]
 def range_join(sf_dir: str):
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         q = batch["l_quantity"].to_numpy()
-        qi = q.astype("int64")
+        # FLOOR on both sides — unambiguous, unlike CAST(DOUBLE AS BIGINT)
+        # rounding semantics (CLAUDE.md derived-value invariant)
+        qi = np.floor(q).astype("int64")
         rows = []
         for band, lo, hi in _QTY_BANDS:
             mask = (q >= lo) & (q <= hi)
@@ -1934,7 +1939,7 @@ def range_join(sf_dir: str):
 RANGE_JOIN_SQL = """
 WITH bands(band, lo, hi) AS (VALUES ('low',1,25),('mid',10,40),('high',30,50))
 SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem JOIN bands ON l_quantity BETWEEN lo AND hi
 GROUP BY band ORDER BY band
 """

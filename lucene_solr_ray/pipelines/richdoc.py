@@ -1209,16 +1209,24 @@ def _odf_body(b: bytes):
     return body
 
 
+def _odf_outer_paras(el, out: list) -> list:
+    """Collect OUTERMOST text:p / text:h only — a paragraph nested inside
+    another's subtree (footnote text:note, office:annotation) is already
+    flattened inline by _odf_para_text; yielding it again would duplicate
+    its text."""
+    for child in el:
+        if child.tag in (f"{{{_ODF_TEXT}}}p", f"{{{_ODF_TEXT}}}h"):
+            out.append(child)
+        else:
+            _odf_outer_paras(child, out)
+    return out
+
+
 def extract_odt(b: bytes) -> str:
     txt = _odf_body(b).find(f"{{{_ODF_OFFICE}}}text")
     if txt is None:
         raise ValueError("ODT without an office:text body")
-    paras = [
-        _odf_para_text(el)
-        for el in txt.iter()
-        if el.tag in (f"{{{_ODF_TEXT}}}p", f"{{{_ODF_TEXT}}}h")
-    ]
-    return "\n".join(paras)
+    return "\n".join(_odf_para_text(p) for p in _odf_outer_paras(txt, []))
 
 
 def extract_ods(b: bytes) -> str:
@@ -1230,15 +1238,16 @@ def extract_ods(b: bytes) -> str:
         cells: list[str] = []
         fillers: list[bool] = []
         for cell in row.iter(f"{{{_ODF_TABLE}}}table-cell"):
-            paras = [_odf_para_text(p) for p in cell.iter(f"{{{_ODF_TEXT}}}p")]
+            paras = [_odf_para_text(p) for p in _odf_outer_paras(cell, [])]
             text = "\n".join(paras)
             rep = int(cell.get(f"{{{_ODF_TABLE}}}number-columns-repeated", "1") or "1")
             if rep < 0 or rep > _ODF_SPACE_CAP:
                 raise ValueError(f"number-columns-repeated out of range: {rep}")
             cells.extend([text] * rep)
-            # office suites pad rows to the column count with repeated
-            # contentless cells — layout filler, not data
-            fillers.extend([rep > 1 and not paras] * rep)
+            # office suites pad rows to the column count with contentless
+            # cells (single OR repeated) — layout filler, not data; a data
+            # cell holding an empty string still carries a text:p
+            fillers.extend([not paras] * rep)
         while cells and fillers[-1]:
             cells.pop()
             fillers.pop()
@@ -1252,7 +1261,7 @@ def extract_odp(b: bytes) -> str:
         raise ValueError("ODP without an office:presentation body")
     slides = []
     for page in pres.iter(f"{{{_ODF_DRAW}}}page"):
-        paras = [_odf_para_text(p) for p in page.iter(f"{{{_ODF_TEXT}}}p")]
+        paras = [_odf_para_text(p) for p in _odf_outer_paras(page, [])]
         slides.append("\n".join(paras))
     return "\n".join(slides)
 
@@ -1286,7 +1295,9 @@ def detect_doc_format(b: bytes) -> str:
                     if "mimetype" in names
                     else ""
                 )
-        except zipfile.BadZipFile:
+        except (zipfile.BadZipFile, zlib.error, KeyError, OSError):
+            # a corrupt member read must not break the ValueError contract
+            # of the extract_* callers — it's still a zip, just a bad one
             return "zip"
         if "word/document.xml" in names:
             return "docx"
@@ -1333,7 +1344,8 @@ def extract_text(b: bytes) -> str:
         except ValueError:
             raise
         except (zipfile.BadZipFile, ET.ParseError, KeyError, IndexError,
-                zlib.error, UnicodeDecodeError, OverflowError) as exc:
+                zlib.error, UnicodeDecodeError, OverflowError,
+                RecursionError) as exc:
             raise ValueError(f"malformed {fmt} payload: {exc}") from exc
     if fmt == "zip":
         raise ValueError("zip container without a known OOXML main part")

@@ -2065,12 +2065,17 @@ FROM events ORDER BY event_id
 # synthetic fixture text carries no PII, so the pipeline injects a
 # deterministic email/phone/IP per doc — making the gate non-vacuous on
 # EVERY row — and the SQL twin injects the identical string.  Patterns
-# are written to the RE2 ∩ Python-re common dialect (no backrefs, no
-# lookaround) so engine and oracle scrub identically.
+# are written to the RE2 ∩ Python-re common dialect: no backrefs, no
+# lookaround, no \d (Python's is Unicode, RE2's is ASCII) and no \b
+# (the word-char sets behind it differ the same way) — explicit [0-9]
+# classes only, so engine and oracle scrub identically byte-for-byte.
+# The lost boundary anchors trade a little precision (a phone-shaped
+# substring inside a longer digit run is also scrubbed) for exactness —
+# the right trade for a redactor.
 
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PII_PHONE = r"\b\d{3}-\d{4}\b"
+PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_PHONE = r"[0-9]{3}-[0-9]{4}"
 
 
 def pii_scrub_documents(sf_dir: str):

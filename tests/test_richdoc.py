@@ -500,3 +500,67 @@ def test_odf_hostile_space_count_and_errors():
         extract_text(good[: len(good) // 2])
     with pytest.raises(ValueError):
         extract_odt(_odf_package("odt", "<office:spreadsheet/>", None, None))
+
+
+# ------------------------------------------------- ODF review-pass regressions
+
+def test_corrupt_mimetype_member_keeps_valueerror_contract():
+    import io, zipfile
+    from lucene_solr_ray.pipelines.richdoc import extract_metadata
+
+    # a zip whose DEFLATED mimetype member has corrupt compressed bytes:
+    # detect_doc_format must not leak zlib.error past extract_*'s contract
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+    raw = bytearray(buf.getvalue())
+    # corrupt the member's compressed payload (after the local header+name)
+    raw[38:44] = b"\xff\xff\xff\xff\xff\xff"
+    assert detect_doc_format(bytes(raw)) == "zip"
+    with pytest.raises(ValueError):
+        extract_text(bytes(raw))
+    with pytest.raises(ValueError):
+        extract_metadata(bytes(raw))
+
+
+def test_deeply_nested_spans_raise_valueerror_not_recursionerror():
+    from lucene_solr_ray.pipelines.richdoc import _odf_package
+
+    depth = 20000
+    body = (
+        "<office:text><text:p>"
+        + "<text:span>" * depth
+        + "x"
+        + "</text:span>" * depth
+        + "</text:p></office:text>"
+    )
+    with pytest.raises(ValueError):
+        extract_text(_odf_package("odt", body, None, None))
+
+
+def test_footnote_paragraph_not_duplicated():
+    from lucene_solr_ray.pipelines.richdoc import extract_odt, _odf_package
+
+    # a text:p nested inside another paragraph's subtree (footnote shape)
+    # must appear exactly once, inline
+    body = (
+        "<office:text><text:p>body"
+        '<text:note><text:note-body><text:p>note text</text:p></text:note-body></text:note>'
+        " tail</text:p><text:p>second</text:p></office:text>"
+    )
+    assert extract_odt(_odf_package("odt", body, None, None)) == "bodynote text tail\nsecond"
+
+
+def test_single_trailing_empty_cell_is_filler_but_empty_string_is_data():
+    from lucene_solr_ray.pipelines.richdoc import extract_ods, encode_ods, _odf_package
+
+    # LibreOffice pads short rows with ONE contentless cell — filler
+    body = (
+        '<office:spreadsheet><table:table table:name="S"><table:table-row>'
+        '<table:table-cell office:value-type="string"><text:p>x</text:p></table:table-cell>'
+        "<table:table-cell/>"
+        "</table:table-row></table:table></office:spreadsheet>"
+    )
+    assert extract_ods(_odf_package("ods", body, None, None)) == "x"
+    # but a written empty-STRING cell carries a text:p and survives round-trip
+    assert extract_ods(encode_ods([["a", ""]])) == "a\t"
