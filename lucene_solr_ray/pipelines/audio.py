@@ -2,8 +2,10 @@
 
 Uncompressed 16-bit PCM WAV needs no media libs, so — like the BMP/PPM
 image path (`pipelines/images.py`) — the audio chain here is genuinely
-end-to-end: bytes in, signal math out.  Compressed codecs (MP3/AAC/OPUS)
-remain the `multimodal.decode_image`-style integration point.
+end-to-end: bytes in, signal math out.  Lossless-compressed audio rides
+the FLAC codec (`pipelines/flac.py`, payloads rotate through it below);
+perceptual codecs (MP3/AAC/OPUS — patent-era DSP + huge psychoacoustic
+tables) remain the `multimodal.decode_image`-style integration point.
 
 Stages (actor-pool `map_batches` over binary payload columns):
 - `encode_wav` / `decode_wav`: RIFF little-endian, PCM16 mono/stereo
@@ -228,6 +230,15 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
 FRAME = 256
 
 
+def decode_audio(b: bytes) -> tuple[np.ndarray, int]:
+    """Container sniff: RIFF/WAVE or FLAC → (int16 samples, rate)."""
+    if b[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(b)
+    return decode_wav(b)
+
+
 def _frames(x: np.ndarray, frame: int = FRAME) -> np.ndarray:
     n = (x.size // frame) * frame
     return x[:n].astype(np.float64).reshape(-1, frame)
@@ -309,7 +320,7 @@ class AudioDecoder:
         for did, payload in zip(
             batch.column("doc_id").to_pylist(), batch.column("payload").to_pylist()
         ):
-            x, rate = decode_wav(payload)
+            x, rate = decode_audio(payload)
             e = rms_energy(x)
             ids.append(did)
             dur.append(x.size / rate)
@@ -334,12 +345,23 @@ class AudioDecoder:
 
 
 def _payloads(sf_dir: str):
+    from .flac import encode_flac
+
     def to_payload(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
+        # rotate containers: FLAC is lossless, so the planted duplicate
+        # pairs (doc 9k vs 9k-1) keep identical fingerprints even when
+        # the two land in different formats
+        pays = [
+            encode_flac(synth_audio(d), RATE)
+            if d % 2
+            else encode_wav(synth_audio(d), RATE)
+            for d in ids
+        ]
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
-                "payload": pa.array([encode_wav(synth_audio(d), RATE) for d in ids], type=pa.binary()),
+                "payload": pa.array(pays, type=pa.binary()),
             }
         )
 
