@@ -283,6 +283,27 @@ def audio_fingerprint32(x: np.ndarray, frame: int = FRAME, bands: int = 33) -> i
     return int(out)
 
 
+def vad_segments(
+    x: np.ndarray,
+    frame: int = FRAME,
+    silence_db: float = -30.0,
+    min_gap: int = 2,
+) -> np.ndarray:
+    """Energy VAD: (n_segments, 2) [start_frame, end_frame) of voiced
+    islands, runs separated by < min_gap silent frames merged — the
+    segmentation pass a speech pipeline runs before transcription.
+    Vectorized gaps-and-islands over the frame energy vector."""
+    e = rms_energy(x, frame)
+    thresh = 32768.0 * (10.0 ** (silence_db / 20.0))
+    idx = np.flatnonzero(e >= thresh)
+    if idx.size == 0:
+        return np.zeros((0, 2), np.int64)
+    brk = np.flatnonzero(np.diff(idx) > min_gap)
+    starts = np.concatenate(([idx[0]], idx[brk + 1]))
+    ends = np.concatenate((idx[brk], [idx[-1]])) + 1
+    return np.stack([starts, ends], axis=1).astype(np.int64)
+
+
 # --------------------------------------------------------------------------
 # Deterministic synthetic corpus: sine mixture + noise seeded per doc;
 # every 9th doc reuses the previous seed (planted duplicate).
@@ -379,6 +400,39 @@ def audio_features(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _vad_batch(batch: pa.Table) -> pa.Table:
+    ids, seg, s0, s1 = [], [], [], []
+    for did, payload in zip(
+        batch.column("doc_id").to_pylist(), batch.column("payload").to_pylist()
+    ):
+        x, rate = decode_audio(payload)
+        segs = vad_segments(x)
+        for i, (a, b) in enumerate(segs):
+            ids.append(did)
+            seg.append(i)
+            s0.append(a * FRAME / rate)
+            s1.append(b * FRAME / rate)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "seg": pa.array(seg, type=pa.int64()),
+            "start_s": pa.array(s0, type=pa.float64()),
+            "end_s": pa.array(s1, type=pa.float64()),
+        }
+    )
+
+
+def audio_vad_segments(sf_dir: str):
+    """Voiced-segment table per doc (speech-pipeline pre-transcription
+    segmentation); payloads rotate WAV/FLAC like the feature stage."""
+    out = (
+        _payloads(sf_dir)
+        .map_batches(_vad_batch, batch_format="pyarrow", batch_size=64)
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "seg"]).reset_index(drop=True)
+
+
 def audio_fp_dedup(sf_dir: str):
     """Exact fingerprint dup groups via bounded (fp, count) partials."""
 
@@ -405,5 +459,10 @@ PIPELINES: dict[str, Pipeline] = {
     ),
     "audio_fp_dedup": Pipeline(
         audio_fp_dedup, None, "audio fingerprint near-dup groups via bounded hash-count partials"
+    ),
+    "audio_vad_segments": Pipeline(
+        audio_vad_segments, None,
+        "energy-VAD voiced segments per doc (gaps-and-islands over frame RMS; "
+        "the speech-corpus pre-transcription segmentation pass)"
     ),
 }

@@ -216,3 +216,51 @@ def test_odd_g711_data_chunk_gets_riff_pad_byte():
     w2 = w + b"LIST" + struct.pack("<I", 4) + b"INFO"
     y, rate = decode_wav(w2)
     assert rate == 8000 and y.shape == (501,)
+
+
+def test_vad_segments_vs_naive_reference():
+    import numpy as np
+    from lucene_solr_ray.pipelines.audio import FRAME, rms_energy, vad_segments
+
+    rng = np.random.default_rng(11)
+    # silence | tone | 1-frame gap (merges at min_gap=2) | tone | long gap | tone
+    def tone(nf):
+        return (9000 * np.sin(np.arange(nf * FRAME) * 0.3)).astype(np.int16)
+    sil = lambda nf: np.zeros(nf * FRAME, np.int16)
+    x = np.concatenate([sil(3), tone(4), sil(1), tone(2), sil(6), tone(3), sil(1)])
+
+    got = vad_segments(x, min_gap=2)
+    # naive reference: scalar loop over frames
+    thresh = 32768.0 * (10.0 ** (-30.0 / 20.0))
+    e = rms_energy(x)
+    active = [i for i in range(e.size) if e[i] >= thresh]
+    segs, cur = [], None
+    for i in active:
+        if cur is None:
+            cur = [i, i + 1]
+        elif i - (cur[1] - 1) <= 2:
+            cur[1] = i + 1
+        else:
+            segs.append(cur); cur = [i, i + 1]
+    if cur is not None:
+        segs.append(cur)
+    assert got.tolist() == segs
+    # the 2-frame gap merged, the 6-frame gap did not
+    assert len(segs) == 2
+
+
+def test_audio_vad_segments_pipeline(ray_session):
+    from lucene_solr_ray.pipelines.audio import audio_vad_segments
+
+    out = audio_vad_segments("/root/testdata/sf0.001")
+    # every doc has voiced content, and the leading silence pad means no
+    # segment starts at 0.0
+    assert out["doc_id"].nunique() == 500
+    assert (out["start_s"] > 0).all()
+    assert (out["end_s"] > out["start_s"]).all()
+    # planted duplicates (doc 9k == doc 9k-1) segment identically
+    import pandas as pd
+    for d in (9, 18, 27):
+        a = out[out["doc_id"] == d][["seg", "start_s", "end_s"]].reset_index(drop=True)
+        b = out[out["doc_id"] == d - 1][["seg", "start_s", "end_s"]].reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
