@@ -564,3 +564,26 @@ def test_single_trailing_empty_cell_is_filler_but_empty_string_is_data():
     assert extract_ods(_odf_package("ods", body, None, None)) == "x"
     # but a written empty-STRING cell carries a text:p and survives round-trip
     assert extract_ods(encode_ods([["a", ""]])) == "a\t"
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(st.text(alphabet=st.characters(blacklist_categories=("Cs", "Cc")), max_size=40), min_size=1, max_size=4), min_size=1, max_size=4))
+def test_ods_roundtrip_fuzz(rows):
+    from lucene_solr_ray.pipelines.richdoc import encode_ods, extract_ods
+
+    want = "\n".join("\t".join(r) for r in rows)
+    # cells containing tab/newline change the row geometry; the codec is
+    # exact for cell text without structural separators
+    if any("\t" in c or "\n" in c for r in rows for c in r):
+        return
+    got = extract_ods(encode_ods(rows))
+    # trailing empty-string cells round-trip (they carry a text:p)
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(blacklist_categories=("Cs", "Cc")), max_size=80), min_size=1, max_size=3))
+def test_odp_roundtrip_fuzz(slides):
+    from lucene_solr_ray.pipelines.richdoc import encode_odp, extract_odp
+
+    assert extract_odp(encode_odp(slides)) == "\n".join(slides)
