@@ -87,6 +87,9 @@ SUITE = [
     "zh_segment_terms", "ko_strip_particles", "gif_frame_sample",
     # media actor-pool stages (synthetic payloads through the real codecs)
     "image_ahash_dedup", "audio_fp_dedup", "rich_doc_extract", "rich_doc_metadata",
+    # round-5b additions: temporal/range joins, typed document PII,
+    # FLAC-rotating VAD segmentation
+    "asof_join", "range_join", "pii_scrub_documents", "audio_vad_segments",
 ]
 
 
