@@ -240,8 +240,12 @@ ORDER BY event_type, window_end
 def left_outer_enrich(sf_dir: str):
     """LEFT OUTER join (Ray native hash join): every customer with its
     order count/revenue, zero for customers without orders — the
-    OuterHashJoinStream analog."""
-    from ray.data.aggregate import Sum
+    OuterHashJoinStream analog.  The per-customer pre-aggregate runs as
+    a fixed-bucket map_groups shuffle (per-key sums inside the bucket),
+    NOT a Ray Aggregate — the Aggregate op carries a 2-4 s fixed cost on
+    this box (CLAUDE.md), and the join must see ONE row per key or the
+    left join would duplicate customers."""
+    import ray
 
     from .common import cents, read
 
@@ -251,16 +255,26 @@ def left_outer_enrich(sf_dir: str):
         g = pd.DataFrame(
             {"o_custkey": batch["o_custkey"], "revenue_cents": cents(batch["o_totalprice"].to_numpy()), "n_orders": 1}
         )
-        return g.groupby("o_custkey", as_index=False).sum()
+        g = g.groupby("o_custkey", as_index=False).sum()
+        g["bucket"] = (g["o_custkey"] % 512).astype("int32")
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", as_index=False)[["revenue_cents", "n_orders"]].sum()
 
     per_cust = (
         orders.map_batches(pre, batch_format="pandas")
-        .groupby("o_custkey")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"), Sum("n_orders", alias_name="n_orders"))
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pandas")
     )
     cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     joined = cust.join(
-        per_cust, join_type="left_outer", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
+        per_cust,
+        join_type="left_outer",
+        num_partitions=max(2, cpus // 8),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
     ).to_pandas()
     joined["revenue_cents"] = joined["revenue_cents"].fillna(0).astype("int64")
     joined["n_orders"] = joined["n_orders"].fillna(0).astype("int64")
