@@ -581,10 +581,17 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 def anti_join(sf_dir: str):
     # both-sides-distributed anti join: Ray's native hash-partitioned
     # left_anti — neither side is ever built on the driver
+    import ray
+
     cust = read(sf_dir, "customer", ["c_custkey"])
     orders = read(sf_dir, "orders", ["o_custkey"])
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     out = cust.join(
-        orders, join_type="left_anti", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
+        orders,
+        join_type="left_anti",
+        num_partitions=max(2, cpus // 8),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
     ).to_pandas()
     if "c_custkey" not in out.columns:  # empty result loses the schema
         out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
