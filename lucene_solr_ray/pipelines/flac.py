@@ -211,10 +211,11 @@ class _FlacBits:
         win = self.ones[start : start + n * (param + 1)]
         if win.size == 0:
             raise ValueError("flac: truncated rice stream")
-        # one-step jump (with a self-mapping sentinel for out-of-window)
+        # one-step jump (with a self-mapping sentinel for out-of-window;
+        # searchsorted never exceeds win.size, so the sentinel row is the
+        # only out-of-range target)
         nxt = np.searchsorted(win, win + param + 1).astype(np.int64)
         nxt = np.append(nxt, win.size)  # sentinel row
-        nxt[nxt > win.size] = win.size
         idx = np.empty(n, np.int64)
         idx[0] = 0
         filled, jump = 1, nxt  # jump = nxt^filled (sentinel row included)
@@ -230,9 +231,9 @@ class _FlacBits:
         prev_end = np.empty(n, np.int64)
         prev_end[0] = pos
         prev_end[1:] = t[:-1] + 1 + param
+        # q >= 0 by construction: each t is the first 1-bit at/after the
+        # previous value's end, so no negative-quotient guard is needed
         q = t - prev_end
-        if (q < 0).any():
-            raise ValueError("flac: corrupt rice stream")
         u = q.astype(np.uint64) << np.uint64(param)
         if param:
             gat = (t + 1)[:, None] + np.arange(param)
@@ -246,15 +247,8 @@ class _FlacBits:
 
 
 # --------------------------------------------------------------------------
-# Predictors
-
-_FIXED_COEFS = {  # residual = Δ^order signal
-    0: [],
-    1: [1],
-    2: [2, -1],
-    3: [3, -3, 1],
-    4: [4, -6, 4, -1],
-}
+# Predictors (FIXED order-k prediction ≡ residual = Δ^k signal, so
+# np.diff / cumsum carry the whole predictor algebra)
 
 
 def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
@@ -341,6 +335,8 @@ def encode_flac(samples: np.ndarray, rate: int = 8000) -> bytes:
     4096, independent channels, best FIXED predictor, Rice residuals)."""
     if samples.dtype != np.int16:
         raise ValueError("encode_flac wants int16 samples")
+    if not 0 < rate <= 655350:  # the spec's 20-bit STREAMINFO cap
+        raise ValueError(f"sample rate out of FLAC range: {rate}")
     if samples.size == 0:
         raise ValueError("encode_flac needs at least one sample")
     if samples.ndim == 1:
@@ -380,8 +376,9 @@ def encode_flac(samples: np.ndarray, rate: int = 8000) -> bytes:
 _BS_CODES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
              8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
              13: 8192, 14: 16384, 15: 32768}
-_RATE_CODES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
-               6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000}
+# frame-header rate codes 1-11 carry no extra bytes and the decoder trusts
+# STREAMINFO's rate, so only the codes with trailing bytes (12-14) and the
+# invalid code (15) need handling below
 _BPS_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
 
 
@@ -488,6 +485,8 @@ def decode_flac(b: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int]:
     md5 = si[18:34]
     if rate == 0 or n_ch > 8:
         raise ValueError("flac: bad STREAMINFO")
+    if bps != 16:
+        raise ValueError("flac: only 16-bit streams decoded here")
     fb = _FlacBits(b)
     got: list[np.ndarray] = []
     n_got = 0
@@ -497,7 +496,6 @@ def decode_flac(b: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int]:
             raise ValueError("flac: truncated frame header")
         if b[pos] != 0xFF or (b[pos + 1] & 0xFC) != 0xF8:
             raise ValueError("flac: lost frame sync")
-        variable = b[pos + 1] & 1
         bs_code = b[pos + 2] >> 4
         rate_code = b[pos + 2] & 0xF
         ch_code = b[pos + 3] >> 4
@@ -509,9 +507,13 @@ def decode_flac(b: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int]:
         if bs_code == 0:
             raise ValueError("flac: reserved block-size code")
         elif bs_code == 6:
+            if pos + 1 > len(b):
+                raise ValueError("flac: truncated frame header")
             bs = b[pos] + 1
             pos += 1
         elif bs_code == 7:
+            if pos + 2 > len(b):
+                raise ValueError("flac: truncated frame header")
             bs = struct.unpack_from(">H", b, pos)[0] + 1
             pos += 2
         else:
@@ -522,6 +524,8 @@ def decode_flac(b: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int]:
             pos += 2
         elif rate_code == 15:
             raise ValueError("flac: invalid sample-rate code")
+        if pos + 1 > len(b):
+            raise ValueError("flac: truncated frame header")
         if _crc8(b[frame_start:pos]) != b[pos]:
             raise ValueError("flac: frame header CRC mismatch")
         pos += 1
@@ -566,14 +570,11 @@ def decode_flac(b: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int]:
         pos += 2
         got.append(np.stack(subs, axis=1))
         n_got += bs
-        del variable
     if total and n_got < total:
         raise ValueError("flac: stream ended early")
     samples = np.concatenate(got, axis=0) if got else np.zeros((0, n_ch), np.int64)
     if total:
         samples = samples[:total]
-    if bps != 16:
-        raise ValueError("flac: only 16-bit streams decoded here")
     if np.any(samples > 32767) or np.any(samples < -32768):
         raise ValueError("flac: sample overflow")
     s16 = samples.astype(np.int16)

@@ -181,3 +181,37 @@ def test_hostile_inputs_raise_valueerror():
         encode_flac(np.zeros(0, np.int16))
     with pytest.raises(ValueError):
         encode_flac(np.zeros(5, np.int32))
+
+
+def test_truncation_sweep_every_offset_raises_valueerror():
+    # the review found struct.error/IndexError escaping at specific
+    # truncation offsets — sweep EVERY prefix length of a 3-frame stream
+    x = (2500 * np.sin(np.arange(3 * 4096 + 100) * 0.04)).astype(np.int16)
+    good = encode_flac(x)
+    for cut in range(len(good)):
+        try:
+            decode_flac(good[:cut])
+        except ValueError:
+            pass  # the contract
+        # any other exception type propagates and fails the test
+
+
+def test_encode_rate_validation():
+    x = np.zeros(10, np.int16)
+    for bad in (0, -5, 1 << 20, 655351):
+        with pytest.raises(ValueError):
+            encode_flac(x, rate=bad)
+    assert decode_flac(encode_flac(x, rate=655350))[1] == 655350
+
+
+def test_non16bit_stream_rejected_before_decoding_frames():
+    x = np.zeros(100, np.int16)
+    raw = bytearray(encode_flac(x))
+    # STREAMINFO packed field: bps-1 lives in bits 36..40 of si[10:18]
+    # (absolute bytes 18..26); patch bps 16 -> 24 and fix nothing else:
+    # the decoder must reject at STREAMINFO, before any frame parse
+    packed = int.from_bytes(raw[18:26], "big")
+    packed = (packed & ~(0x1F << 36)) | ((24 - 1) << 36)
+    raw[18:26] = packed.to_bytes(8, "big")
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_flac(bytes(raw))
