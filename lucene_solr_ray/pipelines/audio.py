@@ -330,8 +330,9 @@ def synth_audio(doc_id: int) -> np.ndarray:
 
 
 class AudioDecoder:
-    """Actor-pool stage: WAV decode → frame features.  Frame size / rate
-    are actor state; __call__ handles one small batch of wide payloads."""
+    """Actor-pool stage: container-sniffed WAV/FLAC decode → frame
+    features.  Frame size / rate are actor state; __call__ handles one
+    small batch of wide payloads."""
 
     def __init__(self, silence_db: float = -30.0):
         self.silence_thresh = 32768.0 * (10.0 ** (silence_db / 20.0))
@@ -455,7 +456,9 @@ def audio_fp_dedup(sf_dir: str):
 
 PIPELINES: dict[str, Pipeline] = {
     "audio_features": Pipeline(
-        audio_features, None, "REAL audio decode (numpy RIFF/WAV PCM16 codec) → RMS/ZCR/centroid/silence features"
+        audio_features, None,
+        "REAL audio decode (payloads rotate numpy WAV PCM16 / FLAC codecs) "
+        "→ RMS/ZCR/centroid/silence features"
     ),
     "audio_fp_dedup": Pipeline(
         audio_fp_dedup, None, "audio fingerprint near-dup groups via bounded hash-count partials"

@@ -265,6 +265,9 @@ def _fixed_restore(warmup: np.ndarray, resid: np.ndarray, order: int) -> np.ndar
     return np.concatenate([w, cur]) if order else cur
 
 
+_SAMPLE_CAP = 1 << 32  # way past any conformant stream's intermediate values
+
+
 def _lpc_restore(warmup: np.ndarray, resid: np.ndarray, coefs: list[int], shift: int) -> np.ndarray:
     order = len(coefs)
     out = np.concatenate([warmup.astype(np.int64), np.zeros(resid.size, np.int64)])
@@ -275,7 +278,13 @@ def _lpc_restore(warmup: np.ndarray, resid: np.ndarray, coefs: list[int], shift:
         pred = 0
         for k in range(order):
             pred += c[k] * int(out[j - 1 - k])
-        out[j] = (pred >> shift) + int(r[i])
+        v = (pred >> shift) + int(r[i])
+        if not -_SAMPLE_CAP < v < _SAMPLE_CAP:
+            # hostile coefficients make the recursion grow geometrically;
+            # unchecked, the Python-int pred eventually overflows the
+            # int64 store with OverflowError — keep the ValueError contract
+            raise ValueError("flac: LPC prediction out of range")
+        out[j] = v
     return out
 
 
@@ -451,7 +460,13 @@ def _decode_residual(fb: _FlacBits, pos: int, bs: int, order: int) -> tuple[np.n
         else:
             vals, pos = fb.rice_decode(pos, cnt, param)
         chunks.append(vals)
-    return np.concatenate(chunks) if chunks else np.zeros(0, np.int64), pos
+    out = np.concatenate(chunks) if chunks else np.zeros(0, np.int64)
+    # conformant 16-bit residuals are bounded ~2^21 (order-4 binomial sum
+    # of 17-bit samples); hostile method-1/escape streams can encode ~2^53
+    # values whose k-fold cumsum would WRAP int64 silently — reject first
+    if out.size and int(np.abs(out).max()) > (1 << 26):
+        raise ValueError("flac: residual out of range")
+    return out, pos
 
 
 def decode_flac(b: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int]:

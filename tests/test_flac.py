@@ -215,3 +215,35 @@ def test_non16bit_stream_rejected_before_decoding_frames():
     raw[18:26] = packed.to_bytes(8, "big")
     with pytest.raises(ValueError, match="16-bit"):
         decode_flac(bytes(raw))
+
+
+def test_hostile_lpc_explosion_raises_valueerror():
+    # CRC-valid frame, LPC order 1, coef 8192, shift 0: prediction grows
+    # geometrically — must raise ValueError, never OverflowError
+    def sub(w):
+        w.write(0, 1); w.write(32, 6); w.write(0, 1)       # LPC order 1
+        w.write_array(_signed_bits(np.array([30000]), 16))  # warmup
+        w.write(14, 4)                                     # precision-1 → 15 bits
+        w.write(0, 5)                                      # shift 0
+        w.write_array(_signed_bits(np.array([8192]), 15))  # coef
+        w.write(0, 2); w.write(0, 4); w.write(0, 4)        # rice(0) residuals
+        w.write_array(_rice_bits(np.zeros(99, np.int64), 0))
+
+    with pytest.raises(ValueError):
+        decode_flac(_craft(sub, 1, 100, 0))
+
+
+def test_hostile_huge_residuals_raise_valueerror():
+    # method-1 escape partition with 31-bit raw residuals far past any
+    # conformant stream — the magnitude cap must fire before cumsum wraps
+    def sub(w):
+        w.write(0, 1); w.write(9, 6); w.write(0, 1)        # FIXED order 1
+        w.write_array(_signed_bits(np.array([0]), 16))     # warmup
+        w.write(1, 2)                                      # rice method 1
+        w.write(0, 4)                                      # partition order 0
+        w.write(31, 5)                                     # ESCAPE (5-bit dialect)
+        w.write(30, 5)                                     # 30 raw bits/sample
+        w.write_array(_signed_bits(np.full(7, (1 << 29) - 1, np.int64), 30))
+
+    with pytest.raises(ValueError):
+        decode_flac(_craft(sub, 1, 8, 0))
