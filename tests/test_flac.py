@@ -247,3 +247,76 @@ def test_hostile_huge_residuals_raise_valueerror():
 
     with pytest.raises(ValueError):
         decode_flac(_craft(sub, 1, 8, 0))
+
+
+def test_mutation_fuzz_never_crashes_with_foreign_exceptions():
+    # flip random bits/bytes in valid streams: decode must either raise
+    # ValueError or return SOMETHING — never any other exception class
+    rng = np.random.default_rng(42)
+    x = np.stack([
+        (3000 * np.sin(np.arange(6000) * 0.05)).astype(np.int16),
+        np.cumsum(rng.integers(-30, 31, 6000)).clip(-32768, 32767).astype(np.int16),
+    ], axis=1)
+    good = encode_flac(x, 22050)
+    for _ in range(300):
+        raw = bytearray(good)
+        for _ in range(int(rng.integers(1, 4))):
+            raw[int(rng.integers(0, len(raw)))] ^= int(rng.integers(1, 256))
+        try:
+            decode_flac(bytes(raw))
+        except ValueError:
+            pass
+
+
+def test_random_valid_stream_conformance():
+    # randomized crafted frames over the whole decode surface: random
+    # subframe types, partition orders, rice params/escapes, wasted bits —
+    # decode must reproduce the constructed signal exactly
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        bs = int(rng.integers(16, 200))
+        want = rng.integers(-2000, 2000, bs).astype(np.int64)
+        kind = trial % 4
+
+        def sub(w, want=want, bs=bs, kind=kind, rng=rng):
+            if kind == 0:  # CONSTANT
+                want[:] = want[0]
+                w.write(0, 1); w.write(0, 6); w.write(0, 1)
+                w.write_array(_signed_bits(want[:1], 16))
+            elif kind == 1:  # VERBATIM with wasted bits
+                want[:] = (want >> 1) << 1  # make everything even
+                w.write(0, 1); w.write(1, 6)
+                w.write(1, 1); w.write(1, 1)  # wasted = 1 (unary 0 -> "1")
+                w.write_array(_signed_bits(want >> 1, 15))
+            else:  # FIXED random order, random partition order / params
+                order = int(rng.integers(0, 5))
+                if order > bs - 1:
+                    order = 0
+                resid = np.diff(want, n=order)
+                w.write(0, 1); w.write(8 + order, 6); w.write(0, 1)
+                w.write_array(_signed_bits(want[:order], 16))
+                method = int(rng.integers(0, 2))
+                pbits, escape = (4, 15) if method == 0 else (5, 31)
+                # partition order with bs % parts == 0 and first >= order
+                for po in (2, 1, 0):
+                    if bs % (1 << po) == 0 and (bs >> po) > order:
+                        break
+                w.write(method, 2); w.write(po, 4)
+                off = 0
+                for p in range(1 << po):
+                    cnt = (bs >> po) - (order if p == 0 else 0)
+                    part = resid[off : off + cnt]
+                    off += cnt
+                    if rng.integers(0, 2):  # escape raw
+                        # order-4 residuals of +/-2000 samples reach ~32000:
+                        # 17 raw bits holds them without truncation
+                        w.write(escape, pbits); w.write(17, 5)
+                        w.write_array(_signed_bits(part, 17))
+                    else:
+                        prm = int(rng.integers(0, 10))
+                        w.write(prm, pbits)
+                        w.write_array(_rice_bits(part, prm))
+
+        got, rate = decode_flac(_craft(sub, 1, bs, 0))
+        assert rate == 8000
+        assert np.array_equal(got, want), (trial, kind)
