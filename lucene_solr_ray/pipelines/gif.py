@@ -28,6 +28,8 @@ import pyarrow as pa
 
 from .common import Pipeline, pool, read
 
+from .images import codec_errors
+
 __all__ = ["decode_gif", "decode_gif_frames", "encode_gif"]
 
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
@@ -182,6 +184,7 @@ def _deinterlace(idx: np.ndarray, h: int, w: int) -> np.ndarray:
     return out.reshape(-1)
 
 
+@codec_errors
 def decode_gif_frames(b: bytes) -> list[np.ndarray]:
     """All composited frames, each (h, w, 4) RGBA over the logical screen
     (transparent where nothing was ever drawn) — disposal methods 0/1
@@ -258,6 +261,7 @@ def decode_gif_frames(b: bytes) -> list[np.ndarray]:
     return frames
 
 
+@codec_errors
 def decode_gif(b: bytes) -> np.ndarray:
     """First composited frame: (h, w, 3) RGB when fully opaque, else
     (h, w, 4) RGBA (matches decode_webp's channel contract)."""

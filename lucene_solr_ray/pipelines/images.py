@@ -25,13 +25,38 @@ independent scalar reference, planted duplicates are found exactly.
 
 from __future__ import annotations
 
+import functools
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from .common import Pipeline, pool, read
+
+
+def codec_errors(fn):
+    """Decorator for public decoders: every malformed payload raises
+    ValueError (the richdoc/flac contract — ONE catchable class for a
+    stage over wild corpora), while honest NotImplementedError format
+    boundaries pass through.  Without it, corrupt bytes surface as
+    whatever zlib/struct/dict-lookup happened to throw (a mutation sweep
+    found zlib.error escaping PNG on 248/250 corruptions and KeyError/
+    IndexError/OverflowError escaping JPEG)."""
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        try:
+            return fn(*a, **k)
+        except (ValueError, NotImplementedError):
+            raise
+        except (zlib.error, struct.error, KeyError, IndexError,
+                OverflowError, UnicodeDecodeError, RecursionError) as exc:
+            raise ValueError(f"malformed payload in {fn.__name__}: {exc}") from exc
+
+    return wrapped
+
 
 # --------------------------------------------------------------------------
 # Codecs
@@ -53,6 +78,7 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + buf.tobytes()
 
 
+@codec_errors
 def decode_bmp(b: bytes) -> np.ndarray:
     if b[:2] != b"BM":
         raise ValueError("not a BMP payload")
@@ -77,6 +103,7 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
 
 
+@codec_errors
 def decode_ppm(b: bytes) -> np.ndarray:
     if b[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
@@ -163,6 +190,7 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+@codec_errors
 def decode_png(b: bytes) -> np.ndarray:
     """PNG → H×W×3|4 uint8.  Supports bit depth 8, color types 2 (RGB) and
     6 (RGBA), all five scanline filters, no interlace — the subset the
@@ -228,6 +256,7 @@ def decode_png(b: bytes) -> np.ndarray:
     return recon.astype(np.uint8).reshape(h, w, bpp)
 
 
+@codec_errors
 def decode_image_bytes(b: bytes) -> np.ndarray:
     """Magic-dispatched decode; formats beyond BMP/PPM/PNG raise to the
     multimodal.decode_image integration point."""

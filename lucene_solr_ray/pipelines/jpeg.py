@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .images import codec_errors
+
 # -- constants (ITU T.81 Annex K) -------------------------------------------
 
 ZIGZAG = np.array(
@@ -392,6 +394,7 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+@codec_errors
 def decode_jpeg(b: bytes) -> np.ndarray:
     """Baseline JFIF bytes → uint8 RGB (H, W, 3), or (H, W) for one
     component.  DQT/DHT/DRI honored from the FILE; SOF2/12-bit/subsampled

@@ -29,6 +29,8 @@ import numpy as np
 
 __all__ = ["decode_webp", "encode_webp"]
 
+from .images import codec_errors
+
 # code-length-code symbol transmission order (spec §"Decoding the Code Lengths")
 _CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 
@@ -456,6 +458,7 @@ def _vp8l_decode(data: bytes) -> tuple[np.ndarray, int, int, bool]:
     return px, w, h, bool(alpha_hint)
 
 
+@codec_errors
 def decode_webp(b: bytes) -> np.ndarray:
     """WebP container → uint8 image array: (h, w, 3) RGB when the VP8L
     header's alpha hint is clear, else (h, w, 4) RGBA.  Lossy VP8 and

@@ -156,3 +156,44 @@ def test_png_spec_vector_and_rejections():
     with pytest.raises(NotImplementedError):
         # lossy-VP8 WebP: still a seam (lossless VP8L decodes for real)
         decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd")
+
+
+def test_codec_error_contract_mutation_sweep():
+    """Flip random bits in valid payloads across ALL six image codecs:
+    decode must raise ValueError or NotImplementedError only (the
+    richdoc/flac single-catchable-class contract) — a sweep before the
+    fix had zlib.error escaping PNG on 248/250 corruptions and KeyError/
+    IndexError/OverflowError escaping JPEG."""
+    import numpy as np
+    from lucene_solr_ray.pipelines.images import (
+        decode_image_bytes, encode_bmp, encode_png, encode_ppm,
+    )
+    from lucene_solr_ray.pipelines.jpeg import decode_jpeg, encode_jpeg
+    from lucene_solr_ray.pipelines.webp import decode_webp, encode_webp
+    from lucene_solr_ray.pipelines.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    gimg = (img // 86 * 86).astype(np.uint8)  # <=256 colors for GIF
+    cases = [
+        (encode_bmp(img), decode_image_bytes),
+        (encode_ppm(img), decode_image_bytes),
+        (encode_png(img), decode_image_bytes),
+        (encode_jpeg(img), decode_jpeg),
+        (encode_webp(img), decode_webp),
+        (encode_gif(gimg), decode_gif),
+    ]
+    for good, dec in cases:
+        for _ in range(120):
+            raw = bytearray(good)
+            for _ in range(int(rng.integers(1, 4))):
+                raw[int(rng.integers(0, len(raw)))] ^= int(rng.integers(1, 256))
+            try:
+                dec(bytes(raw))
+            except (ValueError, NotImplementedError):
+                pass
+        for cut in range(0, len(good), max(1, len(good) // 40)):
+            try:
+                dec(good[:cut])
+            except (ValueError, NotImplementedError):
+                pass
