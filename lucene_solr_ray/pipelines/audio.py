@@ -32,6 +32,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .common import Pipeline, pool, read
+from .images import codec_errors
 
 # --------------------------------------------------------------------------
 # Codec (RIFF WAVE: PCM16 + G.711 µ-law / A-law — the telephony formats
@@ -188,6 +189,7 @@ def encode_wav(samples: np.ndarray, rate: int = 8000, codec: str = "pcm16") -> b
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@codec_errors
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE bytes → (int16 samples [n] or [n, ch], rate).  PCM16 and
     G.711 µ-law/A-law (decoded through the ITU expansion tables).  Walks

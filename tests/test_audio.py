@@ -264,3 +264,26 @@ def test_audio_vad_segments_pipeline(ray_session):
         a = out[out["doc_id"] == d][["seg", "start_s", "end_s"]].reset_index(drop=True)
         b = out[out["doc_id"] == d - 1][["seg", "start_s", "end_s"]].reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_wav_mutation_and_truncation_contract():
+    import numpy as np
+    from lucene_solr_ray.pipelines.audio import decode_audio, encode_wav
+
+    rng = np.random.default_rng(9)
+    x = (3000 * np.sin(np.arange(3000) * 0.05)).astype(np.int16)
+    for codec in ("pcm16", "ulaw", "alaw", "adpcm"):
+        good = encode_wav(x, 8000, codec=codec)
+        for _ in range(100):
+            raw = bytearray(good)
+            for _ in range(int(rng.integers(1, 4))):
+                raw[int(rng.integers(0, len(raw)))] ^= int(rng.integers(1, 256))
+            try:
+                decode_audio(bytes(raw))  # WAV has no CRC; success is fine
+            except (ValueError, NotImplementedError):
+                pass
+        for cut in range(0, len(good), max(1, len(good) // 40)):
+            try:
+                decode_audio(good[:cut])  # struct.error used to escape (adpcm)
+            except (ValueError, NotImplementedError):
+                pass
