@@ -570,3 +570,16 @@ def test_pii_scrub_documents_nonvacuous(ray_session):
     assert out["clean"].str.contains("<PHONE>", regex=False).all()
     assert out["clean"].str.contains("<IP>", regex=False).all()
     assert not out["clean"].str.contains("@example.com", regex=False).any()
+
+
+def test_asof_join_bucket_invariance(ray_session, monkeypatch):
+    # the co-partitioned merge must be invariant to the bucket count —
+    # any key-hash partitioning gives the same per-event answer
+    import lucene_solr_ray.pipelines.relational as rel
+
+    base = rel.asof_join(SF)
+    monkeypatch.setattr(rel, "_ASOF_BUCKETS", 3)
+    few = rel.asof_join(SF)
+    import pandas as pd
+    pd.testing.assert_frame_equal(base, few)
+    assert len(base) > 0
