@@ -90,6 +90,7 @@ SUITE = [
     # round-5b additions: temporal/range joins, typed document PII,
     # FLAC-rotating VAD segmentation
     "asof_join", "range_join", "pii_scrub_documents", "audio_vad_segments",
+    "image_phash_dedup",
 ]
 
 

@@ -294,6 +294,28 @@ def ahash64(img: np.ndarray) -> int:
     return int(np.packbits(bits).view(">u8")[0].item() - (1 << 63))  # signed int64
 
 
+_PHASH_N = 32
+_PHASH_DCT = np.cos(
+    np.pi
+    * (2 * np.arange(_PHASH_N)[None, :] + 1)
+    * np.arange(_PHASH_N)[:, None]
+    / (2 * _PHASH_N)
+)  # 32-point DCT-II basis (unnormalized — the median threshold is scale-free)
+
+
+def phash64(img: np.ndarray) -> int:
+    """Perceptual hash: 32×32 luma → 2D DCT-II → top-left 8×8 lows, bit =
+    coefficient > median of the 63 AC terms (DC excluded) — the
+    industry-standard pHash, robust to blur/noise/brightness where aHash
+    is pixel-level."""
+    g = luminance(resize_nearest(img, _PHASH_N, _PHASH_N)).astype(np.float64)
+    d = _PHASH_DCT @ g @ _PHASH_DCT.T
+    block = d[:8, :8].reshape(64)
+    med = np.median(block[1:])
+    bits = (block > med).astype(np.uint8)
+    return int(np.packbits(bits).view(">u8")[0].item() - (1 << 63))  # signed int64
+
+
 # --------------------------------------------------------------------------
 # Deterministic synthetic corpus: one image per document, size and content
 # seeded by doc_id; every 7th doc REUSES the previous doc's seed (a planted
@@ -324,7 +346,7 @@ class ImageDecoder:
         self.thumb = thumb
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, ws, hs, mr, mg, mb, hashes = [], [], [], [], [], [], []
+        ids, ws, hs, mr, mg, mb, hashes, phashes = [], [], [], [], [], [], [], []
         for did, payload in zip(
             batch.column("doc_id").to_pylist(), batch.column("payload").to_pylist()
         ):
@@ -338,6 +360,7 @@ class ImageDecoder:
             mg.append(float(means[1]))
             mb.append(float(means[2]))
             hashes.append(ahash64(img))
+            phashes.append(phash64(img))
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
@@ -347,6 +370,7 @@ class ImageDecoder:
                 "mean_g": pa.array(mg, type=pa.float64()),
                 "mean_b": pa.array(mb, type=pa.float64()),
                 "ahash": pa.array(hashes, type=pa.int64()),
+                "phash": pa.array(phashes, type=pa.int64()),
             }
         )
 
@@ -422,11 +446,38 @@ def image_ahash_dedup(sf_dir: str):
     return g.reset_index(drop=True)
 
 
+def image_phash_dedup(sf_dir: str):
+    """pHash dup groups — same bounded (hash, count) combiner shape as
+    ahash, over the DCT perceptual hash (survives blur/noise/brightness
+    edits that break pixel-level hashes)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = batch.column("phash").to_numpy()
+        uniq, counts = np.unique(h, return_counts=True)
+        return pa.table({"phash": pa.array(uniq), "n": pa.array(counts.astype(np.int64))})
+
+    parts = (
+        _payloads(sf_dir)
+        .map_batches(ImageDecoder, batch_format="pyarrow", batch_size=128, concurrency=pool())
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    g = parts.groupby("phash", as_index=False)["n"].sum()
+    g = g[g["n"] >= 2].sort_values(["n", "phash"], ascending=[False, True])
+    g["n"] = g["n"].astype("int64")
+    return g.reset_index(drop=True)
+
+
 PIPELINES: dict[str, Pipeline] = {
     "image_features": Pipeline(
         image_features, None, "REAL image decode (numpy BMP/PPM codecs) → resize → color/aHash features"
     ),
     "image_ahash_dedup": Pipeline(
         image_ahash_dedup, None, "perceptual-hash image near-dup groups via bounded hash-count partials"
+    ),
+    "image_phash_dedup": Pipeline(
+        image_phash_dedup, None,
+        "DCT perceptual-hash (pHash) near-dup groups — robust to blur/noise/"
+        "brightness edits that break pixel-level hashes"
     ),
 }

@@ -197,3 +197,36 @@ def test_codec_error_contract_mutation_sweep():
                 dec(good[:cut])
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_phash_robustness_vs_ahash():
+    import numpy as np
+    from lucene_solr_ray.pipelines.images import ahash64, phash64, synth_image
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    rng = np.random.default_rng(13)
+    img = synth_image(5)
+    assert phash64(img) == phash64(img)  # deterministic
+    # mild noise + brightness scale: pHash stays close
+    noisy = np.clip(
+        img.astype(np.int16) + rng.integers(-8, 9, img.shape), 0, 255
+    ).astype(np.uint8)
+    dimmed = (img.astype(np.float64) * 0.85).astype(np.uint8)
+    assert ham(phash64(img), phash64(noisy)) <= 10
+    assert ham(phash64(img), phash64(dimmed)) <= 10
+    # a different image is far
+    other = synth_image(11)
+    assert ham(phash64(img), phash64(other)) >= 16
+
+
+def test_image_phash_dedup_pipeline(ray_session):
+    from lucene_solr_ray.pipelines.images import (
+        image_phash_dedup, phash64, synth_image,
+    )
+
+    out = image_phash_dedup("/root/testdata/sf0.001")
+    planted = {phash64(synth_image(d)) for d in range(7, 490, 7)}
+    assert planted <= set(out["phash"])
+    assert (out["n"] >= 2).all()
